@@ -1,0 +1,11 @@
+"""Operator inventory (SURVEY.md §2) — importing this package registers every
+relational query in the engine registry."""
+
+from auron_spark.operators import (  # noqa: F401
+    aggregate,
+    generate,
+    joins,
+    relational,
+    sort_setops,
+    window,
+)

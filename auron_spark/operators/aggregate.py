@@ -1,0 +1,287 @@
+"""Aggregation operator family.
+
+Reference: single native AggExec (`agg_exec.rs:59`) parameterized by
+HASH/SORT mode and PARTIAL/PARTIAL_MERGE/FINAL per-expression modes
+(`auron.proto:729-750`), with spillable radix-partitioned hash tables
+(`agg/agg_table.rs:363-601`).  In Spark those modes are exactly what Catalyst
+plans for a `groupBy().agg()` (partial map-side combine → shuffle on group keys
+→ final merge), so every query below compiles to the same two-phase shape.
+
+Covered aggregate functions (reference factory `agg/agg.rs:172-251`):
+min/max/sum/avg/count, first (as deterministic min_by/max_by), collect_list /
+collect_set (`agg/collect.rs`), FILTER clauses (`AuronConverters.scala:1278-1299`),
+count-distinct rewrites, and grouping sets / rollup / cube via the Expand
+operator (`expand_exec.rs:40`).
+
+Scale: group-key cardinalities here are orders of magnitude below input rows,
+so partial aggregation collapses the shuffle; collect_list/set are only used
+on bounded-cardinality groups (per-group row caps), never on unbounded keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from auron_spark.exprs import dec2, money_avg, money_sum, sql_money_avg, sql_money_sum
+from auron_spark.registry import query
+from auron_spark.tables import Tables
+
+
+@query(
+    "agg_global",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           {sql_money_sum('l_extendedprice', 'sum_price')},
+           {sql_money_avg('l_extendedprice', 'avg_price')},
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+           MIN(l_shipdate) = TIMESTAMP '1995-01-02' AS min_ship_ok
+    FROM lineitem
+    """,
+    tags=("agg",),
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no group key) aggregation — partial/final with a single-row
+    result; Spark plans a two-stage agg with a 1-partition exchange."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+        money_sum("l_extendedprice", "sum_price"),
+        money_avg("l_extendedprice", "avg_price"),
+        F.min("l_extendedprice").cast("double").alias("min_price"),
+        F.max("l_extendedprice").cast("double").alias("max_price"),
+        (F.min("l_shipdate") == "1995-01-02 00:00:00").alias("min_ship_ok"),
+    )
+
+
+@query(
+    "agg_distinct_filter",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           COUNT(DISTINCT o_orderpriority) AS n_prio,
+           COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+           {sql_money_sum('o_totalprice', 'sum_price')},
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS sum_urgent
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("agg", "distinct", "filter-clause"),
+)
+def agg_distinct_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregates + FILTER(WHERE) clauses in one grouping —
+    Catalyst rewrites to Expand + two-phase agg exactly like the reference's
+    planner input."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("o_orderpriority").alias("n_prio"),
+            F.count(F.when(F.col("o_totalprice") > 100000, F.lit(1))).alias("n_big"),
+            money_sum("o_totalprice", "sum_price"),
+            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", dec2("o_totalprice")))
+            .cast("double")
+            .alias("sum_urgent"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+           COUNT(*) AS n,
+           {sql_money_sum('o_totalprice', 'sum_price')}
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    tags=("agg", "expand", "rollup"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP — planned through the Expand operator (`expand_exec.rs:40`,
+    converter `AuronConverters.scala:1055-1061`)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            money_sum("o_totalprice", "sum_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "sum_price")
+        .orderBy(
+            "gid",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("agg", "expand", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over the Q1 keys — 4 grouping sets through Expand."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            money_sum("l_quantity", "sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+        .orderBy(
+            "gid",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           {sql_money_sum('o_totalprice', 'sum_price')}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    tags=("agg", "expand", "grouping-sets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL entry point (entry point A in
+    SURVEY.md §3 — same Catalyst plan as the DataFrame path)."""
+    t = Tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT c_mktsegment,
+           array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations,
+           COUNT(*) AS n
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("agg", "collect"),
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set (reference `agg/collect.rs`) with deterministic output:
+    sorted and joined to a string so the cross-engine hash is stable."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("nations"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "agg_minmax_by",
+    oracle="""
+    SELECT o_orderstatus,
+           arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+           arg_max(o_orderkey, o_totalprice) AS priciest_order,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("agg", "min_by"),
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by — the deterministic cousins of FIRST/LAST
+    (`agg/first.rs`); FIRST itself is order-dependent so the oracle-checked
+    surface uses arg-extrema instead."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.groupBy("o_orderstatus")
+        .agg(
+            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+            F.min("o_totalprice").cast("double").alias("min_price"),
+            F.max("o_totalprice").cast("double").alias("max_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "agg_sort_aggregate",
+    oracle="""
+    SELECT l_linestatus, COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    tags=("agg", "distinct"),
+)
+def agg_sort_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple count-distincts on different children → Catalyst's Expand-based
+    rewrite (the reference relies on the same pre-rewrite plan,
+    SURVEY.md §2.4 notes)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_linestatus")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct("l_partkey").alias("n_part"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "agg_approx",
+    oracle=None,  # approximate sketches have no SQL-exact oracle; rows-only
+    tags=("agg", "approx"),
+)
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches (HLL distinct, quantile) — beyond the reference's
+    surface but essential at 100 TB where exact distinct is a full shuffle.
+    Checked by property in tests (±5% of exact) rather than by oracle."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_price"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_price"),
+    )

@@ -1,0 +1,140 @@
+"""Generate operator family: explode / posexplode (+outer), json_tuple.
+
+Reference: GenerateExec (`generate_exec.rs:50`) with explode/posexplode
+(`generate/explode.rs`), json_tuple (`generate/json_tuple.rs`) and UDTF
+wrappers, incl. the `outer` flag (proto `auron.proto:604-628`, converter
+`AuronConverters.scala:1107-1121`).
+
+Generators multiply rows map-side — no shuffle is introduced; at 100 TB the
+only concern is output row-width amplification, which stays bounded here
+(≤ words-per-name elements per input row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from auron_spark.registry import query
+from auron_spark.tables import Tables
+
+
+@query(
+    "gen_explode",
+    oracle="""
+    SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word
+    FROM part
+    ORDER BY p_partkey, word
+    """,
+    tags=("generate", "explode"),
+)
+def gen_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode over an array column (split product names)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.part.select("p_partkey", F.explode(F.split("p_name", " ")).alias("word"))
+        .orderBy("p_partkey", "word")
+    )
+
+
+@query(
+    "gen_posexplode",
+    oracle="""
+    SELECT p_partkey, u.pos AS pos, u.word AS word
+    FROM (
+        SELECT p_partkey,
+               unnest(list_transform(range(1, len(w) + 1),
+                                     i -> struct_pack(pos := i - 1, word := w[i]))) AS u
+        FROM (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part)
+    )
+    ORDER BY p_partkey, pos
+    """,
+    tags=("generate", "posexplode"),
+)
+def gen_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode — element with its 0-based position."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.part.select("p_partkey", F.posexplode(F.split("p_name", " ")).alias("pos", "word"))
+        .orderBy("p_partkey", "pos")
+    )
+
+
+@query(
+    "gen_explode_outer",
+    oracle="""
+    SELECT p_partkey, unnest(CASE WHEN len(w) = 0 THEN [NULL] ELSE w END) AS word
+    FROM (
+        SELECT p_partkey,
+               CASE WHEN p_size <= 5 THEN [] ELSE string_split(p_name, ' ') END AS w
+        FROM part
+    )
+    ORDER BY p_partkey, word NULLS FIRST
+    """,
+    tags=("generate", "explode", "outer"),
+)
+def gen_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with empty arrays survive with NULL output (the
+    reference's `outer` flag, `auron.proto:627`)."""
+    t = Tables(spark, sf_dir)
+    arr = F.when(F.col("p_size") <= 5, F.array().cast("array<string>")).otherwise(
+        F.split("p_name", " ")
+    )
+    return (
+        t.part.select("p_partkey", F.explode_outer(arr).alias("word"))
+        .orderBy("p_partkey", F.col("word").asc_nulls_first())
+    )
+
+
+@query(
+    "gen_json_tuple",
+    oracle="""
+    SELECT event_id, json_extract_string(props, '$.k') AS k
+    FROM events
+    WHERE user_id <= 10
+    ORDER BY event_id
+    """,
+    tags=("generate", "json_tuple"),
+)
+def gen_json_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json_tuple generator (`generate/json_tuple.rs`)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.filter(F.col("user_id") <= 10)
+        .select("event_id", F.json_tuple("props", "k").alias("k"))
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "gen_python_udtf",
+    oracle="""
+    SELECT p_partkey, unnest(string_split(p_name, ' ')) AS tok
+    FROM part
+    WHERE p_size >= 48
+    ORDER BY p_partkey, tok
+    """,
+    tags=("generate", "udtf"),
+)
+def gen_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 3.5+) — the rebuild's analogue of the reference's
+    SparkUDTFWrapperContext FFI loop (`SparkUDTFWrapperContext.scala:95-144`).
+    Tokenizes names; equivalent by construction to explode(split())."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="tok: string")
+    class Tokenize:
+        def eval(self, name: str):  # noqa: ANN001
+            for tok in (name or "").split(" "):
+                yield (tok,)
+
+    t = Tables(spark, sf_dir)
+    t.part.filter(F.col("p_size") >= 48).createOrReplaceTempView("udtf_part")
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    return spark.sql(
+        """
+        SELECT p_partkey, t.tok AS tok
+        FROM udtf_part, LATERAL tokenize_udtf(p_name) t
+        ORDER BY p_partkey, tok
+        """
+    )

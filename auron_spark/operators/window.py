@@ -1,0 +1,250 @@
+"""Window-function operator family.
+
+Reference: WindowExec (`window_exec.rs:45`, processors under
+`window/processors/`) covering row_number/rank/dense_rank/percent_rank/
+cume_dist/lead/nth_value and running SUM/AVG/MAX/MIN/COUNT, plus the
+WindowGroupLimit top-k pruning (`window_exec.rs:54-71`).  Spark's window
+support is a strict superset (arbitrary frames, lag, ntile) — SURVEY.md §2.5.
+
+Determinism: window ORDER BY always carries the `event_id` PK as tiebreaker so
+rank/lag outputs are stable across engines.  Running aggregates over doubles go
+through DECIMAL (segment-tree vs sequential accumulation would otherwise differ
+at the ulp level between engines).
+
+Scale: all windows partition by `user_id` (150 × SF keys, zipf-skewed).  At
+100 TB a hot user's partition must fit one task — the top-k query uses Spark
+3.5's WindowGroupLimit pushdown so only k rows per group survive the sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from auron_spark.registry import query
+from auron_spark.tables import Tables
+
+_W = "PARTITION BY user_id ORDER BY ts, event_id"
+
+
+@query(
+    "window_ranking",
+    oracle=f"""
+    SELECT event_id,
+           user_id,
+           ROW_NUMBER() OVER ({_W}) AS rn,
+           RANK() OVER (PARTITION BY user_id ORDER BY event_type) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY user_id ORDER BY event_type) AS drnk,
+           NTILE(4) OVER ({_W}) AS quartile
+    FROM events
+    ORDER BY event_id
+    """,
+    tags=("window", "rank"),
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number/rank/dense_rank/ntile (`window/processors/*_processor.rs`)."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id").orderBy("event_type")
+    return (
+        t.events.select(
+            "event_id",
+            "user_id",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w_type).alias("rnk"),
+            F.dense_rank().over(w_type).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "window_percentiles",
+    oracle=f"""
+    SELECT event_id,
+           ROUND(PERCENT_RANK() OVER ({_W}), 9) AS pct_rank,
+           ROUND(CUME_DIST() OVER ({_W}), 9) AS cume,
+           NTH_VALUE(event_type, 3) OVER
+             ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_type
+    FROM events
+    WHERE user_id <= 20
+    ORDER BY event_id
+    """,
+    tags=("window", "percent_rank"),
+)
+def window_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank/cume_dist/nth_value — the reference constrains nth_value
+    to the running frame (`NativeWindowBase.scala:163-177`); we use the same
+    frame.  Ratios are exact small-integer divisions; rounded to 9 digits for
+    cross-engine hash stability."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        t.events.filter(F.col("user_id") <= 20)
+        .select(
+            "event_id",
+            F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 9).alias("cume"),
+            F.nth_value("event_type", 3).over(w_run).alias("third_type"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "window_lead_lag",
+    oracle=f"""
+    SELECT event_id,
+           LEAD(event_type, 1, 'none') OVER ({_W}) AS next_type,
+           LAG(event_type, 1, 'none') OVER ({_W}) AS prev_type,
+           LEAD(value, 2) OVER ({_W}) AS next2_value
+    FROM events
+    WHERE user_id <= 20
+    ORDER BY event_id
+    """,
+    tags=("window", "lead", "lag"),
+)
+def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead (with default) and lag — lag is JVM-side in the reference
+    (unsupported natively, `NativeWindowBase.scala:179-188`); both are
+    first-class here."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t.events.filter(F.col("user_id") <= 20)
+        .select(
+            "event_id",
+            F.lead("event_type", 1, "none").over(w).alias("next_type"),
+            F.lag("event_type", 1, "none").over(w).alias("prev_type"),
+            F.lead("value", 2).over(w).alias("next2_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "window_running_agg",
+    oracle=f"""
+    SELECT event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+             ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_sum,
+           COUNT(*) OVER
+             ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n,
+           CAST(MAX(value) OVER
+             ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_max
+    FROM events
+    WHERE user_id <= 20
+    ORDER BY event_id
+    """,
+    tags=("window", "agg"),
+)
+def window_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running SUM/COUNT/MAX — the only frame the reference supports for
+    window aggregates (`NativeWindowBase.scala:197-236`)."""
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.events.filter(F.col("user_id") <= 20)
+        .select(
+            "event_id",
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("running_sum"),
+            F.count("*").over(w).alias("running_n"),
+            F.max("value").over(w).cast("double").alias("running_max"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "window_sliding_frame",
+    oracle=f"""
+    SELECT event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+             ({_W} ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS win_sum,
+           CAST(MIN(value) OVER
+             ({_W} ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS win_min
+    FROM events
+    WHERE user_id <= 20
+    ORDER BY event_id
+    """,
+    tags=("window", "frame"),
+)
+def window_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary sliding ROWS frame — beyond the reference's running-frame
+    limit; free in Spark (SURVEY.md §2.5 note)."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 1)
+    return (
+        t.events.filter(F.col("user_id") <= 20)
+        .select(
+            "event_id",
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("win_sum"),
+            F.min("value").over(w).cast("double").alias("win_min"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "window_top_k_per_group",
+    oracle="""
+    SELECT user_id, event_id, value FROM (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        FROM events
+    ) WHERE rn <= 3
+    ORDER BY user_id, event_id
+    """,
+    tags=("window", "group-limit", "topk"),
+    bench=True,
+)
+def window_top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: rank-filter pattern that Spark 3.5 rewrites to
+    WindowGroupLimitExec — the reference's window group limit
+    (`window_exec.rs:54-71`, `AuronConverters.scala:1079-1105`).  At scale this
+    prunes to k rows per group *before* the full sort."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    return (
+        t.events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value")
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id,
+           COUNT(*) OVER
+             (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour
+    FROM events
+    WHERE user_id <= 20
+    ORDER BY event_id
+    """,
+    tags=("window", "range-frame"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event-time seconds: events per trailing hour per user.
+    Not supported by the reference at all; idiomatic Spark `rangeBetween`."""
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        t.events.filter(F.col("user_id") <= 20)
+        .select("event_id", F.count("*").over(w).alias("n_last_hour"))
+        .orderBy("event_id")
+    )

@@ -1,0 +1,5 @@
+"""LLM-data-pipeline operators (north-star extensions beyond the reference's
+surface): deduplication, similarity search, text analysis, multimodal column
+plumbing.  Importing registers their queries."""
+
+from auron_spark.pipeline import dedup, multimodal, similarity, text  # noqa: F401

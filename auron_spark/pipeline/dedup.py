@@ -1,0 +1,273 @@
+"""Deduplication operators for training-data pipelines.
+
+Not present in the reference (its surface stops at relational ops) — these are
+the north-star extensions, built from the same Spark primitives so they scale
+like any other aggregation:
+
+- exact dedup: hash-groupBy on a content digest (one shuffle on the digest);
+- MinHash + LSH near-dup: shingle → per-seed min-hash signature → band →
+  bucket-join.  All map-side except one groupBy(doc) and one groupBy(band) —
+  no pairwise O(n²) stage ever materializes at 100 TB; candidate pairs are
+  bounded by bucket collisions;
+- n-gram Jaccard verification on the LSH candidates only;
+- SimHash: 64-bit hash from signed token-bit sums (xxhash64-based; rows-only
+  check since DuckDB has no xxhash64).
+
+Determinism: all hashing is md5/xxhash64 of explicit strings — stable across
+engines, sessions and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from auron_spark.registry import query
+from auron_spark.tables import Tables
+
+N_MINHASH = 8  # seeds; 4 bands x 2 rows
+N_BANDS = 4
+
+
+def shingles(words_col: str = "w", n: int = 3) -> Column:
+    """3-word shingles from a words array column (0-based Spark arrays)."""
+    w = F.col(words_col)
+    return F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+        ),
+    )
+
+
+_SQL_SHINGLES = (
+    "list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])"
+)
+
+
+def _doc_shingles(t: Tables) -> DataFrame:
+    """(doc_id, shingle) — exploded, deduplicated per doc."""
+    return (
+        t.documents.select(
+            "doc_id", F.split(F.lower(F.col("text")), " ").alias("w")
+        )
+        .select("doc_id", F.explode(shingles()).alias("shingle"))
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+
+
+def minhash_signature(doc_shingles: DataFrame) -> DataFrame:
+    """One row per doc with N_MINHASH min-hash columns mh0..mhN-1.
+
+    Min over md5(seed|shingle) strings — min of a uniformly-hashed string set,
+    the classic MinHash estimator, expressed as a single hash-groupBy."""
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(s)), F.col("shingle")))).alias(f"mh{s}")
+        for s in range(N_MINHASH)
+    ]
+    return doc_shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Band the signature (N_BANDS bands × 2 rows) and join docs sharing any
+    band bucket.  Returns distinct (a, b) with a < b."""
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "#", F.lit(str(b)), F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    )
+    left = bands.select(F.col("doc_id").alias("a"), "band")
+    right = bands.select(F.col("doc_id").alias("b"), "band")
+    return (
+        left.join(right, "band")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates()
+    )
+
+
+def _sql_signature_cte() -> str:
+    """DuckDB CTEs computing the identical signature/bands."""
+    mh_cols = ",\n               ".join(
+        f"MIN(md5('{s}' || '|' || shingle)) AS mh{s}" for s in range(N_MINHASH)
+    )
+    band_exprs = ", ".join(
+        f"('{b}' || '#' || mh{2 * b} || '#' || mh{2 * b + 1})" for b in range(N_BANDS)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+        )
+    ),
+    sig AS (
+        SELECT doc_id,
+               {mh_cols}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, unnest([{band_exprs}]) AS band FROM sig
+    )
+    """
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT h, min_id, n_copies FROM (
+        SELECT md5(text) AS h, MIN(doc_id) AS min_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    )
+    ORDER BY min_id
+    """,
+    tags=("pipeline", "dedup", "exact"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: digest-groupBy keeping the smallest doc_id as canonical.
+    One shuffle on the digest; at 100 TB the digest (16 bytes) shuffles, not
+    the document text."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("min_id"), F.count("*").alias("n_copies"))
+        .orderBy("min_id")
+    )
+
+
+@query(
+    "dedup_minhash_signature",
+    oracle=_sql_signature_cte()
+    + f"""
+    SELECT doc_id, {", ".join(f"mh{s}" for s in range(N_MINHASH))}
+    FROM sig ORDER BY doc_id
+    """,
+    tags=("pipeline", "dedup", "minhash"),
+    bench=True,
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 seeds over 3-word shingles)."""
+    t = Tables(spark, sf_dir)
+    return minhash_signature(_doc_shingles(t)).orderBy("doc_id")
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    oracle=_sql_signature_cte()
+    + """
+    SELECT l.doc_id AS a, r.doc_id AS b
+    FROM bands l JOIN bands r ON l.band = r.band AND l.doc_id < r.doc_id
+    GROUP BY a, b
+    ORDER BY a, b
+    """,
+    tags=("pipeline", "dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate near-duplicate pairs (4 bands × 2 rows)."""
+    t = Tables(spark, sf_dir)
+    return lsh_candidate_pairs(minhash_signature(_doc_shingles(t))).orderBy("a", "b")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_sql_signature_cte()
+    + """
+    , cand AS (
+        SELECT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r ON l.band = r.band AND l.doc_id < r.doc_id
+        GROUP BY a, b
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.a, c.b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.a
+        JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+        GROUP BY c.a, c.b
+    )
+    SELECT i.a, i.b,
+           ROUND(CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common), 9) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.a
+    JOIN sizes zb ON zb.doc_id = i.b
+    ORDER BY a, b
+    """,
+    tags=("pipeline", "dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-set Jaccard similarity, computed only for LSH candidates —
+    the verify stage of near-dup detection.  Set sizes and intersections are
+    exact integers; the ratio is one double division."""
+    t = Tables(spark, sf_dir)
+    sh = _doc_shingles(t).cache()
+    cand = lsh_candidate_pairs(minhash_signature(sh))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        cand.join(sa, "a")
+        .join(sb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    return (
+        inter.join(za, "a")
+        .join(zb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                9,
+            ).alias("jaccard"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=None,  # xxhash64 has no DuckDB twin; checked by property in tests
+    tags=("pipeline", "dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document: sign-sum of token hash bits.
+
+    token bit b contributes +1 if set else -1; simhash bit b = (sum > 0).
+    Pure built-in bit arithmetic (xxhash64, shiftright, sum) — no UDF."""
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    # per (doc, bit): sum of (+1/-1); then assemble the 64-bit value
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(64)
+    ]
+    sums = hashed.groupBy("doc_id").agg(*bit_cols)
+    simhash = sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long") * (2**b if b < 63 else 0))
+                .otherwise(0)
+                for b in range(63)
+            ]
+        ).alias("simhash"),
+        (F.col("s63") > 0).alias("high_bit"),
+    )
+    return simhash.orderBy("doc_id")

@@ -1,0 +1,223 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+North-star extension.  Two paths:
+
+- brute-force cosine top-k: exact baseline.  The query set is broadcast and
+  the corpus streams — at 100 TB the corpus side never shuffles; cost is
+  O(|corpus| × |queries|) map-side work + a per-query top-k (WindowGroupLimit
+  prunes to k rows per query before any sort).
+- LSH-bucketed ANN (random-hyperplane signs): corpus hashed to buckets
+  map-side; queries probe only their bucket → candidates ≪ corpus.  The
+  hyperplanes are pseudo-random but fully deterministic (seeded from md5), so
+  results are reproducible across runs/partitionings.
+
+All arithmetic in double precision with index-ordered sequential folds so the
+DuckDB oracle (same fold order) produces bit-identical sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from auron_spark.registry import query
+from auron_spark.tables import Tables
+
+TOP_K = 5
+QUERY_MOD = 25  # vec_id % QUERY_MOD == 0 -> query vector
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Index-ordered sequential dot product in double precision."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+_SQL_DOT = (
+    "list_sum(list_transform(range(1, 65), i -> "
+    "CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+)
+_SQL_NORM_Q = (
+    "sqrt(list_sum(list_transform(range(1, 65), i -> "
+    "CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))"
+)
+_SQL_NORM_C = (
+    "sqrt(list_sum(list_transform(range(1, 65), i -> "
+    "CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))"
+)
+
+
+@query(
+    "sim_knn_bruteforce",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cos_sim FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND({_SQL_DOT} / ({_SQL_NORM_Q} * {_SQL_NORM_C}), 6) AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_SQL_DOT} / ({_SQL_NORM_Q} * {_SQL_NORM_C}) DESC,
+                            c.vec_id) AS rn
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id % {QUERY_MOD} = 0
+    ) WHERE rn <= {TOP_K}
+    ORDER BY query_id, neighbor_id
+    """,
+    tags=("pipeline", "similarity", "knn"),
+    bench=True,
+)
+def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × streamed corpus + per-query
+    WindowGroupLimit top-k."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    q = (
+        t.embeddings.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    )
+    c = t.embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    sim = F.col("dot") / (F.col("qn") * F.col("cn"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot(F.col("q_emb"), F.col("c_emb")).alias("dot"),
+            norm(F.col("q_emb")).alias("qn"),
+            norm(F.col("c_emb")).alias("cn"),
+        )
+        .select("query_id", "neighbor_id", sim.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"))
+        .orderBy("query_id", "neighbor_id")
+    )
+
+
+N_PLANES = 8
+
+
+def _plane(seed: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane (±1 components) from md5 —
+    reproducible in any engine, no RNG state."""
+    import hashlib
+
+    comps: list[float] = []
+    for d in range(64):
+        h = hashlib.md5(f"plane{seed}:dim{d}".encode()).hexdigest()
+        comps.append(1.0 if int(h[:8], 16) % 2 == 0 else -1.0)
+    return comps
+
+
+def lsh_bucket(emb: Column) -> Column:
+    """Sign-pattern bucket id from N_PLANES fixed hyperplanes."""
+    bits = []
+    for p in range(N_PLANES):
+        plane = _plane(p)
+        prods = F.zip_with(
+            emb,
+            F.array(*[F.lit(v) for v in plane]),
+            lambda x, y: x.cast("double") * y,
+        )
+        s = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(s >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+@query(
+    "sim_knn_lsh",
+    oracle=None,  # approximate ANN: verified against brute force in tests
+    tags=("pipeline", "similarity", "lsh", "ann"),
+)
+def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: bucket corpus and queries map-side,
+    equi-join on bucket, exact cosine re-rank inside the bucket.  The scale
+    path: the join is an equi-join on bucket id, so Spark shuffles each side
+    once on a small key instead of a cross join."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.withColumn("bucket", lsh_bucket(F.col("embedding")))
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "bucket"
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("q_emb"), F.col("c_emb")) / (norm(F.col("q_emb")) * norm(F.col("c_emb")))).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"))
+        .orderBy("query_id", "neighbor_id")
+    )
+
+
+@query(
+    "sim_centroids",
+    oracle="""
+    SELECT label, pos - 1 AS dim,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*) AS centroid
+    FROM (
+        SELECT label, unnest(embedding) AS v,
+               unnest(range(1, len(embedding) + 1)) AS pos
+        FROM embeddings
+    )
+    WHERE pos <= 8
+    GROUP BY label, pos
+    ORDER BY label, dim
+    """,
+    tags=("pipeline", "similarity", "centroid"),
+)
+def sim_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster centroids (first 8 dims) — the building block of IVF
+    indexing: posexplode + groupBy(label, dim).  Component sums go through
+    DECIMAL(18,6) of the 6-digit-rounded components for order-insensitive
+    exactness."""
+    t = Tables(spark, sf_dir)
+    ex = t.embeddings.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).filter(F.col("dim") < 8)
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.round(F.col("v").cast("double"), 6).cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("centroid"),
+        )
+        .orderBy("label", "dim")
+    )

@@ -1,0 +1,201 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+fingerprinting.  All pure built-in expressions (JVM-side, codegen) — no Python
+in the hot path; at 100 TB these run map-side with zero shuffles except the
+final order in the test harness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from auron_spark.registry import query
+from auron_spark.tables import Tables
+
+# Tiny marker vocabularies for the n-gram language heuristic.  The fixture
+# text is synthetic English-ish; the point is deterministic scoring logic.
+_LANG_MARKERS = {
+    "en": ("the", "a", "of"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "y"),
+}
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.lower(F.col(col)), " ")
+
+
+def _marker_hits(lang: str) -> Column:
+    toks = _tokens()
+    hits = F.lit(0)
+    for m in _LANG_MARKERS[lang]:
+        hits = hits + F.size(F.filter(toks, lambda t: t == F.lit(m)))
+    return hits
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars_obs,
+           length(text) = n_chars AS chars_ok,
+           len(list_distinct(string_split(lower(text), ' '))) AS n_unique,
+           ROUND(CAST(length(text) AS DOUBLE)
+                 / len(string_split(text, ' ')), 9) AS avg_tok_len,
+           length(text) - length(replace(text, ' ', '')) AS n_spaces
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "text", "stats"),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char/uniqueness stats incl. the n_chars invariant check."""
+    t = Tables(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    return t.documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_obs"),
+        (F.length("text") == F.col("n_chars")).alias("chars_ok"),
+        F.size(F.array_distinct(_tokens())).alias("n_unique"),
+        F.round(F.length("text").cast("double") / F.size(toks), 9).alias("avg_tok_len"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))).alias(
+            "n_spaces"
+        ),
+    ).orderBy("doc_id")
+
+
+def _sql_hits(lang: str) -> str:
+    terms = " + ".join(
+        f"len(list_filter(string_split(lower(text), ' '), t -> t = '{m}'))"
+        for m in _LANG_MARKERS[lang]
+    )
+    return f"({terms})"
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS lang_label,
+           CASE
+             WHEN {_sql_hits("en")} >= {_sql_hits("de")}
+              AND {_sql_hits("en")} >= {_sql_hits("fr")}
+              AND {_sql_hits("en")} >= {_sql_hits("es")} THEN 'en'
+             WHEN {_sql_hits("de")} >= {_sql_hits("fr")}
+              AND {_sql_hits("de")} >= {_sql_hits("es")} THEN 'de'
+             WHEN {_sql_hits("fr")} >= {_sql_hits("es")} THEN 'fr'
+             ELSE 'es'
+           END AS lang_pred,
+           {_sql_hits("en")} AS en_hits
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "text", "lang-id"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language heuristic — argmax over per-language hit counts
+    with a deterministic tie order (en > de > fr > es)."""
+    t = Tables(spark, sf_dir)
+    en, de, fr, es = (_marker_hits(lang) for lang in ("en", "de", "fr", "es"))
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en >= es), "en")
+        .when((de >= fr) & (de >= es), "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+    )
+    return t.documents.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        pred.alias("lang_pred"),
+        en.alias("en_hits"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           ROUND(
+             0.4 * LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100, 1.0)
+           + 0.3 * (CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+                    / len(string_split(text, ' ')))
+           + 0.3 * (CAST(len(list_filter(string_split(lower(text), ' '),
+                                         t -> t IN ('the', 'a', 'of', 'and', 'is')))
+                         AS DOUBLE)
+                    / len(string_split(text, ' '))), 9) AS quality
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "text", "quality"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: length saturation + lexical diversity +
+    stopword ratio (the classic Gopher-style rule trio, simplified)."""
+    t = Tables(spark, sf_dir)
+    toks = _tokens()
+    n = F.size(toks)
+    stop = F.size(
+        F.filter(toks, lambda x: x.isin("the", "a", "of", "and", "is"))
+    )
+    quality = F.round(
+        0.4 * F.least(n.cast("double") / 100, F.lit(1.0))
+        + 0.3 * (F.size(F.array_distinct(toks)).cast("double") / n)
+        + 0.3 * (stop.cast("double") / n),
+        9,
+    )
+    return t.documents.select("doc_id", quality.alias("quality")).orderBy("doc_id")
+
+
+@query(
+    "text_token_regex",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_split_to_array(text, '\\s+')) AS ws_tokens,
+           len(regexp_split_to_array(lower(text), '[^a-z0-9]+')) -
+             CASE WHEN regexp_matches(lower(text), '[^a-z0-9]$') THEN 1 ELSE 0 END -
+             CASE WHEN regexp_matches(lower(text), '^[^a-z0-9]') THEN 1 ELSE 0 END
+             AS word_tokens,
+           length(regexp_replace(text, '[a-zA-Z ]', '', 'g')) AS non_alpha
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "text", "tokenize"),
+)
+def text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex tokenization counts (whitespace tokens vs BPE-ish word tokens) —
+    Spark `split` drops no empty trailing fields the way DuckDB keeps them, so
+    the oracle compensates explicitly (documented engine delta)."""
+    t = Tables(spark, sf_dir)
+    lower = F.lower(F.col("text"))
+    word_arr = F.filter(
+        F.split(lower, "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+    return t.documents.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), "\\s+")).alias("ws_tokens"),
+        F.size(word_arr).alias("word_tokens"),
+        F.length(F.regexp_replace(F.col("text"), "[a-zA-Z ]", "")).alias("non_alpha"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split(lower(text), ' '))), ' ')) AS fp
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form document fingerprint: sorted distinct token bag → md5.
+    Robust to token reordering — a cheap near-dup pre-filter."""
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.md5(F.array_join(F.sort_array(F.array_distinct(_tokens())), " ")).alias("fp"),
+    ).orderBy("doc_id")

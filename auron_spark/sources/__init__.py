@@ -1,0 +1,3 @@
+"""Source/sink surface (SURVEY.md §2.1)."""
+
+from auron_spark.sources import io  # noqa: F401

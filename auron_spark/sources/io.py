@@ -1,0 +1,94 @@
+"""Readers and writers: parquet / ORC / CSV / JSON, plus partitioned and
+dynamic-partition writes.
+
+Reference: ParquetScan/OrcScan (`parquet_exec.rs:70`, `orc_exec.rs:68`),
+ParquetSink with dynamic partitions (`parquet_sink_exec.rs:55`,
+`num_dyn_parts` in `AuronConverters.scala:1160-1167`), OrcSink
+(`orc_sink_exec.rs:54`).  Lakehouse connectors (Iceberg/Paimon/Hudi,
+`thirdparty/auron-*`) need external jars not present in this container —
+`read_lakehouse` gates them behind a capability check instead of failing at
+import time.
+
+Scale: writers default to zstd-compressed parquet and partitioned layout;
+`write_partitioned` repartitions by the partition columns first so each task
+writes one file per partition value (no small-file explosion — the same
+problem the reference's `num_dyn_parts` solves natively).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)  # never inferSchema in production paths
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("compression", "zstd").parquet(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("compression", "zstd").orc(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Dynamic-partition parquet write: repartition on the partition columns so
+    every output partition is written by one task → one file per partition
+    value instead of tasks × partitions small files."""
+    (
+        df.repartition(*partition_cols)
+        .write.mode(mode)
+        .partitionBy(*partition_cols)
+        .option("compression", "zstd")
+        .parquet(path)
+    )
+
+
+_LAKEHOUSE_FORMATS = ("iceberg", "delta", "hudi", "paimon")
+
+
+def lakehouse_available(spark: SparkSession, fmt: str) -> bool:
+    """True if the connector jars for ``fmt`` are on the classpath."""
+    if fmt not in _LAKEHOUSE_FORMATS:
+        return False
+    try:
+        spark.read.format(fmt).load("/nonexistent-probe-path")
+    except Exception as e:  # noqa: BLE001
+        msg = str(e)
+        # Missing DataSource class -> connector absent; path errors -> present.
+        return "Failed to find" not in msg and "ClassNotFound" not in msg
+    return True
+
+
+def read_lakehouse(spark: SparkSession, fmt: str, path_or_table: str) -> DataFrame:
+    """Iceberg/Delta/Hudi/Paimon scan — reference parity for the thirdparty
+    connectors; requires the respective jars on the classpath."""
+    if not lakehouse_available(spark, fmt):
+        raise NotImplementedError(
+            f"{fmt} connector jars are not on the classpath; add the connector "
+            f"package to spark.jars.packages to enable this source"
+        )
+    return spark.read.format(fmt).load(path_or_table)

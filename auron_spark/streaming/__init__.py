@@ -1,0 +1,3 @@
+"""Streaming surface — Structured Streaming (SURVEY.md §2.10)."""
+
+from auron_spark.streaming import ops  # noqa: F401

@@ -1,0 +1,196 @@
+"""Event-time operators: tumbling/sliding windows, session windows, dedup.
+
+The reference's streaming story is a Kafka batch source in the Flink extension
+(`flink/kafka_scan_exec.rs:81`) with no watermarks/state — SURVEY.md §2.10.
+Our surface is idiomatic Structured Streaming: every transformation below is
+written against a plain DataFrame, so the *same function* serves batch
+(oracle-checked here) and streaming (`readStream` + watermark, exercised in
+tests/test_streaming.py with an AvailableNow trigger over the same parquet).
+
+That batch/stream symmetry is the Spark-native design: event-time logic lives
+in the query, not the source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from auron_spark.registry import query
+from auron_spark.tables import Tables
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling event-time window aggregate — works identically on batch and
+    streaming inputs (with `withWatermark` upstream for streams)."""
+    return (
+        events.groupBy(F.window("ts", width), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+@query(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY win_start, event_type
+    """,
+    tags=("streaming", "window", "tumbling"),
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return tumbling_counts(t.events).orderBy("win_start", "event_type")
+
+
+@query(
+    "stream_sliding_window",
+    oracle="""
+    SELECT strftime(make_timestamp(win_start * 1000000), '%Y-%m-%d %H:%M:%S') AS win_start,
+           COUNT(*) AS n
+    FROM (
+        SELECT unnest([g, g - 1800]) AS win_start
+        FROM (
+            -- floor(), not CAST: duckdb double->bigint cast rounds, Spark truncates
+            SELECT CAST(floor(epoch(ts)) AS BIGINT)
+                     - (CAST(floor(epoch(ts)) AS BIGINT) % 1800) AS g
+            FROM events WHERE user_id <= 30
+        )
+    )
+    GROUP BY win_start
+    ORDER BY win_start
+    """,
+    tags=("streaming", "window", "sliding"),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h width, 30 min slide): each event lands in 2
+    windows; the oracle materializes both via unnest of the two candidate
+    window starts."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.filter(F.col("user_id") <= 30)
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n",
+        )
+        .orderBy("win_start")
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WHERE user_id <= 30
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "session-window"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) via the built-in `session_window` —
+    streaming-native sessionization that also runs in batch.  The oracle
+    recomputes sessions with the classic lag/gap/cumsum construction,
+    proving the semantics equivalence of the two formulations."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.filter(F.col("user_id") <= 30)
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("min_ts"))
+        .select(
+            "user_id",
+            F.date_format("min_ts", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def dedup_events(events: DataFrame) -> DataFrame:
+    """Exactly-once by event_id.  In streaming this becomes
+    `withWatermark(...).dropDuplicatesWithinWatermark(["event_id"])`."""
+    return events.dropDuplicates(["event_id"])
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+    FROM (SELECT DISTINCT ON (event_id) event_id, event_type, user_id
+          FROM events ORDER BY event_id)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        dedup_events(t.events)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.count_distinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "stream_late_data_cutoff",
+    oracle="""
+    WITH marked AS (
+        SELECT *,
+               MAX(ts) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS max_seen
+        FROM events
+    )
+    SELECT COUNT(*) AS n_late
+    FROM marked
+    WHERE max_seen - ts > INTERVAL 10 MINUTE
+    """,
+    tags=("streaming", "watermark", "late-data"),
+)
+def stream_late_data_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts events arriving >10 min behind the running event-time maximum
+    (arrival order = event_id) — the rows a 10-minute watermark would drop.
+    Batch-computable watermark semantics used to validate the streaming test."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        t.events.withColumn("max_seen", F.max("ts").over(w))
+        .filter(
+            (F.col("max_seen").cast("long") - F.col("ts").cast("long")) > 600
+        )
+        .agg(F.count("*").alias("n_late"))
+    )

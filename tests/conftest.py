@@ -1,0 +1,97 @@
+"""Shared fixtures: one SparkSession per test session, a DuckDB oracle with the
+fixture tables registered as views, and the exact-compare helper that mirrors
+the driver's row-count + schema + order-insensitive value check."""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+import sys
+from decimal import Decimal
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+import pytest
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from auron_spark.session import get_spark  # noqa: E402
+from auron_spark.tables import TABLE_NAMES  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark("auron-spark-tests")
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{SF_DIR}/{name}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm_cell(v):
+    """Normalize a value for cross-engine comparison."""
+    if v is None:
+        return None
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, (datetime.datetime, pd.Timestamp)):
+        # A DATE read through pandas becomes a midnight Timestamp; normalize
+        # date-valued cells of either representation to the same form.
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.isoformat() + " 00:00:00.000000"
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    try:
+        import numpy as np
+
+        if isinstance(v, np.generic):
+            return v.item()
+        if isinstance(v, np.ndarray):
+            return tuple(_norm_cell(x) for x in v)
+    except ImportError:
+        pass
+    return v
+
+
+def normalize(df: pd.DataFrame) -> list[tuple]:
+    """Sorted-columns, sorted-rows tuple list — order-insensitive exact form."""
+    cols = sorted(df.columns)
+    rows = [
+        tuple(_norm_cell(row[c]) for c in cols)
+        for _, row in df[cols].iterrows()
+    ]
+    return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+
+def assert_matches_oracle(spark_df, con, sql: str, name: str = "") -> None:
+    got = normalize(spark_df.toPandas())
+    want = normalize(con.execute(sql).df())
+    assert len(got) == len(want), (
+        f"{name}: row count {len(got)} != oracle {len(want)}"
+    )
+    mismatches = []
+    for i, (g, w) in enumerate(zip(got, want)):
+        if g != w:
+            mismatches.append((i, g, w))
+            if len(mismatches) >= 5:
+                break
+    assert not mismatches, f"{name}: value mismatches (row, got, want): {mismatches}"
