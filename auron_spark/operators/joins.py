@@ -230,7 +230,7 @@ def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s_suppkey, s_name
     FROM supplier
     WHERE s_nationkey NOT IN
-          (SELECT CASE WHEN n_regionkey = 0 THEN NULL ELSE n_nationkey END
+          (SELECT CASE WHEN n_regionkey = 99 THEN NULL ELSE n_nationkey END
            FROM nation WHERE n_regionkey <= 1)
     ORDER BY s_suppkey
     """,
@@ -239,7 +239,10 @@ def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-aware anti join (NOT IN with nullable build side) — the
     reference's NAAJ special case (`broadcast_join_exec.rs`, SURVEY.md §2.3).
-    Expressed in SQL so Catalyst plans the null-aware variant."""
+    Expressed in SQL so Catalyst plans the null-aware variant.  The build
+    expression is nullable-typed but never null at runtime: a runtime NULL
+    would (correctly) empty the result — NOT IN three-valued logic — which the
+    empty-build case below would not distinguish from a planning bug."""
     t = Tables(spark, sf_dir)
     t.supplier.createOrReplaceTempView("naaj_supplier")
     t.nation.createOrReplaceTempView("naaj_nation")
@@ -248,7 +251,7 @@ def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT s_suppkey, s_name
         FROM naaj_supplier
         WHERE s_nationkey NOT IN
-              (SELECT CASE WHEN n_regionkey = 0 THEN NULL ELSE n_nationkey END
+              (SELECT CASE WHEN n_regionkey = 99 THEN NULL ELSE n_nationkey END
                FROM naaj_nation WHERE n_regionkey <= 1)
         ORDER BY s_suppkey
         """

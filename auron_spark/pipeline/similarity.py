@@ -108,7 +108,8 @@ def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_PLANES = 8
+N_TABLES = 4  # OR-amplification: a true neighbor needs to collide in ANY table
+PLANES_PER_TABLE = 4  # AND within a table: 16 buckets per table
 
 
 def _plane(seed: int) -> list[float]:
@@ -123,11 +124,11 @@ def _plane(seed: int) -> list[float]:
     return comps
 
 
-def lsh_bucket(emb: Column) -> Column:
-    """Sign-pattern bucket id from N_PLANES fixed hyperplanes."""
+def _table_bucket(emb: Column, tbl: int) -> Column:
+    """Sign-pattern bucket id within one hash table."""
     bits = []
-    for p in range(N_PLANES):
-        plane = _plane(p)
+    for p in range(PLANES_PER_TABLE):
+        plane = _plane(tbl * PLANES_PER_TABLE + p)
         prods = F.zip_with(
             emb,
             F.array(*[F.lit(v) for v in plane]),
@@ -141,36 +142,50 @@ def lsh_bucket(emb: Column) -> Column:
     return out
 
 
+def lsh_table_buckets(emb: Column) -> Column:
+    """array of 'table:bucket' keys, one per hash table — explode and
+    equi-join on the key; a candidate pair collides in >= 1 table."""
+    return F.array(
+        *[
+            F.concat_ws(":", F.lit(str(t)), _table_bucket(emb, t).cast("string"))
+            for t in range(N_TABLES)
+        ]
+    )
+
+
 @query(
     "sim_knn_lsh",
     oracle=None,  # approximate ANN: verified against brute force in tests
     tags=("pipeline", "similarity", "lsh", "ann"),
 )
 def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via random-hyperplane LSH: bucket corpus and queries map-side,
-    equi-join on bucket, exact cosine re-rank inside the bucket.  The scale
-    path: the join is an equi-join on bucket id, so Spark shuffles each side
-    once on a small key instead of a cross join."""
+    """ANN via multi-table random-hyperplane LSH (4 tables × 4 planes):
+    bucket corpus and queries map-side, explode the per-table keys, equi-join
+    on 'table:bucket', dedup candidates, exact cosine re-rank.  The scale
+    path: the join is an equi-join on a small key — each side shuffles once;
+    no cross join ever forms."""
     from pyspark.sql import Window
 
     t = Tables(spark, sf_dir)
-    emb = t.embeddings.withColumn("bucket", lsh_bucket(F.col("embedding")))
+    emb = t.embeddings.withColumn("tb", F.explode(lsh_table_buckets(F.col("embedding"))))
     q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "tb"
     )
     c = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "bucket"
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "tb"
     )
-    scored = (
-        c.join(F.broadcast(q), "bucket")
+    cand = (
+        c.join(F.broadcast(q), "tb")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (dot(F.col("q_emb"), F.col("c_emb")) / (norm(F.col("q_emb")) * norm(F.col("c_emb")))).alias(
-                "cos"
-            ),
-        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (
+            dot(F.col("q_emb"), F.col("c_emb"))
+            / (norm(F.col("q_emb")) * norm(F.col("c_emb")))
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (

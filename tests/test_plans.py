@@ -1,0 +1,119 @@
+"""Physical-plan quality gates — the 100 TB posture, checked at sf0.01.
+
+These mirror the reference's plan-stability goldens
+(`dev/auron-it/.../PlanStabilityChecker.scala`) but assert *properties* rather
+than exact plans: filters reach the parquet scan, scans prune columns,
+dimensions broadcast, rank-filters use WindowGroupLimit, and repartition+agg
+reuses one shuffle.  A regression in any of these is invisible at test scale
+and catastrophic at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from auron_spark.registry import load_all
+from tests.conftest import SF_DIR
+
+SPECS = load_all()
+
+
+def _plan(spark, name: str, final: bool = False) -> str:
+    df = SPECS[name].build(spark, SF_DIR)
+    if final:
+        df.collect()  # AQE: materialize so the final adaptive plan exists
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _explain(spark, name: str, mode: str = "codegen") -> str:
+    df = SPECS[name].build(spark, SF_DIR)
+    return spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # filter pushed to the scan
+    assert "l_shipdate" in scan.split("DataFilters")[1]
+    # column pruning: unused columns must not be read
+    assert "l_orderkey" not in scan
+    assert "l_partkey" not in scan
+    # two-phase aggregation (map-side partial combine)
+    assert "partial_sum" in plan
+
+
+def test_scan_reads_only_needed_columns(spark):
+    plan = _plan(spark, "scan_projection_pushdown")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    cols = scan.split("]")[0].split("[", 1)[1]
+    assert set(c.split("#")[0] for c in cols.split(",")) == {
+        "l_quantity",
+        "l_returnflag",
+    }
+
+
+@pytest.mark.parametrize(
+    "name", ["join_broadcast", "q5_local_supplier_volume", "q10_returned_items"]
+)
+def test_dimension_joins_broadcast(spark, name):
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast join"
+
+
+def test_q5_no_cartesian(spark):
+    assert "CartesianProduct" not in _plan(spark, "q5_local_supplier_volume")
+
+
+def test_topk_uses_window_group_limit(spark):
+    plan = _plan(spark, "window_top_k_per_group")
+    assert "WindowGroupLimit" in plan
+    # both partial (pre-shuffle) and final pruning
+    assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_take_ordered_not_global_sort(spark):
+    plan = _plan(spark, "take_ordered_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_repartition_agg_single_shuffle(spark):
+    plan = _plan(spark, "exchange_repartition")
+    # repartition(32, key) then groupBy(key): the aggregate must reuse the
+    # exchange — exactly one hash-partitioning exchange in the plan
+    n_hash_exchanges = sum(
+        1 for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    )
+    assert n_hash_exchanges == 1, plan
+
+
+def test_semi_anti_plan_shapes(spark):
+    semi = _plan(spark, "join_left_semi")
+    anti = _plan(spark, "join_left_anti")
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_null_aware_anti_join(spark):
+    plan = _plan(spark, "join_null_aware_anti")
+    # Catalyst plans NOT IN over a nullable build side as a BroadcastHashJoin
+    # LeftAnti with the isNullAwareAntiJoin flag (trailing `true`) — the
+    # reference's NAAJ special case
+    assert "LeftAnti, BuildRight, true" in plan, plan
+
+
+def test_existence_join_planned(spark):
+    assert "ExistenceJoin" in _plan(spark, "join_existence")
+
+
+def test_q1_wholestage_codegen(spark):
+    # the scan→filter→project→partial-agg pipeline must be inside codegen
+    assert "WholeStageCodegen" in _explain(spark, "q1_pricing_summary", "codegen")
+
+
+def test_knn_broadcasts_queries(spark):
+    plan = _plan(spark, "sim_knn_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the corpus side must NOT be exchanged for the join itself
+    assert "CartesianProduct" not in plan

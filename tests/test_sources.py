@@ -1,0 +1,103 @@
+"""Source/sink round trips: parquet (plain + partitioned), ORC, CSV, JSON —
+the reference's scan/sink surface (§2.1) expressed through Spark readers and
+writers, verified by exact round-trip equality."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from auron_spark.sources import io
+from auron_spark.tables import table
+from tests.conftest import SF_SMOKE, normalize
+
+
+@pytest.fixture()
+def tmpdir():
+    with tempfile.TemporaryDirectory(prefix="auron-io-") as d:
+        yield d
+
+
+def _roundtrip_equal(df_out, df_back):
+    assert normalize(df_back.toPandas()) == normalize(df_out.toPandas())
+
+
+def test_parquet_roundtrip(spark, tmpdir):
+    src = table(spark, SF_SMOKE, "supplier")
+    io.write_parquet(src, f"{tmpdir}/supplier")
+    _roundtrip_equal(src, io.read_parquet(spark, f"{tmpdir}/supplier"))
+
+
+def test_parquet_partitioned_write(spark, tmpdir):
+    """Dynamic-partition write (reference `num_dyn_parts`,
+    `parquet_sink_exec.rs:55`): partition dirs exist, data survives, and the
+    partition column prunes — the scan with a partition filter reads only
+    that directory."""
+    src = table(spark, SF_SMOKE, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    io.write_partitioned(src, f"{tmpdir}/orders", ["o_year"])
+    back = io.read_parquet(spark, f"{tmpdir}/orders")
+    assert back.count() == src.count()
+    one_year = back.filter(F.col("o_year") == 1996)
+    plan = one_year._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_year" in plan
+    assert one_year.count() == src.filter(F.col("o_year") == 1996).count()
+
+
+def test_orc_roundtrip(spark, tmpdir):
+    src = table(spark, SF_SMOKE, "nation")
+    io.write_orc(src, f"{tmpdir}/nation")
+    _roundtrip_equal(src, io.read_orc(spark, f"{tmpdir}/nation"))
+
+
+def test_csv_roundtrip(spark, tmpdir):
+    src = table(spark, SF_SMOKE, "region")
+    src.write.mode("overwrite").option("header", "true").csv(f"{tmpdir}/region")
+    back = io.read_csv(spark, f"{tmpdir}/region", schema="r_regionkey int, r_name string")
+    _roundtrip_equal(src, back)
+
+
+def test_json_roundtrip(spark, tmpdir):
+    src = table(spark, SF_SMOKE, "part")
+    src.write.mode("overwrite").json(f"{tmpdir}/part")
+    back = io.read_json(
+        spark,
+        f"{tmpdir}/part",
+        schema="p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).select(*src.columns)
+    _roundtrip_equal(src, back)
+
+
+def test_lakehouse_gated(spark):
+    """Iceberg/Delta/Hudi jars are not in this container — the connector must
+    fail with a clear NotImplementedError, not an opaque classpath error."""
+    assert not io.lakehouse_available(spark, "iceberg")
+    with pytest.raises(NotImplementedError, match="iceberg"):
+        io.read_lakehouse(spark, "iceberg", "/tmp/nope")
+
+
+def test_empty_relation_shortcut(spark):
+    """Empty input short-circuit (reference EmptyPartitionsExec,
+    `empty_partitions_exec.rs:36`): an always-false filter still yields a
+    correct empty result with the full schema."""
+    src = table(spark, SF_SMOKE, "customer").filter(F.lit(False))
+    assert src.count() == 0
+    assert src.columns == ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+def test_local_table_scan(spark):
+    """LocalTableScan (`AuronConverters.scala:1123-1128`): createDataFrame
+    rows join against parquet tables."""
+    dims = spark.createDataFrame(
+        [(0, "x"), (1, "y")], "r_regionkey int, tag string"
+    )
+    joined = (
+        table(spark, SF_SMOKE, "region")
+        .join(F.broadcast(dims), "r_regionkey")
+        .select("r_name", "tag")
+    )
+    assert joined.count() == 2

@@ -1,0 +1,120 @@
+"""Structured Streaming: the batch-registered event-time operators must
+produce identical results when fed through readStream (AvailableNow trigger
+over the same parquet), plus watermark/dedup behavior and a custom stateful
+operator via applyInPandasWithState."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from auron_spark.streaming.ops import dedup_events, tumbling_counts
+from auron_spark.tables import table
+from tests.conftest import SF_SMOKE, normalize
+
+
+def _stream_events(spark):
+    import os
+    import tempfile
+
+    batch = table(spark, SF_SMOKE, "events")
+    # the streaming file source requires a directory of files
+    d = tempfile.mkdtemp(prefix="auron-stream-")
+    os.symlink(f"{SF_SMOKE}/events.parquet", f"{d}/events.parquet")
+    # declare ts as raw nanos long (matches the nanosAsLong read path), then
+    # apply the same ns→µs conversion the batch catalog applies
+    raw_schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .load(d)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    return stream, batch
+
+
+def _run_stream(df, name: str):
+    q = (
+        df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_tumbling_equals_batch(spark):
+    # The explicit TimestampType schema makes the streaming parquet source
+    # down-convert the file's ns timestamps itself — no manual conversion.
+    stream, batch = _stream_events(spark)
+    _run_stream(tumbling_counts(stream), "tumbling_out")
+    got = normalize(spark.sql("SELECT * FROM tumbling_out").toPandas())
+    want = normalize(tumbling_counts(batch).toPandas())
+    assert got == want
+
+
+def test_stream_dedup_with_watermark(spark):
+    stream, batch = _stream_events(spark)
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy()
+        .agg(F.count("*").alias("n"))
+    )
+    _run_stream(deduped, "dedup_out")
+    got = spark.sql("SELECT n FROM dedup_out").collect()[0]["n"]
+    # fixture has unique event_ids; dedup must be a no-op count
+    assert got == dedup_events(batch).count()
+
+
+@pytest.mark.slow
+def test_stateful_apply_in_pandas_with_state(spark):
+    """Custom stateful streaming operator: running per-user event count via
+    applyInPandasWithState (the rebuild's custom-operator escape hatch,
+    SURVEY.md §2.10)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream_raw, batch = _stream_events(spark)
+
+    def count_per_user(key, pdf_iter, state):
+        running = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            running += len(pdf)
+        state.update((running,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [running]})
+
+    out = (
+        stream_raw.groupBy("user_id")
+        .applyInPandasWithState(
+            count_per_user,
+            outputStructType="user_id long, n_events long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: r["n_events"]
+        for r in spark.sql(
+            "SELECT user_id, MAX(n_events) AS n_events FROM stateful_out GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        r["user_id"]: r["n"]
+        for r in batch.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
