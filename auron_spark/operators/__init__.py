@@ -3,9 +3,12 @@ relational query in the engine registry."""
 
 from auron_spark.operators import (  # noqa: F401
     aggregate,
+    asof,
     generate,
     joins,
+    pivot,
     relational,
     sort_setops,
+    subqueries,
     window,
 )

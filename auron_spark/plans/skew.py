@@ -1,0 +1,86 @@
+"""Skew mitigation: salted joins.
+
+At 100 TB a zipf-skewed join key (events.user_id in the fixtures) puts one
+key's rows in one task.  Two levers:
+
+1. AQE skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`, on by
+   default in session.py) — handles sort-merge joins automatically.
+2. Manual salting (this module) for the cases AQE cannot split (e.g.
+   aggregations on the hot key, or joins AQE does not see as skewed): the
+   fact side gets a deterministic salt in [0, n); the dimension side is
+   exploded n×; the join key becomes (key, salt), spreading each hot key over
+   n tasks.
+
+The salt is derived from a stable row attribute (not rand()) so results are
+reproducible and retries deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from auron_spark.registry import query
+from auron_spark.tables import Tables
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_src: Column,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join `fact ⋈ dim` on `key`, salted `n_salts` ways.
+
+    `salt_src` must be a deterministic fact-side column (e.g. a PK) — it is
+    hashed into [0, n_salts).  The dimension is replicated n_salts× (explode),
+    so keep it dimension-sized."""
+    fact_s = fact.withColumn("_salt", F.pmod(F.hash(salt_src), F.lit(n_salts)))
+    dim_s = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    joined = fact_s.join(dim_s, [key, "_salt"], how)
+    return joined.drop("_salt")
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+    WITH user_dim AS (
+        SELECT user_id,
+               CASE WHEN user_id < 10 THEN 'whale' ELSE 'regular' END AS tier
+        FROM (SELECT DISTINCT user_id FROM events)
+    )
+    SELECT tier,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN user_dim d ON e.user_id = d.user_id
+    GROUP BY tier
+    ORDER BY tier
+    """,
+    tags=("join", "skew", "salting"),
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-skewed fact (events.user_id) joined to a user dimension through
+    the salted-join helper — same answer as the plain join, hot keys spread
+    over 8 tasks."""
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    user_dim = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn(
+            "tier", F.when(F.col("user_id") < 10, "whale").otherwise("regular")
+        )
+    )
+    joined = salted_join(ev, user_dim, "user_id", F.col("event_id"), n_salts=8)
+    return (
+        joined.groupBy("tier")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .orderBy("tier")
+    )
