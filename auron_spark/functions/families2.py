@@ -1,0 +1,314 @@
+"""Second function-family batch: higher-order array lambdas, map builders,
+bitwise ops, null handling, intervals, nested JSON, to_json, ordered listagg.
+
+Completes the §2.9 conversion-case inventory (`NativeConverters.scala:411-1246`)
+plus the higher-order function surface the reference routes to its UDF
+fallback wrapper — here they are first-class Catalyst expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from auron_spark.registry import query
+from auron_spark.tables import Tables
+
+
+@query(
+    "fn_higher_order",
+    oracle="""
+    SELECT p_partkey,
+           array_to_string(list_transform(w, x -> upper(x)), ',') AS upped,
+           -- duckdb: array_to_string of an empty filtered list yields NULL
+           coalesce(array_to_string(list_filter(w, x -> length(x) > 4), ','), '')
+             AS longs,
+           len(list_filter(w, x -> contains(x, 'e'))) > 0 AS has_e,
+           len(list_filter(w, x -> length(x) >= 3)) = len(w) AS all_ge3,
+           list_reduce(list_transform(w, x -> length(x)), (a, b) -> a + b) AS tot_len,
+           array_to_string(w[2:], ',') AS tail_slice,
+           array_to_string(range(1, 4), ',') AS seq13,
+           list_position(w, 'widget') AS widget_pos,
+           w[-1] AS last_el,
+           list_min(list_transform(w, x -> length(x))) AS min_len,
+           list_max(list_transform(w, x -> length(x))) AS max_len
+    FROM (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part)
+    ORDER BY p_partkey
+    """,
+    tags=("function", "higher-order", "array"),
+)
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform/filter/exists/forall/aggregate/slice/sequence/array_position/
+    element_at(-1)/min/max over arrays — Catalyst higher-order functions (the
+    reference would fall back to its UDF wrapper for all of these)."""
+    t = Tables(spark, sf_dir)
+    w = F.split("p_name", " ")
+    return t.part.select(
+        "p_partkey",
+        F.array_join(F.transform(w, lambda x: F.upper(x)), ",").alias("upped"),
+        F.array_join(F.filter(w, lambda x: F.length(x) > 4), ",").alias("longs"),
+        F.exists(w, lambda x: x.contains("e")).alias("has_e"),
+        F.forall(w, lambda x: F.length(x) >= 3).alias("all_ge3"),
+        F.aggregate(
+            F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, b: a + b
+        ).alias("tot_len"),
+        F.array_join(F.slice(w, 2, 1000), ",").alias("tail_slice"),
+        F.array_join(
+            F.transform(F.sequence(F.lit(1), F.lit(3)), lambda x: x.cast("string")),
+            ",",
+        ).alias("seq13"),
+        F.array_position(w, "widget").alias("widget_pos"),
+        F.element_at(w, -1).alias("last_el"),
+        F.array_min(F.transform(w, lambda x: F.length(x))).alias("min_len"),
+        F.array_max(F.transform(w, lambda x: F.length(x))).alias("max_len"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "fn_map_builders",
+    oracle="""
+    SELECT s_suppkey,
+           map_from_entries([{'k': 'bal', 'v': CAST(s_acctbal AS DOUBLE)},
+                             {'k': 'key', 'v': CAST(s_suppkey AS DOUBLE)}])['bal'][1]
+             AS from_entries_bal,
+           map(['n'], [s_nationkey])['n'][1] AS from_arrays_n,
+           CAST(map_from_entries([{'k': 'a', 'v': 1}, {'k': 'b', 'v': 2}])['b'][1]
+                AS INTEGER) AS concat_b,
+           len(map_keys(map(['x', 'y'], [1, 2]))) AS n_keys
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+    tags=("function", "map"),
+)
+def fn_map_builders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_from_arrays / map_from_entries / map_concat / map_keys + key access
+    (`NativeConverters.scala:968-976`, `get_map_value.rs`).  Scalar outputs
+    keep the cross-engine hash type-stable."""
+    t = Tables(spark, sf_dir)
+    m_entries = F.map_from_entries(
+        F.array(
+            F.struct(F.lit("bal").alias("k"), F.col("s_acctbal").cast("double").alias("v")),
+            F.struct(F.lit("key").alias("k"), F.col("s_suppkey").cast("double").alias("v")),
+        )
+    )
+    m_arrays = F.map_from_arrays(F.array(F.lit("n")), F.array(F.col("s_nationkey")))
+    m_concat = F.map_concat(
+        F.create_map(F.lit("a"), F.lit(1)), F.create_map(F.lit("b"), F.lit(2))
+    )
+    return t.supplier.select(
+        "s_suppkey",
+        m_entries.getItem("bal").alias("from_entries_bal"),
+        m_arrays.getItem("n").alias("from_arrays_n"),
+        m_concat.getItem("b").alias("concat_b"),
+        F.size(F.map_keys(F.create_map(F.lit("x"), F.lit(1), F.lit("y"), F.lit(2)))).alias(
+            "n_keys"
+        ),
+    ).orderBy("s_suppkey")
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT p_partkey,
+           p_size & 12 AS b_and,
+           p_size | 3 AS b_or,
+           xor(p_size, 21) AS b_xor,
+           p_size << 2 AS b_shl,
+           p_size >> 1 AS b_shr,
+           ~p_size AS b_not,
+           bit_count(CAST(p_size AS BIGINT)) AS b_cnt
+    FROM part
+    ORDER BY p_partkey
+    """,
+    tags=("function", "bitwise"),
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """& | ^ << >> ~ bit_count (`NativeConverters.scala:583-780` bitwise arm)."""
+    t = Tables(spark, sf_dir)
+    s = F.col("p_size")
+    return t.part.select(
+        "p_partkey",
+        s.bitwiseAND(12).alias("b_and"),
+        s.bitwiseOR(3).alias("b_or"),
+        s.bitwiseXOR(21).alias("b_xor"),
+        F.shiftleft(s, 2).alias("b_shl"),
+        F.shiftright(s, 1).alias("b_shr"),
+        F.bitwise_not(s).alias("b_not"),
+        F.bit_count(s.cast("bigint")).alias("b_cnt"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "fn_null_handling",
+    oracle="""
+    SELECT c_custkey,
+           coalesce(b, -1.0) AS nvl_bal,
+           CASE WHEN b IS NULL THEN 'missing' ELSE 'present' END AS nvl2_tag,
+           coalesce(b, 0.0) IS NOT DISTINCT FROM b AS nullsafe_self,
+           b IS DISTINCT FROM NULL AS distinct_from_null,
+           isnan(CASE WHEN c_acctbal < -999 THEN 'nan'::DOUBLE ELSE 1.0 END) AS is_nan,
+           CASE WHEN isnan(CASE WHEN c_acctbal < -999 THEN 'nan'::DOUBLE
+                                ELSE c_acctbal END)
+                THEN 0.0 ELSE c_acctbal END AS nanvl_bal
+    FROM (SELECT c_custkey, c_acctbal,
+                 CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS b
+          FROM customer)
+    ORDER BY c_custkey
+    """,
+    tags=("function", "null"),
+)
+def fn_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nvl/nvl2/null-safe equality (<=>)/isnan/nanvl
+    (`NativeConverters.scala:944,982,846,879,1069-1071,1140-1143`)."""
+    t = Tables(spark, sf_dir)
+    base = t.customer.select(
+        "c_custkey",
+        "c_acctbal",
+        F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal")).alias("b"),
+    )
+    nan_col = F.when(F.col("c_acctbal") < -999, F.lit(float("nan"))).otherwise(F.lit(1.0))
+    nan_bal = F.when(F.col("c_acctbal") < -999, F.lit(float("nan"))).otherwise(
+        F.col("c_acctbal")
+    )
+    return base.select(
+        "c_custkey",
+        F.nvl(F.col("b"), F.lit(-1.0)).alias("nvl_bal"),
+        F.nvl2(F.col("b"), F.lit("present"), F.lit("missing")).alias("nvl2_tag"),
+        F.coalesce(F.col("b"), F.lit(0.0)).eqNullSafe(F.col("b")).alias("nullsafe_self"),
+        F.col("b").isNotNull().alias("distinct_from_null"),
+        F.isnan(nan_col).alias("is_nan"),
+        F.nanvl(nan_bal, F.lit(0.0)).alias("nanvl_bal"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "fn_interval",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 90 MINUTE AS TIMESTAMP) AS plus_90m,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3mo,
+           CAST(o_orderdate - INTERVAL 1 DAY AS TIMESTAMP) AS minus_1d,
+           date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS dd_days,
+           date_diff('month', TIMESTAMP '1995-01-01', o_orderdate) AS dd_months,
+           o_orderdate + INTERVAL 1 DAY > o_orderdate AS interval_cmp
+    FROM orders
+    WHERE o_orderkey < 1500
+    ORDER BY o_orderkey
+    """,
+    tags=("function", "interval", "datetime"),
+)
+def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YearMonth + DayTime interval arithmetic (`auron.proto:861-865,933-934`
+    scalar interval enum; full interval types here).  Output normalized to
+    TIMESTAMP for the cross-engine hash."""
+    t = Tables(spark, sf_dir)
+    d = F.col("o_orderdate")
+    return (
+        t.orders.filter(F.col("o_orderkey") < 1500)
+        .select(
+            "o_orderkey",
+            (d + F.expr("INTERVAL 90 MINUTE")).alias("plus_90m"),
+            (d + F.expr("INTERVAL 3 MONTH")).alias("plus_3mo"),
+            (d - F.expr("INTERVAL 1 DAY")).alias("minus_1d"),
+            F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias("dd_days"),
+            (
+                (F.year(d) - 1995) * 12 + F.month(d) - 1
+            ).alias("dd_months"),
+            ((d + F.expr("INTERVAL 1 DAY")) > d).alias("interval_cmp"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "fn_json_nested",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(j, '$.user.id') AS uid,
+           json_extract_string(j, '$.vals[1]') AS second_val,
+           json_extract_string(j, '$.user.missing') AS missing,
+           json_array_length(j, '$.vals') AS n_vals
+    FROM (
+        SELECT event_id,
+               '{"user":{"id":"' || CAST(user_id AS VARCHAR) ||
+               '"},"vals":[' || CAST(event_id % 7 AS VARCHAR) || ',' ||
+               CAST(event_id % 5 AS VARCHAR) || ']}' AS j
+        FROM events WHERE user_id <= 10
+    )
+    ORDER BY event_id
+    """,
+    tags=("function", "json"),
+)
+def fn_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-path and array-index get_json_object + json array length —
+    the deep-path surface of `spark_get_json_object.rs`."""
+    t = Tables(spark, sf_dir)
+    j = F.concat(
+        F.lit('{"user":{"id":"'),
+        F.col("user_id").cast("string"),
+        F.lit('"},"vals":['),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit(","),
+        (F.col("event_id") % 5).cast("string"),
+        F.lit("]}"),
+    )
+    return (
+        t.events.filter(F.col("user_id") <= 10)
+        .select("event_id", j.alias("j"))
+        .select(
+            "event_id",
+            F.get_json_object("j", "$.user.id").alias("uid"),
+            F.get_json_object("j", "$.vals[1]").alias("second_val"),
+            F.get_json_object("j", "$.user.missing").alias("missing"),
+            F.json_array_length(F.get_json_object("j", "$.vals")).alias("n_vals"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "fn_to_json_roundtrip",
+    oracle="""
+    SELECT r_regionkey,
+           '{"key":' || CAST(r_regionkey AS VARCHAR) || ',"name":"' || r_name || '"}'
+             AS js,
+           r_name AS back_name
+    FROM region
+    ORDER BY r_regionkey
+    """,
+    tags=("function", "json", "to_json"),
+)
+def fn_to_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_json(struct) then from_json back — serialization round trip with
+    the oracle checking the canonical JSON text."""
+    t = Tables(spark, sf_dir)
+    js = F.to_json(
+        F.struct(F.col("r_regionkey").alias("key"), F.col("r_name").alias("name"))
+    )
+    return t.region.select(
+        "r_regionkey",
+        js.alias("js"),
+        F.from_json(js, "key int, name string").getField("name").alias("back_name"),
+    ).orderBy("r_regionkey")
+
+
+@query(
+    "agg_listagg_ordered",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+    tags=("agg", "listagg"),
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg/string_agg) via
+    sort_array(collect_list) — deterministic concatenation."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.nation.groupBy("n_regionkey")
+        .agg(F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"))
+        .orderBy("n_regionkey")
+    )

@@ -45,15 +45,14 @@ _SQL_SHINGLES = (
 )
 
 
-def _doc_shingles(t: Tables) -> DataFrame:
-    """(doc_id, shingle) — exploded, deduplicated per doc."""
-    return (
-        t.documents.select(
-            "doc_id", F.split(F.lower(F.col("text")), " ").alias("w")
-        )
-        .select("doc_id", F.explode(shingles()).alias("shingle"))
-        .dropDuplicates(["doc_id", "shingle"])
-    )
+def _doc_shingles(t: Tables, dedup: bool = True) -> DataFrame:
+    """(doc_id, shingle) — exploded; `dedup=True` makes it a set (needed for
+    Jaccard set sizes).  MinHash signatures skip the dedup shuffle entirely:
+    MIN over duplicates equals MIN over the set."""
+    sh = t.documents.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("w")
+    ).select("doc_id", F.explode(shingles()).alias("shingle"))
+    return sh.dropDuplicates(["doc_id", "shingle"]) if dedup else sh
 
 
 def minhash_signature(doc_shingles: DataFrame) -> DataFrame:
@@ -156,7 +155,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (8 seeds over 3-word shingles)."""
     t = Tables(spark, sf_dir)
-    return minhash_signature(_doc_shingles(t)).orderBy("doc_id")
+    return minhash_signature(_doc_shingles(t, dedup=False)).orderBy("doc_id")
 
 
 @query(
@@ -173,7 +172,9 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate near-duplicate pairs (4 bands × 2 rows)."""
     t = Tables(spark, sf_dir)
-    return lsh_candidate_pairs(minhash_signature(_doc_shingles(t))).orderBy("a", "b")
+    return lsh_candidate_pairs(
+        minhash_signature(_doc_shingles(t, dedup=False))
+    ).orderBy("a", "b")
 
 
 @query(

@@ -81,23 +81,31 @@ def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     t = Tables(spark, sf_dir)
+    # norms are precomputed per side (not per pair): O(n+q) folds instead of
+    # O(n*q) — higher-order functions are interpreted, so this matters
     q = (
         t.embeddings.filter(F.col("vec_id") % QUERY_MOD == 0)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            norm(F.col("embedding")).alias("qn"),
+        )
     )
-    c = t.embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
-    sim = F.col("dot") / (F.col("qn") * F.col("cn"))
+    c = t.embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        norm(F.col("embedding")).alias("cn"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            dot(F.col("q_emb"), F.col("c_emb")).alias("dot"),
-            norm(F.col("q_emb")).alias("qn"),
-            norm(F.col("c_emb")).alias("cn"),
+            (dot(F.col("q_emb"), F.col("c_emb")) / (F.col("qn") * F.col("cn"))).alias(
+                "cos"
+            ),
         )
-        .select("query_id", "neighbor_id", sim.alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
