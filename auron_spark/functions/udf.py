@@ -164,3 +164,73 @@ def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "udf_apply_in_pandas_grouped_map",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber,
+           CASE WHEN mx = mn THEN 0.5
+                ELSE ROUND(CAST(cents - mn AS DOUBLE) / (mx - mn), 9) END AS norm_price
+    FROM (
+        SELECT l_returnflag, l_orderkey, l_linenumber,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               MIN(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 OVER (PARTITION BY l_returnflag) AS mn,
+               MAX(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 OVER (PARTITION BY l_returnflag) AS mx
+        FROM lineitem
+        WHERE l_orderkey < 800
+    )
+    ORDER BY l_returnflag, l_orderkey, l_linenumber
+    """,
+    tags=("udf", "applyInPandas", "grouped-map"),
+)
+def udf_apply_in_pandas_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: per-group min-max normalization — the
+    whole-group pandas transform the reference cannot express natively (its
+    UDAF wrapper is aggregate-only).  Exact integer cents keep the oracle
+    bit-identical; groups are bounded (3 return flags) so a group fits a task
+    even at 100 TB only if keys stay low-cardinality — the docstring caveat
+    that applies to every grouped-map op."""
+
+    def minmax_norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf["l_extendedprice"] * 100).round().astype("int64")
+        mn, mx = int(cents.min()), int(cents.max())
+        if mx == mn:
+            norm = pd.Series(0.5, index=pdf.index)
+        else:
+            norm = ((cents - mn).astype("float64") / float(mx - mn)).round(9)
+        return pd.DataFrame(
+            {
+                "l_returnflag": pdf["l_returnflag"],
+                "l_orderkey": pdf["l_orderkey"],
+                "l_linenumber": pdf["l_linenumber"],
+                "norm_price": norm,
+            }
+        )
+
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.filter(F.col("l_orderkey") < 800)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .groupBy("l_returnflag")
+        .applyInPandas(
+            minmax_norm,
+            "l_returnflag string, l_orderkey long, l_linenumber int, norm_price double",
+        )
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "collect_limit_unordered",
+    oracle=None,  # LIMIT without ORDER BY is non-deterministic by definition
+    tags=("limit", "collect"),
+)
+def collect_limit_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CollectLimit (`plan/NativeCollectLimitBase.scala:81-84`): limit with no
+    ordering — row *content* is partition-order-dependent, so the check is
+    rows-only (count + schema); determinism of count is the contract."""
+    t = Tables(spark, sf_dir)
+    return t.orders.select("o_orderkey", "o_orderstatus").limit(37)

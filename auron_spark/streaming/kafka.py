@@ -1,0 +1,81 @@
+"""Kafka source with JSON decode — reference parity surface.
+
+Reference: the Flink extension's native Kafka scan
+(`native-engine/datafusion-ext-plans/src/flink/kafka_scan_exec.rs:81`) with
+JSON deserialization (`flink/serde/json_deserializer.rs`) and startup modes
+GROUP_OFFSET / EARLIEST / LATEST / TIMESTAMP (`auron.proto:780-802`).
+
+Spark-native equivalent: `readStream.format("kafka")` + `from_json` over the
+value bytes.  The Kafka connector jars are not in this container, so the
+builder is capability-gated like the lakehouse scans; the *decode stage* —
+the part with real logic — is a plain DataFrame transformation, so
+`decode_json_values` is fully testable by feeding it any DataFrame with a
+binary `value` column (tests/test_streaming.py drives it without a broker).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: reference startup modes (auron.proto:780-802) -> Kafka option value
+STARTING_OFFSETS = {
+    "EARLIEST": "earliest",
+    "LATEST": "latest",
+    "GROUP_OFFSET": "earliest",  # Spark manages offsets per checkpoint, not group
+    "TIMESTAMP": None,  # needs startingOffsetsByTimestamp
+}
+
+
+def kafka_available(spark: SparkSession) -> bool:
+    try:
+        spark.readStream.format("kafka").option(
+            "kafka.bootstrap.servers", "probe:9092"
+        ).option("subscribe", "probe").load()
+    except Exception as e:  # noqa: BLE001
+        return "Failed to find" not in str(e) and "ClassNotFound" not in str(e)
+    return True
+
+
+def decode_json_values(raw: DataFrame, schema: str, value_col: str = "value") -> DataFrame:
+    """The JSON decode stage: binary value → typed columns.
+
+    Parses once per row (`from_json` into a struct, then a single star
+    expansion — the reference's parse-once design,
+    `json_deserializer.rs` / SURVEY.md §4)."""
+    parsed = F.from_json(F.col(value_col).cast("string"), schema)
+    return raw.withColumn("_parsed", parsed).select(
+        *[c for c in raw.columns if c != value_col], "_parsed.*"
+    )
+
+
+def read_kafka_json(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    schema: str,
+    startup_mode: str = "EARLIEST",
+    timestamp_ms: int | None = None,
+) -> DataFrame:
+    """Kafka topic → decoded streaming DataFrame (requires connector jars)."""
+    if not kafka_available(spark):
+        raise NotImplementedError(
+            "spark-sql-kafka connector jars are not on the classpath; add "
+            "org.apache.spark:spark-sql-kafka-0-10_2.13 to spark.jars.packages"
+        )
+    if startup_mode not in STARTING_OFFSETS:
+        raise ValueError(f"unknown startup mode {startup_mode!r}")
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+    )
+    if startup_mode == "TIMESTAMP":
+        if timestamp_ms is None:
+            raise ValueError("TIMESTAMP startup mode requires timestamp_ms")
+        reader = reader.option(
+            "startingOffsetsByTimestamp", f'{{"{topic}": {{"-1": {timestamp_ms}}}}}'
+        )
+    else:
+        reader = reader.option("startingOffsets", STARTING_OFFSETS[startup_mode])
+    return decode_json_values(reader.load(), schema)

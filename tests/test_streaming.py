@@ -118,3 +118,37 @@ def test_stateful_apply_in_pandas_with_state(spark):
         for r in batch.groupBy("user_id").agg(F.count("*").alias("n")).collect()
     }
     assert got == want
+
+
+def test_kafka_gated_and_decode_stage(spark):
+    """Kafka jars absent -> clean NotImplementedError; the JSON decode stage
+    itself runs against any binary `value` column (here: synthesized from the
+    events fixture, exactly what a broker would deliver)."""
+    import pytest as _pytest
+
+    from auron_spark.streaming.kafka import (
+        decode_json_values,
+        kafka_available,
+        read_kafka_json,
+    )
+
+    if not kafka_available(spark):
+        with _pytest.raises(NotImplementedError, match="kafka"):
+            read_kafka_json(spark, "localhost:9092", "t", "a int")
+    batch = table(spark, SF_SMOKE, "events")
+    raw = batch.select(
+        F.col("event_id").alias("offset"),
+        F.encode(
+            F.to_json(F.struct("user_id", "event_type", "value")), "utf-8"
+        ).alias("value"),
+    )
+    decoded = decode_json_values(
+        raw, "user_id long, event_type string, value double"
+    )
+    assert decoded.columns == ["offset", "user_id", "event_type", "value"]
+    got = {r["offset"]: (r["user_id"], r["event_type"]) for r in decoded.collect()}
+    want = {
+        r["event_id"]: (r["user_id"], r["event_type"])
+        for r in batch.select("event_id", "user_id", "event_type").collect()
+    }
+    assert got == want
