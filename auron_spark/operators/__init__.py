@@ -8,6 +8,7 @@ from auron_spark.operators import (  # noqa: F401
     joins,
     pivot,
     relational,
+    relational2,
     sort_setops,
     subqueries,
     window,
