@@ -204,6 +204,211 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEAR_DUP_COS = 0.3  # synthetic fixtures have no true near-dups; 0.3 hits the tail
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           ROUND(list_sum(list_transform(range(1, 65), i ->
+                     CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, 65), i ->
+                        CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, 65), i ->
+                        CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+                 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, 65), i ->
+              CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(range(1, 65), i ->
+                 CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(range(1, 65), i ->
+                 CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+          >= {NEAR_DUP_COS}
+    ORDER BY a, b
+    """,
+    tags=("pipeline", "dedup", "similarity", "cosine"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked on the cluster label so
+    no O(n²) cross join ever forms: each side shuffles once on label, pairs
+    are generated within blocks only.  At 100 TB the blocking key would come
+    from a coarse quantizer (see sim_knn_ivf) — same plan shape.  Norms are
+    precomputed per side (O(n) folds, not O(pairs))."""
+    t = Tables(spark, sf_dir)
+    a = t.embeddings.select(
+        F.col("label"),
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("a_emb"),
+        norm(F.col("embedding")).alias("an"),
+    )
+    b = t.embeddings.select(
+        F.col("label"),
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("b_emb"),
+        norm(F.col("embedding")).alias("bn"),
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            (dot(F.col("a_emb"), F.col("b_emb")) / (F.col("an") * F.col("bn"))).alias(
+                "cos"
+            ),
+        )
+        .filter(F.col("cos") >= NEAR_DUP_COS)
+        .select("a", "b", F.round("cos", 6).alias("cos_sim"))
+        .orderBy("a", "b")
+    )
+
+
+N_PROBE = 2  # IVF probes: search the 2 nearest inverted lists
+
+_SQL_EXACT_CENTROID = """
+    comp AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*) AS c
+        FROM (SELECT label, unnest(embedding) AS v,
+                     unnest(range(1, len(embedding) + 1)) AS pos
+              FROM embeddings)
+        GROUP BY label, pos
+    ),
+    cvec AS (SELECT label, list(c ORDER BY pos) AS cv FROM comp GROUP BY label)
+"""
+
+
+@query(
+    "sim_knn_ivf",
+    oracle=f"""
+    WITH {_SQL_EXACT_CENTROID},
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+          WHERE vec_id % {QUERY_MOD} = 0),
+    qd AS (
+        SELECT query_id, label,
+               list_sum(list_transform(range(1, 65), i ->
+                   CAST(q_emb[i] AS DOUBLE) * cv[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65), i ->
+                      CAST(q_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, 65), i ->
+                      cv[i] * cv[i])))) AS ccos
+        FROM q, cvec
+    ),
+    probe AS (
+        SELECT query_id, label FROM (
+            SELECT query_id, label,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY ccos DESC, label) AS rn
+            FROM qd) WHERE rn <= {N_PROBE}
+    ),
+    cand AS (
+        SELECT p.query_id, e.vec_id AS neighbor_id, q.q_emb, e.embedding AS c_emb
+        FROM probe p
+        JOIN embeddings e ON e.label = p.label
+        JOIN q ON q.query_id = p.query_id
+        WHERE e.vec_id <> p.query_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               list_sum(list_transform(range(1, 65), i ->
+                   CAST(q_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, 65), i ->
+                      CAST(q_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, 65), i ->
+                      CAST(c_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)))))
+               AS cos
+        FROM cand
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM (
+        SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored) WHERE rn <= {TOP_K}
+    ORDER BY query_id, neighbor_id
+    """,
+    tags=("pipeline", "similarity", "ivf", "ann"),
+)
+def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search: exact per-cluster centroids (the coarse quantizer —
+    label plays the role of the k-means assignment), each query probes its
+    N_PROBE nearest centroids, exact cosine re-rank within the probed
+    inverted lists only.
+
+    Scale path: centroids are nlist rows → broadcast; query→centroid
+    assignment is map-side; the candidate fetch is an equi-join on the
+    cluster id, so a corpus partitioned (or sorted/bucketed) by cluster id
+    serves it with partition pruning instead of a full scan.  Work per query
+    is |corpus| * nprobe / nlist — the IVF contract."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    # exact centroids: posexplode -> decimal-exact component mean -> reassemble
+    ex = t.embeddings.select("label", F.posexplode("embedding").alias("dim", "v"))
+    comp = ex.groupBy("label", "dim").agg(
+        (
+            F.sum(F.round(F.col("v").cast("double"), 6).cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / F.count("*")
+        ).alias("c")
+    )
+    cvec = (
+        comp.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("sc"))
+        .select("label", F.transform("sc", lambda s: s["c"]).alias("cv"))
+    )
+    q = t.embeddings.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("qn"),
+    )
+    # assign each query to its N_PROBE nearest centroids (centroids broadcast)
+    qd = q.crossJoin(F.broadcast(cvec)).select(
+        "query_id",
+        "q_emb",
+        "qn",
+        "label",
+        (dot(F.col("q_emb"), F.col("cv")) / (F.col("qn") * norm(F.col("cv")))).alias(
+            "ccos"
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), "label")
+    probe = (
+        qd.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "q_emb", "qn", "label")
+    )
+    # fetch candidates from the probed inverted lists only
+    c = t.embeddings.select(
+        "label",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        norm(F.col("embedding")).alias("cn"),
+    )
+    scored = (
+        c.join(F.broadcast(probe), "label")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("q_emb"), F.col("c_emb")) / (F.col("qn") * F.col("cn"))).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"))
+        .orderBy("query_id", "neighbor_id")
+    )
+
+
 @query(
     "sim_centroids",
     oracle="""
