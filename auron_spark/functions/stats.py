@@ -1,0 +1,239 @@
+"""Statistical aggregates: moments, correlation, percentiles, mode.
+
+Beyond the reference's aggregate list (min/max/sum/avg/count/first/collect,
+SURVEY.md §2.4) — Spark ships stddev/var/corr/covar/skewness/kurtosis/
+percentile built in, so an engine user gets them for free.  Cross-engine
+oracle exactness is the hard part: streaming variance accumulators are
+order-sensitive in the last ulps, so instead of calling each engine's
+stddev we aggregate exact DECIMAL power sums (order-insensitive in both
+engines) and derive every moment with the identical double expression on
+both sides — bit-identical results, no rounding tolerance needed.
+
+Scale: power sums are plain partial-aggregatable SUMs — one shuffle of a few
+decimals per group, the same plan as any hash aggregate.  This is also the
+100 TB-safe way to compute variance: a single pass, no second scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from auron_spark.registry import query
+from auron_spark.tables import Tables
+
+# l_quantity <= 50 with 2 decimals: DECIMAL(9,2); x^2 -> (19,4); (x^2)^2 -> (38,8).
+_X = "CAST(l_quantity AS DECIMAL(9,2))"
+
+
+def _powersums_sql() -> str:
+    return f"""
+        SELECT l_returnflag,
+               COUNT(l_quantity) AS n,
+               CAST(SUM({_X}) AS DOUBLE) AS s1,
+               CAST(SUM(CAST({_X} * {_X} AS DECIMAL(19,4))) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(CAST({_X} * {_X} AS DECIMAL(19,4)) * {_X}
+                        AS DECIMAL(29,6))) AS DOUBLE) AS s3,
+               CAST(FLOOR(SUM(CAST(CAST({_X} * {_X} AS DECIMAL(19,4))
+                             * CAST({_X} * {_X} AS DECIMAL(19,4))
+                             AS DECIMAL(38,8)))) AS DOUBLE) AS s4
+        FROM lineitem GROUP BY l_returnflag
+    """
+
+
+def _powersums(t: Tables) -> DataFrame:
+    x = F.col("l_quantity").cast("decimal(9,2)")
+    x2 = (x * x).cast("decimal(19,4)")
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.count("l_quantity").alias("n"),
+        F.sum(x).cast("double").alias("s1"),
+        F.sum(x2).cast("double").alias("s2"),
+        F.sum((x2 * x).cast("decimal(29,6)")).cast("double").alias("s3"),
+        # s4 floors to an integer before the double cast: DuckDB converts
+        # decimal->double as (double)int128 * 10^-scale, which double-rounds
+        # once the scaled integer exceeds 2^53.  FLOOR (not a decimal cast —
+        # Spark rounds half-up, DuckDB half-down, so casts disagree on ties)
+        # is tie-free and the floored integer fits in 53 bits.
+        F.floor(F.sum((x2 * x2).cast("decimal(38,8)"))).cast("double").alias("s4"),
+    )
+
+
+@query(
+    "agg_stats_moments",
+    oracle=f"""
+    SELECT l_returnflag, n,
+           s1 / n AS mean,
+           (s2 - s1 * s1 / n) / (n - 1) AS var_samp,
+           sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev_samp,
+           (s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+             / (sqrt(s2 / n - (s1 / n) * (s1 / n))
+                * sqrt(s2 / n - (s1 / n) * (s1 / n))
+                * sqrt(s2 / n - (s1 / n) * (s1 / n))) AS skewness,
+           (s4 / n - 4 * (s1 / n) * (s3 / n)
+            + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+            - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+             / ((s2 / n - (s1 / n) * (s1 / n))
+                * (s2 / n - (s1 / n) * (s1 / n))) - 3 AS kurtosis
+    FROM ({_powersums_sql()})
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mean/var_samp/stddev_samp/skewness/excess-kurtosis from exact DECIMAL
+    power sums — single-pass, order-insensitive, bit-identical to the oracle
+    (the double arithmetic after aggregation is the same expression tree)."""
+    t = Tables(spark, sf_dir)
+    ps = _powersums(t)
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    m = s1 / n
+    m2 = s2 / n - m * m  # population variance
+    # sd*sd*sd / m2*m2 instead of pow(): JVM Math.pow and DuckDB's libm pow
+    # differ in the last ulp; sqrt and multiply are IEEE-exact in both.
+    sd = F.sqrt(m2)
+    skew = (s3 / n - 3 * m * (s2 / n) + 2 * m * m * m) / (sd * sd * sd)
+    kurt = (
+        s4 / n - 4 * m * (s3 / n) + 6 * m * m * (s2 / n) - 3 * m * m * m * m
+    ) / (m2 * m2) - 3
+    return ps.select(
+        "l_returnflag",
+        "n",
+        m.alias("mean"),
+        ((s2 - s1 * s1 / n) / (n - 1)).alias("var_samp"),
+        F.sqrt((s2 - s1 * s1 / n) / (n - 1)).alias("stddev_samp"),
+        skew.alias("skewness"),
+        kurt.alias("kurtosis"),
+    ).orderBy("l_returnflag")
+
+
+_Y = "CAST(l_extendedprice AS DECIMAL(18,2))"
+
+
+@query(
+    "agg_corr_covar",
+    oracle=f"""
+    SELECT l_returnflag, n,
+           (sxy - sx * sy / n) / (n - 1) AS covar_samp,
+           (sxy - sx * sy / n) / n AS covar_pop,
+           (sxy / n - (sx / n) * (sy / n))
+             / (sqrt(sxx / n - (sx / n) * (sx / n))
+              * sqrt(syy / n - (sy / n) * (sy / n))) AS corr
+    FROM (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM({_X}) AS DOUBLE) AS sx,
+               CAST(SUM({_Y}) AS DOUBLE) AS sy,
+               CAST(SUM(CAST({_X} * {_X} AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+               CAST(FLOOR(SUM(CAST({_Y} * {_Y} AS DECIMAL(37,4)))) AS DOUBLE) AS syy,
+               CAST(FLOOR(SUM(CAST({_X} * {_Y} AS DECIMAL(28,4)))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """covar_samp/covar_pop/corr(l_quantity, l_extendedprice) from exact
+    DECIMAL cross sums — same single-pass plan as agg_stats_moments."""
+    t = Tables(spark, sf_dir)
+    x = F.col("l_quantity").cast("decimal(9,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    ps = t.lineitem.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(19,4)")).cast("double").alias("sxx"),
+        # floored to integers before the double cast — same 2^53 + rounding-tie
+        # guard as agg_stats_moments' s4
+        F.floor(F.sum((y * y).cast("decimal(37,4)"))).cast("double").alias("syy"),
+        F.floor(F.sum((x * y).cast("decimal(28,4)"))).cast("double").alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (
+        F.col(c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+    )
+    return ps.select(
+        "l_returnflag",
+        "n",
+        ((sxy - sx * sy / n) / (n - 1)).alias("covar_samp"),
+        ((sxy - sx * sy / n) / n).alias("covar_pop"),
+        (
+            (sxy / n - (sx / n) * (sy / n))
+            / (
+                F.sqrt(sxx / n - (sx / n) * (sx / n))
+                * F.sqrt(syy / n - (sy / n) * (sy / n))
+            )
+        ).alias("corr"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "agg_median_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           quantile_disc(l_quantity, 0.9) AS p90_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "stats", "percentile"),
+)
+def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + continuous/discrete percentiles.  Spark `percentile`
+    and DuckDB `quantile_cont` share the SQL-standard interpolation
+    definition; inputs are 2-decimal doubles so the interpolated values are
+    exact.  Exact percentile sorts within groups — for a 100 TB rollout the
+    approx_percentile sketch (see agg_approx) is the scale path."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+            F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+            F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)").alias(
+                "p90_disc"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    SELECT l_returnflag, modal_qty, modal_n FROM (
+        SELECT l_returnflag, l_quantity AS modal_qty, COUNT(*) AS modal_n,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY COUNT(*) DESC, l_quantity) AS rn
+        FROM lineitem
+        GROUP BY l_returnflag, l_quantity
+    ) WHERE rn = 1
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "stats", "mode"),
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent value per group with a smallest-value tie-break.
+    Built-in `mode()` is nondeterministic on ties in both engines, so the
+    engine spells it count-then-rank: two hash aggregates + a
+    WindowGroupLimit — every stage partial-aggregatable."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    counts = t.lineitem.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("modal_n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("modal_n"), "l_quantity"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag", F.col("l_quantity").alias("modal_qty"), "modal_n"
+        )
+        .orderBy("l_returnflag")
+    )
