@@ -138,6 +138,55 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def purchase_click_attribution(events: DataFrame) -> DataFrame:
+    """For every purchase, the number of clicks by the same user in the
+    preceding 30 minutes — the canonical stream-stream interval join.
+
+    Written against plain DataFrames so the identical function runs in batch
+    (oracle-checked) and as a true stream-stream join (two readStreams with
+    watermarks, tests/test_streaming.py).  Scale: an equi-join on user_id with
+    a time-range residual — both sides shuffle once on user_id; in streaming
+    the watermark bounds the join state to the 30-minute interval."""
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "left",
+    )
+    return joined.groupBy("p_id", "p_user").agg(
+        F.count("c_ts").alias("n_clicks_30m")
+    )
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    SELECT p.event_id AS p_id, p.user_id AS p_user,
+           COUNT(c.ts) AS n_clicks_30m
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+     AND c.ts < p.ts
+    GROUP BY p_id, p_user
+    ORDER BY p_id
+    """,
+    tags=("streaming", "interval-join", "join"),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return purchase_click_attribution(t.events).orderBy("p_id")
+
+
 def dedup_events(events: DataFrame) -> DataFrame:
     """Exactly-once by event_id.  In streaming this becomes
     `withWatermark(...).dropDuplicatesWithinWatermark(["event_id"])`."""

@@ -120,6 +120,93 @@ def test_stateful_apply_in_pandas_with_state(spark):
     assert got == want
 
 
+@pytest.mark.slow
+def test_stream_stream_interval_join_equals_batch(spark):
+    """True stream-stream interval join: purchases and clicks as two
+    watermarked streams; results must equal the batch formulation of the same
+    function (and therefore its DuckDB oracle)."""
+    from auron_spark.streaming.ops import purchase_click_attribution
+
+    stream, batch = _stream_events(spark)
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "inner",  # stream-stream outer joins need watermark-bounded state; inner is the core
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = normalize(
+        spark.sql(
+            "SELECT p_id, p_user, COUNT(c_ts) AS n FROM ssj_out GROUP BY p_id, p_user"
+        ).toPandas()
+    )
+    want = normalize(
+        purchase_click_attribution(batch)
+        .filter(F.col("n_clicks_30m") > 0)
+        .withColumnRenamed("n_clicks_30m", "n")
+        .toPandas()
+    )
+    assert got == want
+
+
+def test_foreach_batch_idempotent_sink(spark):
+    """foreachBatch sink with batch-id-based idempotence — the exactly-once
+    pattern for sinks without transactional support: each micro-batch writes
+    to a batch-id-keyed location, so replays overwrite instead of duplicate."""
+    import tempfile
+
+    stream, batch = _stream_events(spark)
+    out_dir = tempfile.mkdtemp(prefix="auron-fb-sink-")
+    seen: list[int] = []
+
+    def write_batch(df, batch_id: int):
+        seen.append(batch_id)
+        # idempotent: path keyed by batch_id, overwrite mode
+        df.groupBy("event_type").agg(F.count("*").alias("n")).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/batch_id={batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert seen, "foreachBatch never fired"
+    got = (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    want = batch.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    assert {r["event_type"]: r["n"] for r in got} == {
+        r["event_type"]: r["n"] for r in want
+    }
+
+
 def test_kafka_gated_and_decode_stage(spark):
     """Kafka jars absent -> clean NotImplementedError; the JSON decode stage
     itself runs against any binary `value` column (here: synthesized from the
