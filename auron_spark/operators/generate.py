@@ -138,3 +138,41 @@ def gen_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY p_partkey, tok
         """
     )
+
+
+@query(
+    "gen_inline",
+    oracle="""
+    SELECT p_partkey, metric, val FROM (
+        SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+        UNION ALL
+        SELECT p_partkey, 'price' AS metric, p_retailprice AS val FROM part
+    )
+    ORDER BY p_partkey, metric
+    """,
+    tags=("generate", "inline"),
+)
+def gen_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """inline(array<struct>) — explodes an array of structs into columns in
+    one generator step.  Not a distinct native op in the reference (its
+    Generate covers explode/json_tuple only, `auron.proto:604-628`); free in
+    Spark.  Map-side, bounded 2× amplification."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.part.select(
+            "p_partkey",
+            F.inline(
+                F.array(
+                    F.struct(
+                        F.lit("size").alias("metric"),
+                        F.col("p_size").cast("double").alias("val"),
+                    ),
+                    F.struct(
+                        F.lit("price").alias("metric"),
+                        F.col("p_retailprice").alias("val"),
+                    ),
+                )
+            ),
+        )
+        .orderBy("p_partkey", "metric")
+    )

@@ -248,3 +248,46 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", F.count("*").over(w).alias("n_last_hour"))
         .orderBy("event_id")
     )
+
+
+@query(
+    "window_ignore_nulls",
+    oracle="""
+    SELECT event_id,
+           LAG(v IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v,
+           LEAD(v IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS next_v,
+           LAST_VALUE(v IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_seen
+    FROM (SELECT event_id, user_id, ts,
+                 CASE WHEN value >= 10 THEN value END AS v
+          FROM events WHERE user_id <= 20)
+    ORDER BY event_id
+    """,
+    tags=("window", "ignore-nulls"),
+)
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/last_value with IGNORE NULLS — gap-filling (last observation
+    carried forward).  The reference explicitly cannot do this natively
+    (`NativeWindowBase.scala:179-188` rejects IGNORE NULLS and lag); Spark
+    supports it in the same window operator."""
+    t = Tables(spark, sf_dir)
+    v = F.when(F.col("value") >= 10, F.col("value"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # lag/lead don't expose ignorenulls in the Python functions API — the SQL
+    # expression form is the documented spelling for them
+    over = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    return (
+        t.events.filter(F.col("user_id") <= 20)
+        .select("event_id", "user_id", "ts", v.alias("v"))
+        .select(
+            "event_id",
+            F.expr(f"lag(v) IGNORE NULLS {over}").alias("prev_v"),
+            F.expr(f"lead(v) IGNORE NULLS {over}").alias("next_v"),
+            F.last("v", ignorenulls=True).over(wrun).alias("last_seen"),
+        )
+        .orderBy("event_id")
+    )

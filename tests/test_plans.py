@@ -117,3 +117,49 @@ def test_knn_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # the corpus side must NOT be exchanged for the join itself
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q7_volume_shipping", "q8_market_share", "q9_product_type_profit"]
+)
+def test_tpch_multiway_joins_broadcast_dims(spark, name):
+    """Q7/Q8/Q9: every dimension leg broadcasts; no cartesian ever forms and
+    the only hash exchanges are the fact-fact join + final aggregate."""
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast joins"
+    assert "CartesianProduct" not in plan
+    n_hash_exchanges = sum(
+        1 for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    )
+    assert n_hash_exchanges <= 2, plan
+
+
+def test_q21_self_joins_share_shuffle_key(spark):
+    """Q21's lineitem self-joins (EXISTS + NOT EXISTS) are all keyed on
+    l_orderkey — the plan must contain semi and anti joins and no cartesian."""
+    plan = _plan(spark, "q21_waiting_supplier")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_probe_broadcasts(spark):
+    """IVF search: the centroid table and the probe set broadcast; the corpus
+    is only ever equi-joined on the cluster id (no cartesian against the
+    corpus)."""
+    plan = _plan(spark, "sim_knn_ivf")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stats_single_pass_partial_agg(spark):
+    """Moment sums must be one scan + two-phase hash aggregate — a single
+    hash exchange of partial sums, never a second pass over the data."""
+    plan = _plan(spark, "agg_stats_moments")
+    assert "partial_sum" in plan
+    n_scans = plan.count("FileScan parquet")
+    assert n_scans == 1, plan
+    n_hash_exchanges = sum(
+        1 for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    )
+    assert n_hash_exchanges == 1, plan

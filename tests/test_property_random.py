@@ -121,3 +121,33 @@ def test_random_sort_limit_offset(spark, duck, n, off, desc):
     got = normalize(spark.sql(q.format(t="li_prop")).toPandas())
     want = normalize(duck.execute(q.format(t="lineitem")).df())
     assert got == want
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    how=st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+    cutoff=st.integers(min_value=1, max_value=5000),
+)
+def test_random_join_types(spark, duck, how, cutoff):
+    """Random join type × orders-side filter: per-type row counts must match
+    DuckDB's equivalent join formulation."""
+    li = table(spark, SF_SMOKE, "lineitem")
+    orders = table(spark, SF_SMOKE, "orders").filter(f"o_orderkey <= {cutoff}")
+    got = li.join(orders, li.l_orderkey == orders.o_orderkey, how).count()
+    duck.execute(
+        f"CREATE OR REPLACE VIEW o_f AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/orders.parquet') WHERE o_orderkey <= {cutoff}"
+    )
+    sql = {
+        "inner": "SELECT COUNT(*) FROM lineitem JOIN o_f ON l_orderkey = o_orderkey",
+        "left": "SELECT COUNT(*) FROM lineitem LEFT JOIN o_f ON l_orderkey = o_orderkey",
+        "left_semi": "SELECT COUNT(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM o_f)",
+        "left_anti": "SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM o_f)",
+    }[how]
+    want = duck.execute(sql).fetchone()[0]
+    assert got == want, (how, cutoff)
