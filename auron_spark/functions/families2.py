@@ -312,3 +312,41 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"))
         .orderBy("n_regionkey")
     )
+
+
+@query(
+    "fn_reference_tail",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND((year(o_orderdate) - 1995) * 12 + (month(o_orderdate) - 6)
+                 + CASE WHEN day(o_orderdate) = 15 THEN 0.0
+                        ELSE (day(o_orderdate) - 15) / 31.0 END, 8) AS mb,
+           make_date(2020, month(o_orderdate), 15) AS md,
+           chr(65 + CAST(o_orderkey % 26 AS INTEGER)) AS ch,
+           octet_length(encode(o_orderpriority)) AS ol,
+           CASE o_orderstatus WHEN 'O' THEN 1 WHEN 'F' THEN 2 WHEN 'P' THEN 3
+                ELSE 0 END AS fis,
+           CAST(factorial(CAST(o_orderkey % 10 AS INTEGER)) AS BIGINT) AS fact,
+           ROUND(exp(CAST(o_orderkey % 3 AS DOUBLE)) - 1, 9) AS em
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tags=("function", "math", "datetime", "string"),
+)
+def fn_reference_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining reference kernels: months_between (`spark_dates.rs`),
+    make_date, chr, octet_length, find_in_set, factorial, expm1
+    (`NativeConverters.scala:830-1082`).  The oracle re-derives Spark's
+    months_between 31-day-fraction rule (DuckDB has no equivalent) and uses
+    exp(x)-1 for expm1 (equal at 9-digit rounding for these inputs)."""
+    t = Tables(spark, sf_dir)
+    return t.orders.select(
+        "o_orderkey",
+        F.months_between(F.col("o_orderdate"), F.lit("1995-06-15").cast("timestamp")).alias("mb"),
+        F.make_date(F.lit(2020), F.month("o_orderdate"), F.lit(15)).alias("md"),
+        F.chr(F.lit(65) + F.col("o_orderkey") % 26).alias("ch"),
+        F.octet_length("o_orderpriority").alias("ol"),
+        F.find_in_set(F.col("o_orderstatus"), F.lit("O,F,P")).alias("fis"),
+        F.factorial((F.col("o_orderkey") % 10).cast("int")).alias("fact"),
+        F.round(F.expm1((F.col("o_orderkey") % 3).cast("double")), 9).alias("em"),
+    ).orderBy("o_orderkey")
