@@ -199,3 +199,37 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(F.array_join(F.sort_array(F.array_distinct(_tokens())), " ")).alias("fp"),
     ).orderBy("doc_id")
+
+
+@query(
+    "text_rolling_hash",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(lower(text), ' '),
+                       t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_fp
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "text", "fingerprint", "rolling-hash"),
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling hash over the token stream
+    (Rabin–Karp style): fp = fold((acc*31 + h(tok)) mod p).  Complements
+    text_fingerprint (order-insensitive bag hash): equal bag + different
+    rolling hash ⟹ same vocabulary, different order.  Token values are the
+    first 32 md5 bits, so both engines fold identical int64 sequences —
+    exact, no floating point anywhere."""
+    t = Tables(spark, sf_dir)
+    tokvals = F.transform(
+        _tokens(),
+        lambda tok: F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long"),
+    )
+    fp = F.aggregate(
+        tokvals,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % 1000000007,
+    )
+    return t.documents.select("doc_id", fp.alias("rolling_fp")).orderBy("doc_id")
