@@ -139,3 +139,59 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "frame_idx")
     )
+
+
+@query(
+    "mm_resize_plan",
+    oracle="""
+    SELECT doc_id, width, height,
+           CAST(FLOOR(width * s) AS INTEGER) AS out_w,
+           CAST(FLOOR(height * s) AS INTEGER) AS out_h
+    FROM (
+        SELECT doc_id, width, height,
+               LEAST(224.0 / width, 224.0 / height, 1.0) AS s
+        FROM (
+            SELECT doc_id,
+                   64 + (octet_length(encode(text)) % 577) AS width,
+                   64 + ((octet_length(encode(text)) * 7) % 449) AS height
+            FROM documents
+        )
+    )
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "multimodal", "resize", "mapInPandas"),
+)
+def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize to fit 224×224 (no upscaling), planned in
+    `mapInPandas` over Arrow batches.  The geometry math is SQL-mirrorable so
+    the full Python path is oracle-checked; the pixel resample itself is the
+    stubbed step (`NotImplementedError` — container has no image libs), and a
+    real build swaps it in without touching plan/schema/batching."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [fake_decode_meta(p) for p in pdf["payload"]]
+            w = pd.Series([m[0] for m in metas], dtype="int64")
+            h = pd.Series([m[1] for m in metas], dtype="int64")
+            s = pd.concat([224.0 / w, 224.0 / h], axis=1).min(axis=1).clip(upper=1.0)
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": w.astype("int32"),
+                    "height": h.astype("int32"),
+                    "out_w": (w * s).apply(int).astype("int32"),  # floor: positive values
+                    "out_h": (h * s).apply(int).astype("int32"),
+                }
+            )
+            yield out
+
+    def resample_pixels(payload: bytes, out_w: int, out_h: int) -> bytes:
+        raise NotImplementedError("pixel resample needs an image codec (PIL)")
+
+    t = Tables(spark, sf_dir)
+    payloads = t.documents.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return payloads.mapInPandas(
+        resize_batches, "doc_id long, width int, height int, out_w int, out_h int"
+    ).orderBy("doc_id")
