@@ -49,7 +49,7 @@ def _doc_shingles(t: Tables, dedup: bool = True) -> DataFrame:
     """(doc_id, shingle) — exploded; `dedup=True` makes it a set (needed for
     Jaccard set sizes).  MinHash signatures skip the dedup shuffle entirely:
     MIN over duplicates equals MIN over the set."""
-    sh = t.documents.select(
+    sh = t.parallel("documents", "doc_id").select(
         "doc_id", F.split(F.lower(F.col("text")), " ").alias("w")
     ).select("doc_id", F.explode(shingles()).alias("shingle"))
     return sh.dropDuplicates(["doc_id", "shingle"]) if dedup else sh
@@ -141,7 +141,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the document text."""
     t = Tables(spark, sf_dir)
     return (
-        t.documents.groupBy(F.md5("text").alias("h"))
+        t.parallel("documents").groupBy(F.md5("text").alias("h"))
         .agg(F.min("doc_id").alias("min_id"), F.count("*").alias("n_copies"))
         .orderBy("min_id")
     )
@@ -253,7 +253,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     token bit b contributes +1 if set else -1; simhash bit b = (sum > 0).
     Pure built-in bit arithmetic (xxhash64, shiftright, sum) — no UDF."""
     t = Tables(spark, sf_dir)
-    toks = t.documents.select(
+    toks = t.parallel("documents", "doc_id").select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
     )
     hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))

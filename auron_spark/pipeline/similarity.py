@@ -91,7 +91,7 @@ def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             norm(F.col("embedding")).alias("qn"),
         )
     )
-    c = t.embeddings.select(
+    c = t.parallel("embeddings").select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
         norm(F.col("embedding")).alias("cn"),
@@ -175,7 +175,7 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     t = Tables(spark, sf_dir)
-    emb = t.embeddings.withColumn("tb", F.explode(lsh_table_buckets(F.col("embedding"))))
+    emb = t.parallel("embeddings").withColumn("tb", F.explode(lsh_table_buckets(F.col("embedding"))))
     q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "tb"
     )
@@ -238,13 +238,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a coarse quantizer (see sim_knn_ivf) — same plan shape.  Norms are
     precomputed per side (O(n) folds, not O(pairs))."""
     t = Tables(spark, sf_dir)
-    a = t.embeddings.select(
+    a = t.parallel("embeddings").select(
         F.col("label"),
         F.col("vec_id").alias("a"),
         F.col("embedding").alias("a_emb"),
         norm(F.col("embedding")).alias("an"),
     )
-    b = t.embeddings.select(
+    b = t.parallel("embeddings").select(
         F.col("label"),
         F.col("vec_id").alias("b"),
         F.col("embedding").alias("b_emb"),

@@ -44,6 +44,28 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parallel_table(
+    spark: SparkSession, sf_dir: str, name: str, key: str | None = None
+) -> DataFrame:
+    """Scan with a minimum-parallelism guarantee for CPU-dense consumers.
+
+    Parquet scan parallelism is bounded by row groups; a source written as few
+    large row groups would otherwise pin an expensive map stage (hashing,
+    vector folds) to a handful of cores.  If the scan already yields at least
+    the session's parallelism (the normal case at scale, where files ≫ cores),
+    this is a no-op — no exchange is added.  Otherwise repartition once:
+    keyed when the consumer aggregates/joins on ``key`` (the later shuffle is
+    then already satisfied), round-robin for purely map-side work.
+    """
+    df = table(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.repartition(target, F.col(key)) if key else df.repartition(target)
+
+
 class Tables:
     """Lazy attribute access: ``t = Tables(spark, sf_dir); t.lineitem``."""
 
@@ -58,6 +80,11 @@ class Tables:
         if name not in self._cache:
             self._cache[name] = table(self._spark, self._sf_dir, name)
         return self._cache[name]
+
+    def parallel(self, name: str, key: str | None = None) -> DataFrame:
+        """See :func:`parallel_table` — scan with minimum parallelism for
+        CPU-dense consumers (hashing, vector folds)."""
+        return parallel_table(self._spark, self._sf_dir, name, key)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
