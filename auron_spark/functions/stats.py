@@ -78,6 +78,7 @@ def _powersums(t: Tables) -> DataFrame:
     ORDER BY l_returnflag
     """,
     tags=("agg", "stats"),
+    bench=True,
 )
 def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mean/var_samp/stddev_samp/skewness/excess-kurtosis from exact DECIMAL

@@ -162,6 +162,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n_name, o_year DESC
     """,
     tags=("join", "agg", "sort"),
+    bench=True,
 )
 def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 (adapted: no partsupp table in the fixtures, so profit is the

@@ -331,6 +331,7 @@ _SQL_EXACT_CENTROID = """
     ORDER BY query_id, neighbor_id
     """,
     tags=("pipeline", "similarity", "ivf", "ann"),
+    bench=True,
 )
 def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN search: exact per-cluster centroids (the coarse quantizer —

@@ -163,3 +163,44 @@ def test_stats_single_pass_partial_agg(spark):
         1 for l in plan.splitlines() if "Exchange hashpartitioning" in l
     )
     assert n_hash_exchanges == 1, plan
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path_factory):
+    """Co-located join via bucketing: both sides bucketed(8) on the join key →
+    the join plans with ZERO exchanges.  This is the 100 TB lever for repeated
+    fact⋈fact joins (pay one bucketed write, join shuffle-free forever after);
+    the reference gets the same effect only through its shuffle machinery."""
+    import pyspark.sql.functions as F
+
+    from auron_spark.tables import table
+
+    warehouse = str(tmp_path_factory.mktemp("warehouse"))
+    li = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    orders = table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderpriority")
+    for df, name, key in ((li, "li_bkt", "l_orderkey"), (orders, "o_bkt", "o_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # external table path: the session's warehouse dir is static conf
+        df.write.mode("overwrite").option("path", f"{warehouse}/{name}").bucketBy(
+            8, key
+        ).sortBy(key).saveAsTable(name)
+    joined = (
+        spark.table("li_bkt")
+        .hint("merge")  # pin SMJ: broadcast would hide the co-location proof
+        .join(spark.table("o_bkt"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    scan_to_join = plan.split("HashAggregate")[-1]  # below the agg: the join subtree
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in scan_to_join, plan
+    # and the result is right
+    got = {r["o_orderpriority"]: r["n"] for r in joined.collect()}
+    want = {
+        r["o_orderpriority"]: r["n"]
+        for r in li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
