@@ -234,3 +234,35 @@ def collect_limit_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only (count + schema); determinism of count is the contract."""
     t = Tables(spark, sf_dir)
     return t.orders.select("o_orderkey", "o_orderstatus").limit(37)
+
+
+@query(
+    "udf_arrow_python",
+    oracle="""
+    SELECT p_partkey,
+           CASE WHEN len(string_split(p_name, ' ')) >= 2
+                THEN upper(split_part(p_name, ' ', 2)) ELSE '?' END AS noun
+    FROM part
+    WHERE p_size > 40
+    ORDER BY p_partkey
+    """,
+    tags=("udf", "python", "arrow"),
+)
+def udf_arrow_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (`useArrow=True`, Spark 3.5+): same function
+    body as udf_python_row but Arrow-batch serialized — the architecture of
+    the reference's Arrow-FFI UDF wrapper (`SparkAuronUDFWrapperContext.scala:64`)
+    with Python in place of the JVM callback.  ~2-5× over pickled row UDFs;
+    still below built-ins — see fn_string_basic for the codegen spelling."""
+
+    @F.udf("string", useArrow=True)
+    def noun_of_arrow(name: str) -> str:
+        parts = (name or "").split(" ")
+        return parts[1].upper() if len(parts) >= 2 else "?"
+
+    t = Tables(spark, sf_dir)
+    return (
+        t.part.filter(F.col("p_size") > 40)
+        .select("p_partkey", noun_of_arrow("p_name").alias("noun"))
+        .orderBy("p_partkey")
+    )

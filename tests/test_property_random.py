@@ -151,3 +151,39 @@ def test_random_join_types(spark, duck, how, cutoff):
     }[how]
     want = duck.execute(sql).fetchone()[0]
     assert got == want, (how, cutoff)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lo=st.integers(min_value=-5, max_value=0),
+    hi=st.integers(min_value=0, max_value=5),
+    desc=st.booleans(),
+)
+def test_random_window_frames(spark, duck, lo, hi, desc):
+    """Random ROWS frame bounds: windowed decimal sums must match DuckDB
+    over the identical deterministic ordering."""
+    d = "DESC" if desc else "ASC"
+    frame = (
+        f"ROWS BETWEEN {-lo} PRECEDING AND {hi} FOLLOWING"
+    )
+    # (l_orderkey, l_linenumber) is NOT unique in the fixtures — l_quantity in
+    # the ordering makes remaining ties carry equal summands, so frame sums
+    # are invariant under tie reordering in both engines.
+    q = (
+        "SELECT l_orderkey, l_linenumber, l_quantity, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) OVER "
+        "(PARTITION BY l_returnflag "
+        f"ORDER BY l_orderkey {d}, l_linenumber, l_quantity {frame}) "
+        "AS DOUBLE) AS s "
+        "FROM {t} ORDER BY l_orderkey, l_linenumber, l_quantity, s"
+    )
+    li = table(spark, SF_SMOKE, "lineitem")
+    li.createOrReplaceTempView("li_prop")
+    got = normalize(spark.sql(q.format(t="li_prop")).toPandas())
+    want = normalize(duck.execute(q.format(t="lineitem")).df())
+    assert got == want, (lo, hi, desc)
