@@ -277,3 +277,66 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s63") > 0).alias("high_bit"),
     )
     return simhash.orderBy("doc_id")
+
+
+def _simhash32_oracle() -> str:
+    sum_cols = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(32)
+    )
+    assemble = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(32)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+        FROM toks
+    ),
+    sums AS (
+        SELECT doc_id,
+               {sum_cols}
+        FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, {assemble} AS simhash
+    FROM sums ORDER BY doc_id
+    """
+
+
+@query(
+    "dedup_simhash_md5",
+    oracle=_simhash32_oracle(),
+    tags=("pipeline", "dedup", "simhash"),
+)
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash with md5-derived token hashes — the oracle-checkable
+    twin of dedup_simhash (xxhash64 has no DuckDB equivalent; the first 32
+    md5 bits do).  Same construction: token bit b contributes ±1, simhash
+    bit b = (sum > 0).  Same plan shape: map-side hash, one groupBy(doc)."""
+    t = Tables(spark, sf_dir)
+    toks = t.parallel("documents", "doc_id").select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    hashed = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(32)
+    ]
+    sums = hashed.groupBy("doc_id").agg(*bit_cols)
+    return sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(0)
+                for b in range(32)
+            ]
+        ).alias("simhash"),
+    ).orderBy("doc_id")
