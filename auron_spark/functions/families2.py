@@ -350,3 +350,36 @@ def fn_reference_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.factorial((F.col("o_orderkey") % 10).cast("int")).alias("fact"),
         F.round(F.expm1((F.col("o_orderkey") % 3).cast("double")), 9).alias("em"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "fn_try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           CASE WHEN l_discount = 0 THEN NULL
+                ELSE l_extendedprice / l_discount END AS safe_ratio,
+           CASE WHEN l_quantity = l_quantity THEN NULL END AS div_zero,
+           TRY_CAST(l_returnflag AS INTEGER) AS bad_cast,
+           CASE WHEN l_orderkey > 0 THEN NULL
+                ELSE 9223372036854775807 + l_orderkey END AS add_overflow
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber, l_quantity
+    """,
+    tags=("function", "try", "ansi"),
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_divide/try_cast/try_add — NULL-on-error arithmetic (ANSI-safe
+    variants).  The reference's TryCast path is `NativeConverters.scala:476-511`;
+    the try_* arithmetic family is Spark-native.  The oracle spells each
+    failure case explicitly since DuckDB errors where Spark yields NULL."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_discount")).alias("safe_ratio"),
+        F.try_divide(F.col("l_quantity"), F.col("l_quantity") - F.col("l_quantity"))
+        .alias("div_zero"),
+        F.try_to_number(F.col("l_returnflag"), F.lit("999")).cast("int").alias("bad_cast"),
+        F.try_add(F.lit(9223372036854775807), F.col("l_orderkey")).alias("add_overflow"),
+    ).orderBy("l_orderkey", "l_linenumber", "l_quantity")

@@ -233,3 +233,51 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: (acc * 31 + x) % 1000000007,
     )
     return t.documents.select("doc_id", fp.alias("rolling_fp")).orderBy("doc_id")
+
+
+CHUNK_SIZE = 20
+CHUNK_STRIDE = 15  # 5-token overlap between consecutive chunks
+
+
+@query(
+    "text_chunk_windows",
+    oracle=f"""
+    SELECT doc_id, k AS chunk_idx,
+           array_to_string(w[k * {CHUNK_STRIDE} + 1 : k * {CHUNK_STRIDE} + {CHUNK_SIZE}], ' ')
+             AS chunk_text,
+           LEAST({CHUNK_SIZE}, len(w) - k * {CHUNK_STRIDE}) AS chunk_len
+    FROM (
+        SELECT doc_id, w, unnest(range(0, ((len(w) - 1) // {CHUNK_STRIDE}) + 1)) AS k
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+    )
+    ORDER BY doc_id, chunk_idx
+    """,
+    tags=("pipeline", "text", "chunking"),
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking ({CHUNK_SIZE}-token chunks,
+    {CHUNK_STRIDE}-token stride → 5-token overlap) — the standard
+    training-data prep step between cleaning and tokenization.  Map-side
+    explode over chunk starts; amplification is bounded by
+    ceil(n_tokens/stride) rows per doc, no shuffle."""
+    t = Tables(spark, sf_dir)
+    docs = t.parallel("documents", "doc_id").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("w")
+    )
+    n = F.size("w")
+    chunked = docs.select(
+        "doc_id",
+        "w",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((n - 1) / CHUNK_STRIDE).cast("int"))
+        ).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * CHUNK_STRIDE + 1
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join(F.slice("w", start, F.lit(CHUNK_SIZE)), " ").alias("chunk_text"),
+        F.least(F.lit(CHUNK_SIZE), F.size("w") - F.col("chunk_idx") * CHUNK_STRIDE).alias(
+            "chunk_len"
+        ),
+    ).orderBy("doc_id", "chunk_idx")
