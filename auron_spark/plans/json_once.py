@@ -68,3 +68,36 @@ def json_parse_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k_num2").alias("k_num"),
         F.length("k_str").alias("k_len"),
     ).orderBy("event_id")
+
+
+@query(
+    "fn_variant_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_mod
+    FROM events
+    WHERE user_id <= 15
+    ORDER BY event_id
+    """,
+    tags=("json", "variant"),
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariantType path (Spark 4): `parse_json` once into a variant,
+    `variant_get` per extraction — the engine-native successor to the
+    reference's parse-once rewrite (`NativeConverters.scala:1213-1232`):
+    the variant is a parsed binary representation, so repeated extractions
+    never re-parse the JSON text."""
+    t = Tables(spark, sf_dir)
+    v = F.parse_json(F.col("props"))
+    return (
+        t.events.filter(F.col("user_id") <= 15)
+        .select(
+            "event_id",
+            F.variant_get(v, "$.k", "long").alias("k_num"),
+            F.variant_get(v, "$.k", "string").alias("k_str"),
+            (F.variant_get(v, "$.k", "long") % 7).alias("k_mod"),
+        )
+        .orderBy("event_id")
+    )
