@@ -383,3 +383,39 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_to_number(F.col("l_returnflag"), F.lit("999")).cast("int").alias("bad_cast"),
         F.try_add(F.lit(9223372036854775807), F.col("l_orderkey")).alias("add_overflow"),
     ).orderBy("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@query(
+    "fn_binary_map_tail",
+    oracle="""
+    SELECT p_partkey,
+           bit_length(p_name) AS bl,
+           CAST(unhex(hex(encode(p_name))) AS VARCHAR) AS roundtrip,
+           p_brand AS m_brand,
+           CAST(p_size AS VARCHAR) AS m_size,
+           array_to_string(flatten([string_split(p_name, ' '),
+                                    string_split(p_type, ' ')]), '|') AS flat
+    FROM part
+    ORDER BY p_partkey
+    """,
+    tags=("function", "binary", "map"),
+)
+def fn_binary_map_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bit_length, hex/unhex roundtrip, str_to_map, flatten — the last §2.9
+    kernels (`NativeConverters.scala:917-1082,948`, `spark_strings.rs`)."""
+    t = Tables(spark, sf_dir)
+    m = F.str_to_map(
+        F.concat(F.lit("brand:"), F.col("p_brand"), F.lit(",size:"), F.col("p_size"))
+    )
+    return t.part.select(
+        "p_partkey",
+        F.bit_length("p_name").alias("bl"),
+        F.decode(F.unhex(F.hex(F.encode(F.col("p_name"), "utf-8"))), "utf-8").alias(
+            "roundtrip"
+        ),
+        m.getItem("brand").alias("m_brand"),
+        m.getItem("size").alias("m_size"),
+        F.array_join(
+            F.flatten(F.array(F.split("p_name", " "), F.split("p_type", " "))), "|"
+        ).alias("flat"),
+    ).orderBy("p_partkey")
