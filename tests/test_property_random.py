@@ -187,3 +187,34 @@ def test_random_window_frames(spark, duck, lo, hi, desc):
     got = normalize(spark.sql(q.format(t="li_prop")).toPandas())
     want = normalize(duck.execute(q.format(t="lineitem")).df())
     assert got == want, (lo, hi, desc)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    fn=st.sampled_from(["MIN", "MAX", "COUNT", "SUM"]),
+    col=st.sampled_from(NUM_COLS),
+    key=st.sampled_from(STR_COLS + ["l_linenumber"]),
+    lo=st.integers(min_value=0, max_value=40),
+)
+def test_random_aggregates(spark, duck, fn, col, key, lo):
+    """Random (aggregate fn, column, group key, filter): results must match
+    DuckDB exactly (SUM through the decimal-exact path)."""
+    expr = (
+        f"CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE)"
+        if fn == "SUM"
+        else f"{fn}({col})"
+    )
+    q = (
+        f"SELECT {key} AS k, {expr} AS v FROM {{t}} "
+        f"WHERE l_quantity >= {lo} GROUP BY {key} ORDER BY k"
+    )
+    li = table(spark, SF_SMOKE, "lineitem")
+    li.createOrReplaceTempView("li_prop")
+    got = normalize(spark.sql(q.format(t="li_prop")).toPandas())
+    want = normalize(duck.execute(q.format(t="lineitem")).df())
+    assert got == want, q
