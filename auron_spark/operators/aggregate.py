@@ -285,3 +285,31 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_price"),
         F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_price"),
     )
+
+
+@query(
+    "agg_hll_sketch_mergeable",
+    oracle=None,  # sketch estimates have no SQL-exact oracle; accuracy-tested
+    tags=("agg", "approx", "sketch"),
+)
+def agg_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Apache DataSketches HLL (Spark 3.5+): per-group sketches
+    built in one pass, then UNIONED into a global estimate — the
+    re-aggregatable form that matters at 100 TB (a rollup can union
+    pre-computed per-partition/per-day sketches instead of rescanning raw
+    data).  Accuracy is property-tested against the exact distinct count."""
+    t = Tables(spark, sf_dir)
+    per_flag = t.lineitem.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk"),
+        F.count("*").alias("n_rows"),
+    )
+    return (
+        per_flag.agg(
+            F.hll_union_agg("sk").alias("merged"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+        .select(
+            F.hll_sketch_estimate("merged").alias("approx_distinct_orders"),
+            "n_rows",
+        )
+    )

@@ -102,3 +102,17 @@ def test_mapinpandas_batch_shape(spark):
     )
     n_docs = table(spark, SF_DIR, "documents").count()
     assert df.count() == n_docs
+
+
+def test_hll_sketch_union_accuracy(spark):
+    """Merged per-group HLL sketches must estimate the global distinct count
+    within 3% — the union-of-sketches path is what replaces exact distinct at
+    scale."""
+    row = SPECS["agg_hll_sketch_mergeable"].build(spark, SF_DIR).collect()[0]
+    from auron_spark.tables import table
+
+    exact = (
+        table(spark, SF_DIR, "lineitem").select("l_orderkey").distinct().count()
+    )
+    est = row["approx_distinct_orders"]
+    assert abs(est - exact) / exact < 0.03, (est, exact)
