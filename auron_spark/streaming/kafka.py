@@ -79,3 +79,37 @@ def read_kafka_json(
     else:
         reader = reader.option("startingOffsets", STARTING_OFFSETS[startup_mode])
     return decode_json_values(reader.load(), schema)
+
+
+def protobuf_available() -> bool:
+    """The spark-protobuf module ships separately from pyspark; gate on it."""
+    try:
+        from pyspark.sql.protobuf.functions import from_protobuf  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def decode_protobuf_values(
+    raw: DataFrame,
+    message_name: str,
+    descriptor_file: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """PROTOBUF decode stage — the reference Kafka source's second codec
+    (`auron.proto:780-802` lists JSON and PROTOBUF; deserializer
+    `flink/serde/`).  Spark-native spelling: `from_protobuf(value,
+    message_name, descFilePath)` then star-expand, exactly parallel to
+    `decode_json_values`.  Requires the spark-protobuf jar + a compiled
+    descriptor set; gated here because neither ships in this container."""
+    if not protobuf_available():
+        raise NotImplementedError(
+            "protobuf decode needs the spark-protobuf module "
+            "(pyspark.sql.protobuf); not available in this environment"
+        )
+    from pyspark.sql.protobuf.functions import from_protobuf
+
+    parsed = from_protobuf(F.col(value_col), message_name, descFilePath=descriptor_file)
+    return raw.withColumn("_parsed", parsed).select(
+        *[c for c in raw.columns if c != value_col], "_parsed.*"
+    )

@@ -101,3 +101,26 @@ def test_local_table_scan(spark):
         .select("r_name", "tag")
     )
     assert joined.count() == 2
+
+
+def test_parquet_schema_evolution_merge(spark, tmpdir):
+    """Schema evolution: v1 files lack a column later files carry —
+    mergeSchema unifies, old rows read NULL.  The reference gates ORC/Parquet
+    schema evolution behind positional/case-sensitive flags
+    (`AuronConverters.scala:517-527`); Spark's mergeSchema is the engine-native
+    equivalent."""
+    import pyspark.sql.functions as F
+
+    base = str(tmpdir.join("evolve"))
+    v1 = spark.range(5).select(F.col("id"), (F.col("id") * 2).alias("a"))
+    v2 = spark.range(5, 10).select(
+        F.col("id"), (F.col("id") * 2).alias("a"), F.lit("new").alias("b")
+    )
+    v1.write.parquet(f"{base}/p=1")
+    v2.write.parquet(f"{base}/p=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"id", "a", "b", "p"}
+    rows = {r["id"]: (r["a"], r["b"]) for r in merged.collect()}
+    assert rows[0] == (0, None)      # old file: evolved column is NULL
+    assert rows[9] == (18, "new")    # new file carries it
+    assert len(rows) == 10

@@ -239,3 +239,26 @@ def test_kafka_gated_and_decode_stage(spark):
         for r in batch.select("event_id", "user_id", "event_type").collect()
     }
     assert got == want
+
+
+def test_protobuf_decode_gated(spark):
+    """PROTOBUF is the reference Kafka source's second codec — the decode
+    stage exists with the same shape as JSON decode and gates cleanly when
+    the spark-protobuf module is absent."""
+    from auron_spark.streaming.kafka import (
+        decode_protobuf_values,
+        protobuf_available,
+    )
+
+    batch = table(spark, SF_SMOKE, "events")
+    raw = batch.select("event_id", F.encode(F.to_json(F.struct("user_id")), "utf-8").alias("value"))
+    if not protobuf_available():
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            decode_protobuf_values(raw, "Event", "/nonexistent.desc")
+    else:
+        # jar present (not this container): the call should at least construct
+        # a plan or raise a descriptor-file error, not an ImportError
+        try:
+            decode_protobuf_values(raw, "Event", "/nonexistent.desc")
+        except Exception as e:
+            assert "ImportError" not in type(e).__name__
