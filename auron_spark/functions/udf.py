@@ -266,3 +266,42 @@ def udf_arrow_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", noun_of_arrow("p_name").alias("noun"))
         .orderBy("p_partkey")
     )
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT p_partkey, octet_length(encode(p_name)) AS name_bytes
+    FROM part
+    ORDER BY p_partkey
+    """,
+    tags=("udf", "arrow", "mapInArrow"),
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mapInArrow` — the lowest-level Python boundary: raw Arrow
+    RecordBatches in and out, zero pandas conversion.  This is literally the
+    reference's FFI architecture (`ArrowFFIExporter.scala` /
+    `ffi_reader_exec.rs:46`) surfaced as an operator: batch in, compute
+    against Arrow buffers, batch out."""
+    import pyarrow as pa
+
+    def batch_bytes(batches):
+        for batch in batches:
+            names = batch.column("p_name")
+            out = pa.RecordBatch.from_arrays(
+                [
+                    batch.column("p_partkey"),
+                    pa.compute.binary_length(
+                        pa.compute.cast(names, pa.binary())
+                    ).cast(pa.int32()),
+                ],
+                names=["p_partkey", "name_bytes"],
+            )
+            yield out
+
+    t = Tables(spark, sf_dir)
+    return (
+        t.part.select("p_partkey", "p_name")
+        .mapInArrow(batch_bytes, "p_partkey long, name_bytes int")
+        .orderBy("p_partkey")
+    )

@@ -204,3 +204,18 @@ def test_bucketed_join_no_shuffle(spark, tmp_path_factory):
         .collect()
     }
     assert got == want
+
+
+def test_coalesce_no_shuffle(spark):
+    """coalesce(n) must narrow partitions without an exchange — the cheap
+    way down in partition count (vs repartition's full shuffle)."""
+    import pyspark.sql.functions as F
+
+    from auron_spark.tables import table
+
+    df = table(spark, SF_DIR, "lineitem").repartition(16).coalesce(2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Coalesce 2" in plan
+    # exactly the one explicit repartition exchange, none added by coalesce
+    assert plan.count("Exchange") == 1, plan
+    assert df.rdd.getNumPartitions() == 2
