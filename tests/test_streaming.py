@@ -262,3 +262,57 @@ def test_protobuf_decode_gated(spark):
             decode_protobuf_values(raw, "Event", "/nonexistent.desc")
         except Exception as e:
             assert "ImportError" not in type(e).__name__
+
+
+@pytest.mark.slow
+def test_chained_stateful_aggregations(spark):
+    """Two chained stateful ops in one streaming query (Spark 3.4+): hourly
+    windowed counts re-aggregated into daily maxima.  Append mode only emits
+    watermark-finalized windows, so the stream result must be a non-empty
+    subset of the batch equivalent with identical values."""
+    stream, batch = _stream_events(spark)
+    hourly_s = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    daily_s = (
+        hourly_s.groupBy(F.window(F.col("window"), "1 day"), "event_type")
+        .agg(F.max("n").alias("max_hourly"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "max_hourly",
+        )
+    )
+    q = (
+        daily_s.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("chain_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["day"], r["event_type"]): r["max_hourly"]
+        for r in spark.sql("SELECT * FROM chain_out").collect()
+    }
+    hourly_b = batch.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    want = {
+        (r["day"], r["event_type"]): r["max_hourly"]
+        for r in hourly_b.groupBy(
+            F.window(F.col("window"), "1 day"), "event_type"
+        )
+        .agg(F.max("n").alias("max_hourly"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "max_hourly",
+        )
+        .collect()
+    }
+    assert got, "append mode emitted nothing — watermark never advanced"
+    assert set(got).issubset(set(want))
+    assert all(want[k] == v for k, v in got.items())
