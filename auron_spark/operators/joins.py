@@ -335,3 +335,45 @@ def join_nonequi_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "c_custkey")
         .orderBy("s_suppkey", "c_custkey")
     )
+
+
+@query(
+    "join_range_bands",
+    oracle="""
+    SELECT band,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events e
+    JOIN (VALUES (0.0, 10.0, 'low'), (10.0, 100.0, 'mid'),
+                 (100.0, 1000000.0, 'high')) b(lo, hi, band)
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY band
+    ORDER BY band
+    """,
+    tags=("join", "range", "non-equi", "broadcast"),
+)
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-band join: facts matched to non-uniform value bands via a pure
+    range predicate — a BroadcastNestedLoopJoin over a tiny banded dimension
+    (the reference has no range join at all, SURVEY.md §2.3; its BNLJ is
+    `AuronConverters.scala:773-811`).  Scale: the band table is broadcast, the
+    fact side streams map-side — no shuffle until the final tiny group-by.
+    For UNIFORM bands the engine move is `floor(value/width)` + equi-join;
+    this query keeps the general non-uniform form."""
+    t = Tables(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [(0.0, 10.0, "low"), (10.0, 100.0, "mid"), (100.0, 1e6, "high")],
+        "lo double, hi double, band string",
+    )
+    return (
+        t.events.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .orderBy("band")
+    )
