@@ -281,3 +281,95 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_len"
         ),
     ).orderBy("doc_id", "chunk_idx")
+
+
+QUALITY_MIN = 0.55  # end-to-end pipeline keep-threshold
+
+
+@query(
+    "pipeline_end_to_end",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, text,
+               0.4 * LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100, 1.0)
+             + 0.3 * (CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+                      / len(string_split(text, ' ')))
+             + 0.3 * (CAST(len(list_filter(string_split(lower(text), ' '),
+                                           t -> t IN ('the', 'a', 'of', 'and', 'is')))
+                           AS DOUBLE)
+                      / len(string_split(text, ' '))) AS quality
+        FROM documents
+    ),
+    kept AS (SELECT doc_id, text FROM scored WHERE quality >= {QUALITY_MIN}),
+    canonical AS (
+        SELECT MIN(doc_id) AS doc_id, ANY_VALUE(text) AS text
+        FROM kept GROUP BY md5(text)
+    ),
+    chunked AS (
+        SELECT doc_id, k AS chunk_idx,
+               array_to_string(w[k * {CHUNK_STRIDE} + 1 : k * {CHUNK_STRIDE} + {CHUNK_SIZE}], ' ')
+                 AS chunk_text
+        FROM (
+            SELECT doc_id, w,
+                   unnest(range(0, ((len(w) - 1) // {CHUNK_STRIDE}) + 1)) AS k
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM canonical)
+        )
+    )
+    SELECT doc_id, chunk_idx,
+           md5(chunk_text) AS chunk_fp,
+           len(string_split(chunk_text, ' ')) AS n_tokens
+    FROM chunked
+    ORDER BY doc_id, chunk_idx
+    """,
+    tags=("pipeline", "end-to-end", "dedup", "chunking"),
+    bench=True,
+)
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data prep pipeline as ONE declarative plan:
+    quality-score → filter → exact-dedup (canonical = min doc_id per digest)
+    → sliding-window chunking → per-chunk fingerprint + token count.
+
+    Composition is the point: each stage is the registered operator
+    (text_quality_score / dedup_exact / text_chunk_windows) fused by Catalyst
+    into a single job — scan once, score+filter map-side, one digest shuffle,
+    chunk+fingerprint map-side.  At 100 TB this is the plan you actually run;
+    the per-stage queries exist for oracle isolation."""
+    t = Tables(spark, sf_dir)
+    toks = F.split(F.lower(F.col("text")), " ")
+    n = F.size(toks)
+    stop = F.size(F.filter(toks, lambda x: x.isin("the", "a", "of", "and", "is")))
+    quality = (
+        0.4 * F.least(n.cast("double") / 100, F.lit(1.0))
+        + 0.3 * (F.size(F.array_distinct(toks)).cast("double") / n)
+        + 0.3 * (stop.cast("double") / n)
+    )
+    kept = (
+        t.parallel("documents", "doc_id")
+        .withColumn("quality", quality)
+        .filter(F.col("quality") >= QUALITY_MIN)
+    )
+    canonical = (
+        kept.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.any_value("text").alias("text"))
+        .drop("h")
+    )
+    docs = canonical.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("w"))
+    chunked = docs.select(
+        "doc_id",
+        "w",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.size("w") - 1) / CHUNK_STRIDE).cast("int"))
+        ).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join(
+            F.slice("w", F.col("chunk_idx") * CHUNK_STRIDE + 1, F.lit(CHUNK_SIZE)), " "
+        ).alias("chunk_text"),
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.md5("chunk_text").alias("chunk_fp"),
+        F.size(F.split("chunk_text", " ")).alias("n_tokens"),
+    ).orderBy("doc_id", "chunk_idx")
