@@ -419,3 +419,44 @@ def fn_binary_map_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.flatten(F.array(F.split("p_name", " "), F.split("p_type", " "))), "|"
         ).alias("flat"),
     ).orderBy("p_partkey")
+
+
+@query(
+    "fn_datetime_tail",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) - 7 AS minus_week,
+           CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS plus_3m,
+           CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS unix_ts,
+           strftime(make_timestamp(CAST(floor(epoch(o_orderdate)) AS BIGINT) * 1000000),
+                    '%Y-%m-%d %H:%M:%S') AS from_unix,
+           CAST(o_orderdate AS DATE) AS as_date,
+           CAST(o_orderdate AS DATE)
+             + CAST(CASE WHEN (1 - dayofweek(o_orderdate) + 7) % 7 = 0 THEN 7
+                         ELSE (1 - dayofweek(o_orderdate) + 7) % 7
+                    END AS INTEGER) AS next_monday
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tags=("function", "datetime"),
+)
+def fn_datetime_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_sub / add_months / dayofyear / unix_timestamp / from_unixtime /
+    to_date / next_day — the remaining `spark_dates.rs` surface.  `plus_3m`
+    casts to DATE on both sides; `next_day('Mo')` is re-derived in the oracle
+    from dayofweek arithmetic (DuckDB has no next_day)."""
+    t = Tables(spark, sf_dir)
+    d = F.to_date("o_orderdate")
+    return t.orders.select(
+        "o_orderkey",
+        F.date_sub(d, 7).alias("minus_week"),
+        F.add_months(d, 3).alias("plus_3m"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.unix_timestamp("o_orderdate").alias("unix_ts"),
+        F.from_unixtime(F.unix_timestamp("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
+            "from_unix"
+        ),
+        d.alias("as_date"),
+        F.next_day(d, "Mon").alias("next_monday"),
+    ).orderBy("o_orderkey")
