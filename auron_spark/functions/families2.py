@@ -426,7 +426,7 @@ def fn_binary_map_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey,
            CAST(o_orderdate AS DATE) - 7 AS minus_week,
-           CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS plus_3m,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m,
            CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
            CAST(floor(epoch(o_orderdate)) AS BIGINT) AS unix_ts,
            strftime(make_timestamp(CAST(floor(epoch(o_orderdate)) AS BIGINT) * 1000000),

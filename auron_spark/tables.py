@@ -28,6 +28,11 @@ TABLE_NAMES = (
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}")
+    # Every query goes through here, so this is the one reliable hook for
+    # runtime-settable conf the engine depends on even when the session is
+    # driver-provided (bypassing session.get_spark): timestamps must be UTC
+    # (epoch/unix_timestamp semantics match DuckDB's naive-as-UTC reading).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # Ensure the ns-as-long read works even on a driver-provided session
         # that did not go through session.get_spark().
