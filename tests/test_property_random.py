@@ -218,3 +218,28 @@ def test_random_aggregates(spark, duck, fn, col, key, lo):
     got = normalize(spark.sql(q.format(t="li_prop")).toPandas())
     want = normalize(duck.execute(q.format(t="lineitem")).df())
     assert got == want, q
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    op=st.sampled_from(["UNION ALL", "UNION", "INTERSECT", "EXCEPT"]),
+    lo=st.integers(min_value=0, max_value=30),
+    hi=st.integers(min_value=20, max_value=55),
+)
+def test_random_set_operations(spark, duck, op, lo, hi):
+    """Random set operation over two overlapping projections: result
+    multisets must match DuckDB (UNION/INTERSECT/EXCEPT are distinct-based
+    in both dialects; UNION ALL keeps duplicates)."""
+    a = f"SELECT l_returnflag, l_linestatus FROM {{t}} WHERE l_quantity >= {lo}"
+    b = f"SELECT l_returnflag, l_linestatus FROM {{t}} WHERE l_quantity <= {hi}"
+    q = f"SELECT * FROM (({a}) {op} ({b})) ORDER BY 1, 2"
+    li = table(spark, SF_SMOKE, "lineitem")
+    li.createOrReplaceTempView("li_prop")
+    got = normalize(spark.sql(q.format(t="li_prop")).toPandas())
+    want = normalize(duck.execute(q.format(t="lineitem")).df())
+    assert got == want, (op, lo, hi)
