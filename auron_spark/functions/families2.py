@@ -460,3 +460,56 @@ def fn_datetime_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.alias("as_date"),
         F.next_day(d, "Mon").alias("next_monday"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "fn_array_set_ops",
+    oracle="""
+    SELECT p_partkey,
+           array_to_string(list_sort(list_distinct(nw || tw)), '|') AS u,
+           COALESCE(array_to_string(list_sort(list_distinct(
+               list_filter(nw, x -> list_contains(tw, x)))), '|'), '') AS i,
+           COALESCE(array_to_string(list_sort(list_distinct(
+               list_filter(nw, x -> NOT list_contains(tw, x)))), '|'), '') AS e,
+           array_to_string(list_filter(nw, x -> x <> 'small'), '|') AS removed,
+           len(nw) + len(tw) AS zip_len,
+           CAST(list_position(nw, 'small') AS INTEGER) AS pos_small,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels,
+           split_part(p_type, ' ', 1) AS first_type_word
+    FROM (
+        SELECT p_partkey, p_name, p_type,
+               string_split(p_name, ' ') AS nw,
+               string_split(p_type, ' ') AS tw
+        FROM part
+    )
+    ORDER BY p_partkey
+    """,
+    tags=("function", "array", "regexp"),
+)
+def fn_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_union/intersect/except/remove, arrays_zip length, array_position,
+    regexp_extract / regexp_count, substring_index — the remaining array and
+    regex kernels (`NativeConverters.scala:948,968-976,1144-1199`; DataFusion
+    regex exprs).  Set-op outputs are sorted+joined so ordering differences
+    between engines' set implementations cannot flake the hash."""
+    t = Tables(spark, sf_dir)
+    base = t.part.select(
+        "p_partkey",
+        "p_name",
+        "p_type",
+        F.split("p_name", " ").alias("nw"),
+        F.split("p_type", " ").alias("tw"),
+    )
+    return base.select(
+        "p_partkey",
+        F.array_join(F.array_sort(F.array_union("nw", "tw")), "|").alias("u"),
+        F.array_join(F.array_sort(F.array_intersect("nw", "tw")), "|").alias("i"),
+        F.array_join(F.array_sort(F.array_except("nw", "tw")), "|").alias("e"),
+        F.array_join(F.array_remove("nw", "small"), "|").alias("removed"),
+        (F.size(F.arrays_zip("nw", "nw")) + F.size("tw")).alias("zip_len"),
+        F.array_position("nw", "small").cast("int").alias("pos_small"),
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.regexp_count("p_name", F.lit("[aeiou]")).cast("int").alias("n_vowels"),
+        F.substring_index("p_type", " ", 1).alias("first_type_word"),
+    ).orderBy("p_partkey")
