@@ -144,8 +144,8 @@ def fn_regexp_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            round(sqrt(l_quantity), 9) AS sq,
            abs(l_quantity - 25) AS ab,
-           floor(l_extendedprice) AS fl,
-           ceil(l_extendedprice) AS ce,
+           CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
            round(l_extendedprice, 1) AS rnd,
            round_even(l_quantity / 2, 0) AS brnd,
            round(exp(l_discount), 9) AS ex,
@@ -153,7 +153,7 @@ def fn_regexp_like(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(log2(l_quantity), 9) AS lg2,
            round(log(l_quantity), 9) AS lg10,
            round(power(l_discount, 2), 9) AS pw,
-           sign(l_quantity - 25) AS sg,
+           CAST(sign(l_quantity - 25) AS DOUBLE) AS sg,
            greatest(l_quantity, 25.0) AS gr,
            least(l_discount, 0.05) AS le,
            l_orderkey % 7 AS md,
@@ -348,7 +348,7 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            CAST(l_quantity AS INTEGER) AS q_int,
            CAST(CAST(l_quantity AS DECIMAL(18,0)) AS VARCHAR) AS q_str,
-           CAST(l_extendedprice AS DECIMAL(18,2)) AS p_dec,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS p_dec,
            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS p_str,
            CAST(l_linenumber AS DOUBLE) AS ln_dbl,
            CAST(l_shipdate AS DATE) AS ship_date,
@@ -375,7 +375,10 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_linenumber",
             F.col("l_quantity").cast("int").alias("q_int"),
             F.col("l_quantity").cast("decimal(18,0)").cast("string").alias("q_str"),
-            F.col("l_extendedprice").cast("decimal(18,2)").alias("p_dec"),
+            # p_dec compared as DOUBLE on both sides — DuckDB's result frame
+            # decays DECIMAL to DOUBLE, so a typed compare needs the explicit
+            # cast; the decimal cast itself stays under test via p_str.
+            F.col("l_extendedprice").cast("decimal(18,2)").cast("double").alias("p_dec"),
             F.col("l_extendedprice").cast("decimal(18,2)").cast("string").alias("p_str"),
             F.col("l_linenumber").cast("double").alias("ln_dbl"),
             F.col("l_shipdate").cast("date").alias("ship_date"),

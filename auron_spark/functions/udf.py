@@ -133,7 +133,7 @@ def udf_python_row(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "udf_map_in_pandas",
     oracle="""
-    SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY source
     ORDER BY source

@@ -45,31 +45,48 @@ def oracle():
 
 
 def _norm_cell(v):
-    """Normalize a value for cross-engine comparison."""
+    """Normalize a value for cross-engine comparison.
+
+    Returns a (type-class, value) pair so that *type drift* between engines
+    fails locally exactly as it fails the driver's type-sensitive hash
+    (VERDICT r1 "What's wrong" #4: Decimal-vs-double and int-vs-double columns
+    were numerically equal but hash-mismatched at the driver while the old
+    value-only normalization passed them).  Type classes are deliberately
+    coarse — int widths and float32/64 collapse — but int / float / decimal /
+    bool / str / date stay distinct."""
     if v is None:
         return None
-    if isinstance(v, Decimal):
-        return float(v)
-    if isinstance(v, (datetime.datetime, pd.Timestamp)):
-        # A DATE read through pandas becomes a midnight Timestamp; normalize
-        # date-valued cells of either representation to the same form.
-        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
-    if isinstance(v, datetime.date):
-        return v.isoformat() + " 00:00:00.000000"
-    if isinstance(v, float) and math.isnan(v):
-        return "NaN"
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm_cell(x) for x in v)
     try:
         import numpy as np
 
         if isinstance(v, np.generic):
-            return v.item()
-        if isinstance(v, np.ndarray):
-            return tuple(_norm_cell(x) for x in v)
+            v = v.item()
+        elif isinstance(v, np.ndarray):
+            return ("array", tuple(_norm_cell(x) for x in v))
     except ImportError:
         pass
-    return v
+    if isinstance(v, Decimal):
+        return ("decimal", float(v))
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
+    if isinstance(v, float):
+        return ("float", "NaN" if math.isnan(v) else v)
+    if isinstance(v, (datetime.datetime, pd.Timestamp)):
+        # A DATE read through pandas becomes a midnight Timestamp; normalize
+        # date-valued cells of either representation to the same form (the
+        # driver likewise treats DATE and midnight TIMESTAMP as one class).
+        return ("date", v.strftime("%Y-%m-%d %H:%M:%S.%f"))
+    if isinstance(v, datetime.date):
+        return ("date", v.isoformat() + " 00:00:00.000000")
+    if isinstance(v, (bytes, bytearray)):
+        return ("bytes", bytes(v))
+    if isinstance(v, (list, tuple)):
+        return ("array", tuple(_norm_cell(x) for x in v))
+    if isinstance(v, dict):
+        return ("map", tuple(sorted((k, _norm_cell(x)) for k, x in v.items())))
+    return ("str" if isinstance(v, str) else type(v).__name__, v)
 
 
 def normalize(df: pd.DataFrame) -> list[tuple]:
