@@ -36,3 +36,24 @@ def test_nan_equals_nan():
 def test_nested_arrays_tagged():
     assert _norm_cell([1, 2]) != _norm_cell([1.0, 2.0])
     assert _norm_cell([1, 2]) == _norm_cell((1, 2))
+
+
+def test_driver_window_spans_all_families():
+    """The driver checks a 50-query prefix of the registry; round 1 proved the
+    prefix was all scalar-function families and left joins/TPC-H/windows/
+    set-ops/pipeline with zero external rows. Pin that the prefix now holds a
+    representative of every SURVEY §2 family."""
+    from auron_spark import registry
+
+    window = list(registry.load_all())[:50]
+    prefixes = [
+        "join_", "q1_", "q3_", "q5_", "q9_", "q21_", "q2_", "q4_",
+        "window_", "sort_", "limit_", "take_", "set_", "distinct_",
+        "exchange_", "pivot_", "unpivot_", "gen_", "dedup_", "sim_",
+        "text_", "pipeline_", "skew_",
+    ]
+    missing = [p for p in prefixes if not any(n.startswith(p) for n in window)]
+    assert not missing, f"driver window lost family coverage: {missing}"
+    # The three round-1 hash failures must be re-proven inside the window.
+    for fixed in ("fn_math", "fn_cast", "udf_map_in_pandas"):
+        assert fixed in window
