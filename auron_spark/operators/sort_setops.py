@@ -165,11 +165,15 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("except",),
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT → left-anti join + distinct; nations with no supplier."""
+    """EXCEPT → left-anti join + distinct; nations with no supplier.
+
+    `subtract` is Spark's EXCEPT DISTINCT.  `exceptAll(b).distinct()` is NOT
+    equivalent when the left side has duplicates that the right only partially
+    cancels (a 2x row minus 1x leaves a survivor that EXCEPT drops)."""
     t = Tables(spark, sf_dir)
     a = t.nation.select(F.col("n_nationkey").alias("nk"))
     b = t.supplier.select(F.col("s_nationkey").alias("nk"))
-    return a.exceptAll(b).distinct().orderBy("nk")
+    return a.subtract(b).orderBy("nk")
 
 
 @query(

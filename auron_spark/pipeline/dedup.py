@@ -30,13 +30,21 @@ N_BANDS = 4
 
 
 def shingles(words_col: str = "w", n: int = 3) -> Column:
-    """3-word shingles from a words array column (0-based Spark arrays)."""
+    """3-word shingles from a words array column (0-based Spark arrays).
+
+    Documents shorter than ``n`` words yield an EMPTY array: unguarded,
+    ``sequence(1, size-2)`` on a 1-word doc produces a *descending* sequence
+    and ``element_at(w, 0)`` raises, where DuckDB's ``range(1, len-1)`` is
+    simply empty."""
     w = F.col(words_col)
-    return F.transform(
+    shingled = F.transform(
         F.sequence(F.lit(1), F.size(w) - (n - 1)),
         lambda i: F.concat_ws(
             " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
         ),
+    )
+    return F.when(F.size(w) >= n, shingled).otherwise(
+        F.array().cast("array<string>")
     )
 
 

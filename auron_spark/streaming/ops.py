@@ -238,8 +238,9 @@ def stream_late_data_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
         t.events.withColumn("max_seen", F.max("ts").over(w))
-        .filter(
-            (F.col("max_seen").cast("long") - F.col("ts").cast("long")) > 600
-        )
+        # Full-precision timestamp difference — per-value cast('long') floors
+        # to seconds, so a true gap of e.g. 600.4s could floor to exactly 600
+        # and diverge from the oracle's INTERVAL comparison on sub-second ts.
+        .filter(F.col("max_seen") - F.col("ts") > F.expr("INTERVAL 10 MINUTES"))
         .agg(F.count("*").alias("n_late"))
     )

@@ -57,3 +57,18 @@ def test_driver_window_spans_all_families():
     # The three round-1 hash failures must be re-proven inside the window.
     for fixed in ("fn_math", "fn_cast", "udf_map_in_pandas"):
         assert fixed in window
+
+
+def test_shingles_short_documents(spark):
+    """Docs with < 3 words must shingle to an empty array, not raise —
+    DuckDB's range(1, len-1) is empty while an unguarded Spark
+    sequence(1, size-2) descends and element_at(w, 0) errors."""
+    import pyspark.sql.functions as F
+
+    from auron_spark.pipeline.dedup import shingles
+
+    df = spark.createDataFrame(
+        [("a",), ("a b",), ("a b c",), ("a b c d",), ("",)], ["text"]
+    ).select(F.split(F.lower("text"), " ").alias("w"))
+    rows = df.select(F.size(shingles()).alias("n")).collect()
+    assert [r.n for r in rows] == [0, 0, 1, 2, 0]

@@ -111,7 +111,7 @@ def test_parquet_schema_evolution_merge(spark, tmpdir):
     equivalent."""
     import pyspark.sql.functions as F
 
-    base = str(tmpdir.join("evolve"))
+    base = f"{tmpdir}/evolve"
     v1 = spark.range(5).select(F.col("id"), (F.col("id") * 2).alias("a"))
     v2 = spark.range(5, 10).select(
         F.col("id"), (F.col("id") * 2).alias("a"), F.lit("new").alias("b")
