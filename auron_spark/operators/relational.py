@@ -95,8 +95,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3: fact⋈fact join + broadcast dim filter + aggregate top-k.
 
-    customer is a dimension → broadcast; orders⋈lineitem co-partitions on the
-    order key (a shuffle each — unavoidable and AQE-sized).
+    customer broadcasts via the session threshold + AQE, NOT a hard hint —
+    customer grows linearly with SF (150k x SF), so a forced broadcast that
+    is fine at test scale OOMs executors at 100 TB; Spark's size-driven
+    selection falls back to shuffle exactly when it must.  orders⋈lineitem
+    co-partitions on the order key (a shuffle each — unavoidable, AQE-sized).
     """
     t = Tables(spark, sf_dir)
     cust = t.customer.filter(F.col("c_mktsegment") == "BUILDING")
@@ -104,7 +107,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t.lineitem.filter(F.col("l_shipdate") > "1998-03-15 00:00:00")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(
             "l_orderkey",
             F.col("o_orderdate").cast("date").alias("orderdate"),
@@ -138,7 +141,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5: 6-way join; all dimension sides broadcast, fact side streams."""
+    """TPC-H Q5: 6-way join; dimension sides broadcast, fact side streams.
+
+    Hard broadcast hints only on constant-size frames (nation=25, region=5);
+    customer/supplier scale with SF, so their broadcast is left to the
+    session threshold + AQE (forced hints don't fall back and OOM at scale).
+    """
     t = Tables(spark, sf_dir)
     orders = t.orders.filter(
         (F.col("o_orderdate") >= "1996-01-01 00:00:00")
@@ -152,9 +160,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t.lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(t.supplier),
+            t.supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -194,7 +202,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t.lineitem.filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name")
         .agg(F.sum(disc_price()).cast("double").alias("revenue"))

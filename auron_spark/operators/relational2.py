@@ -55,7 +55,9 @@ def _views(t: Tables, *names: str) -> None:
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7: nation-pair trade volume by year.  The nation table is joined
     twice under different roles (supplier side / customer side) — both legs
-    broadcast; the disjunctive pair predicate applies post-join."""
+    broadcast (constant 25 rows, hard-hint safe); customer/supplier broadcast
+    is threshold/AQE-driven because they scale with SF.  The disjunctive pair
+    predicate applies post-join."""
     t = Tables(spark, sf_dir)
     n1 = t.nation.select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
@@ -72,8 +74,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -125,11 +127,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = disc_price()
     return (
-        t.lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        t.lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -171,9 +173,9 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     part = t.part.filter(F.col("p_name").like("%widget%")).select("p_partkey")
     return (
-        t.lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        t.lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
@@ -281,8 +283,10 @@ def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 (adapted: shipped quantity from lineitem replaces the
     partsupp availability check): IN over a grouped HAVING subquery →
-    aggregate then left-semi join; the qualifying-supplier set is tiny, so
-    it broadcasts into supplier."""
+    aggregate then left-semi join.  The qualifying-supplier set is small at
+    any SF *relative to lineitem*, but it scales with SF (suppliers = 10k x
+    SF), so its broadcast is left to AQE's runtime size check rather than a
+    hard hint that cannot fall back."""
     t = Tables(spark, sf_dir)
     small_parts = t.part.filter(F.col("p_name").like("small%")).select("p_partkey")
     qualifying = (
@@ -290,7 +294,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= "1997-01-01 00:00:00")
             & (F.col("l_shipdate") < "1998-01-01 00:00:00")
         )
-        .join(F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(small_parts, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("shipped_qty"))
         .filter(F.col("shipped_qty") > 300)
@@ -298,7 +302,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t.supplier.join(
-            F.broadcast(qualifying),
+            qualifying,
             F.col("s_suppkey") == F.col("l_suppkey"),
             "left_semi",
         )

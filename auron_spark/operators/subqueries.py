@@ -209,7 +209,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dp = disc_price()
     return (
-        li.join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(t.part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (
                 (
@@ -370,7 +370,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         & p.p_size.between(20, 50)
         & li.l_quantity.between(20, 40)
     )
-    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).filter(cond).agg(
+    return li.join(p, li.l_partkey == p.p_partkey).filter(cond).agg(
         F.sum(disc_price()).cast("double").alias("revenue")
     )
 

@@ -25,6 +25,12 @@ from auron_spark.tables import Tables
 
 TOP_K = 5
 QUERY_MOD = 25  # vec_id % QUERY_MOD == 0 -> query vector
+# Hard cap on the brute-force query set: vec_id % QUERY_MOD selects a fixed
+# FRACTION of the corpus, so the broadcast side would grow linearly with
+# scale — at 100 TB that is both an O(n^2) compute cliff and an unbounded
+# broadcast.  The cap keeps the baseline exactly what it claims to be: a
+# constant-size exact-answer anchor for recall measurement.
+QUERY_BUDGET = 1000  # max query vectors, regardless of corpus size
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -69,6 +75,7 @@ _SQL_NORM_C = (
                             c.vec_id) AS rn
         FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
         WHERE q.vec_id % {QUERY_MOD} = 0
+          AND q.vec_id < {QUERY_MOD * QUERY_BUDGET}
     ) WHERE rn <= {TOP_K}
     ORDER BY query_id, neighbor_id
     """,
@@ -77,14 +84,19 @@ _SQL_NORM_C = (
 )
 def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: broadcast queries × streamed corpus + per-query
-    WindowGroupLimit top-k."""
+    WindowGroupLimit top-k.  The query side is capped at QUERY_BUDGET vectors
+    (vec_id-prefix, deterministic and oracle-mirrorable) so the broadcast
+    stays constant-size as the corpus grows."""
     from pyspark.sql import Window
 
     t = Tables(spark, sf_dir)
     # norms are precomputed per side (not per pair): O(n+q) folds instead of
     # O(n*q) — higher-order functions are interpreted, so this matters
     q = (
-        t.embeddings.filter(F.col("vec_id") % QUERY_MOD == 0)
+        t.embeddings.filter(
+            (F.col("vec_id") % QUERY_MOD == 0)
+            & (F.col("vec_id") < QUERY_MOD * QUERY_BUDGET)
+        )
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
@@ -176,7 +188,10 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     emb = t.parallel("embeddings").withColumn("tb", F.explode(lsh_table_buckets(F.col("embedding"))))
-    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = emb.filter(
+        (F.col("vec_id") % QUERY_MOD == 0)
+        & (F.col("vec_id") < QUERY_MOD * QUERY_BUDGET)  # same cap as brute force
+    ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "tb"
     )
     c = emb.select(
@@ -287,7 +302,8 @@ _SQL_EXACT_CENTROID = """
     oracle=f"""
     WITH {_SQL_EXACT_CENTROID},
     q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
-          WHERE vec_id % {QUERY_MOD} = 0),
+          WHERE vec_id % {QUERY_MOD} = 0
+            AND vec_id < {QUERY_MOD * QUERY_BUDGET}),
     qd AS (
         SELECT query_id, label,
                list_sum(list_transform(range(1, 65), i ->
@@ -362,7 +378,10 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("sc"))
         .select("label", F.transform("sc", lambda s: s["c"]).alias("cv"))
     )
-    q = t.embeddings.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = t.embeddings.filter(
+        (F.col("vec_id") % QUERY_MOD == 0)
+        & (F.col("vec_id") < QUERY_MOD * QUERY_BUDGET)  # bounded probe broadcast
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         norm(F.col("embedding")).alias("qn"),

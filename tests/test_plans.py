@@ -117,6 +117,12 @@ def test_knn_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # the corpus side must NOT be exchanged for the join itself
     assert "CartesianProduct" not in plan
+    # the broadcast query side is capped to a CONSTANT budget (not a corpus
+    # fraction): the cap predicate must reach the query-side scan, bounding
+    # the broadcast at any corpus size
+    from auron_spark.pipeline.similarity import QUERY_BUDGET, QUERY_MOD
+
+    assert f"LessThan(vec_id,{QUERY_MOD * QUERY_BUDGET})" in plan, plan
 
 
 @pytest.mark.parametrize(
