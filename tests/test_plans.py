@@ -225,3 +225,17 @@ def test_coalesce_no_shuffle(spark):
     # exactly the one explicit repartition exchange, none added by coalesce
     assert plan.count("Exchange") == 1, plan
     assert df.rdd.getNumPartitions() == 2
+
+
+def test_udaf_partial_merge_shuffles_states_only(spark):
+    """Two-level UDAF (mapInPandas partial -> builtin merge): the exchange
+    must carry merged partial states, not raw rows — i.e. the builtin merge
+    agg itself is two-phase (partial_sum below the exchange) and there is
+    exactly one hash exchange."""
+    plan = _plan(spark, "udaf_partial_merge_stats")
+    assert "MapInPandas" in plan, plan
+    assert "partial_sum" in plan, plan
+    n_hash_exchanges = sum(
+        1 for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    )
+    assert n_hash_exchanges == 1, plan
