@@ -286,17 +286,28 @@ def fn_hash_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("function", "json"),
 )
 def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """get_json_object + typed extraction + missing-path null semantics
-    (`spark_get_json_object.rs`).  The parse-once pattern (from_json → struct
-    access) is the plans/json_once.py rewrite, tested separately."""
+    """JSON extraction + typed cast + missing-path null semantics
+    (`spark_get_json_object.rs`).  The three key extractions go through ONE
+    from_json parse (the reference's parse-once rewrite,
+    `NativeConverters.scala:1213-1232`, applied at the source instead of N
+    re-parses); the single raw get_json_object keeps the whole-document
+    `'$'` kernel surface covered — from_json cannot express it (PERMISSIVE
+    mode yields an all-null struct for invalid JSON, not NULL)."""
+    from auron_spark.plans.json_once import json_extract_paths
+
     t = Tables(spark, sf_dir)
+    base = t.events.filter(F.col("user_id") <= 10).select("event_id", "props")
+    out = json_extract_paths(
+        base,
+        "props",
+        {"k_str": "k string", "k_int": "k bigint", "k_missing": "missing string"},
+    )
     return (
-        t.events.filter(F.col("user_id") <= 10)
-        .select(
+        out.select(
             "event_id",
-            F.get_json_object("props", "$.k").alias("k_str"),
-            F.get_json_object("props", "$.k").cast("bigint").alias("k_int"),
-            F.get_json_object("props", "$.missing").alias("k_missing"),
+            "k_str",
+            "k_int",
+            "k_missing",
             F.get_json_object("props", "$").isNotNull().alias("is_json"),
         )
         .orderBy("event_id")

@@ -240,8 +240,13 @@ def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("function", "json"),
 )
 def fn_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nested-path and array-index get_json_object + json array length —
-    the deep-path surface of `spark_get_json_object.rs`."""
+    """Nested-path and array-index JSON extraction + json array length —
+    the deep-path surface of `spark_get_json_object.rs`.  Three of the four
+    extractions share ONE from_json parse via the nested-path parse-once
+    rewrite; one raw deep-path get_json_object remains to keep that kernel
+    covered."""
+    from auron_spark.plans.json_once import json_extract_paths
+
     t = Tables(spark, sf_dir)
     j = F.concat(
         F.lit('{"user":{"id":"'),
@@ -252,15 +257,23 @@ def fn_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") % 5).cast("string"),
         F.lit("]}"),
     )
+    base = t.events.filter(F.col("user_id") <= 10).select("event_id", j.alias("j"))
+    out = json_extract_paths(
+        base,
+        "j",
+        {
+            "second_val": "vals[1] string",
+            "missing": "user.missing string",
+            "vals_arr": "vals array<string>",
+        },
+    )
     return (
-        t.events.filter(F.col("user_id") <= 10)
-        .select("event_id", j.alias("j"))
-        .select(
+        out.select(
             "event_id",
             F.get_json_object("j", "$.user.id").alias("uid"),
-            F.get_json_object("j", "$.vals[1]").alias("second_val"),
-            F.get_json_object("j", "$.user.missing").alias("missing"),
-            F.json_array_length(F.get_json_object("j", "$.vals")).alias("n_vals"),
+            "second_val",
+            "missing",
+            F.size("vals_arr").alias("n_vals"),
         )
         .orderBy("event_id")
     )

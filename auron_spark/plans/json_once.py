@@ -12,35 +12,95 @@ sugar — same observable semantics as N× get_json_object, one parse per row.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from auron_spark.registry import query
 from auron_spark.tables import Tables
 
+_IDX = re.compile(r"\[(\d+)\]")
+
+
+def _parse_path(path: str) -> list[tuple[str, list[int]]]:
+    """``"user.id"`` → [(user, []), (id, [])]; ``"vals[1]"`` → [(vals, [1])]."""
+    segs = []
+    for part in path.split("."):
+        name = part.split("[", 1)[0]
+        if not name:
+            raise ValueError(f"bad JSON path segment {part!r} in {path!r}")
+        segs.append((name, [int(i) for i in _IDX.findall(part)]))
+    return segs
+
+
+def _merge_into_tree(tree: dict, segs, leaf_arr: int) -> None:
+    for depth, (name, idxs) in enumerate(segs):
+        last = depth == len(segs) - 1
+        node = tree.setdefault(name, {"arr": 0, "children": {}})
+        node["arr"] = max(node["arr"], len(idxs), leaf_arr if last else 0)
+        if not last:
+            tree = node["children"]
+
+
+def _tree_schema(tree: dict, top: bool = False) -> str:
+    # DDL grammar: top level is "name type, ..."; nested struct fields use
+    # the "name:type" form inside struct<...>.
+    parts = []
+    for name, node in sorted(tree.items()):
+        inner = (
+            f"struct<{_tree_schema(node['children'])}>"
+            if node["children"]
+            else "string"
+        )
+        for _ in range(node["arr"]):
+            inner = f"array<{inner}>"
+        parts.append(f"{name} {inner}" if top else f"{name}:{inner}")
+    return ", ".join(parts) if top else ",".join(parts)
+
 
 def json_extract_paths(
     df: DataFrame, json_col: str, fields: dict[str, str]
 ) -> DataFrame:
-    """Extract multiple top-level JSON fields with a single parse.
+    """Extract multiple JSON paths with a SINGLE parse — the engine-level
+    rewrite of N× ``get_json_object(col, path_i)`` (reference:
+    `NativeConverters.scala:1213-1232` + `spark_get_json_object.rs`; SURVEY §4
+    flags this as the one optimization Catalyst does not perform).
 
-    ``fields`` maps output column name -> "name type" of the top-level JSON
-    key (e.g. ``{"k_val": "k string"}``).  Equivalent to N
-    `get_json_object($json_col, '$.name')` calls but parses once.  The same
-    key may be requested under several output names/types; it is parsed as
-    string once and cast per request.
+    ``fields`` maps output column name -> ``"path type"``.  Paths may be
+    nested (``"user.id"``) and use array indices (``"vals[1]"``, 0-based like
+    ``get_json_object``); ``type`` is the cast applied after extraction
+    (``string`` = none; ``array<string>`` requests the whole array, e.g. to
+    take its size).  All requested paths merge into one ``from_json`` schema,
+    leaves parsed as string and cast per request — so repeated extraction of
+    one column costs exactly one parse per row.
     """
-    keys = {spec.split()[0] for spec in fields.values()}
-    schema = ", ".join(f"{k} string" for k in sorted(keys))
-    parsed = F.from_json(F.col(json_col), schema)
+    tree: dict = {}
+    for spec in fields.values():
+        path, typ = spec.rsplit(" ", 1)
+        _merge_into_tree(tree, _parse_path(path), 1 if typ.startswith("array") else 0)
+    # Materialize the parsed struct in its OWN projection: referencing the
+    # from_json expression directly from every output column would let the
+    # JSON schema-pruning rule split it into per-column parses with different
+    # pruned schemas, which codegen CSE can no longer deduplicate.  As a
+    # multiply-referenced non-cheap alias, CollapseProject keeps it un-inlined
+    # → exactly one from_json in the plan (pinned in test_plans.py).
+    parsed_col = f"__parsed_{json_col}"
+    staged = df.select(
+        "*", F.from_json(F.col(json_col), _tree_schema(tree, top=True)).alias(parsed_col)
+    )
     cols: list[Column] = [F.col(c) for c in df.columns]
     for out_name, spec in fields.items():
-        key, typ = spec.split()
-        extracted = parsed.getField(key)
-        if typ != "string":
+        path, typ = spec.rsplit(" ", 1)
+        extracted: Column = F.col(parsed_col)
+        for name, idxs in _parse_path(path):
+            extracted = extracted.getField(name)
+            for i in idxs:
+                extracted = extracted.getItem(i)
+        if typ != "string" and not typ.startswith("array"):
             extracted = extracted.cast(typ)
         cols.append(extracted.alias(out_name))
-    return df.select(*cols)
+    return staged.select(*cols)
 
 
 @query(

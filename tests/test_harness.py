@@ -72,3 +72,33 @@ def test_shingles_short_documents(spark):
     ).select(F.split(F.lower("text"), " ").alias("w"))
     rows = df.select(F.size(shingles()).alias("n")).collect()
     assert [r.n for r in rows] == [0, 0, 1, 2, 0]
+
+
+def test_no_repeated_get_json_object_lint():
+    """Repo-wide lint for the reference's parse-once rewrite
+    (NativeConverters.scala:1213-1232): no function in auron_spark/ may call
+    get_json_object more than once on the same input column — repeated
+    extraction must go through plans.json_once.json_extract_paths (one
+    from_json parse) or the variant path."""
+    import ast
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent / "auron_spark"
+    offenders = []
+    for py in sorted(root.rglob("*.py")):
+        tree = ast.parse(py.read_text())
+        for fn in [n for n in ast.walk(tree) if isinstance(n, ast.FunctionDef)]:
+            per_col: dict[str, int] = {}
+            for call in [n for n in ast.walk(fn) if isinstance(n, ast.Call)]:
+                f = call.func
+                name = f.attr if isinstance(f, ast.Attribute) else getattr(f, "id", "")
+                if name == "get_json_object" and call.args:
+                    col = ast.dump(call.args[0])
+                    per_col[col] = per_col.get(col, 0) + 1
+            for col, n in per_col.items():
+                if n > 1:
+                    offenders.append(f"{py.name}:{fn.name} parses {col} {n}x")
+    assert not offenders, (
+        "repeated get_json_object on one column (use json_extract_paths): "
+        + "; ".join(offenders)
+    )

@@ -239,3 +239,16 @@ def test_udaf_partial_merge_shuffles_states_only(spark):
         1 for l in plan.splitlines() if "Exchange hashpartitioning" in l
     )
     assert n_hash_exchanges == 1, plan
+
+
+@pytest.mark.parametrize(
+    "name,n_parses",
+    [("json_parse_once", 1), ("fn_json", 1), ("fn_json_nested", 1)],
+)
+def test_json_single_parse(spark, name, n_parses):
+    """Parse-once rewrite pinned in the plan: a multi-extraction query plans
+    exactly ONE from_json of the JSON column (the reference rewrites N x
+    get_json_object into parse-once + N cheap accesses; json_extract_paths is
+    our equivalent)."""
+    plan = _plan(spark, name)
+    assert plan.count("from_json") == n_parses, plan
