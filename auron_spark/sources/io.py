@@ -85,10 +85,23 @@ def lakehouse_available(spark: SparkSession, fmt: str) -> bool:
 
 def read_lakehouse(spark: SparkSession, fmt: str, path_or_table: str) -> DataFrame:
     """Iceberg/Delta/Hudi/Paimon scan — reference parity for the thirdparty
-    connectors; requires the respective jars on the classpath."""
+    connectors (`thirdparty/auron-iceberg/.../NativeIcebergTableScanExec.scala`,
+    SPI `AuronConverters.scala:130-137,219-222`); requires the respective jars
+    on the classpath.  Environment-blocked in this container (no network / no
+    pip / no jars) — the gate below is pinned by tests and COVERAGE.md."""
     if not lakehouse_available(spark, fmt):
         raise NotImplementedError(
             f"{fmt} connector jars are not on the classpath; add the connector "
             f"package to spark.jars.packages to enable this source"
         )
     return spark.read.format(fmt).load(path_or_table)
+
+
+def write_lakehouse(df: DataFrame, fmt: str, path_or_table: str) -> None:
+    """Lakehouse sink twin of :func:`read_lakehouse` — same capability gate."""
+    if not lakehouse_available(df.sparkSession, fmt):
+        raise NotImplementedError(
+            f"{fmt} connector jars are not on the classpath; add the connector "
+            f"package to spark.jars.packages to enable this sink"
+        )
+    df.write.format(fmt).mode("append").save(path_or_table)

@@ -72,12 +72,21 @@ def test_json_roundtrip(spark, tmpdir):
     _roundtrip_equal(src, back)
 
 
-def test_lakehouse_gated(spark):
-    """Iceberg/Delta/Hudi jars are not in this container — the connector must
-    fail with a clear NotImplementedError, not an opaque classpath error."""
-    assert not io.lakehouse_available(spark, "iceberg")
-    with pytest.raises(NotImplementedError, match="iceberg"):
-        io.read_lakehouse(spark, "iceberg", "/tmp/nope")
+@pytest.mark.parametrize("fmt", ["iceberg", "delta", "hudi", "paimon"])
+def test_lakehouse_gated(spark, fmt):
+    """Environment-blocked (verified 2026-08: no network, pip install
+    forbidden, delta-spark absent from site-packages, no connector jar in
+    pyspark/jars): every lakehouse format must fail with the pinned
+    actionable gate message, never an opaque classpath error.  The moment a
+    connector jar IS present, lakehouse_available flips true and
+    read_lakehouse becomes a real scan with no code change."""
+    assert not io.lakehouse_available(spark, fmt)
+    with pytest.raises(NotImplementedError, match=f"{fmt}.*spark.jars.packages"):
+        io.read_lakehouse(spark, fmt, "/tmp/nope")
+    with pytest.raises(NotImplementedError):
+        io.write_lakehouse(
+            table(spark, SF_SMOKE, "region"), fmt, "/tmp/nope"
+        )
 
 
 def test_empty_relation_shortcut(spark):
