@@ -252,3 +252,66 @@ def test_json_single_parse(spark, name, n_parses):
     our equivalent)."""
     plan = _plan(spark, name)
     assert plan.count("from_json") == n_parses, plan
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Runtime bloom-filter join pruning (reference agg/bloom_filter.rs +
+    bloom_filter_might_contain.rs; Spark's InjectRuntimeFilter): a selective
+    dim filter on one side of a shuffle join injects might_contain on the
+    fact side, pruning shuffle input at scale.  Injection requires the fact
+    scan to exceed a 10GB threshold AND the dim side to NOT be broadcastable
+    (a broadcast join already prunes better) — i.e. it fires exactly in the
+    100 TB regime.  Simulate that regime at test scale by zeroing the scan
+    threshold and disabling broadcast, restore after."""
+    import pyspark.sql.functions as F
+
+    from auron_spark.tables import table
+
+    scan_key = (
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    bcast_key = "spark.sql.autoBroadcastJoinThreshold"
+    old_scan, old_bcast = spark.conf.get(scan_key), spark.conf.get(bcast_key)
+    spark.conf.set(scan_key, "0")
+    spark.conf.set(bcast_key, "-1")
+    try:
+        orders = table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+        joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+    finally:
+        spark.conf.set(scan_key, old_scan)
+        spark.conf.set(bcast_key, old_bcast)
+
+
+def test_object_hash_aggregate_sort_fallback(spark):
+    """collect_list plans as ObjectHashAggregate; when the in-memory hash map
+    exceeds the fallback threshold it switches to sort-based aggregation
+    mid-execution — Spark's equivalent of the reference's partial-agg
+    spill/skip behavior (agg_exec.rs:231-267, auron.partialAggSkipping.*).
+    Results must be identical either way."""
+    import pyspark.sql.functions as F
+
+    from auron_spark.tables import table
+
+    def run():
+        df = (
+            table(spark, SF_DIR, "orders")
+            .groupBy("o_orderpriority")
+            .agg(F.sort_array(F.collect_list("o_orderstatus")).alias("statuses"))
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ObjectHashAggregate" in plan, plan
+        return {r["o_orderpriority"]: r["statuses"] for r in df.collect()}
+
+    normal = run()
+    key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "1")  # force the sort-based fallback on every task
+    try:
+        assert run() == normal
+    finally:
+        spark.conf.set(key, old)
