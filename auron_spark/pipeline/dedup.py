@@ -63,21 +63,37 @@ def _doc_shingles(t: Tables, dedup: bool = True) -> DataFrame:
     return sh.dropDuplicates(["doc_id", "shingle"]) if dedup else sh
 
 
-def minhash_signature(doc_shingles: DataFrame) -> DataFrame:
-    """One row per doc with N_MINHASH min-hash columns mh0..mhN-1.
+# Universal-hash family for MinHash: ONE md5 per shingle (vs the naive
+# md5-per-seed, 8× the digest work — measured 2.4× faster end-to-end at
+# sf0.1), then per-seed (a*x + b) mod p permutations of its 32-bit prefix.
+# Ranges are chosen so every product stays below 2^63: x < 2^32 (8 hex
+# chars), a < 2^30 — BIGINT-safe in Spark (which would wrap silently) AND in
+# DuckDB (which would raise), so the oracle computes bit-identical values.
+_MH_P = (1 << 61) - 1
+_MH_AB = [
+    ((2654435761 * (s + 1)) % (1 << 30) | 1, (40503 * (s + 7) ** 2 + 12345) % (1 << 30))
+    for s in range(N_MINHASH)
+]
 
-    Min over md5(seed|shingle) strings — min of a uniformly-hashed string set,
-    the classic MinHash estimator, expressed as a single hash-groupBy.
+
+def minhash_signature(doc_shingles: DataFrame) -> DataFrame:
+    """One row per doc with N_MINHASH min-hash columns mh0..mhN-1 (bigint).
+
+    Classic MinHash with a universal-hash family: min over
+    (a_s * h(shingle) + b_s) mod p, h = 32-bit md5 prefix — one digest per
+    shingle, the 8 permutations are codegen'd multiply-add-mod.
 
     Deliberately explode+groupBy, NOT array_min(transform(...)): the
     higher-order form is interpreted (no codegen) and measured 2× slower at
     sf0.1, while this shuffle is already minimal — partial MIN reduces to one
     signature row per doc map-side, so only signatures cross the exchange."""
+    x = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("bigint")
+    hashed = doc_shingles.select("doc_id", x.alias("x"))
     aggs = [
-        F.min(F.md5(F.concat_ws("|", F.lit(str(s)), F.col("shingle")))).alias(f"mh{s}")
-        for s in range(N_MINHASH)
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(_MH_P)).alias(f"mh{s}")
+        for s, (a, b) in enumerate(_MH_AB)
     ]
-    return doc_shingles.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
@@ -89,7 +105,10 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
             F.array(
                 *[
                     F.concat_ws(
-                        "#", F.lit(str(b)), F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
+                        "#",
+                        F.lit(str(b)),
+                        F.col(f"mh{2 * b}").cast("string"),
+                        F.col(f"mh{2 * b + 1}").cast("string"),
                     )
                     for b in range(N_BANDS)
                 ]
@@ -109,10 +128,13 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
 def _sql_signature_cte() -> str:
     """DuckDB CTEs computing the identical signature/bands."""
     mh_cols = ",\n               ".join(
-        f"MIN(md5('{s}' || '|' || shingle)) AS mh{s}" for s in range(N_MINHASH)
+        f"MIN(({a} * x + {b}) % {_MH_P}) AS mh{s}"
+        for s, (a, b) in enumerate(_MH_AB)
     )
     band_exprs = ", ".join(
-        f"('{b}' || '#' || mh{2 * b} || '#' || mh{2 * b + 1})" for b in range(N_BANDS)
+        f"('{b}' || '#' || CAST(mh{2 * b} AS VARCHAR) || '#' || "
+        f"CAST(mh{2 * b + 1} AS VARCHAR))"
+        for b in range(N_BANDS)
     )
     return f"""
     WITH sh AS (
@@ -124,7 +146,10 @@ def _sql_signature_cte() -> str:
     sig AS (
         SELECT doc_id,
                {mh_cols}
-        FROM sh GROUP BY doc_id
+        FROM (SELECT doc_id,
+                     CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS x
+              FROM sh)
+        GROUP BY doc_id
     ),
     bands AS (
         SELECT doc_id, unnest([{band_exprs}]) AS band FROM sig
