@@ -2,4 +2,10 @@
 surface): deduplication, similarity search, text analysis, multimodal column
 plumbing.  Importing registers their queries."""
 
-from auron_spark.pipeline import dedup, multimodal, similarity, text  # noqa: F401
+from auron_spark.pipeline import (  # noqa: F401
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)

@@ -1,0 +1,170 @@
+"""Deterministic sampling, splitting and shuffle-ordering for training-data
+pipelines.
+
+Beyond-reference capability (the reference engine has no sampling operators;
+its role is filled by Spark's own `sample`, which is seed-dependent and NOT
+reproducible across partitionings).  Every operator here keys off a content
+hash of the row's stable id, so the result is a pure function of the data:
+
+- identical across runs, cluster sizes, partition counts and engines (the
+  DuckDB oracles compute the same assignment bit-for-bit);
+- stable under incremental appends — adding documents never reassigns an
+  existing document's sample/split/epoch position, the property that keeps
+  train/test splits leak-free as a 100 TB corpus grows.
+
+All assignments are map-side built-ins (md5 prefix → bigint, one digest per
+row); nothing shuffles except the explicitly-aggregating queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from auron_spark.registry import query
+from auron_spark.tables import Tables
+
+#: Salt so the sampling hash is independent of any content hash used elsewhere.
+_SALT = "sample:"
+
+
+def hash_bucket(id_col: Column, n_buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, n_buckets) from a stable id: 32-bit md5
+    prefix of the salted id — identical in DuckDB via the same formula."""
+    x = F.conv(
+        F.substring(F.md5(F.concat(F.lit(_SALT), id_col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return x % n_buckets
+
+
+def _sql_bucket(id_expr: str, n_buckets: int = 100) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{_SALT}' || CAST({id_expr} AS VARCHAR)), 1, 8) "
+        f"AS BIGINT) % {n_buckets}"
+    )
+
+
+@query(
+    "sample_hash_fraction",
+    oracle=f"""
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE {_sql_bucket("doc_id")} < 10
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "sampling"),
+)
+def sample_hash_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% deterministic sample: bucket(doc_id) < 10.  Unlike df.sample(),
+    the selection is a pure function of doc_id — reproducible anywhere and
+    stable under appends.  Pure map-side filter; at 100 TB this is a scan
+    with the predicate evaluated inline, no shuffle, no state."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents
+        .filter(hash_bucket(F.col("doc_id")) < 10)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "split_train_val_test",
+    oracle=f"""
+    SELECT source, split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+        SELECT source, n_chars,
+               CASE WHEN {_sql_bucket("doc_id")} < 80 THEN 'train'
+                    WHEN {_sql_bucket("doc_id")} < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    GROUP BY source, split
+    ORDER BY source, split
+    """,
+    tags=("pipeline", "sampling", "split"),
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by hash bucket, summarized per
+    source.  The assignment column is map-side; the only shuffle is the
+    summary aggregate (which a real pipeline replaces with a partitioned
+    write of the assigned rows)."""
+    t = Tables(spark, sf_dir)
+    b = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split")
+    )
+    return (
+        t.documents
+        .select("source", "n_chars", split)
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+@query(
+    "sample_stratified_per_group",
+    oracle=f"""
+    SELECT source, doc_id, n_chars FROM (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('{_SALT}' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 5
+    ORDER BY source, doc_id
+    """,
+    tags=("pipeline", "sampling", "stratified"),
+)
+def sample_stratified_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five deterministic documents per source: rank by salted content hash
+    within each group (an unbiased, reproducible draw), keep rank <= 5.
+    Plans as WindowGroupLimit — partial top-k pruning BEFORE the shuffle, so
+    each group moves at most k rows per input partition regardless of group
+    size (pinned in test_plans.py)."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    h = F.md5(F.concat(F.lit(_SALT), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    return (
+        t.documents
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "doc_id", "n_chars")
+        .orderBy("source", "doc_id")
+    )
+
+
+@query(
+    "shuffle_epoch_order",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT 100
+    """,
+    tags=("pipeline", "sampling", "shuffle-order"),
+)
+def shuffle_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training shuffle: order by md5(epoch || id).
+    Each epoch seed is a fresh, reproducible permutation of the corpus.  The
+    head-of-epoch LIMIT plans as TakeOrderedAndProject (per-partition top-k,
+    no global sort); a full-epoch materialization would instead range-
+    partition on the same key and sort within partitions."""
+    t = Tables(spark, sf_dir)
+    key = F.md5(F.concat(F.lit("epoch0:"), F.col("doc_id").cast("string")))
+    return (
+        t.documents
+        .orderBy(key, "doc_id")
+        .select("doc_id", "source")
+        .limit(100)
+    )

@@ -315,3 +315,19 @@ def test_object_hash_aggregate_sort_fallback(spark):
         assert run() == normal
     finally:
         spark.conf.set(key, old)
+
+
+def test_stratified_sample_uses_window_group_limit(spark):
+    """Per-group sampling must prune to k rows per partition BEFORE the
+    shuffle (WindowGroupLimit partial + final), and the epoch-order head must
+    be TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, "sample_stratified_per_group")
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    plan2 = _plan(spark, "shuffle_epoch_order")
+    assert "TakeOrderedAndProject" in plan2, plan2
+
+
+def test_hash_sample_is_map_side(spark):
+    """The deterministic sample is a pure scan+filter — zero exchanges."""
+    plan = _plan(spark, "sample_hash_fraction")
+    assert "Exchange hashpartitioning" not in plan, plan
