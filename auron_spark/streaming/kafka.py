@@ -49,6 +49,28 @@ def decode_json_values(raw: DataFrame, schema: str, value_col: str = "value") ->
     )
 
 
+def startup_options(
+    topic: str, startup_mode: str = "EARLIEST", timestamp_ms: int | None = None
+) -> dict[str, str]:
+    """Reference startup mode → Spark Kafka reader options (pure function —
+    unit-tested without a broker; `auron.proto:780-802` modes):
+
+    - EARLIEST/LATEST → ``startingOffsets``;
+    - GROUP_OFFSET → ``earliest`` (Spark tracks offsets per checkpoint, not
+      per consumer group — the checkpoint IS the group state);
+    - TIMESTAMP → ``startingOffsetsByTimestamp`` with the -1 partition
+      wildcard."""
+    if startup_mode not in STARTING_OFFSETS:
+        raise ValueError(f"unknown startup mode {startup_mode!r}")
+    if startup_mode == "TIMESTAMP":
+        if timestamp_ms is None:
+            raise ValueError("TIMESTAMP startup mode requires timestamp_ms")
+        return {
+            "startingOffsetsByTimestamp": f'{{"{topic}": {{"-1": {timestamp_ms}}}}}'
+        }
+    return {"startingOffsets": STARTING_OFFSETS[startup_mode]}
+
+
 def read_kafka_json(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -58,26 +80,19 @@ def read_kafka_json(
     timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Kafka topic → decoded streaming DataFrame (requires connector jars)."""
+    opts = startup_options(topic, startup_mode, timestamp_ms)
     if not kafka_available(spark):
         raise NotImplementedError(
             "spark-sql-kafka connector jars are not on the classpath; add "
             "org.apache.spark:spark-sql-kafka-0-10_2.13 to spark.jars.packages"
         )
-    if startup_mode not in STARTING_OFFSETS:
-        raise ValueError(f"unknown startup mode {startup_mode!r}")
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topic)
     )
-    if startup_mode == "TIMESTAMP":
-        if timestamp_ms is None:
-            raise ValueError("TIMESTAMP startup mode requires timestamp_ms")
-        reader = reader.option(
-            "startingOffsetsByTimestamp", f'{{"{topic}": {{"-1": {timestamp_ms}}}}}'
-        )
-    else:
-        reader = reader.option("startingOffsets", STARTING_OFFSETS[startup_mode])
+    for k, v in opts.items():
+        reader = reader.option(k, v)
     return decode_json_values(reader.load(), schema)
 
 

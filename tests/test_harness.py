@@ -102,3 +102,30 @@ def test_no_repeated_get_json_object_lint():
         "repeated get_json_object on one column (use json_extract_paths): "
         + "; ".join(offenders)
     )
+
+
+def test_hash_sampling_append_stable(spark):
+    """The leak-free-split property: computing the split over a PREFIX of the
+    corpus assigns every document exactly what the full corpus assigns it —
+    appends never reassign, so yesterday's test set never bleeds into
+    tomorrow's train set."""
+    import pyspark.sql.functions as F
+
+    from auron_spark.pipeline.sampling import hash_bucket
+
+    full = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    prefix = full.filter(F.col("doc_id") < 500)
+    b = hash_bucket(F.col("doc_id"))
+    on_full = {
+        r.doc_id: r.b for r in full.select("doc_id", b.alias("b")).collect()
+    }
+    on_prefix = {
+        r.doc_id: r.b for r in prefix.select("doc_id", b.alias("b")).collect()
+    }
+    assert all(on_full[k] == v for k, v in on_prefix.items())
+    # and the bucket distribution is roughly uniform (no dead buckets)
+    from collections import Counter
+
+    counts = Counter(on_full.values())
+    assert len(counts) == 100
+    assert max(counts.values()) < 3 * (2000 // 100)

@@ -316,3 +316,24 @@ def test_chained_stateful_aggregations(spark):
     assert got, "append mode emitted nothing — watermark never advanced"
     assert set(got).issubset(set(want))
     assert all(want[k] == v for k, v in got.items())
+
+
+def test_kafka_startup_option_mapping():
+    """Startup-mode → reader-option mapping (auron.proto:780-802), pure and
+    broker-free: every reference mode maps to the right Spark option, bad
+    modes and a TIMESTAMP without a timestamp are rejected."""
+    import pytest
+
+    from auron_spark.streaming.kafka import startup_options
+
+    assert startup_options("t", "EARLIEST") == {"startingOffsets": "earliest"}
+    assert startup_options("t", "LATEST") == {"startingOffsets": "latest"}
+    # Spark persists offsets in the checkpoint, not the consumer group
+    assert startup_options("t", "GROUP_OFFSET") == {"startingOffsets": "earliest"}
+    assert startup_options("events", "TIMESTAMP", 1700000000000) == {
+        "startingOffsetsByTimestamp": '{"events": {"-1": 1700000000000}}'
+    }
+    with pytest.raises(ValueError, match="unknown startup mode"):
+        startup_options("t", "FROM_THE_FUTURE")
+    with pytest.raises(ValueError, match="requires timestamp_ms"):
+        startup_options("t", "TIMESTAMP")
