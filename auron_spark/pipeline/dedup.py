@@ -373,3 +373,72 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("simhash"),
     ).orderBy("doc_id")
+
+
+@query(
+    "contamination_ngram_overlap",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, source, shingle FROM (
+            SELECT doc_id, source, unnest({_SQL_SHINGLES}) AS shingle
+            FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS w
+                  FROM documents)
+        )
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+    corpus AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0'),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM corpus GROUP BY doc_id),
+    hits AS (
+        SELECT c.doc_id, COUNT(*) AS n_hit
+        FROM corpus c JOIN bench b ON c.shingle = b.shingle
+        GROUP BY c.doc_id
+    )
+    SELECT h.doc_id AS doc_id, h.n_hit, s.n AS n_shingles,
+           ROUND(CAST(h.n_hit AS DOUBLE) / s.n, 9) AS contamination
+    FROM hits h JOIN sizes s ON s.doc_id = h.doc_id
+    ORDER BY h.doc_id
+    """,
+    tags=("pipeline", "dedup", "contamination"),
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: for every corpus document, the
+    fraction of its 3-word shingles that collide with a held-out benchmark
+    set (source='src0' stands in for the eval suite).  The core hygiene
+    check before any training run — eval n-grams leaking into train data
+    silently inflate benchmark scores.
+
+    Scale shape: shingle sets on both sides, one equi-join on the shingle
+    string (at 100 TB: on a shingle hash, with the benchmark side — eval
+    suites are small — broadcast), groupBy per doc.  No O(n^2) stage; cost
+    is linear in corpus shingles."""
+    t = Tables(spark, sf_dir)
+    sh = (
+        t.parallel("documents", "doc_id")
+        .select(
+            "doc_id", "source", F.split(F.lower(F.col("text")), " ").alias("w")
+        )
+        .select("doc_id", "source", F.explode(shingles()).alias("shingle"))
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+    bench = (
+        sh.filter(F.col("source") == "src0").select("shingle").dropDuplicates()
+    )
+    corpus = sh.filter(F.col("source") != "src0").select("doc_id", "shingle")
+    sizes = corpus.groupBy("doc_id").agg(F.count("*").alias("n"))
+    hits = (
+        corpus.join(bench, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        hits.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_hit",
+            F.col("n").alias("n_shingles"),
+            F.round(F.col("n_hit").cast("double") / F.col("n"), 9).alias(
+                "contamination"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -373,3 +373,50 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("chunk_text").alias("chunk_fp"),
         F.size(F.split("chunk_text", " ")).alias("n_tokens"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+@query(
+    "pack_length_buckets",
+    oracle="""
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           (CAST(SUM(n_tok) AS BIGINT) + 511) // 512 AS min_batches
+    FROM (
+        SELECT len(string_split(text, ' ')) AS n_tok,
+               (len(string_split(text, ' ')) + 15) // 16 AS bucket
+        FROM documents
+    )
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("pipeline", "text", "packing"),
+)
+def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing prep: bucket documents by token-length band (16
+    tokens per band here; 128 for real corpora) and size each bucket's
+    minimum 512-token batch count.
+    Length-bucketed batching is how training pipelines avoid padding waste;
+    the greedy packing itself is a per-bucket streaming pass downstream —
+    this operator is the distributed part (map-side bucket assignment, one
+    aggregate).  All integer arithmetic, identical in both engines."""
+    t = Tables(spark, sf_dir)
+    n_tok = F.size(F.split(F.col("text"), " "))
+    df = t.documents.select(
+        n_tok.alias("n_tok"),
+        F.floor((n_tok + 15) / F.lit(16)).alias("bucket"),
+    )
+    return (
+        df.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "total_tokens",
+            F.floor((F.col("total_tokens") + 511) / F.lit(512)).alias("min_batches"),
+        )
+        .orderBy("bucket")
+    )
