@@ -125,8 +125,10 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     )
 
 
-def _sql_signature_cte() -> str:
-    """DuckDB CTEs computing the identical signature/bands."""
+def _sql_signature_cte(recursive: bool = False) -> str:
+    """DuckDB CTEs computing the identical signature/bands.  ``recursive``
+    emits WITH RECURSIVE so a downstream CTE in the same chain may
+    self-reference (the connected-components closure)."""
     mh_cols = ",\n               ".join(
         f"MIN(({a} * x + {b}) % {_MH_P}) AS mh{s}"
         for s, (a, b) in enumerate(_MH_AB)
@@ -137,7 +139,7 @@ def _sql_signature_cte() -> str:
         for b in range(N_BANDS)
     )
     return f"""
-    WITH sh AS (
+    WITH {"RECURSIVE " if recursive else ""}sh AS (
         SELECT DISTINCT doc_id, shingle FROM (
             SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle
             FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
@@ -442,3 +444,84 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_connected_components",
+    oracle=_sql_signature_cte(recursive=True)
+    + """
+    , pairs AS (
+        SELECT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r ON l.band = r.band AND l.doc_id < r.doc_id
+        GROUP BY a, b
+    ),
+    edges AS (
+        SELECT a AS u, b AS v FROM pairs
+        UNION ALL
+        SELECT b AS u, a AS v FROM pairs
+    ),
+    reach (src, dst) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst
+    )
+    SELECT d.doc_id,
+           LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS canonical_id
+    FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+    tags=("pipeline", "dedup", "connected-components", "iterative"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clustering: connected components over the LSH candidate
+    graph, canonical id = min(doc_id) of the component — the step that turns
+    pairwise candidates into keep/drop decisions.
+
+    Iterative min-label propagation: each round every node takes the minimum
+    of its own label and its neighbors' labels; converges in diameter(G)
+    rounds (LSH dup-clusters are near-cliques, so 2-4 in practice).  Each
+    round is one equi-join + groupBy — the standard distributed CC shape; the
+    loop is driver-side control flow over DataFrames, data never leaves the
+    cluster (convergence is checked with a scalar count).  The DuckDB oracle
+    computes the same fixpoint exactly via a recursive CTE — an exact oracle
+    for an iterative algorithm."""
+    t = Tables(spark, sf_dir)
+    pairs = lsh_candidate_pairs(minhash_signature(_doc_shingles(t, dedup=False)))
+    edges = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .union(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .persist()
+    )
+    labels = t.documents.select(
+        "doc_id", F.col("doc_id").alias("canonical_id")
+    ).persist()
+    for _ in range(20):  # >= diameter of any LSH dup-cluster; early-exit below
+        neigh = (
+            edges.join(labels, edges.v == labels.doc_id)
+            .groupBy("u")
+            .agg(F.min("canonical_id").alias("neigh_min"))
+        )
+        updated = (
+            labels.join(neigh, labels.doc_id == neigh.u, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("canonical_id"),
+                    F.coalesce(F.col("neigh_min"), F.col("canonical_id")),
+                ).alias("canonical_id"),
+            )
+            .persist()
+        )
+        changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.canonical_id") != F.col("o.canonical_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = updated
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.orderBy("doc_id")
