@@ -469,3 +469,99 @@ def sim_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+@query(
+    "sim_quantize_int8",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, label, embedding,
+               list_max(list_transform(embedding,
+                                       x -> abs(CAST(x AS DOUBLE)))) AS ma
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) / ma * 127.0) AS BIGINT))
+                   AS qv
+        FROM base WHERE ma > 0
+    ), pairs AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+               list_sum(list_transform(range(1, 65),
+                                       i -> a.qv[i] * b.qv[i])) AS qdot
+        FROM q a JOIN q b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ), ranked AS (
+        SELECT vec_id, nn_id, qdot,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY qdot DESC, nn_id) AS rn
+        FROM pairs
+    )
+    SELECT vec_id, nn_id, CAST(qdot AS BIGINT) AS qdot
+    FROM ranked WHERE rn = 1 ORDER BY vec_id
+    """,
+    tags=("pipeline", "similarity", "quantization"),
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization + quantized nearest neighbor.
+
+    Each embedding is max-abs-scaled to integers in [-127, 127]
+    (``FLOOR(x / maxabs * 127)`` — FLOOR, not ROUND, so Spark and the DuckDB
+    oracle agree bit-exactly; see the half-up/half-down rounding-tie trap).
+    The nearest neighbor within each label block is then found by *integer*
+    dot product with a deterministic (score DESC, nn_id) tiebreak.
+
+    100 TB shape: quantization is map-side-only and shrinks the vectors 4-8x
+    (in production the int8 components pack into a binary column — one byte
+    each — here they stay BIGINT arrays for oracle parity; the plan shape is
+    identical).  Candidate scoring joins on the block key (label here, an IVF
+    cluster id from sim_knn_ivf's coarse quantizer in production) so the
+    expensive exact-float re-rank runs on a small, cheaply-scored candidate
+    set.  Integer dot products are exact — no float-order hazards — and the
+    per-vector WindowGroupLimit prunes to the top row before the final sort.
+    Reference analogue: the candidate-scoring stage ahead of re-rank in any
+    IVF/PQ pipeline (beyond-reference extension, like sim_knn_ivf).
+    """
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    base = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.array_max(
+            F.transform("embedding", lambda x: F.abs(x.cast("double")))
+        ).alias("ma"),
+    ).where(F.col("ma") > 0)
+    q = base.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") / F.col("ma") * F.lit(127.0)).cast(
+                "long"
+            ),
+        ).alias("qv"),
+    )
+    a = q.alias("a")
+    b = q.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("nn_id"),
+        F.aggregate(
+            F.zip_with(F.col("a.qv"), F.col("b.qv"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("qdot"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("qdot"), F.asc("nn_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "nn_id", "qdot")
+        .orderBy("vec_id")
+    )
