@@ -420,3 +420,79 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "text_repetition_filter",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                                     i -> w[i] || ' ' || w[i + 1])) AS gram
+        FROM toks WHERE len(w) >= 2
+    ), cnt AS (
+        SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 9) AS top_bigram_frac,
+           ROUND((CAST(SUM(c) AS DOUBLE) - COUNT(*)) / SUM(c), 9)
+               AS dup_bigram_frac,
+           CAST(MAX(c) AS DOUBLE) / SUM(c) <= 0.125
+               AND (CAST(SUM(c) AS DOUBLE) - COUNT(*)) / SUM(c) <= 0.75
+               AS keep
+    FROM cnt
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "text", "quality"),
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filtering: per-document top-bigram fraction
+    and duplicate-bigram fraction, with a keep/drop decision.
+
+    Excessively repetitive documents (boilerplate, keyword stuffing, decode
+    loops) are the first thing large-corpus quality pipelines drop; the two
+    standard signals are "most frequent n-gram's share of all n-grams" and
+    "share of n-grams occurring more than once" (n=2 here; other n are the
+    same plan with a wider zip).
+
+    100 TB shape: bigrams come from zip_with over two slices (codegen,
+    map-side), then explode + two-level groupBy — the same
+    shuffle-on-(doc_id, gram) pattern as MinHash, whose partial-aggregate
+    map-side combine keeps shuffle bytes proportional to *distinct* grams
+    per doc, not total.  Both shuffles key on doc_id so they co-partition;
+    no Python in the hot path.
+    """
+    t = Tables(spark, sf_dir)
+    w = F.split(F.lower(F.col("text")), " ")
+    d = t.documents.select("doc_id", w.alias("w")).where(F.size("w") >= 2)
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("w", F.lit(1), F.size("w") - 1),
+                F.slice("w", F.lit(2), F.size("w") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("gram"),
+    )
+    cnt = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    top_frac = F.max("c").cast("double") / F.sum("c")
+    dup_frac = (F.sum("c").cast("double") - F.count("*")) / F.sum("c")
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.max("c").cast("long").alias("top_bigram_count"),
+            F.count("*").cast("long").alias("n_distinct_bigrams"),
+            F.round(top_frac, 9).alias("top_bigram_frac"),
+            F.round(dup_frac, 9).alias("dup_bigram_frac"),
+            ((top_frac <= 0.125) & (dup_frac <= 0.75)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
