@@ -4,6 +4,7 @@ relational query in the engine registry."""
 from auron_spark.operators import (  # noqa: F401
     aggregate,
     asof,
+    funnel,
     generate,
     joins,
     pivot,

@@ -1,0 +1,103 @@
+"""Funnel / ordered-sequence analysis over the events stream.
+
+A user "converts" when the funnel stages happen in strict time order within
+a conversion window: first view, then the first click *after* that view
+(within 24 h), then the first purchase *after* that click (within 24 h).
+Plain per-type MIN(ts) gets this wrong (a click before the first view must
+not count), so each stage conditions on the previous stage's timestamp.
+The window keeps all three reach outcomes populated in the fixtures
+(sf0.01: 150 viewers -> 60 clickers -> 25 purchasers).
+
+Beyond-reference extension in the same spirit as the as-of join
+(`operators/asof.py`): event-sequence analytics the reference's TPC-style
+suite doesn't cover but every clickstream deployment needs.
+
+100 TB shape: three aggregations and two joins, all keyed on ``user_id`` —
+one hash partitioning carries the whole plan (Spark reuses the exchange),
+and stage inputs shrink monotonically (only users who reached stage k are
+joined for stage k+1).  No window over full event history, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from auron_spark.registry import query
+from auron_spark.tables import Tables
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS first_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS first_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.first_view
+          AND e.ts <= v.first_view + INTERVAL 24 HOUR
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS first_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+          AND e.ts <= c.first_click + INTERVAL 24 HOUR
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           v.first_view,
+           c.first_click,
+           p.first_purchase,
+           c.user_id IS NOT NULL AS reached_click,
+           p.user_id IS NOT NULL AS reached_purchase
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    ORDER BY v.user_id
+    """,
+    tags=("events", "funnel", "sequence"),
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered three-stage funnel with per-stage reach flags."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("user_id", "event_type", "ts")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(
+            (F.col("ts") > F.col("first_view"))
+            & (F.col("ts") <= F.col("first_view") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(
+            (F.col("ts") > F.col("first_click"))
+            & (F.col("ts") <= F.col("first_click") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        v.join(c.withColumn("reached_click", F.lit(True)), "user_id", "left")
+        .join(p.withColumn("reached_purchase", F.lit(True)), "user_id", "left")
+        .select(
+            "user_id",
+            "first_view",
+            "first_click",
+            "first_purchase",
+            F.coalesce("reached_click", F.lit(False)).alias("reached_click"),
+            F.coalesce("reached_purchase", F.lit(False)).alias("reached_purchase"),
+        )
+        .orderBy("user_id")
+    )
