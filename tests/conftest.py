@@ -54,7 +54,7 @@ def _norm_cell(v):
     value-only normalization passed them).  Type classes are deliberately
     coarse — int widths and float32/64 collapse — but int / float / decimal /
     bool / str / date stay distinct."""
-    if v is None:
+    if v is None or v is pd.NaT:
         return None
     try:
         import numpy as np
