@@ -101,3 +101,60 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "streak_daily_activity",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events
+    ), nums AS (
+        SELECT user_id, d,
+               row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+        FROM days
+    ), isl AS (
+        SELECT user_id, d - CAST(rn AS INTEGER) AS grp, COUNT(*) AS len
+        FROM nums GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM isl
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("events", "sequence", "window"),
+)
+def streak_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands shape: distinct active days, row_number within user,
+    then group by ``day - row_number`` (constant within a consecutive run).
+
+    100 TB shape: the distinct, the window, and both aggregations all key on
+    ``user_id``, so after the first shuffle everything is co-partitioned and
+    AQE coalesces; per-user state is bounded by days-in-history, never event
+    volume.  This is the batch sibling of the streaming sessionization in
+    ``streaming/ops.py`` (same islands idea, gap measured in days).
+    """
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    days = t.events.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    nums = days.withColumn("rn", F.row_number().over(w))
+    isl = nums.groupBy(
+        "user_id", F.date_sub("d", F.col("rn")).alias("grp")
+    ).agg(F.count("*").alias("len"))
+    return (
+        isl.groupBy("user_id")
+        .agg(
+            F.sum("len").cast("long").alias("n_active_days"),
+            F.max("len").cast("long").alias("longest_streak"),
+            F.count("*").cast("long").alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )
