@@ -244,3 +244,47 @@ def stream_late_data_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("max_seen") - F.col("ts") > F.expr("INTERVAL 10 MINUTES"))
         .agg(F.count("*").alias("n_late"))
     )
+
+
+def enrich_with_segment(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static enrichment join + aggregate — works identically with a
+    streaming ``events`` side (the static side is re-broadcast per
+    micro-batch by Structured Streaming; no state store involved)."""
+    cust = customer.select("c_custkey", "c_mktsegment")
+    return (
+        events.join(cust, events["user_id"] + 1 == cust["c_custkey"])
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c_mktsegment, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events e JOIN customer c ON e.user_id + 1 = c.c_custkey
+    GROUP BY c_mktsegment, event_type
+    ORDER BY c_mktsegment, event_type
+    """,
+    tags=("streaming", "join", "enrich"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment: each event joins a static customer
+    dimension (broadcast — dimension tables stay small relative to the
+    stream), then aggregates revenue per market segment and event type.
+
+    This is THE canonical Structured Streaming enrichment pattern: the
+    static side is planned as a broadcast per micro-batch, needs no
+    watermark, and the stateful aggregation only keys on the (tiny)
+    segment×type space.  Batch twin oracle-checked here; the stream run is
+    asserted equal in tests/test_streaming.py.
+    """
+    t = Tables(spark, sf_dir)
+    return enrich_with_segment(t.events, t.customer).orderBy(
+        "c_mktsegment", "event_type"
+    )

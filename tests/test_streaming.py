@@ -337,3 +337,15 @@ def test_kafka_startup_option_mapping():
         startup_options("t", "FROM_THE_FUTURE")
     with pytest.raises(ValueError, match="requires timestamp_ms"):
         startup_options("t", "TIMESTAMP")
+
+
+def test_stream_static_enrich_equals_batch(spark):
+    from auron_spark.streaming.ops import enrich_with_segment
+    from auron_spark.tables import table
+
+    stream, batch = _stream_events(spark)
+    cust = table(spark, SF_SMOKE, "customer")
+    _run_stream(enrich_with_segment(stream, cust), "enrich_out")
+    got = normalize(spark.sql("SELECT * FROM enrich_out").toPandas())
+    want = normalize(enrich_with_segment(batch, cust).toPandas())
+    assert got == want
