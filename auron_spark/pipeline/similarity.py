@@ -565,3 +565,134 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "nn_id", "qdot")
         .orderBy("vec_id")
     )
+
+
+@query(
+    "sim_pq_codes",
+    oracle="""
+    WITH flat AS (
+        SELECT label, unnest(embedding) AS v,
+               unnest(range(1, len(embedding) + 1)) AS pos
+        FROM embeddings
+    ), cent AS (
+        SELECT label, (pos - 1) // 8 AS sub, (pos - 1) % 8 AS p,
+               CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6)))
+                    AS DOUBLE) / COUNT(*) AS c
+        FROM flat GROUP BY label, sub, p
+    ), carr AS (
+        SELECT label, sub, list(c ORDER BY p) AS cv
+        FROM cent GROUP BY label, sub
+    ), sv AS (
+        SELECT e.vec_id, e.label AS own_label, t.m AS sub,
+               list_slice(e.embedding, t.m * 8 + 1, t.m * 8 + 8) AS v8
+        FROM embeddings e, range(0, 8) t(m)
+    ), scored AS (
+        SELECT sv.vec_id, sv.own_label, sv.sub, carr.label,
+               list_sum(list_transform(range(1, 9),
+                   i -> (CAST(v8[i] AS DOUBLE) - cv[i])
+                      * (CAST(v8[i] AS DOUBLE) - cv[i]))) AS dist
+        FROM sv JOIN carr ON sv.sub = carr.sub
+    ), best AS (
+        SELECT vec_id, own_label, sub, label AS code,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, label) AS rn
+        FROM scored
+    )
+    SELECT vec_id,
+           list(code ORDER BY sub) AS pq_code,
+           CAST(SUM(CASE WHEN code = own_label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_own_sub
+    FROM best WHERE rn = 1
+    GROUP BY vec_id, own_label
+    ORDER BY vec_id
+    """,
+    tags=("pipeline", "similarity", "quantization"),
+)
+def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: encode each 64-dim embedding as 8 codebook ids
+    (one per 8-dim subvector), completing the billion-vector ANN recipe
+    alongside sim_knn_ivf (coarse quantizer) and sim_quantize_int8 (scalar).
+
+    The codebook is deterministic — per (label, subvector) centroids (the
+    same order-insensitive DECIMAL(18,6) mean as sim_centroids) instead of
+    iterated k-means, so the DuckDB oracle is exact.  Assignment is argmin
+    squared-L2 per subvector with a (distance, label) tiebreak; distances
+    use index-ordered folds so both engines produce bit-identical doubles.
+
+    100 TB shape: the codebook is tiny (n_codes × n_sub × sub_dim) and
+    broadcast; encoding is one broadcast join + per-row fold — map-side,
+    no shuffle of the embedding column beyond its first read.  Codes are
+    8 small ints (vs 256 bytes of float32): the downstream candidate scan
+    reads 32× less.  n_own_sub measures codebook/label agreement.
+    """
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    flat = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "v")
+    )
+    cent = (
+        flat.withColumn("sub", (F.col("pos0") / 8).cast("int"))
+        .withColumn("p", F.col("pos0") % 8)
+        .groupBy("label", "sub", "p")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("v").cast("double"), 6).cast("decimal(18,6)")
+                ).cast("double")
+                / F.count("*")
+            ).alias("c")
+        )
+    )
+    carr = cent.groupBy("label", "sub").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("p", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    sv = emb.select(
+        "vec_id",
+        F.col("label").alias("own_label"),
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("sub"),
+        "embedding",
+    ).select(
+        "vec_id",
+        "own_label",
+        "sub",
+        F.slice("embedding", F.col("sub") * 8 + 1, 8).alias("v8"),
+    )
+    scored = sv.join(F.broadcast(carr), "sub").select(
+        "vec_id",
+        "own_label",
+        "sub",
+        "label",
+        F.aggregate(
+            F.zip_with(
+                "v8",
+                "cv",
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy("dist", "label")
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "own_label", "sub", F.col("label").alias("code"))
+    )
+    return (
+        best.groupBy("vec_id", "own_label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda s: s["code"],
+            ).alias("pq_code"),
+            F.sum(
+                F.when(F.col("code") == F.col("own_label"), 1).otherwise(0)
+            ).cast("long").alias("n_own_sub"),
+        )
+        .select("vec_id", "pq_code", "n_own_sub")
+        .orderBy("vec_id")
+    )
