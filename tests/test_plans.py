@@ -331,3 +331,21 @@ def test_hash_sample_is_map_side(spark):
     """The deterministic sample is a pure scan+filter — zero exchanges."""
     plan = _plan(spark, "sample_hash_fraction")
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_quantized_ann_no_cartesian(spark):
+    """sim_quantize_int8 / sim_pq_codes: candidate scoring must be an
+    equi-join (block key / broadcast codebook), never a cartesian product."""
+    for name in ("sim_quantize_int8", "sim_pq_codes"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+    # the PQ codebook is tiny and must broadcast
+    assert "BroadcastHashJoin" in _plan(spark, "sim_pq_codes")
+
+
+def test_funnel_stages_join_on_user_id(spark):
+    """Funnel: every join/agg keys on user_id — no cartesian, no broadcast
+    of the (scale-growing) event stream on the probe side."""
+    plan = _plan(spark, "funnel_view_click_purchase")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
