@@ -567,10 +567,8 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sim_pq_codes",
-    oracle="""
-    WITH flat AS (
+_PQ_CTES = """
+    flat AS (
         SELECT label, unnest(embedding) AS v,
                unnest(range(1, len(embedding) + 1)) AS pos
         FROM embeddings
@@ -597,7 +595,85 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY vec_id, sub
                                   ORDER BY dist, label) AS rn
         FROM scored
+    )"""
+
+
+def _pq_codebook(emb: DataFrame) -> DataFrame:
+    """Deterministic PQ codebook: per-(label, subvector) centroid arrays via
+    the order-insensitive DECIMAL(18,6) mean (same trick as sim_centroids)."""
+    flat = emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
+    cent = (
+        flat.withColumn("sub", (F.col("pos0") / 8).cast("int"))
+        .withColumn("p", F.col("pos0") % 8)
+        .groupBy("label", "sub", "p")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("v").cast("double"), 6).cast("decimal(18,6)")
+                ).cast("double")
+                / F.count("*")
+            ).alias("c")
+        )
     )
+    return cent.groupBy("label", "sub").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("p", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+
+
+def _pq_subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, own_label, sub, v8): each embedding split into 8-dim chunks."""
+    return emb.select(
+        "vec_id",
+        F.col("label").alias("own_label"),
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("sub"),
+        "embedding",
+    ).select(
+        "vec_id",
+        "own_label",
+        "sub",
+        F.slice("embedding", F.col("sub") * 8 + 1, 8).alias("v8"),
+    )
+
+
+def _sub_l2(v8, cv) -> Column:
+    """Index-ordered squared-L2 fold between an 8-dim subvector and a
+    centroid array — bit-identical to the oracle's list_sum fold."""
+    return F.aggregate(
+        F.zip_with(
+            v8, cv, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def _pq_assignments(emb: DataFrame, carr: DataFrame) -> DataFrame:
+    """(vec_id, own_label, sub, code): nearest codebook entry per subvector,
+    argmin squared-L2 with a (distance, label) tiebreak."""
+    from pyspark.sql.window import Window
+
+    scored = _pq_subvectors(emb).join(F.broadcast(carr), "sub").select(
+        "vec_id",
+        "own_label",
+        "sub",
+        "label",
+        _sub_l2(F.col("v8"), F.col("cv")).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy("dist", "label")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "own_label", "sub", F.col("label").alias("code"))
+    )
+
+
+@query(
+    "sim_pq_codes",
+    oracle="WITH "
+    + _PQ_CTES
+    + """
     SELECT vec_id,
            list(code ORDER BY sub) AS pq_code,
            CAST(SUM(CASE WHEN code = own_label THEN 1 ELSE 0 END) AS BIGINT)
@@ -625,63 +701,9 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 small ints (vs 256 bytes of float32): the downstream candidate scan
     reads 32× less.  n_own_sub measures codebook/label agreement.
     """
-    from pyspark.sql.window import Window
-
     t = Tables(spark, sf_dir)
     emb = t.embeddings
-    flat = emb.select(
-        "label", F.posexplode("embedding").alias("pos0", "v")
-    )
-    cent = (
-        flat.withColumn("sub", (F.col("pos0") / 8).cast("int"))
-        .withColumn("p", F.col("pos0") % 8)
-        .groupBy("label", "sub", "p")
-        .agg(
-            (
-                F.sum(
-                    F.round(F.col("v").cast("double"), 6).cast("decimal(18,6)")
-                ).cast("double")
-                / F.count("*")
-            ).alias("c")
-        )
-    )
-    carr = cent.groupBy("label", "sub").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("p", "c"))), lambda s: s["c"]
-        ).alias("cv")
-    )
-    sv = emb.select(
-        "vec_id",
-        F.col("label").alias("own_label"),
-        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("sub"),
-        "embedding",
-    ).select(
-        "vec_id",
-        "own_label",
-        "sub",
-        F.slice("embedding", F.col("sub") * 8 + 1, 8).alias("v8"),
-    )
-    scored = sv.join(F.broadcast(carr), "sub").select(
-        "vec_id",
-        "own_label",
-        "sub",
-        "label",
-        F.aggregate(
-            F.zip_with(
-                "v8",
-                "cv",
-                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-            ),
-            F.lit(0.0),
-            lambda acc, d: acc + d,
-        ).alias("dist"),
-    )
-    w = Window.partitionBy("vec_id", "sub").orderBy("dist", "label")
-    best = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "own_label", "sub", F.col("label").alias("code"))
-    )
+    best = _pq_assignments(emb, _pq_codebook(emb))
     return (
         best.groupBy("vec_id", "own_label")
         .agg(
@@ -695,4 +717,92 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "pq_code", "n_own_sub")
         .orderBy("vec_id")
+    )
+
+
+@query(
+    "sim_pq_adc_topk",
+    oracle="WITH "
+    + _PQ_CTES
+    + """
+    , codes AS (
+        SELECT vec_id, sub, code FROM best WHERE rn = 1
+    ), lut AS (
+        SELECT sv.vec_id AS q_id, sv.sub, carr.label AS code,
+               CAST(ROUND(list_sum(list_transform(range(1, 9),
+                   i -> (CAST(v8[i] AS DOUBLE) - cv[i])
+                      * (CAST(v8[i] AS DOUBLE) - cv[i]))), 9)
+                    AS DECIMAL(28,9)) AS d9
+        FROM sv JOIN carr ON sv.sub = carr.sub
+        WHERE sv.vec_id % 25 = 0
+    ), adc AS (
+        SELECT lut.q_id, codes.vec_id,
+               CAST(SUM(lut.d9) AS DOUBLE) AS approx_dist
+        FROM codes
+        JOIN lut ON codes.sub = lut.sub AND codes.code = lut.code
+        WHERE codes.vec_id <> lut.q_id
+        GROUP BY lut.q_id, codes.vec_id
+    )
+    SELECT q_id, vec_id, approx_dist, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT q_id, vec_id, approx_dist,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY approx_dist, vec_id) AS rk
+        FROM adc
+    ) WHERE rk <= 5
+    ORDER BY q_id, rk
+    """,
+    tags=("pipeline", "similarity", "quantization", "ann"),
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search by asymmetric distance computation (ADC): each query builds
+    an 8×n_codes lookup table of exact subvector→centroid distances, and a
+    corpus vector's approximate distance is the sum of 8 table entries
+    selected by its PQ code — the query side stays full-precision, the
+    corpus is never decoded.
+
+    Per-entry distances go through ROUND(·, 9) → DECIMAL(28,9) so the
+    8-entry sums are order-insensitive and the DuckDB oracle is exact
+    (float sums under hash aggregation have no deterministic order).
+
+    100 TB shape: the LUT is (queries × 8 × n_codes) rows — broadcast-sized
+    for any bounded query set — and joins the code table on (sub, code),
+    an equi-join; the corpus side ships only its 8-int codes, never
+    embeddings.  WindowGroupLimit prunes to top-5 per query before the
+    final sort.  This is the standard IVF-PQ serving path (Jégou et al.,
+    TPAMI 2011) expressed relationally.
+    """
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    carr = _pq_codebook(emb)
+    codes = _pq_assignments(emb, carr).select("vec_id", "sub", "code")
+    lut = (
+        _pq_subvectors(emb.where(F.col("vec_id") % 25 == 0))
+        .join(F.broadcast(carr), "sub")
+        .select(
+            F.col("vec_id").alias("q_id"),
+            "sub",
+            F.col("label").alias("code"),
+            F.round(_sub_l2(F.col("v8"), F.col("cv")), 9)
+            .cast("decimal(28,9)")
+            .alias("d9"),
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["sub"] == lut["sub"])
+            & (codes["code"] == lut["code"])
+            & (codes["vec_id"] != lut["q_id"]),
+        )
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d9").cast("double").alias("approx_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy("approx_dist", "vec_id")
+    return (
+        adc.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("q_id", "vec_id", "approx_dist", F.col("rk").cast("long").alias("rk"))
+        .orderBy("q_id", "rk")
     )
