@@ -245,6 +245,63 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_first_ordered",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderstatus, o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderpriority END AS prio_n
+        FROM orders
+    ), nonnull AS (
+        SELECT o_orderstatus, prio_n,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_orderkey) AS rn
+        FROM base WHERE prio_n IS NOT NULL
+    ), anyrow AS (
+        SELECT o_orderstatus, prio_n,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_orderkey) AS rn
+        FROM base
+    )
+    SELECT a.o_orderstatus,
+           a.prio_n AS first_prio_any,
+           n.prio_n AS first_prio_nonnull
+    FROM anyrow a JOIN nonnull n ON a.o_orderstatus = n.o_orderstatus
+    WHERE a.rn = 1 AND n.rn = 1
+    ORDER BY a.o_orderstatus
+    """,
+    tags=("agg", "first"),
+)
+def agg_first_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real FIRST / FIRST_IGNORES_NULL (reference `agg/first.rs:346`) with a
+    *defined* order, closing the min_by-proxy sliver: hash-repartition by the
+    group key so each group lives in exactly one partition, sort within
+    partitions by (group, o_orderkey), then ``first()`` — the partial
+    aggregate consumes rows in sorted order and there is exactly one partial
+    per group, so the result is deterministic and oracle-checkable.  A
+    synthetic NULL pattern (every third orderkey) makes ignorenulls=True and
+    ignorenulls=False observably different."""
+    t = Tables(spark, sf_dir)
+    base = t.orders.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio_n"),
+    )
+    arranged = base.repartition("o_orderstatus").sortWithinPartitions(
+        "o_orderstatus", "o_orderkey"
+    )
+    return (
+        arranged.groupBy("o_orderstatus")
+        .agg(
+            F.first("prio_n", ignorenulls=False).alias("first_prio_any"),
+            F.first("prio_n", ignorenulls=True).alias("first_prio_nonnull"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
     "agg_sort_aggregate",
     oracle="""
     SELECT l_linestatus, COUNT(DISTINCT l_suppkey) AS n_supp,

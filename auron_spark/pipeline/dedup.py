@@ -478,14 +478,13 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph, canonical id = min(doc_id) of the component — the step that turns
     pairwise candidates into keep/drop decisions.
 
-    Iterative min-label propagation: each round every node takes the minimum
-    of its own label and its neighbors' labels; converges in diameter(G)
-    rounds (LSH dup-clusters are near-cliques, so 2-4 in practice).  Each
-    round is one equi-join + groupBy — the standard distributed CC shape; the
-    loop is driver-side control flow over DataFrames, data never leaves the
-    cluster (convergence is checked with a scalar count).  The DuckDB oracle
-    computes the same fixpoint exactly via a recursive CTE — an exact oracle
-    for an iterative algorithm."""
+    Uses :func:`connected_components` (min-label propagation + pointer
+    jumping, O(log n) rounds on any topology, loud RuntimeError if the round
+    budget is ever exceeded).  Each round is two equi-joins + a groupBy — the
+    standard distributed CC shape; the loop is driver-side control flow over
+    DataFrames, data never leaves the cluster (convergence is checked with a
+    scalar count).  The DuckDB oracle computes the same fixpoint exactly via
+    a recursive CTE — an exact oracle for an iterative algorithm."""
     t = Tables(spark, sf_dir)
     pairs = lsh_candidate_pairs(minhash_signature(_doc_shingles(t, dedup=False)))
     edges = (
@@ -493,25 +492,76 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
         .persist()
     )
-    labels = t.documents.select(
+    labels = connected_components(t.documents.select("doc_id"), edges)
+    edges.unpersist()
+    return labels.orderBy("doc_id")
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = 20
+) -> DataFrame:
+    """Distributed connected components: min-label propagation accelerated by
+    pointer jumping (path halving).
+
+    Each round does (1) the classic min-neighbor step — every node takes the
+    minimum of its own label and its neighbors' labels (one equi-join +
+    groupBy) — then (2) a pointer jump: ``label := label(label)`` (one
+    self-join on the label table).  The jump doubles the distance a component
+    minimum travels per round, so a path graph of n nodes converges in
+    O(log n) rounds instead of the O(n) a pure propagation needs — the same
+    acceleration idea as the large-star/small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14), in two
+    dataframe joins.  Both steps preserve the invariant that a node's label
+    is the doc_id of some member of its own component that is <= its own id,
+    and the fixpoint (no change anywhere) forces labels equal across every
+    edge, i.e. label = component minimum.
+
+    ``nodes`` is (doc_id), ``edges`` is a directed (u, v) pair list that must
+    already contain both directions of each undirected edge.  Raises
+    RuntimeError if the fixpoint is not reached in ``max_rounds`` — a silent
+    non-converged result would diverge from the exact oracle.
+
+    Each round ends in ``localCheckpoint`` (the standard lineage cut for
+    iterative DataFrame algorithms): the pointer jump references the stepped
+    labels twice, so without truncation the logical plan would double every
+    round and analysis cost would explode exponentially.
+    """
+    labels = nodes.select(
         "doc_id", F.col("doc_id").alias("canonical_id")
-    ).persist()
-    for _ in range(20):  # >= diameter of any LSH dup-cluster; early-exit below
+    ).localCheckpoint()
+    changed = -1
+    for _ in range(max_rounds):
         neigh = (
             edges.join(labels, edges.v == labels.doc_id)
             .groupBy("u")
             .agg(F.min("canonical_id").alias("neigh_min"))
         )
+        stepped = labels.join(neigh, labels.doc_id == neigh.u, "left").select(
+            "doc_id",
+            F.least(
+                F.col("canonical_id"),
+                F.coalesce(F.col("neigh_min"), F.col("canonical_id")),
+            ).alias("canonical_id"),
+        )
+        # pointer jump: follow one hop through the label table; the target's
+        # label is <= the current label by the invariant, so least() is only
+        # a guard against ties
         updated = (
-            labels.join(neigh, labels.doc_id == neigh.u, "left")
+            stepped.alias("x")
+            .join(
+                stepped.select(
+                    F.col("doc_id").alias("t_id"),
+                    F.col("canonical_id").alias("t_label"),
+                ),
+                F.col("x.canonical_id") == F.col("t_id"),
+            )
             .select(
                 "doc_id",
-                F.least(
-                    F.col("canonical_id"),
-                    F.coalesce(F.col("neigh_min"), F.col("canonical_id")),
-                ).alias("canonical_id"),
+                F.least(F.col("canonical_id"), F.col("t_label")).alias(
+                    "canonical_id"
+                ),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             updated.alias("n")
@@ -519,9 +569,11 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n.canonical_id") != F.col("o.canonical_id"))
             .count()
         )
-        labels.unpersist()
         labels = updated
         if changed == 0:
             break
-    edges.unpersist()
-    return labels.orderBy("doc_id")
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    return labels

@@ -1,0 +1,235 @@
+"""Retrieval scoring over the documents table: TF-IDF and BM25.
+
+Beyond-reference capability, but core to training-data pipelines: quality
+filtering by lexical statistics, query-based corpus curation ("find documents
+like these probe terms"), and contamination triage all reduce to TF-IDF /
+BM25 scoring at corpus scale.
+
+Scale design (the 100 TB shape):
+- tokenize + explode is map-side; the only shuffles are (doc_id, term)
+  partial-count aggregation (map-side combine collapses repeated terms within
+  a doc before the exchange) and the per-term document-frequency aggregate
+  (shuffle ∝ |vocab|, orders of magnitude below token count).
+- the DF/IDF table is vocabulary-sized and broadcasts back onto the term
+  stream — no second shuffle of the corpus.
+- ranking uses integer sort keys (tf, df, ids) wherever cross-engine float
+  ordering could diverge, and the BM25 variant uses the log-free idf ratio
+  (N - df + .5)/(df + .5) — a strictly monotone transform of the classic
+  log idf, so single-term rankings are identical while every score is pure
+  +,*,/ IEEE arithmetic that DuckDB and the JVM compute bit-identically
+  (ln() goes through libm and may differ in the last ulp between engines).
+- per-doc / per-term top-k goes through WindowGroupLimit (rank-filter
+  pruning before the final sort), same as window_top_k_per_group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from auron_spark.registry import query
+from auron_spark.tables import Tables
+
+#: BM25 parameters (Robertson-Walker defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+#: Probe terms for the single-term BM25 query — a bounded, constant query
+#: set (the broadcastable side), like QUERY_BUDGET elsewhere.
+BM25_TERMS = ("spark", "agg", "join", "hash", "window")
+
+
+def _tokens(df: DataFrame) -> DataFrame:
+    """(doc_id, term) token stream: lowercase whitespace split + explode.
+    Map-side only."""
+    return df.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    ).where(F.col("term") != "")
+
+
+def _tf(df: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) — two-phase count; map-side combine collapses
+    within-doc repeats before the exchange."""
+    return _tokens(df).groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+
+
+_SQL_TOKENS = """
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+    FROM documents
+"""
+
+_SQL_TF = f"""
+    SELECT doc_id, term, COUNT(*) AS tf
+    FROM ({_SQL_TOKENS}) WHERE term <> ''
+    GROUP BY doc_id, term
+"""
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tf AS ({_SQL_TF}),
+    df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               ROUND(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6)
+                   AS tfidf,
+               row_number() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf DESC, df.df ASC, tf.term)
+                   AS rk
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, CAST(rk AS BIGINT) AS rk
+    FROM scored WHERE rk <= 3
+    ORDER BY doc_id, rk
+    """,
+    tags=("pipeline", "retrieval", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.
+
+    Ranking uses the integer keys (tf DESC, df ASC, term) — within one
+    document this is exactly tfidf order for smoothed idf = ln((N+1)/(df+1))+1
+    whenever tf dominates, and more importantly it is *engine-exact*: no
+    float comparison decides a rank, so Spark and DuckDB agree bit-for-bit.
+    The reported tfidf value itself is ROUND(·, 6) display math.
+
+    Plan: token explode (map-side) → (doc,term) two-phase count → vocabulary
+    DF aggregate → broadcast idf back → WindowGroupLimit top-3 per doc.
+    """
+    t = Tables(spark, sf_dir)
+    tf = _tf(t.documents)
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = t.documents.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", F.col("rk").cast("long").alias("rk"))
+        .orderBy("doc_id", "rk")
+    )
+
+
+def _bm25_score(tf: Column, df: Column, n_docs: Column, dl: Column, avgdl: Column) -> Column:
+    """Log-free BM25: idf-ratio × saturated tf.  Pure +,*,/ on doubles —
+    bit-identical across engines."""
+    idf = (n_docs - df + F.lit(0.5)) / (df + F.lit(0.5))
+    sat = (tf * F.lit(BM25_K1 + 1.0)) / (
+        tf + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dl / avgdl)
+    )
+    return idf * sat
+
+
+@query(
+    "bm25_single_term",
+    oracle=f"""
+    WITH tf AS ({_SQL_TF}),
+    dl AS (
+        SELECT doc_id, COUNT(*) AS dl
+        FROM ({_SQL_TOKENS}) WHERE term <> ''
+        GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n_docs
+        FROM dl
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.term, tf.doc_id,
+               ((stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * ((tf.tf * {BM25_K1 + 1.0}) /
+                  (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl.dl / stats.avgdl)))
+                   AS score
+        FROM tf
+        JOIN dl USING (doc_id)
+        JOIN df USING (term)
+        CROSS JOIN stats
+        WHERE tf.term IN {BM25_TERMS!r}
+    )
+    SELECT term, doc_id, ROUND(score, 6) AS bm25, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT term, doc_id, score,
+               row_number() OVER (PARTITION BY term
+                                  ORDER BY score DESC, doc_id) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+    ORDER BY term, rk
+    """,
+    tags=("pipeline", "retrieval", "bm25"),
+)
+def bm25_single_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 documents per probe term by BM25 (k1=1.2, b=0.75), log-free idf
+    variant (see module docstring — rank-identical to classic BM25 for
+    single-term queries, engine-exact arithmetic).
+
+    Plan: the term filter lands BEFORE the tf aggregate's exchange (only
+    probe-term postings shuffle); doc lengths aggregate once; the tiny
+    (avgdl, n_docs) scalar and vocabulary slice broadcast.  Per-term top-5
+    through WindowGroupLimit.  At 100 TB the scored stream is
+    |probe terms| × |docs containing them|, not the corpus.
+    """
+    t = Tables(spark, sf_dir)
+    toks = _tokens(t.documents)
+    tf = (
+        toks.where(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count("*").alias("n_docs"),
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_), "term")
+        .join(F.broadcast(stats))
+        .select(
+            "term",
+            "doc_id",
+            _bm25_score(
+                F.col("tf").cast("double"),
+                F.col("df").cast("double"),
+                F.col("n_docs").cast("double"),
+                F.col("dl").cast("double"),
+                F.col("avgdl"),
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select(
+            "term",
+            "doc_id",
+            F.round("score", 6).alias("bm25"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+        .orderBy("term", "rk")
+    )

@@ -168,3 +168,56 @@ def shuffle_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .limit(100)
     )
+
+
+@query(
+    "sample_mixture_weights",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT source, n_chars,
+               {_sql_bucket("doc_id")} AS bucket,
+               10 + (CAST(substr(source, 4) AS BIGINT) % 4) * 20 AS keep_pct
+        FROM documents
+    )
+    SELECT source,
+           MIN(keep_pct) AS keep_pct,
+           COUNT(*) FILTER (WHERE bucket < keep_pct) AS n_kept,
+           COUNT(*) AS n_total,
+           CAST(SUM(n_chars) FILTER (WHERE bucket < keep_pct) AS BIGINT)
+               AS kept_chars
+    FROM assigned
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("pipeline", "sampling", "mixture"),
+)
+def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted mixture sampling — the data-mixing step of a training
+    pipeline: each source gets its own keep rate (here 10/30/50/70% derived
+    deterministically from the source id; in production a broadcast weights
+    table from the mixture spec), applied through the same append-stable hash
+    bucket as sample_hash_fraction.
+
+    The per-row decision is map-side (hash + comparison against the row's own
+    source rate) — at 100 TB this is a scan-with-predicate whose selectivity
+    differs per source, no shuffle except the summary aggregate (a real run
+    writes the kept rows partitioned by source instead).  Upsampling (rate >
+    1) composes with shuffle_epoch_order by drawing per-epoch with different
+    salts."""
+    t = Tables(spark, sf_dir)
+    bucket = hash_bucket(F.col("doc_id"))
+    keep_pct = (
+        F.lit(10) + (F.substring("source", 4, 10).cast("bigint") % 4) * F.lit(20)
+    ).alias("keep_pct")
+    assigned = t.documents.select("source", "n_chars", bucket.alias("bucket"), keep_pct)
+    kept = F.col("bucket") < F.col("keep_pct")
+    return (
+        assigned.groupBy("source")
+        .agg(
+            F.min("keep_pct").alias("keep_pct"),
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            F.count("*").alias("n_total"),
+            F.sum(F.when(kept, F.col("n_chars"))).cast("bigint").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )

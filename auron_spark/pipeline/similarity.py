@@ -31,6 +31,9 @@ QUERY_MOD = 25  # vec_id % QUERY_MOD == 0 -> query vector
 # broadcast.  The cap keeps the baseline exactly what it claims to be: a
 # constant-size exact-answer anchor for recall measurement.
 QUERY_BUDGET = 1000  # max query vectors, regardless of corpus size
+# vec_id-prefix cap shared by every ANN query side (brute force, LSH probe,
+# IVF probe, int8 re-rank, PQ-ADC LUT): selects at most QUERY_BUDGET vectors.
+QUERY_CAP = QUERY_MOD * QUERY_BUDGET
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -473,7 +476,7 @@ def sim_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_quantize_int8",
-    oracle="""
+    oracle=f"""
     WITH base AS (
         SELECT vec_id, label, embedding,
                list_max(list_transform(embedding,
@@ -490,6 +493,7 @@ def sim_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_sum(list_transform(range(1, 65),
                                        i -> a.qv[i] * b.qv[i])) AS qdot
         FROM q a JOIN q b ON a.label = b.label AND a.vec_id <> b.vec_id
+        WHERE a.vec_id % {QUERY_MOD} = 0 AND a.vec_id < {QUERY_CAP}
     ), ranked AS (
         SELECT vec_id, nn_id, qdot,
                row_number() OVER (PARTITION BY vec_id
@@ -513,13 +517,15 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: quantization is map-side-only and shrinks the vectors 4-8x
     (in production the int8 components pack into a binary column — one byte
     each — here they stay BIGINT arrays for oracle parity; the plan shape is
-    identical).  Candidate scoring joins on the block key (label here, an IVF
-    cluster id from sim_knn_ivf's coarse quantizer in production) so the
-    expensive exact-float re-rank runs on a small, cheaply-scored candidate
-    set.  Integer dot products are exact — no float-order hazards — and the
-    per-vector WindowGroupLimit prunes to the top row before the final sort.
-    Reference analogue: the candidate-scoring stage ahead of re-rank in any
-    IVF/PQ pipeline (beyond-reference extension, like sim_knn_ivf).
+    identical).  The query side is hard-capped at QUERY_BUDGET vectors (the
+    same vec_id-prefix cap as every other ANN query side), and candidates are
+    fetched by equi-join on the block key (label here, an IVF cluster id from
+    sim_knn_ivf's coarse quantizer in production) — the scoring stage is
+    O(|queries| × block), a bounded probe, never all-pairs-in-block.  Integer
+    dot products are exact — no float-order hazards — and the per-query
+    WindowGroupLimit prunes to the top row before the final sort.  Reference
+    analogue: the candidate-scoring stage ahead of re-rank in any IVF/PQ
+    pipeline (beyond-reference extension, like sim_knn_ivf).
     """
     t = Tables(spark, sf_dir)
     emb = t.embeddings
@@ -541,7 +547,10 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("qv"),
     )
-    a = q.alias("a")
+    a = q.where(
+        (F.col("vec_id") % QUERY_MOD == 0)
+        & (F.col("vec_id") < QUERY_CAP)  # bounded query side, like all ANN paths
+    ).alias("a")
     b = q.alias("b")
     pairs = a.join(
         b,
@@ -724,7 +733,7 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_pq_adc_topk",
     oracle="WITH "
     + _PQ_CTES
-    + """
+    + f"""
     , codes AS (
         SELECT vec_id, sub, code FROM best WHERE rn = 1
     ), lut AS (
@@ -734,7 +743,8 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
                       * (CAST(v8[i] AS DOUBLE) - cv[i]))), 9)
                     AS DECIMAL(28,9)) AS d9
         FROM sv JOIN carr ON sv.sub = carr.sub
-        WHERE sv.vec_id % 25 = 0
+        WHERE sv.vec_id % {QUERY_MOD} = 0
+          AND sv.vec_id < {QUERY_CAP}
     ), adc AS (
         SELECT lut.q_id, codes.vec_id,
                CAST(SUM(lut.d9) AS DOUBLE) AS approx_dist
@@ -764,8 +774,10 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-entry sums are order-insensitive and the DuckDB oracle is exact
     (float sums under hash aggregation have no deterministic order).
 
-    100 TB shape: the LUT is (queries × 8 × n_codes) rows — broadcast-sized
-    for any bounded query set — and joins the code table on (sub, code),
+    100 TB shape: the LUT is (queries × 8 × n_codes) rows, and the query set
+    is hard-capped at QUERY_BUDGET vectors (the same vec_id-prefix cap as
+    every other ANN query side), so the broadcast is constant-size regardless
+    of corpus growth.  The LUT joins the code table on (sub, code),
     an equi-join; the corpus side ships only its 8-int codes, never
     embeddings.  WindowGroupLimit prunes to top-5 per query before the
     final sort.  This is the standard IVF-PQ serving path (Jégou et al.,
@@ -778,7 +790,12 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     carr = _pq_codebook(emb)
     codes = _pq_assignments(emb, carr).select("vec_id", "sub", "code")
     lut = (
-        _pq_subvectors(emb.where(F.col("vec_id") % 25 == 0))
+        _pq_subvectors(
+            emb.where(
+                (F.col("vec_id") % QUERY_MOD == 0)
+                & (F.col("vec_id") < QUERY_CAP)  # constant-size LUT broadcast
+            )
+        )
         .join(F.broadcast(carr), "sub")
         .select(
             F.col("vec_id").alias("q_id"),

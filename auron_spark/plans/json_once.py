@@ -37,8 +37,20 @@ def _parse_path(path: str) -> list[tuple[str, list[int]]]:
 def _merge_into_tree(tree: dict, segs, leaf_arr: int) -> None:
     for depth, (name, idxs) in enumerate(segs):
         last = depth == len(segs) - 1
-        node = tree.setdefault(name, {"arr": 0, "children": {}})
+        node = tree.setdefault(name, {"arr": 0, "children": {}, "leaf": False})
         node["arr"] = max(node["arr"], len(idxs), leaf_arr if last else 0)
+        # A path that terminates at a node some OTHER path descends through
+        # (e.g. "user" alongside "user.id") cannot be served by one schema:
+        # the struct-typed extraction would silently differ from
+        # get_json_object's JSON-text result.  Fail loudly instead.
+        if last:
+            node["leaf"] = True
+        if (last and node["children"]) or (not last and node["leaf"]):
+            raise ValueError(
+                f"JSON path conflict at {name!r}: requested both as a leaf "
+                "and as a parent of deeper paths — extract the parent with a "
+                "separate get_json_object call"
+            )
         if not last:
             tree = node["children"]
 

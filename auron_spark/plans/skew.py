@@ -46,6 +46,55 @@ def salted_join(
 
 
 @query(
+    "skew_aqe_join",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, COUNT(*) AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT e.user_id,
+           COUNT(*) AS n,
+           MAX(p.n_events) AS user_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN per_user p ON e.user_id = p.user_id
+    WHERE e.user_id < 50
+    GROUP BY e.user_id
+    ORDER BY e.user_id
+    """,
+    tags=("join", "skew", "aqe"),
+    bench=True,
+)
+def skew_aqe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AQE twin of skew_salted_join: a fact-fact shuffle join on the
+    zipf-skewed events.user_id with NO manual salting — mitigation is left to
+    AQE's runtime skew-join splitting (`skewJoin.enabled`, on in session.py),
+    which subdivides oversized partitions after seeing real map-output sizes.
+    `tests/test_plans.py::test_aqe_skew_join_split_triggers` proves the
+    mechanism actually fires (skew=true on the SMJ) under production-shaped
+    thresholds; this query keeps the same plan shape on the bench clock.
+
+    100 TB: salting (manual, pre-planned) and AQE splitting (automatic,
+    runtime) are the two levers SCALE.md documents; benching both twins keeps
+    their relative cost visible round over round."""
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    return (
+        ev.join(per_user, "user_id")
+        .where(F.col("user_id") < 50)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("n_events").alias("user_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
     "skew_salted_join",
     oracle="""
     WITH user_dim AS (
@@ -61,6 +110,7 @@ def salted_join(
     ORDER BY tier
     """,
     tags=("join", "skew", "salting"),
+    bench=True,
 )
 def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-skewed fact (events.user_id) joined to a user dimension through

@@ -6,12 +6,15 @@ line with per-query wall times.
 Queries are forced end-to-end with a `noop`-format write (full computation,
 no driver-side collect — the honest way to time a distributed plan).
 
-Methodology: each query gets one untimed warm-up execution, then the timed
-run — i.e. STEADY-STATE wall time.  At test scale a first execution is
-dominated by one-shot whole-stage-codegen compilation + JIT (measured 3.3s
-cold vs 0.98s warm for the minhash query, round 2); at 100 TB those compile
-once per query per cluster and amortize to zero, so the warm number is the
-one that scales.  (Rounds 1–2's BENCH_r{N} files were cold-run times.)
+Methodology: each query runs twice and BOTH times are reported — `cold`
+(first execution: pays file listing + whole-stage-codegen compilation + JIT)
+and `warm` (steady state).  The headline `value` / `queries` numbers are the
+warm times: at 100 TB the one-shot compile costs amortize to zero, so warm is
+the number that scales (measured 3.3 s cold vs 0.98 s warm for the minhash
+query at sf0.1).  Keeping cold alongside warm makes round-over-round deltas
+separate plan improvements from JIT amortization.  (History: BENCH_r01 was
+cold-only; BENCH_r02 was warm-only — produced after the warm-up change landed
+mid-round-2; BENCH_r03+ carry both.)
 """
 
 from __future__ import annotations
@@ -38,23 +41,27 @@ def main() -> None:
     spark = get_spark("auron-spark-bench")
     spark.sparkContext.setLogLevel("WARN")
 
-    times: dict[str, float] = {}
-    for name, spec in sorted(specs.items()):
-        # Warm-up run: pays file listing + codegen/JIT compile (one-shot
-        # costs that amortize away at scale), excluded from the timing.
-        spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    def run(spec) -> float:
         t0 = time.perf_counter()
         spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        return round(time.perf_counter() - t0, 3)
 
-    total = round(sum(times.values()), 3)
+    warm: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    for name, spec in sorted(specs.items()):
+        cold[name] = run(spec)
+        warm[name] = run(spec)
+
+    total = round(sum(warm.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
+                "queries": warm,
+                "queries_cold": cold,
+                "total_cold": round(sum(cold.values()), 3),
                 "sf": sf,
             }
         )

@@ -116,3 +116,22 @@ def test_hll_sketch_union_accuracy(spark):
     )
     est = row["approx_distinct_orders"]
     assert abs(est - exact) / exact < 0.03, (est, exact)
+
+
+def test_connected_components_chain_converges_logarithmically(spark):
+    """Pointer jumping must converge on a 200-node path graph (eccentricity
+    199 from the min node) well inside the 20-round budget — pure one-hop
+    propagation would need 199 rounds and previously exited silently."""
+    import pytest
+
+    from auron_spark.pipeline.dedup import connected_components
+
+    n = 200
+    nodes = spark.range(n).selectExpr("id AS doc_id")
+    fwd = spark.range(n - 1).selectExpr("id AS u", "id + 1 AS v")
+    edges = fwd.union(fwd.selectExpr("v AS u", "u AS v"))
+    labels = connected_components(nodes, edges, max_rounds=12)
+    assert labels.filter(F.col("canonical_id") != 0).count() == 0
+    # and the budget is a loud contract, not a silent cap
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_rounds=2)

@@ -39,24 +39,30 @@ def test_nested_arrays_tagged():
 
 
 def test_driver_window_spans_all_families():
-    """The driver checks a 50-query prefix of the registry; round 1 proved the
-    prefix was all scalar-function families and left joins/TPC-H/windows/
-    set-ops/pipeline with zero external rows. Pin that the prefix now holds a
-    representative of every SURVEY §2 family."""
+    """The driver checks a 50-query prefix of the registry.  Round-3 policy:
+    every slot goes to a query with NO driver row from rounds 1-2 (rotating
+    external evidence onto the never-checked 61), with every never-checked
+    family represented — all round-2 operators, the TPC-H tail, window and
+    generator tails, JSON parse-once/variant, and >=5 streaming twins."""
     from auron_spark import registry
 
     window = list(registry.load_all())[:50]
+    wasted = set(window) & registry._PROVEN
+    assert not wasted, f"window wastes slots on driver-proven queries: {wasted}"
     prefixes = [
-        "join_", "q1_", "q3_", "q5_", "q9_", "q21_", "q2_", "q4_",
-        "window_", "sort_", "limit_", "take_", "set_", "distinct_",
-        "exchange_", "pivot_", "unpivot_", "gen_", "dedup_", "sim_",
-        "text_", "pipeline_", "skew_",
+        # round-2 operators
+        "udaf_", "funnel_", "streak_", "sample_", "split_", "shuffle_",
+        "sim_quantize", "sim_pq", "text_repetition", "contamination_",
+        "dedup_connected", "pack_",
+        # tails never externally checked
+        "q6_", "q10_", "q22_", "window_", "gen_", "json_", "fn_variant",
+        "dedup_simhash", "sim_centroids", "sim_knn_bruteforce", "text_",
+        "scan_", "set_union_distinct",
     ]
     missing = [p for p in prefixes if not any(n.startswith(p) for n in window)]
     assert not missing, f"driver window lost family coverage: {missing}"
-    # The three round-1 hash failures must be re-proven inside the window.
-    for fixed in ("fn_math", "fn_cast", "udf_map_in_pandas"):
-        assert fixed in window
+    n_stream = sum(1 for n in window if n.startswith("stream_"))
+    assert n_stream >= 5, f"only {n_stream} streaming twins in window"
 
 
 def test_shingles_short_documents(spark):
@@ -129,3 +135,18 @@ def test_hash_sampling_append_stable(spark):
     counts = Counter(on_full.values())
     assert len(counts) == 100
     assert max(counts.values()) < 3 * (2000 // 100)
+
+
+def test_json_extract_paths_rejects_prefix_conflicts():
+    """A path that is both a leaf and a prefix of another path ("user" +
+    "user.id") would silently return a struct where get_json_object returns
+    JSON text — the helper must fail loudly, in either merge order."""
+    import pytest
+
+    from auron_spark.plans.json_once import _merge_into_tree, _parse_path
+
+    for specs in (["user", "user.id"], ["user.id", "user"]):
+        tree: dict = {}
+        with pytest.raises(ValueError, match="JSON path conflict"):
+            for p in specs:
+                _merge_into_tree(tree, _parse_path(p), 0)

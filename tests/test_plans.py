@@ -336,11 +336,28 @@ def test_hash_sample_is_map_side(spark):
 def test_quantized_ann_no_cartesian(spark):
     """sim_quantize_int8 / sim_pq_codes: candidate scoring must be an
     equi-join (block key / broadcast codebook), never a cartesian product."""
+    from auron_spark.pipeline.similarity import QUERY_CAP
+
     for name in ("sim_quantize_int8", "sim_pq_codes"):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
     # the PQ codebook is tiny and must broadcast
     assert "BroadcastHashJoin" in _plan(spark, "sim_pq_codes")
+    # int8 NN: the query side is a CONSTANT-budget prefix, so scoring is
+    # O(|queries| x block), never all-pairs-in-block — the cap predicate must
+    # reach the query-side scan
+    assert f"LessThan(vec_id,{QUERY_CAP})" in _plan(spark, "sim_quantize_int8")
+
+
+def test_pq_adc_lut_is_capped(spark):
+    """sim_pq_adc_topk: the per-query ADC lookup table broadcasts, so its
+    query set must carry the constant QUERY_BUDGET cap — a corpus-fraction
+    LUT would grow the broadcast linearly with scale."""
+    from auron_spark.pipeline.similarity import QUERY_CAP
+
+    plan = _plan(spark, "sim_pq_adc_topk")
+    assert "CartesianProduct" not in plan
+    assert f"LessThan(vec_id,{QUERY_CAP})" in plan, plan
 
 
 def test_funnel_stages_join_on_user_id(spark):
@@ -349,3 +366,52 @@ def test_funnel_stages_join_on_user_id(spark):
     plan = _plan(spark, "funnel_view_click_purchase")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_aqe_skew_join_split_triggers(spark):
+    """AQE skew-join splitting must actually FIRE, not just be enabled: a
+    deliberately hot-keyed fact side (90% of events on one user_id) joined
+    under skew-shaped thresholds ends with SortMergeJoin(skew=true) in the
+    final adaptive plan.
+
+    Two scale lessons encoded here: (1) splitting works at MAP-OUTPUT
+    granularity, and the fixture parquet is a single row group = one map
+    chunk, which AQE cannot split — so the fact side is spread over 16 map
+    tasks first (at 100 TB there are always many mappers; a single giant
+    unsplittable map output would be the same pathology); (2) thresholds are
+    scaled down in proportion to the sf0.01 fixture so the *mechanism* is
+    exercised — production keeps the defaults (256MB threshold)."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1kb",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512b",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        hot = ev.repartition(16).select(
+            F.when(F.col("event_id") % 10 != 0, 0)
+            .otherwise(F.col("user_id"))
+            .alias("user_id"),
+            "value",
+        )
+        probe = ev.filter(F.col("event_id") % 50 == 0).select(
+            "user_id", F.col("event_id").alias("probe_id")
+        )
+        df = hot.join(probe, "user_id").select(F.count("*").alias("n"))
+        assert df.collect()[0].n > 0
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
