@@ -496,3 +496,89 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_EMAIL_RE = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+"
+_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH synth AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 3 <> 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 2 = 0
+                       THEN ' call +1-555-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT)
+               AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>',
+                                             'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS clean_md5
+    FROM synth
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "text", "pii"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the scrubbing pass every training-data pipeline runs
+    before anything else: find-and-mask emails and phone numbers, report
+    per-document match counts, and emit a digest of the cleaned text (the
+    full cleaned column in production; hashed here so the oracle compares it
+    without shipping megabytes through the harness).
+
+    The fixture corpus contains no PII, so a deterministic synthetic layer is
+    appended first (email on doc_id % 3 != 0, phone on doc_id % 2 == 0 —
+    identical expressions in the DuckDB oracle), making the match counts
+    verifiable, not vacuously zero.
+
+    100 TB shape: pure map-side regexp built-ins (codegen, no Python, no
+    shuffle) — the scan streams, each row is redacted in place, and the only
+    exchange is the demo's final ORDER BY.  Regex patterns are restricted to
+    constructs with identical semantics in Java regex and DuckDB's RE2
+    (character classes, +, bounded repetition; no backrefs/lookaround)."""
+    t = Tables(spark, sf_dir)
+    synth = t.documents.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 != 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    return synth.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+                _PHONE_RE,
+                "<PHONE>",
+            )
+        ).alias("clean_md5"),
+    ).orderBy("doc_id")

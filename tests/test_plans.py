@@ -415,3 +415,45 @@ def test_aqe_skew_join_split_triggers(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Dynamic partition pruning — the partition-level runtime filter that
+    complements the bloom-filter row gate: a selective dim predicate must
+    reach the partitioned fact scan as a dynamicpruning subquery, so at
+    100 TB only the matching partition directories are listed and read.
+    Static pruning (literal partition filter) is covered in test_sources."""
+    import pyspark.sql.functions as F
+
+    from auron_spark.sources import io
+    from auron_spark.tables import table
+
+    orders = table(spark, SF_DIR, "orders")
+    path = str(tmp_path / "orders_p")
+    io.write_partitioned(orders, path, ["o_orderpriority"])
+    fact = spark.read.parquet(path)
+    dim = (
+        orders.select("o_orderpriority")
+        .distinct()
+        .filter(F.col("o_orderpriority").startswith("1"))
+    )
+    j = fact.join(dim, "o_orderpriority").agg(F.count("*").alias("n"))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    assert j.collect()[0].n > 0
+
+
+def test_retrieval_broadcasts_vocab_and_stats(spark):
+    """TF-IDF / BM25: the vocabulary DF table and the scalar stats row
+    broadcast back onto the token stream — the corpus-sized side must never
+    be the build side and no cartesian may form (the 1-row stats join is a
+    broadcast nested loop by construction, which is fine)."""
+    for name in ("tfidf_top_terms", "bm25_single_term"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+    # BM25's probe-term filter must land BEFORE the tf aggregate's exchange:
+    # the filter appears under the scan, not after a shuffle
+    bm25 = _plan(spark, "bm25_single_term")
+    scan_lines = [l for l in bm25.splitlines() if "FileScan parquet" in l]
+    assert scan_lines, bm25
