@@ -233,3 +233,39 @@ def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "scan_file_provenance",
+    oracle="""
+    SELECT 'documents.parquet' AS file_name,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    ORDER BY file_name
+    """,
+    tags=("scan", "metadata", "provenance"),
+)
+def scan_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source-file lineage via the hidden `_metadata` struct — the
+    provenance every training-data pipeline must carry (which shard did this
+    example come from?).  `_metadata.file_name` is populated by the scan
+    itself at zero I/O cost; no UDF, no input_file_name() (which breaks under
+    whole-stage codegen fusion in subtle ways — the metadata column is the
+    supported replacement).
+
+    The fixture table is a single file, so the oracle pins the one expected
+    (basename, row-count, sum) row; on a real multi-file table the same query
+    yields one row per shard.  Map-side + one small aggregate; groups scale
+    with file count, not rows."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.select(F.col("_metadata.file_name").alias("file_name"), "n_chars")
+        .groupBy("file_name")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("file_name")
+    )

@@ -577,3 +577,58 @@ def connected_components(
             f"connected_components did not converge in {max_rounds} rounds"
         )
     return labels
+
+
+@query(
+    "dedup_incremental_anti_join",
+    oracle="""
+    WITH corpus AS (
+        SELECT md5(text) AS h FROM documents WHERE source = 'src0'
+        GROUP BY md5(text)
+    ),
+    batch AS (
+        SELECT doc_id, source, md5(text) AS h FROM documents
+        WHERE source <> 'src0'
+    )
+    SELECT b.source, COUNT(*) AS n_new,
+           COUNT(DISTINCT b.h) AS n_distinct_new
+    FROM batch b
+    WHERE b.h NOT IN (SELECT h FROM corpus)
+    GROUP BY b.source
+    ORDER BY b.source
+    """,
+    tags=("pipeline", "dedup", "incremental"),
+)
+def dedup_incremental_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: a new batch is admitted only where its
+    content digest does not already exist in the accumulated corpus — a LEFT
+    ANTI join on the 16-byte digest (src0 plays the historical corpus here,
+    the other sources the incoming batch).
+
+    This is the production shape for append-only pipelines: the historical
+    side is a digest-only table (16 bytes/doc — 100 TB of text reduces to
+    ~100s of GB of digests), the anti join shuffles digests not text, and
+    when the digest table is bucketed by `h` the ingest join is co-located
+    and shuffle-free on the corpus side.  Spark additionally gates the probe
+    with the runtime bloom filter (session.py) so most new-batch rows never
+    reach the exchange.  md5 is never NULL here, so NOT IN and LEFT ANTI
+    agree (the null-aware case is covered by join_null_aware_anti)."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents
+    corpus = (
+        docs.where(F.col("source") == "src0")
+        .select(F.md5("text").alias("h"))
+        .dropDuplicates()
+    )
+    batch = docs.where(F.col("source") != "src0").select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    return (
+        batch.join(corpus, "h", "left_anti")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_new"),
+            F.count_distinct("h").alias("n_distinct_new"),
+        )
+        .orderBy("source")
+    )

@@ -88,6 +88,7 @@ _SQL_TF = f"""
     ORDER BY doc_id, rk
     """,
     tags=("pipeline", "retrieval", "tfidf"),
+    bench=True,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document.

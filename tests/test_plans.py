@@ -457,3 +457,56 @@ def test_retrieval_broadcasts_vocab_and_stats(spark):
     bm25 = _plan(spark, "bm25_single_term")
     scan_lines = [l for l in bm25.splitlines() if "FileScan parquet" in l]
     assert scan_lines, bm25
+
+
+def test_parquet_aggregate_pushdown(spark):
+    """MIN/MAX/COUNT over a parquet scan push into the scan itself (answered
+    from footer statistics — zero data pages read) under the v2 reader.
+    session.py enables spark.sql.parquet.aggregatePushdown; this pins that
+    the capability actually engages.  At 100 TB a COUNT(*)/MIN/MAX audit
+    query is metadata-only I/O instead of a full-table scan."""
+    import pyspark.sql.functions as F
+
+    saved = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    try:
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        agg = df.agg(
+            F.count("*").alias("n"),
+            F.min("o_orderkey").alias("mn"),
+            F.max("o_orderkey").alias("mx"),
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation" in plan, plan
+        row = agg.collect()[0]
+        assert row.n > 0 and row.mn == 0
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            spark.conf.set("spark.sql.sources.useV1SourceList", saved)
+
+
+def test_observation_metrics_single_pass(spark):
+    """df.observe: pipeline health metrics (row counts, null rates, filter
+    selectivity) collected as accumulators DURING the one real pass — the
+    100 TB observability pattern; a separate metrics query would double the
+    scan.  The metrics row must match a direct computation."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Observation
+
+    from auron_spark.tables import table
+
+    docs = table(spark, SF_DIR, "documents")
+    obs = Observation("ingest_metrics")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count(F.when(F.col("n_chars") > 300, 1)).alias("n_long"),
+    )
+    n_kept = observed.filter(F.col("n_chars") > 300).count()  # the real job
+    m = obs.get
+    assert m["n_docs"] == docs.count()
+    assert m["n_long"] == n_kept
+    assert m["total_chars"] > 0

@@ -243,3 +243,56 @@ def test_random_set_operations(spark, duck, op, lo, hi):
     got = normalize(spark.sql(q.format(t="li_prop")).toPandas())
     want = normalize(duck.execute(q.format(t="lineitem")).df())
     assert got == want, (op, lo, hi)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=39),
+            st.integers(min_value=0, max_value=39),
+        ),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_connected_components_vs_union_find(spark, edges):
+    """connected_components must agree with a pure-Python union-find on
+    arbitrary random graphs (40 nodes, up to 60 edges) — topology-independent
+    correctness beyond the near-clique LSH fixture and the chain test."""
+    import pyspark.sql.functions as F
+
+    from auron_spark.pipeline.dedup import connected_components
+
+    n = 40
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    expected = {x: find(x) for x in range(n)}
+    # canonical = min of component: union-by-min keeps root == component min
+    nodes = spark.range(n).selectExpr("id AS doc_id")
+    pairs = [(u, v) for u, v in edges if u != v]
+    if pairs:
+        e = spark.createDataFrame(pairs, "u long, v long")
+        e = e.union(e.selectExpr("v AS u", "u AS v"))
+    else:
+        e = spark.createDataFrame([], "u long, v long")
+    labels = {
+        r.doc_id: r.canonical_id
+        for r in connected_components(nodes, e, max_rounds=12).collect()
+    }
+    assert labels == expected
