@@ -185,6 +185,7 @@ def load_all() -> dict[str, QuerySpec]:
         from auron_spark import operators as _operators  # noqa: F401
         from auron_spark import pipeline as _pipeline  # noqa: F401
         from auron_spark import plans as _plans  # noqa: F401
+        from auron_spark import sources as _sources  # noqa: F401
         from auron_spark import streaming as _streaming  # noqa: F401
 
         _LOADED = True

@@ -1,3 +1,3 @@
 """Source/sink surface (SURVEY.md §2.1)."""
 
-from auron_spark.sources import io  # noqa: F401
+from auron_spark.sources import io, pyds  # noqa: F401

@@ -53,14 +53,28 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 
 def write_partitioned(
-    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    rebalance: bool = False,
 ) -> None:
     """Dynamic-partition parquet write: repartition on the partition columns so
     every output partition is written by one task → one file per partition
-    value instead of tasks × partitions small files."""
+    value instead of tasks × partitions small files.
+
+    ``rebalance=True`` swaps the hash repartition for a REBALANCE hint: AQE
+    then splits oversized partition-values across tasks and merges small ones
+    (`optimizeSkewsInRebalancePartitions`).  Prefer it when partition values
+    are skewed — a plain repartition writes the hottest value with ONE task
+    at any scale (gate: `test_rebalance_hint_for_write_path`)."""
+    staged = (
+        df.hint("rebalance", *partition_cols)
+        if rebalance
+        else df.repartition(*partition_cols)
+    )
     (
-        df.repartition(*partition_cols)
-        .write.mode(mode)
+        staged.write.mode(mode)
         .partitionBy(*partition_cols)
         .option("compression", "zstd")
         .parquet(path)

@@ -510,3 +510,31 @@ def test_observation_metrics_single_pass(spark):
     assert m["n_docs"] == docs.count()
     assert m["n_long"] == n_kept
     assert m["total_chars"] > 0
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """AQE partition coalescing must actually fire: a small aggregate's 32
+    shuffle partitions collapse into few post-shuffle tasks (AQEShuffleRead
+    coalesced).  At 100 TB the same mechanism right-sizes every stage to
+    advisoryPartitionSizeInBytes instead of the static shuffle.partitions."""
+    import pyspark.sql.functions as F
+
+    from auron_spark.tables import table
+
+    agg = table(spark, SF_DIR, "orders").groupBy("o_orderpriority").count()
+    agg.collect()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead coalesced" in plan, plan
+
+
+def test_rebalance_hint_for_write_path(spark):
+    """The write-path skew lever: REBALANCE(cols) produces even output tasks
+    (AQE splits oversized and merges undersized partitions — unlike
+    repartition(cols), which inherits the key skew).  Gate that the hint
+    survives to the optimized plan; write_partitioned documents when to
+    prefer it."""
+    from auron_spark.tables import table
+
+    df = table(spark, SF_DIR, "orders").hint("rebalance", "o_orderpriority")
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "rebalance" in optimized.lower(), optimized

@@ -133,3 +133,18 @@ def test_parquet_schema_evolution_merge(spark, tmpdir):
     assert rows[0] == (0, None)      # old file: evolved column is NULL
     assert rows[9] == (18, "new")    # new file carries it
     assert len(rows) == 10
+
+
+def test_python_datasource_partition_parallel(spark):
+    """The custom Python DataSource must plan one task per InputPartition —
+    a single-partition read would serialize the whole generate/ingest on one
+    executor core."""
+    from auron_spark.sources import pyds
+
+    pyds.register(spark)
+    df = spark.read.format("synthdocs").option("partitions", "4").load()
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == pyds.N_DOCS
+    # partition pruning of work: a 2-partition read plans 2 tasks
+    df2 = spark.read.format("synthdocs").option("partitions", "2").load()
+    assert df2.rdd.getNumPartitions() == 2
