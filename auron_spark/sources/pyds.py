@@ -24,7 +24,12 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from auron_spark.registry import query
 
@@ -49,7 +54,14 @@ def _doc_text(i: int) -> str:
 
 
 class SynthDocsDataSource(DataSource):
-    """`spark.read.format("synthdocs")` — options: n_docs, partitions."""
+    """`spark.read.format("synthdocs")` — options: n_docs, partitions.
+
+    Also a STREAMING source (`spark.readStream.format("synthdocs")`, option
+    batch_size): micro-batches advance a {pos} offset through the same
+    deterministic corpus, with `readBetweenOffsets` replay for recovery —
+    the offset/startup semantics of the reference's Kafka scan
+    (`flink/kafka_scan_exec.rs:81`), demonstrated live in pure Python while
+    the Kafka connector itself stays environment-gated."""
 
     @classmethod
     def name(cls) -> str:
@@ -60,6 +72,9 @@ class SynthDocsDataSource(DataSource):
 
     def reader(self, schema) -> "SynthDocsReader":
         return SynthDocsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "SynthDocsStreamReader":
+        return SynthDocsStreamReader(self.options)
 
 
 class SynthDocsReader(DataSourceReader):
@@ -80,6 +95,39 @@ class SynthDocsReader(DataSourceReader):
         for i in range(lo, hi):
             text = _doc_text(i)
             yield (i, f"src{i % 4}", text, len(text))
+
+
+def _rows(lo: int, hi: int) -> list[tuple]:
+    # a LIST (not a generator): the simple-stream prefetch cache pickles the
+    # returned iterator for replay, and generators cannot be pickled
+    out = []
+    for i in range(lo, hi):
+        text = _doc_text(i)
+        out.append((i, f"src{i % 4}", text, len(text)))
+    return out
+
+
+class SynthDocsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch reader over the bounded synthetic corpus: offset = {pos};
+    each batch emits the next batch_size docs until n_docs is reached, after
+    which batches are empty (offset stops advancing).  readBetweenOffsets
+    re-derives any committed range exactly — replay-safe because rows are a
+    pure function of doc_id."""
+
+    def __init__(self, options) -> None:
+        self.n_docs = int(options.get("n_docs", N_DOCS))
+        self.batch = int(options.get("batch_size", 50))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        lo = start["pos"]
+        hi = min(lo + self.batch, self.n_docs)
+        return iter(_rows(lo, hi)), {"pos": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(_rows(start["pos"], end["pos"]))
 
 
 def register(spark: SparkSession) -> None:

@@ -349,3 +349,41 @@ def test_stream_static_enrich_equals_batch(spark):
     got = normalize(spark.sql("SELECT * FROM enrich_out").toPandas())
     want = normalize(enrich_with_segment(batch, cust).toPandas())
     assert got == want
+
+
+def test_python_stream_source_equals_batch(spark):
+    """The custom Python DataSource's STREAMING path must deliver exactly the
+    batch table: micro-batches advance the {pos} offset through the bounded
+    corpus (16-doc batches -> 3 batches for 40 docs), and the union of all
+    batches equals the one-shot batch read.  This is the offset/replay
+    contract of the reference's Kafka scan, live-tested without a broker."""
+    import time
+
+    from auron_spark.sources import pyds
+
+    pyds.register(spark)
+    q = (
+        spark.readStream.format("synthdocs")
+        .option("n_docs", "40")
+        .option("batch_size", "16")
+        .load()
+        .writeStream.format("memory")
+        .queryName("pyds_stream_out")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        for _ in range(60):
+            if spark.sql("SELECT COUNT(*) n FROM pyds_stream_out").collect()[0].n >= 40:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    streamed = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM pyds_stream_out").collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in spark.read.format("synthdocs").option("n_docs", "40").load().collect()
+    )
+    assert streamed == batch and len(streamed) == 40
