@@ -176,3 +176,51 @@ def gen_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey", "metric")
     )
+
+
+@query(
+    "gen_python_udtf_analyze",
+    oracle="""
+    SELECT p_partkey,
+           string_split(p_name, ' ')[1] AS w0,
+           string_split(p_name, ' ')[2] AS w1,
+           string_split(p_name, ' ')[3] AS w2
+    FROM part
+    WHERE p_size >= 48
+    ORDER BY p_partkey
+    """,
+    tags=("generate", "udtf", "polymorphic"),
+)
+def gen_python_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4 `analyze()`): the OUTPUT SCHEMA is
+    computed at plan time from a literal argument — here `n` pivot columns
+    w0..w{n-1} — the Python-native counterpart of the reference's
+    schema-carrying UDTF FFI (`SparkUDTFWrapperContext.scala:95-144`, which
+    ships a fixed schema across the boundary; analyze() makes it dynamic).
+    Called with n=3; the oracle pins the first three words per part name."""
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, lit, udtf
+    from pyspark.sql.types import StringType, StructType
+
+    @udtf
+    class FirstWords:
+        @staticmethod
+        def analyze(name: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"w{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, name: str, n: int):  # noqa: ANN001
+            words = (name or "").split(" ")
+            yield tuple(words[i] if i < len(words) else None for i in range(n))
+
+    t = Tables(spark, sf_dir)
+    t.part.filter(F.col("p_size") >= 48).createOrReplaceTempView("udtf_part2")
+    spark.udtf.register("first_words_udtf", FirstWords)
+    return spark.sql(
+        """
+        SELECT p_partkey, t.w0, t.w1, t.w2
+        FROM udtf_part2, LATERAL first_words_udtf(p_name, 3) t
+        ORDER BY p_partkey
+        """
+    )

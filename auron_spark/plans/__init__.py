@@ -1,3 +1,3 @@
 """Plan-level rewrites and strategy helpers (SURVEY.md §4 custom work)."""
 
-from auron_spark.plans import json_once, skew  # noqa: F401
+from auron_spark.plans import json_once, layout, skew  # noqa: F401

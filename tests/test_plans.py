@@ -538,3 +538,45 @@ def test_rebalance_hint_for_write_path(spark):
     df = table(spark, SF_DIR, "orders").hint("rebalance", "o_orderpriority")
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert "rebalance" in optimized.lower(), optimized
+
+
+def test_zorder_layout_improves_both_dim_locality(spark):
+    """The point of z-ordering: split the z-sorted table into 8 contiguous
+    'files' and BOTH dimensions stay narrow within each file, so parquet
+    min/max stats prune on either filter column.  A linear sort by `a`
+    leaves dimension `b` spanning ~the full range in every file."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from auron_spark.plans.layout import zorder_key
+    from auron_spark.tables import table
+
+    part = table(spark, SF_DIR, "part")
+    a = (F.col("p_partkey") % 1024).cast("long")
+    b = (
+        F.conv(F.substring(F.md5(F.col("p_partkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1024
+    )
+    keyed = part.select(a.alias("a"), b.alias("b"), zorder_key(a, b).alias("zkey"))
+
+    def mean_span(df, order_col):
+        w = Window.orderBy(order_col, "a", "b")
+        bucketed = df.withColumn("bucket", F.ntile(8).over(w))
+        spans = (
+            bucketed.groupBy("bucket")
+            .agg(
+                (F.max("a") - F.min("a")).alias("sa"),
+                (F.max("b") - F.min("b")).alias("sb"),
+            )
+            .agg(F.avg("sa").alias("ma"), F.avg("sb").alias("mb"))
+            .collect()[0]
+        )
+        return spans.ma, spans.mb
+
+    za, zb = mean_span(keyed, "zkey")
+    la, lb = mean_span(keyed, "a")
+    # linear sort: a-spans tiny, b-spans ~full range.  z-order: both bounded.
+    assert lb > 900, lb
+    assert za < 700 and zb < 700, (za, zb)
+    assert max(za, zb) < lb * 0.75

@@ -4,6 +4,7 @@ writers, verified by exact round-trip equality."""
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pyspark.sql.functions as F
@@ -11,7 +12,7 @@ import pytest
 
 from auron_spark.sources import io
 from auron_spark.tables import table
-from tests.conftest import SF_SMOKE, normalize
+from tests.conftest import SF_DIR, SF_SMOKE, normalize
 
 
 @pytest.fixture()
@@ -148,3 +149,29 @@ def test_python_datasource_partition_parallel(spark):
     # partition pruning of work: a 2-partition read plans 2 tasks
     df2 = spark.read.format("synthdocs").option("partitions", "2").load()
     assert df2.rdd.getNumPartitions() == 2
+
+
+def test_small_file_compaction(spark, tmpdir):
+    """Write-path hygiene: a fragmented table (32 tiny files) compacts to a
+    bounded file count with coalesce + maxRecordsPerFile, preserving rows.
+    At 100 TB unmanaged small files destroy scan throughput (per-file open
+    cost, starved row groups) — compaction is the periodic fix."""
+    from auron_spark.tables import table
+
+    src = table(spark, SF_DIR, "orders")
+    frag = f"{tmpdir}/fragmented"
+    src.repartition(32).write.mode("overwrite").parquet(frag)
+    n_frag = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    assert n_frag >= 16
+
+    compacted = f"{tmpdir}/compacted"
+    (
+        spark.read.parquet(frag)
+        .coalesce(2)  # no shuffle: merges partitions in place
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 10000)  # upper-bounds file size too
+        .parquet(compacted)
+    )
+    n_comp = len([f for f in os.listdir(compacted) if f.endswith(".parquet")])
+    assert n_comp < n_frag / 4, (n_frag, n_comp)
+    assert spark.read.parquet(compacted).count() == src.count()
