@@ -582,3 +582,104 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("clean_md5"),
     ).orderBy("doc_id")
+
+
+@query(
+    "pipeline_curation_end_to_end",
+    oracle=f"""
+    WITH sampled AS (
+        SELECT doc_id, source, text
+        FROM documents
+        WHERE CAST('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 100
+              < 10 + (CAST(substr(source, 4) AS BIGINT) % 4) * 20
+    ),
+    cleaned AS (
+        SELECT doc_id, source,
+               regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g') AS text
+        FROM sampled
+    ),
+    quality AS (
+        SELECT * FROM cleaned WHERE len(string_split(text, ' ')) >= 8
+    ),
+    fresh AS (
+        SELECT q.doc_id, q.source, q.text FROM quality q
+        WHERE q.source <> 'src0'
+          AND md5(q.text) NOT IN
+              (SELECT md5(text) FROM documents WHERE source = 'src0')
+    )
+    SELECT source,
+           len(string_split(text, ' ')) // 16 AS len_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           md5(string_agg(md5(text), '|' ORDER BY doc_id)) AS bucket_fp
+    FROM fresh
+    GROUP BY source, len_bucket
+    ORDER BY source, len_bucket
+    """,
+    tags=("pipeline", "end-to-end", "curation"),
+    bench=True,
+)
+def pipeline_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3 curation pipeline as ONE declarative plan: mixture-weight
+    sampling → PII redaction → minimum-length quality gate → incremental
+    dedup against the historical corpus (src0) → sequence-pack length
+    buckets with a per-bucket content fingerprint.
+
+    Composition is again the point (see pipeline_end_to_end): the sampling
+    decision, redaction and quality gate are all map-side in the first scan;
+    the only shuffles are the digest anti-join probe and the final bucket
+    aggregate.  Every stage is individually registered and oracle-checked
+    (sample_mixture_weights / text_pii_redact / dedup_incremental_anti_join /
+    pack_length_buckets); this query proves they FUSE."""
+    from auron_spark.pipeline.sampling import hash_bucket
+
+    t = Tables(spark, sf_dir)
+    keep_pct = F.lit(10) + (F.substring("source", 4, 10).cast("bigint") % 4) * F.lit(20)
+    sampled = t.parallel("documents", "doc_id").where(
+        hash_bucket(F.col("doc_id")) < keep_pct
+    )
+    cleaned = sampled.select(
+        "doc_id",
+        "source",
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("text"),
+    )
+    quality = cleaned.where(F.size(F.split("text", " ")) >= 8)
+    corpus = (
+        t.documents.where(F.col("source") == "src0")
+        .select(F.md5("text").alias("h"))
+        .dropDuplicates()
+    )
+    fresh = (
+        quality.where(F.col("source") != "src0")
+        .withColumn("h", F.md5("text"))
+        .join(corpus, "h", "left_anti")
+    )
+    n_tok = F.size(F.split("text", " "))
+    return (
+        fresh.select(
+            "doc_id",
+            "source",
+            "h",
+            n_tok.alias("n_tokens"),
+            F.floor(n_tok / 16).cast("long").alias("len_bucket"),
+        )
+        .groupBy("source", "len_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "h"))),
+                        lambda s: s["h"],
+                    ),
+                    "|",
+                )
+            ).alias("bucket_fp"),
+        )
+        .orderBy("source", "len_bucket")
+    )
