@@ -101,6 +101,15 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: token explode (map-side) → (doc,term) two-phase count → vocabulary
     DF aggregate → broadcast idf back → WindowGroupLimit top-3 per doc.
+
+    Deliberate shape note: computing df as `count() OVER (PARTITION BY term)`
+    instead of aggregate+broadcast-join measures ~1.5× faster at sf0.1 (one
+    fewer scan) but shuffles the ENTIRE tf stream keyed by term with no
+    map-side combine — and term frequency is zipfian, so the hot-term
+    partitions ("the", "of") become stragglers at 100 TB.  The aggregate path
+    shuffles only partial per-term counts (collapsed map-side) and broadcasts
+    a vocabulary-sized table; the extra columnar scan is the cheap side of
+    that trade.
     """
     t = Tables(spark, sf_dir)
     tf = _tf(t.documents)
