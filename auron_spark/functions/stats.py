@@ -238,3 +238,49 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_histogram_width_bucket",
+    oracle="""
+    SELECT bucket, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM (
+        SELECT o_totalprice,
+               CASE WHEN CAST(o_totalprice AS DOUBLE) < 0 THEN 0
+                    WHEN CAST(o_totalprice AS DOUBLE) >= 600000 THEN 21
+                    ELSE 1 + CAST(FLOOR(CAST(o_totalprice AS DOUBLE) / 30000.0)
+                                  AS BIGINT)
+               END AS bucket
+        FROM orders
+    )
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("agg", "histogram", "profiling"),
+)
+def agg_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-distribution histogram via `width_bucket` (20 equal bins over
+    [0, 600000) + the two overflow buckets) — the data-profiling primitive a
+    pipeline runs before choosing filters/quantization ranges.  Bucket
+    assignment is map-side scalar math; the aggregate is two-phase over at
+    most 22 groups, so shuffle bytes are constant regardless of table size.
+    The oracle spells out width_bucket's exact semantics (DuckDB lacks the
+    function): 0 below range, n+1 above, else 1 + floor(v/width) — all in
+    DOUBLE, where both engines compute identical IEEE results."""
+    t = Tables(spark, sf_dir)
+    v = F.col("o_totalprice").cast("double")
+    return (
+        t.orders.select(
+            "o_totalprice",
+            F.width_bucket(v, F.lit(0.0), F.lit(600000.0), F.lit(20)).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("bucket")
+    )
