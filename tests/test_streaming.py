@@ -387,3 +387,86 @@ def test_python_stream_source_equals_batch(spark):
         for r in spark.read.format("synthdocs").option("n_docs", "40").load().collect()
     )
     assert streamed == batch and len(streamed) == 40
+
+
+def test_stream_stream_interval_join_left_outer(spark):
+    """LEFT OUTER stream-stream interval join: zero-click purchases must ALSO
+    emit (with NULL click time) — the outer rows materialize only when the
+    watermark passes a purchase's state-retention bound, so the stream
+    appends a far-future sentinel file as a second micro-batch
+    (maxFilesPerTrigger=1) to advance the watermark past every real event;
+    without it the tail of unmatched purchases would stay in state forever.
+    Results must equal the batch LEFT formulation (the registered
+    stream_interval_join oracle shape)."""
+    import os
+    import tempfile
+
+    from auron_spark.streaming.ops import purchase_click_attribution
+
+    batch = table(spark, SF_SMOKE, "events")
+    d = tempfile.mkdtemp(prefix="auron-stream-outer-")
+    os.symlink(f"{SF_SMOKE}/events.parquet", f"{d}/00-events.parquet")
+    # sentinel micro-batch: one purchase + one click 10h past the real data
+    far = batch.select(F.max("ts").alias("m")).collect()[0].m
+    import datetime
+
+    far_ts = far + datetime.timedelta(hours=10)
+    nanos = int(far_ts.replace(tzinfo=datetime.timezone.utc).timestamp() * 1e9)
+    sent = spark.createDataFrame(
+        [(-1, nanos, -1, "purchase", 0.0, "{}"), (-2, nanos, -1, "click", 0.0, "{}")],
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sent.coalesce(1).write.mode("overwrite").parquet(f"{d}/zz-sentinel")
+    raw_schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(f"{d}/*")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "leftOuter",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_outer_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = normalize(
+        spark.sql(
+            """SELECT p_id, p_user, COUNT(c_ts) AS n FROM ssj_outer_out
+               WHERE p_user >= 0 GROUP BY p_id, p_user"""
+        ).toPandas()
+    )
+    want = normalize(
+        purchase_click_attribution(batch)
+        .withColumnRenamed("n_clicks_30m", "n")
+        .toPandas()
+    )
+    assert got == want
