@@ -284,3 +284,48 @@ def agg_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_distinct_cust
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("agg", "bitmap", "distinct"),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counting via the bitmap aggregate family
+    (Spark 3.5+): keys bucket into fixed-width bitmaps
+    (bitmap_bucket_number / bitmap_bit_position), partial groups build
+    bitmaps (bitmap_construct_agg), higher levels OR-merge them
+    (bitmap_or_agg), and the final count is a sum of bitmap_count — the
+    precompute-once, merge-anywhere pattern warehouses use for daily
+    distinct-user rollups, where re-scanning raw data per query is
+    unaffordable at 100 TB.  Unlike HLL sketches (agg_hll_sketch_mergeable)
+    the merge is EXACT; cost is bitmap width instead of sketch error.
+
+    Two merge levels are exercised: (status, priority) partials OR-merged up
+    to status.  The oracle is a plain COUNT(DISTINCT) — the bitmap pipeline
+    must reproduce it exactly."""
+    t = Tables(spark, sf_dir)
+    partial = (
+        t.orders.select(
+            "o_orderstatus",
+            "o_orderpriority",
+            F.bitmap_bucket_number(F.col("o_custkey")).alias("bkt"),
+            F.bitmap_bit_position(F.col("o_custkey")).alias("pos"),
+        )
+        .groupBy("o_orderstatus", "o_orderpriority", "bkt")
+        .agg(F.bitmap_construct_agg(F.col("pos")).alias("bm"))
+    )
+    merged = partial.groupBy("o_orderstatus", "bkt").agg(
+        F.bitmap_or_agg(F.col("bm")).alias("bm")
+    )
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_distinct_cust"))
+        .orderBy("o_orderstatus")
+    )
