@@ -288,3 +288,55 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_with_segment(t.events, t.customer).orderBy(
         "c_mktsegment", "event_type"
     )
+
+
+def transform_with_state_available() -> bool:
+    """Spark 4's transformWithStateInPandas ships its state protocol over
+    protobuf: the Python worker needs the `google.protobuf` package, which is
+    not installed in this container (verified round 3: the streaming runner
+    crashes with `cannot import name 'descriptor' from 'google.protobuf'`).
+    Same environment-gate pattern as the Kafka/lakehouse connectors."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_count_transform_with_state(grouped):
+    """Custom stateful operator on the transformWithStateInPandas API (the
+    successor of applyInPandasWithState — typed ValueState, timers, TTL).
+    Capability-gated: see transform_with_state_available.  The SAME semantics
+    are live-tested through applyInPandasWithState in
+    tests/test_streaming.py::test_stateful_apply_in_pandas_with_state."""
+    if not transform_with_state_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the google.protobuf python "
+            "package for its state-server protocol; install protobuf to "
+            "enable (applyInPandasWithState covers the stateful surface "
+            "meanwhile)"
+        )
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class CountProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.count = handle.getValueState("count", "n bigint")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n = self.count.get()[0] if self.count.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self.count.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+        def close(self) -> None:
+            pass
+
+    return grouped.transformWithStateInPandas(
+        statefulProcessor=CountProcessor(),
+        outputStructType="user_id long, n bigint",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -470,3 +470,23 @@ def test_stream_stream_interval_join_left_outer(spark):
         .toPandas()
     )
     assert got == want
+
+
+def test_transform_with_state_gated(spark):
+    """transformWithStateInPandas (Spark 4 stateful API) is environment-
+    gated on the google.protobuf python package; the gate must raise the
+    actionable message, and the moment protobuf appears the helper runs the
+    real operator (covered today by the applyInPandasWithState twin)."""
+    from auron_spark.streaming.ops import (
+        running_count_transform_with_state,
+        transform_with_state_available,
+    )
+
+    stream, _ = _stream_events(spark)
+    grouped = stream.groupBy("user_id")
+    if transform_with_state_available():
+        df = running_count_transform_with_state(grouped)
+        assert df.schema.simpleString() == "struct<user_id:bigint,n:bigint>"
+    else:
+        with pytest.raises(NotImplementedError, match="google.protobuf"):
+            running_count_transform_with_state(grouped)
