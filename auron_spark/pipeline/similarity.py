@@ -823,3 +823,81 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id", "approx_dist", F.col("rk").cast("long").alias("rk"))
         .orderBy("q_id", "rk")
     )
+
+
+@query(
+    "sim_normalize_embeddings",
+    oracle="""
+    WITH mu AS (
+        SELECT pos,
+               CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6)))
+                    AS DOUBLE) / COUNT(*) AS m
+        FROM (SELECT unnest(embedding) AS v,
+                     unnest(range(1, len(embedding) + 1)) AS pos
+              FROM embeddings)
+        GROUP BY pos
+    ),
+    muv AS (SELECT list(m ORDER BY pos) AS mv FROM mu),
+    centered AS (
+        SELECT vec_id,
+               list_transform(range(1, 65),
+                              i -> CAST(embedding[i] AS DOUBLE) - mv[i]) AS c
+        FROM embeddings, muv
+    )
+    SELECT vec_id,
+           ROUND(sqrt(list_sum(list_transform(c, x -> x * x))), 6) AS c_norm,
+           ROUND(c[1] / sqrt(list_sum(list_transform(c, x -> x * x))), 6) AS u0,
+           ROUND(c[2] / sqrt(list_sum(list_transform(c, x -> x * x))), 6) AS u1
+    FROM centered
+    ORDER BY vec_id
+    """,
+    tags=("pipeline", "similarity", "preprocessing"),
+)
+def sim_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding preprocessing: mean-center (subtract the per-dimension
+    corpus mean) then L2-normalize — after this, dot product IS cosine, so
+    every downstream ANN stage (brute force, LSH, IVF, PQ) drops its norm
+    divisions.  The mean vector is one tiny aggregate (64 rows) broadcast
+    back; centering + normalizing are map-side transforms — at 100 TB this
+    is a scan-shaped preprocessing pass, usually fused into ingest.
+
+    The per-dim mean uses the order-insensitive DECIMAL(18,6) trick (same as
+    sim_centroids) so both engines compute the identical double; all later
+    arithmetic is index-ordered IEEE ops.  Output pins the centered norm and
+    the first two unit components per vector."""
+    mu_struct = F.array_sort(F.collect_list(F.struct("dim", "m")))
+    t = Tables(spark, sf_dir)
+    mu = (
+        t.embeddings.select(F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("v").cast("double"), 6).cast("decimal(18,6)")
+                ).cast("double")
+                / F.count("*")
+            ).alias("m")
+        )
+        .agg(mu_struct.alias("sm"))
+        .select(F.transform("sm", lambda s: s["m"]).alias("mv"))
+    )
+    centered = t.embeddings.join(F.broadcast(mu)).select(
+        "vec_id",
+        F.zip_with(
+            "embedding", "mv", lambda x, m: x.cast("double") - m
+        ).alias("c"),
+    )
+    c_norm = F.sqrt(
+        F.aggregate(
+            F.transform("c", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    return (
+        centered.select(
+            "vec_id",
+            F.round(c_norm, 6).alias("c_norm"),
+            F.round(F.element_at("c", 1) / c_norm, 6).alias("u0"),
+            F.round(F.element_at("c", 2) / c_norm, 6).alias("u1"),
+        )
+        .orderBy("vec_id")
+    )
