@@ -683,3 +683,68 @@ def pipeline_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "len_bucket")
     )
+
+
+@query(
+    "text_url_canonicalize",
+    oracle="""
+    WITH urls AS (
+        SELECT doc_id,
+               'https://' || source || '.Example.COM/docs/'
+                 || CAST(doc_id AS VARCHAR)
+                 || '?utm_source=feed&lang=' || lang || '&utm_campaign=x'
+                 AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id,
+               lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS host,
+               regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+               regexp_extract(url, 'lang=([^&#]*)', 1) AS lang_param
+        FROM urls
+    )
+    SELECT host, lang_param,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS first_doc
+    FROM canon
+    GROUP BY host, lang_param
+    ORDER BY host, lang_param
+    """,
+    tags=("pipeline", "text", "url"),
+)
+def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + host/param extraction — the first step of any
+    web-corpus pipeline (host-level filtering, per-domain quotas, URL-key
+    dedup after stripping tracking params).  Spark side uses the built-in
+    `parse_url` for HOST/PATH/QUERY-param extraction (host lowercased —
+    canonical form); the oracle re-derives identical values with portable
+    regexes since DuckDB has no parse_url.  Synthetic URLs are built
+    deterministically from fixture columns so extraction is verifiable.
+
+    100 TB: parse_url is a codegen'd scalar — the whole canonicalization is
+    map-side; the per-(host, lang) rollup groups by domain cardinality, not
+    document count."""
+    t = Tables(spark, sf_dir)
+    urls = t.documents.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".Example.COM/docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source=feed&lang="),
+            F.col("lang"),
+            F.lit("&utm_campaign=x"),
+        ).alias("url"),
+    )
+    canon = urls.select(
+        "doc_id",
+        F.lower(F.parse_url("url", F.lit("HOST"))).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+    return (
+        canon.groupBy("host", "lang_param")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .orderBy("host", "lang_param")
+    )
