@@ -748,3 +748,86 @@ def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
         .orderBy("host", "lang_param")
     )
+
+
+@query(
+    "text_html_strip",
+    oracle="""
+    WITH html AS (
+        SELECT doc_id,
+               '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+               || '</title><script>var x=1;</script></head><body><p>'
+               || replace(text, ' ', '</p> <p>')
+               || '</p><div class="footer">&amp; more</div></body></html>'
+               AS page
+        FROM documents
+    ),
+    stripped AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   page,
+                   '<script[^>]*>.*?</script>|<style[^>]*>.*?</style>', '', 'gs'),
+                   '<[^>]+>', ' ', 'g'),
+                   '&amp;', '&', 'g'),
+                   ' +', ' ', 'g')) AS clean
+        FROM html
+    )
+    SELECT doc_id,
+           length(clean) AS n_chars,
+           len(string_split(clean, ' ')) AS n_words,
+           md5(clean) AS clean_md5
+    FROM stripped
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "text", "html"),
+)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate removal — the extraction step between a raw web
+    crawl and every other text operator: drop <script>/<style> blocks
+    wholesale, replace remaining tags with spaces, decode entities, collapse
+    whitespace.  A deterministic synthetic HTML wrapper (title, script,
+    per-word <p> tags, footer div, &amp; entity) is built around each
+    fixture document so the stripper has real work that both engines can
+    verify byte-for-byte (clean_md5).
+
+    100 TB: four regexp_replace passes, all codegen'd map-side scalars over
+    the scan — no Python, no shuffle except the demo ORDER BY.  Patterns
+    stay in the Java/RE2-portable subset — NO backreferences (RE2 lacks
+    them; paired script/style tags use explicit alternation instead)."""
+    t = Tables(spark, sf_dir)
+    html = t.documents.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</title><script>var x=1;</script></head><body><p>"),
+            F.regexp_replace("text", " ", "</p> <p>"),
+            F.lit('</p><div class="footer">&amp; more</div></body></html>'),
+        ).alias("page"),
+    )
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        "page", "(?s)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>", ""
+                    ),
+                    "<[^>]+>",
+                    " ",
+                ),
+                "&amp;",
+                "&",
+            ),
+            " +",
+            " ",
+        )
+    )
+    return (
+        html.select(
+            "doc_id",
+            F.length(clean).alias("n_chars"),
+            F.size(F.split(clean, " ")).alias("n_words"),
+            F.md5(clean).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
