@@ -526,3 +526,45 @@ def fn_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("p_name", F.lit("[aeiou]")).cast("int").alias("n_vowels"),
         F.substring_index("p_type", " ", 1).alias("first_type_word"),
     ).orderBy("p_partkey")
+
+
+@query(
+    "fn_mask_redact",
+    oracle="""
+    SELECT p_partkey,
+           regexp_replace(regexp_replace(regexp_replace(
+               p_name || ' #' || CAST(p_partkey AS VARCHAR) || ' Qty9',
+               '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+             AS masked,
+           regexp_replace(p_name, '[a-z]', '*', 'g') AS masked_lower_star
+    FROM part
+    WHERE p_partkey < 200
+    ORDER BY p_partkey
+    """,
+    tags=("string", "mask", "pii"),
+)
+def fn_mask_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mask()` — the built-in data-masking scalar (upper→X, lower→x,
+    digit→n by default; per-class overrides) used for PII-safe previews of
+    sensitive columns; complements the regex scrubbing in text_pii_redact.
+    The oracle re-derives the masking with portable character-class
+    replaces.  Map-side codegen scalar."""
+    t = Tables(spark, sf_dir)
+    mixed = F.concat(
+        F.col("p_name"), F.lit(" #"), F.col("p_partkey").cast("string"), F.lit(" Qty9")
+    )
+    return (
+        t.part.where(F.col("p_partkey") < 200)
+        .select(
+            "p_partkey",
+            F.mask(mixed).alias("masked"),
+            F.mask(
+                F.col("p_name"),
+                upperChar=F.lit(None).cast("string"),
+                lowerChar=F.lit("*"),
+                digitChar=F.lit(None).cast("string"),
+                otherChar=F.lit(None).cast("string"),
+            ).alias("masked_lower_star"),
+        )
+        .orderBy("p_partkey")
+    )

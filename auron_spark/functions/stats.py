@@ -329,3 +329,120 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.bitmap_count("bm")).alias("n_distinct_cust"))
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "agg_linear_regression",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(regr_count(CAST(o_totalprice AS DOUBLE), CAST(o_custkey AS DOUBLE)) AS BIGINT) AS n,
+           ROUND(regr_slope(CAST(o_totalprice AS DOUBLE), CAST(o_custkey AS DOUBLE)), 6) AS slope,
+           ROUND(regr_intercept(CAST(o_totalprice AS DOUBLE), CAST(o_custkey AS DOUBLE)), 6) AS icept,
+           ROUND(regr_r2(CAST(o_totalprice AS DOUBLE), CAST(o_custkey AS DOUBLE)), 6) AS r2,
+           ROUND(regr_avgx(CAST(o_totalprice AS DOUBLE), CAST(o_custkey AS DOUBLE)), 6) AS avgx,
+           ROUND(regr_avgy(CAST(o_totalprice AS DOUBLE), CAST(o_custkey AS DOUBLE)), 6) AS avgy
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("agg", "regression"),
+)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS regression aggregates (regr_slope/intercept/r2/avgx/avgy/count) —
+    single-pass distributed linear fits, the profiling primitive for drift
+    detection and feature screening.  Both engines implement the same
+    moment-based formulas over doubles; ROUND(·,6) absorbs the one
+    double-rounding of different summation orders (the partial-aggregation
+    tree differs between engines, so raw last-ulp equality is not
+    guaranteed — unlike the DECIMAL-sum money paths).  Two-phase hash
+    aggregate; constant state per group."""
+    t = Tables(spark, sf_dir)
+    y = F.col("o_totalprice").cast("double")
+    x = F.col("o_custkey").cast("double")
+    return (
+        t.orders.groupBy("o_orderstatus")
+        .agg(
+            F.regr_count(y, x).cast("bigint").alias("n"),
+            F.round(F.regr_slope(y, x), 6).alias("slope"),
+            F.round(F.regr_intercept(y, x), 6).alias("icept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            F.round(F.regr_avgx(y, x), 6).alias("avgx"),
+            F.round(F.regr_avgy(y, x), 6).alias("avgy"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "agg_theta_sketch_setops",
+    oracle=None,  # sketch binaries are engine-specific; accuracy-tested
+    tags=("agg", "sketch", "theta", "rows-only"),
+)
+def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches (Spark 4 / Apache DataSketches): mergeable distinct
+    SETS supporting union, intersection AND difference cardinalities —
+    beyond HLL (union-only, `agg_hll_sketch_mergeable`).  The 100 TB use:
+    precompute one tiny sketch per segment/day, answer "distinct users in
+    purchase∩click" without ever joining raw events.  Rows-only driver check
+    (sketch estimates are engine-specific); accuracy vs exact counts is
+    pinned in tests/test_functions.py::test_theta_sketch_setops_accuracy."""
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    sk = (
+        ev.where(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(F.theta_sketch_agg("user_id").alias("s"))
+    )
+    p = sk.where(F.col("event_type") == "purchase").select(F.col("s").alias("ps"))
+    c = sk.where(F.col("event_type") == "click").select(F.col("s").alias("cs"))
+    both = p.join(c)  # 1x1
+    return both.select(
+        F.round(F.theta_sketch_estimate("ps"), 1).alias("est_purchase_users"),
+        F.round(F.theta_sketch_estimate("cs"), 1).alias("est_click_users"),
+        F.round(
+            F.theta_sketch_estimate(F.theta_union("ps", "cs")), 1
+        ).alias("est_union"),
+        F.round(
+            F.theta_sketch_estimate(F.theta_intersection("ps", "cs")), 1
+        ).alias("est_intersect"),
+        F.round(
+            F.theta_sketch_estimate(F.theta_difference("ps", "cs")), 1
+        ).alias("est_purchase_only"),
+    )
+
+
+@query(
+    "agg_kll_quantile_sketch",
+    oracle=None,  # sketch estimates are rank-approximate; accuracy-tested
+    tags=("agg", "sketch", "kll", "rows-only"),
+)
+def agg_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketches (Spark 4 / DataSketches): mergeable streaming
+    quantiles — precompute per-partition/day sketches, merge them later, ask
+    any quantile.  Exercised with TWO merge levels (partials per
+    (returnflag, linestatus), kll_merge_agg up to returnflag) exactly like
+    the bitmap/HLL families; at 100 TB this replaces a full re-sort per
+    percentile query with constant-size state.  Rows-only driver check;
+    rank accuracy vs the exact distribution is pinned in
+    tests/test_functions.py::test_kll_sketch_quantile_accuracy."""
+    t = Tables(spark, sf_dir)
+    v = F.col("l_extendedprice").cast("double")
+    partial = t.lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+        F.kll_sketch_agg_double(v).alias("s")
+    )
+    merged = partial.groupBy("l_returnflag").agg(
+        F.kll_merge_agg_double(F.col("s")).alias("s")
+    )
+    return (
+        merged.select(
+            "l_returnflag",
+            F.round(
+                F.kll_sketch_get_quantile_double(F.col("s"), F.lit(0.5)), 2
+            ).alias("p50"),
+            F.round(
+                F.kll_sketch_get_quantile_double(F.col("s"), F.lit(0.9)), 2
+            ).alias("p90"),
+            F.kll_sketch_get_n_double(F.col("s")).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -135,3 +135,44 @@ def test_connected_components_chain_converges_logarithmically(spark):
     # and the budget is a loud contract, not a silent cap
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(nodes, edges, max_rounds=2)
+
+
+def test_theta_sketch_setops_accuracy(spark):
+    """Theta union/intersection/difference estimates must track the exact
+    distinct-user set algebra within 5% (fixture cardinalities are far below
+    the sketch's exact-mode threshold, so they are typically spot-on)."""
+    row = SPECS["agg_theta_sketch_setops"].build(spark, SF_DIR).collect()[0]
+    ev = table(spark, SF_DIR, "events")
+    p = {r.user_id for r in ev.where(F.col("event_type") == "purchase").select("user_id").distinct().collect()}
+    c = {r.user_id for r in ev.where(F.col("event_type") == "click").select("user_id").distinct().collect()}
+    exact = {
+        "est_purchase_users": len(p),
+        "est_click_users": len(c),
+        "est_union": len(p | c),
+        "est_intersect": len(p & c),
+        "est_purchase_only": len(p - c),
+    }
+    for k, want in exact.items():
+        got = getattr(row, k)
+        assert abs(got - want) <= max(1.0, 0.05 * want), (k, got, want)
+
+
+def test_kll_sketch_quantile_accuracy(spark):
+    """KLL p50/p90 estimates must sit within 3% RANK error of the exact
+    distribution (the sketch's guarantee is on rank, not value)."""
+    rows = SPECS["agg_kll_quantile_sketch"].build(spark, SF_DIR).collect()
+    li = table(spark, SF_DIR, "lineitem")
+    for r in rows:
+        vals = sorted(
+            x.v
+            for x in li.where(F.col("l_returnflag") == r.l_returnflag)
+            .select(F.col("l_extendedprice").cast("double").alias("v"))
+            .collect()
+        )
+        n = len(vals)
+        assert r.n == n
+        for q, got in ((0.5, r.p50), (0.9, r.p90)):
+            import bisect
+
+            rank = bisect.bisect_left(vals, got) / n
+            assert abs(rank - q) <= 0.03, (r.l_returnflag, q, got, rank)
