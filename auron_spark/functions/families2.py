@@ -568,3 +568,50 @@ def fn_mask_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+@query(
+    "fn_xml_xpath",
+    oracle="""
+    WITH xml AS (
+        SELECT doc_id,
+               '<doc id="' || CAST(doc_id AS VARCHAR) || '"><lang>' || lang
+               || '</lang><src>' || source || '</src><n>'
+               || CAST(n_chars AS VARCHAR) || '</n></doc>' AS x
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           regexp_extract(x, '<lang>([^<]*)</lang>', 1) AS lang_x,
+           regexp_extract(x, '<src>([^<]*)</src>', 1) AS src_x,
+           CAST(regexp_extract(x, '<n>([0-9]+)</n>', 1) AS BIGINT) AS n_x,
+           regexp_extract(x, 'id="([^"]*)"', 1) AS id_attr
+    FROM xml
+    ORDER BY doc_id
+    """,
+    tags=("xml", "xpath", "generate"),
+)
+def fn_xml_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML extraction via the xpath_* scalar family — the third
+    semi-structured format next to JSON (fn_json*) and variant
+    (fn_variant_json); feed ingestion (RSS/sitemaps/MathML corpora) needs
+    it.  Spark evaluates real XPath (elements + attributes); the oracle
+    re-derives the same fields with portable regexes over deterministic
+    synthetic XML (regex-safe by construction — no nesting of the extracted
+    tags).  Map-side codegen scalars."""
+    t = Tables(spark, sf_dir)
+    x = F.concat(
+        F.lit('<doc id="'), F.col("doc_id").cast("string"), F.lit('"><lang>'),
+        F.col("lang"), F.lit("</lang><src>"), F.col("source"),
+        F.lit("</src><n>"), F.col("n_chars").cast("string"), F.lit("</n></doc>"),
+    )
+    return (
+        t.documents.where(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.xpath_string(x, F.lit("/doc/lang")).alias("lang_x"),
+            F.xpath_string(x, F.lit("/doc/src")).alias("src_x"),
+            F.xpath_long(x, F.lit("/doc/n")).alias("n_x"),
+            F.xpath_string(x, F.lit("/doc/@id")).alias("id_attr"),
+        )
+        .orderBy("doc_id")
+    )
