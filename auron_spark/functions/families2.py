@@ -615,3 +615,49 @@ def fn_xml_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "fn_csv_parse",
+    oracle="""
+    WITH line AS (
+        SELECT p_partkey,
+               CAST(p_partkey AS VARCHAR) || ',' || p_brand || ','
+                 || CAST(p_size AS VARCHAR) AS csv_line
+        FROM part WHERE p_partkey < 300
+    )
+    SELECT p_partkey,
+           string_split(csv_line, ',')[1] AS f_key,
+           string_split(csv_line, ',')[2] AS f_brand,
+           CAST(string_split(csv_line, ',')[3] AS BIGINT) AS f_size
+    FROM line
+    ORDER BY p_partkey
+    """,
+    tags=("csv", "parse"),
+)
+def fn_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_csv: schema-directed parsing of CSV-encoded string columns (the
+    embedded-CSV cousin of from_json) — common in log ingestion where a
+    field carries a delimited payload.  Round-trips through to_csv upstream
+    of the parse so both directions are exercised; the oracle splits the
+    same deterministic line.  Map-side codegen."""
+    t = Tables(spark, sf_dir)
+    line = t.part.where(F.col("p_partkey") < 300).select(
+        "p_partkey",
+        F.to_csv(
+            F.struct(
+                F.col("p_partkey").cast("string").alias("k"),
+                F.col("p_brand").alias("b"),
+                F.col("p_size").cast("string").alias("s"),
+            )
+        ).alias("csv_line"),
+    )
+    parsed = line.select(
+        "p_partkey",
+        F.from_csv(
+            "csv_line", F.lit("f_key string, f_brand string, f_size bigint")
+        ).alias("p"),
+    )
+    return parsed.select(
+        "p_partkey", "p.f_key", "p.f_brand", "p.f_size"
+    ).orderBy("p_partkey")
