@@ -661,3 +661,75 @@ def fn_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(
         "p_partkey", "p.f_key", "p.f_brand", "p.f_size"
     ).orderBy("p_partkey")
+
+
+@query(
+    "fn_map_higher_order",
+    oracle="""
+    SELECT o_orderkey,
+           'a+1:' || CAST(o_orderkey % 7 AS VARCHAR)
+             || ',b+1:' || CAST(o_orderkey % 11 AS VARCHAR) AS keys_up,
+           'a:' || CAST((o_orderkey % 7) * 2 AS VARCHAR)
+             || ',b:' || CAST((o_orderkey % 11) * 2 AS VARCHAR) AS vals_doubled,
+           'a:' || CAST((o_orderkey % 7) + (o_orderkey % 5) AS VARCHAR)
+             || ',b:' || CAST((o_orderkey % 11) + (o_orderkey % 3) AS VARCHAR)
+             AS zipped_sum,
+           CASE WHEN o_orderkey % 7 > 3 AND o_orderkey % 11 > 3 THEN 'a,b'
+                WHEN o_orderkey % 7 > 3 THEN 'a'
+                WHEN o_orderkey % 11 > 3 THEN 'b'
+                ELSE '' END AS big_keys
+    FROM orders
+    WHERE o_orderkey < 500
+    ORDER BY o_orderkey
+    """,
+    tags=("map", "higher-order"),
+)
+def fn_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions — transform_keys / transform_values /
+    map_zip_with / map_filter — closing the §2.9 higher-order family beyond
+    the array lambdas (fn_higher_order).  Maps are built deterministically
+    from orderkey residues; outputs serialize entries in fixed key order so
+    the oracle (which lacks map lambdas and re-derives the arithmetic
+    directly) compares as plain strings."""
+    t = Tables(spark, sf_dir)
+    m1 = F.create_map(
+        F.lit("a"), F.col("o_orderkey") % 7, F.lit("b"), F.col("o_orderkey") % 11
+    )
+    m2 = F.create_map(
+        F.lit("a"), F.col("o_orderkey") % 5, F.lit("b"), F.col("o_orderkey") % 3
+    )
+
+    def ser(m) -> "F.Column":
+        # fixed-order serialization: a then b (map iteration order is
+        # insertion order for create_map, but be explicit anyway)
+        return F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.map_keys(m)),
+                lambda k: F.concat(k, F.lit(":"), F.element_at(m, k).cast("string")),
+            ),
+        )
+
+    keys_up = F.transform_keys(m1, lambda k, v: F.concat(k, F.lit("+1")))
+    vals_doubled = F.transform_values(m1, lambda k, v: v * 2)
+    zipped = F.map_zip_with(m1, m2, lambda k, v1, v2: v1 + v2)
+    big = F.map_filter(m1, lambda k, v: v > 3)
+    return (
+        t.orders.where(F.col("o_orderkey") < 500)
+        .select(
+            "o_orderkey",
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.map_keys(keys_up)),
+                    lambda k: F.concat(
+                        k, F.lit(":"), F.element_at(keys_up, k).cast("string")
+                    ),
+                ),
+            ).alias("keys_up"),
+            ser(vals_doubled).alias("vals_doubled"),
+            ser(zipped).alias("zipped_sum"),
+            F.concat_ws(",", F.array_sort(F.map_keys(big))).alias("big_keys"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -632,3 +632,66 @@ def dedup_incremental_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "dedup_fuzzy_name_match",
+    oracle="""
+    WITH probe AS (
+        SELECT p_partkey AS probe_id, p_brand, p_name
+        FROM part WHERE p_partkey % 50 = 0 AND p_partkey < 5000
+    ),
+    cand AS (
+        SELECT pr.probe_id, c.p_partkey AS match_id,
+               levenshtein(pr.p_name, c.p_name) AS dist
+        FROM probe pr JOIN part c
+          ON c.p_brand = pr.p_brand AND c.p_partkey <> pr.probe_id
+    )
+    SELECT probe_id, match_id, CAST(dist AS BIGINT) AS dist FROM (
+        SELECT probe_id, match_id, dist,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY dist, match_id) AS rn
+        FROM cand
+    ) WHERE rn <= 3
+    ORDER BY probe_id, rn
+    """,
+    tags=("pipeline", "dedup", "fuzzy", "levenshtein"),
+)
+def dedup_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: for each probe item, the 3 closest catalog
+    names by edit distance, candidates fetched by equi-join on a blocking
+    key (brand) — the record-linkage primitive for catalog/entity dedup
+    where near-duplicates differ by typos rather than token sets (MinHash
+    misses single-character edits in short strings).
+
+    100 TB shape: the probe side is a bounded query set (the same
+    capped-prefix pattern as the ANN queries — here new/suspect items, never
+    the whole catalog), candidates come from the blocking-key equi-join
+    (brand locally; brand × size × container in production for tighter
+    blocks), and the per-probe top-3 prunes through WindowGroupLimit.
+    Levenshtein is a codegen'd scalar; both engines implement the same
+    unweighted edit distance, so the oracle is exact."""
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    probe = t.part.where(
+        (F.col("p_partkey") % 50 == 0) & (F.col("p_partkey") < 5000)  # bounded probe
+    ).select(
+        F.col("p_partkey").alias("probe_id"),
+        F.col("p_brand").alias("b"),
+        F.col("p_name").alias("probe_name"),
+    )
+    cand = probe.join(
+        t.part, (F.col("p_brand") == F.col("b")) & (F.col("p_partkey") != F.col("probe_id"))
+    ).select(
+        "probe_id",
+        F.col("p_partkey").alias("match_id"),
+        F.levenshtein("probe_name", "p_name").alias("dist"),
+    )
+    w = Window.partitionBy("probe_id").orderBy("dist", "match_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("probe_id", "match_id", F.col("dist").cast("long").alias("dist"))
+        .orderBy("probe_id", "rn")
+    )
