@@ -176,3 +176,48 @@ def test_kll_sketch_quantile_accuracy(spark):
 
             rank = bisect.bisect_left(vals, got) / n
             assert abs(rank - q) <= 0.03, (r.l_returnflag, q, got, rank)
+
+
+def test_aes_encrypt_decrypt_roundtrip(spark):
+    """aes_encrypt/aes_decrypt: column-level encryption for sensitive fields
+    at rest.  ECB mode is deterministic (same plaintext+key -> same bytes:
+    testable, but never use ECB for real secrets); GCM (default) salts with
+    a random IV, so only the roundtrip is asserted there."""
+    key = "0123456789abcdef"  # 16-byte AES-128 key
+    df = spark.range(32).select(F.concat(F.lit("doc-"), F.col("id")).alias("s"))
+    ecb = df.select(
+        "s",
+        F.aes_decrypt(
+            F.aes_encrypt(F.col("s").cast("binary"), F.lit(key), F.lit("ECB")),
+            F.lit(key),
+            F.lit("ECB"),
+        ).cast("string").alias("rt_ecb"),
+        F.aes_decrypt(
+            F.aes_encrypt(F.col("s").cast("binary"), F.lit(key)),
+            F.lit(key),
+        ).cast("string").alias("rt_gcm"),
+    )
+    rows = ecb.collect()
+    assert all(r.s == r.rt_ecb == r.rt_gcm for r in rows)
+    # ECB determinism (the property that makes it testable AND unsafe)
+    e1 = df.select(F.base64(F.aes_encrypt(F.col("s").cast("binary"), F.lit(key), F.lit("ECB"))).alias("e")).collect()
+    e2 = df.select(F.base64(F.aes_encrypt(F.col("s").cast("binary"), F.lit(key), F.lit("ECB"))).alias("e")).collect()
+    assert e1 == e2
+
+
+def test_parameterized_sql(spark):
+    """spark.sql named-parameter binding — safe templating for the SQL entry
+    point (no string interpolation injection)."""
+    from auron_spark.tables import table
+
+    table(spark, SF_DIR, "orders").createOrReplaceTempView("p_orders")
+    got = spark.sql(
+        "SELECT COUNT(*) AS n FROM p_orders WHERE o_totalprice > :lo AND o_orderstatus = :st",
+        args={"lo": 100000, "st": "F"},
+    ).collect()[0].n
+    want = (
+        table(spark, SF_DIR, "orders")
+        .where((F.col("o_totalprice") > 100000) & (F.col("o_orderstatus") == "F"))
+        .count()
+    )
+    assert got == want > 0
