@@ -185,9 +185,12 @@ def fn_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_interval",
     oracle="""
     SELECT o_orderkey,
-           CAST(o_orderdate + INTERVAL 90 MINUTE AS TIMESTAMP) AS plus_90m,
-           CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3mo,
-           CAST(o_orderdate - INTERVAL 1 DAY AS TIMESTAMP) AS minus_1d,
+           strftime(CAST(o_orderdate + INTERVAL 90 MINUTE AS TIMESTAMP),
+                    '%Y-%m-%d %H:%M:%S') AS plus_90m,
+           strftime(CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP),
+                    '%Y-%m-%d %H:%M:%S') AS plus_3mo,
+           strftime(CAST(o_orderdate - INTERVAL 1 DAY AS TIMESTAMP),
+                    '%Y-%m-%d %H:%M:%S') AS minus_1d,
            date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS dd_days,
            date_diff('month', TIMESTAMP '1995-01-01', o_orderdate) AS dd_months,
            o_orderdate + INTERVAL 1 DAY > o_orderdate AS interval_cmp
@@ -199,17 +202,19 @@ def fn_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """YearMonth + DayTime interval arithmetic (`auron.proto:861-865,933-934`
-    scalar interval enum; full interval types here).  Output normalized to
-    TIMESTAMP for the cross-engine hash."""
+    scalar interval enum; full interval types here).  Outputs leave as
+    FORMATTED STRINGS, not raw timestamps: collect() renders TimestampType
+    in the Python process's LOCAL timezone, so raw-timestamp columns
+    hash-diverge under a non-UTC driver host (round-3 TZ sweep)."""
     t = Tables(spark, sf_dir)
     d = F.col("o_orderdate")
     return (
         t.orders.filter(F.col("o_orderkey") < 1500)
         .select(
             "o_orderkey",
-            (d + F.expr("INTERVAL 90 MINUTE")).alias("plus_90m"),
-            (d + F.expr("INTERVAL 3 MONTH")).alias("plus_3mo"),
-            (d - F.expr("INTERVAL 1 DAY")).alias("minus_1d"),
+            F.date_format(d + F.expr("INTERVAL 90 MINUTE"), "yyyy-MM-dd HH:mm:ss").alias("plus_90m"),
+            F.date_format(d + F.expr("INTERVAL 3 MONTH"), "yyyy-MM-dd HH:mm:ss").alias("plus_3mo"),
+            F.date_format(d - F.expr("INTERVAL 1 DAY"), "yyyy-MM-dd HH:mm:ss").alias("minus_1d"),
             F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias("dd_days"),
             (
                 (F.year(d) - 1995) * 12 + F.month(d) - 1

@@ -47,9 +47,9 @@ from auron_spark.tables import Tables
         GROUP BY e.user_id
     )
     SELECT v.user_id,
-           v.first_view,
-           c.first_click,
-           p.first_purchase,
+           strftime(v.first_view, '%Y-%m-%d %H:%M:%S.%f') AS first_view,
+           strftime(c.first_click, '%Y-%m-%d %H:%M:%S.%f') AS first_click,
+           strftime(p.first_purchase, '%Y-%m-%d %H:%M:%S.%f') AS first_purchase,
            c.user_id IS NOT NULL AS reached_click,
            p.user_id IS NOT NULL AS reached_purchase
     FROM v
@@ -93,9 +93,20 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p.withColumn("reached_purchase", F.lit(True)), "user_id", "left")
         .select(
             "user_id",
-            "first_view",
-            "first_click",
-            "first_purchase",
+            # timestamps leave as FORMATTED STRINGS: Spark's collect() renders
+            # raw TimestampType in the PYTHON PROCESS's local timezone (not
+            # the UTC-pinned session TZ), so a raw-timestamp output column
+            # hash-diverges under a non-UTC driver host (found by the
+            # TZ=America/New_York adversarial sweep, round 3)
+            F.date_format("first_view", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "first_view"
+            ),
+            F.date_format("first_click", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "first_click"
+            ),
+            F.date_format("first_purchase", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "first_purchase"
+            ),
             F.coalesce("reached_click", F.lit(False)).alias("reached_click"),
             F.coalesce("reached_purchase", F.lit(False)).alias("reached_purchase"),
         )

@@ -150,3 +150,24 @@ def test_json_extract_paths_rejects_prefix_conflicts():
         with pytest.raises(ValueError, match="JSON path conflict"):
             for p in specs:
                 _merge_into_tree(tree, _parse_path(p), 0)
+
+
+def test_no_raw_timestamp_output_columns(spark):
+    """No registered query may OUTPUT a raw TimestampType column: collect()
+    renders TimestampType in the Python process's LOCAL timezone (not the
+    UTC-pinned session TZ), so a raw-timestamp column hash-diverges the
+    moment the driver host is non-UTC (found by the TZ=America/New_York
+    sweep, round 3 — funnel + fn_interval).  Timestamps must leave as
+    date_format() strings or epoch integers."""
+    from auron_spark.registry import load_all
+
+    offenders = {}
+    for name, spec in load_all().items():
+        try:
+            sch = spec.build(spark, "/root/testdata/sf0.001").schema
+        except Exception:
+            continue  # capability-gated builders are checked elsewhere
+        ts = [f.name for f in sch.fields if "timestamp" in f.dataType.simpleString()]
+        if ts:
+            offenders[name] = ts
+    assert not offenders, offenders
