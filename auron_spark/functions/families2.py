@@ -738,3 +738,48 @@ def fn_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "fn_math_trig",
+    oracle="""
+    SELECT p_partkey,
+           ROUND(sin(CAST(p_size AS DOUBLE) / 10.0), 6) AS sin_v,
+           ROUND(cos(CAST(p_size AS DOUBLE) / 10.0), 6) AS cos_v,
+           ROUND(atan2(CAST(p_size AS DOUBLE),
+                       CAST(p_partkey % 17 + 1 AS DOUBLE)), 6) AS atan2_v,
+           ROUND(degrees(atan(CAST(p_size AS DOUBLE) / 25.0)), 6) AS deg_v,
+           ROUND(cbrt(CAST(p_partkey AS DOUBLE)), 6) AS cbrt_v,
+           ROUND(log10(CAST(p_partkey + 1 AS DOUBLE)), 6) AS log10_v
+    FROM part
+    WHERE p_partkey < 1000
+    ORDER BY p_partkey
+    """,
+    tags=("function", "math", "trig"),
+)
+def fn_math_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric / transcendental tail of the math family (sin, cos,
+    atan2, degrees, cbrt, log10) — closing the last uncovered scalar corner.
+    These go through libm on both engines; ROUND(·,6) absorbs the possible
+    last-ulp divergence, and because fixture inputs are fixed and both
+    libm implementations are deterministic, a green sweep at all three SFs
+    (verified round 3) means the comparison is stable, not probabilistic."""
+    t = Tables(spark, sf_dir)
+    sz = F.col("p_size").cast("double")
+    return (
+        t.part.where(F.col("p_partkey") < 1000)
+        .select(
+            "p_partkey",
+            F.round(F.sin(sz / 10.0), 6).alias("sin_v"),
+            F.round(F.cos(sz / 10.0), 6).alias("cos_v"),
+            F.round(
+                F.atan2(sz, (F.col("p_partkey") % 17 + 1).cast("double")), 6
+            ).alias("atan2_v"),
+            F.round(F.degrees(F.atan(sz / 25.0)), 6).alias("deg_v"),
+            F.round(F.cbrt(F.col("p_partkey").cast("double")), 6).alias("cbrt_v"),
+            F.round(F.log10((F.col("p_partkey") + 1).cast("double")), 6).alias(
+                "log10_v"
+            ),
+        )
+        .orderBy("p_partkey")
+    )
