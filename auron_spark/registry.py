@@ -115,6 +115,22 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "stream_dedup", "stream_static_enrich",
 )
 
+# ROUND-4 ROTATION PLAN: if CORRECTNESS_r03 is green, demote this window into
+# _PROVEN (as _R3_PROVEN) and promote the middle band — every query registered
+# since the round-3 window froze: the 11 round-2 deferrals (mm_* ×4,
+# dedup_simhash, sim_knn_lsh, text_stats/token_regex/rolling_hash,
+# stream_sliding_window, stream_late_data_cutoff) plus all round-3 additions
+# (agg_first_ordered, agg_histogram_width_bucket, agg_bitmap_distinct,
+# agg_theta_sketch_setops, agg_kll_quantile_sketch, agg_linear_regression,
+# fn_mask_redact, fn_xml_xpath, fn_csv_parse, fn_map_higher_order,
+# fn_math_trig, gen_python_udtf_analyze, scan_file_provenance,
+# dedup_incremental_anti_join, dedup_fuzzy_name_match, tfidf_top_terms,
+# bm25_single_term, sample_mixture_weights, text_pii_redact,
+# text_url_canonicalize, text_html_strip, sim_normalize_embeddings,
+# layout_zorder_key, skew_aqe_join, pyds_synthdocs_scan,
+# pipeline_curation_end_to_end) — ~37 names; fill remaining slots with any
+# round-3 failures to re-prove.
+
 # Green driver rows from CORRECTNESS_r02.json — the whole round-2 window
 # passed 50/50, so all of it joins the proven tail.
 _R2_PROVEN: frozenset[str] = frozenset({
