@@ -296,3 +296,102 @@ def mm_ppm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- REAL audio path: PCM WAV (decodable with the stdlib wave module) ---
+
+WAV_RATE = 8000
+WAV_N = 64  # samples per clip
+
+
+def encode_wav(doc_id: int) -> bytes:
+    """Deterministic 16-bit mono PCM WAV: sample k = ((doc_id*13 + k*37) %
+    2001) - 1000 — integer-valued, so both engines compute features
+    exactly.  Spec-compliant RIFF/WAVE bytes."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(WAV_RATE)
+        frames = b"".join(
+            struct.pack("<h", ((doc_id * 13 + k * 37) % 2001) - 1000)
+            for k in range(WAV_N)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def decode_wav_features(payload: bytes) -> tuple[int, int, int, int]:
+    """REAL decoder: parse RIFF header via the wave module, reinterpret PCM
+    with numpy, return (n_samples, rate, sum_abs, peak)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        n = w.getnframes()
+        pcm = np.frombuffer(w.readframes(n), dtype="<i2")
+    return n, rate, int(np.abs(pcm.astype(np.int64)).sum()), int(np.abs(pcm).max())
+
+
+@query(
+    "mm_wav_decode_real",
+    oracle=f"""
+    WITH samp AS (
+        SELECT d.doc_id, ((d.doc_id * 13 + k.k * 37) % 2001) - 1000 AS s
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
+             range(0, {WAV_N}) k(k)
+    )
+    SELECT doc_id,
+           {WAV_N} AS n_samples, {WAV_RATE} AS rate,
+           CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak
+    FROM samp
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "multimodal", "audio", "real-codec"),
+)
+def mm_wav_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end — the WAV twin of mm_ppm_decode_real:
+    spec-compliant 16-bit PCM RIFF bytes built per row, decoded in
+    mapInPandas with the stdlib wave module + numpy (header parse,
+    little-endian PCM reinterpret) into integer loudness features.  Samples
+    are integer-valued by construction, so the closed-form oracle is exact —
+    an endianness or sample-width mistake fails the driver row.  Same
+    map-side Arrow-batch plan shape as every multimodal operator."""
+    @F.pandas_udf("binary")
+    def make_wav(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: encode_wav(int(i)))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(decode_wav_features)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_samples": feats.map(lambda t: t[0]),
+                    "rate": feats.map(lambda t: t[1]),
+                    "sum_abs": feats.map(lambda t: t[2]),
+                    "peak": feats.map(lambda t: t[3]),
+                }
+            )
+
+    t = Tables(spark, sf_dir)
+    with_payload = (
+        t.documents.where(F.col("doc_id") < 200)
+        .select("doc_id", make_wav("doc_id").alias("payload"))
+    )
+    return (
+        with_payload.mapInPandas(
+            extract,
+            "doc_id long, n_samples long, rate long, sum_abs long, peak long",
+        )
+        .orderBy("doc_id")
+    )
