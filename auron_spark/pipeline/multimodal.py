@@ -395,3 +395,87 @@ def mm_wav_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- REAL video path: multi-frame container of PPM frames ---
+
+VID_FRAMES = 6
+FRAME_STEP = 3  # sample every 3rd frame
+
+
+def encode_video(doc_id: int) -> bytes:
+    """Deterministic 'video': VID_FRAMES concatenated PPM frames prefixed by
+    a 4-byte big-endian frame count.  Frame f uses the pixel formula of
+    encode_ppm(doc_id * 16 + f), so every frame differs."""
+    frames = [encode_ppm(doc_id * 16 + f) for f in range(VID_FRAMES)]
+    return VID_FRAMES.to_bytes(4, "big") + b"".join(frames)
+
+
+def sample_video_frames(payload: bytes) -> list[tuple[int, float]]:
+    """REAL frame sampler: parse the container, decode every FRAME_STEP-th
+    frame with the PPM decoder, return (frame_idx, mean_r) pairs."""
+    n = int.from_bytes(payload[:4], "big")
+    body = payload[4:]
+    frame_len = len(body) // n
+    out = []
+    for f in range(0, n, FRAME_STEP):
+        frame = body[f * frame_len : (f + 1) * frame_len]
+        _, _, mean_r, _, _ = decode_ppm_features(frame)
+        out.append((f, round(mean_r, 6)))
+    return out
+
+
+@query(
+    "mm_video_frame_sample_real",
+    oracle=f"""
+    WITH fr AS (
+        SELECT d.doc_id, f.f
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d,
+             range(0, {VID_FRAMES}) f(f)
+        WHERE f.f % {FRAME_STEP} = 0
+    ),
+    px AS (
+        SELECT doc_id, f, x.x
+        FROM fr, range(0, {PPM_W}) x(x)
+    )
+    SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+           ROUND(AVG((7 * x + doc_id * 16 + f) % 256), 6) AS mean_r
+    FROM px
+    GROUP BY doc_id, f
+    ORDER BY doc_id, frame_idx
+    """,
+    tags=("pipeline", "multimodal", "video", "real-codec"),
+)
+def mm_video_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling — completes the image/audio/video trilogy:
+    a multi-frame container (frame-count header + concatenated spec-valid
+    PPM frames) is built per row, and mapInPandas parses the container,
+    seeks to every FRAME_STEP-th frame, and decodes ONLY the sampled frames
+    (the decode-on-demand pattern that makes 100 TB video corpora tractable:
+    I/O ∝ sampled frames, not stored frames).  One output row per sampled
+    frame via the same explode-shaped mapInPandas; closed-form per-frame
+    oracle (mean_r depends on the frame index) verifies container offsets
+    and frame decode together."""
+    @F.pandas_udf("binary")
+    def make_video(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: encode_video(int(i)))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for f, mean_r in sample_video_frames(payload):
+                    rows.append((doc_id, f, mean_r))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "mean_r"])
+
+    t = Tables(spark, sf_dir)
+    with_payload = (
+        t.documents.where(F.col("doc_id") < 100)
+        .select("doc_id", make_video("doc_id").alias("payload"))
+    )
+    return (
+        with_payload.mapInPandas(
+            extract, "doc_id long, frame_idx long, mean_r double"
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
