@@ -249,6 +249,7 @@ def decode_ppm_features(payload: bytes) -> tuple[int, int, float, float, float]:
     ORDER BY doc_id
     """,
     tags=("pipeline", "multimodal", "decode", "real-codec"),
+    bench=True,  # tracks the Python/Arrow boundary cost round-over-round
 )
 def mm_ppm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A REAL image decode end-to-end — no stub: spec-compliant P6 PPM bytes
