@@ -785,3 +785,53 @@ def graph_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return ranks.select("doc_id", F.col("r").alias("rank")).orderBy("doc_id")
+
+
+@query(
+    "graph_triangle_count",
+    oracle=_sql_signature_cte()
+    + """
+    , pairs AS (
+        SELECT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r ON l.band = r.band AND l.doc_id < r.doc_id
+        GROUP BY a, b
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM pairs e1
+        JOIN pairs e2 ON e2.a = e1.b
+        JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           CAST(COUNT(DISTINCT x) + COUNT(DISTINCT y) + COUNT(DISTINCT z)
+                AS BIGINT) AS corner_card
+    FROM tri
+    """,
+    tags=("pipeline", "graph", "triangles"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the near-duplicate graph — completes the graph
+    trio (components, PageRank, triangles); triangle density distinguishes
+    true duplicate cliques from chains of borderline pairs.
+
+    The classic distributed formulation: orient every edge low-id → high-id,
+    then count paths x→y→z that close with an x→z edge — each triangle is
+    counted exactly once, and the ordering bounds the join fan-out by
+    out-degree (at scale, degree-ordering instead of id-ordering caps
+    fan-out at O(sqrt(|E|)) per node — the standard refinement; id-ordering
+    keeps the DuckDB oracle identical here).  Two equi-joins on the edge
+    list, shuffle ∝ edges + wedges."""
+    t = Tables(spark, sf_dir)
+    pairs = lsh_candidate_pairs(
+        minhash_signature(_doc_shingles(t, dedup=False))
+    ).localCheckpoint()
+    e1 = pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = pairs.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = pairs.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    return tri.agg(
+        F.count("*").alias("n_triangles"),
+        (
+            F.count_distinct("x") + F.count_distinct("y") + F.count_distinct("z")
+        ).cast("long").alias("corner_card"),
+    )
