@@ -684,7 +684,7 @@ def _pq_assignments(emb: DataFrame, carr: DataFrame) -> DataFrame:
     + _PQ_CTES
     + """
     SELECT vec_id,
-           list(code ORDER BY sub) AS pq_code,
+           array_to_string(list(code ORDER BY sub), ',') AS pq_code,
            CAST(SUM(CASE WHEN code = own_label THEN 1 ELSE 0 END) AS BIGINT)
                AS n_own_sub
     FROM best WHERE rn = 1
@@ -716,9 +716,12 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         best.groupBy("vec_id", "own_label")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "code"))),
-                lambda s: s["code"],
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                    lambda s: s["code"].cast("string"),
+                ),
+                ",",
             ).alias("pq_code"),
             F.sum(
                 F.when(F.col("code") == F.col("own_label"), 1).otherwise(0)

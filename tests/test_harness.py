@@ -8,7 +8,7 @@ from decimal import Decimal
 
 import pandas as pd
 
-from tests.conftest import _norm_cell
+from tests.conftest import SF_SMOKE, _norm_cell
 
 
 def test_int_vs_float_distinct():
@@ -152,6 +152,22 @@ def test_json_extract_paths_rejects_prefix_conflicts():
                 _merge_into_tree(tree, _parse_path(p), 0)
 
 
+def _all_query_schemas(spark):
+    """Build every registered query's schema at smoke scale.  Builders that
+    raise are collected (not swallowed) so the caller can assert the gate
+    still has coverage — a blanket skip would let the lints pass vacuously
+    (ADVICE r3)."""
+    from auron_spark.registry import load_all
+
+    schemas, errors = {}, {}
+    for name, spec in load_all().items():
+        try:
+            schemas[name] = spec.build(spark, SF_SMOKE).schema
+        except Exception as e:  # capability-gated builders land here
+            errors[name] = repr(e)
+    return schemas, errors
+
+
 def test_no_raw_timestamp_output_columns(spark):
     """No registered query may OUTPUT a raw TimestampType column: collect()
     renders TimestampType in the Python process's LOCAL timezone (not the
@@ -159,15 +175,37 @@ def test_no_raw_timestamp_output_columns(spark):
     moment the driver host is non-UTC (found by the TZ=America/New_York
     sweep, round 3 — funnel + fn_interval).  Timestamps must leave as
     date_format() strings or epoch integers."""
-    from auron_spark.registry import load_all
+    schemas, errors = _all_query_schemas(spark)
+    assert len(schemas) >= 150, (
+        f"only {len(schemas)} builders produced schemas — the timezone gate "
+        f"lost coverage; build errors: {errors}"
+    )
+    offenders = {
+        name: ts
+        for name, sch in schemas.items()
+        if (ts := [f.name for f in sch.fields
+                   if "timestamp" in f.dataType.simpleString()])
+    }
+    assert not offenders, offenders
 
-    offenders = {}
-    for name, spec in load_all().items():
-        try:
-            sch = spec.build(spark, "/root/testdata/sf0.001").schema
-        except Exception:
-            continue  # capability-gated builders are checked elsewhere
-        ts = [f.name for f in sch.fields if "timestamp" in f.dataType.simpleString()]
-        if ts:
-            offenders[name] = ts
+
+def test_no_bare_array_or_map_output_columns(spark):
+    """No registered query may OUTPUT a raw ArrayType/MapType column: the
+    driver's canonicalizer sorts output cells with pandas, and Python lists
+    and dicts are unhashable — round 3's only red driver row (sim_pq_codes)
+    was exactly this, hash-exact in self-check but a harness crash at the
+    driver.  Array/map results must be serialized (array_join / to_json /
+    sort_array+cast) before leaving the plan.  Rows-only queries (no oracle)
+    get the same rule: the driver still materializes their output."""
+    schemas, errors = _all_query_schemas(spark)
+    assert len(schemas) >= 150, (
+        f"only {len(schemas)} builders produced schemas — the array gate "
+        f"lost coverage; build errors: {errors}"
+    )
+    offenders = {
+        name: bad
+        for name, sch in schemas.items()
+        if (bad := [f.name for f in sch.fields
+                    if f.dataType.typeName() in ("array", "map")])
+    }
     assert not offenders, offenders
