@@ -34,18 +34,30 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # (epoch/unix_timestamp semantics match DuckDB's naive-as-UTC reading).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # Ensure the ns-as-long read works even on a driver-provided session
-        # that did not go through session.get_spark().
+        # Legacy-fixture compatibility: only affects parquet TIMESTAMP(NANOS)
+        # columns (read as bigint); a no-op on the current TIMESTAMP(MICROS)
+        # fixtures, which Spark reads natively as timestamp.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); Spark reads it as raw long
-        # (spark.sql.legacy.parquet.nanosAsLong, session.py).  Truncate to µs
-        # exactly like DuckDB's ns→µs cast.  Integer `div` keeps full int64
-        # precision (a double division would lose low bits of the epoch-nanos).
+        # Fixture schema has drifted across driver regens: older fixtures wrote
+        # parquet TIMESTAMP(NANOS), which (with nanosAsLong) Spark reads as a
+        # raw bigint of epoch-nanos; current fixtures write TIMESTAMP(MICROS),
+        # read natively as timestamp.  Guard the ns→µs conversion on the read
+        # dtype so both generations work — the reference gates timestamp-typed
+        # scans the same way (AuronConverters.scala:506-527).  Integer `div`
+        # keeps full int64 precision for the legacy path.
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_dtype = dict(df.dtypes)["ts"]
+        if ts_dtype == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_dtype == "timestamp_ntz":
+            # Normalize NTZ → LTZ.  Session tz is pinned to UTC above, so the
+            # cast is value-preserving and matches DuckDB's naive-as-UTC
+            # reading; downstream code (epoch casts, range frames, windows)
+            # uniformly sees TIMESTAMP.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -56,6 +56,30 @@ def main() -> int:
             f"SELECT * FROM read_parquet('{args.sf_dir}/{name}.parquet')"
         )
 
+    # Pre-flight fixture-schema canary: the driver regenerates /root/testdata
+    # between rounds and has drifted column types before (round 4: events.ts
+    # ns-int64 → timestamp[us]).  Fail loudly HERE, with one message, rather
+    # than as dozens of per-query errors.
+    from auron_spark.tables import table as _table
+
+    canary = {
+        "events": {"ts": {"timestamp", "timestamp_ntz"}},
+        "lineitem": {"l_shipdate": {"date", "timestamp", "timestamp_ntz"}},
+        "orders": {"o_orderdate": {"date", "timestamp", "timestamp_ntz"}},
+        "embeddings": {"embedding": {"array<float>", "array<double>"}},
+    }
+    for tbl, cols in canary.items():
+        dtypes = dict(_table(spark, args.sf_dir, tbl).dtypes)
+        for col, allowed in cols.items():
+            if dtypes.get(col) not in allowed:
+                print(
+                    f"FIXTURE SCHEMA DRIFT: {tbl}.{col} reads as "
+                    f"{dtypes.get(col)!r}, expected one of {sorted(allowed)} — "
+                    "the driver regenerated fixtures; audit tables.py",
+                    file=sys.stderr,
+                )
+                return 2
+
     specs = load_all()
     names = [n for n in args.only.split(",") if n] or list(specs)
     report: dict[str, dict] = {}

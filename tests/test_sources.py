@@ -175,3 +175,34 @@ def test_small_file_compaction(spark, tmpdir):
     n_comp = len([f for f in os.listdir(compacted) if f.endswith(".parquet")])
     assert n_comp < n_frag / 4, (n_frag, n_comp)
     assert spark.read.parquet(compacted).count() == src.count()
+
+
+def test_fixture_schema_canary(spark):
+    """Schema-drift canary: the driver regenerates /root/testdata between
+    rounds and has changed column physical types before (round 4: events.ts
+    went from TIMESTAMP(NANOS)-as-int64 to timestamp[us], silently breaking
+    28 queries).  Pin the dtype of every load-bearing fixture column here so
+    the next regen fails in ONE named test with a clear message instead of
+    as a smear of query errors."""
+    expectations = {
+        "events": {"ts": {"timestamp", "timestamp_ntz"}},
+        "lineitem": {
+            "l_quantity": {"decimal(15,2)", "double", "bigint"},
+            "l_shipdate": {"date", "timestamp", "timestamp_ntz"},
+        },
+        "orders": {"o_orderdate": {"date", "timestamp", "timestamp_ntz"}},
+        "documents": {"doc_id": {"bigint", "string"}, "text": {"string"}},
+        "embeddings": {"embedding": {"array<float>", "array<double>"}},
+    }
+    problems = []
+    for tbl, cols in expectations.items():
+        dtypes = dict(table(spark, SF_SMOKE, tbl).dtypes)
+        for col, allowed in cols.items():
+            got = dtypes.get(col)
+            if got not in allowed:
+                problems.append(
+                    f"{tbl}.{col}: read dtype {got!r} not in {sorted(allowed)}"
+                    " — driver fixture regen changed the schema; audit"
+                    " auron_spark/tables.py conversions"
+                )
+    assert not problems, "FIXTURE SCHEMA DRIFT:\n" + "\n".join(problems)
