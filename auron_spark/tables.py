@@ -40,24 +40,37 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # Fixture schema has drifted across driver regens: older fixtures wrote
-        # parquet TIMESTAMP(NANOS), which (with nanosAsLong) Spark reads as a
-        # raw bigint of epoch-nanos; current fixtures write TIMESTAMP(MICROS),
-        # read natively as timestamp.  Guard the ns→µs conversion on the read
-        # dtype so both generations work — the reference gates timestamp-typed
-        # scans the same way (AuronConverters.scala:506-527).  Integer `div`
-        # keeps full int64 precision for the legacy path.
-        from pyspark.sql import functions as F
+        df = normalize_events_ts(df)
+    return df
 
-        ts_dtype = dict(df.dtypes)["ts"]
-        if ts_dtype == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_dtype == "timestamp_ntz":
-            # Normalize NTZ → LTZ.  Session tz is pinned to UTC above, so the
-            # cast is value-preserving and matches DuckDB's naive-as-UTC
-            # reading; downstream code (epoch casts, range frames, windows)
-            # uniformly sees TIMESTAMP.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to TIMESTAMP regardless of fixture generation.
+
+    Fixture schema has drifted across driver regens: older fixtures wrote
+    parquet TIMESTAMP(NANOS), which (with nanosAsLong) Spark reads as a raw
+    bigint of epoch-nanos; current fixtures write TIMESTAMP(MICROS), read
+    natively as timestamp / timestamp_ntz.  Guard each conversion on the read
+    dtype so every generation works — the reference gates timestamp-typed
+    scans the same way (AuronConverters.scala:506-527).
+
+    Used by both the batch catalog (:func:`table`) and the streaming file
+    source (tests/test_streaming.py), which must agree exactly for the
+    stream-equals-batch contracts to hold.
+    """
+    from pyspark.sql import functions as F
+
+    ts_dtype = dict(df.dtypes)["ts"]
+    if ts_dtype == "bigint":
+        # Integer `div` keeps full int64 precision (a double division would
+        # lose low bits of the epoch-nanos).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_dtype == "timestamp_ntz":
+        # NTZ → LTZ.  Session tz is pinned to UTC (table()), so the cast is
+        # value-preserving and matches DuckDB's naive-as-UTC reading;
+        # downstream code (epoch casts, range frames, windows) uniformly
+        # sees TIMESTAMP.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

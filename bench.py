@@ -53,19 +53,37 @@ def main() -> None:
         warm[name] = run(spec)
 
     total = round(sum(warm.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": warm,
-                "queries_cold": cold,
-                "total_cold": round(sum(cold.values()), 3),
-                "sf": sf,
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": warm,
+        "queries_cold": cold,
+        "total_cold": round(sum(cold.values()), 3),
+        "sf": sf,
+    }
+
+    # Second-scale pass (VERDICT r4 ask #6): re-time the same headline set at
+    # a second SF so scale-sensitivity is tracked round-over-round alongside
+    # SCALE.md's multi-SF robustness claims.  Warm-only (plans/JIT already
+    # compiled), folded into the SAME single JSON line.  Opt out with
+    # SPARK_GRAFT_BENCH_SECOND_SF=""; defaults to sf0.01 when present.
+    second = os.environ.get(
+        "SPARK_GRAFT_BENCH_SECOND_SF", "/root/testdata/sf0.01"
     )
+    if second and os.path.isdir(second) and second != sf_dir:
+        warm2 = {}
+        for name, spec in sorted(specs.items()):
+            t0 = time.perf_counter()
+            spec.build(spark, second).write.format("noop").mode("overwrite").save()
+            warm2[name] = round(time.perf_counter() - t0, 3)
+        payload["sf2"] = (
+            float(second.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in second else -1.0
+        )
+        payload["queries_sf2"] = warm2
+        payload["total_sf2"] = round(sum(warm2.values()), 3)
+
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -152,20 +152,43 @@ def test_json_extract_paths_rejects_prefix_conflicts():
                 _merge_into_tree(tree, _parse_path(p), 0)
 
 
+_SCHEMA_MEMO: dict = {}
+
+
 def _all_query_schemas(spark):
     """Build every registered query's schema at smoke scale.  Builders that
     raise are collected (not swallowed) so the caller can assert the gate
     still has coverage — a blanket skip would let the lints pass vacuously
-    (ADVICE r3)."""
+    (ADVICE r3).  Memoized per session: the ~55 s build pass runs once even
+    though multiple gate tests consume it (ADVICE r4)."""
     from auron_spark.registry import load_all
 
+    key = id(spark)
+    if key in _SCHEMA_MEMO:
+        return _SCHEMA_MEMO[key]
     schemas, errors = {}, {}
     for name, spec in load_all().items():
         try:
             schemas[name] = spec.build(spark, SF_SMOKE).schema
         except Exception as e:  # capability-gated builders land here
             errors[name] = repr(e)
+    _SCHEMA_MEMO[key] = (schemas, errors)
     return schemas, errors
+
+
+def test_every_builder_produces_a_schema(spark):
+    """Exact-coverage gate (ADVICE r4): every registered builder must analyze
+    cleanly — no silent erosion of the downstream lints' coverage.  There are
+    currently NO capability-gated builders (gated surface lives behind
+    separate negative tests, not in the registry); if one is ever added,
+    list it here explicitly rather than lowering a floor."""
+    from auron_spark.registry import load_all
+
+    allowed_errors: set[str] = set()
+    schemas, errors = _all_query_schemas(spark)
+    unexpected = {k: v for k, v in errors.items() if k not in allowed_errors}
+    assert not unexpected, unexpected
+    assert len(schemas) == len(load_all()) - len(errors)
 
 
 def test_no_raw_timestamp_output_columns(spark):
@@ -176,10 +199,7 @@ def test_no_raw_timestamp_output_columns(spark):
     sweep, round 3 — funnel + fn_interval).  Timestamps must leave as
     date_format() strings or epoch integers."""
     schemas, errors = _all_query_schemas(spark)
-    assert len(schemas) >= 150, (
-        f"only {len(schemas)} builders produced schemas — the timezone gate "
-        f"lost coverage; build errors: {errors}"
-    )
+    # coverage is enforced exactly by test_every_builder_produces_a_schema
     offenders = {
         name: ts
         for name, sch in schemas.items()
@@ -198,10 +218,7 @@ def test_no_bare_array_or_map_output_columns(spark):
     sort_array+cast) before leaving the plan.  Rows-only queries (no oracle)
     get the same rule: the driver still materializes their output."""
     schemas, errors = _all_query_schemas(spark)
-    assert len(schemas) >= 150, (
-        f"only {len(schemas)} builders produced schemas — the array gate "
-        f"lost coverage; build errors: {errors}"
-    )
+    # coverage is enforced exactly by test_every_builder_produces_a_schema
     offenders = {
         name: bad
         for name, sch in schemas.items()

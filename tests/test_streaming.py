@@ -17,21 +17,19 @@ def _stream_events(spark):
     import os
     import tempfile
 
+    from auron_spark.tables import normalize_events_ts
+
     batch = table(spark, SF_SMOKE, "events")
     # the streaming file source requires a directory of files
     d = tempfile.mkdtemp(prefix="auron-stream-")
     os.symlink(f"{SF_SMOKE}/events.parquet", f"{d}/events.parquet")
-    # declare ts as raw nanos long (matches the nanosAsLong read path), then
-    # apply the same ns→µs conversion the batch catalog applies
-    raw_schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .load(d)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # The streaming source needs an explicit schema; take it from a raw batch
+    # read of the same file so it tracks fixture regens, then apply the SAME
+    # dtype-guarded ts normalization the batch catalog applies — stream and
+    # batch must agree exactly for the stream-equals-batch contracts to hold.
+    raw_schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema).format("parquet").load(d)
     )
     return stream, batch
 
@@ -411,23 +409,32 @@ def test_stream_stream_interval_join_left_outer(spark):
     import datetime
 
     far_ts = far + datetime.timedelta(hours=10)
-    nanos = int(far_ts.replace(tzinfo=datetime.timezone.utc).timestamp() * 1e9)
+    # Sentinel must carry the SAME physical ts type as the real fixture file
+    # (the streaming source reads both under one schema); take the raw batch
+    # schema and synthesize the sentinel in it, dtype-guarded like the catalog.
+    from auron_spark.tables import normalize_events_ts
+
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    raw_schema = raw.schema
+    if dict(raw.dtypes)["ts"] == "bigint":
+        ts_val = int(
+            far_ts.replace(tzinfo=datetime.timezone.utc).timestamp() * 1e9
+        )
+    else:
+        ts_val = far_ts
     sent = spark.createDataFrame(
-        [(-1, nanos, -1, "purchase", 0.0, "{}"), (-2, nanos, -1, "click", 0.0, "{}")],
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string",
+        [
+            (-1, ts_val, -1, "purchase", 0.0, "{}"),
+            (-2, ts_val, -1, "click", 0.0, "{}"),
+        ],
+        raw_schema,
     )
     sent.coalesce(1).write.mode("overwrite").parquet(f"{d}/zz-sentinel")
-    raw_schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    stream = (
+    stream = normalize_events_ts(
         spark.readStream.schema(raw_schema)
         .format("parquet")
         .option("maxFilesPerTrigger", "1")
         .load(f"{d}/*")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     purchases = (
         stream.filter(F.col("event_type") == "purchase")
