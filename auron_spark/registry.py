@@ -79,57 +79,60 @@ _LOADED = False
 # queries (dedup_simhash, sim_knn_lsh — their exact twins ARE in-window), the
 # four mm_* stub-plumbing queries, two stream twins, and three text queries
 # whose family already has in-window representatives.
+# ROUND-5 WINDOW (per VERDICT r4 ask #4).  Priority order: (a) the 13 r4
+# `err` rows — all one root cause (the events ts fixture drift, fixed in
+# tables.py) but each needs its green driver row back; (b) the 15 events-
+# blocked names whose only proof predates the fixture regen (green in r1/r2
+# against the OLD fixtures, judge-verified broken mid-r4); (c) the 25 names
+# that have never had a driver row (round-3 additions + round-2 deferrals).
+# 53 names: the final 3 (json family + lead/lag, each with several in-window
+# family representatives) sit at positions 51-53 — just outside the driver's
+# 50-slot check, first in line for round 6.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # round-2 operators, never driver-checked
-    "udaf_partial_merge_stats", "funnel_view_click_purchase",
-    "streak_daily_activity",
-    # §2.2 generator tail
-    "gen_explode_outer", "gen_json_tuple", "gen_python_udtf", "gen_inline",
-    # §2.1 / §2.7 leftovers
-    "scan_projection_pushdown", "set_union_distinct",
-    # TPC-H tail — every remaining query
+    # (a) r4 err rows — re-prove the fix
+    "window_percentiles", "window_sliding_frame", "window_ignore_nulls",
+    "funnel_view_click_purchase", "streak_daily_activity", "gen_json_tuple",
+    "json_parse_once", "fn_variant_json", "stream_tumbling_window",
+    "stream_session_window", "stream_interval_join", "stream_dedup",
+    "stream_static_enrich",
+    # (b) stale-proof events readers (blocked mid-r4, never rechecked)
+    "window_ranking", "window_running_agg", "window_range_frame",
+    "window_top_k_per_group", "skew_aqe_join", "skew_salted_join",
+    "pivot_event_counts", "asof_join_purchase_click", "join_range_bands",
+    "agg_theta_sketch_setops", "stream_sliding_window",
+    "stream_late_data_cutoff",
+    # (c) never driver-checked middle band
+    "agg_bitmap_distinct", "agg_kll_quantile_sketch", "agg_linear_regression",
+    "fn_mask_redact", "fn_xml_xpath", "fn_csv_parse", "fn_map_higher_order",
+    "fn_math_trig", "mm_wav_decode_real", "mm_video_frame_sample_real",
+    "text_pii_redact", "text_url_canonicalize", "text_html_strip",
+    "tfidf_top_terms", "bm25_single_term", "sample_mixture_weights",
+    "dedup_incremental_anti_join", "dedup_fuzzy_name_match",
+    "graph_pagerank_fixed_point", "graph_triangle_count",
+    "pyds_synthdocs_scan", "layout_zorder_key", "scan_file_provenance",
+    "sim_normalize_embeddings", "pipeline_curation_end_to_end",
+    # positions 51-53: deferred to round 6 (families already represented)
+    "fn_json", "fn_json_nested", "window_lead_lag",
+)
+
+# Green driver rows from CORRECTNESS_r04.json — the 37 of the round-3/4
+# window that passed (the other 13 are the (a) block above).
+_R4_PROVEN: frozenset[str] = frozenset({
+    "udaf_partial_merge_stats", "gen_explode_outer", "gen_inline",
+    "gen_python_udtf", "scan_projection_pushdown", "set_union_distinct",
     "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
     "q10_returned_items", "q11_important_stock", "q12_priority_shipping",
     "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier_cte",
     "q16_supplier_part_count", "q17_small_quantity_parts",
     "q19_disjunctive_predicates", "q20_potential_promotion",
-    "q22_global_sales_opportunity",
-    # §2.5 window tail
-    "window_percentiles", "window_sliding_frame", "window_ignore_nulls",
-    # dedup / contamination / clustering
-    "dedup_simhash_md5", "contamination_ngram_overlap",
-    "dedup_connected_components",
-    # sampling / split / epoch ordering
+    "q22_global_sales_opportunity", "dedup_simhash_md5",
+    "contamination_ngram_overlap", "dedup_connected_components",
     "sample_hash_fraction", "split_train_val_test",
     "sample_stratified_per_group", "shuffle_epoch_order",
-    # similarity + quantization (incl. the two round-2 scale fixes)
     "sim_knn_bruteforce", "sim_centroids", "sim_quantize_int8",
-    "sim_pq_codes", "sim_pq_adc_topk",
-    # text pipeline tail
-    "text_lang_id", "text_quality_score", "text_fingerprint",
-    "pack_length_buckets", "text_repetition_filter",
-    # JSON parse-once + variant
-    "json_parse_once", "fn_variant_json",
-    # streaming batch-twins (>=5 per the round-2 verdict)
-    "stream_tumbling_window", "stream_session_window", "stream_interval_join",
-    "stream_dedup", "stream_static_enrich",
-)
-
-# ROUND-4 ROTATION PLAN: if CORRECTNESS_r03 is green, demote this window into
-# _PROVEN (as _R3_PROVEN) and promote the middle band — every query registered
-# since the round-3 window froze: the 11 round-2 deferrals (mm_* ×4,
-# dedup_simhash, sim_knn_lsh, text_stats/token_regex/rolling_hash,
-# stream_sliding_window, stream_late_data_cutoff) plus all round-3 additions
-# (agg_first_ordered, agg_histogram_width_bucket, agg_bitmap_distinct,
-# agg_theta_sketch_setops, agg_kll_quantile_sketch, agg_linear_regression,
-# fn_mask_redact, fn_xml_xpath, fn_csv_parse, fn_map_higher_order,
-# fn_math_trig, gen_python_udtf_analyze, scan_file_provenance,
-# dedup_incremental_anti_join, dedup_fuzzy_name_match, tfidf_top_terms,
-# bm25_single_term, sample_mixture_weights, text_pii_redact,
-# text_url_canonicalize, text_html_strip, sim_normalize_embeddings,
-# layout_zorder_key, skew_aqe_join, pyds_synthdocs_scan,
-# pipeline_curation_end_to_end) — ~37 names; fill remaining slots with any
-# round-3 failures to re-prove.
+    "sim_pq_codes", "sim_pq_adc_topk", "text_lang_id", "text_quality_score",
+    "text_fingerprint", "pack_length_buckets", "text_repetition_filter",
+})
 
 # Green driver rows from CORRECTNESS_r02.json — the whole round-2 window
 # passed 50/50, so all of it joins the proven tail.
@@ -175,7 +178,7 @@ _R1_PROVEN: frozenset[str] = frozenset({
 })
 
 
-_PROVEN: frozenset[str] = _R1_PROVEN | _R2_PROVEN
+_PROVEN: frozenset[str] = _R1_PROVEN | _R2_PROVEN | _R4_PROVEN
 
 
 def _ordered(reg: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
