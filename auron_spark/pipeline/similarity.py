@@ -34,6 +34,8 @@ QUERY_BUDGET = 1000  # max query vectors, regardless of corpus size
 # vec_id-prefix cap shared by every ANN query side (brute force, LSH probe,
 # IVF probe, int8 re-rank, PQ-ADC LUT): selects at most QUERY_BUDGET vectors.
 QUERY_CAP = QUERY_MOD * QUERY_BUDGET
+# Fixture embedding dimensionality (the SQL oracles hardcode range(1, 65)).
+EMB_DIM = 64
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -366,7 +368,13 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     t = Tables(spark, sf_dir)
-    # exact centroids: posexplode -> decimal-exact component mean -> reassemble
+    # exact centroids: posexplode -> decimal-exact component mean -> reassemble.
+    # Scale note: the partial HashAggregate sits ABOVE the Generate in the
+    # same stage, so each partition map-side-combines its exploded rows down
+    # to nlist x 64 states before the shuffle — the explode itself never hits
+    # the wire.  (r5 A/B: a single wide groupBy(label) with 64 per-dim
+    # decimal-sum columns was ~2x SLOWER warm at sf0.1 — wide-codegen cost —
+    # and shuffles the same partial-state volume, so this shape stands.)
     ex = t.embeddings.select("label", F.posexplode("embedding").alias("dim", "v"))
     comp = ex.groupBy("label", "dim").agg(
         (
@@ -380,6 +388,9 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp.groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("sc"))
         .select("label", F.transform("sc", lambda s: s["c"]).alias("cv"))
+        # centroid norm computed once per centroid (nlist rows), not per
+        # (query x centroid) pair in the probe cross join below
+        .withColumn("cvn", norm(F.col("cv")))
     )
     q = t.embeddings.filter(
         (F.col("vec_id") % QUERY_MOD == 0)
@@ -395,7 +406,7 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_emb",
         "qn",
         "label",
-        (dot(F.col("q_emb"), F.col("cv")) / (F.col("qn") * norm(F.col("cv")))).alias(
+        (dot(F.col("q_emb"), F.col("cv")) / (F.col("qn") * F.col("cvn"))).alias(
             "ccos"
         ),
     )
