@@ -915,3 +915,181 @@ def sim_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --- k-means (Lloyd) coarse-quantizer training -----------------------------
+
+KM_K = 8  # clusters
+KM_ITERS = 2  # Lloyd iterations (unrolled in the SQL oracle)
+
+_SQL_KM_DIST = (
+    "list_sum(list_transform(range(1, 65), i -> "
+    "(CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) * "
+    "(CAST(e.embedding[i] AS DOUBLE) - c.cv[i])))"
+)
+
+
+def _sql_km_round(prev: str, out_assign: str, out_mean: str, out_cent: str) -> str:
+    """One unrolled Lloyd round in DuckDB SQL: nearest-centroid assignment
+    (squared L2, ROW_NUMBER tie-broken by cid), decimal-exact per-dim means,
+    empty clusters keep their previous centroid."""
+    return f"""
+    {out_assign} AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_SQL_KM_DIST} ASC, c.cid ASC)
+                       AS rn
+            FROM embeddings e CROSS JOIN {prev} c)
+        WHERE rn = 1
+    ),
+    {out_mean} AS (
+        SELECT a.cid, x.pos,
+               CAST(SUM(CAST(ROUND(CAST(x.v AS DOUBLE), 6) AS DECIMAL(18,6)))
+                    AS DOUBLE) / COUNT(*) AS c,
+               COUNT(*) AS n
+        FROM {out_assign} a
+        JOIN (SELECT vec_id, unnest(embedding) AS v,
+                     unnest(range(1, len(embedding) + 1)) AS pos
+              FROM embeddings) x ON x.vec_id = a.vec_id
+        GROUP BY a.cid, x.pos
+    ),
+    {out_cent} AS (
+        SELECT p.cid, COALESCE(m.cv, p.cv) AS cv
+        FROM {prev} p
+        LEFT JOIN (SELECT cid, list(c ORDER BY pos) AS cv
+                   FROM {out_mean} GROUP BY cid) m ON m.cid = p.cid
+    )"""
+
+
+@query(
+    "sim_kmeans_lloyd",
+    oracle=f"""
+    WITH init AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cv
+        FROM (SELECT vec_id, embedding FROM embeddings
+              ORDER BY vec_id LIMIT {KM_K})
+    ),
+    {_sql_km_round("init", "a1", "m1", "c1")},
+    {_sql_km_round("c1", "a2", "m2", "c2")}
+    SELECT c.cid AS cid, p.i - 1 AS dim,
+           COALESCE(m.c, c.cv[p.i]) AS centroid,
+           CAST(COALESCE(m.n, 0) AS BIGINT) AS n
+    FROM c1 c
+    CROSS JOIN (SELECT unnest(range(1, 65)) AS i) p
+    LEFT JOIN m2 m ON m.cid = c.cid AND m.pos = p.i
+    ORDER BY c.cid, dim
+    """,
+    tags=("pipeline", "similarity", "kmeans", "iterative", "ann"),
+)
+def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means (Lloyd) training for the IVF coarse quantizer — the learned
+    replacement for ``sim_knn_ivf``'s label-as-assignment stand-in.
+    Deterministic init (the KM_K lowest vec_ids), KM_ITERS Lloyd rounds,
+    decimal-exact component means; output is the trained codebook as
+    (cid, dim, centroid, n) rows with n = final cluster size (empty clusters
+    keep their previous centroid with n = 0).
+
+    Scale shape (Spark MLlib's distributed k-means layout, re-expressed in
+    DataFrame ops): centroids fold into ONE array-of-structs row that
+    broadcasts to every corpus partition, so nearest-centroid assignment is
+    a map-side ``array_min`` over k candidates — no per-vector shuffle, no
+    window function.  The only exchange per iteration carries the partial
+    hash-agg states of the per-(cid, dim) decimal sums: k x 64 rows per
+    partition, constant in corpus size.  The driver-side loop holds only
+    plan handles (KM_ITERS is fixed); ``localCheckpoint`` cuts lineage per
+    round like the other iterative ops (connected components, PageRank).
+    Arithmetic contract: distances are index-ordered double folds and means
+    go through DECIMAL(18,6) of 6-dp-rounded components, so DuckDB's
+    unrolled recursion reproduces every value bit-exactly.
+
+    Reference frame: the reference has no trainer (its IVF analog consumes
+    a prebuilt index); this extends SURVEY §2's ANN family end-to-end.
+    """
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("e"),
+    )
+    # deterministic init: the KM_K lowest vec_ids, cid in vec_id order
+    init_rows = (
+        emb.orderBy("vec_id")
+        .limit(KM_K)
+        .collect()  # k rows of model state — constant size, like MLlib
+    )
+    cent = spark.createDataFrame(
+        [(i, r.e) for i, r in enumerate(init_rows)],
+        "cid int, cv array<double>",
+    )
+
+    def sqdist(e: Column, cv: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(e, cv, lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    last_mean = None
+    for _ in range(KM_ITERS):
+        # centroids -> one broadcast row holding array<struct<cid,cv>>
+        cents_row = cent.agg(
+            F.collect_list(F.struct("cid", "cv")).alias("cents")
+        )
+        assigned = (
+            emb.join(F.broadcast(cents_row))
+            .select(
+                "vec_id",
+                "e",
+                F.array_min(
+                    F.transform(
+                        "cents",
+                        lambda c: F.struct(
+                            sqdist(F.col("e"), c["cv"]).alias("d"),
+                            c["cid"].alias("cid"),
+                        ),
+                    )
+                )["cid"].alias("cid"),
+            )
+        )
+        mean = (
+            assigned.select("cid", F.posexplode("e").alias("dim", "v"))
+            .groupBy("cid", "dim")
+            .agg(
+                (
+                    F.sum(
+                        F.round(F.col("v"), 6).cast("decimal(18,6)")
+                    ).cast("double")
+                    / F.count("*")
+                ).alias("c"),
+                F.count("*").alias("n"),
+            )
+            .localCheckpoint()
+        )
+        new_cv = (
+            mean.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("sc"))
+            .select("cid", F.transform("sc", lambda s: s["c"]).alias("cv"))
+        )
+        cent = (
+            cent.alias("p")
+            .join(new_cv.alias("m"), "cid", "left")
+            .select("cid", F.coalesce("m.cv", "p.cv").alias("cv"))
+            .localCheckpoint()
+        )
+        last_mean = mean
+    # emit the trained codebook per-dim, carrying empty clusters at n = 0
+    dims = spark.range(EMB_DIM).select(F.col("id").cast("int").alias("dim"))
+    return (
+        cent.crossJoin(F.broadcast(dims))
+        .join(F.broadcast(last_mean), ["cid", "dim"], "left")
+        .select(
+            "cid",
+            "dim",
+            F.coalesce("c", F.element_at("cv", F.col("dim") + 1)).alias(
+                "centroid"
+            ),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+        .orderBy("cid", "dim")
+    )
