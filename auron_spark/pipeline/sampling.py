@@ -221,3 +221,73 @@ def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+K_WEIGHTED = 200  # sample size for the weighted draw
+_WSALT = "wsample:"  # independent of the bucket salt
+
+
+@query(
+    "sample_weighted_topk",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               ROUND(POWER(
+                   (CAST('0x' || substr(md5('{_WSALT}' ||
+                        CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1)
+                       / 4294967296.0,
+                   1.0 / GREATEST(n_chars, 1)), 9) AS k
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars FROM (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS rn
+        FROM keyed
+    ) WHERE rn <= {K_WEIGHTED}
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "sampling", "weighted"),
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    exponential-keys method): each document draws key = u^(1/w) from a
+    deterministic uniform u = (md5_32(salted doc_id)+1)/2^32 and weight
+    w = n_chars (length-proportional — the 'sample by token count' mixture
+    op); the K_WEIGHTED largest keys ARE a weight-proportional sample
+    without replacement.  Like every sampler here, the draw is a pure
+    function of doc_id: reproducible across engines/partitionings and
+    append-stable (new docs can enter the sample but never re-key existing
+    ones).
+
+    Keys are rounded to 9 dp before ranking so Spark and DuckDB order
+    identically despite pow() being non-correctly-rounded in general
+    (sub-ulp divergence would need to cross a 1e-9 boundary to reorder;
+    ties broken by doc_id).
+
+    Scale shape: key assignment is map-side; selection is
+    TakeOrderedAndProject (per-partition top-K heads merged once — no
+    global sort, no full shuffle).  At 100 TB with K bounded this is a
+    scan plus a K-row merge."""
+    t = Tables(spark, sf_dir)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_WSALT), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / F.lit(4294967296.0)
+    key = F.round(
+        F.pow(u, F.lit(1.0) / F.greatest(F.col("n_chars"), F.lit(1))), 9
+    )
+    return (
+        t.documents.select("doc_id", "source", "n_chars", key.alias("k"))
+        .orderBy(F.desc("k"), "doc_id")
+        .limit(K_WEIGHTED)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
