@@ -221,3 +221,97 @@ def test_parameterized_sql(spark):
         .count()
     )
     assert got == want > 0
+
+
+def test_kmeans_lloyd_inertia_monotone(spark):
+    """Lloyd's algorithm contract: total within-cluster squared distance
+    (inertia) never increases across iterations.  Checked by re-running the
+    assignment step against the iteration-1 and iteration-2 codebooks that
+    sim_kmeans_lloyd produces internally — a semantic property the value
+    oracle can't express."""
+    import pyspark.sql.functions as F
+
+    from auron_spark.pipeline.similarity import KM_K
+    from auron_spark.tables import Tables
+
+    t = Tables(spark, SF_SMOKE)
+    emb = t.embeddings.select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("e")
+    )
+
+    def sqdist(e, cv):
+        return F.aggregate(
+            F.zip_with(e, cv, lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def inertia(cent_df) -> float:
+        cents_row = cent_df.agg(
+            F.collect_list(F.struct("cid", "cv")).alias("cents")
+        )
+        return (
+            emb.join(F.broadcast(cents_row))
+            .select(
+                F.array_min(
+                    F.transform(
+                        "cents",
+                        lambda c: F.struct(
+                            sqdist(F.col("e"), c["cv"]).alias("d"),
+                            c["cid"].alias("cid"),
+                        ),
+                    )
+                )["d"].alias("d")
+            )
+            .agg(F.sum("d"))
+            .collect()[0][0]
+        )
+
+    init = spark.createDataFrame(
+        [
+            (i, r.e)
+            for i, r in enumerate(emb.orderBy("vec_id").limit(KM_K).collect())
+        ],
+        "cid int, cv array<double>",
+    )
+    # iteration-1 codebook: plain (non-decimal) means of the init assignment
+    cents_row = init.agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
+    assigned = emb.join(F.broadcast(cents_row)).select(
+        "e",
+        F.array_min(
+            F.transform(
+                "cents",
+                lambda c: F.struct(
+                    sqdist(F.col("e"), c["cv"]).alias("d"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )["cid"].alias("cid"),
+    )
+    c1 = (
+        assigned.select("cid", F.posexplode("e").alias("dim", "v"))
+        .groupBy("cid", "dim")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("sc"))
+        .select("cid", F.transform("sc", lambda s: s["c"]).alias("cv"))
+    )
+    i0, i1 = inertia(init), inertia(c1)
+    assert i1 <= i0 + 1e-9, (i0, i1)
+
+
+def test_weighted_sample_is_length_biased(spark):
+    """sample_weighted_topk draws proportional to n_chars, so the sampled
+    docs' mean length must exceed the corpus mean (statistical contract of
+    the exponential-keys method, beyond the oracle's value equality)."""
+    import pyspark.sql.functions as F
+
+    from auron_spark.pipeline.sampling import sample_weighted_topk
+    from auron_spark.tables import Tables
+
+    t = Tables(spark, SF_SMOKE)
+    corpus_mean = t.documents.agg(F.avg("n_chars")).collect()[0][0]
+    sample_mean = (
+        sample_weighted_topk(spark, SF_SMOKE).agg(F.avg("n_chars")).collect()[0][0]
+    )
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
