@@ -1012,6 +1012,40 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda v: v.cast("double")).alias("e"),
     )
+    cent, last_mean = _lloyd(spark, emb)
+    # emit the trained codebook per-dim, carrying empty clusters at n = 0
+    dims = spark.range(EMB_DIM).select(F.col("id").cast("int").alias("dim"))
+    return (
+        cent.crossJoin(F.broadcast(dims))
+        .join(F.broadcast(last_mean), ["cid", "dim"], "left")
+        .select(
+            "cid",
+            "dim",
+            F.coalesce("c", F.element_at("cv", F.col("dim") + 1)).alias(
+                "centroid"
+            ),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+        .orderBy("cid", "dim")
+    )
+
+
+def _sqdist(e: Column, cv: Column) -> Column:
+    """Index-ordered squared-L2 fold (same fold order as the oracle's
+    list_sum, so distances are bit-identical across engines)."""
+    return F.aggregate(
+        F.zip_with(e, cv, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _lloyd(spark: SparkSession, emb: DataFrame):
+    """KM_ITERS Lloyd rounds over ``emb`` (vec_id, e: array<double>).
+
+    Returns ``(cent, last_mean)``: the trained codebook (cid, cv) and the
+    final per-(cid, dim) mean/count frame.  See sim_kmeans_lloyd for the
+    scale shape; shared by the trainer query and the trained-IVF server."""
     # deterministic init: the KM_K lowest vec_ids, cid in vec_id order
     init_rows = (
         emb.orderBy("vec_id")
@@ -1023,13 +1057,7 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid int, cv array<double>",
     )
 
-    def sqdist(e: Column, cv: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(e, cv, lambda x, c: (x - c) * (x - c)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
+    sqdist = _sqdist
     last_mean = None
     for _ in range(KM_ITERS):
         # centroids -> one broadcast row holding array<struct<cid,cv>>
@@ -1078,18 +1106,135 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
         last_mean = mean
-    # emit the trained codebook per-dim, carrying empty clusters at n = 0
-    dims = spark.range(EMB_DIM).select(F.col("id").cast("int").alias("dim"))
-    return (
-        cent.crossJoin(F.broadcast(dims))
-        .join(F.broadcast(last_mean), ["cid", "dim"], "left")
-        .select(
-            "cid",
-            "dim",
-            F.coalesce("c", F.element_at("cv", F.col("dim") + 1)).alias(
-                "centroid"
-            ),
-            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+    return cent, last_mean
+
+
+_SQL_KM_ASSIGN_DIST = (
+    "list_sum(list_transform(range(1, 65), i -> "
+    "(CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) * "
+    "(CAST(e.embedding[i] AS DOUBLE) - c.cv[i])))"
+)
+
+
+@query(
+    "sim_knn_ivf_trained",
+    oracle=f"""
+    WITH init AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cv
+        FROM (SELECT vec_id, embedding FROM embeddings
+              ORDER BY vec_id LIMIT {KM_K})
+    ),
+    {_sql_km_round("init", "a1", "m1", "c1")},
+    {_sql_km_round("c1", "a2", "m2", "c2")},
+    lists AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_SQL_KM_ASSIGN_DIST} ASC,
+                                               c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN c2 c)
+        WHERE rn = 1
+    ),
+    probe AS (
+        SELECT query_id, cid FROM (
+            SELECT e.vec_id AS query_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_SQL_KM_ASSIGN_DIST} ASC,
+                                               c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN c2 c
+            WHERE e.vec_id % {QUERY_MOD} = 0
+              AND e.vec_id < {QUERY_CAP})
+        WHERE rn <= {N_PROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, l.vec_id AS neighbor_id,
+               {_SQL_DOT} / ({_SQL_NORM_Q} * {_SQL_NORM_C}) AS cos
+        FROM probe p
+        JOIN lists l ON l.cid = p.cid AND l.vec_id <> p.query_id
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN embeddings c ON c.vec_id = l.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM (
+        SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored) WHERE rn <= {TOP_K}
+    ORDER BY query_id, neighbor_id
+    """,
+    tags=("pipeline", "similarity", "kmeans", "ivf", "ann"),
+)
+def sim_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF over the TRAINED codebook: k-means training
+    (sim_kmeans_lloyd's _lloyd), corpus assignment to inverted lists,
+    query probing of the N_PROBE nearest centroids, exact cosine re-rank
+    within the probed lists — the full train-then-serve ANN pipeline as
+    ONE DataFrame program with a bit-exact oracle.
+
+    Scale shape: both corpus assignment AND query probing are map-side
+    (the codebook broadcasts as one array-of-structs row; assignment is
+    array_min, probing is array_sort + slice — no window function, no
+    shuffle to pick probes).  The candidate fetch is an equi-join on cid:
+    a corpus laid out (bucketed/partitioned) by its assigned list serves
+    it with partition pruning, and work per query is |corpus| x nprobe/k.
+    Lineage from training is already cut (localCheckpoint), so the serving
+    plan starts from small materialized state plus one corpus scan."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("e"),
+    )
+    cent, _ = _lloyd(spark, emb)
+    cents_row = cent.agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
+    dist_structs = F.transform(
+        "cents",
+        lambda c: F.struct(
+            _sqdist(F.col("e"), c["cv"]).alias("d"), c["cid"].alias("cid")
+        ),
+    )
+    with_cents = emb.join(F.broadcast(cents_row))
+    # inverted lists: every corpus vector -> nearest trained centroid
+    lists = with_cents.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("c_emb"),
+        norm(F.col("e")).alias("cn"),
+        F.array_min(dist_structs)["cid"].alias("cid"),
+    )
+    # probes: each query's N_PROBE nearest centroids, map-side sort+slice
+    probe = (
+        with_cents.filter(
+            (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP)
         )
-        .orderBy("cid", "dim")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("q_emb"),
+            norm(F.col("e")).alias("qn"),
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(dist_structs), 1, N_PROBE),
+                    lambda s: s["cid"],
+                )
+            ).alias("cid"),
+        )
+    )
+    scored = (
+        lists.join(F.broadcast(probe), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("qn") * F.col("cn"))
+            ).alias("cos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"))
+        .orderBy("query_id", "neighbor_id")
     )
