@@ -315,3 +315,21 @@ def test_weighted_sample_is_length_biased(spark):
         sample_weighted_topk(spark, SF_SMOKE).agg(F.avg("n_chars")).collect()[0][0]
     )
     assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+
+
+def test_trained_ivf_recall_vs_bruteforce(spark):
+    """sim_knn_ivf_trained is approximate (probes N_PROBE of KM_K trained
+    lists): its neighbor sets must recover a meaningful fraction of the
+    exact brute-force top-k on the planted-cluster fixture — the end-to-end
+    quality contract of the trained coarse quantizer."""
+    brute = SPECS["sim_knn_bruteforce"].build(spark, SF_DIR).collect()
+    ivf = SPECS["sim_knn_ivf_trained"].build(spark, SF_DIR).collect()
+    truth: dict[int, set[int]] = {}
+    for r in brute:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got: dict[int, set[int]] = {}
+    for r in ivf:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    assert hits / total > 0.5, f"trained-IVF recall too low: {hits}/{total}"
