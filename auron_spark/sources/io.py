@@ -18,6 +18,7 @@ problem the reference's `num_dyn_parts` solves natively).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col as F_col
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
@@ -119,3 +120,78 @@ def write_lakehouse(df: DataFrame, fmt: str, path_or_table: str) -> None:
             f"package to spark.jars.packages to enable this sink"
         )
     df.write.format(fmt).mode("append").save(path_or_table)
+
+
+def upsert_parquet(
+    spark: SparkSession, new_df: DataFrame, path: str, keys: list[str]
+) -> None:
+    """MERGE-style upsert into an unpartitioned parquet table without a
+    lakehouse format: rows of ``new_df`` replace existing rows with the same
+    key; all other existing rows survive.  The survivor set is
+    existing LEFT ANTI new (on ``keys``) UNION new.
+
+    Spark cannot safely overwrite a path it is lazily reading (the scan
+    would see its own deletes), so the merged result is staged to
+    ``path + "__stage"`` and swapped in with two renames — the standard
+    plain-filesystem pattern; lakehouse formats exist precisely to make
+    this swap transactional (see ``read_lakehouse``'s gate).
+
+    Intended for dimension/metadata-sized tables.  For fact-scale data use
+    :func:`upsert_parquet_partitioned`, which touches only the partitions
+    the new batch lands in.
+    """
+    import os
+    import shutil
+
+    existing = spark.read.parquet(path)
+    survivors = existing.join(new_df.select(keys), keys, "left_anti")
+    merged = survivors.unionByName(new_df)
+    stage = path.rstrip("/") + "__stage"
+    merged.write.mode("overwrite").option("compression", "zstd").parquet(stage)
+    old = path.rstrip("/") + "__old"
+    os.rename(path, old)
+    os.rename(stage, path)
+    shutil.rmtree(old)
+
+
+def upsert_parquet_partitioned(
+    spark: SparkSession,
+    new_df: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_col: str,
+) -> None:
+    """Partition-scoped MERGE: upsert ``new_df`` into a hive-partitioned
+    parquet table rewriting ONLY the partitions the new batch touches.
+
+    Dynamic partition overwrite (``partitionOverwriteMode=dynamic``) replaces
+    exactly the partitions present in the written frame, so the merge reads
+    the existing data pruned to the affected partition values (a small IN
+    filter — the values come from the new batch, collected once; they are
+    partition keys, constant-bounded, not data), anti-joins the new keys,
+    unions the batch, and writes back.  Untouched partitions are never read,
+    never rewritten — at 100 TB an upsert costs O(affected partitions), not
+    O(table).  The reference's lakehouse connectors get this from table
+    formats; this is the same contract on plain parquet layout.
+    """
+    parts = [r[0] for r in new_df.select(partition_col).distinct().collect()]
+    existing = spark.read.parquet(path).filter(
+        F_col(partition_col).isin(parts)
+    )
+    survivors = existing.join(new_df.select(keys), keys, "left_anti")
+    # Materialize the merge BEFORE the write job: the plan reads the same
+    # partitions the dynamic overwrite will replace, and Spark's
+    # read-your-own-overwrite protection is not guaranteed to catch (or
+    # allow) every such plan.  The checkpointed state is bounded by the
+    # affected partitions, not the table.
+    merged = survivors.unionByName(
+        new_df.select(existing.columns)
+    ).localCheckpoint()
+    (
+        merged.repartition(partition_col)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("compression", "zstd")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )

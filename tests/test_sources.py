@@ -297,3 +297,55 @@ def test_read_kafka_json_flip_path_dry_run(spark, monkeypatch):
         rows = {(r.a, r.b) for r in out.select("a", "b").collect()}
         assert rows == {(1, "x"), (2, "y")}
         assert "value" not in out.columns  # raw binary replaced by typed cols
+
+
+def test_upsert_parquet(spark, tmpdir):
+    """MERGE semantics on plain parquet: updates replace, inserts append,
+    untouched rows survive; staging-swap leaves no stage/old dirs behind."""
+    base = f"{tmpdir}/dim"
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    ).write.parquet(base)
+    batch = spark.createDataFrame([(2, "B2"), (4, "d")], "k int, v string")
+    io.upsert_parquet(spark, batch, base, ["k"])
+    got = {(r.k, r.v) for r in spark.read.parquet(base).collect()}
+    assert got == {(1, "a"), (2, "B2"), (3, "c"), (4, "d")}
+    assert not os.path.exists(base + "__stage") and not os.path.exists(
+        base + "__old"
+    )
+
+
+def test_upsert_parquet_partitioned_touches_only_affected(spark, tmpdir):
+    """Partition-scoped MERGE: only the partitions present in the new batch
+    are rewritten — the files of untouched partitions are bit-identical
+    (same names, same mtimes), which is the O(affected partitions) upsert
+    contract that makes this viable at fact scale."""
+    base = f"{tmpdir}/facts"
+    spark.createDataFrame(
+        [(1, "p1", 10.0), (2, "p1", 20.0), (3, "p2", 30.0), (4, "p3", 40.0)],
+        "k int, part string, v double",
+    ).write.partitionBy("part").parquet(base)
+
+    def files_in(part):
+        d = f"{base}/part={part}"
+        return {
+            f: os.path.getmtime(f"{d}/{f}")
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_p2, before_p3 = files_in("p2"), files_in("p3")
+    batch = spark.createDataFrame(
+        [(2, "p1", 99.0), (5, "p1", 50.0)], "k int, part string, v double"
+    )
+    io.upsert_parquet_partitioned(spark, batch, base, ["k"], "part")
+    got = {(r.k, r.part, r.v) for r in spark.read.parquet(base).collect()}
+    assert got == {
+        (1, "p1", 10.0),
+        (2, "p1", 99.0),
+        (5, "p1", 50.0),
+        (3, "p2", 30.0),
+        (4, "p3", 40.0),
+    }
+    assert files_in("p2") == before_p2
+    assert files_in("p3") == before_p3
