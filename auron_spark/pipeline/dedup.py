@@ -835,3 +835,86 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("x") + F.count_distinct("y") + F.count_distinct("z")
         ).cast("long").alias("corner_card"),
     )
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH snap_a AS (
+        SELECT doc_id, source,
+               md5(text || CASE WHEN doc_id % 5 = 0 THEN '' ELSE '' END) AS h
+        FROM documents WHERE doc_id % 10 <> 0
+    ),
+    snap_b AS (
+        SELECT doc_id, source,
+               md5(text || CASE WHEN doc_id % 5 = 0 THEN '+rev2' ELSE '' END)
+                   AS h
+        FROM documents WHERE doc_id % 7 <> 0
+    ),
+    classified AS (
+        SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+               COALESCE(a.source, b.source) AS source,
+               CASE WHEN a.doc_id IS NULL THEN 'added'
+                    WHEN b.doc_id IS NULL THEN 'removed'
+                    WHEN a.h <> b.h THEN 'changed'
+                    ELSE 'unchanged' END AS change_type
+        FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id
+    )
+    SELECT source, change_type, COUNT(*) AS n
+    FROM classified
+    GROUP BY source, change_type
+    ORDER BY source, change_type
+    """,
+    tags=("pipeline", "cdc", "diff"),
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two corpus snapshots: FULL OUTER join on
+    the stable key, rows classified added / removed / changed (content
+    digest differs) / unchanged, rolled up per source — the delta report a
+    corpus refresh pipeline emits before committing an upsert
+    (``sources/io.py::upsert_parquet_partitioned``).
+
+    The snapshots are synthesized deterministically from the documents
+    fixture (membership by doc_id residue; 'rev2' edits to every 5th doc)
+    so the oracle sees identical inputs.
+
+    Scale shape: one sort-merge FULL OUTER join on the key — both snapshots
+    shuffle once; with both stored bucketed by doc_id the join is
+    co-located and the diff is shuffle-free.  Classification is map-side
+    (digest compare), and only the small per-source rollup aggregates;
+    a row-level variant would instead write `classified` partitioned by
+    change_type."""
+    t = Tables(spark, sf_dir)
+
+    def snap(pred, edited):
+        return t.documents.filter(pred).select(
+            "doc_id",
+            "source",
+            F.md5(
+                F.concat(
+                    "text",
+                    F.when(edited & (F.col("doc_id") % 5 == 0), F.lit("+rev2"))
+                    .otherwise(F.lit("")),
+                )
+            ).alias("h"),
+        )
+
+    a = snap(F.col("doc_id") % 10 != 0, edited=F.lit(False))
+    b = snap(F.col("doc_id") % 7 != 0, edited=F.lit(True))
+    classified = (
+        a.alias("a")
+        .join(b.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
+        .select(
+            F.coalesce("a.source", "b.source").alias("source"),
+            F.when(F.col("a.doc_id").isNull(), "added")
+            .when(F.col("b.doc_id").isNull(), "removed")
+            .when(F.col("a.h") != F.col("b.h"), "changed")
+            .otherwise("unchanged")
+            .alias("change_type"),
+        )
+    )
+    return (
+        classified.groupBy("source", "change_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("source", "change_type")
+    )
