@@ -918,3 +918,87 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("source", "change_type")
     )
+
+
+@query(
+    "dedup_canonical_selection",
+    oracle=_sql_signature_cte(recursive=True)
+    + """
+    , pairs AS (
+        SELECT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r ON l.band = r.band AND l.doc_id < r.doc_id
+        GROUP BY a, b
+    ),
+    edges AS (
+        SELECT a AS u, b AS v FROM pairs
+        UNION ALL
+        SELECT b AS u, a AS v FROM pairs
+    ),
+    reach (src, dst) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst
+    ),
+    comp AS (
+        SELECT d.doc_id,
+               LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS component
+        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        GROUP BY d.doc_id
+    ),
+    ranked AS (
+        SELECT c.doc_id, c.component, d.n_chars,
+               ROW_NUMBER() OVER (PARTITION BY c.component
+                                  ORDER BY d.n_chars DESC, c.doc_id) AS rn
+        FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    reps AS (SELECT component, doc_id AS rep_id FROM ranked WHERE rn = 1)
+    SELECT k.doc_id, r.rep_id,
+           CAST(CASE WHEN k.doc_id = r.rep_id THEN 1 ELSE 0 END AS INT)
+               AS keep
+    FROM ranked k JOIN reps r ON r.component = k.component
+    ORDER BY k.doc_id
+    """,
+    tags=("pipeline", "dedup", "canonicalization"),
+)
+def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection — the final step of near-dup
+    dedup: within each connected component of the LSH candidate graph,
+    keep the highest-quality document (longest text, doc_id tiebreak) and
+    map every member to its representative.  Downstream, `keep = 1` rows
+    form the deduplicated corpus and the (doc_id -> rep_id) mapping
+    rewrites references.
+
+    Scale shape: component labels come from the pointer-jumping CC (one
+    equi-join + groupBy per O(log n) round); representative election is
+    one window pass partitioned by component (WindowGroupLimit prunes to
+    the per-component head before any full sort) plus a broadcast-size
+    reps join — components are small, so reps ≪ corpus and the final map
+    is a broadcast hash join."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    pairs = lsh_candidate_pairs(minhash_signature(_doc_shingles(t, dedup=False)))
+    edges = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .union(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .persist()
+    )
+    labels = connected_components(t.documents.select("doc_id"), edges)
+    edges.unpersist()
+    ranked = labels.withColumnRenamed("canonical_id", "component").join(
+        t.documents.select("doc_id", "n_chars"), "doc_id"
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
+    ranked = ranked.withColumn("rn", F.row_number().over(w))
+    reps = ranked.filter(F.col("rn") == 1).select(
+        "component", F.col("doc_id").alias("rep_id")
+    )
+    return (
+        ranked.join(F.broadcast(reps), "component")
+        .select(
+            "doc_id",
+            "rep_id",
+            (F.col("doc_id") == F.col("rep_id")).cast("int").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
