@@ -831,3 +831,68 @@ def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_quality_percentile_filter",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    ),
+    thresholds AS (
+        SELECT source, n_chars AS cutoff
+        FROM ranked
+        WHERE rn = CAST(ceil(0.25 * n) AS BIGINT)
+    )
+    SELECT r.source,
+           t.cutoff,
+           COUNT(*) FILTER (WHERE r.n_chars >= t.cutoff) AS n_kept,
+           COUNT(*) AS n_total
+    FROM ranked r JOIN thresholds t ON t.source = r.source
+    GROUP BY r.source, t.cutoff
+    ORDER BY r.source
+    """,
+    tags=("pipeline", "text", "quality", "percentile"),
+)
+def text_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative quality cutoff — curation by per-group percentile rather
+    than a global constant: drop the bottom quartile of each source's
+    length distribution (the common 'filter the worst X% per domain'
+    step).  The threshold is RANK-BASED (the value at row ceil(0.25·n) in
+    (n_chars, doc_id) order), not interpolated, so Spark and DuckDB agree
+    bit-for-bit — interpolating percentile implementations differ across
+    engines.
+
+    Scale shape: one window pass per source computes rank and group size
+    in a single exchange; thresholds are |sources| rows → broadcast back;
+    the filter itself is map-side.  A production variant writes the kept
+    rows instead of the rollup."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = t.documents.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    thresholds = ranked.filter(
+        F.col("rn") == F.ceil(0.25 * F.col("n")).cast("bigint")
+    ).select("source", F.col("n_chars").alias("cutoff"))
+    return (
+        ranked.join(F.broadcast(thresholds), "source")
+        .groupBy("source", "cutoff")
+        .agg(
+            F.count(F.when(F.col("n_chars") >= F.col("cutoff"), 1)).alias(
+                "n_kept"
+            ),
+            F.count("*").alias("n_total"),
+        )
+        .orderBy("source")
+    )
