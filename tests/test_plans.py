@@ -594,3 +594,46 @@ def test_no_cartesian_product_anywhere(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_weighted_sample_zero_exchange(spark):
+    """sample_weighted_topk's scale claim: scan + TakeOrderedAndProject,
+    NO exchange — per-partition top-K heads merged once, never a full
+    shuffle or global sort."""
+    plan = _plan(spark, "sample_weighted_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan, plan
+
+
+def test_canonical_selection_broadcasts_reps(spark):
+    """dedup_canonical_selection's final doc->representative map must be a
+    broadcast hash join (reps << corpus); a shuffled join here would
+    re-exchange the whole corpus at 100 TB."""
+    plan = _plan(spark, "dedup_canonical_selection")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_percentile_filter_single_window_exchange(spark):
+    """text_quality_percentile_filter computes rank AND group size in one
+    window pass: exactly one hashpartitioning exchange on source feeds the
+    Window; the threshold join must broadcast."""
+    plan = _plan(spark, "text_quality_percentile_filter")
+    assert "BroadcastHashJoin" in plan, plan
+    lines = plan.splitlines()
+    win_idx = [i for i, l in enumerate(lines) if "Window [" in l]
+    assert len(win_idx) == 2, plan  # count-over + row_number
+    between = lines[min(win_idx) : max(win_idx) + 1]
+    assert not any("Exchange" in l for l in between), plan  # one shared shuffle
+
+
+def test_trained_ivf_probe_is_map_side(spark):
+    """sim_knn_ivf_trained's probe selection (array_sort + slice over the
+    broadcast codebook) must plan NO window function — probing that
+    shuffles per query defeats the IVF contract."""
+    plan = _plan(spark, "sim_knn_ivf_trained")
+    # the only window COMPUTE allowed is the final per-query top-k re-rank
+    # (WindowGroupLimit partial/final pruning nodes are the optimization we
+    # want and don't count)
+    n_windows = sum(1 for line in plan.splitlines() if "Window [" in line)
+    assert n_windows == 1, plan
+    assert "WindowGroupLimit" in plan, plan  # top-k pruned before the sort
