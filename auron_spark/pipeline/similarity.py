@@ -1238,3 +1238,147 @@ def sim_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"))
         .orderBy("query_id", "neighbor_id")
     )
+
+
+# --- PCA top component (power iteration) -----------------------------------
+
+PCA_ITERS = 2  # unrolled in the SQL oracle; v0 = 0.125 (= 1/sqrt(64)) per dim
+
+
+def _sql_pca_round(prev_v: str, out_s: str, out_w: str, out_n: str) -> str:
+    """One unrolled power-iteration round in DuckDB SQL: s = c·v per row,
+    w = Σ s·c per dim (decimal-exact), norm for the next normalization."""
+    return f"""
+    {out_s} AS (
+        SELECT vec_id, c,
+               list_sum(list_transform(range(1, 65), i -> c[i] * {prev_v}))
+                   AS s
+        FROM cent{", v_" + out_s[-1] if prev_v.startswith("v[") else ""}
+    ),
+    {out_w} AS (
+        SELECT p.pos,
+               CAST(SUM(CAST(ROUND(t.s * t.c[p.pos], 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS w
+        FROM {out_s} t
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p
+        GROUP BY p.pos
+    ),
+    {out_n} AS (SELECT sqrt(SUM(w * w)) AS nrm FROM {out_w})"""
+
+
+@query(
+    "sim_pca_power_iteration",
+    oracle=f"""
+    WITH mu AS (
+        SELECT pos,
+               CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6)))
+                    AS DOUBLE) / COUNT(*) AS m
+        FROM (SELECT unnest(embedding) AS v,
+                     unnest(range(1, len(embedding) + 1)) AS pos
+              FROM embeddings)
+        GROUP BY pos
+    ),
+    muv AS (SELECT list(m ORDER BY pos) AS mv FROM mu),
+    cent AS (
+        SELECT vec_id,
+               list_transform(range(1, 65),
+                              i -> CAST(embedding[i] AS DOUBLE) - mv[i]) AS c
+        FROM embeddings, muv
+    ),
+    {_sql_pca_round("0.125", "s1", "w1", "n1")},
+    v_2 AS (SELECT list(w / nrm ORDER BY pos) AS v FROM w1, n1),
+    {_sql_pca_round("v[i]", "s2", "w2", "n2")}
+    SELECT pos - 1 AS dim,
+           ROUND(w / nrm, 9) AS loading,
+           ROUND(nrm, 6) AS eigenvalue
+    FROM w2, n2
+    ORDER BY dim
+    """,
+    tags=("pipeline", "similarity", "pca", "iterative"),
+)
+def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by power iteration:
+    mean-center, v0 = 1/sqrt(64) per dim, then PCA_ITERS rounds of
+    w = X_cᵀ(X_c v), v = w/‖w‖.  Output is the component's 64 loadings
+    plus the power-iteration eigenvalue estimate ‖w‖ — the building block
+    for PCA whitening / dimensionality reduction of an embedding corpus.
+
+    Distributed shape per round: the current v rides along as ONE
+    broadcast row; s = c·v is a map-side fold; the only exchange carries
+    per-(dim) decimal partial sums (64 rows per partition) — corpus rows
+    never shuffle, exactly like the k-means trainer.  The mean vector is
+    computed once the same way.  Arithmetic contract: per-row products are
+    6-dp-rounded into DECIMAL(28,6) sums, so DuckDB's unrolled CTEs
+    reproduce w, ‖w‖ and every loading bit-exactly; sqrt and division are
+    IEEE-exact in both engines."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("e"),
+    )
+    # decimal-exact per-dim mean, assembled into one broadcast row
+    mu = (
+        emb.select(F.posexplode("e").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            (
+                F.sum(F.round(F.col("v"), 6).cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("m")
+        )
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("sm"))
+        .select(F.transform("sm", lambda s: s["m"]).alias("mv"))
+    )
+    cent = emb.join(F.broadcast(mu)).select(
+        "vec_id", F.zip_with("e", "mv", lambda x, m: x - m).alias("c")
+    )
+    vdf = spark.range(1).select(
+        F.array_repeat(F.lit(0.125), EMB_DIM).alias("v")
+    )
+    w = None
+    for _ in range(PCA_ITERS):
+        scored = cent.join(F.broadcast(vdf)).select(
+            "c", dot(F.col("c"), F.col("v")).alias("s")
+        )
+        w = (
+            scored.select("s", F.posexplode("c").alias("dim", "x"))
+            .groupBy("dim")
+            .agg(
+                F.sum(
+                    F.round(F.col("s") * F.col("x"), 6).cast("decimal(28,6)")
+                )
+                .cast("double")
+                .alias("w")
+            )
+        )
+        wvec = w.agg(
+            F.array_sort(F.collect_list(F.struct("dim", "w"))).alias("sw")
+        ).select(F.transform("sw", lambda s: s["w"]).alias("wv"))
+        vdf = wvec.select(
+            F.transform(
+                "wv", lambda x: x / F.sqrt(F.aggregate(
+                    F.transform("wv", lambda y: y * y),
+                    F.lit(0.0),
+                    lambda acc, y: acc + y,
+                ))
+            ).alias("v")
+        )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("wv", lambda y: y * y), F.lit(0.0), lambda a, y: a + y
+        )
+    )
+    wvec = w.agg(
+        F.array_sort(F.collect_list(F.struct("dim", "w"))).alias("sw")
+    ).select(F.transform("sw", lambda s: s["w"]).alias("wv"))
+    return (
+        wvec.select(F.posexplode("wv").alias("dim", "w"), nrm.alias("nrm"))
+        .select(
+            "dim",
+            F.round(F.col("w") / F.col("nrm"), 9).alias("loading"),
+            F.round("nrm", 6).alias("eigenvalue"),
+        )
+        .orderBy("dim")
+    )

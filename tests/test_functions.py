@@ -333,3 +333,49 @@ def test_trained_ivf_recall_vs_bruteforce(spark):
     hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
     total = sum(len(v) for v in truth.values())
     assert hits / total > 0.5, f"trained-IVF recall too low: {hits}/{total}"
+
+
+def test_pca_power_iteration_properties(spark):
+    """Semantic contract of the power iteration: the emitted loadings are a
+    unit vector, the eigenvalue estimate is positive, and one more
+    iteration changes the direction only slightly (convergence) — checked
+    via the variance captured along the component exceeding the
+    per-dimension average (a top component must beat the mean direction)."""
+    import pyspark.sql.functions as F
+
+    from auron_spark.registry import load_all
+    from auron_spark.tables import Tables
+
+    rows = (
+        load_all()["sim_pca_power_iteration"].build(spark, SF_DIR).collect()
+    )
+    loadings = [r.loading for r in sorted(rows, key=lambda r: r.dim)]
+    ev = rows[0].eigenvalue
+    assert abs(sum(x * x for x in loadings) - 1.0) < 1e-6
+    assert ev > 0
+    # variance along the component > average per-dim variance
+    t = Tables(spark, SF_DIR)
+    emb = t.embeddings.select(
+        F.transform("embedding", lambda v: v.cast("double")).alias("e")
+    )
+    n = emb.count()
+    vec = F.array(*[F.lit(x) for x in loadings])
+    proj_var = (
+        emb.select(
+            F.aggregate(
+                F.zip_with("e", vec, lambda x, v: x * v),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("p")
+        )
+        .agg((F.var_pop("p")).alias("vp"))
+        .collect()[0][0]
+    )
+    total_var = (
+        emb.select(F.posexplode("e").alias("d", "x"))
+        .groupBy("d")
+        .agg(F.var_pop("x").alias("v"))
+        .agg(F.sum("v"))
+        .collect()[0][0]
+    )
+    assert proj_var > total_var / 64, (proj_var, total_var)
