@@ -497,3 +497,66 @@ def test_transform_with_state_gated(spark):
     else:
         with pytest.raises(NotImplementedError, match="google.protobuf"):
             running_count_transform_with_state(grouped)
+
+
+def test_stream_upsert_sink_merges_microbatches(spark):
+    """Streaming CDC-into-parquet: foreachBatch + the partition-scoped MERGE
+    (sources/io.py::upsert_parquet_partitioned).  Each micro-batch upserts
+    keyed rows into a parquet table partitioned by event_type, rewriting
+    only affected partitions — the standard pattern for maintaining a
+    queryable mirror of a stream without a lakehouse format.  With
+    maxFilesPerTrigger forcing multiple micro-batches over the same keys,
+    the final table must equal the batch last-event-per-key projection."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from auron_spark.sources import io
+    from auron_spark.tables import normalize_events_ts
+
+    batch = table(spark, SF_SMOKE, "events").filter(F.col("event_id") < 500)
+    d = tempfile.mkdtemp(prefix="auron-upsert-src-")
+    # two source files -> two micro-batches with maxFilesPerTrigger=1
+    batch.filter(F.col("event_id") < 250).write.parquet(f"{d}/f1")
+    batch.filter(F.col("event_id") >= 250).write.parquet(f"{d}/f2")
+    raw_schema = spark.read.parquet(f"{d}/f1").schema
+
+    target = tempfile.mkdtemp(prefix="auron-upsert-tgt-") + "/t"
+    # seed the table so the first micro-batch exercises a real merge:
+    # stale values for some keys that the stream will overwrite
+    batch.filter(F.col("event_id") < 100).withColumn(
+        "value", F.lit(-1.0)
+    ).select("event_id", "event_type", "value").write.partitionBy(
+        "event_type"
+    ).parquet(target)
+
+    def upsert_batch(df, batch_id: int):
+        rows = df.select("event_id", "event_type", "value")
+        if rows.isEmpty():
+            return
+        io.upsert_parquet_partitioned(
+            spark, rows, target, ["event_id"], "event_type"
+        )
+
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(f"{d}/f*")
+    ).filter(F.col("event_id") < 500)
+    q = (
+        stream.writeStream.foreachBatch(upsert_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = normalize(
+        spark.read.parquet(target)
+        .select("event_id", "event_type", "value")
+        .toPandas()
+    )
+    want = normalize(
+        batch.select("event_id", "event_type", "value").toPandas()
+    )
+    assert got == want
