@@ -896,3 +896,55 @@ def text_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_zscore_per_source",
+    oracle="""
+    WITH moments AS (
+        SELECT source,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(n_chars AS DECIMAL(28,6))
+                        * CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) AS sq
+        FROM documents
+        GROUP BY source
+    )
+    SELECT d.doc_id,
+           d.source,
+           ROUND((d.n_chars - m.s / m.n)
+                 / sqrt(m.sq / m.n - (m.s / m.n) * (m.s / m.n)), 6) AS z
+    FROM documents d JOIN moments m ON m.source = d.source
+    ORDER BY d.doc_id
+    """,
+    tags=("pipeline", "text", "normalize", "zscore"),
+)
+def text_zscore_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature standardization: z-score each document's length
+    within its source, making quality features comparable across domains
+    (a long doc is unremarkable in one corpus and an outlier in another).
+    Sums and sums-of-squares go through DECIMAL(28,6) so the group moments
+    are order-insensitive and bit-identical in both engines; the final
+    z = (x - mean)/std is deterministic double arithmetic.
+
+    Scale shape: one partial/final aggregate produces |sources| moment
+    rows -> broadcast back; the standardization itself is map-side.  The
+    same two-pass shape standardizes any per-row feature at 100 TB."""
+    t = Tables(spark, sf_dir)
+    dec = F.col("n_chars").cast("decimal(28,6)")
+    moments = t.documents.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(dec * dec).cast("double").alias("sq"),
+    )
+    mean = F.col("s") / F.col("n")
+    std = F.sqrt(F.col("sq") / F.col("n") - mean * mean)
+    return (
+        t.documents.join(F.broadcast(moments), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.round((F.col("n_chars") - mean) / std, 6).alias("z"),
+        )
+        .orderBy("doc_id")
+    )
