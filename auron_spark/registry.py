@@ -79,41 +79,64 @@ _LOADED = False
 # queries (dedup_simhash, sim_knn_lsh — their exact twins ARE in-window), the
 # four mm_* stub-plumbing queries, two stream twins, and three text queries
 # whose family already has in-window representatives.
-# ROUND-5 WINDOW (per VERDICT r4 ask #4).  Priority order: (a) the 13 r4
-# `err` rows — all one root cause (the events ts fixture drift, fixed in
-# tables.py) but each needs its green driver row back; (b) the 15 events-
-# blocked names whose only proof predates the fixture regen (green in r1/r2
-# against the OLD fixtures, judge-verified broken mid-r4); (c) the 25 names
-# that have never had a driver row (round-3 additions + round-2 deferrals).
-# 53 names: the final 3 (json family + lead/lag, each with several in-window
-# family representatives) sit at positions 51-53 — just outside the driver's
-# 50-slot check, first in line for round 6.
+# ROUND-6 WINDOW (per VERDICT r5 ask #1).  Priority order: (a) the 8 round-5
+# operators — bit-exact oracles, zero driver rows; (b) the three names parked
+# at positions 51-53 of the round-5 window (their only proof is r1/r2,
+# predating the mid-r4 fixture regen); (c) the remaining never-driver-checked
+# names (round-3 additions whose window slots were spent on higher-priority
+# rotations); (d) round-6 additions as they land; (e) backfill with the
+# OLDEST proofs — the r1 set, which also predates the fixture regen.
+# Rows-only queries (oracle=None) are permanently excluded from window slots:
+# the driver can only ever return `no_oracle` for them (r5 burned 2 slots
+# this way), so they sort dead-last in `_ordered` by construction.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # (a) r4 err rows — re-prove the fix
+    # (a) round-5 operators — promote to driver proof
+    "sim_kmeans_lloyd", "sim_knn_ivf_trained", "sim_pca_power_iteration",
+    "sample_weighted_topk", "text_quality_percentile_filter",
+    "text_zscore_per_source", "cdc_snapshot_diff",
+    "dedup_canonical_selection",
+    # (b) parked at 51-53 in round 5; proofs predate the fixture regen
+    "fn_json", "fn_json_nested", "window_lead_lag",
+    # (c) never driver-checked remainder
+    "agg_histogram_width_bucket", "agg_first_ordered",
+    "gen_python_udtf_analyze", "mm_binary_metadata", "mm_decode_features",
+    "mm_frame_sample", "mm_resize_plan", "mm_ppm_decode_real",
+    "text_stats", "text_token_regex", "text_rolling_hash",
+    # (d) round-6 additions (inserted as they land, displacing (e) backfill)
+    # (e) backfill: oldest (r1) proofs, pre-fixture-regen, in registry order
+    "fn_decimal_arith", "fn_decimal_agg_overflow_guard", "fn_string_basic",
+    "fn_string_pad_case", "fn_regexp_like", "fn_datetime", "fn_hash_crypto",
+    "fn_conditional", "fn_array_ops", "fn_struct_map", "fn_higher_order",
+    "fn_map_builders", "fn_bitwise", "fn_null_handling", "fn_interval",
+    "fn_to_json_roundtrip", "agg_listagg_ordered", "fn_reference_tail",
+    "fn_try_arithmetic", "fn_binary_map_tail", "fn_datetime_tail",
+    "fn_array_set_ops", "agg_stats_moments", "agg_corr_covar",
+    "agg_median_percentile", "agg_mode_deterministic", "udf_pandas_scalar",
+    "udf_pandas_grouped_agg",
+)
+
+# Green driver rows from CORRECTNESS_r05.json — 48 of the 50-slot round-5
+# window hash-matched (the other 2 were rows-only sketch queries that can
+# only return `no_oracle`; they are excluded from windows permanently).
+_R5_PROVEN: frozenset[str] = frozenset({
     "window_percentiles", "window_sliding_frame", "window_ignore_nulls",
     "funnel_view_click_purchase", "streak_daily_activity", "gen_json_tuple",
     "json_parse_once", "fn_variant_json", "stream_tumbling_window",
     "stream_session_window", "stream_interval_join", "stream_dedup",
-    "stream_static_enrich",
-    # (b) stale-proof events readers (blocked mid-r4, never rechecked)
-    "window_ranking", "window_running_agg", "window_range_frame",
-    "window_top_k_per_group", "skew_aqe_join", "skew_salted_join",
-    "pivot_event_counts", "asof_join_purchase_click", "join_range_bands",
-    "agg_theta_sketch_setops", "stream_sliding_window",
-    "stream_late_data_cutoff",
-    # (c) never driver-checked middle band
-    "agg_bitmap_distinct", "agg_kll_quantile_sketch", "agg_linear_regression",
-    "fn_mask_redact", "fn_xml_xpath", "fn_csv_parse", "fn_map_higher_order",
-    "fn_math_trig", "mm_wav_decode_real", "mm_video_frame_sample_real",
-    "text_pii_redact", "text_url_canonicalize", "text_html_strip",
-    "tfidf_top_terms", "bm25_single_term", "sample_mixture_weights",
+    "stream_static_enrich", "window_ranking", "window_running_agg",
+    "window_range_frame", "window_top_k_per_group", "skew_aqe_join",
+    "skew_salted_join", "pivot_event_counts", "asof_join_purchase_click",
+    "join_range_bands", "stream_sliding_window", "stream_late_data_cutoff",
+    "agg_bitmap_distinct", "agg_linear_regression", "fn_mask_redact",
+    "fn_xml_xpath", "fn_csv_parse", "fn_map_higher_order", "fn_math_trig",
+    "mm_wav_decode_real", "mm_video_frame_sample_real", "text_pii_redact",
+    "text_url_canonicalize", "text_html_strip", "tfidf_top_terms",
+    "bm25_single_term", "sample_mixture_weights",
     "dedup_incremental_anti_join", "dedup_fuzzy_name_match",
     "graph_pagerank_fixed_point", "graph_triangle_count",
     "pyds_synthdocs_scan", "layout_zorder_key", "scan_file_provenance",
     "sim_normalize_embeddings", "pipeline_curation_end_to_end",
-    # positions 51-53: deferred to round 6 (families already represented)
-    "fn_json", "fn_json_nested", "window_lead_lag",
-)
+})
 
 # Green driver rows from CORRECTNESS_r04.json — the 37 of the round-3/4
 # window that passed (the other 13 are the (a) block above).
@@ -178,7 +201,7 @@ _R1_PROVEN: frozenset[str] = frozenset({
 })
 
 
-_PROVEN: frozenset[str] = _R1_PROVEN | _R2_PROVEN | _R4_PROVEN
+_PROVEN: frozenset[str] = _R1_PROVEN | _R2_PROVEN | _R4_PROVEN | _R5_PROVEN
 
 
 def _ordered(reg: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
@@ -186,6 +209,10 @@ def _ordered(reg: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     reg_rank = {n: i for i, n in enumerate(reg)}
 
     def key(name: str) -> tuple[int, int]:
+        if reg[name].oracle is None:
+            # Rows-only: the driver can only record `no_oracle`, so a window
+            # slot spent here yields zero evidence.  Permanently last.
+            return (3, reg_rank[name])
         if name in window_rank:
             return (0, window_rank[name])
         if name in _PROVEN:

@@ -39,39 +39,38 @@ def test_nested_arrays_tagged():
 
 
 def test_driver_window_spans_all_families():
-    """The driver checks a 50-query prefix of the registry.  Round-5 policy
-    (VERDICT r4 ask #4): slots go to (a) the 13 round-4 err rows (the events
-    fixture-drift bug, now fixed — each needs its green driver row back),
-    (b) events-reading queries whose only proof predates the fixture regen
-    (stale even though they sit in _PROVEN), and (c) names that have never
-    had a driver row.  So a window slot is wasted only if the query is proven
-    AND does not read events AND was green in r4."""
+    """The driver checks a 50-query prefix of the registry.  Round-6 policy
+    (VERDICT r5 ask #1): slots go to (a) the 8 round-5 operators with
+    bit-exact oracles but zero driver rows, (b) the three names parked at
+    positions 51-53 of the round-5 window, (c) the never-checked remainder
+    and round-6 additions, then (e) backfill with the oldest (r1) proofs,
+    which predate the mid-r4 fixture regen.  Rows-only queries are
+    permanently excluded from window slots: the driver can only record
+    `no_oracle` for them (round 5 burned 2 slots that way)."""
     from auron_spark import registry
 
-    window = list(registry.load_all())[:50]
-    # the 13 r4 err rows must all be in-window (re-prove the fix)
-    r4_err = {
-        "window_percentiles", "window_sliding_frame", "window_ignore_nulls",
-        "funnel_view_click_purchase", "streak_daily_activity",
-        "gen_json_tuple", "json_parse_once", "fn_variant_json",
-        "stream_tumbling_window", "stream_session_window",
-        "stream_interval_join", "stream_dedup", "stream_static_enrich",
+    specs = registry.load_all()
+    window = list(specs)[:50]
+    # the 8 round-5 operators + parked 51-53 must all be in-window
+    promote = {
+        "sim_kmeans_lloyd", "sim_knn_ivf_trained", "sim_pca_power_iteration",
+        "sample_weighted_topk", "text_quality_percentile_filter",
+        "text_zscore_per_source", "cdc_snapshot_diff",
+        "dedup_canonical_selection",
+        "fn_json", "fn_json_nested", "window_lead_lag",
     }
-    assert r4_err <= set(window), f"r4 err rows missing: {r4_err - set(window)}"
-    # no slot goes to a query already re-proven in r4 (fresh fixtures)
-    wasted = set(window) & registry._R4_PROVEN
-    assert not wasted, f"window wastes slots on r4-proven queries: {wasted}"
-    # family spread: stale events readers + the never-checked middle band
-    prefixes = [
-        "window_", "stream_", "skew_", "pivot_", "asof_", "join_range",
-        "agg_theta", "agg_bitmap", "agg_kll", "agg_linear", "fn_mask",
-        "fn_xml", "fn_csv", "fn_map_higher", "fn_math_trig", "mm_",
-        "text_pii", "text_url", "text_html", "tfidf_", "bm25_", "sample_",
-        "dedup_", "graph_", "pyds_", "layout_", "scan_", "sim_normalize",
-        "pipeline_curation",
-    ]
-    missing = [p for p in prefixes if not any(n.startswith(p) for n in window)]
-    assert not missing, f"driver window lost family coverage: {missing}"
+    assert promote <= set(window), f"promotions missing: {promote - set(window)}"
+    # no rows-only query may occupy a window slot, this round or ever
+    rows_only = {n for n, s in specs.items() if s.oracle is None}
+    wasted = set(window) & rows_only
+    assert not wasted, f"window wastes slots on rows-only queries: {wasted}"
+    # no slot goes to a query already re-proven on fresh fixtures (r4/r5)
+    fresh = registry._R4_PROVEN | registry._R5_PROVEN
+    stale_ok = set(window) & fresh
+    assert not stale_ok, f"window wastes slots on fresh-proven queries: {stale_ok}"
+    # every window name must actually exist in the registry (typo guard)
+    unknown = set(registry._DRIVER_WINDOW) - set(specs)
+    assert not unknown, f"window names not in registry: {unknown}"
 
 
 def test_shingles_short_documents(spark):
