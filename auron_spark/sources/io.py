@@ -122,19 +122,63 @@ def write_lakehouse(df: DataFrame, fmt: str, path_or_table: str) -> None:
     df.write.format(fmt).mode("append").save(path_or_table)
 
 
+def _require_unique_keys(new_df: DataFrame, keys: list[str]) -> None:
+    """MERGE precondition: the source batch must have at most one row per
+    key.  A CDC micro-batch with two changes for one key would otherwise
+    anti-join away the old row and union BOTH new rows, silently duplicating
+    the key; real MERGE implementations (Delta, Iceberg) raise on ambiguous
+    source matches, and so do we.  Callers with multi-change batches should
+    first reduce to last-change-per-key (e.g. a row_number window over a
+    change-sequence column).  Cost: one aggregation over the batch — batch-
+    sized, not table-sized.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    any_null = reduce(lambda a, b: a | b, [F_col(k).isNull() for k in keys])
+    row = new_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(*[F_col(k) for k in keys]).alias("d"),
+        F.sum(any_null.cast("int")).alias("nulls"),
+    ).first()
+    if (row["nulls"] or 0) > 0:
+        raise ValueError(
+            f"upsert source batch has {row['nulls']} rows with NULL in "
+            f"{keys}: a null merge key never matches and cannot be updated "
+            f"later — fix the batch upstream"
+        )
+    if row["n"] != row["d"]:
+        raise ValueError(
+            f"upsert source batch has duplicate keys on {keys}: "
+            f"{row['n']} rows but {row['d']} distinct keys; reduce the batch "
+            f"to one change per key (last-write-wins) before merging"
+        )
+
+
 def upsert_parquet(
     spark: SparkSession, new_df: DataFrame, path: str, keys: list[str]
 ) -> None:
     """MERGE-style upsert into an unpartitioned parquet table without a
     lakehouse format: rows of ``new_df`` replace existing rows with the same
     key; all other existing rows survive.  The survivor set is
-    existing LEFT ANTI new (on ``keys``) UNION new.
+    existing LEFT ANTI new (on ``keys``) UNION new.  ``new_df`` must be
+    unique per key (validated; see :func:`_require_unique_keys`).
 
     Spark cannot safely overwrite a path it is lazily reading (the scan
     would see its own deletes), so the merged result is staged to
     ``path + "__stage"`` and swapped in with two renames — the standard
     plain-filesystem pattern; lakehouse formats exist precisely to make
     this swap transactional (see ``read_lakehouse``'s gate).
+
+    Crash recovery: the swap is not transactional.  If ``__stage`` or
+    ``__old`` already exists, a previous invocation died mid-swap and we
+    fail fast rather than guess.  To recover: if ``path`` exists, delete the
+    leftover ``__stage``/``__old`` dirs (the table is intact — a crash
+    before the first rename leaves only ``__stage``; after the second
+    leaves only ``__old``).  If ``path`` is MISSING, the crash hit between
+    the renames: ``__stage`` holds the complete merged table — rename it to
+    ``path`` — and ``__old`` holds the pre-merge table as a fallback.
 
     Intended for dimension/metadata-sized tables.  For fact-scale data use
     :func:`upsert_parquet_partitioned`, which touches only the partitions
@@ -143,12 +187,19 @@ def upsert_parquet(
     import os
     import shutil
 
+    stage = path.rstrip("/") + "__stage"
+    old = path.rstrip("/") + "__old"
+    leftover = [p for p in (stage, old) if os.path.exists(p)]
+    if leftover:
+        raise RuntimeError(
+            f"unfinished upsert swap detected ({leftover}); recover per the "
+            f"upsert_parquet docstring before retrying"
+        )
+    _require_unique_keys(new_df, keys)
     existing = spark.read.parquet(path)
     survivors = existing.join(new_df.select(keys), keys, "left_anti")
     merged = survivors.unionByName(new_df)
-    stage = path.rstrip("/") + "__stage"
     merged.write.mode("overwrite").option("compression", "zstd").parquet(stage)
-    old = path.rstrip("/") + "__old"
     os.rename(path, old)
     os.rename(stage, path)
     shutil.rmtree(old)
@@ -173,8 +224,24 @@ def upsert_parquet_partitioned(
     never rewritten — at 100 TB an upsert costs O(affected partitions), not
     O(table).  The reference's lakehouse connectors get this from table
     formats; this is the same contract on plain parquet layout.
+
+    ``new_df`` must be unique per key (validated) and ``partition_col`` must
+    be non-null in the batch: a null partition value would land in hive's
+    ``__HIVE_DEFAULT_PARTITION__``, but the ``isin`` prune below can never
+    match NULL, so existing null-partition survivors would be silently
+    dropped when dynamic overwrite rewrites that partition.  We raise
+    instead of special-casing — a null partition key in a CDC batch is a
+    data bug upstream, not a merge policy.
     """
+    _require_unique_keys(new_df, keys)
     parts = [r[0] for r in new_df.select(partition_col).distinct().collect()]
+    if any(p is None for p in parts):
+        raise ValueError(
+            f"upsert batch contains NULL {partition_col!r} values; the "
+            f"partition prune cannot match hive's null partition, so the "
+            f"merge would drop existing null-partition rows — fix or filter "
+            f"the batch upstream"
+        )
     existing = spark.read.parquet(path).filter(
         F_col(partition_col).isin(parts)
     )

@@ -349,3 +349,70 @@ def test_upsert_parquet_partitioned_touches_only_affected(spark, tmpdir):
     }
     assert files_in("p2") == before_p2
     assert files_in("p3") == before_p3
+
+
+def test_upsert_rejects_duplicate_source_keys(spark, tmpdir):
+    """A CDC micro-batch with two changes for one key must raise, not
+    silently duplicate the key (real MERGE errors on ambiguous source
+    matches); same contract in both upsert variants."""
+    base = f"{tmpdir}/dim"
+    spark.createDataFrame([(1, "a")], "k int, v string").write.parquet(base)
+    dup = spark.createDataFrame(
+        [(2, "first"), (2, "second")], "k int, v string"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        io.upsert_parquet(spark, dup, base, ["k"])
+    # table untouched on rejection
+    assert [(r.k, r.v) for r in spark.read.parquet(base).collect()] == [(1, "a")]
+
+    pbase = f"{tmpdir}/facts"
+    spark.createDataFrame(
+        [(1, "p1", 1.0)], "k int, part string, v double"
+    ).write.partitionBy("part").parquet(pbase)
+    pdup = spark.createDataFrame(
+        [(2, "p1", 2.0), (2, "p1", 3.0)], "k int, part string, v double"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        io.upsert_parquet_partitioned(spark, pdup, pbase, ["k"], "part")
+
+
+def test_upsert_rejects_null_keys_and_null_partitions(spark, tmpdir):
+    """NULL merge keys never match (un-updatable forever) and NULL partition
+    values defeat the isin partition prune (existing null-partition rows
+    would be dropped by the dynamic overwrite) — both raise upfront."""
+    base = f"{tmpdir}/dim"
+    spark.createDataFrame([(1, "a")], "k int, v string").write.parquet(base)
+    nullkey = spark.createDataFrame([(None, "x")], "k int, v string")
+    with pytest.raises(ValueError, match="NULL"):
+        io.upsert_parquet(spark, nullkey, base, ["k"])
+
+    pbase = f"{tmpdir}/facts"
+    spark.createDataFrame(
+        [(1, "p1", 1.0)], "k int, part string, v double"
+    ).write.partitionBy("part").parquet(pbase)
+    nullpart = spark.createDataFrame(
+        [(2, None, 2.0)], "k int, part string, v double"
+    )
+    with pytest.raises(ValueError, match="NULL 'part'"):
+        io.upsert_parquet_partitioned(spark, nullpart, pbase, ["k"], "part")
+
+
+def test_upsert_fails_fast_on_unfinished_swap(spark, tmpdir):
+    """Leftover __stage/__old dirs mean a previous swap died mid-flight;
+    the next invocation must refuse (os.rename onto a non-empty dir would
+    fail halfway through anyway) and point at the recovery procedure."""
+    base = f"{tmpdir}/dim"
+    spark.createDataFrame([(1, "a")], "k int, v string").write.parquet(base)
+    batch = spark.createDataFrame([(2, "b")], "k int, v string")
+    os.makedirs(base + "__stage")
+    with pytest.raises(RuntimeError, match="unfinished upsert swap"):
+        io.upsert_parquet(spark, batch, base, ["k"])
+    os.rmdir(base + "__stage")
+    os.makedirs(base + "__old")
+    with pytest.raises(RuntimeError, match="unfinished upsert swap"):
+        io.upsert_parquet(spark, batch, base, ["k"])
+    os.rmdir(base + "__old")
+    # clean state: the same call now succeeds
+    io.upsert_parquet(spark, batch, base, ["k"])
+    got = {(r.k, r.v) for r in spark.read.parquet(base).collect()}
+    assert got == {(1, "a"), (2, "b")}
