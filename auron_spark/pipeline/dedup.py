@@ -959,6 +959,7 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY k.doc_id
     """,
     tags=("pipeline", "dedup", "canonicalization"),
+    bench=True,
 )
 def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-representative selection — the final step of near-dup

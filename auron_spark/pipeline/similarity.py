@@ -982,6 +982,7 @@ def _sql_km_round(prev: str, out_assign: str, out_mean: str, out_cent: str) -> s
     ORDER BY c.cid, dim
     """,
     tags=("pipeline", "similarity", "kmeans", "iterative", "ann"),
+    bench=True,
 )
 def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-means (Lloyd) training for the IVF coarse quantizer — the learned
@@ -1163,6 +1164,7 @@ _SQL_KM_ASSIGN_DIST = (
     ORDER BY query_id, neighbor_id
     """,
     tags=("pipeline", "similarity", "kmeans", "ivf", "ann"),
+    bench=True,
 )
 def sim_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end IVF over the TRAINED codebook: k-means training
