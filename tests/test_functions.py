@@ -379,3 +379,46 @@ def test_pca_power_iteration_properties(spark):
         .collect()[0][0]
     )
     assert proj_var > total_var / 64, (proj_var, total_var)
+
+
+def test_ivfpq_recall_vs_exact_l2(spark):
+    """sim_ivfpq_trained approximates exact-L2 top-k: probing N_PROBE of
+    KM_K lists caps recall at the probe ceiling (~0.52 on this fixture) and
+    the exact re-rank of the ADC shortlist must recover most of it — the
+    end-to-end quality contract of the two-stage IVF-PQ serving path.
+    (Direct ADC top-5 with the 10-codeword residual codebook measured 0.18;
+    the re-rank lifts it to ~0.46.)"""
+    import duckdb
+
+    from auron_spark.pipeline.similarity import QUERY_CAP, QUERY_MOD
+
+    pq = SPECS["sim_ivfpq_trained"].build(spark, SF_DIR).collect()
+    got: dict[int, set[int]] = {}
+    for r in pq:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    l2 = con.execute(f"""
+        WITH q AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {QUERY_CAP})
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   list_sum(list_transform(range(1, 65),
+                     i -> (CAST(q.embedding[i] AS DOUBLE)
+                           - CAST(c.embedding[i] AS DOUBLE))
+                        * (CAST(q.embedding[i] AS DOUBLE)
+                           - CAST(c.embedding[i] AS DOUBLE)))),
+                   c.vec_id) AS rk
+          FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.vec_id)
+        WHERE rk <= 5
+    """).fetchall()
+    truth: dict[int, set[int]] = {}
+    for q_, n_ in l2:
+        truth.setdefault(q_, set()).add(n_)
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    assert hits / total > 0.4, f"IVF-PQ recall too low: {hits}/{total}"

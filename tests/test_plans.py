@@ -637,3 +637,16 @@ def test_trained_ivf_probe_is_map_side(spark):
     n_windows = sum(1 for line in plan.splitlines() if "Window [" in line)
     assert n_windows == 1, plan
     assert "WindowGroupLimit" in plan, plan  # top-k pruned before the sort
+
+
+def test_ivfpq_encode_is_map_side(spark):
+    """sim_ivfpq_trained's corpus-side work — list assignment, residuals
+    and PQ encoding — must all be map-side folds over broadcast state: the
+    only windows allowed are the bounded serving stages (ADC shortlist and
+    final top-k re-rank), never a per-(vec_id, sub) argmin shuffle of the
+    corpus."""
+    plan = _plan(spark, "sim_ivfpq_trained")
+    n_windows = sum(1 for line in plan.splitlines() if "Window [" in line)
+    assert n_windows == 2, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
