@@ -1734,3 +1734,231 @@ def sim_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rk")
     )
+
+
+# --- PCA top-m components (power iteration + modified Gram-Schmidt) --------
+
+PCA_M = 3  # components emitted by sim_pca_top_m
+
+
+def _sql_pca_m_oracle() -> str:
+    """Unrolled DuckDB oracle for sim_pca_top_m: PCA_M components, each
+    PCA_ITERS power-iteration rounds, deflated against the previously
+    extracted components by modified Gram-Schmidt after EVERY round.  All
+    corpus-side sums go through 6-dp-rounded DECIMAL(28,6); every 64-dim
+    vector op (projections, norms) is an index-ordered list fold, so each
+    CTE value is bit-identical to the Spark plan's."""
+    ctes = []
+    finals = []
+    for j in range(PCA_M):
+        for it in range(1, PCA_ITERS + 1):
+            if it == 1:
+                vexpr, vjoin = "0.125", ""
+            else:
+                vexpr, vjoin = "v[i]", f", v{j}_{it - 1}"
+            ctes.append(f"""
+    s{j}_{it} AS (
+        SELECT vec_id, c,
+               list_sum(list_transform(range(1, 65), i -> c[i] * {vexpr}))
+                   AS s
+        FROM cent{vjoin}
+    ),
+    w{j}_{it} AS (
+        SELECT p.pos,
+               CAST(SUM(CAST(ROUND(t.s * t.c[p.pos], 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS w
+        FROM s{j}_{it} t
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p
+        GROUP BY p.pos
+    ),
+    d{j}_{it}_0 AS (SELECT list(w ORDER BY pos) AS d FROM w{j}_{it})""")
+            for l in range(j):
+                ctes.append(f"""
+    p{j}_{it}_{l} AS (
+        SELECT list_sum(list_transform(range(1, 65), k -> d[k] * vc[k]))
+                   AS pr
+        FROM d{j}_{it}_{l}, vc{l}
+    ),
+    d{j}_{it}_{l + 1} AS (
+        SELECT list_transform(range(1, 65), k -> d[k] - pr * vc[k]) AS d
+        FROM d{j}_{it}_{l}, p{j}_{it}_{l}, vc{l}
+    )""")
+            ctes.append(f"""
+    n{j}_{it} AS (
+        SELECT sqrt(list_sum(list_transform(range(1, 65), k -> d[k] * d[k])))
+                   AS nrm
+        FROM d{j}_{it}_{j}
+    ),
+    v{j}_{it} AS (
+        SELECT list_transform(range(1, 65), k -> d[k] / nrm) AS v
+        FROM d{j}_{it}_{j}, n{j}_{it}
+    )""")
+        ctes.append(f"    vc{j} AS (SELECT v AS vc FROM v{j}_{PCA_ITERS})")
+        finals.append(
+            f"""
+    SELECT {j} AS component, p.pos - 1 AS dim,
+           ROUND(d[p.pos] / nrm, 9) AS loading,
+           ROUND(nrm, 6) AS eigenvalue
+    FROM d{j}_{PCA_ITERS}_{j}, n{j}_{PCA_ITERS},
+         (SELECT unnest(range(1, 65)) AS pos) p"""
+        )
+    return (
+        """
+    WITH mu AS (
+        SELECT pos,
+               CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6)))
+                    AS DOUBLE) / COUNT(*) AS m
+        FROM (SELECT unnest(embedding) AS v,
+                     unnest(range(1, len(embedding) + 1)) AS pos
+              FROM embeddings)
+        GROUP BY pos
+    ),
+    muv AS (SELECT list(m ORDER BY pos) AS mv FROM mu),
+    cent AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(range(1, 65),
+                              i -> CAST(embedding[i] AS DOUBLE) - mv[i]) AS c
+        FROM embeddings, muv
+    ),"""
+        + ",".join(ctes)
+        + "\n    ".join([""] + [" UNION ALL ".join(finals)])
+        + "\n    ORDER BY component, dim"
+    )
+
+
+def _arr_dot(a: Column, b: Column) -> Column:
+    """Index-ordered fold dot product of two double arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+@query(
+    "sim_pca_top_m",
+    oracle=_sql_pca_m_oracle(),
+    tags=("pipeline", "similarity", "pca", "iterative"),
+)
+def sim_pca_top_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-PCA_M principal components by power iteration with deflation —
+    the r5 single-component building block (sim_pca_power_iteration) turned
+    into usable whitening prep.  Each component runs PCA_ITERS rounds of
+    w = X_cT(X_c v); after every round the new w is deflated against the
+    already-extracted components by modified Gram-Schmidt (sequentially
+    subtract (w.vc_l) vc_l), which is what keeps component j converging to
+    the j-th eigenvector instead of sliding back to the first.
+
+    Distributed shape — identical per round to the r5 single-component op:
+    v rides along as ONE broadcast row, s = c.v is a map-side fold, and the
+    only exchange carries 64 decimal partial sums per partition; corpus
+    rows never shuffle.  Everything downstream of w — deflation dots,
+    norms, normalization — happens on ONE-row frames (64 doubles of model
+    state, the same contract as _lloyd's k-row codebook); localCheckpoint
+    cuts lineage per round so the final plan is m x iters corpus scans,
+    each map-side.  At 100 TB you would cache X_c once; the scan count is
+    m x iters either way and each pass is embarrassingly parallel.
+
+    Arithmetic contract: corpus sums are 6-dp-rounded DECIMAL(28,6); every
+    64-vector op is an index-ordered fold; division and sqrt are IEEE — so
+    DuckDB's unrolled CTE chain reproduces loadings and eigenvalues
+    bit-exactly.  Orthogonality/ordering are property-tested.
+    """
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("e"),
+    )
+    mu = (
+        emb.select(F.posexplode("e").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            (
+                F.sum(F.round(F.col("v"), 6).cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("m")
+        )
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("sm"))
+        .select(F.transform("sm", lambda s: s["m"]).alias("mv"))
+    )
+    cent = emb.join(F.broadcast(mu)).select(
+        "vec_id", F.zip_with("e", "mv", lambda x, m: x - m).alias("c")
+    )
+    comps: list[DataFrame] = []  # one-row frames, column vc_{l}
+    outs: list[DataFrame] = []
+    for j in range(PCA_M):
+        vdf = spark.range(1).select(
+            F.array_repeat(F.lit(0.125), EMB_DIM).alias("v")
+        )
+        drow = None
+        for _ in range(PCA_ITERS):
+            scored = cent.join(F.broadcast(vdf)).select(
+                "c", dot(F.col("c"), F.col("v")).alias("s")
+            )
+            w = (
+                scored.select("s", F.posexplode("c").alias("dim", "x"))
+                .groupBy("dim")
+                .agg(
+                    F.sum(
+                        F.round(F.col("s") * F.col("x"), 6).cast(
+                            "decimal(28,6)"
+                        )
+                    )
+                    .cast("double")
+                    .alias("w")
+                )
+            )
+            drow = (
+                w.agg(
+                    F.array_sort(F.collect_list(F.struct("dim", "w"))).alias(
+                        "sw"
+                    )
+                )
+                .select(F.transform("sw", lambda s: s["w"]).alias("d"))
+            )
+            # modified Gram-Schmidt against the extracted components
+            for l, vcrow in enumerate(comps):
+                drow = (
+                    drow.crossJoin(vcrow)
+                    .withColumn(
+                        "pr", _arr_dot(F.col("d"), F.col(f"vc_{l}"))
+                    )
+                    .select(
+                        F.zip_with(
+                            "d",
+                            f"vc_{l}",
+                            lambda x, p: x - F.col("pr") * p,
+                        ).alias("d")
+                    )
+                )
+            drow = drow.localCheckpoint()  # one row of model state
+            nrm = F.sqrt(
+                F.aggregate(
+                    F.transform("d", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+            vdf = drow.select(
+                F.transform("d", lambda x: x / nrm).alias("v")
+            )
+        comps.append(
+            drow.select(
+                F.transform("d", lambda x: x / nrm).alias(f"vc_{j}")
+            ).localCheckpoint()
+        )
+        outs.append(
+            drow.withColumn("nrm", nrm)
+            .select(F.posexplode("d").alias("dim", "w"), "nrm")
+            .select(
+                F.lit(j).alias("component"),
+                "dim",
+                F.round(F.col("w") / F.col("nrm"), 9).alias("loading"),
+                F.round("nrm", 6).alias("eigenvalue"),
+            )
+        )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), outs).orderBy(
+        "component", "dim"
+    )

@@ -422,3 +422,31 @@ def test_ivfpq_recall_vs_exact_l2(spark):
     hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
     total = sum(len(v) for v in truth.values())
     assert hits / total > 0.4, f"IVF-PQ recall too low: {hits}/{total}"
+
+
+def test_pca_top_m_properties(spark):
+    """Semantic contract of the deflated power iteration: each component is
+    unit-norm, pairwise orthogonal (modified Gram-Schmidt), eigenvalue
+    estimates are positive and non-increasing, and component 0 must equal
+    sim_pca_power_iteration's output exactly (deflation is a no-op for the
+    first component)."""
+    import math
+
+    rows = SPECS["sim_pca_top_m"].build(spark, SF_DIR).collect()
+    comps: dict[int, list[float]] = {}
+    eigs: dict[int, float] = {}
+    for r in rows:
+        comps.setdefault(r["component"], [0.0] * 64)[r["dim"]] = r["loading"]
+        eigs[r["component"]] = r["eigenvalue"]
+    assert sorted(comps) == [0, 1, 2]
+    for j, v in comps.items():
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-6, j
+    for a in range(3):
+        for b in range(a + 1, 3):
+            d = sum(x * y for x, y in zip(comps[a], comps[b]))
+            assert abs(d) < 1e-6, (a, b, d)
+    assert eigs[0] >= eigs[1] >= eigs[2] > 0, eigs
+    one = SPECS["sim_pca_power_iteration"].build(spark, SF_DIR).collect()
+    for r in one:
+        assert comps[0][r["dim"]] == r["loading"], r
+        assert eigs[0] == r["eigenvalue"]
