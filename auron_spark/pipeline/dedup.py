@@ -525,10 +525,31 @@ def connected_components(
     iterative DataFrame algorithms): the pointer jump references the stepped
     labels twice, so without truncation the logical plan would double every
     round and analysis cost would explode exponentially.
+
+    Round-6 shape improvements (results identical):
+    - the iteration runs only over nodes that actually appear in ``edges``
+      (both directions are present, so ``u`` covers every endpoint);
+      isolated nodes are their own component by definition and rejoin
+      map-side at the end.  Near-dup candidate graphs are sparse — at
+      100 TB this shrinks every per-round join from corpus-size to
+      candidate-size;
+    - the convergence check reads a change flag carried through the round's
+      own plan instead of re-joining against the previous labels — one
+      shuffle join fewer per round;
+    - round 1 is fused into initialization: with labels = identity, the
+      min-neighbor step degenerates to ``least(u, min(v))`` — one
+      aggregation over the edge list, no label join, no separate identity
+      checkpoint.
     """
-    labels = nodes.select(
-        "doc_id", F.col("doc_id").alias("canonical_id")
-    ).localCheckpoint()
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(
+            F.col("u").alias("doc_id"),
+            F.least("u", "mn").alias("canonical_id"),
+        )
+        .localCheckpoint()
+    )
     changed = -1
     for _ in range(max_rounds):
         neigh = (
@@ -538,6 +559,7 @@ def connected_components(
         )
         stepped = labels.join(neigh, labels.doc_id == neigh.u, "left").select(
             "doc_id",
+            F.col("canonical_id").alias("orig"),
             F.least(
                 F.col("canonical_id"),
                 F.coalesce(F.col("neigh_min"), F.col("canonical_id")),
@@ -560,23 +582,23 @@ def connected_components(
                 F.least(F.col("canonical_id"), F.col("t_label")).alias(
                     "canonical_id"
                 ),
+                F.col("orig"),
             )
+            .withColumn("chg", F.col("canonical_id") != F.col("orig"))
             .localCheckpoint()
         )
-        changed = (
-            updated.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.canonical_id") != F.col("o.canonical_id"))
-            .count()
-        )
-        labels = updated
+        changed = updated.filter("chg").count()
+        labels = updated.select("doc_id", "canonical_id")
         if changed == 0:
             break
     if changed != 0:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds"
         )
-    return labels
+    isolated = nodes.join(labels.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("canonical_id")
+    )
+    return labels.unionByName(isolated)
 
 
 @query(
