@@ -1100,11 +1100,13 @@ def _lloyd(spark: SparkSession, emb: DataFrame):
             .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("sc"))
             .select("cid", F.transform("sc", lambda s: s["c"]).alias("cv"))
         )
+        # no checkpoint here: cent is k rows derived from the checkpointed
+        # mean (the corpus-scan lineage is already cut), so an extra eager
+        # job per iteration buys nothing
         cent = (
             cent.alias("p")
             .join(new_cv.alias("m"), "cid", "left")
             .select("cid", F.coalesce("m.cv", "p.cv").alias("cv"))
-            .localCheckpoint()
         )
         last_mean = mean
     return cent, last_mean
