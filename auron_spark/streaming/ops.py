@@ -422,3 +422,108 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.read.parquet(target).select(cols).orderBy("event_id")
+
+
+@query(
+    "cdc_apply_changelog",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+        FROM events
+    )
+    SELECT user_id, event_type AS last_type, value AS last_value,
+           CAST(n_changes AS BIGINT) AS n_changes
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id
+    """,
+    tags=("streaming", "cdc", "changelog", "compaction"),
+)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction — fold a CDC change stream to final table
+    state: the events table read as a changelog keyed by user_id, ordered
+    by (ts, event_id); the LAST change per key wins, and a key whose last
+    change is a delete (event_type = 'error' stands in for op = 'D') is
+    absent from the result.  This is the batch core of every
+    streaming-CDC consumer (the per-micro-batch reduce feeding
+    `stream_cdc_upsert`'s MERGE, Kafka log-compaction semantics, Debezium
+    snapshot rebuilds).
+
+    Scale shape: ONE hash exchange on the key; the rank filter is
+    WindowGroupLimit-prunable (rn = 1 cuts each key's run before any full
+    sort) and the per-key count rides the same window exchange.  At
+    100 TB a changelog partitioned by key hash compacts with no extra
+    shuffle at all."""
+    from pyspark.sql import Window
+
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    wc = Window.partitionBy("user_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            "value",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wc).alias("n_changes"),
+        )
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+            F.col("n_changes").cast("bigint").alias("n_changes"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "scd2_history",
+    oracle="""
+    SELECT user_id,
+           CAST(row_number() OVER w AS BIGINT) AS seq,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           value,
+           (lead(event_id) OVER w IS NULL) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, seq
+    """,
+    tags=("streaming", "cdc", "scd2", "dimension"),
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 — turn a changelog into a
+    versioned history table: one row per change with [valid_from,
+    valid_to) effective ranges (valid_to = next change's timestamp, NULL
+    while current) and an is_current flag.  The standard warehouse
+    pattern for point-in-time joins ("what was this user's value when the
+    order shipped") without mutating history.
+
+    Scale shape: one window exchange on the dimension key serves
+    row_number AND both leads; the output is exactly one row per change
+    (no fan-out).  At 100 TB the history build is a single pass over the
+    changelog; point-in-time lookups then become range joins against the
+    compact history.  Timestamps are emitted as formatted strings (the
+    repo-wide no-raw-timestamp-output rule)."""
+    from pyspark.sql import Window
+
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (
+        ev.select(
+            "user_id",
+            F.row_number().over(w).cast("bigint").alias("seq"),
+            F.date_format("ts", fmt).alias("valid_from"),
+            F.date_format(F.lead("ts").over(w), fmt).alias("valid_to"),
+            "value",
+            F.lead("event_id").over(w).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "seq")
+    )

@@ -41,10 +41,22 @@ def main() -> None:
     spark = get_spark("auron-spark-bench")
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(spec) -> float:
+    def run(spec, where=None) -> float:
         t0 = time.perf_counter()
-        spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return round(time.perf_counter() - t0, 3)
+        spec.build(spark, where or sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        elapsed = round(time.perf_counter() - t0, 3)
+        # Outside the timed window: release the query's driver-side refs so
+        # ContextCleaner can drop its localCheckpoint RDDs NOW instead of
+        # mid-way through a later query's measurement (the iterative
+        # trainers checkpoint per round; before this, their leftovers made
+        # a later query's warm run measure slower than its cold run).
+        import gc
+
+        gc.collect()
+        spark._jvm.System.gc()
+        return elapsed
 
     warm: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -74,9 +86,7 @@ def main() -> None:
     if second and os.path.isdir(second) and second != sf_dir:
         warm2 = {}
         for name, spec in sorted(specs.items()):
-            t0 = time.perf_counter()
-            spec.build(spark, second).write.format("noop").mode("overwrite").save()
-            warm2[name] = round(time.perf_counter() - t0, 3)
+            warm2[name] = run(spec, where=second)
         payload["sf2"] = (
             float(second.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in second else -1.0
         )

@@ -650,3 +650,22 @@ def test_ivfpq_encode_is_map_side(spark):
     assert n_windows == 2, plan
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_cdc_changelog_single_key_exchange(spark):
+    """cdc_apply_changelog: the rank filter AND the per-key count must ride
+    ONE hash exchange on the key (the count window has no ordering, so the
+    rank window's partitioning satisfies it) — a second corpus exchange
+    would double the cost of changelog compaction at scale."""
+    plan = _plan(spark, "cdc_apply_changelog")
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash == 1, plan
+
+
+def test_scd2_single_window_pass(spark):
+    """scd2_history: row_number and both leads must fold into ONE Window
+    node over ONE hash exchange — the one-pass history build contract."""
+    plan = _plan(spark, "scd2_history")
+    n_windows = sum(1 for line in plan.splitlines() if "Window [" in line)
+    assert n_windows == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
