@@ -1025,3 +1025,76 @@ def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_component_stats",
+    oracle=_sql_signature_cte(recursive=True)
+    + """
+    , pairs AS (
+        SELECT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r ON l.band = r.band AND l.doc_id < r.doc_id
+        GROUP BY a, b
+    ),
+    edges AS (
+        SELECT a AS u, b AS v FROM pairs
+        UNION ALL
+        SELECT b AS u, a AS v FROM pairs
+    ),
+    reach (src, dst) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst
+    ),
+    comp AS (
+        SELECT d.doc_id,
+               LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS component
+        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        GROUP BY d.doc_id
+    ),
+    sizes AS (
+        SELECT component, COUNT(*) AS component_size
+        FROM comp GROUP BY component
+    )
+    SELECT CAST(component_size AS BIGINT) AS component_size,
+           CAST(COUNT(*) AS BIGINT) AS n_components,
+           CAST(component_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM sizes
+    GROUP BY component_size
+    ORDER BY component_size
+    """,
+    tags=("pipeline", "dedup", "diagnostics"),
+)
+def dedup_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size profile — the dedup run's health report: how
+    many singletons (unique docs), how many small clusters, and whether a
+    mega-cluster exists (the classic LSH failure mode where boilerplate
+    chains everything into one component and dedup would delete the
+    corpus).  Operators gate corpus releases on exactly this histogram.
+
+    Scale shape: component labels from the shared pointer-jumping CC
+    (candidate-size rounds), then two tiny aggregations (per-component
+    size, then size histogram) — output is O(distinct sizes)."""
+    t = Tables(spark, sf_dir)
+    pairs = lsh_candidate_pairs(minhash_signature(_doc_shingles(t, dedup=False)))
+    edges = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .union(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .persist()
+    )
+    labels = connected_components(t.documents.select("doc_id"), edges)
+    edges.unpersist()
+    return (
+        labels.groupBy("canonical_id")
+        .agg(F.count("*").alias("component_size"))
+        .groupBy("component_size")
+        .agg(F.count("*").alias("n_components"))
+        .select(
+            F.col("component_size").cast("bigint"),
+            F.col("n_components").cast("bigint"),
+            (F.col("component_size") * F.col("n_components"))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+        .orderBy("component_size")
+    )

@@ -527,3 +527,81 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "seq")
     )
+
+
+@query(
+    "pit_lookup_join",
+    oracle="""
+    WITH hist AS (
+        SELECT user_id, value, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to
+        FROM events WHERE event_type <> 'purchase'
+    )
+    SELECT p.event_id,
+           p.user_id,
+           h.value AS value_at_ts,
+           (h.user_id IS NOT NULL) AS found
+    FROM events p
+    LEFT JOIN hist h
+      ON h.user_id = p.user_id
+     AND p.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+    WHERE p.event_type = 'purchase'
+    ORDER BY p.event_id
+    """,
+    tags=("streaming", "cdc", "scd2", "point-in-time", "join"),
+)
+def pit_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against a Type-2 history — the consumer side
+    of `scd2_history`: every purchase event fetches the user's
+    most-recent non-purchase state AS OF the purchase timestamp by
+    joining the history's half-open [valid_from, valid_to) ranges.  The
+    training-data analog is feature-store correctness: features joined
+    as-of the example's event time, never from the future (no label
+    leakage).  Purchases before a user's first state row keep
+    found = false.
+
+    Scale shape: the history build is one window pass (scd2_history's
+    contract); the lookup is an equi-join on the key with a residual
+    range predicate — Spark plans SortMergeJoin on user_id with the range
+    as a post-join filter, which is the standard PIT layout (key
+    co-location does the heavy lifting; ranges within a key are few).
+    Each probe matches at most one version row by construction
+    (consecutive half-open ranges), so there is no fan-out."""
+    from pyspark.sql import Window
+
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(
+            "user_id",
+            "value",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        probes.alias("p")
+        .join(
+            hist.alias("h"),
+            (F.col("h.user_id") == F.col("p.user_id"))
+            & (F.col("p.ts") >= F.col("h.valid_from"))
+            & (
+                F.col("h.valid_to").isNull()
+                | (F.col("p.ts") < F.col("h.valid_to"))
+            ),
+            "left",
+        )
+        .select(
+            "p.event_id",
+            "p.user_id",
+            F.col("h.value").alias("value_at_ts"),
+            F.col("h.user_id").isNotNull().alias("found"),
+        )
+        .orderBy("event_id")
+    )

@@ -669,3 +669,19 @@ def test_scd2_single_window_pass(spark):
     n_windows = sum(1 for line in plan.splitlines() if "Window [" in line)
     assert n_windows == 1, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_pit_lookup_is_keyed_equi_join(spark):
+    """pit_lookup_join must plan an equi-join on the dimension key with the
+    [valid_from, valid_to) range as a residual predicate — a nested-loop
+    or cartesian plan here would make point-in-time lookups O(probes x
+    history) at scale."""
+    plan = _plan(spark, "pit_lookup_join")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    joins = [
+        line
+        for line in plan.splitlines()
+        if "HashJoin" in line or "SortMergeJoin" in line
+    ]
+    assert any("user_id" in j for j in joins), plan
