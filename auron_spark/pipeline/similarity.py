@@ -1964,3 +1964,116 @@ def sim_pca_top_m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), outs).orderBy(
         "component", "dim"
     )
+
+
+# --- centroid-distance outlier filter --------------------------------------
+
+OUTLIER_FACTOR = 1.5  # dist > factor x per-label mean dist -> outlier
+
+
+@query(
+    "sim_outlier_filter",
+    oracle=f"""
+    WITH cent AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6)))
+                    AS DOUBLE) / COUNT(*) AS c
+        FROM (SELECT label, unnest(embedding) AS v,
+                     unnest(range(1, len(embedding) + 1)) AS pos
+              FROM embeddings)
+        GROUP BY label, pos
+    ),
+    carr AS (SELECT label, list(c ORDER BY pos) AS cv
+             FROM cent GROUP BY label),
+    d AS (
+        SELECT e.label, e.vec_id,
+               sqrt(list_sum(list_transform(range(1, 65),
+                   i -> (CAST(e.embedding[i] AS DOUBLE) - cv[i])
+                      * (CAST(e.embedding[i] AS DOUBLE) - cv[i])))) AS dist
+        FROM embeddings e JOIN carr ON carr.label = e.label
+    ),
+    s AS (
+        SELECT label, COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(dist, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*) AS avg_dist,
+               MAX(dist) AS max_dist
+        FROM d GROUP BY label
+    )
+    SELECT s.label, CAST(s.n AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN d.dist > {OUTLIER_FACTOR} * s.avg_dist
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(s.avg_dist, 6) AS avg_dist,
+           ROUND(s.max_dist, 6) AS max_dist
+    FROM d JOIN s ON s.label = d.label
+    GROUP BY s.label, s.n, s.avg_dist, s.max_dist
+    ORDER BY s.label
+    """,
+    tags=("pipeline", "similarity", "quality", "outlier"),
+)
+def sim_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection for corpus cleaning: per label,
+    the decimal-exact centroid, each vector's L2 distance to its own
+    centroid, and a per-label report of how many vectors sit beyond
+    OUTLIER_FACTOR x the label's mean distance — the standard "drop
+    mislabeled / off-distribution examples before training" filter
+    (downstream, the same predicate filters rows instead of counting
+    them).
+
+    Scale shape: two corpus passes, zero corpus shuffles — the centroid
+    pass exchanges only per-(label, dim) decimal partials; distances are
+    a map-side fold against the broadcast centroid table; the per-label
+    stats broadcast back for the outlier comparison.  Arithmetic
+    contract: centroid means DECIMAL(18,6), mean distance over
+    6-dp-rounded DECIMAL(28,6) sums, index-ordered distance folds —
+    bit-exact vs the oracle."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda v: v.cast("double")).alias("e"),
+    )
+    carr = (
+        emb.select("label", F.posexplode("e").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.round("v", 6).cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("c")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("sc"))
+        .select("label", F.transform("sc", lambda s: s["c"]).alias("cv"))
+    )
+    d = emb.join(F.broadcast(carr), "label").select(
+        "label",
+        "vec_id",
+        F.sqrt(_sqdist(F.col("e"), F.col("cv"))).alias("dist"),
+    )
+    s = d.groupBy("label").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.round("dist", 6).cast("decimal(28,6)")).cast("double")
+            / F.count("*")
+        ).alias("avg_dist"),
+        F.max("dist").alias("max_dist"),
+    )
+    return (
+        d.join(F.broadcast(s), "label")
+        .groupBy("label", "n", "avg_dist", "max_dist")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("dist") > OUTLIER_FACTOR * F.col("avg_dist"), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_outliers")
+        )
+        .select(
+            "label",
+            F.col("n").cast("bigint"),
+            "n_outliers",
+            F.round("avg_dist", 6).alias("avg_dist"),
+            F.round("max_dist", 6).alias("max_dist"),
+        )
+        .orderBy("label")
+    )

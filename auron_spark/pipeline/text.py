@@ -948,3 +948,95 @@ def text_zscore_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+BIGRAM_VOCAB = 2000  # top corpus bigrams kept in the fluency table
+
+
+@query(
+    "text_bigram_fluency",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                                     i -> w[i] || ' ' || w[i + 1])) AS b
+        FROM toks WHERE len(w) >= 2
+    ), counts AS (
+        SELECT b, COUNT(*) AS c FROM bg GROUP BY b
+    ), top AS (
+        SELECT b, c FROM counts ORDER BY c DESC, b LIMIT {BIGRAM_VOCAB}
+    )
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN top.b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_known,
+           CAST(SUM(CASE WHEN top.b IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS known_frac,
+           CAST(COALESCE(SUM(top.c), 0) AS BIGINT) AS hit_weight
+    FROM bg LEFT JOIN top ON top.b = bg.b
+    GROUP BY bg.doc_id
+    ORDER BY bg.doc_id
+    """,
+    tags=("pipeline", "text", "quality", "fluency"),
+)
+def text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram fluency score — the integer-exact stand-in for
+    n-gram-LM (KenLM-style) quality scoring that large-corpus pipelines
+    run before training: build the corpus's top-BIGRAM_VOCAB bigram table
+    (deterministic count-desc/bigram-asc cut), then score every document
+    by how much of it is made of common bigrams (known_frac) and how
+    heavy those hits are (hit_weight = sum of matched table counts).
+    Gibberish, boilerplate and non-prose documents score near zero
+    against the corpus's own statistics.  Unlike
+    `text_repetition_filter` (within-doc n-gram stats) this is a
+    CROSS-doc signal: the model table is shared corpus state.
+
+    Scale shape: the count pass is the standard explode + partial-agg
+    shuffle (distinct bigrams per partition cross the wire, not
+    occurrences); the top-V cut is TakeOrderedAndProject; the scoring
+    pass joins each document's bigrams against the BROADCAST table —
+    map-side, no second corpus shuffle except the per-doc rollup, which
+    keys on doc_id.  Integer counts and exact fractions keep the oracle
+    bit-exact (no transcendental log smoothing — by design, so the
+    contract is provable)."""
+    t = Tables(spark, sf_dir)
+    w = F.split(F.lower(F.col("text")), " ")
+    d = t.documents.select("doc_id", w.alias("w")).where(F.size("w") >= 2)
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("w", F.lit(1), F.size("w") - 1),
+                F.slice("w", F.lit(2), F.size("w") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("b"),
+    )
+    top = (
+        bg.groupBy("b")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "b")
+        .limit(BIGRAM_VOCAB)
+    )
+    return (
+        bg.join(F.broadcast(top), "b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum(F.when(F.col("c").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_known"),
+            (
+                F.sum(
+                    F.when(F.col("c").isNotNull(), 1).otherwise(0)
+                ).cast("double")
+                / F.count("*")
+            ).alias("known_frac"),
+            F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias(
+                "hit_weight"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -605,3 +605,100 @@ def pit_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "sessionize_gap",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_id, ts, event_type,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM marked
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(event_id) AS BIGINT) AS first_event,
+           CAST(floor(epoch(MAX(ts)) - epoch(MIN(ts))) AS BIGINT)
+               AS duration_sec,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases
+    FROM sess
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+    tags=("streaming", "session", "gap", "batch-twin"),
+)
+def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with per-event session ids — the lag/cumsum
+    classic: a new session starts when a user's gap from their previous
+    event exceeds 30 minutes; the running sum of session-start markers IS
+    the session id.  Complements `stream_session_window` (which emits
+    session AGGREGATES via session_window): training pipelines need the
+    per-event assignment too, e.g. to group interaction sequences into
+    examples.  Output is one row per (user, session) with size, first
+    event, duration and purchase count.
+
+    Scale shape: lag and the running sum share ONE window exchange on
+    user_id (same partitioning + ordering), and the session rollup
+    re-uses that partitioning (groupBy user_id, session_seq after a
+    user_id exchange needs no second shuffle for correctness — Spark
+    plans a partial/final hash agg on top).  One corpus exchange total at
+    any scale."""
+    from pyspark.sql import Window
+
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts has sub-second precision: both engines compare fractional epoch
+    # seconds as doubles (us / 1e6 in either engine — identical values)
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias(
+            "new_session"
+        ),
+    )
+    sess = marked.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_seq"),
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("event_id").cast("bigint").alias("first_event"),
+            F.floor(
+                F.max(F.col("ts").cast("double"))
+                - F.min(F.col("ts").cast("double"))
+            ).cast("bigint").alias("duration_sec"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("bigint").alias("n_purchases"),
+        )
+        .select(
+            "user_id",
+            F.col("session_seq").cast("bigint"),
+            "n_events",
+            "first_event",
+            "duration_sec",
+            "n_purchases",
+        )
+        .orderBy("user_id", "session_seq")
+    )
