@@ -1040,3 +1040,88 @@ def text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+SUBSTR_W = 20  # token-window width for exact substring dedup
+
+
+@query(
+    "text_substring_dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), wins AS (
+        SELECT doc_id,
+               md5(array_to_string(list_slice(w, i, i + {SUBSTR_W} - 1), ' '))
+                   AS h
+        FROM toks, unnest(range(1, len(w) - {SUBSTR_W} + 2)) AS t(i)
+        WHERE len(w) >= {SUBSTR_W}
+    ), shared AS (
+        SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM wins GROUP BY h
+    )
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
+           CAST(SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS shared_frac
+    FROM wins w JOIN shared s ON s.h = w.h
+    GROUP BY w.doc_id
+    ORDER BY w.doc_id
+    """,
+    tags=("pipeline", "dedup", "substring", "text"),
+)
+def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-window dedup signal (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): slide a SUBSTR_W-token
+    window over every document, hash each window, and measure per
+    document how much of it is verbatim-shared with OTHER documents
+    (n_docs > 1 for the window hash).  Near-dup (MinHash) finds
+    whole-document copies; THIS finds embedded verbatim spans — quoted
+    boilerplate, license headers, copied passages — the signal used to
+    cut exact substrings out of training corpora.
+
+    Scale shape: window expansion is map-side (explode of per-doc
+    sequences); the only corpus shuffles key on the window hash (partial
+    count-distinct state per partition) and back on doc_id for the
+    rollup.  The 16-byte hash crosses the wire, never the window text.
+    At 100 TB the hash-keyed shuffle is the same shape as MinHash
+    banding; a suffix-array build would be the exact-match upgrade, this
+    is its hash-windowed streaming approximation (windows are exact,
+    span merging is the part left to the consumer)."""
+    t = Tables(spark, sf_dir)
+    w = F.split(F.lower(F.col("text")), " ")
+    d = t.documents.select("doc_id", w.alias("w")).where(
+        F.size("w") >= SUBSTR_W
+    )
+    wins = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - (SUBSTR_W - 1)),
+                lambda i: F.md5(
+                    F.array_join(F.slice("w", i, SUBSTR_W), " ")
+                ),
+            )
+        ).alias("h"),
+    )
+    shared = wins.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    return (
+        wins.join(shared, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_windows"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+            (
+                F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("shared_frac"),
+        )
+        .orderBy("doc_id")
+    )
