@@ -1529,6 +1529,7 @@ ADC_RERANK = 64
     ORDER BY query_id, rk
     """,
     tags=("pipeline", "similarity", "kmeans", "ivf", "pq", "ann"),
+    bench=True,
 )
 def sim_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ end-to-end — the composition a production vector pipeline

@@ -262,3 +262,35 @@ def upsert_parquet_partitioned(
         .partitionBy(partition_col)
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int,
+    keys: list[str],
+) -> None:
+    """Write a hash-bucketed, bucket-sorted table — the layout that makes
+    repeated joins/aggregations on ``keys`` shuffle-free: each bucket file
+    holds one hash partition of the key space, so a join of two tables
+    bucketed the same way reads co-located buckets and Spark plans NO
+    exchange on either side (see
+    ``tests/test_sources.py::test_bucketed_join_is_shuffle_free``).
+
+    At 100 TB this is the difference between re-shuffling the fact table
+    on every join and shuffling it exactly once at write time — the plain
+    open-layout analog of the reference's lakehouse table-distribution
+    support.  Registered as an external table (data lives at ``path``);
+    ``n_buckets`` should match the cluster's target parallelism for the
+    key's volume.
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, *keys)
+        .sortBy(*keys)
+        .option("path", path)
+        .option("compression", "zstd")
+        .format("parquet")
+        .saveAsTable(table)
+    )

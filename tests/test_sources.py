@@ -416,3 +416,37 @@ def test_upsert_fails_fast_on_unfinished_swap(spark, tmpdir):
     io.upsert_parquet(spark, batch, base, ["k"])
     got = {(r.k, r.v) for r in spark.read.parquet(base).collect()}
     assert got == {(1, "a"), (2, "b")}
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmpdir):
+    """SCALE.md's recurring claim — 'shuffle-free when bucketed' — proven:
+    two tables written with write_bucketed on the same key and bucket
+    count join with NO exchange on either side (bucketed scans already
+    satisfy the join's hashpartitioning requirement), and bucket-local
+    sort means no Sort above the scans either.  The same layout serves
+    groupBy on the key without an exchange."""
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "source", "n_chars")
+    meta = table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    try:
+        io.write_bucketed(docs, "b_docs", f"{tmpdir}/b_docs", 4, ["doc_id"])
+        io.write_bucketed(meta, "b_meta", f"{tmpdir}/b_meta", 4, ["doc_id"])
+        # hint("merge"): at fixture scale Spark would broadcast the tiny
+        # side (and disable bucketed reads entirely); at fact scale SMJ is
+        # what the planner picks on its own — the hint makes the test
+        # exercise the at-scale path
+        joined = (
+            spark.table("b_docs")
+            .hint("merge")
+            .join(spark.table("b_meta"), "doc_id")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() == docs.count()
+        # same layout serves a key-grouped aggregate with no exchange
+        agg = spark.table("b_docs").groupBy("doc_id").count()
+        aplan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in aplan, aplan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_docs")
+        spark.sql("DROP TABLE IF EXISTS b_meta")
