@@ -1098,3 +1098,101 @@ def dedup_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component_size")
     )
+
+
+@query(
+    "dedup_lsh_quality",
+    oracle=_sql_signature_cte()
+    + """
+    , cand AS (
+        SELECT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r ON l.band = r.band AND l.doc_id < r.doc_id
+        GROUP BY a, b
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.a, c.b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.a
+        JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+        GROUP BY c.a, c.b
+    ),
+    j AS (
+        SELECT i.a, i.b,
+               CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) AS jac
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.a
+        JOIN sizes zb ON zb.doc_id = i.b
+    ),
+    tot AS (SELECT COUNT(*) AS n_cand FROM cand),
+    taus AS (SELECT CAST(unnest([0.5, 0.7, 0.9]) AS DOUBLE) AS tau)
+    SELECT taus.tau AS threshold,
+           CAST(tot.n_cand AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN j.jac >= taus.tau THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_verified,
+           ROUND(SUM(CASE WHEN j.jac >= taus.tau THEN 1 ELSE 0 END)
+                 / CAST(tot.n_cand AS DOUBLE), 9) AS prec
+    FROM taus CROSS JOIN tot CROSS JOIN j
+    GROUP BY taus.tau, tot.n_cand
+    ORDER BY threshold
+    """,
+    tags=("pipeline", "dedup", "evaluation"),
+)
+def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding quality report — evaluation-as-a-query: how many
+    candidate pairs the 4x2 banding produced and what fraction survive
+    exact-Jaccard verification at 0.5 / 0.7 / 0.9.  Low precision at the
+    operating threshold means the banding is too loose (wasted verify
+    work); operators tune bands x rows against exactly this table before
+    a corpus-scale run.  (Recall needs all-pairs ground truth, which is
+    O(n^2) by definition — deliberately out of scope; the banding theory
+    curve is the recall argument.)
+
+    Scale shape: candidate-pairs-sized joins only (the verify stage's
+    own contract), one 3-row threshold frame cross-joined at the end —
+    nothing new shuffles beyond what dedup_ngram_jaccard already pays."""
+    t = Tables(spark, sf_dir)
+    sh = _doc_shingles(t).cache()
+    cand = lsh_candidate_pairs(minhash_signature(sh))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        cand.join(sa, "a")
+        .join(sb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    j = (
+        inter.join(za, "a")
+        .join(zb, "b")
+        .select(
+            (
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("jac")
+        )
+    )
+    tot = cand.agg(F.count("*").alias("n_cand"))
+    taus = spark.createDataFrame([(0.5,), (0.7,), (0.9,)], "tau double")
+    return (
+        taus.crossJoin(F.broadcast(tot))
+        .crossJoin(j)
+        .groupBy("tau", "n_cand")
+        .agg(
+            F.sum(F.when(F.col("jac") >= F.col("tau"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_verified")
+        )
+        .select(
+            F.col("tau").alias("threshold"),
+            F.col("n_cand").cast("bigint").alias("n_candidates"),
+            "n_verified",
+            F.round(
+                F.col("n_verified") / F.col("n_cand").cast("double"), 9
+            ).alias("prec"),
+        )
+        .orderBy("threshold")
+    )

@@ -291,3 +291,90 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "split_group_integrity",
+    oracle="""
+    WITH g AS (
+        SELECT source,
+               CAST('0x' || substr(md5('grpsplit#' || source), 1, 8)
+                    AS BIGINT) AS h
+        FROM (SELECT DISTINCT source FROM documents)
+    ),
+    a AS (
+        SELECT source,
+               CASE WHEN h / 4294967296.0 < 0.8 THEN 'train'
+                    WHEN h / 4294967296.0 < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM g
+    ),
+    d AS (
+        SELECT doc.doc_id, doc.source, a.split
+        FROM documents doc JOIN a ON a.source = doc.source
+    ),
+    leak AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_leaked FROM (
+            SELECT source FROM d GROUP BY source
+            HAVING COUNT(DISTINCT split) > 1)
+    )
+    SELECT d.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_groups,
+           leak.n_leaked
+    FROM d, leak
+    GROUP BY d.split, leak.n_leaked
+    ORDER BY d.split
+    """,
+    tags=("pipeline", "sampling", "split", "leakage"),
+)
+def split_group_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-integral train/val/test split — the leakage-safe variant of
+    `split_train_val_test`: the split is a function of the GROUP key
+    (source), not the row, so every document of a source lands in the
+    same split.  Row-hash splits leak near-duplicate documents from one
+    source across train and test, inflating eval; group-hash splits are
+    how production pipelines split by domain / site / author.  Output is
+    per-split sizes plus n_leaked — the count of groups straddling
+    splits, structurally 0 here and the invariant a reviewer checks.
+
+    Scale shape: the group table is distinct-keys-sized; assignment is a
+    deterministic md5 bucket (append-stable: adding documents never
+    reassigns an existing source); the doc-side join broadcasts the
+    group assignment.  No corpus shuffle beyond the final per-split
+    count."""
+    t = Tables(spark, sf_dir)
+    g = t.documents.select("source").distinct().select(
+        "source",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("grpsplit#"), F.col("source"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint").alias("h"),
+    )
+    a = g.select(
+        "source",
+        F.when(F.col("h") / 4294967296.0 < 0.8, "train")
+        .when(F.col("h") / 4294967296.0 < 0.9, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    d = t.documents.select("doc_id", "source").join(F.broadcast(a), "source")
+    leak = (
+        d.groupBy("source")
+        .agg(F.count_distinct("split").alias("ns"))
+        .agg(
+            F.sum(F.when(F.col("ns") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_leaked")
+        )
+    )
+    return (
+        d.groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_distinct("source").cast("bigint").alias("n_groups"),
+        )
+        .join(F.broadcast(leak))
+        .select("split", "n_docs", "n_groups", "n_leaked")
+        .orderBy("split")
+    )

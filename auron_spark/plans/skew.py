@@ -134,3 +134,58 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+@query(
+    "skew_key_stats",
+    oracle="""
+    WITH c AS (
+        SELECT o_custkey AS key, COUNT(*) AS n FROM orders GROUP BY o_custkey
+    ),
+    s AS (
+        SELECT COUNT(*) AS n_keys, SUM(n) AS total, MAX(n) AS max_n,
+               CAST(SUM(n) AS DOUBLE) / COUNT(*) AS avg_n
+        FROM c
+    )
+    SELECT CAST(c.key AS BIGINT) AS key, CAST(c.n AS BIGINT) AS n,
+           ROUND(c.n / CAST(s.total AS DOUBLE), 9) AS share,
+           ROUND(s.max_n / s.avg_n, 6) AS skew_ratio
+    FROM c, s
+    ORDER BY c.n DESC, c.key
+    LIMIT 10
+    """,
+    tags=("plans", "skew", "diagnostics"),
+)
+def skew_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler — the measurement that DECIDES between the
+    repo's two skew mitigations (`skew_aqe_join`'s runtime splitting vs
+    `skew_salted_join`'s explicit salting): top-10 heaviest keys with
+    their share of the table and the global max/avg skew ratio.  Run it
+    on a join key before shipping the join; a skew_ratio near 1 means
+    leave AQE alone, a hot key with percent-level share means salt.
+
+    Scale shape: one partial/final count aggregation (keys-sized state),
+    a 1-row global stats frame broadcast back, TakeOrderedAndProject for
+    the top-10 — no full sort, nothing corpus-sized on the wire."""
+    t = Tables(spark, sf_dir)
+    c = t.orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    s = c.agg(
+        F.sum("n").alias("total"),
+        F.max("n").alias("max_n"),
+        (F.sum("n").cast("double") / F.count("*")).alias("avg_n"),
+    )
+    return (
+        c.join(F.broadcast(s))
+        .select(
+            F.col("key").cast("bigint"),
+            F.col("n").cast("bigint"),
+            F.round(F.col("n") / F.col("total").cast("double"), 9).alias(
+                "share"
+            ),
+            F.round(F.col("max_n") / F.col("avg_n"), 6).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("n"), "key")
+        .limit(10)
+    )
