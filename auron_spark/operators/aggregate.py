@@ -370,3 +370,69 @@ def agg_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
         )
     )
+
+
+@query(
+    "agg_incremental_rollup",
+    oracle="""
+    WITH state AS (
+        SELECT user_id, COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(18,2))) AS s
+        FROM events WHERE event_id < 5000 GROUP BY user_id
+    ),
+    delta AS (
+        SELECT user_id, COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(18,2))) AS s
+        FROM events WHERE event_id >= 5000 GROUP BY user_id
+    )
+    SELECT COALESCE(st.user_id, d.user_id) AS user_id,
+           CAST(COALESCE(st.n, 0) + COALESCE(d.n, 0) AS BIGINT) AS n,
+           CAST(COALESCE(st.s, 0) + COALESCE(d.s, 0) AS DOUBLE) AS total
+    FROM state st FULL OUTER JOIN delta d ON d.user_id = st.user_id
+    ORDER BY user_id
+    """,
+    tags=("agg", "incremental", "materialized-view"),
+)
+def agg_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the materialized-view pattern:
+    a per-key (count, decimal sum) state table built from history
+    (event_id < 5000 stands in for "already rolled up") is advanced by
+    aggregating ONLY the new batch and merging the two state tables with
+    a FULL OUTER join + coalesced adds.  Equivalent to re-aggregating
+    everything (the oracle proves it row-for-row) at the cost of
+    O(delta + state), not O(history) — how every streaming rollup,
+    billing counter and feature aggregate stays fresh at 100 TB.
+    COUNT/SUM/MIN/MAX merge this way directly; AVG carries (sum, n);
+    the sketch family (`agg_hll_sketch_mergeable`, `agg_theta_*`,
+    `agg_kll_*`) extends the same contract to distinct counts and
+    quantiles.
+
+    Scale shape: the delta aggregation shuffles delta-sized partials;
+    the merge joins two keys-sized state tables (co-located for free if
+    the state table is bucketed by key — `write_bucketed`).  Decimal
+    sums make the merge order-insensitive and the oracle exact."""
+    ev = Tables(spark, sf_dir).events
+    val = F.col("value").cast("decimal(18,2)")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n"), F.sum(val).alias("s")
+        )
+
+    state = rollup(ev.filter(F.col("event_id") < 5000))
+    delta = rollup(ev.filter(F.col("event_id") >= 5000))
+    st, d = state.alias("st"), delta.alias("d")
+    return (
+        st.join(d, F.col("st.user_id") == F.col("d.user_id"), "full_outer")
+        .select(
+            F.coalesce("st.user_id", "d.user_id").alias("user_id"),
+            (
+                F.coalesce("st.n", F.lit(0)) + F.coalesce("d.n", F.lit(0))
+            ).cast("bigint").alias("n"),
+            (
+                F.coalesce(F.col("st.s"), F.lit(0).cast("decimal(18,2)"))
+                + F.coalesce(F.col("d.s"), F.lit(0).cast("decimal(18,2)"))
+            ).cast("double").alias("total"),
+        )
+        .orderBy("user_id")
+    )

@@ -1125,3 +1125,55 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "feature_quantile_binning",
+    oracle="""
+    WITH binned AS (
+        SELECT source, n_chars,
+               NTILE(4) OVER (PARTITION BY source
+                              ORDER BY n_chars, doc_id) AS bin
+        FROM documents
+    )
+    SELECT source, CAST(bin AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS lo,
+           CAST(MAX(n_chars) AS BIGINT) AS hi
+    FROM binned
+    GROUP BY source, bin
+    ORDER BY source, bin
+    """,
+    tags=("pipeline", "text", "features", "binning"),
+)
+def feature_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group equi-depth (quantile) binning of a numeric feature —
+    NTILE quartiles of document length within each source, reported as
+    per-bin counts and value ranges.  The feature-engineering complement
+    of `agg_histogram_width_bucket` (equi-WIDTH bins): equi-depth bins
+    adapt to the distribution, which is what length-balanced sampling
+    and per-domain curricula bucket on.
+
+    Scale shape: the window partitions by source, so the sort is
+    group-local — one hash exchange, no global single-partition sort
+    (a GLOBAL exact ntile would serialize at 100 TB; for global
+    equi-depth cuts use approx_percentile boundaries instead — that
+    trade is deliberate and documented here).  The rollup reuses the
+    window's partitioning prefix."""
+    from pyspark.sql import Window
+
+    docs = Tables(spark, sf_dir).documents
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return (
+        docs.select(
+            "source", "n_chars", F.ntile(4).over(w).alias("bin")
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("lo"),
+            F.max("n_chars").cast("bigint").alias("hi"),
+        )
+        .select("source", F.col("bin").cast("int"), "n_docs", "lo", "hi")
+        .orderBy("source", "bin")
+    )
