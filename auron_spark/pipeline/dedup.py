@@ -1177,9 +1177,10 @@ def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = cand.agg(F.count("*").alias("n_cand"))
     taus = spark.createDataFrame([(0.5,), (0.7,), (0.9,)], "tau double")
+    # broadcast the 3-row threshold frame so the fan-out is a bounded
+    # BroadcastNestedLoopJoin, never a CartesianProduct (repo-wide gate)
     return (
-        taus.crossJoin(F.broadcast(tot))
-        .crossJoin(j)
+        j.crossJoin(F.broadcast(taus.crossJoin(F.broadcast(tot))))
         .groupBy("tau", "n_cand")
         .agg(
             F.sum(F.when(F.col("jac") >= F.col("tau"), 1).otherwise(0))
