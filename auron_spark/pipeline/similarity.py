@@ -1612,11 +1612,14 @@ def sim_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c")
         )
     )
+    # n_labels x 8 rows of model state; checkpoint so the TWO broadcast
+    # consumers (corpus codebook map + query LUT) don't each recompute the
+    # corpus-residual aggregation behind it
     rcarr = rcent.groupBy("label", "sub").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("p", "c"))), lambda s: s["c"]
         ).alias("cv")
-    )
+    ).localCheckpoint()
     # codebook folds to ONE broadcast row: sub -> [(label, codeword)]
     cb_row = (
         rcarr.groupBy("sub")
