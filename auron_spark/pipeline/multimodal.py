@@ -480,3 +480,58 @@ def mm_video_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "frame_idx")
     )
+
+
+@query(
+    "mm_binary_dedup",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, md5(text) AS h,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    )
+    SELECT h, CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(SUM(n_bytes) AS BIGINT) AS bytes_total,
+           CAST(SUM(n_bytes) - MIN(n_bytes) AS BIGINT) AS bytes_reclaimable
+    FROM b GROUP BY h
+    ORDER BY canonical_id
+    """,
+    tags=("pipeline", "multimodal", "dedup", "binary"),
+)
+def mm_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset-level dedup manifest over a BINARY media column: digest each
+    payload (the content-addressing step of every media lake), group to
+    one manifest row per distinct asset with the canonical (lowest) id,
+    copy count and reclaimable bytes — the number storage teams actually
+    act on.  Spark hashes the binary payload; the oracle hashes the
+    source text — identical digests because the payload IS the utf-8
+    encoding (same contract as `dedup_exact`).
+
+    Scale shape: one digest-keyed aggregation; 16-byte digests plus two
+    longs cross the wire, never payload bytes — at 100 TB of media the
+    shuffle is measured in gigabytes.  Byte sizes come map-side from
+    octet_length before the exchange."""
+    t = Tables(spark, sf_dir)
+    payload = F.encode(F.col("text"), "utf-8")
+    b = t.documents.select(
+        "doc_id",
+        F.md5(payload).alias("h"),
+        F.octet_length(payload).alias("n_bytes"),
+    )
+    return (
+        b.groupBy("h")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("canonical_id"),
+            F.count("*").cast("bigint").alias("n_copies"),
+            F.sum("n_bytes").cast("bigint").alias("bytes_total"),
+            (F.sum("n_bytes") - F.min("n_bytes")).cast("bigint").alias(
+                "bytes_reclaimable"
+            ),
+        )
+        .select(
+            "h", "canonical_id", "n_copies", "bytes_total",
+            "bytes_reclaimable",
+        )
+        .orderBy("canonical_id")
+    )
