@@ -702,3 +702,62 @@ def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH first AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    )
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(floor(epoch(a.wk) - epoch(f.cohort)) / 604800 AS BIGINT)
+               AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM act a JOIN first f ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("streaming", "analytics", "cohort", "retention"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the canonical product-analytics rollup:
+    users bucketed by their first-activity week (the cohort), then for
+    each later week the count of cohort members still active at that
+    offset.  The training-data analog is corpus freshness tracking
+    (which ingestion cohorts still contribute documents N weeks on).
+
+    Scale shape: the cohort table is users-sized (one MIN aggregation);
+    weekly activity is a DISTINCT over (user, week) — partial-agg
+    shrinks it map-side; the join keys on user_id and the final rollup
+    is cohort x offset, a tiny matrix.  Weeks are UTC-calendar
+    truncations (session timezone pinned in tables.py), emitted as
+    formatted strings per the no-raw-timestamp rule."""
+    ev = Tables(spark, sf_dir).events
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy("cohort", "wk")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(
+                (
+                    F.col("wk").cast("long") - F.col("cohort").cast("long")
+                ) / 604800
+            ).cast("bigint").alias("week_offset"),
+            "n_active",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.sum("n_active").cast("bigint").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
