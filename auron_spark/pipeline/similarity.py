@@ -2081,3 +2081,101 @@ def sim_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- Matryoshka (truncated-dimension) ANN ----------------------------------
+
+MRL_DIM = 16  # leading dims used by the truncated search path
+
+_SQL_MRL_DOT = (
+    f"list_sum(list_transform(range(1, {MRL_DIM + 1}), i -> "
+    "CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+)
+_SQL_MRL_NORM_Q = (
+    f"sqrt(list_sum(list_transform(range(1, {MRL_DIM + 1}), i -> "
+    "CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))"
+)
+_SQL_MRL_NORM_C = (
+    f"sqrt(list_sum(list_transform(range(1, {MRL_DIM + 1}), i -> "
+    "CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))"
+)
+
+
+@query(
+    "sim_matryoshka_topk",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cos_sim FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND({_SQL_MRL_DOT} / ({_SQL_MRL_NORM_Q} * {_SQL_MRL_NORM_C}),
+                     6) AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_SQL_MRL_DOT} / ({_SQL_MRL_NORM_Q}
+                                              * {_SQL_MRL_NORM_C}) DESC,
+                            c.vec_id) AS rn
+        FROM embeddings q CROSS JOIN embeddings c
+        WHERE q.vec_id % {QUERY_MOD} = 0 AND q.vec_id < {QUERY_CAP}
+          AND c.vec_id <> q.vec_id)
+    WHERE rn <= {TOP_K}
+    ORDER BY query_id, neighbor_id
+    """,
+    tags=("pipeline", "similarity", "matryoshka", "ann"),
+)
+def sim_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncated ANN: exact cosine top-k using only the LEADING
+    MRL_DIM dimensions of each embedding — the serving trick
+    matryoshka-trained embedding models enable (Kusupati et al., 2022):
+    score with a 4x-smaller prefix, optionally re-rank survivors at full
+    width.  Completes the repo's accuracy/cost ladder: full brute force >
+    trained IVF / IVF-PQ > int8 > THIS (prefix truncation), each with the
+    same capped-broadcast query side and exact oracle.  (The synthetic
+    fixture is not matryoshka-trained, so prefix agreement with the full
+    search is bounded — the overlap test pins an order of magnitude above
+    the random baseline, not production recall.)
+
+    Scale shape: identical to sim_knn_bruteforce — the corpus streams and
+    never shuffles; the only difference is 4x less arithmetic and (with a
+    prefix-projected parquet column) 4x less I/O per scan.  Quality vs
+    the full-width search is pinned by
+    tests/test_functions.py::test_matryoshka_overlap_vs_full."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id",
+        F.slice(
+            F.transform("embedding", lambda v: v.cast("double")), 1, MRL_DIM
+        ).alias("e"),
+    )
+    q = emb.filter(
+        (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("q_e"),
+        norm(F.col("e")).alias("qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("c_e"),
+        norm(F.col("e")).alias("cn"),
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("q_e"), F.col("c_e")) / (F.col("qn") * F.col("cn"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id", "neighbor_id", F.round("cos", 6).alias("cos_sim")
+        )
+        .orderBy("query_id", "neighbor_id")
+    )
