@@ -3,6 +3,7 @@ surface): deduplication, similarity search, text analysis, multimodal column
 plumbing.  Importing registers their queries."""
 
 from auron_spark.pipeline import (  # noqa: F401
+    bpe,
     dedup,
     multimodal,
     retrieval,

@@ -1,0 +1,352 @@
+"""Distributed BPE tokenizer training and encoding as declarative plans.
+
+Byte-pair encoding is the tokenizer-training step every LLM data pipeline
+runs before anything else, and it is usually written as a single-machine
+loop over a word-frequency dict (the original Sennrich et al. 2016 script,
+HuggingFace `tokenizers`).  The distributed formulation here exploits the
+algorithm's one big scale lever: after ONE corpus pass builds the
+distinct-word frequency table, every training round operates on that table
+only — vocabulary-sized (≈10^5-10^6 rows at any corpus size), not
+corpus-sized.  At 100 TB the trainer's per-round cost is constant in the
+corpus.
+
+Everything is expressed as ONE DataFrame plan per query — no driver-side
+model state at all (unlike `similarity._lloyd`, which collects k init
+rows): each round's best pair is a 1-row frame selected by
+TakeOrderedAndProject and broadcast back into the merge fold via
+crossJoin, so even the learned merges never leave the cluster.
+
+Exactness contract (the reason DuckDB can replicate training bit-for-bit):
+
+- words are split on single spaces (the fixture corpus is space-separated;
+  a production tokenizer swaps in `\\s+`), symbols start as characters via
+  ``regexp_replace(word, '(.)', '$1 ')``;
+- a merge of pair (a, b) is a left-to-right greedy fold over the token
+  list with a STRING accumulator: append ``' ' || x`` unless x = b and the
+  accumulator ends with a as a whole token, in which case the tail token
+  is rewritten to a||b.  Spark runs it as an ``F.aggregate`` higher-order
+  fold, DuckDB as ``list_reduce`` — prototyped identical on merged-token
+  and overlapping-run edge cases (``aaaa`` with pair (a,a) -> ``aa aa``);
+- pair support is summed over word frequencies (exact integers); the
+  winning pair is ``ORDER BY support DESC, pa, pb LIMIT 1`` — fully
+  deterministic under ties in both engines.
+
+Reference frame: the reference engine has no tokenizer surface at all —
+this extends the SURVEY §2 "beyond-reference pipeline" family alongside
+dedup/ANN (SURVEY §2 inventory; cf. `text.py` token stats which assume an
+already-chosen tokenizer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from auron_spark.registry import query
+from auron_spark.tables import Tables
+
+#: Number of BPE merge rounds trained (bounded, like KM_ITERS for Lloyd).
+BPE_MERGES = 3
+
+
+def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-word frequency table: the ONE corpus-sized pass.  Map-side
+    split+explode, then a count aggregate with partial (map-side combine)
+    states — the same shape as a word-count, shuffling only (word, partial
+    count) pairs."""
+    docs = Tables(spark, sf_dir).documents
+    return (
+        docs.select(
+            F.explode(
+                F.filter(F.split(F.lower("text"), " "), lambda s: s != "")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _tokens(sym: Column) -> Column:
+    return F.filter(F.split(sym, " "), lambda s: s != "")
+
+
+def _char_spaced(word: Column) -> Column:
+    """'abc' -> 'a b c' (initial symbol sequence)."""
+    return F.trim(F.regexp_replace(word, r"(.)", r"$1 "))
+
+
+def _merge_fold(sym: Column, a: Column, b: Column) -> Column:
+    """Apply merge (a, b) to a space-joined token string: greedy
+    left-to-right, non-overlapping, exactly BPE's merge semantics.  The
+    string accumulator makes the fold expressible identically in DuckDB's
+    ``list_reduce`` (which has no typed-accumulator variant)."""
+
+    def step(acc: Column, x: Column) -> Column:
+        tail_is_a = (acc == a) | (
+            F.right(acc, F.length(a) + F.lit(1)) == F.concat(F.lit(" "), a)
+        )
+        merged = F.concat(
+            acc.substr(F.lit(1), F.length(acc) - F.length(a)), a, b
+        )
+        return (
+            F.when(acc == "", x)
+            .when((x == b) & tail_is_a, merged)
+            .otherwise(F.concat(acc, F.lit(" "), x))
+        )
+
+    return F.aggregate(_tokens(sym), F.lit(""), step)
+
+
+def _pair_support(words: DataFrame) -> DataFrame:
+    """Adjacent-pair counts over the word table, weighted by word
+    frequency.  Vocabulary-sized input; the explode fans out to
+    (word_len - 1) rows per word, still vocabulary-scale."""
+    tl = _tokens(F.col("sym"))
+    pairs = F.when(
+        F.size(tl) >= 2,
+        F.arrays_zip(
+            F.slice(tl, 1, F.size(tl) - 1).alias("pa"),
+            F.slice(tl, 2, F.size(tl) - 1).alias("pb"),
+        ),
+    ).otherwise(F.array())
+    return (
+        words.select("freq", F.explode(pairs).alias("pr"))
+        .select("freq", F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.sum("freq").alias("support"))
+    )
+
+
+def _top_pair(pairs: DataFrame) -> DataFrame:
+    """The winning merge: 1 row via TakeOrderedAndProject (no global
+    sort), deterministic tiebreak on the pair itself."""
+    return pairs.orderBy(F.desc("support"), "pa", "pb").limit(1)
+
+
+def _train(spark: SparkSession, sf_dir: str) -> tuple[list[DataFrame], DataFrame]:
+    """Run BPE_MERGES rounds; return ([top1..topN], final word table).
+    Pure plan composition — nothing executes here."""
+    words = _words(spark, sf_dir).withColumn("sym", _char_spaced(F.col("word")))
+    tops: list[DataFrame] = []
+    for _ in range(BPE_MERGES):
+        top = _top_pair(_pair_support(words))
+        tops.append(top)
+        words = (
+            words.crossJoin(F.broadcast(top.select(
+                F.col("pa").alias("_ma"), F.col("pb").alias("_mb"))))
+            .select(
+                "word",
+                "freq",
+                _merge_fold(F.col("sym"), F.col("_ma"), F.col("_mb")).alias("sym"),
+            )
+        )
+    return tops, words
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle building blocks (unrolled rounds, same shapes as Spark)
+# ---------------------------------------------------------------------------
+
+_SQL_FOLD = (
+    "list_reduce(list_filter(string_split({sym}, ' '), s -> s <> ''), "
+    "(acc, x) -> CASE WHEN x = {b} AND (acc = {a} OR "
+    "right(acc, length({a}) + 1) = ' ' || {a}) "
+    "THEN substr(acc, 1, length(acc) - length({a})) || {a} || {b} "
+    "ELSE acc || ' ' || x END)"
+)
+
+
+def _sql_bpe_round(prev: str, pairs: str, top: str, nxt: str) -> str:
+    """One unrolled training round: pair support over ``prev``, winner,
+    merged word table ``nxt``."""
+    fold = _SQL_FOLD.format(sym="w.sym", a="t.pa", b="t.pb")
+    return f"""
+    {pairs} AS (
+        SELECT u.pr['pa'] AS pa, u.pr['pb'] AS pb, SUM(u.freq) AS support
+        FROM (
+            SELECT freq,
+                   unnest([{{'pa': tl[i], 'pb': tl[i+1]}}
+                           for i in range(1, len(tl))]) AS pr
+            FROM (SELECT freq,
+                         list_filter(string_split(sym, ' '), s -> s <> '') AS tl
+                  FROM {prev})
+        ) u
+        GROUP BY 1, 2
+    ),
+    {top} AS (
+        SELECT pa, pb, support FROM {pairs}
+        ORDER BY support DESC, pa, pb LIMIT 1
+    ),
+    {nxt} AS (
+        SELECT w.word, w.freq, {fold} AS sym
+        FROM {prev} w CROSS JOIN {top} t
+    )"""
+
+
+_SQL_W0 = """
+    w0 AS (
+        SELECT word, COUNT(*) AS freq,
+               trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym
+        FROM (
+            SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                      s -> s <> '')) AS word
+            FROM documents
+        )
+        GROUP BY word
+    )"""
+
+_SQL_TRAIN_CTES = (
+    "WITH "
+    + _SQL_W0
+    + ","
+    + _sql_bpe_round("w0", "p1", "t1", "w1")
+    + ","
+    + _sql_bpe_round("w1", "p2", "t2", "w2")
+    + ","
+    + _sql_bpe_round("w2", "p3", "t3", "w3")
+)
+
+
+@query(
+    "text_bpe_train",
+    oracle=_SQL_TRAIN_CTES
+    + """
+    SELECT step, pa AS left_sym, pb AS right_sym, pa || pb AS merged,
+           CAST(support AS BIGINT) AS support
+    FROM (
+        SELECT 1 AS step, * FROM t1
+        UNION ALL SELECT 2, * FROM t2
+        UNION ALL SELECT 3, * FROM t3
+    )
+    ORDER BY step
+    """,
+    tags=("pipeline", "text", "bpe", "tokenizer", "iterative"),
+    bench=True,
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training: learn BPE_MERGES merge rules over the
+    corpus, emitting (step, left_sym, right_sym, merged, support).
+
+    Scale shape: ONE corpus-sized pass builds the distinct-word frequency
+    table (word-count shuffle, map-side combine); every round after that
+    touches vocabulary-sized data only — pair support is a
+    (vocab × avg_word_len)-row explode + hash aggregate, the winner is a
+    single TakeOrderedAndProject row broadcast back into a map-side merge
+    fold.  No driver-side model state: the whole trainer is one
+    declarative plan, so at 100 TB the rounds cost megabytes regardless of
+    corpus size.  Arithmetic contract: integer supports, deterministic
+    (support DESC, pa, pb) tiebreak, and a string-accumulator greedy fold
+    that DuckDB's list_reduce reproduces bit-for-bit."""
+    tops, _ = _train(spark, sf_dir)
+    out = None
+    for i, top in enumerate(tops):
+        step = top.select(
+            F.lit(i + 1).alias("step"),
+            F.col("pa").alias("left_sym"),
+            F.col("pb").alias("right_sym"),
+            F.concat("pa", "pb").alias("merged"),
+            F.col("support").cast("bigint").alias("support"),
+        )
+        out = step if out is None else out.unionAll(step)
+    return out.orderBy("step")
+
+
+_SQL_ENCODE_FOLD = _SQL_FOLD.format(
+    sym=_SQL_FOLD.format(
+        sym=_SQL_FOLD.format(
+            sym="trim(regexp_replace(w.word, '(.)', '\\1 ', 'g'))",
+            a="m.a1",
+            b="m.b1",
+        ),
+        a="m.a2",
+        b="m.b2",
+    ),
+    a="m.a3",
+    b="m.b3",
+)
+
+@query(
+    "text_bpe_encode",
+    oracle=_SQL_TRAIN_CTES
+    + f"""
+    , merges AS (
+        SELECT t1.pa AS a1, t1.pb AS b1, t2.pa AS a2, t2.pb AS b2,
+               t3.pa AS a3, t3.pb AS b3
+        FROM t1 CROSS JOIN t2 CROSS JOIN t3
+    ),
+    doc_words AS (
+        SELECT source,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  s -> s <> '')) AS word
+        FROM documents
+    ),
+    encoded AS (
+        SELECT w.source, length(w.word) AS n_chars,
+               len(list_filter(string_split(
+                   {_SQL_ENCODE_FOLD}, ' '), s -> s <> '')) AS n_tokens
+        FROM doc_words w CROSS JOIN merges m
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens), 6)
+               AS chars_per_token
+    FROM encoded
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("pipeline", "text", "bpe", "tokenizer"),
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merges to the whole corpus and report
+    per-source token statistics (the fertility / compression-ratio table
+    that decides whether a tokenizer fits a corpus).
+
+    Scale shape: training reruns as the same vocabulary-sized plan; the
+    three learned merges pivot into ONE row that broadcasts to the
+    corpus-sized encode pass, which is purely map-side (explode words,
+    three folds per word) followed by a per-source partial/final
+    aggregate.  The word-level fold chain is the exact encoder a
+    production pipeline applies per document — here fused into the stats
+    rollup instead of a write."""
+    tops, _ = _train(spark, sf_dir)
+    merges = (
+        tops[0].select(F.col("pa").alias("a1"), F.col("pb").alias("b1"))
+        .crossJoin(tops[1].select(F.col("pa").alias("a2"), F.col("pb").alias("b2")))
+        .crossJoin(tops[2].select(F.col("pa").alias("a3"), F.col("pb").alias("b3")))
+    )
+    docs = Tables(spark, sf_dir).documents
+    doc_words = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda s: s != "")
+        ).alias("word"),
+    )
+    sym = _merge_fold(
+        _merge_fold(
+            _merge_fold(_char_spaced(F.col("word")), F.col("a1"), F.col("b1")),
+            F.col("a2"),
+            F.col("b2"),
+        ),
+        F.col("a3"),
+        F.col("b3"),
+    )
+    return (
+        doc_words.crossJoin(F.broadcast(merges))
+        .select(
+            "source",
+            F.length("word").alias("n_chars"),
+            F.size(_tokens(sym)).alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_tokens"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )

@@ -109,11 +109,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_component_stats", "sessionize_gap", "sim_outlier_filter",
     "text_bigram_fluency", "text_substring_dedup", "skew_key_stats",
     "split_group_integrity", "dedup_lsh_quality", "agg_incremental_rollup",
-    "feature_quantile_binning",
+    "feature_quantile_binning", "text_bpe_train", "text_bpe_encode",
     # (e) backfill: oldest (r1) proofs, pre-fixture-regen, in registry order
     "fn_decimal_arith", "fn_decimal_agg_overflow_guard", "fn_string_basic",
     "fn_string_pad_case", "fn_regexp_like", "fn_datetime", "fn_hash_crypto",
-    "fn_conditional", "fn_array_ops", "fn_struct_map",
+    "fn_conditional",
 )
 
 # Green driver rows from CORRECTNESS_r05.json — 48 of the 50-slot round-5

@@ -471,3 +471,26 @@ def test_matryoshka_overlap_vs_full(spark):
     hits = sum(len(t_full[q] & t_tr.get(q, set())) for q in t_full)
     total = sum(len(v) for v in t_full.values())
     assert hits / total > 0.05, f"matryoshka overlap too low: {hits}/{total}"
+
+
+def test_bpe_merge_supports_non_increasing(spark):
+    """BPE invariant: each learned merge's support is <= the previous
+    step's.  A later pair either existed in the earlier round (where the
+    earlier winner dominated it) or contains a merged token, whose
+    occurrence count is bounded by the support that created it — so
+    supports are monotone non-increasing.  Also checks the merge rules
+    compose (merged = left || right) and the encode rollup's arithmetic
+    invariants (tokens per word in [1, chars], ratio >= 1)."""
+    rows = (
+        SPECS["text_bpe_train"].build(spark, SF_DIR).orderBy("step").collect()
+    )
+    assert [r.step for r in rows] == [1, 2, 3]
+    assert all(r.merged == r.left_sym + r.right_sym for r in rows)
+    supports = [r.support for r in rows]
+    assert supports == sorted(supports, reverse=True), supports
+
+    enc = SPECS["text_bpe_encode"].build(spark, SF_DIR).collect()
+    assert enc, "encode produced no rows"
+    for r in enc:
+        assert r.n_words <= r.n_tokens <= r.n_chars, r
+        assert r.chars_per_token >= 1.0, r

@@ -685,3 +685,26 @@ def test_pit_lookup_is_keyed_equi_join(spark):
         if "HashJoin" in line or "SortMergeJoin" in line
     ]
     assert any("user_id" in j for j in joins), plan
+
+
+def test_bpe_train_vocab_sized_rounds(spark):
+    """text_bpe_train's scale claims: the winning pair is selected by
+    TakeOrderedAndProject (never a global sort of the pair table), the
+    merge fold rides a 1-row broadcast (BroadcastNestedLoopJoin, which is
+    O(vocab) for a single-row build side — never a CartesianProduct), and
+    the one corpus-sized shuffle (the word count) is REUSED across rounds
+    instead of re-scanning the corpus per merge."""
+    plan = _plan(spark, "text_bpe_train", final=True)
+    assert plan.count("TakeOrderedAndProject") >= 3, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "ReusedExchange" in plan, plan
+
+
+def test_bpe_encode_map_side_corpus_pass(spark):
+    """text_bpe_encode's corpus pass must be map-side: the trained merges
+    reach the encode fold via a broadcast single row, and the only
+    corpus-sized exchange is the final per-source aggregate's."""
+    plan = _plan(spark, "text_bpe_encode", final=True)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
