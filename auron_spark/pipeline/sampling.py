@@ -378,3 +378,91 @@ def split_group_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("split", "n_docs", "n_groups", "n_leaked")
         .orderBy("split")
     )
+
+
+@query(
+    "sample_temperature_mixture",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(ROUND(sqrt(COUNT(*)), 6) AS DECIMAL(28,6)) AS w
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(w) AS DOUBLE) AS z,
+               CAST(SUM(n_docs) AS DOUBLE) AS n_total
+        FROM counts
+    ),
+    rates AS (
+        SELECT c.source, c.n_docs,
+               least(1.0, (0.5 * t.n_total) * (CAST(c.w AS DOUBLE) / t.z)
+                          / c.n_docs) AS rate
+        FROM counts c CROSS JOIN tot t
+    )
+    SELECT r.source,
+           CAST(r.n_docs AS BIGINT) AS n_docs,
+           CAST(ROUND(r.rate * 10000) AS BIGINT) AS threshold,
+           CAST(COUNT(*) FILTER (
+               WHERE {_sql_bucket("d.doc_id", 10000)}
+                     < CAST(ROUND(r.rate * 10000) AS BIGINT)
+           ) AS BIGINT) AS n_kept
+    FROM documents d JOIN rates r ON r.source = d.source
+    GROUP BY r.source, r.n_docs, r.rate
+    ORDER BY r.source
+    """,
+    tags=("pipeline", "sampling", "mixture", "temperature"),
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain rebalancing (the multilingual-LM recipe:
+    sample source s proportionally to n_s^alpha, alpha = 0.5 here, so
+    small domains are upweighted relative to their raw share).  Target
+    budget is half the corpus; per-source keep rates are capped at 1 and
+    materialize as deterministic hash thresholds, so the selection is a
+    pure function of doc_id — reproducible and append-stable like every
+    sampler in this module.
+
+    Exactness contract: alpha = 0.5 makes the weight sqrt(n) — IEEE
+    guarantees sqrt is correctly rounded, unlike pow — and weights are
+    6-dp-rounded DECIMALs summed exactly, so the normalizer is
+    order-insensitive; the remaining rate arithmetic is deterministic
+    double ops on identical operands in both engines.
+
+    Scale shape: one count aggregate (|sources| rows), two scalar
+    broadcasts, then a map-side threshold filter over the corpus and the
+    per-source summary rollup.  At 100 TB the decision plane is a
+    broadcast of |sources| thresholds; nothing else shuffles except the
+    summary (a real run writes kept rows instead)."""
+    t = Tables(spark, sf_dir)
+    counts = t.documents.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sqrt(F.count("*")), 6).cast("decimal(28,6)").alias("w"),
+    )
+    tot = counts.agg(
+        F.sum("w").cast("double").alias("z"),
+        F.sum("n_docs").cast("double").alias("n_total"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            (0.5 * F.col("n_total"))
+            * (F.col("w").cast("double") / F.col("z"))
+            / F.col("n_docs"),
+        ).alias("rate"),
+    )
+    thr = F.round(F.col("rate") * 10000).cast("bigint")
+    return (
+        t.documents.join(F.broadcast(rates), "source")
+        .groupBy(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            thr.alias("threshold"),
+        )
+        .agg(
+            F.count(
+                F.when(hash_bucket(F.col("doc_id"), 10000) < thr, 1)
+            ).cast("bigint").alias("n_kept")
+        )
+        .orderBy("source")
+    )

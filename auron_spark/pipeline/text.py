@@ -1177,3 +1177,81 @@ def feature_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.col("bin").cast("int"), "n_docs", "lo", "hi")
         .orderBy("source", "bin")
     )
+
+
+@query(
+    "text_word_entropy",
+    oracle="""
+    WITH wc AS (
+        SELECT doc_id, word, COUNT(*) AS c
+        FROM (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      s -> s <> '')) AS word
+            FROM documents
+        )
+        GROUP BY doc_id, word
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_words,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(CAST(ROUND(c * log2(c), 9) AS DECIMAL(28,9)))
+                    AS DOUBLE) AS clogc
+        FROM wc GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, n_distinct,
+           ROUND(log2(CAST(n_words AS DOUBLE)) - clogc / n_words, 6)
+               AS entropy
+    FROM agg
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "text", "quality", "entropy"),
+)
+def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the word distribution — the
+    information-density quality signal that catches degenerate documents
+    (keyword stuffing, template spam, low-diversity boilerplate) that
+    length and punctuation ratios miss: H = log2(n) - (sum c*log2(c))/n
+    over per-document word counts c.
+
+    Exactness contract: the per-term c*log2(c) values are 9-dp-rounded
+    and summed as DECIMAL(28,9), so the doc-level sum is order-insensitive
+    (double addition is not associative; Spark's and DuckDB's aggregation
+    orders differ); the final H is deterministic double arithmetic rounded
+    to 6 dp.
+
+    Scale shape: explode words map-side, one hash aggregate on
+    (doc_id, word), then a second aggregate of the (already much smaller)
+    per-word counts up to doc level — the same two-level shape as TF-IDF's
+    term counting.  Output is one row per document; a real pipeline joins
+    H back as a filter column (entropy below ~2 bits at realistic lengths
+    is near-certain boilerplate)."""
+    docs = Tables(spark, sf_dir).documents
+    wc = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.lower("text"), " "), lambda s: s != "")
+            ).alias("word"),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_words"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.sum(
+            F.round(F.col("c") * F.log2("c"), 9).cast("decimal(28,9)")
+        ).cast("double").alias("clogc"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        F.round(
+            F.log2(F.col("n_words").cast("double"))
+            - F.col("clogc") / F.col("n_words"),
+            6,
+        ).alias("entropy"),
+    ).orderBy("doc_id")

@@ -708,3 +708,21 @@ def test_bpe_encode_map_side_corpus_pass(spark):
     plan = _plan(spark, "text_bpe_encode", final=True)
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_temperature_mixture_broadcasts_rates(spark):
+    """sample_temperature_mixture's decision plane (per-source thresholds)
+    must broadcast — the corpus-side work is a map-side filter plus the
+    summary rollup, never a shuffled join on source."""
+    plan = _plan(spark, "sample_temperature_mixture")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_word_entropy_two_level_aggregate(spark):
+    """text_word_entropy is exactly the two-level count shape: one
+    exchange on (doc_id, word), one on doc_id over the reduced counts —
+    no window functions, no third corpus exchange."""
+    plan = _plan(spark, "text_word_entropy")
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
