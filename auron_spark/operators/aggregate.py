@@ -436,3 +436,78 @@ def agg_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "agg_hll_bounds",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS ok_per_flag
+    FROM lineitem
+    GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'ALL' AS l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS ok_per_flag
+    FROM lineitem
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "approx", "sketch", "accuracy-bound"),
+)
+def agg_hll_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-provable accuracy contract for the HLL sketch family,
+    completing the pattern of `agg_theta_sketch_bounds` /
+    `agg_kll_quantile_bounds` (VERDICT r5 stretch #7):
+    `agg_hll_sketch_mergeable` itself is rows-only by construction, so
+    this twin hash-matches what IS exact — the per-flag and merged-union
+    distinct order counts — plus one boolean per row asserting the HLL
+    estimate (per-flag sketches; the ALL row uses the UNIONED sketch, so
+    the merge path is inside the proven surface) lands within +/-5% of
+    the exact answer.  A sketch or merge regression flips a boolean into
+    the driver's value hash.
+
+    Scale shape: one pass builds per-flag sketch + exact-distinct states
+    (the exact side is the two-level distinct aggregate); the union is
+    |flags| rows.  At 100 TB only the sketch path survives (that is the
+    point of sketches); the exact twin exists to prove it."""
+    t = Tables(spark, sf_dir)
+    per_flag = t.lineitem.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+    )
+    flag_rows = per_flag.select(
+        "l_returnflag",
+        F.col("exact_orders").cast("bigint").alias("exact_orders"),
+        (
+            F.abs(
+                F.hll_sketch_estimate("sk").cast("double")
+                - F.col("exact_orders")
+            )
+            <= 0.05 * F.col("exact_orders")
+        ).alias("ok_per_flag"),
+    )
+    merged = (
+        per_flag.agg(
+            F.hll_union_agg("sk").alias("msk"),
+        )
+        .crossJoin(
+            F.broadcast(
+                t.lineitem.agg(
+                    F.count_distinct("l_orderkey").alias("exact_orders")
+                )
+            )
+        )
+        .select(
+            F.lit("ALL").alias("l_returnflag"),
+            F.col("exact_orders").cast("bigint").alias("exact_orders"),
+            (
+                F.abs(
+                    F.hll_sketch_estimate("msk").cast("double")
+                    - F.col("exact_orders")
+                )
+                <= 0.05 * F.col("exact_orders")
+            ).alias("ok_per_flag"),
+        )
+    )
+    return flag_rows.unionAll(merged).orderBy("l_returnflag")

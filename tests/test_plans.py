@@ -726,3 +726,19 @@ def test_word_entropy_two_level_aggregate(spark):
     plan = _plan(spark, "text_word_entropy")
     assert "Window" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_interval_overlap_is_binned_equi_join(spark):
+    """join_interval_overlap must pair sessions via an EQUI-join on the
+    hour bin with the overlap predicate as a residual — a cartesian or
+    broadcast-nested-loop plan here is the O(n^2) interval join this
+    operator exists to avoid."""
+    plan = _plan(spark, "join_interval_overlap")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    joins = [
+        line
+        for line in plan.splitlines()
+        if "HashJoin" in line or "SortMergeJoin" in line
+    ]
+    assert any("bin" in j for j in joins), plan
