@@ -2179,3 +2179,128 @@ def sim_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "neighbor_id")
     )
+
+
+SEMDEDUP_COS = 0.3  # same tail-hitting threshold as dedup_embedding_cosine
+
+_SQL_SEM_COS = (
+    "list_sum(list_transform(range(1, 65), i -> "
+    "CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) "
+    "/ (sqrt(list_sum(list_transform(range(1, 65), i -> "
+    "CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) "
+    "* sqrt(list_sum(list_transform(range(1, 65), i -> "
+    "CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))"
+)
+
+
+@query(
+    "sim_semantic_dedup",
+    oracle=f"""
+    WITH init AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cv
+        FROM (SELECT vec_id, embedding FROM embeddings
+              ORDER BY vec_id LIMIT {KM_K})
+    ),
+    {_sql_km_round("init", "a1", "m1", "c1")},
+    {_sql_km_round("c1", "a2", "m2", "c2")},
+    fin AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_SQL_KM_DIST} ASC, c.cid ASC)
+                       AS rn
+            FROM embeddings e CROSS JOIN c2 c)
+        WHERE rn = 1
+    ),
+    v AS (
+        SELECT f.cid, e.vec_id, e.embedding
+        FROM fin f JOIN embeddings e ON e.vec_id = f.vec_id
+    ),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM v a JOIN v b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE {_SQL_SEM_COS} >= {SEMDEDUP_COS}
+    )
+    SELECT v.cid AS cid,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped
+    FROM v LEFT JOIN dropped d ON d.vec_id = v.vec_id
+    GROUP BY v.cid
+    ORDER BY cid
+    """,
+    tags=("pipeline", "similarity", "dedup", "kmeans", "semantic"),
+)
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023):
+    cluster the corpus with the TRAINED coarse quantizer, then search for
+    near-duplicate pairs only WITHIN each cluster and drop every vector
+    that has a more-canonical (lower vec_id) similar neighbor.  This is
+    the learned-blocking upgrade `dedup_embedding_cosine`'s docstring
+    promises: label-blocking becomes k-means-blocking, so the operator
+    needs no pre-existing label column.  Output is the per-cluster dedup
+    report (cluster size, vectors dropped).
+
+    Scale shape: training is `_lloyd` (per-round shuffles carry k x dim
+    decimal partials only); final assignment is a map-side array_min over
+    the broadcast codebook; the pair search is an EQUI-join on cid —
+    quadratic only within a cluster, the knob being k (more clusters =
+    smaller blocks), exactly how SemDeDup runs at web scale.  The drop
+    rule (exists a similar neighbor with smaller id) needs one semi-join
+    — no iterative connected components — and is deterministic.
+    Arithmetic: cosine is the index-ordered double fold shared with the
+    ANN family, so the threshold compare is bit-identical in DuckDB."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("e"),
+    )
+    cent, _ = _lloyd(spark, emb)
+    cents_row = cent.agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
+    dist_structs = F.transform(
+        "cents",
+        lambda c: F.struct(
+            _sqdist(F.col("e"), c["cv"]).alias("d"), c["cid"].alias("cid")
+        ),
+    )
+    assigned = (
+        emb.join(F.broadcast(cents_row))
+        .select(
+            "vec_id",
+            "e",
+            norm(F.col("e")).alias("nrm"),
+            F.array_min(dist_structs)["cid"].alias("cid"),
+        )
+    )
+    a = assigned.select(
+        F.col("cid"),
+        F.col("vec_id").alias("ai"),
+        F.col("e").alias("ae"),
+        F.col("nrm").alias("an"),
+    )
+    b = assigned.select(
+        F.col("cid"),
+        F.col("vec_id").alias("bi"),
+        F.col("e").alias("be"),
+        F.col("nrm").alias("bn"),
+    )
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("ai") < F.col("bi"))
+        .filter(
+            dot(F.col("ae"), F.col("be")) / (F.col("an") * F.col("bn"))
+            >= SEMDEDUP_COS
+        )
+        .select(F.col("bi").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("is_dropped", F.lit(1)), "vec_id", "left")
+        .groupBy("cid")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.count("is_dropped").cast("bigint").alias("n_dropped"),
+        )
+        .orderBy("cid")
+    )

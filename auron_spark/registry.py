@@ -111,10 +111,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "split_group_integrity", "dedup_lsh_quality", "agg_incremental_rollup",
     "feature_quantile_binning", "text_bpe_train", "text_bpe_encode",
     "sample_temperature_mixture", "text_word_entropy",
-    "join_interval_overlap", "agg_hll_bounds",
+    "join_interval_overlap", "agg_hll_bounds", "sim_semantic_dedup",
     # (e) backfill: oldest (r1) proofs, pre-fixture-regen, in registry order
     "fn_decimal_arith", "fn_decimal_agg_overflow_guard", "fn_string_basic",
-    "fn_string_pad_case",
 )
 
 # Green driver rows from CORRECTNESS_r05.json — 48 of the 50-slot round-5

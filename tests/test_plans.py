@@ -742,3 +742,18 @@ def test_interval_overlap_is_binned_equi_join(spark):
         if "HashJoin" in line or "SortMergeJoin" in line
     ]
     assert any("bin" in j for j in joins), plan
+
+
+def test_semantic_dedup_blocked_pairs(spark):
+    """sim_semantic_dedup's pair search must be an equi-join on the
+    learned cluster id (quadratic only within a cluster), with the
+    codebook reaching assignment via broadcast — a cartesian pair plan
+    is the O(n^2) scan SemDeDup's clustering exists to avoid."""
+    plan = _plan(spark, "sim_semantic_dedup")
+    assert "CartesianProduct" not in plan, plan
+    joins = [
+        line
+        for line in plan.splitlines()
+        if "HashJoin" in line or "SortMergeJoin" in line
+    ]
+    assert any("cid" in j for j in joins), plan
