@@ -1197,3 +1197,83 @@ def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+from auron_spark.pipeline.sampling import _sql_bucket as _split_bucket_sql
+
+_SPLIT_SQL = (
+    "CASE WHEN " + _split_bucket_sql("{id}") + " < 80 THEN 'train' "
+    "WHEN " + _split_bucket_sql("{id}") + " < 90 THEN 'val' "
+    "ELSE 'test' END"
+)
+
+
+@query(
+    "split_leakage_audit",
+    oracle=_sql_signature_cte()
+    + f"""
+    , cand AS (
+        SELECT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r ON l.band = r.band AND l.doc_id < r.doc_id
+        GROUP BY a, b
+    ),
+    labeled AS (
+        SELECT CASE WHEN {_SPLIT_SQL.format(id="a")} <= {_SPLIT_SQL.format(id="b")}
+                    THEN {_SPLIT_SQL.format(id="a")}
+                    ELSE {_SPLIT_SQL.format(id="b")} END AS split_lo,
+               CASE WHEN {_SPLIT_SQL.format(id="a")} <= {_SPLIT_SQL.format(id="b")}
+                    THEN {_SPLIT_SQL.format(id="b")}
+                    ELSE {_SPLIT_SQL.format(id="a")} END AS split_hi
+        FROM cand
+    )
+    SELECT split_lo, split_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           (split_lo <> split_hi) AS is_leak
+    FROM labeled
+    GROUP BY split_lo, split_hi
+    ORDER BY split_lo, split_hi
+    """,
+    tags=("pipeline", "dedup", "split", "leakage", "minhash"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit — the check every LM data pipeline
+    must run before trusting an eval: how many NEAR-DUPLICATE candidate
+    pairs (MinHash-LSH, same bands as dedup_minhash_lsh_pairs) straddle
+    the train/val/test boundary (same hash-based 80/10/10 assignment as
+    split_train_val_test)?  A single leaked near-dup inflates held-out
+    metrics; this emits the full split-pair matrix with an is_leak flag
+    so within-split duplication (harmless to evals) and cross-split
+    leakage (fatal) are separately countable.
+
+    Scale shape: candidate pairs come from the banded LSH equi-join
+    (linear in corpus, never all-pairs); the split label is recomputed
+    MAP-SIDE from each doc_id's hash — no join against an assignment
+    table at all, which is the payoff of deterministic hash splits
+    (sampling.py's contract).  Output is at most |splits|^2 rows."""
+    from auron_spark.pipeline.sampling import hash_bucket
+
+    def split_of(c: Column) -> Column:
+        b = hash_bucket(c)
+        return (
+            F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        )
+
+    t = Tables(spark, sf_dir)
+    pairs = lsh_candidate_pairs(
+        minhash_signature(_doc_shingles(t, dedup=False))
+    )
+    sa, sb = split_of(F.col("a")), split_of(F.col("b"))
+    lo = F.when(sa <= sb, sa).otherwise(sb)
+    hi = F.when(sa <= sb, sb).otherwise(sa)
+    return (
+        pairs.select(lo.alias("split_lo"), hi.alias("split_hi"))
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .select(
+            "split_lo",
+            "split_hi",
+            "n_pairs",
+            (F.col("split_lo") != F.col("split_hi")).alias("is_leak"),
+        )
+        .orderBy("split_lo", "split_hi")
+    )

@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from auron_spark.pipeline.similarity import dot, norm
 from auron_spark.registry import query
 from auron_spark.tables import Tables
 
@@ -240,6 +241,200 @@ def bm25_single_term(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.round("score", 6).alias("bm25"),
             F.col("rk").cast("long").alias("rk"),
+        )
+        .orderBy("term", "rk")
+    )
+
+
+RRF_K = 60  # standard reciprocal-rank-fusion constant
+RRF_POOL = 20  # fuse over the top-20 of each ranking
+_SQL_RRF_COS = (
+    "list_sum(list_transform(range(1, 65), i -> "
+    "CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) "
+    "/ (sqrt(list_sum(list_transform(range(1, 65), i -> "
+    "CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) "
+    "* sqrt(list_sum(list_transform(range(1, 65), i -> "
+    "CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))))"
+)
+
+
+@query(
+    "retrieval_rrf_fusion",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM ({_SQL_TOKENS}) WHERE term <> ''
+        GROUP BY doc_id, term
+    ),
+    ptf AS (SELECT * FROM tf WHERE term IN {BM25_TERMS!r}),
+    dl AS (
+        SELECT doc_id, COUNT(*) AS dl
+        FROM ({_SQL_TOKENS}) WHERE term <> ''
+        GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n_docs
+        FROM dl
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM ptf GROUP BY term),
+    lex AS (
+        SELECT term, doc_id,
+               row_number() OVER (PARTITION BY term
+                                  ORDER BY score DESC, doc_id) AS lrk
+        FROM (
+            SELECT ptf.term, ptf.doc_id,
+                   ((stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * ((ptf.tf * {BM25_K1 + 1.0}) /
+                      (ptf.tf + {BM25_K1} * ({1.0 - BM25_B}
+                       + {BM25_B} * dl.dl / stats.avgdl))) AS score
+            FROM ptf JOIN dl USING (doc_id) JOIN df USING (term)
+            CROSS JOIN stats
+        )
+        QUALIFY lrk <= {RRF_POOL}
+    ),
+    qvec AS (
+        SELECT p.term, emb.embedding AS qe
+        FROM (SELECT term, MIN(doc_id) AS qid FROM ptf GROUP BY term) p
+        JOIN embeddings emb ON emb.vec_id = p.qid
+    ),
+    sem AS (
+        SELECT term, doc_id,
+               row_number() OVER (PARTITION BY term
+                                  ORDER BY cos DESC, doc_id) AS srk
+        FROM (
+            SELECT q.term, e.vec_id AS doc_id, {_SQL_RRF_COS} AS cos
+            FROM embeddings e CROSS JOIN qvec q
+        )
+        QUALIFY srk <= {RRF_POOL}
+    )
+    SELECT term, doc_id, rrf_score,
+           CAST(lrk AS BIGINT) AS lex_rank, CAST(srk AS BIGINT) AS sem_rank,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT term, doc_id, lrk, srk,
+               ROUND(COALESCE(1.0 / ({RRF_K} + lrk), 0.0)
+                     + COALESCE(1.0 / ({RRF_K} + srk), 0.0), 6) AS rrf_score,
+               row_number() OVER (
+                   PARTITION BY term
+                   ORDER BY COALESCE(1.0 / ({RRF_K} + lrk), 0.0)
+                           + COALESCE(1.0 / ({RRF_K} + srk), 0.0) DESC,
+                           doc_id) AS rk
+        FROM (
+            SELECT COALESCE(l.term, s.term) AS term,
+                   COALESCE(l.doc_id, s.doc_id) AS doc_id, l.lrk, s.srk
+            FROM lex l FULL OUTER JOIN sem s
+              ON s.term = l.term AND s.doc_id = l.doc_id
+        )
+    ) WHERE rk <= 5
+    ORDER BY term, rk
+    """,
+    tags=("pipeline", "retrieval", "hybrid", "rrf"),
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion — the RAG-serving
+    recipe (Cormack et al. 2009; what Elasticsearch/Vespa/OpenSearch run
+    for hybrid search): a lexical BM25 ranking and a dense cosine ranking
+    are fused as sum of 1/(60 + rank) over the top-{RRF_POOL} of each
+    list, and the top-5 fused hits per query are returned.  Each probe
+    term doubles as a hybrid query: its lexical side is BM25, its dense
+    side is the embedding of the lowest-id document containing it
+    (doc_id and vec_id share the key space).
+
+    Exactness contract: ranks are integers, fusion scores are fixed-order
+    double arithmetic (coalesce(lex)+coalesce(sem), never an aggregation
+    whose order could differ), cosine is the index-ordered fold shared
+    with the ANN family — every value bit-identical in DuckDB.
+
+    Scale shape: the lexical side filters to probe-term postings BEFORE
+    its shuffle (bm25_single_term's plan); the dense side broadcasts
+    |queries| vectors and ranks map-side + WindowGroupLimit; the fusion
+    join touches only 2 x {RRF_POOL} rows per query.  At 100 TB the dense
+    side swaps in the trained-IVF probe (sim_knn_ivf_trained) — the
+    fusion stage is unchanged, which is the point of fusing on ranks
+    rather than scores."""
+    t = Tables(spark, sf_dir)
+    toks = _tokens(t.documents)
+    ptf = (
+        toks.where(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count("*").alias("n_docs"),
+    )
+    df_ = ptf.groupBy("term").agg(F.count("*").alias("df"))
+    wl = Window.partitionBy("term").orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = (
+        ptf.join(dl, "doc_id")
+        .join(F.broadcast(df_), "term")
+        .join(F.broadcast(stats))
+        .select(
+            "term",
+            "doc_id",
+            _bm25_score(
+                F.col("tf").cast("double"),
+                F.col("df").cast("double"),
+                F.col("n_docs").cast("double"),
+                F.col("dl").cast("double"),
+                F.col("avgdl"),
+            ).alias("score"),
+        )
+        .withColumn("lrk", F.row_number().over(wl))
+        .where(F.col("lrk") <= RRF_POOL)
+        .select("term", "doc_id", "lrk")
+    )
+    emb = t.embeddings
+    qvec = (
+        ptf.groupBy("term")
+        .agg(F.min("doc_id").alias("qid"))
+        .join(emb, F.col("qid") == F.col("vec_id"))
+        .select(
+            "term",
+            F.transform("embedding", lambda v: v.cast("double")).alias("qe"),
+        )
+    )
+    e_d = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform("embedding", lambda v: v.cast("double")).alias("e"),
+    )
+    ws = Window.partitionBy("term").orderBy(F.desc("cos"), F.asc("doc_id"))
+    sem = (
+        e_d.crossJoin(F.broadcast(qvec))
+        .select(
+            "term",
+            "doc_id",
+            (
+                dot(F.col("e"), F.col("qe"))
+                / (norm(F.col("e")) * norm(F.col("qe")))
+            ).alias("cos"),
+        )
+        .withColumn("srk", F.row_number().over(ws))
+        .where(F.col("srk") <= RRF_POOL)
+        .select("term", "doc_id", "srk")
+    )
+    fused = lex.join(sem, ["term", "doc_id"], "full").select(
+        "term",
+        "doc_id",
+        "lrk",
+        "srk",
+        (
+            F.coalesce(1.0 / (RRF_K + F.col("lrk")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("srk")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    wf = Window.partitionBy("term").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rk", F.row_number().over(wf))
+        .where(F.col("rk") <= 5)
+        .select(
+            "term",
+            "doc_id",
+            F.round("rrf", 6).alias("rrf_score"),
+            F.col("lrk").cast("bigint").alias("lex_rank"),
+            F.col("srk").cast("bigint").alias("sem_rank"),
+            F.col("rk").cast("bigint").alias("rk"),
         )
         .orderBy("term", "rk")
     )

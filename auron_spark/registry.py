@@ -112,8 +112,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "feature_quantile_binning", "text_bpe_train", "text_bpe_encode",
     "sample_temperature_mixture", "text_word_entropy",
     "join_interval_overlap", "agg_hll_bounds", "sim_semantic_dedup",
+    "retrieval_rrf_fusion", "split_leakage_audit",
     # (e) backfill: oldest (r1) proofs, pre-fixture-regen, in registry order
-    "fn_decimal_arith", "fn_decimal_agg_overflow_guard", "fn_string_basic",
+    "fn_decimal_arith",
 )
 
 # Green driver rows from CORRECTNESS_r05.json — 48 of the 50-slot round-5

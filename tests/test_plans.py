@@ -757,3 +757,28 @@ def test_semantic_dedup_blocked_pairs(spark):
         if "HashJoin" in line or "SortMergeJoin" in line
     ]
     assert any("cid" in j for j in joins), plan
+
+
+def test_rrf_fusion_broadcast_queries(spark):
+    """retrieval_rrf_fusion: the dense side must broadcast the |queries|
+    probe vectors (BroadcastNestedLoopJoin over a bounded build side) and
+    rank through WindowGroupLimit; no CartesianProduct may form."""
+    plan = _plan(spark, "retrieval_rrf_fusion")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_split_leakage_map_side_labels(spark):
+    """split_leakage_audit recomputes split labels map-side from the
+    doc_id hash: the ONLY joins in the plan are the LSH band equi-join
+    (and signature internals) — an assignment-table join would shuffle
+    the corpus a second time for information the hash already carries."""
+    plan = _plan(spark, "split_leakage_audit")
+    assert "CartesianProduct" not in plan, plan
+    joins = [
+        line
+        for line in plan.splitlines()
+        if "SortMergeJoin" in line or "ShuffledHashJoin" in line
+    ]
+    assert all("band" in j for j in joins), plan
