@@ -169,3 +169,114 @@ def streak_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_SQL_CHANNEL = (
+    "CASE CAST(json_extract_string({p}, '$.k') AS BIGINT) % 4 "
+    "WHEN 0 THEN 'organic' WHEN 1 THEN 'paid' "
+    "WHEN 2 THEN 'social' ELSE 'email' END"
+)
+
+
+@query(
+    "attribution_linear_touch",
+    oracle=f"""
+    WITH touches AS (
+        SELECT user_id, epoch(ts) AS tts,
+               {_SQL_CHANNEL.format(p="props")} AS channel
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    purchases AS (
+        SELECT event_id, user_id, epoch(ts) AS pts,
+               CAST(value AS DECIMAL(18,2)) AS value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    matched AS (
+        SELECT p.event_id, p.value, t.channel
+        FROM purchases p JOIN touches t
+          ON t.user_id = p.user_id
+         AND t.tts <= p.pts AND t.tts > p.pts - 604800
+    ),
+    per_purchase AS (
+        SELECT event_id, channel,
+               CAST(COUNT(*) AS BIGINT) AS c_n,
+               CAST(ROUND(CAST(MIN(value) AS DOUBLE) * COUNT(*)
+                          / (SUM(COUNT(*)) OVER (PARTITION BY event_id)), 6)
+                    AS DECIMAL(28,6)) AS contrib
+        FROM matched
+        GROUP BY event_id, channel, value
+    )
+    SELECT channel,
+           CAST(SUM(c_n) AS BIGINT) AS n_touches,
+           CAST(SUM(contrib) AS DOUBLE) AS attributed_revenue
+    FROM per_purchase
+    GROUP BY channel
+    ORDER BY channel
+    """,
+    tags=("events", "attribution", "funnel", "range-join"),
+)
+def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch revenue attribution: every purchase's value is
+    split evenly across the user's view/click touchpoints in the 7-day
+    lookback, rolled up by marketing channel (derived from the event
+    props).  Complements `asof_join_purchase_click` (last-touch = as-of
+    backward): LINEAR attribution needs the full touch SET per
+    conversion, i.e. a range join, not an as-of pick.
+
+    Exactness contract: per-(purchase, channel) contributions are
+    value * c_n / n in doubles (identical operands both engines), rounded
+    to 6 dp and summed as DECIMAL(28,6) so the channel rollup is
+    order-insensitive.
+
+    Scale shape: touches and purchases are both event-scale; the match is
+    an EQUI-join on user_id with the lookback window as a residual (same
+    posture as pit_lookup_join — per-user touch lists are small, so no
+    fan-out blowup), then two aggregates whose second input is already
+    conversion-sized.  At 100 TB the join co-locates for free if events
+    are bucketed by user_id (write_bucketed)."""
+    ev = Tables(spark, sf_dir).events
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    channel = (
+        F.when(k % 4 == 0, "organic")
+        .when(k % 4 == 1, "paid")
+        .when(k % 4 == 2, "social")
+        .otherwise("email")
+    )
+    touches = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").cast("double").alias("tts"),
+        channel.alias("channel"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("double").alias("pts"),
+        F.col("value").cast("decimal(18,2)").alias("value"),
+    )
+    matched = purchases.join(
+        touches,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("tts") <= F.col("pts"))
+        & (F.col("tts") > F.col("pts") - 604800),
+    )
+    from pyspark.sql import Window
+
+    per_pc = matched.groupBy("event_id", "channel", "value").agg(
+        F.count("*").cast("bigint").alias("c_n")
+    )
+    n_tot = F.sum("c_n").over(Window.partitionBy("event_id"))
+    per_pc = per_pc.select(
+        "channel",
+        "c_n",
+        F.round(
+            F.col("value").cast("double") * F.col("c_n") / n_tot, 6
+        ).cast("decimal(28,6)").alias("contrib"),
+    )
+    return (
+        per_pc.groupBy("channel")
+        .agg(
+            F.sum("c_n").cast("bigint").alias("n_touches"),
+            F.sum("contrib").cast("double").alias("attributed_revenue"),
+        )
+        .orderBy("channel")
+    )

@@ -113,8 +113,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "sample_temperature_mixture", "text_word_entropy",
     "join_interval_overlap", "agg_hll_bounds", "sim_semantic_dedup",
     "retrieval_rrf_fusion", "split_leakage_audit",
-    # (e) backfill: oldest (r1) proofs, pre-fixture-regen, in registry order
-    "fn_decimal_arith",
+    "attribution_linear_touch",
+    # (e) backfill exhausted: round-6 additions fill the whole window; any
+    # names past position 50 queue in priority order for the next round.
 )
 
 # Green driver rows from CORRECTNESS_r05.json — 48 of the 50-slot round-5

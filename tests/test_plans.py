@@ -782,3 +782,18 @@ def test_split_leakage_map_side_labels(spark):
         if "SortMergeJoin" in line or "ShuffledHashJoin" in line
     ]
     assert all("band" in j for j in joins), plan
+
+
+def test_attribution_keyed_range_join(spark):
+    """attribution_linear_touch must match purchases to touches via an
+    equi-join on user_id with the lookback as residual — nested-loop here
+    would be O(purchases x touches) at scale."""
+    plan = _plan(spark, "attribution_linear_touch")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    joins = [
+        line
+        for line in plan.splitlines()
+        if "HashJoin" in line or "SortMergeJoin" in line
+    ]
+    assert any("user" in j for j in joins), plan
