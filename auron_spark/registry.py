@@ -113,7 +113,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "sample_temperature_mixture", "text_word_entropy",
     "join_interval_overlap", "agg_hll_bounds", "sim_semantic_dedup",
     "retrieval_rrf_fusion", "split_leakage_audit",
-    "attribution_linear_touch",
+    "attribution_linear_touch", "mm_image_ahash_dedup",
     # (e) backfill exhausted: round-6 additions fill the whole window; any
     # names past position 50 queue in priority order for the next round.
 )

@@ -797,3 +797,20 @@ def test_attribution_keyed_range_join(spark):
         if "HashJoin" in line or "SortMergeJoin" in line
     ]
     assert any("user" in j for j in joins), plan
+
+
+def test_ahash_dedup_banded_equi_join(spark):
+    """mm_image_ahash_dedup: candidate pairs must come from the banded
+    equi-join on (band_idx, band_val) — never an all-pairs plan — and the
+    decode/hash stage must be Arrow-batched Python (MapInPandas), not a
+    row-at-a-time UDF."""
+    plan = _plan(spark, "mm_image_ahash_dedup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    joins = [
+        line
+        for line in plan.splitlines()
+        if "HashJoin" in line or "SortMergeJoin" in line
+    ]
+    assert any("band_idx" in j and "band_val" in j for j in joins), plan
