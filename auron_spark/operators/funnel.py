@@ -280,3 +280,109 @@ def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "anomaly_mad_events",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, value AS med
+        FROM ranked
+        WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, abs(e.value - m.med) AS adev, m.med
+        FROM events e JOIN med m ON m.event_type = e.event_type
+    ),
+    dranked AS (
+        SELECT event_type, adev, med,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY adev) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+    ),
+    mad AS (
+        SELECT event_type, med, adev AS mad
+        FROM dranked
+        WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+    )
+    SELECT d.event_type,
+           ROUND(m.med, 6) AS med,
+           ROUND(m.mad, 6) AS mad,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE d.adev > 3 * m.mad) AS BIGINT)
+               AS n_outliers
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    GROUP BY d.event_type, m.med, m.mad
+    ORDER BY d.event_type
+    """,
+    tags=("events", "anomaly", "robust-stats", "mad"),
+)
+def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection per event type: median absolute deviation
+    (MAD) outlier flagging — |value - median| > 3*MAD — the heavy-tail-
+    safe alternative to z-scores (text_zscore_per_source), whose mean/std
+    a single extreme value corrupts.  Medians are RANK-BASED (the value
+    at row ceil(n/2) with event_id tiebreak), not interpolated, so both
+    engines pick the identical element — the same exactness device as
+    text_quality_percentile_filter.
+
+    Scale shape: two window passes partitioned by event_type (rank +
+    group count share one exchange each), each followed by a broadcast of
+    |types| rows back onto the stream; the outlier count rides the final
+    rollup.  The deviation pass re-reads events rather than caching —
+    at 100 TB a scan is cheaper than materializing the corpus."""
+    from pyspark.sql import Window
+
+    ev = Tables(spark, sf_dir).events
+    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wv).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    med = ranked.where(
+        F.col("rn") == F.ceil(0.5 * F.col("n")).cast("bigint")
+    ).select("event_type", F.col("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("adev")
+    dranked = dev.select(
+        "event_type",
+        "adev",
+        F.row_number().over(wd).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    mad = dranked.where(
+        F.col("rn") == F.ceil(0.5 * F.col("n")).cast("bigint")
+    ).select("event_type", F.col("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.count(F.when(F.col("adev") > 3 * F.col("mad"), 1))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "n_events",
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )

@@ -361,3 +361,84 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+@query(
+    "market_basket_pairs",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+    part_n AS (SELECT l_partkey, COUNT(*) AS n_p FROM items GROUP BY l_partkey),
+    pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_pair
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY pa, pb
+    )
+    SELECT pa, pb,
+           CAST(p.n_pair AS BIGINT) AS n_pair,
+           CAST(na.n_p AS BIGINT) AS n_a,
+           CAST(nb.n_p AS BIGINT) AS n_b,
+           ROUND(CAST(p.n_pair AS DOUBLE) * o.n / (na.n_p * nb.n_p), 6)
+               AS lift
+    FROM pairs p
+    JOIN part_n na ON na.l_partkey = p.pa
+    JOIN part_n nb ON nb.l_partkey = p.pb
+    CROSS JOIN n_orders o
+    ORDER BY n_pair DESC, pa, pb
+    LIMIT 20
+    """,
+    tags=("agg", "basket", "cooccurrence", "self-join"),
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining: the top-20 part pairs bought
+    together in one order, with support and lift — the association-rule
+    building block (and, in LM-pipeline terms, the same co-occurrence
+    shape as bigram/PMI tables over any grouped key).
+
+    Scale shape: baskets shrink to DISTINCT (order, part) first; the pair
+    generation is a SELF-EQUI-JOIN on l_orderkey, so fan-out is bounded
+    by items-per-order squared (TPC-H ~7 items -> <= 21 pairs per order,
+    linear overall — the classic a-priori first pass, never a global
+    cross join); per-part counts broadcast back onto the pair table and
+    the final top-20 goes through TakeOrderedAndProject.  Lift divides
+    exact integers in doubles — bit-identical in DuckDB."""
+    li = Tables(spark, sf_dir).lineitem
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.agg(
+        F.count_distinct("l_orderkey").alias("n")
+    )
+    part_n = items.groupBy("l_partkey").agg(F.count("*").alias("n_p"))
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_pair"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(part_n.select(F.col("l_partkey").alias("pa"), F.col("n_p").alias("n_a"))), "pa"
+        )
+        .join(
+            F.broadcast(part_n.select(F.col("l_partkey").alias("pb"), F.col("n_p").alias("n_b"))), "pb"
+        )
+        .join(F.broadcast(n_orders))
+        .select(
+            "pa",
+            "pb",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("n_pair").cast("double") * F.col("n")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_pair"), "pa", "pb")
+        .limit(20)
+    )

@@ -1277,3 +1277,86 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_lo", "split_hi")
     )
+
+
+CONTAIN_T = 0.8  # embedded-duplicate call threshold
+
+
+@query(
+    "dedup_minhash_containment",
+    oracle=_sql_signature_cte()
+    + f"""
+    , cand AS (
+        SELECT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r ON l.band = r.band AND l.doc_id < r.doc_id
+        GROUP BY a, b
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.a, c.b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.a
+        JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+        GROUP BY c.a, c.b
+    )
+    SELECT i.a, i.b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           CAST(za.n AS BIGINT) AS n_a,
+           CAST(zb.n AS BIGINT) AS n_b,
+           ROUND(greatest(CAST(i.n_common AS DOUBLE) / za.n,
+                          CAST(i.n_common AS DOUBLE) / zb.n), 6)
+               AS containment,
+           (greatest(CAST(i.n_common AS DOUBLE) / za.n,
+                     CAST(i.n_common AS DOUBLE) / zb.n) >= {CONTAIN_T})
+               AS is_embedded
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.a
+    JOIN sizes zb ON zb.doc_id = i.b
+    ORDER BY a, b
+    """,
+    tags=("pipeline", "dedup", "minhash", "containment"),
+)
+def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT scoring over the LSH candidate pairs —
+    max(|A∩B|/|A|, |A∩B|/|B|): catches the small-document-embedded-in-a-
+    big-document duplicates that symmetric Jaccard (dedup_ngram_jaccard)
+    under-scores (a 50-shingle doc fully copied into a 500-shingle doc has
+    Jaccard 0.1 but containment 1.0).  Pairs with containment >=
+    {CONTAIN_T} are flagged as embedded dups — the quote/boilerplate-
+    inclusion signal `text_substring_dedup` finds positionally, computed
+    here set-wise from the same shingle space.
+
+    Scale shape: identical to the Jaccard verifier — candidates are
+    banded-LSH (linear), the intersection count joins shingles ONLY for
+    candidate pairs, and sizes are doc-count-sized.  Divisions are doubles
+    of exact integers; greatest() of two deterministic doubles — exact in
+    both engines."""
+    t = Tables(spark, sf_dir)
+    sh = _doc_shingles(t, dedup=True)
+    pairs = lsh_candidate_pairs(minhash_signature(_doc_shingles(t, dedup=False)))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        pairs.join(sa, "a").join(sb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    cont = F.greatest(
+        F.col("n_common").cast("double") / F.col("n_a"),
+        F.col("n_common").cast("double") / F.col("n_b"),
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("n_a")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("n_b")), "b")
+        .select(
+            "a",
+            "b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(cont, 6).alias("containment"),
+            (cont >= CONTAIN_T).alias("is_embedded"),
+        )
+        .orderBy("a", "b")
+    )

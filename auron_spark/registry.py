@@ -114,6 +114,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "join_interval_overlap", "agg_hll_bounds", "sim_semantic_dedup",
     "retrieval_rrf_fusion", "split_leakage_audit",
     "attribution_linear_touch", "mm_image_ahash_dedup",
+    "dedup_minhash_containment", "market_basket_pairs", "anomaly_mad_events",
     # (e) backfill exhausted: round-6 additions fill the whole window; any
     # names past position 50 queue in priority order for the next round.
 )

@@ -814,3 +814,36 @@ def test_ahash_dedup_banded_equi_join(spark):
         if "HashJoin" in line or "SortMergeJoin" in line
     ]
     assert any("band_idx" in j and "band_val" in j for j in joins), plan
+
+
+def test_containment_pairs_only_shingle_join(spark):
+    """dedup_minhash_containment: intersection counting must join shingles
+    for CANDIDATE pairs only (banded LSH upstream) — no cartesian, no
+    nested loop against the shingle stream."""
+    plan = _plan(spark, "dedup_minhash_containment")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_market_basket_keyed_self_join(spark):
+    """market_basket_pairs: pair generation is a self-EQUI-join on the
+    order key (fan-out bounded by basket size), per-part counts broadcast,
+    and the top-20 goes through TakeOrderedAndProject."""
+    plan = _plan(spark, "market_basket_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    joins = [
+        line
+        for line in plan.splitlines()
+        if "HashJoin" in line or "SortMergeJoin" in line
+    ]
+    assert any("ok" in j or "l_orderkey" in j for j in joins), plan
+
+
+def test_mad_anomaly_windows_share_exchanges(spark):
+    """anomaly_mad_events: each median pass is one window exchange on
+    event_type (rank + count share it); the per-type med/MAD frames
+    broadcast back — the corpus must never be re-exchanged for them."""
+    plan = _plan(spark, "anomaly_mad_events")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
