@@ -291,3 +291,72 @@ def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "window_gaps_islands",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id,
+               event_id - ROW_NUMBER() OVER (PARTITION BY user_id
+                                             ORDER BY event_id) AS grp
+        FROM events WHERE event_type = 'click'
+    ),
+    islands AS (
+        SELECT user_id, grp,
+               CAST(MIN(event_id) AS BIGINT) AS island_start,
+               CAST(MAX(event_id) AS BIGINT) AS island_end,
+               CAST(COUNT(*) AS BIGINT) AS island_len
+        FROM seq GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(MAX(island_len) AS BIGINT) AS longest_island,
+           CAST(SUM(island_len) AS BIGINT) AS n_events,
+           CAST(MIN(island_start) AS BIGINT) AS first_event,
+           CAST(MAX(island_end) AS BIGINT) AS last_event
+    FROM islands
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("window", "gaps-islands", "sequence"),
+)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE event_ids per user
+    (here: uninterrupted click sequences — no other user claimed an
+    intervening id), via the classic value-minus-row_number grouping
+    trick; rolled up to per-user island stats.  The remaining sequence
+    pattern in the window family: sessionize_gap groups by TIME gaps,
+    streak_daily_activity by calendar days — this one by IDENTIFIER
+    continuity, the shape used for detecting unbroken offset ranges
+    (e.g. Kafka offset audits, missing-row detection).
+
+    Scale shape: one window exchange on user_id; the island rollup groups
+    by (user_id, grp) — a prefix re-key of the window partitioning — and
+    the final per-user rollup re-keys on user_id again; both aggregates
+    ride partial/final hash agg, so only group states cross the wire."""
+    from pyspark.sql import Window
+
+    ev = Tables(spark, sf_dir).events.where(F.col("event_type") == "click")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        (F.col("event_id") - F.row_number().over(w)).alias("grp"),
+    )
+    islands = seq.groupBy("user_id", "grp").agg(
+        F.min("event_id").cast("bigint").alias("island_start"),
+        F.max("event_id").cast("bigint").alias("island_end"),
+        F.count("*").cast("bigint").alias("island_len"),
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_islands"),
+            F.max("island_len").cast("bigint").alias("longest_island"),
+            F.sum("island_len").cast("bigint").alias("n_events"),
+            F.min("island_start").cast("bigint").alias("first_event"),
+            F.max("island_end").cast("bigint").alias("last_event"),
+        )
+        .orderBy("user_id")
+    )

@@ -847,3 +847,14 @@ def test_mad_anomaly_windows_share_exchanges(spark):
     plan = _plan(spark, "anomaly_mad_events")
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_gaps_islands_single_window_exchange(spark):
+    """window_gaps_islands: the row_number window and both rollups must
+    ride ONE hash exchange on user_id (the island grouping is a prefix
+    re-key of the window partitioning)."""
+    plan = _plan(spark, "window_gaps_islands")
+    n_hash_exchanges = sum(
+        1 for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    )
+    assert n_hash_exchanges == 1, plan
