@@ -1255,3 +1255,93 @@ def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy"),
     ).orderBy("doc_id")
+
+
+@query(
+    "text_bigram_perplexity",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    vocab AS (
+        SELECT COUNT(DISTINCT t.word) AS v FROM (
+            SELECT unnest(w) AS word FROM toks
+        ) t
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+               unnest(list_transform(range(1, len(w)), i -> w[i + 1])) AS w2
+        FROM toks WHERE len(w) >= 2
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c FROM bg GROUP BY w1)
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(-CAST(SUM(CAST(ROUND(
+                     log2((c2.c + 1.0) / (c1.c + v.v)), 9)
+                 AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6)
+               AS cross_entropy_bits
+    FROM bg
+    JOIN c2 ON c2.w1 = bg.w1 AND c2.w2 = bg.w2
+    JOIN c1 ON c1.w1 = bg.w1
+    CROSS JOIN vocab v
+    GROUP BY bg.doc_id
+    ORDER BY bg.doc_id
+    """,
+    tags=("pipeline", "text", "quality", "perplexity", "lm"),
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM cross-entropy per document (log2 of perplexity) with
+    add-one smoothing — the CCNet-style perplexity filter, scored against
+    the corpus's own bigram model: H = -(1/n) sum log2((c(w1 w2)+1) /
+    (c(w1 .)+V)).  Complements `text_bigram_fluency`, which deliberately
+    avoids logs to stay integer-exact: this query takes the
+    transcendental step and contains it — each per-occurrence log2 term
+    is 9-dp-rounded into DECIMAL before summing, so aggregation order
+    cannot perturb the result and the DuckDB oracle hash-matches
+    (the same containment device as text_word_entropy).
+
+    Scale shape: bigram and context counts are the standard explode +
+    partial-agg shuffles (model-table-sized outputs); scoring joins the
+    occurrence stream against both tables by key — vocabulary-scale
+    equi-joins, broadcastable while the model fits and shuffled hash
+    joins beyond; the vocab size is one broadcast scalar; the per-doc
+    rollup keys on doc_id.  A production filter then drops docs above a
+    per-source entropy percentile (text_quality_percentile_filter's
+    threshold machinery)."""
+    t = Tables(spark, sf_dir)
+    w = F.split(F.lower(F.col("text")), " ")
+    toks = t.documents.select("doc_id", w.alias("w"))
+    vocab = toks.select(F.explode("w").alias("word")).agg(
+        F.count_distinct("word").alias("v")
+    )
+    d = toks.where(F.size("w") >= 2)
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("w", F.lit(1), F.size("w") - 1),
+                F.slice("w", F.lit(2), F.size("w") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    term = F.round(
+        F.log2((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v"))), 9
+    ).cast("decimal(28,9)")
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(
+                -F.sum(term).cast("double") / F.count("*"), 6
+            ).alias("cross_entropy_bits"),
+        )
+        .orderBy("doc_id")
+    )

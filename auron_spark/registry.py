@@ -115,7 +115,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "retrieval_rrf_fusion", "split_leakage_audit",
     "attribution_linear_touch", "mm_image_ahash_dedup",
     "dedup_minhash_containment", "market_basket_pairs", "anomaly_mad_events",
-    "window_gaps_islands",
+    "window_gaps_islands", "text_bigram_perplexity",
     # (e) backfill exhausted: round-6 additions fill the whole window; any
     # names past position 50 queue in priority order for the next round.
 )

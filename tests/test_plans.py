@@ -858,3 +858,17 @@ def test_gaps_islands_single_window_exchange(spark):
         1 for l in plan.splitlines() if "Exchange hashpartitioning" in l
     )
     assert n_hash_exchanges == 1, plan
+
+
+def test_bigram_perplexity_keyed_model_joins(spark):
+    """text_bigram_perplexity: the occurrence stream joins the bigram and
+    context model tables by key (hash/merge equi-joins), the vocab scalar
+    broadcasts, and no cartesian forms."""
+    plan = _plan(spark, "text_bigram_perplexity")
+    assert "CartesianProduct" not in plan, plan
+    joins = [
+        line
+        for line in plan.splitlines()
+        if "HashJoin" in line or "SortMergeJoin" in line
+    ]
+    assert any("w1" in j for j in joins), plan
