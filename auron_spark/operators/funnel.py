@@ -386,3 +386,59 @@ def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    trans AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               COUNT(*) AS c
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type,
+           CAST(c AS BIGINT) AS n,
+           ROUND(CAST(c AS DOUBLE)
+                 / SUM(c) OVER (PARTITION BY from_type), 6) AS p
+    FROM trans
+    ORDER BY from_type, to_type
+    """,
+    tags=("events", "markov", "sequence", "window"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), the behavioral-model fit
+    that powers next-action prediction and anomalous-session scoring
+    (a session whose transitions are improbable under this matrix is an
+    outlier — composable with anomaly_mad_events).
+
+    Scale shape: one lead() window exchange on user_id builds the
+    transition stream; counts collapse to a |types|^2 matrix via
+    partial/final hash agg; the row normalization windows over that tiny
+    matrix, not the corpus.  Exactness: integer counts, one division of
+    exact integers per output row."""
+    from pyspark.sql import Window
+
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    trans = seq.groupBy("from_type", "to_type").agg(F.count("*").alias("c"))
+    wrow = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        F.col("c").cast("bigint").alias("n"),
+        F.round(F.col("c").cast("double") / F.sum("c").over(wrow), 6).alias(
+            "p"
+        ),
+    ).orderBy("from_type", "to_type")

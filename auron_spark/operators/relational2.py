@@ -442,3 +442,80 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_pair"), "pa", "pb")
         .limit(20)
     )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               MAX(o_orderdate) AS last_order,
+               COUNT(*) AS frequency,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        FROM orders
+        GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey,
+               NTILE(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+               NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+               NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m_score,
+               monetary
+        FROM per_cust
+    )
+    SELECT CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary) AS DOUBLE) AS segment_value
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+    tags=("agg", "rfm", "segmentation", "window"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency/frequency/monetary quintiles
+    (NTILE with customer-key tiebreak, so both engines cut identically)
+    rolled up to segment sizes and value — the classic marketing-
+    analytics cube, and the same rank-then-bucket shape any per-entity
+    scoring pipeline uses.
+
+    Scale shape: one orders aggregate to customer grain (decimal-exact
+    monetary), then three GLOBAL ntiles — deliberate and documented:
+    customer-grain rows are orders-of-magnitude smaller than the fact
+    table, and an exact global quintile cut at that grain is one range
+    exchange (Spark samples boundaries); at billions of customers the
+    cut swaps to approx_percentile boundaries, same downstream shape
+    (the trade feature_quantile_binning documents per group).  The final
+    rollup is at most 125 rows."""
+    from pyspark.sql import Window
+
+    o = Tables(spark, sf_dir).orders
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(5).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary", "o_custkey")).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("monetary").cast("double").alias("segment_value"),
+        )
+        .select(
+            F.col("r_score").cast("int"),
+            F.col("f_score").cast("int"),
+            F.col("m_score").cast("int"),
+            "n_customers",
+            "segment_value",
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

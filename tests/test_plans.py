@@ -872,3 +872,26 @@ def test_bigram_perplexity_keyed_model_joins(spark):
         if "HashJoin" in line or "SortMergeJoin" in line
     ]
     assert any("w1" in j for j in joins), plan
+
+
+def test_markov_single_corpus_window(spark):
+    """events_markov_transitions: one lead() window exchange on user_id
+    over the corpus; the row-normalization window runs on the tiny
+    |types|^2 matrix AFTER aggregation, so it may not touch corpus-scale
+    data (counts collapse first — partial_count must appear)."""
+    plan = _plan(spark, "events_markov_transitions")
+    assert "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_rfm_windows_run_at_customer_grain(spark):
+    """customer_rfm_segments: the three global ntiles are deliberate but
+    must run at CUSTOMER grain — the orders fact table has to collapse
+    through a partial/final hash aggregate before any window sees it."""
+    plan = _plan(spark, "customer_rfm_segments")
+    lines = plan.splitlines()
+    first_window = min(i for i, l in enumerate(lines) if "Window" in l)
+    # reading the plan bottom-up: the aggregate node must appear BELOW
+    # (after, in toString order) the window nodes it feeds
+    assert any("HashAggregate" in l for l in lines[first_window:]), plan
+    assert "partial_sum" in plan, plan
