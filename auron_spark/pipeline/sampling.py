@@ -466,3 +466,105 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+KCENTER_K = 4  # selected coreset size (unrolled in the SQL oracle)
+
+
+def _sql_kc_dist(c: str) -> str:
+    return (
+        "list_sum(list_transform(range(1, 65), i -> "
+        f"(CAST(e.embedding[i] AS DOUBLE) - {c}.ce[i]) * "
+        f"(CAST(e.embedding[i] AS DOUBLE) - {c}.ce[i])))"
+    )
+
+
+def _sql_kc_round(r: int) -> str:
+    """Round r (r >= 2): min distance to the r-1 already-selected centers,
+    then the farthest point becomes selection r."""
+    joins = " ".join(f"CROSS JOIN s{i} c{i}" for i in range(1, r))
+    dists = ", ".join(_sql_kc_dist(f"c{i}") for i in range(1, r))
+    dmin = f"least({dists})" if r > 2 else dists
+    return f"""
+    d{r} AS (
+        SELECT e.vec_id, {dmin} AS d,
+               list_transform(e.embedding, v -> CAST(v AS DOUBLE)) AS ce
+        FROM embeddings e {joins}
+    ),
+    s{r} AS (
+        SELECT vec_id, d, ce FROM d{r} ORDER BY d DESC, vec_id LIMIT 1
+    )"""
+
+
+@query(
+    "sample_kcenter_coreset",
+    oracle="WITH s1 AS (SELECT vec_id, 0.0 AS d, "
+    "list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ce "
+    "FROM embeddings ORDER BY vec_id LIMIT 1),"
+    + ",".join(_sql_kc_round(r) for r in range(2, KCENTER_K + 1))
+    + f"""
+    SELECT step, vec_id, ROUND(radius, 6) AS radius FROM (
+        {" UNION ALL ".join(
+            f"SELECT {r} AS step, vec_id, d AS radius FROM s{r}"
+            for r in range(1, KCENTER_K + 1)
+        )}
+    )
+    ORDER BY step
+    """,
+    tags=("pipeline", "sampling", "coreset", "kcenter", "iterative"),
+)
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez's farthest-point
+    traversal — the data-selection primitive behind diversity-maximizing
+    subset pickers and the 2-approximation to the k-center cover):
+    start from the lowest vec_id, then KCENTER_K - 1 times add the point
+    farthest from the current selection.  Output is (step, vec_id,
+    radius) — radius being the chosen point's distance when selected, a
+    non-increasing sequence that IS the coverage-radius curve.
+
+    Scale shape: the selected set is model state (<= K rows) that folds
+    into one broadcast row per round; the per-round scan computes each
+    vector's min-distance-to-selection MAP-SIDE (array_min over the
+    broadcast list) and the argmax is TakeOrderedAndProject — one corpus
+    scan per round, zero corpus shuffles, the same posture as `_lloyd`
+    but with no aggregation exchange at all.  Arithmetic: index-ordered
+    double folds and order-insensitive min/least, so DuckDB's unrolled
+    rounds are bit-identical.
+    """
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("e"),
+    )
+
+    def sqd(e, c):
+        return F.aggregate(
+            F.zip_with(e, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sel = emb.orderBy("vec_id").limit(1)
+    out = sel.select(
+        F.lit(1).alias("step"), "vec_id", F.lit(0.0).alias("radius")
+    )
+    selected = sel
+    for r in range(2, KCENTER_K + 1):
+        sels_row = selected.agg(
+            F.collect_list(F.struct("vec_id", "e")).alias("sels")
+        )
+        scored = emb.join(F.broadcast(sels_row)).select(
+            "vec_id",
+            "e",
+            F.array_min(
+                F.transform("sels", lambda s: sqd(F.col("e"), s["e"]))
+            ).alias("d"),
+        )
+        nxt = scored.orderBy(F.desc("d"), "vec_id").limit(1)
+        out = out.unionAll(
+            nxt.select(
+                F.lit(r).alias("step"), "vec_id", F.round("d", 6).alias("radius")
+            )
+        )
+        selected = selected.unionAll(nxt.select("vec_id", "e"))
+    return out.orderBy("step")

@@ -494,3 +494,19 @@ def test_bpe_merge_supports_non_increasing(spark):
     for r in enc:
         assert r.n_words <= r.n_tokens <= r.n_chars, r
         assert r.chars_per_token >= 1.0, r
+
+
+def test_kcenter_radius_non_increasing(spark):
+    """Greedy farthest-point invariant: each selection's radius (its
+    distance to the prior selection) is <= the previous selection's —
+    the coverage-radius curve is monotone non-increasing, and every
+    selected vec_id is distinct."""
+    rows = (
+        SPECS["sample_kcenter_coreset"].build(spark, SF_DIR)
+        .orderBy("step")
+        .collect()
+    )
+    radii = [r.radius for r in rows[1:]]  # step 1 is the seed (radius 0)
+    assert radii == sorted(radii, reverse=True), radii
+    ids = [r.vec_id for r in rows]
+    assert len(set(ids)) == len(ids), ids

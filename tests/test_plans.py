@@ -895,3 +895,13 @@ def test_rfm_windows_run_at_customer_grain(spark):
     # (after, in toString order) the window nodes it feeds
     assert any("HashAggregate" in l for l in lines[first_window:]), plan
     assert "partial_sum" in plan, plan
+
+
+def test_kcenter_zero_corpus_shuffles(spark):
+    """sample_kcenter_coreset: every round is a map-side min-distance scan
+    over the broadcast selection plus a TakeOrderedAndProject argmax — the
+    plan may contain NO hash-partitioning exchange of the corpus at all."""
+    plan = _plan(spark, "sample_kcenter_coreset")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
