@@ -741,3 +741,148 @@ def mm_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- Audio activity segmentation over the REAL WAV decode path ------------
+
+VAD_FRAME = 8  # samples per analysis frame (WAV_N / VAD_FRAME = 8 frames)
+
+
+def wav_frame_energies(payload: bytes) -> list[int]:
+    """REAL decode + framing: parse the RIFF header, reinterpret PCM,
+    return integer energy (sum of squared samples) per VAD_FRAME-sample
+    frame."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        pcm = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    e = pcm.astype(np.int64) ** 2
+    return [int(e[i : i + VAD_FRAME].sum()) for i in range(0, len(e), VAD_FRAME)]
+
+
+@query(
+    "mm_wav_activity_segments",
+    oracle=f"""
+    WITH samp AS (
+        SELECT d.doc_id, k.k // {VAD_FRAME} AS frame,
+               CAST(((d.doc_id * 13 + k.k * 37) % 2001) - 1000 AS BIGINT) AS s
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
+             range(0, {WAV_N}) k(k)
+    ),
+    fe AS (
+        SELECT doc_id, frame, SUM(s * s) AS energy
+        FROM samp GROUP BY doc_id, frame
+    ),
+    act AS (
+        SELECT doc_id, frame, energy,
+               SUM(energy) OVER (PARTITION BY doc_id) AS tot,
+               COUNT(*) OVER (PARTITION BY doc_id) AS nf
+        FROM fe
+    ),
+    active AS (
+        SELECT doc_id, frame,
+               frame - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY frame) AS grp
+        FROM act WHERE energy * nf > tot
+    ),
+    seg AS (
+        SELECT doc_id, grp, COUNT(*) AS seg_len
+        FROM active GROUP BY doc_id, grp
+    )
+    SELECT f.doc_id,
+           CAST(COUNT(DISTINCT a.frame) AS BIGINT) AS n_active_frames,
+           CAST(COUNT(DISTINCT s.grp) AS BIGINT) AS n_segments,
+           CAST(COALESCE(MAX(s.seg_len), 0) AS BIGINT) AS longest_segment
+    FROM (SELECT DISTINCT doc_id FROM fe) f
+    LEFT JOIN active a ON a.doc_id = f.doc_id
+    LEFT JOIN seg s ON s.doc_id = f.doc_id
+    GROUP BY f.doc_id
+    ORDER BY f.doc_id
+    """,
+    tags=("pipeline", "multimodal", "audio", "vad", "real-codec"),
+)
+def mm_wav_activity_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio activity (VAD-style) segmentation over REAL decoded PCM — the
+    speech-pipeline step between decode and transcription: frame the
+    waveform ({VAD_FRAME}-sample frames), compute integer frame energies,
+    mark frames louder than the clip mean (energy * n_frames > total —
+    integer-exact, no division), and collapse consecutive active frames
+    into segments via the gaps-and-islands trick, reporting per-clip
+    activity counts and the longest segment.
+
+    The decode+framing runs in mapInPandas over Arrow batches (wave +
+    numpy, the slot a real VAD model plugs into), but emits the per-frame
+    energy TABLE into the relational plan — unlike mm_wav_decode_real's
+    scalar features, downstream segmentation is genuine DataFrame work
+    the closed-form oracle replicates end-to-end.
+
+    Scale shape: framing is partition-local (frames-per-clip rows out of
+    the Arrow stage); the activity window + island rollup partition by
+    doc_id — one exchange; a real pipeline with hour-long audio gets
+    thousands of frames per clip and the identical plan."""
+    @F.pandas_udf("binary")
+    def make_wav(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: encode_wav(int(i)))
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i, e in enumerate(wav_frame_energies(payload)):
+                    rows.append((did, i, e))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame", "energy"])
+
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    fe = (
+        t.documents.where(F.col("doc_id") < 200)
+        .select("doc_id", make_wav("doc_id").alias("payload"))
+        .mapInPandas(frames, "doc_id long, frame long, energy long")
+    )
+    wd = Window.partitionBy("doc_id")
+    act = fe.select(
+        "doc_id",
+        "frame",
+        "energy",
+        F.sum("energy").over(wd).alias("tot"),
+        F.count("*").over(wd).alias("nf"),
+    )
+    wf = Window.partitionBy("doc_id").orderBy("frame")
+    active = act.where(
+        F.col("energy") * F.col("nf") > F.col("tot")
+    ).select(
+        "doc_id",
+        "frame",
+        (F.col("frame") - F.row_number().over(wf)).alias("grp"),
+    )
+    seg = active.groupBy("doc_id", "grp").agg(F.count("*").alias("seg_len"))
+    per_doc_active = active.groupBy("doc_id").agg(
+        F.count("*").alias("n_active_frames")
+    )
+    per_doc_seg = seg.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.max("seg_len").alias("longest_segment"),
+    )
+    return (
+        fe.select("doc_id")
+        .distinct()
+        .join(per_doc_active, "doc_id", "left")
+        .join(per_doc_seg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_active_frames", F.lit(0))
+            .cast("bigint")
+            .alias("n_active_frames"),
+            F.coalesce("n_segments", F.lit(0)).cast("bigint").alias(
+                "n_segments"
+            ),
+            F.coalesce("longest_segment", F.lit(0)).cast("bigint").alias(
+                "longest_segment"
+            ),
+        )
+        .orderBy("doc_id")
+    )

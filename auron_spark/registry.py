@@ -117,7 +117,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_minhash_containment", "market_basket_pairs", "anomaly_mad_events",
     "window_gaps_islands", "text_bigram_perplexity",
     "events_markov_transitions", "customer_rfm_segments",
-    "sample_kcenter_coreset",
+    "sample_kcenter_coreset", "mm_wav_activity_segments",
     # (e) backfill exhausted: round-6 additions fill the whole window; any
     # names past position 50 queue in priority order for the next round.
 )

@@ -905,3 +905,15 @@ def test_kcenter_zero_corpus_shuffles(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_wav_segments_frames_from_arrow_stage(spark):
+    """mm_wav_activity_segments: frame energies must enter the plan from
+    an Arrow-batched MapInPandas stage, and the segmentation windows must
+    partition by doc_id (no global single-partition window)."""
+    plan = _plan(spark, "mm_wav_activity_segments")
+    assert "MapInPandas" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "doc_id" in line, line
