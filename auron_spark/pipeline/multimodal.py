@@ -886,3 +886,111 @@ def mm_wav_activity_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+SHOT_JUMP_T = 2.0  # mean-luma jump (in 6-dp-rounded units) calling a cut
+
+
+def video_frame_means(payload: bytes) -> list[tuple[int, float]]:
+    """REAL decoder: parse the container and decode EVERY frame (unlike
+    sample_video_frames' stride), returning (frame_idx, mean_r)."""
+    n = int.from_bytes(payload[:4], "big")
+    body = payload[4:]
+    frame_len = len(body) // n
+    out = []
+    for f in range(n):
+        frame = body[f * frame_len : (f + 1) * frame_len]
+        _, _, mean_r, _, _ = decode_ppm_features(frame)
+        out.append((f, round(mean_r, 6)))
+    return out
+
+
+@query(
+    "mm_video_shot_detection",
+    oracle=f"""
+    WITH fm AS (
+        SELECT d.doc_id, f.f,
+               ROUND(AVG((7 * x.x + d.doc_id * 16 + f.f) % 256), 6) AS mean_r
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
+             range(0, {VID_FRAMES}) f(f),
+             range(0, {PPM_W}) x(x), range(0, {PPM_H}) y(y)
+        GROUP BY d.doc_id, f.f
+    ),
+    diffs AS (
+        SELECT doc_id, f, mean_r,
+               abs(mean_r - lag(mean_r) OVER (PARTITION BY doc_id
+                                              ORDER BY f)) AS jump
+        FROM fm
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(COUNT(*) FILTER (WHERE jump > {SHOT_JUMP_T}) AS BIGINT)
+               AS n_cuts,
+           CAST(COUNT(*) FILTER (WHERE jump > {SHOT_JUMP_T}) + 1 AS BIGINT)
+               AS n_shots,
+           ROUND(COALESCE(MAX(jump), 0.0), 6) AS max_jump
+    FROM diffs
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "multimodal", "video", "shot-detection", "real-codec"),
+)
+def mm_video_shot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary (cut) detection over REAL decoded video frames — the
+    video-curation step that splits footage into shots before sampling
+    one keyframe per shot: decode EVERY frame's mean luma in mapInPandas
+    (container parse + per-frame PPM decode), then flag frames whose
+    luma jumps more than {SHOT_JUMP_T} from their predecessor (lag window
+    per clip).  The fixture's frame formula wraps mod 256, so most
+    consecutive frames drift by ~1 unit and wrap points produce genuine
+    large jumps — real cuts by construction, and the closed-form oracle
+    verifies the whole chain (container stride math, per-frame decode,
+    the lag, the threshold).
+
+    Scale shape: frame decode is partition-local Arrow batching with
+    I/O linear in frames (a real build points this at ffmpeg keyframe
+    stats); the lag window partitions by clip — one exchange; a
+    keyframe-per-shot follow-up is a groupBy on the running cut count,
+    the same island shape as mm_wav_activity_segments."""
+    @F.pandas_udf("binary")
+    def make_video(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: encode_video(int(i)))
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for f, m in video_frame_means(payload):
+                    rows.append((did, f, m))
+            yield pd.DataFrame(rows, columns=["doc_id", "f", "mean_r"])
+
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    fm = (
+        t.documents.where(F.col("doc_id") < 200)
+        .select("doc_id", make_video("doc_id").alias("payload"))
+        .mapInPandas(frames, "doc_id long, f long, mean_r double")
+    )
+    w = Window.partitionBy("doc_id").orderBy("f")
+    diffs = fm.select(
+        "doc_id",
+        "f",
+        F.abs(F.col("mean_r") - F.lag("mean_r").over(w)).alias("jump"),
+    )
+    return (
+        diffs.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_frames"),
+            F.count(F.when(F.col("jump") > SHOT_JUMP_T, 1))
+            .cast("bigint")
+            .alias("n_cuts"),
+            (F.count(F.when(F.col("jump") > SHOT_JUMP_T, 1)) + 1)
+            .cast("bigint")
+            .alias("n_shots"),
+            F.round(F.coalesce(F.max("jump"), F.lit(0.0)), 6).alias(
+                "max_jump"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -917,3 +917,13 @@ def test_wav_segments_frames_from_arrow_stage(spark):
     for line in plan.splitlines():
         if "Window [" in line:
             assert "doc_id" in line, line
+
+
+def test_shot_detection_clip_local_window(spark):
+    """mm_video_shot_detection: frame lumas come from an Arrow MapInPandas
+    stage and the lag window partitions by clip (doc_id) — never global."""
+    plan = _plan(spark, "mm_video_shot_detection")
+    assert "MapInPandas" in plan, plan
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "doc_id" in line, line
