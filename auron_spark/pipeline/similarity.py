@@ -2304,3 +2304,107 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+@query(
+    "sim_silhouette_simplified",
+    oracle=f"""
+    WITH init AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cv
+        FROM (SELECT vec_id, embedding FROM embeddings
+              ORDER BY vec_id LIMIT {KM_K})
+    ),
+    {_sql_km_round("init", "a1", "m1", "c1")},
+    {_sql_km_round("c1", "a2", "m2", "c2")},
+    scored AS (
+        SELECT vec_id, cid,
+               CASE WHEN greatest(d_own, d_other) = 0.0 THEN 0.0
+                    ELSE (d_other - d_own) / greatest(d_own, d_other)
+               END AS s
+        FROM (
+            SELECT vec_id,
+                   MIN(CASE WHEN rn = 1 THEN cid END) AS cid,
+                   MIN(CASE WHEN rn = 1 THEN d END) AS d_own,
+                   MIN(CASE WHEN rn > 1 THEN d END) AS d_other
+            FROM (
+                SELECT e.vec_id, c.cid,
+                       sqrt({_SQL_KM_DIST}) AS d,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {_SQL_KM_DIST} ASC,
+                                                   c.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN c2 c
+            )
+            GROUP BY vec_id
+        )
+    )
+    SELECT cid,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(CAST(SUM(CAST(ROUND(s, 9) AS DECIMAL(28,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_silhouette
+    FROM scored
+    GROUP BY cid
+    ORDER BY cid
+    """,
+    tags=("pipeline", "similarity", "kmeans", "evaluation", "silhouette"),
+)
+def sim_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality evaluation: the SIMPLIFIED silhouette
+    coefficient (distance to own centroid vs nearest OTHER centroid,
+    s = (b - a)/max(a, b)) per trained k-means cluster — the standard
+    O(n*k) proxy for the O(n^2) true silhouette, and the metric that
+    decides whether the IVF codebook's k is right before serving
+    (near-zero or negative cluster means = merge/re-train signal).
+
+    Scale shape: training is `_lloyd`; scoring is entirely MAP-SIDE —
+    each vector computes all k centroid distances from the broadcast
+    codebook and takes (own, next-best) in one array pass; the only
+    exchange is the per-cluster rollup of 9-dp decimal partial sums
+    (order-insensitive, hence oracle-exact).  Distances take a sqrt —
+    IEEE-exact — of the shared index-ordered fold."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("e"),
+    )
+    cent, _ = _lloyd(spark, emb)
+    cents_row = cent.agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
+    dist_structs = F.array_sort(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                _sqdist(F.col("e"), c["cv"]).alias("d"), c["cid"].alias("cid")
+            ),
+        )
+    )
+    scored = (
+        emb.join(F.broadcast(cents_row))
+        .select(
+            "vec_id",
+            F.element_at(dist_structs, 1)["cid"].alias("cid"),
+            F.sqrt(F.element_at(dist_structs, 1)["d"]).alias("d_own"),
+            F.sqrt(F.element_at(dist_structs, 2)["d"]).alias("d_other"),
+        )
+        .select(
+            "vec_id",
+            "cid",
+            F.when(F.greatest("d_own", "d_other") == 0.0, F.lit(0.0))
+            .otherwise(
+                (F.col("d_other") - F.col("d_own"))
+                / F.greatest("d_own", "d_other")
+            )
+            .alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("cid")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.round(
+                F.sum(F.round("s", 9).cast("decimal(28,9)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("cid")
+    )

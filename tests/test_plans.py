@@ -927,3 +927,14 @@ def test_shot_detection_clip_local_window(spark):
     for line in plan.splitlines():
         if "Window [" in line:
             assert "doc_id" in line, line
+
+
+def test_silhouette_map_side_scoring(spark):
+    """sim_silhouette_simplified: scoring must be map-side over the
+    broadcast codebook — the only window functions allowed are inside
+    training's checkpointed lineage; the scoring stage itself plans no
+    per-vector window and no cartesian."""
+    plan = _plan(spark, "sim_silhouette_simplified")
+    assert "CartesianProduct" not in plan, plan
+    n_windows = sum(1 for l in plan.splitlines() if "Window [" in l)
+    assert n_windows == 0, plan
