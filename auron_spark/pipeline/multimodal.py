@@ -994,3 +994,68 @@ def mm_video_shot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- Fused multimodal curation flagship -----------------------------------
+
+from auron_spark.registry import REGISTRY as _REG
+
+
+def _fused_mm_oracle() -> str:
+    """Compose the three modality oracles verbatim as subqueries (DuckDB
+    supports WITH inside a derived table), so the fused contract can
+    never drift from the per-modality contracts."""
+    img = _REG["mm_image_ahash_dedup"].oracle
+    wav = _REG["mm_wav_activity_segments"].oracle
+    vid = _REG["mm_video_shot_detection"].oracle
+    return f"""
+    SELECT a.doc_id, a.is_dup, w.n_active_frames, v.n_shots,
+           ((NOT a.is_dup) AND w.n_active_frames >= 1 AND v.n_shots >= 2)
+               AS keep
+    FROM ({img}) a
+    JOIN ({wav}) w ON w.doc_id = a.doc_id
+    JOIN ({vid}) v ON v.doc_id = a.doc_id
+    ORDER BY a.doc_id
+    """
+
+
+@query(
+    "pipeline_multimodal_curation",
+    oracle=_fused_mm_oracle(),
+    tags=("pipeline", "multimodal", "fused", "curation"),
+)
+def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused multimodal curation — the asset-level keep/drop decision a
+    video-corpus pipeline makes per item, as ONE DataFrame plan spanning
+    three Arrow decode stages: perceptual image dedup (drop near-dup
+    thumbnails), audio activity (drop silent clips), and shot structure
+    (drop static single-shot footage).  keep = not-a-dup AND has active
+    audio AND at least two shots.
+
+    This is the multimodal sibling of `pipeline_curation_end_to_end`:
+    the point is COMPOSITION — three mapInPandas stages and an LSH band
+    join fuse into one plan with per-modality reports joined on the
+    asset key, and the oracle literally embeds the three per-modality
+    oracles as subqueries, so the fused contract cannot drift from the
+    parts.  Scale: each modality is partition-local Arrow work plus its
+    own bounded exchange; the final joins are asset-keyed."""
+    img = _REG["mm_image_ahash_dedup"].build(spark, sf_dir)
+    wav = _REG["mm_wav_activity_segments"].build(spark, sf_dir)
+    vid = _REG["mm_video_shot_detection"].build(spark, sf_dir)
+    return (
+        img.select("doc_id", "is_dup")
+        .join(wav.select("doc_id", "n_active_frames"), "doc_id")
+        .join(vid.select("doc_id", "n_shots"), "doc_id")
+        .select(
+            "doc_id",
+            "is_dup",
+            "n_active_frames",
+            "n_shots",
+            (
+                (~F.col("is_dup"))
+                & (F.col("n_active_frames") >= 1)
+                & (F.col("n_shots") >= 2)
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -938,3 +938,13 @@ def test_silhouette_map_side_scoring(spark):
     assert "CartesianProduct" not in plan, plan
     n_windows = sum(1 for l in plan.splitlines() if "Window [" in l)
     assert n_windows == 0, plan
+
+
+def test_multimodal_curation_fuses_three_arrow_stages(spark):
+    """pipeline_multimodal_curation: one plan must contain all three
+    modality decode stages (image hash, audio framing, video luma — three
+    distinct MapInPandas nodes) joined on the asset key, with no
+    cartesian anywhere."""
+    plan = _plan(spark, "pipeline_multimodal_curation")
+    assert plan.count("MapInPandas") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
