@@ -2408,3 +2408,91 @@ def sim_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+NEG_K = 5  # hard negatives mined per query
+
+
+@query(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS q_label, embedding AS qe
+        FROM embeddings
+        WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {QUERY_CAP}
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neg_id, e.label AS neg_label,
+               list_sum(list_transform(range(1, 65), i ->
+                   CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, 65), i ->
+                      CAST(e.embedding[i] AS DOUBLE)
+                      * CAST(e.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, 65), i ->
+                      CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))))
+                   AS cos
+        FROM embeddings e CROSS JOIN q
+        WHERE e.label <> q.q_label
+    )
+    SELECT query_id, neg_id, CAST(neg_label AS INT) AS neg_label,
+           ROUND(cos, 6) AS cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neg_id) AS rk
+        FROM scored
+    ) WHERE rk <= {NEG_K}
+    ORDER BY query_id, rk
+    """,
+    tags=("pipeline", "similarity", "training", "hard-negatives"),
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for each
+    query vector, the top-{NEG_K} most similar vectors with a DIFFERENT
+    label — the negatives that sit closest to the decision boundary and
+    dominate the training signal (in-batch random negatives are mostly
+    trivial).  This is the retrieval shape every two-tower/CLIP-style
+    data pipeline runs between epochs.
+
+    Scale shape: identical posture to sim_knn_bruteforce — the query set
+    is hard-capped (QUERY_BUDGET) and broadcasts; the label-mismatch
+    filter and cosine are map-side over the streamed corpus; per-query
+    top-k goes through WindowGroupLimit.  At 100 TB the corpus scan
+    swaps to the trained-IVF probe with the label filter as a residual —
+    mining cost ∝ nprobe/k, same output contract."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    q = emb.filter(
+        (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qe"),
+    )
+    scored = (
+        emb.join(F.broadcast(q))
+        .filter(F.col("label") != F.col("q_label"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            (
+                dot(F.col("embedding"), F.col("qe"))
+                / (norm(F.col("embedding")) * norm(F.col("qe")))
+            ).alias("cos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neg_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= NEG_K)
+        .select(
+            "query_id",
+            "neg_id",
+            F.col("neg_label").cast("int").alias("neg_label"),
+            F.round("cos", 6).alias("cos_sim"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+        .orderBy("query_id", "rk")
+    )

@@ -119,7 +119,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "events_markov_transitions", "customer_rfm_segments",
     "sample_kcenter_coreset", "mm_wav_activity_segments",
     "mm_video_shot_detection", "sim_silhouette_simplified",
-    "pipeline_multimodal_curation",
+    "pipeline_multimodal_curation", "sim_hard_negatives",
     # (e) backfill exhausted: round-6 additions fill the whole window; any
     # names past position 50 queue in priority order for the next round.
 )

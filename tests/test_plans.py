@@ -948,3 +948,16 @@ def test_multimodal_curation_fuses_three_arrow_stages(spark):
     plan = _plan(spark, "pipeline_multimodal_curation")
     assert plan.count("MapInPandas") >= 3, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_hard_negatives_budgeted_broadcast(spark):
+    """sim_hard_negatives: the query side must broadcast under the
+    constant QUERY_BUDGET cap (pushed to its scan) and the per-query
+    top-k must prune through WindowGroupLimit — the brute-force family's
+    contract."""
+    from auron_spark.pipeline.similarity import QUERY_BUDGET, QUERY_MOD
+
+    plan = _plan(spark, "sim_hard_negatives")
+    assert "CartesianProduct" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert f"LessThan(vec_id,{QUERY_MOD * QUERY_BUDGET})" in plan, plan
