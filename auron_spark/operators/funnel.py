@@ -442,3 +442,112 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p"
         ),
     ).orderBy("from_type", "to_type")
+
+
+UB_QUERIES = 50  # most-active users used as similarity probes
+UB_TOP = 3
+
+
+@query(
+    "user_behavior_similarity",
+    oracle=f"""
+    WITH vec AS (
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type = 'view') AS v_view,
+               COUNT(*) FILTER (WHERE event_type = 'click') AS v_click,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS v_purchase,
+               COUNT(*) FILTER (WHERE event_type = 'signup') AS v_signup,
+               COUNT(*) FILTER (WHERE event_type = 'error') AS v_error,
+               COUNT(*) AS n_events
+        FROM events GROUP BY user_id
+    ),
+    probes AS (
+        SELECT * FROM vec ORDER BY n_events DESC, user_id LIMIT {UB_QUERIES}
+    ),
+    scored AS (
+        SELECT p.user_id AS query_user, c.user_id AS similar_user,
+               (CAST(p.v_view * c.v_view + p.v_click * c.v_click
+                     + p.v_purchase * c.v_purchase + p.v_signup * c.v_signup
+                     + p.v_error * c.v_error AS DOUBLE))
+               / (sqrt(CAST(p.v_view * p.v_view + p.v_click * p.v_click
+                            + p.v_purchase * p.v_purchase
+                            + p.v_signup * p.v_signup
+                            + p.v_error * p.v_error AS DOUBLE))
+                * sqrt(CAST(c.v_view * c.v_view + c.v_click * c.v_click
+                            + c.v_purchase * c.v_purchase
+                            + c.v_signup * c.v_signup
+                            + c.v_error * c.v_error AS DOUBLE))) AS cos
+        FROM vec c CROSS JOIN probes p
+        WHERE c.user_id <> p.user_id
+    )
+    SELECT query_user, similar_user, ROUND(cos, 6) AS cos_sim,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_user
+                                     ORDER BY cos DESC, similar_user) AS rk
+        FROM scored
+    ) WHERE rk <= {UB_TOP}
+    ORDER BY query_user, rk
+    """,
+    tags=("events", "behavior", "similarity", "pivot"),
+)
+def user_behavior_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similar-user retrieval from behavioral count vectors: pivot each
+    user's events into a per-type count vector, then find the top-{UB_TOP}
+    cosine-most-similar users for the {UB_QUERIES} most active ones —
+    the lookalike-audience / collaborative-feature primitive, and the
+    bridge between the events family and the ANN family (the same
+    query-budget + broadcast + WindowGroupLimit contract, but over
+    vectors BUILT by aggregation rather than a stored embedding column).
+
+    Scale shape: the pivot is one partial/final count aggregate to user
+    grain; probes are a TakeOrderedAndProject head that broadcasts;
+    scoring is map-side integer dot products over the streamed user
+    table (exact integers into one double division); per-probe top-k
+    prunes through WindowGroupLimit.  A full all-pairs user similarity
+    would instead go through the LSH/IVF machinery — this is the
+    budgeted exact tier."""
+    ev = Tables(spark, sf_dir).events
+    counts = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"v_{t}")
+        for t in ("view", "click", "purchase", "signup", "error")
+    ]
+    vec = ev.groupBy("user_id").agg(*counts, F.count("*").alias("n_events"))
+    probes = vec.orderBy(F.desc("n_events"), "user_id").limit(UB_QUERIES)
+    types = ("view", "click", "purchase", "signup", "error")
+    p = probes.select(
+        F.col("user_id").alias("query_user"),
+        *[F.col(f"v_{t}").alias(f"p_{t}") for t in types],
+    )
+    dotv = sum(
+        F.col(f"p_{t}") * F.col(f"v_{t}") for t in types
+    ).cast("double")
+    pn = F.sqrt(
+        sum(F.col(f"p_{t}") * F.col(f"p_{t}") for t in types).cast("double")
+    )
+    cn = F.sqrt(
+        sum(F.col(f"v_{t}") * F.col(f"v_{t}") for t in types).cast("double")
+    )
+    scored = (
+        vec.join(F.broadcast(p))
+        .filter(F.col("user_id") != F.col("query_user"))
+        .select(
+            "query_user",
+            F.col("user_id").alias("similar_user"),
+            (dotv / (pn * cn)).alias("cos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_user").orderBy(F.desc("cos"), "similar_user")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= UB_TOP)
+        .select(
+            "query_user",
+            "similar_user",
+            F.round("cos", 6).alias("cos_sim"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+        .orderBy("query_user", "rk")
+    )

@@ -961,3 +961,13 @@ def test_hard_negatives_budgeted_broadcast(spark):
     assert "CartesianProduct" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
     assert f"LessThan(vec_id,{QUERY_MOD * QUERY_BUDGET})" in plan, plan
+
+
+def test_behavior_similarity_probes_broadcast(spark):
+    """user_behavior_similarity: the probe head must be a
+    TakeOrderedAndProject that broadcasts; scoring is map-side over the
+    streamed user table with WindowGroupLimit top-k."""
+    plan = _plan(spark, "user_behavior_similarity")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
