@@ -329,6 +329,7 @@ _SQL_RRF_COS = (
     ORDER BY term, rk
     """,
     tags=("pipeline", "retrieval", "hybrid", "rrf"),
+    bench=True,
 )
 def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval with reciprocal-rank fusion — the RAG-serving

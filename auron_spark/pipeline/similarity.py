@@ -2231,6 +2231,7 @@ _SQL_SEM_COS = (
     ORDER BY cid
     """,
     tags=("pipeline", "similarity", "dedup", "kmeans", "semantic"),
+    bench=True,
 )
 def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023):
