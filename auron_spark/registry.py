@@ -120,7 +120,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "sample_kcenter_coreset", "mm_wav_activity_segments",
     "mm_video_shot_detection", "sim_silhouette_simplified",
     "pipeline_multimodal_curation", "sim_hard_negatives",
-    "user_behavior_similarity",
+    "user_behavior_similarity", "asof_join_nearest",
     # (e) backfill exhausted: round-6 additions fill the whole window; any
     # names past position 50 queue in priority order for the next round.
 )

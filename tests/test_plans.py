@@ -971,3 +971,12 @@ def test_behavior_similarity_probes_broadcast(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_asof_nearest_no_pairwise_join(spark):
+    """asof_join_nearest: both directions resolve via window passes over
+    the union stream — the plan must contain NO join operator at all
+    (the oracle uses range joins; the engine never does)."""
+    plan = _plan(spark, "asof_join_nearest")
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
