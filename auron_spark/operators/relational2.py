@@ -519,3 +519,76 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@query(
+    "sweepline_open_orders",
+    oracle="""
+    WITH iv AS (
+        SELECT o.o_orderkey, o.o_orderdate AS s, MAX(l.l_shipdate) AS e
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    deltas AS (
+        SELECT s AS d, COUNT(*) AS delta FROM iv GROUP BY s
+        UNION ALL
+        SELECT e AS d, -COUNT(*) AS delta FROM iv GROUP BY e
+    ),
+    daily AS (SELECT d, SUM(delta) AS net FROM deltas GROUP BY d),
+    curve AS (
+        SELECT d,
+               SUM(net) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS open_cnt
+        FROM daily
+    )
+    SELECT d, CAST(open_cnt AS BIGINT) AS open_orders
+    FROM curve
+    WHERE EXTRACT(day FROM d) = 1
+    ORDER BY d
+    """,
+    tags=("window", "sweepline", "interval-stabbing"),
+)
+def sweepline_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval stabbing by sweep line: how many orders are OPEN (placed,
+    final line not yet shipped) on any given date.  The naive
+    formulation joins every calendar date against every order interval
+    — O(days x orders); the sweep-line decomposition emits +1 at the
+    order date and -1 at the last-shipment date, aggregates net flow per
+    date, and reconstructs the concurrency curve with a running sum over
+    the DATE AXIS.  Output samples the first of each month for a compact
+    driver hash.
+
+    Scale shape: intervals come from one keyed orders-lineitem join +
+    per-order max; deltas are two grouped counts with map-side combine;
+    the running sum runs over the DATE-grain table — thousands of rows
+    at ANY corpus size, so the single-partition global window is bounded
+    by the calendar, not the data.  Same family as
+    `join_interval_overlap` (which bins pairwise overlap); this is the
+    stabbing-count member."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    iv = (
+        t.orders.join(
+            t.lineitem.select("l_orderkey", "l_shipdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("e"))
+    )
+    ship = iv.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count("*").alias("delta")
+    )
+    done = iv.groupBy(F.col("e").alias("d")).agg(
+        (-F.count("*")).alias("delta")
+    )
+    daily = ship.unionByName(done).groupBy("d").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        daily.select(
+            "d", F.sum("net").over(w).cast("bigint").alias("open_orders")
+        )
+        .where(F.dayofmonth("d") == 1)
+        .orderBy("d")
+    )

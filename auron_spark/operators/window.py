@@ -360,3 +360,72 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "window_running_distinct",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ROW_NUMBER() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS first_seen
+        FROM events
+    )
+    SELECT user_id, event_id, distinct_types_so_far
+    FROM (
+        SELECT user_id, event_id,
+               CAST(SUM(first_seen) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS distinct_types_so_far
+        FROM flagged
+    )
+    WHERE event_id % 50 = 0
+    ORDER BY user_id, event_id
+    """,
+    tags=("window", "running-distinct", "first-occurrence"),
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per user — how many distinct event types
+    each user has touched as of each event.  COUNT(DISTINCT) OVER a
+    running frame is unsupported (and inherently O(n^2) state) in both
+    engines; the scale answer is the FIRST-OCCURRENCE decomposition:
+    flag each (user, type)'s first event with one window, then a running
+    SUM of flags — two windows sharing the user_id exchange, linear
+    state.  The output samples every 50th event id to keep the
+    driver-hashed result compact; the full curve is the same plan minus
+    the filter.
+
+    Scale shape: the first-seen window partitions by (user_id,
+    event_type) — a prefix extension of the running-sum window's
+    user_id partitioning, so Spark plans one exchange for the pair."""
+    from pyspark.sql import Window
+
+    ev = Tables(spark, sf_dir).events
+    wf = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.row_number().over(wf) == 1, 1).otherwise(0).alias(
+            "first_seen"
+        ),
+    )
+    return (
+        flagged.select(
+            "user_id",
+            "event_id",
+            F.sum("first_seen").over(wr).cast("bigint").alias(
+                "distinct_types_so_far"
+            ),
+        )
+        .where(F.col("event_id") % 50 == 0)
+        .orderBy("user_id", "event_id")
+    )

@@ -121,6 +121,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "mm_video_shot_detection", "sim_silhouette_simplified",
     "pipeline_multimodal_curation", "sim_hard_negatives",
     "user_behavior_similarity", "asof_join_nearest",
+    "window_running_distinct", "sweepline_open_orders",
     # (e) backfill exhausted: round-6 additions fill the whole window; any
     # names past position 50 queue in priority order for the next round.
 )

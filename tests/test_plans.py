@@ -980,3 +980,24 @@ def test_asof_nearest_no_pairwise_join(spark):
     plan = _plan(spark, "asof_join_nearest")
     assert "Join" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_running_distinct_shares_user_exchange(spark):
+    """window_running_distinct: the (user, type) first-seen window and
+    the user running sum must share one corpus exchange (the pair
+    partitioning extends the user partitioning)."""
+    plan = _plan(spark, "window_running_distinct")
+    n_hash_exchanges = sum(
+        1 for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    )
+    assert n_hash_exchanges <= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_sweepline_window_at_date_grain(spark):
+    """sweepline_open_orders: the global running sum must run AFTER the
+    date-grain aggregation (partial_sum present below it) — the
+    single-partition window is calendar-bounded by construction."""
+    plan = _plan(spark, "sweepline_open_orders")
+    assert "partial_sum" in plan or "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan, plan
