@@ -540,7 +540,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(net) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS open_cnt
         FROM daily
     )
-    SELECT d, CAST(open_cnt AS BIGINT) AS open_orders
+    SELECT CAST(d AS DATE) AS d, CAST(open_cnt AS BIGINT) AS open_orders
     FROM curve
     WHERE EXTRACT(day FROM d) = 1
     ORDER BY d
@@ -590,5 +590,6 @@ def sweepline_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d", F.sum("net").over(w).cast("bigint").alias("open_orders")
         )
         .where(F.dayofmonth("d") == 1)
+        .select(F.to_date("d").alias("d"), "open_orders")
         .orderBy("d")
     )
