@@ -551,3 +551,79 @@ def user_behavior_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_user", "rk")
     )
+
+
+@query(
+    "dq_audit_events",
+    oracle="""
+    SELECT 'events' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+               AS dup_event_ids,
+           CAST(COUNT(*) FILTER (WHERE user_id IS NULL) AS BIGINT)
+               AS null_user_ids,
+           CAST(COUNT(*) FILTER (WHERE ts IS NULL) AS BIGINT) AS null_ts,
+           CAST(COUNT(*) FILTER (WHERE value < 0) AS BIGINT)
+               AS negative_values,
+           CAST(COUNT(*) FILTER (
+               WHERE event_type NOT IN
+                     ('view','click','purchase','signup','error')
+           ) AS BIGINT) AS unknown_types,
+           CAST(COUNT(*) FILTER (
+               WHERE ts < TIMESTAMP '2020-01-01'
+                  OR ts > TIMESTAMP '2030-01-01'
+           ) AS BIGINT) AS out_of_range_ts
+    FROM events
+    """,
+    tags=("events", "data-quality", "audit"),
+)
+def dq_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit as one query — the dbt-style assertion suite
+    (unique key, not-null, accepted-values, range) collapsed into a
+    single-pass profile row: duplicate ids, null keys/timestamps,
+    negative amounts, unknown enum values, out-of-range timestamps.
+    Zero violations is the content contract a pipeline asserts before
+    promoting a snapshot; the profile row makes violations COUNTABLE
+    (alert thresholds) rather than boolean.
+
+    Scale shape: ONE scan, all checks fused as conditional aggregates in
+    the same partial/final hash aggregate (the distinct-count is the
+    only two-phase piece); at 100 TB this is strictly cheaper than
+    running N separate assertion queries — the auditing pattern the
+    incremental-rollup family applies to corpus freshness."""
+    ev = Tables(spark, sf_dir).events
+    return ev.agg(
+        F.lit("events").alias("table_name"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        (F.count("*") - F.count_distinct("event_id"))
+        .cast("bigint")
+        .alias("dup_event_ids"),
+        F.count(F.when(F.col("user_id").isNull(), 1))
+        .cast("bigint")
+        .alias("null_user_ids"),
+        F.count(F.when(F.col("ts").isNull(), 1)).cast("bigint").alias(
+            "null_ts"
+        ),
+        F.count(F.when(F.col("value") < 0, 1)).cast("bigint").alias(
+            "negative_values"
+        ),
+        F.count(
+            F.when(
+                ~F.col("event_type").isin(
+                    "view", "click", "purchase", "signup", "error"
+                ),
+                1,
+            )
+        )
+        .cast("bigint")
+        .alias("unknown_types"),
+        F.count(
+            F.when(
+                (F.col("ts") < F.lit("2020-01-01").cast("timestamp"))
+                | (F.col("ts") > F.lit("2030-01-01").cast("timestamp")),
+                1,
+            )
+        )
+        .cast("bigint")
+        .alias("out_of_range_ts"),
+    )

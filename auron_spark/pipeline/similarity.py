@@ -2497,3 +2497,61 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rk")
     )
+
+
+def _ann_recall_oracle() -> str:
+    """Compose the brute-force and trained-IVF oracles verbatim (both are
+    bit-exact), so ANN recall itself becomes a driver-provable number."""
+    from auron_spark.registry import REGISTRY as _R
+
+    brute = _R["sim_knn_bruteforce"].oracle
+    ivf = _R["sim_knn_ivf_trained"].oracle
+    return f"""
+    WITH b AS ({brute}), v AS ({ivf})
+    SELECT b.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(COUNT(v.neighbor_id) AS BIGINT) AS n_hit,
+           ROUND(CAST(COUNT(v.neighbor_id) AS DOUBLE) / COUNT(*), 6)
+               AS recall
+    FROM b LEFT JOIN v ON v.query_id = b.query_id
+                      AND v.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    ORDER BY b.query_id
+    """
+
+
+@query(
+    "sim_ann_recall_report",
+    oracle=_ann_recall_oracle(),
+    tags=("pipeline", "similarity", "evaluation", "recall"),
+)
+def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation as a QUERY: per-query recall of the trained
+    IVF tier against the exact brute-force top-k, computed in one plan —
+    the serving-quality dashboard a vector platform watches (recall
+    drops = retrain signal), and driver-provable because BOTH tiers have
+    bit-exact oracles (the recall pytest checks a floor; this makes the
+    exact per-query numbers part of the hash contract).
+
+    Scale shape: both tiers share the capped broadcast query set; the
+    overlap join is on (query_id, neighbor_id) — top-k-sized per query,
+    tiny; the rollup is |queries| rows.  The oracle embeds both tier
+    oracles verbatim so the report can never drift from the tiers."""
+    from auron_spark.registry import REGISTRY as _R
+
+    brute = _R["sim_knn_bruteforce"].build(spark, sf_dir)
+    ivf = _R["sim_knn_ivf_trained"].build(spark, sf_dir)
+    b = brute.select("query_id", "neighbor_id")
+    v = ivf.select("query_id", "neighbor_id").withColumn("hit", F.lit(1))
+    return (
+        b.join(v, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_true"),
+            F.count("hit").cast("bigint").alias("n_hit"),
+            F.round(
+                F.count("hit").cast("double") / F.count("*"), 6
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

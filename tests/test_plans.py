@@ -1001,3 +1001,19 @@ def test_sweepline_window_at_date_grain(spark):
     plan = _plan(spark, "sweepline_open_orders")
     assert "partial_sum" in plan or "partial_count" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ann_recall_report_bounded_overlap_join(spark):
+    """sim_ann_recall_report: the tier-overlap join runs on top-k-sized
+    inputs (both sides end in WindowGroupLimit pruning) — no cartesian,
+    no corpus-scale join."""
+    plan = _plan(spark, "sim_ann_recall_report")
+    assert "CartesianProduct" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_dq_audit_single_scan(spark):
+    """dq_audit_events: every assertion fuses into ONE scan of events —
+    a second FileScan would mean the checks re-read the table."""
+    plan = _plan(spark, "dq_audit_events")
+    assert plan.count("FileScan parquet") == 1, plan
