@@ -593,3 +593,80 @@ def sweepline_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.to_date("d").alias("d"), "open_orders")
         .orderBy("d")
     )
+
+
+@query(
+    "pareto_revenue_share",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT o_custkey, revenue,
+               NTILE(10) OVER (ORDER BY revenue DESC, o_custkey) AS decile
+        FROM cust
+    ),
+    tot AS (SELECT SUM(revenue) AS total FROM cust)
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(revenue) AS DOUBLE) AS revenue,
+           ROUND(CAST(SUM(SUM(revenue)) OVER (ORDER BY decile
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / CAST(t.total AS DOUBLE), 6) AS cum_share
+    FROM ranked CROSS JOIN tot t
+    GROUP BY decile, t.total
+    ORDER BY decile
+    """,
+    tags=("agg", "pareto", "window", "analytics"),
+)
+def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) concentration analysis: customers ranked into
+    revenue deciles, with each decile's revenue and the cumulative share
+    — reads off directly how much of total revenue the top 10/20/30% of
+    customers carry (the concentration curve behind whale-account risk
+    and, in corpus terms, how skewed a source distribution is).
+
+    Exactness: revenue sums are DECIMAL (order-insensitive); the decile
+    cut is key-tiebroken NTILE; the cumulative share is a running sum
+    over the 10-row decile table divided by the decimal total.
+
+    Scale shape: orders collapse to customer grain first (partial/final
+    agg), the global NTILE runs at that grain (same documented trade as
+    customer_rfm_segments), and the cumulative window runs over TEN rows.
+    """
+    from pyspark.sql import Window
+
+    o = Tables(spark, sf_dir).orders
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue")
+    )
+    ranked = cust.select(
+        "revenue",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("revenue"), F.asc("o_custkey")))
+        .alias("decile"),
+    )
+    tot = cust.agg(F.sum("revenue").alias("total"))
+    per_decile = (
+        ranked.groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("revenue").alias("rev_dec"),
+        )
+        .join(F.broadcast(tot))
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_decile.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_customers",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.round(
+            F.sum("rev_dec").over(wc).cast("double")
+            / F.col("total").cast("double"),
+            6,
+        ).alias("cum_share"),
+    ).orderBy("decile")

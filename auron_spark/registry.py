@@ -122,7 +122,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "pipeline_multimodal_curation", "sim_hard_negatives",
     "user_behavior_similarity", "asof_join_nearest",
     "window_running_distinct", "sweepline_open_orders",
-    "sim_ann_recall_report", "dq_audit_events",
+    "sim_ann_recall_report", "dq_audit_events", "pareto_revenue_share",
     # (e) backfill exhausted: round-6 additions fill the whole window; any
     # names past position 50 queue in priority order for the next round.
 )

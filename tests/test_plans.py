@@ -1017,3 +1017,15 @@ def test_dq_audit_single_scan(spark):
     a second FileScan would mean the checks re-read the table."""
     plan = _plan(spark, "dq_audit_events")
     assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_pareto_windows_at_reduced_grain(spark):
+    """pareto_revenue_share: the fact table must collapse to customer
+    grain before the global ntile, and the cumulative window runs over
+    the 10-row decile table — partial aggregation must appear below the
+    first window."""
+    plan = _plan(spark, "pareto_revenue_share")
+    lines = plan.splitlines()
+    first_window = min(i for i, l in enumerate(lines) if "Window" in l)
+    assert any("HashAggregate" in l for l in lines[first_window:]), plan
+    assert "partial_sum" in plan, plan
