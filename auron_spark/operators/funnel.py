@@ -627,3 +627,80 @@ def dq_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("out_of_range_ts"),
     )
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN epoch(ts) END) AS fv,
+               MIN(CASE WHEN event_type = 'purchase' THEN epoch(ts) END) AS fp
+        FROM events GROUP BY user_id
+    ),
+    conv AS (
+        SELECT user_id, CAST(floor(fp - fv) AS BIGINT) AS latency_sec
+        FROM firsts WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv
+    ),
+    binned AS (
+        SELECT user_id, latency_sec,
+               NTILE(10) OVER (ORDER BY latency_sec, user_id) AS decile
+        FROM conv
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(latency_sec) AS BIGINT) AS lo_sec,
+           CAST(MAX(latency_sec) AS BIGINT) AS hi_sec
+    FROM binned
+    GROUP BY decile
+    ORDER BY decile
+    """,
+    tags=("events", "funnel", "latency", "distribution"),
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: time from each user's FIRST view
+    to their FIRST purchase, reported as latency deciles with per-decile
+    ranges — the 'how long does the funnel take' complement to
+    `funnel_view_click_purchase`'s 'how many convert'.  Median time-to-
+    convert and the slow tail read directly off the decile table.
+
+    Exactness: conditional-MIN firsts collapse each user to one row;
+    latencies floor to integer seconds; the decile cut is key-tiebroken
+    NTILE over the converter grain (the same documented global-ntile
+    trade as customer_rfm_segments — converters are orders of magnitude
+    fewer than events).
+
+    Scale shape: one partial/final aggregate to user grain, a
+    converter-grain ntile, and a 10-row rollup."""
+    from pyspark.sql import Window
+
+    ev = Tables(spark, sf_dir).events
+    es = F.col("ts").cast("double")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", es)).alias("fv"),
+        F.min(F.when(F.col("event_type") == "purchase", es)).alias("fp"),
+    )
+    conv = firsts.where(
+        F.col("fv").isNotNull()
+        & F.col("fp").isNotNull()
+        & (F.col("fp") >= F.col("fv"))
+    ).select(
+        "user_id",
+        F.floor(F.col("fp") - F.col("fv")).cast("bigint").alias("latency_sec"),
+    )
+    binned = conv.select(
+        "latency_sec",
+        F.ntile(10)
+        .over(Window.orderBy("latency_sec", "user_id"))
+        .alias("decile"),
+    )
+    return (
+        binned.groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.min("latency_sec").cast("bigint").alias("lo_sec"),
+            F.max("latency_sec").cast("bigint").alias("hi_sec"),
+        )
+        .select(F.col("decile").cast("int"), "n_users", "lo_sec", "hi_sec")
+        .orderBy("decile")
+    )

@@ -1029,3 +1029,14 @@ def test_pareto_windows_at_reduced_grain(spark):
     first_window = min(i for i, l in enumerate(lines) if "Window" in l)
     assert any("HashAggregate" in l for l in lines[first_window:]), plan
     assert "partial_sum" in plan, plan
+
+
+def test_time_to_convert_user_grain_first(spark):
+    """funnel_time_to_convert: events must collapse to user grain
+    (partial/final conditional-MIN aggregate) before the converter-grain
+    ntile — the global window never sees event-scale data."""
+    plan = _plan(spark, "funnel_time_to_convert")
+    lines = plan.splitlines()
+    first_window = min(i for i, l in enumerate(lines) if "Window" in l)
+    assert any("HashAggregate" in l for l in lines[first_window:]), plan
+    assert "partial_min" in plan, plan
