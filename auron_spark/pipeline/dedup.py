@@ -1360,3 +1360,127 @@ def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a", "b")
     )
+
+
+INCR_BATCH_FROM = 400  # doc_id >= this is the "new batch"; below is corpus
+
+
+@query(
+    "dedup_incremental_neardup",
+    oracle=_sql_signature_cte()
+    + f"""
+    , cand AS (
+        SELECT n.doc_id AS new_id, o.doc_id AS corpus_id
+        FROM bands n JOIN bands o
+          ON o.band = n.band
+         AND n.doc_id >= {INCR_BATCH_FROM} AND o.doc_id < {INCR_BATCH_FROM}
+        GROUP BY new_id, corpus_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    verified AS (
+        SELECT c.new_id, c.corpus_id,
+               CAST(COUNT(*) AS DOUBLE)
+               / (zn.n + zo.n - COUNT(*)) AS jaccard
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.new_id
+        JOIN sh sb ON sb.doc_id = c.corpus_id AND sb.shingle = sa.shingle
+        JOIN sizes zn ON zn.doc_id = c.new_id
+        JOIN sizes zo ON zo.doc_id = c.corpus_id
+        GROUP BY c.new_id, c.corpus_id, zn.n, zo.n
+    )
+    SELECT b.doc_id AS new_id,
+           CAST(COALESCE(v.n_cand, 0) AS BIGINT) AS n_candidates,
+           ROUND(COALESCE(v.best_j, 0.0), 6) AS best_jaccard,
+           COALESCE(v.best_j, 0.0) >= 0.5 AS is_near_dup
+    FROM (SELECT DISTINCT doc_id FROM sh
+          WHERE doc_id >= {INCR_BATCH_FROM}) b
+    LEFT JOIN (
+        SELECT new_id, COUNT(*) AS n_cand, MAX(jaccard) AS best_j
+        FROM verified GROUP BY new_id
+    ) v ON v.new_id = b.doc_id
+    ORDER BY new_id
+    """,
+    tags=("pipeline", "dedup", "minhash", "incremental"),
+)
+def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup admission control — the fuzzy sibling of
+    `dedup_incremental_anti_join` (which only blocks byte-identical
+    re-ingests): each new-batch document is LSH-probed against the
+    EXISTING corpus only (band join restricted to new x old — never
+    new x new or the old x old quadratic), candidates are verified with
+    exact shingle Jaccard, and the batch comes back flagged with its
+    best corpus match.  This is the steady-state shape of production
+    dedup: the corpus's band table is a persisted index that each
+    incoming batch probes.
+
+    Scale shape: band join with the new/old split as scan predicates on
+    each side — the corpus side is the persisted banded index (bucketed
+    by band, probe prunes), the batch side is delta-sized; verification
+    joins shingles for candidate pairs only; the rollup is batch-sized.
+    Integer set sizes make Jaccard exact in both engines."""
+    t = Tables(spark, sf_dir)
+    sh = _doc_shingles(t, dedup=True)
+    sig = minhash_signature(_doc_shingles(t, dedup=False))
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "#",
+                        F.lit(str(b)),
+                        F.col(f"mh{2 * b}").cast("string"),
+                        F.col(f"mh{2 * b + 1}").cast("string"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    )
+    new_b = bands.where(F.col("doc_id") >= INCR_BATCH_FROM).select(
+        F.col("doc_id").alias("new_id"), "band"
+    )
+    old_b = bands.where(F.col("doc_id") < INCR_BATCH_FROM).select(
+        F.col("doc_id").alias("corpus_id"), "band"
+    )
+    cand = new_b.join(old_b, "band").select("new_id", "corpus_id").distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("new_id"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("corpus_id"), "shingle")
+    verified = (
+        cand.join(sa, "new_id")
+        .join(sb, ["corpus_id", "shingle"])
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count("*").alias("n_common"))
+        .join(sizes.select(F.col("doc_id").alias("new_id"), F.col("n").alias("zn")), "new_id")
+        .join(sizes.select(F.col("doc_id").alias("corpus_id"), F.col("n").alias("zo")), "corpus_id")
+        .select(
+            "new_id",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("zn") + F.col("zo") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    best = verified.groupBy("new_id").agg(
+        F.count("*").alias("n_candidates"), F.max("jaccard").alias("best_j")
+    )
+    batch_ids = (
+        sh.where(F.col("doc_id") >= INCR_BATCH_FROM)
+        .select(F.col("doc_id").alias("new_id"))
+        .distinct()
+    )
+    return (
+        batch_ids.join(best, "new_id", "left")
+        .select(
+            "new_id",
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias(
+                "n_candidates"
+            ),
+            F.round(F.coalesce("best_j", F.lit(0.0)), 6).alias(
+                "best_jaccard"
+            ),
+            (F.coalesce("best_j", F.lit(0.0)) >= 0.5).alias("is_near_dup"),
+        )
+        .orderBy("new_id")
+    )

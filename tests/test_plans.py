@@ -1040,3 +1040,16 @@ def test_time_to_convert_user_grain_first(spark):
     first_window = min(i for i, l in enumerate(lines) if "Window" in l)
     assert any("HashAggregate" in l for l in lines[first_window:]), plan
     assert "partial_min" in plan, plan
+
+
+def test_incremental_neardup_split_reaches_scans(spark):
+    """dedup_incremental_neardup: the new/old split must reach the band
+    sides as scan predicates (the corpus side is a persisted probe index
+    at scale), and the pair join stays a band equi-join — no cartesian,
+    no new x new pairing."""
+    plan = _plan(spark, "dedup_incremental_neardup")
+    assert "CartesianProduct" not in plan, plan
+    from auron_spark.pipeline.dedup import INCR_BATCH_FROM
+
+    assert f"GreaterThanOrEqual(doc_id,{INCR_BATCH_FROM})" in plan, plan
+    assert f"LessThan(doc_id,{INCR_BATCH_FROM})" in plan, plan
