@@ -2555,3 +2555,92 @@ def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@query(
+    "sim_pq_distortion_report",
+    oracle="WITH "
+    + _PQ_CTES
+    + """
+    , bestd AS (
+        SELECT vec_id, own_label, sub, dist,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, label) AS rn
+        FROM scored
+    ),
+    per_vec AS (
+        SELECT vec_id, own_label,
+               CAST(SUM(CAST(ROUND(dist, 9) AS DECIMAL(28,9))) AS DOUBLE)
+                   AS sq_err
+        FROM bestd WHERE rn = 1
+        GROUP BY vec_id, own_label
+    )
+    SELECT CAST(own_label AS INT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(CAST(SUM(CAST(ROUND(sq_err, 9) AS DECIMAL(28,9)))
+                      AS DOUBLE) / COUNT(*), 6) AS mean_sq_err,
+           ROUND(MAX(sq_err), 6) AS max_sq_err
+    FROM per_vec
+    GROUP BY own_label
+    ORDER BY label
+    """,
+    tags=("pipeline", "similarity", "evaluation", "quantization"),
+)
+def sim_pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-distortion report — the third leg of the ANN
+    evaluation family (recall: sim_ann_recall_report; cluster quality:
+    sim_silhouette_simplified): per-label mean and max squared
+    reconstruction error of the PQ code assignment, i.e. how much
+    geometry the 8-byte codes destroy.  Rising distortion on fresh data
+    is the retrain-the-codebook signal, and per-label breakdown
+    localizes WHICH region of the space the codebook under-fits.
+
+    Scale shape: the same broadcast-codebook scoring as sim_pq_codes
+    (per-(vec, sub) distances map-side over the broadcast codeword
+    arrays, argmin via the bounded (vec, sub) window); per-vector and
+    per-label rollups sum 9-dp decimals so both engines agree
+    bit-for-bit despite unordered aggregation."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    carr = _pq_codebook(emb)
+    from pyspark.sql.window import Window
+
+    scored = _pq_subvectors(emb).join(F.broadcast(carr), "sub").select(
+        "vec_id",
+        "own_label",
+        "sub",
+        "label",
+        _sub_l2(F.col("v8"), F.col("cv")).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy("dist", "label")
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "own_label", "dist")
+    )
+    per_vec = best.groupBy("vec_id", "own_label").agg(
+        F.sum(F.round("dist", 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("sq_err")
+    )
+    return (
+        per_vec.groupBy("own_label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.round(
+                F.sum(F.round("sq_err", 9).cast("decimal(28,9)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("mean_sq_err"),
+            F.round(F.max("sq_err"), 6).alias("max_sq_err"),
+        )
+        .select(
+            F.col("own_label").cast("int").alias("label"),
+            "n_vectors",
+            "mean_sq_err",
+            "max_sq_err",
+        )
+        .orderBy("label")
+    )

@@ -1053,3 +1053,11 @@ def test_incremental_neardup_split_reaches_scans(spark):
 
     assert f"GreaterThanOrEqual(doc_id,{INCR_BATCH_FROM})" in plan, plan
     assert f"LessThan(doc_id,{INCR_BATCH_FROM})" in plan, plan
+
+
+def test_pq_distortion_broadcast_codebook(spark):
+    """sim_pq_distortion_report: codeword scoring rides the broadcast
+    codebook; the only window is the bounded per-(vec, sub) argmin."""
+    plan = _plan(spark, "sim_pq_distortion_report")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
