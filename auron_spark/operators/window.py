@@ -429,3 +429,59 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("event_id") % 50 == 0)
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "window_rolling_median",
+    oracle="""
+    WITH sm AS (
+        SELECT event_type, event_id,
+               list_sort(list(value) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS frame
+        FROM events
+    )
+    SELECT event_type, event_id,
+           ROUND(frame[CAST(floor((len(frame) - 1) / 2) AS BIGINT) + 1], 6)
+               AS rolling_median
+    FROM sm
+    WHERE event_id % 50 = 0
+    ORDER BY event_type, event_id
+    """,
+    tags=("window", "rolling-median", "robust-smoothing"),
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling MEDIAN smoothing — the robust (outlier-immune) moving
+    average for noisy metric streams: the lower median of a 7-row
+    centered frame per event type.  Neither engine has a median window
+    function; the exact formulation collects the frame, sorts it, and
+    picks rank floor((n-1)/2) — rank-based like every median in this
+    repo, so no interpolation and no cross-engine drift.  Edge rows get
+    shorter frames (standard centered-window semantics).  Output samples
+    every 50th event id, with the filter OUTSIDE the window block.
+
+    Scale shape: one window exchange on event_type; the collected frame
+    is BOUNDED (7 values) per row, so state is O(frame), not O(stream) —
+    the reason this pattern is safe where a running DISTINCT set is not.
+    A wider smoothing window changes the constant only."""
+    from pyspark.sql import Window
+
+    ev = Tables(spark, sf_dir).events
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 3)
+    )
+    frame = F.sort_array(F.collect_list("value").over(w))
+    med = F.element_at(
+        frame, (F.floor((F.size(frame) - 1) / 2) + 1).cast("int")
+    )
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            F.round(med, 6).alias("rolling_median"),
+        )
+        .where(F.col("event_id") % 50 == 0)
+        .orderBy("event_type", "event_id")
+    )

@@ -124,7 +124,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "window_running_distinct", "sweepline_open_orders",
     "sim_ann_recall_report", "dq_audit_events", "pareto_revenue_share",
     "funnel_time_to_convert", "dedup_incremental_neardup",
-    "sim_pq_distortion_report",
+    "sim_pq_distortion_report", "window_rolling_median",
     # (e) backfill exhausted: round-6 additions fill the whole window; any
     # names past position 50 queue in priority order for the next round.
 )

@@ -1061,3 +1061,15 @@ def test_pq_distortion_broadcast_codebook(spark):
     plan = _plan(spark, "sim_pq_distortion_report")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_rolling_median_bounded_frame(spark):
+    """window_rolling_median: one window exchange on event_type; the
+    collected frame is bounded ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+    (state O(frame), not O(stream))."""
+    plan = _plan(spark, "window_rolling_median")
+    n_hash_exchanges = sum(
+        1 for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    )
+    assert n_hash_exchanges == 1, plan
+    assert "collect_list" in plan and "3" in plan, plan
