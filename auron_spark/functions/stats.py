@@ -585,3 +585,74 @@ def agg_kll_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag, l_extendedprice AS price,
+               CAST(l_quantity AS DECIMAL(18,2)) AS wt,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    cum AS (
+        SELECT l_returnflag, price, wt,
+               SUM(wt) OVER (PARTITION BY l_returnflag
+                             ORDER BY price, l_orderkey, l_linenumber
+                             ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(wt) OVER (PARTITION BY l_returnflag) AS tw
+        FROM w
+    )
+    SELECT l_returnflag,
+           ROUND(MIN(price), 6) AS weighted_median_price,
+           CAST(MIN(tw) AS DOUBLE) AS total_weight
+    FROM cum
+    WHERE cw * 2 >= tw
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "weighted-median", "robust-stats"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median — the quantity-weighted midpoint price per return
+    flag: the first value (in deterministic (price, PK) order) whose
+    cumulative weight reaches half the total.  Weighted quantiles are
+    what inventory/pricing analytics actually need (a 100-unit line
+    should move the median 100x more than a 1-unit line), and no engine
+    ships them as a builtin.
+
+    Exactness: weights go through DECIMAL so both cumulative and total
+    sums are order-insensitive; the picked value is an actual data value
+    (rank-based, no interpolation); the crossing test (2*cw >= tw) is
+    exact decimal arithmetic.
+
+    Scale shape: one window exchange per flag computes the cumulative
+    and total weights together; the crossing filter + MIN rollup ride
+    the same partitioning.  Same single-exchange posture as
+    feature_quantile_binning."""
+    li = Tables(spark, sf_dir).lineitem
+    from pyspark.sql import Window
+
+    wt = F.col("l_quantity").cast("decimal(18,2)")
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.sum(wt).over(wc).alias("cw"),
+        F.sum(wt).over(wp).alias("tw"),
+    )
+    return (
+        cum.where(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("price"), 6).alias("weighted_median_price"),
+            F.min("tw").cast("double").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )

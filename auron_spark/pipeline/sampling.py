@@ -568,3 +568,50 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         selected = selected.unionAll(nxt.select("vec_id", "e"))
     return out.orderBy("step")
+
+
+@query(
+    "sample_class_balance",
+    oracle=f"""
+    WITH kept AS (
+        SELECT event_id, event_type, user_id
+        FROM events
+        WHERE event_type = 'purchase'
+           OR (event_type IN ('view', 'click')
+               AND {_sql_bucket("event_id")} < 10)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM kept
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("pipeline", "sampling", "class-balance"),
+)
+def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-imbalance correction for training-data extraction (the CTR
+    recipe): keep EVERY positive (purchase) and a deterministic 10%
+    hash-sample of the dominant negatives (view/click), summarized per
+    class.  The negative downsampling rate becomes the class weight at
+    training time; keying the hash on event_id keeps the sample
+    append-stable like every sampler in this module.
+
+    Scale shape: a single scan with the keep decision as a map-side
+    disjunctive predicate (pushed to the scan for the event_type leg),
+    then the class rollup.  At 100 TB the kept rows stream straight to a
+    partitioned write; no shuffle precedes the decision."""
+    ev = Tables(spark, sf_dir).events
+    keep = (F.col("event_type") == "purchase") | (
+        F.col("event_type").isin("view", "click")
+        & (hash_bucket(F.col("event_id")) < 10)
+    )
+    return (
+        ev.where(keep)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )

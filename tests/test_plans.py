@@ -1073,3 +1073,22 @@ def test_rolling_median_bounded_frame(spark):
     )
     assert n_hash_exchanges == 1, plan
     assert "collect_list" in plan and "3" in plan, plan
+
+
+def test_weighted_median_single_flag_exchange(spark):
+    """agg_weighted_median: cumulative and total weights ride ONE window
+    exchange per flag; the crossing filter + rollup reuse it."""
+    plan = _plan(spark, "agg_weighted_median")
+    n_hash_exchanges = sum(
+        1 for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    )
+    assert n_hash_exchanges == 1, plan
+
+
+def test_class_balance_map_side_decision(spark):
+    """sample_class_balance: the keep decision is a map-side predicate on
+    one scan — no join, no window, no second pass."""
+    plan = _plan(spark, "sample_class_balance")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
