@@ -670,3 +670,64 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_share"),
     ).orderBy("decile")
+
+
+@query(
+    "timeseries_trend_decompose",
+    oracle="""
+    WITH monthly AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders GROUP BY month
+    ),
+    sm AS (
+        SELECT month, revenue,
+               CAST(SUM(revenue) OVER (ORDER BY month
+                        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE)
+               / COUNT(*) OVER (ORDER BY month
+                        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS trend
+        FROM monthly
+    )
+    SELECT month,
+           CAST(revenue AS DOUBLE) AS revenue,
+           ROUND(trend, 6) AS trend,
+           ROUND(CAST(revenue AS DOUBLE) - trend, 6) AS residual
+    FROM sm
+    ORDER BY month
+    """,
+    tags=("window", "timeseries", "trend", "decompose"),
+)
+def timeseries_trend_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series trend decomposition: monthly revenue split into a
+    centered moving-average TREND (3-month window) and the RESIDUAL —
+    the additive-decomposition first step behind seasonality detection
+    and anomaly flagging on business metrics (a residual spike is the
+    alert; the trend is what forecasts extrapolate).
+
+    Exactness: monthly revenue sums are DECIMAL; the trend divides an
+    exact decimal frame sum by the frame count (edge months get 2-row
+    frames — standard centered-MA semantics); subtraction in doubles on
+    identical operands.
+
+    Scale shape: the fact table collapses to MONTH grain first
+    (partial/final agg) — the window runs over a calendar-bounded table
+    exactly like sweepline_open_orders, so the global ordering is free
+    at any corpus size."""
+    from pyspark.sql import Window
+
+    o = Tables(spark, sf_dir).orders
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue")
+    )
+    w = Window.orderBy("month").rowsBetween(-1, 1)
+    trend = F.sum("revenue").over(w).cast("double") / F.count("*").over(w)
+    return monthly.select(
+        "month",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.round(trend, 6).alias("trend"),
+        F.round(F.col("revenue").cast("double") - trend, 6).alias(
+            "residual"
+        ),
+    ).orderBy("month")

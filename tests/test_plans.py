@@ -1092,3 +1092,14 @@ def test_class_balance_map_side_decision(spark):
     assert plan.count("FileScan parquet") == 1, plan
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_trend_decompose_month_grain_window(spark):
+    """timeseries_trend_decompose: the fact table collapses to month
+    grain before the calendar-bounded global window (partial aggregation
+    below the window node)."""
+    plan = _plan(spark, "timeseries_trend_decompose")
+    lines = plan.splitlines()
+    first_window = min(i for i, l in enumerate(lines) if "Window" in l)
+    assert any("HashAggregate" in l for l in lines[first_window:]), plan
+    assert "partial_sum" in plan, plan
