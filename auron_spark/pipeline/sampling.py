@@ -615,3 +615,47 @@ def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "split_kfold_assignment",
+    oracle=f"""
+    SELECT fold, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+        SELECT CAST({_sql_bucket("doc_id", 5)} AS INT) AS fold,
+               source, n_chars
+        FROM documents
+    )
+    GROUP BY fold, source
+    ORDER BY fold, source
+    """,
+    tags=("pipeline", "sampling", "split", "kfold"),
+)
+def split_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation assignment (k=5) by salted hash bucket,
+    summarized per (fold, source) — the CV counterpart of
+    split_train_val_test, with the same contracts: a pure function of
+    doc_id, so folds are reproducible across runs/engines and stable
+    under appends (new documents never reshuffle existing folds — the
+    property that lets fold models be cached and only incrementally
+    refreshed).  Per-source sizes expose fold balance at a glance.
+
+    Scale shape: map-side assignment, one rollup; a real run writes the
+    assignment column (or trains k models each reading 'fold <> i' —
+    a map-side predicate on the same hash)."""
+    docs = Tables(spark, sf_dir).documents
+    return (
+        docs.select(
+            hash_bucket(F.col("doc_id"), 5).cast("int").alias("fold"),
+            "source",
+            "n_chars",
+        )
+        .groupBy("fold", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("fold", "source")
+    )

@@ -1103,3 +1103,12 @@ def test_trend_decompose_month_grain_window(spark):
     first_window = min(i for i, l in enumerate(lines) if "Window" in l)
     assert any("HashAggregate" in l for l in lines[first_window:]), plan
     assert "partial_sum" in plan, plan
+
+
+def test_kfold_map_side_assignment(spark):
+    """split_kfold_assignment: fold assignment is map-side (no join, no
+    window); only the summary rollup shuffles."""
+    plan = _plan(spark, "split_kfold_assignment")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("FileScan parquet") == 1, plan
