@@ -731,3 +731,65 @@ def timeseries_trend_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             "residual"
         ),
     ).orderBy("month")
+
+
+@query(
+    "dq_audit_lineitem",
+    oracle="""
+    SELECT 'lineitem' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE l_orderkey IS NULL
+                                    OR l_partkey IS NULL
+                                    OR l_suppkey IS NULL) AS BIGINT)
+               AS null_keys,
+           CAST(COUNT(*) FILTER (WHERE l_quantity <= 0) AS BIGINT)
+               AS nonpositive_qty,
+           CAST(COUNT(*) FILTER (WHERE l_extendedprice < 0) AS BIGINT)
+               AS negative_price,
+           CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)
+                AS BIGINT) AS discount_out_of_range,
+           CAST(COUNT(*) FILTER (WHERE l_returnflag NOT IN ('A','N','R'))
+                AS BIGINT) AS unknown_returnflag,
+           CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+                AS BIGINT) AS dup_line_keys
+    FROM lineitem
+    """,
+    tags=("agg", "data-quality", "audit"),
+)
+def dq_audit_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-table data-quality profile — the lineitem sibling of
+    `dq_audit_events`, with the composite-key uniqueness check
+    ((l_orderkey, l_linenumber) is the TPC-H line identity): null FKs,
+    non-positive quantities, negative prices, out-of-range discounts,
+    unknown enum values, duplicate line keys — all fused as conditional
+    aggregates into ONE scan (the composite distinct is the only
+    two-phase piece)."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.agg(
+        F.lit("lineitem").alias("table_name"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count(
+            F.when(
+                F.col("l_orderkey").isNull()
+                | F.col("l_partkey").isNull()
+                | F.col("l_suppkey").isNull(),
+                1,
+            )
+        ).cast("bigint").alias("null_keys"),
+        F.count(F.when(F.col("l_quantity") <= 0, 1))
+        .cast("bigint")
+        .alias("nonpositive_qty"),
+        F.count(F.when(F.col("l_extendedprice") < 0, 1))
+        .cast("bigint")
+        .alias("negative_price"),
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+        ).cast("bigint").alias("discount_out_of_range"),
+        F.count(F.when(~F.col("l_returnflag").isin("A", "N", "R"), 1))
+        .cast("bigint")
+        .alias("unknown_returnflag"),
+        (
+            F.count("*")
+            - F.count_distinct(F.struct("l_orderkey", "l_linenumber"))
+        ).cast("bigint").alias("dup_line_keys"),
+    )

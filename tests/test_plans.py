@@ -1112,3 +1112,9 @@ def test_kfold_map_side_assignment(spark):
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
     assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_dq_audit_lineitem_single_scan(spark):
+    """dq_audit_lineitem: all assertions fuse into one FileScan."""
+    plan = _plan(spark, "dq_audit_lineitem")
+    assert plan.count("FileScan parquet") == 1, plan
