@@ -1484,3 +1484,59 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("new_id")
     )
+
+
+@query(
+    "dedup_degree_distribution",
+    oracle=_sql_signature_cte()
+    + """
+    , cand AS (
+        SELECT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r ON l.band = r.band AND l.doc_id < r.doc_id
+        GROUP BY a, b
+    ),
+    deg AS (
+        SELECT doc_id, COUNT(*) AS degree
+        FROM (SELECT a AS doc_id FROM cand
+              UNION ALL SELECT b AS doc_id FROM cand)
+        GROUP BY doc_id
+    )
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS example_doc
+    FROM deg
+    GROUP BY degree
+    ORDER BY degree
+    """,
+    tags=("pipeline", "dedup", "graph", "degree"),
+)
+def dedup_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the LSH candidate graph — the dedup-health
+    diagnostic read BEFORE running connected components: a heavy-tailed
+    degree histogram (hub documents colliding with everything) predicts
+    the mega-cluster failure mode `dedup_component_stats` detects
+    after the fact, and the example_doc column points straight at the
+    boilerplate/template documents causing it.
+
+    Scale shape: candidates from the banded equi-join (linear), degrees
+    by one pairs-sized aggregation, histogram by a degree-sized one —
+    output is O(distinct degrees)."""
+    t = Tables(spark, sf_dir)
+    pairs = lsh_candidate_pairs(
+        minhash_signature(_doc_shingles(t, dedup=False))
+    )
+    deg = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("example_doc"),
+        )
+        .select(F.col("degree").cast("bigint"), "n_docs", "example_doc")
+        .orderBy("degree")
+    )

@@ -127,7 +127,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "sim_pq_distortion_report", "window_rolling_median",
     "agg_weighted_median", "sample_class_balance",
     "timeseries_trend_decompose", "split_kfold_assignment",
-    "dq_audit_lineitem",
+    "dq_audit_lineitem", "dedup_degree_distribution",
     # (e) backfill exhausted: round-6 additions fill the whole window; any
     # names past position 50 queue in priority order for the next round.
 )

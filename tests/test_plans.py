@@ -1118,3 +1118,11 @@ def test_dq_audit_lineitem_single_scan(spark):
     """dq_audit_lineitem: all assertions fuse into one FileScan."""
     plan = _plan(spark, "dq_audit_lineitem")
     assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_degree_distribution_banded_candidates(spark):
+    """dedup_degree_distribution: candidates must come from the banded
+    equi-join — no cartesian; output aggregations are pairs- then
+    degree-sized."""
+    plan = _plan(spark, "dedup_degree_distribution")
+    assert "CartesianProduct" not in plan, plan
