@@ -79,48 +79,26 @@ _LOADED = False
 # queries (dedup_simhash, sim_knn_lsh — their exact twins ARE in-window), the
 # four mm_* stub-plumbing queries, two stream twins, and three text queries
 # whose family already has in-window representatives.
-# ROUND-6 WINDOW (per VERDICT r5 ask #1).  Priority order: (a) the 8 round-5
-# operators — bit-exact oracles, zero driver rows; (b) the three names parked
-# at positions 51-53 of the round-5 window (their only proof is r1/r2,
-# predating the mid-r4 fixture regen); (c) the remaining never-driver-checked
-# names (round-3 additions whose window slots were spent on higher-priority
-# rotations); (d) round-6 additions as they land; (e) backfill with the
-# OLDEST proofs — the r1 set, which also predates the fixture regen.
+# ROUND-7 WINDOW (per VERDICT r6 ask #1).  Priority order: (a) the 31
+# oracle-bearing names that were queued at positions 51-81 of the round-6
+# window (late-r6 additions that never got a driver slot), in their queued
+# order; (b) the three names parked since mid-r6 (`mm_binary_dedup`,
+# `cohort_retention`, `sim_matryoshka_topk`); (c) round-7 additions as they
+# land, displacing (d) backfill; (d) backfill with the OLDEST proofs — the
+# r1 set in registry order (their rows predate the mid-r4 fixture regen;
+# fn_json/fn_json_nested were re-proven in r6 so they are skipped here).
 # Rows-only queries (oracle=None) are permanently excluded from window slots:
 # the driver can only ever return `no_oracle` for them (r5 burned 2 slots
 # this way), so they sort dead-last in `_ordered` by construction.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # (a) round-5 operators — promote to driver proof
-    "sim_kmeans_lloyd", "sim_knn_ivf_trained", "sim_pca_power_iteration",
-    "sample_weighted_topk", "text_quality_percentile_filter",
-    "text_zscore_per_source", "cdc_snapshot_diff",
-    "dedup_canonical_selection",
-    # (b) parked at 51-53 in round 5; proofs predate the fixture regen
-    "fn_json", "fn_json_nested", "window_lead_lag",
-    # (c) never driver-checked remainder
-    "agg_histogram_width_bucket", "agg_first_ordered",
-    "gen_python_udtf_analyze", "mm_binary_metadata", "mm_decode_features",
-    "mm_frame_sample", "mm_resize_plan", "mm_ppm_decode_real",
-    "text_stats", "text_token_regex", "text_rolling_hash",
-    # (d) round-6 additions (inserted as they land, displacing (e) backfill)
-    "sim_ivfpq_trained", "sim_pca_top_m", "stream_cdc_upsert",
-    "agg_theta_sketch_bounds", "agg_kll_quantile_bounds",
-    "cdc_apply_changelog", "scd2_history", "pit_lookup_join",
-    "dedup_component_stats", "sessionize_gap", "sim_outlier_filter",
-    "text_bigram_fluency", "text_substring_dedup", "skew_key_stats",
-    "split_group_integrity", "dedup_lsh_quality", "agg_incremental_rollup",
-    "feature_quantile_binning", "text_bpe_train", "text_bpe_encode",
-    "sample_temperature_mixture", "text_word_entropy",
-    "join_interval_overlap", "agg_hll_bounds", "sim_semantic_dedup",
-    "retrieval_rrf_fusion", "split_leakage_audit",
-    "attribution_linear_touch", "mm_image_ahash_dedup",
-    "dedup_minhash_containment", "market_basket_pairs", "anomaly_mad_events",
-    "window_gaps_islands", "text_bigram_perplexity",
-    "events_markov_transitions", "customer_rfm_segments",
-    "sample_kcenter_coreset", "mm_wav_activity_segments",
-    "mm_video_shot_detection", "sim_silhouette_simplified",
-    "pipeline_multimodal_curation", "sim_hard_negatives",
-    "user_behavior_similarity", "asof_join_nearest",
+    # (a) queued never-proven remainder of the round-6 window
+    "mm_image_ahash_dedup", "dedup_minhash_containment",
+    "market_basket_pairs", "anomaly_mad_events", "window_gaps_islands",
+    "text_bigram_perplexity", "events_markov_transitions",
+    "customer_rfm_segments", "sample_kcenter_coreset",
+    "mm_wav_activity_segments", "mm_video_shot_detection",
+    "sim_silhouette_simplified", "pipeline_multimodal_curation",
+    "sim_hard_negatives", "user_behavior_similarity", "asof_join_nearest",
     "window_running_distinct", "sweepline_open_orders",
     "sim_ann_recall_report", "dq_audit_events", "pareto_revenue_share",
     "funnel_time_to_convert", "dedup_incremental_neardup",
@@ -128,9 +106,39 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "agg_weighted_median", "sample_class_balance",
     "timeseries_trend_decompose", "split_kfold_assignment",
     "dq_audit_lineitem", "dedup_degree_distribution",
-    # (e) backfill exhausted: round-6 additions fill the whole window; any
-    # names past position 50 queue in priority order for the next round.
+    # (b) parked since mid-r6
+    "mm_binary_dedup", "cohort_retention", "sim_matryoshka_topk",
+    # (c) round-7 additions (inserted as they land, displacing (d) backfill)
+    # (d) backfill: oldest (r1) proofs in registry order
+    "fn_decimal_arith", "fn_decimal_agg_overflow_guard", "fn_string_basic",
+    "fn_string_pad_case", "fn_regexp_like", "fn_datetime", "fn_hash_crypto",
+    "fn_conditional", "fn_array_ops", "fn_struct_map", "fn_higher_order",
+    "fn_map_builders", "fn_bitwise", "fn_null_handling", "fn_interval",
+    "fn_to_json_roundtrip",
 )
+
+# Green driver rows from CORRECTNESS_r06.json — the whole round-6 window
+# hash-matched 50/50 (the first perfect driver window), so all of it joins
+# the proven tail.
+_R6_PROVEN: frozenset[str] = frozenset({
+    "sim_kmeans_lloyd", "sim_knn_ivf_trained", "sim_pca_power_iteration",
+    "sample_weighted_topk", "text_quality_percentile_filter",
+    "text_zscore_per_source", "cdc_snapshot_diff",
+    "dedup_canonical_selection", "fn_json", "fn_json_nested",
+    "window_lead_lag", "agg_histogram_width_bucket", "agg_first_ordered",
+    "gen_python_udtf_analyze", "mm_binary_metadata", "mm_decode_features",
+    "mm_frame_sample", "mm_resize_plan", "mm_ppm_decode_real", "text_stats",
+    "text_token_regex", "text_rolling_hash", "sim_ivfpq_trained",
+    "sim_pca_top_m", "stream_cdc_upsert", "agg_theta_sketch_bounds",
+    "agg_kll_quantile_bounds", "cdc_apply_changelog", "scd2_history",
+    "pit_lookup_join", "dedup_component_stats", "sessionize_gap",
+    "sim_outlier_filter", "text_bigram_fluency", "text_substring_dedup",
+    "skew_key_stats", "split_group_integrity", "dedup_lsh_quality",
+    "agg_incremental_rollup", "feature_quantile_binning", "text_bpe_train",
+    "text_bpe_encode", "sample_temperature_mixture", "text_word_entropy",
+    "join_interval_overlap", "agg_hll_bounds", "sim_semantic_dedup",
+    "retrieval_rrf_fusion", "split_leakage_audit", "attribution_linear_touch",
+})
 
 # Green driver rows from CORRECTNESS_r05.json — 48 of the 50-slot round-5
 # window hash-matched (the other 2 were rows-only sketch queries that can
@@ -218,7 +226,9 @@ _R1_PROVEN: frozenset[str] = frozenset({
 })
 
 
-_PROVEN: frozenset[str] = _R1_PROVEN | _R2_PROVEN | _R4_PROVEN | _R5_PROVEN
+_PROVEN: frozenset[str] = (
+    _R1_PROVEN | _R2_PROVEN | _R4_PROVEN | _R5_PROVEN | _R6_PROVEN
+)
 
 
 def _ordered(reg: dict[str, QuerySpec]) -> dict[str, QuerySpec]:

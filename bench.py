@@ -1,26 +1,37 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line with per-query wall times.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Queries are forced end-to-end with a `noop`-format write (full computation,
-no driver-side collect — the honest way to time a distributed plan).
+Output protocol (VERDICT r6 asks #2/#3 — the r6 single-line payload outgrew
+the driver's tail-capture window and parsed as null):
+- several leading JSON lines carry the bulky sections (`{"section": "cold",
+  ...}`, `{"section": "sf2", ...}`, `{"section": "groups", ...}`);
+- the LAST printed line is the compact headline
+  `{"metric", "value", "unit", "queries", "sf"}` — always complete inside a
+  tail-capture window, so the driver can parse it.
+
+Isolation (VERDICT r6 ask #3): queries run in three session GROUPS, each in
+its own subprocess (fresh JVM), ordered light→heavy:
+  1. `relational` — TPC-H shapes, windows, skew joins, stats;
+  2. `pipeline`   — text/dedup/retrieval/multimodal map-side pipelines;
+  3. `trainers`   — iterative heavyweights (Lloyd, IVF-PQ, SemDeDup, CC).
+Round 6 ran all 24 queries alphabetically in ONE JVM, so the TPC-H shapes
+inherited JIT/GC pollution from the trainers and read 2.5-3.7× worse than r5
+while plan goldens were unchanged.  Per-group subtotals make round-over-round
+comparison apples-to-apples.
 
 Methodology: each query runs twice and BOTH times are reported — `cold`
-(first execution: pays file listing + whole-stage-codegen compilation + JIT)
-and `warm` (steady state).  The headline `value` / `queries` numbers are the
-warm times: at 100 TB the one-shot compile costs amortize to zero, so warm is
-the number that scales (measured 3.3 s cold vs 0.98 s warm for the minhash
-query at sf0.1).  Keeping cold alongside warm makes round-over-round deltas
-separate plan improvements from JIT amortization.  (History: BENCH_r01 was
-cold-only; BENCH_r02 was warm-only — produced after the warm-up change landed
-mid-round-2; BENCH_r03+ carry both.)
+(first execution: file listing + whole-stage-codegen + JIT) and `warm`
+(steady state).  The headline `value` / `queries` numbers are the warm times:
+at 100 TB the one-shot compile costs amortize to zero, so warm is the number
+that scales.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -29,29 +40,45 @@ _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-from auron_spark.registry import bench_queries, load_all  # noqa: E402
-from auron_spark.session import get_spark  # noqa: E402
+# Iterative trainers: multi-round jobs whose localCheckpoint/JIT footprint
+# pollutes anything sharing their JVM.  Run last, in their own session.
+_TRAINERS = {
+    "sim_kmeans_lloyd",
+    "sim_knn_ivf_trained",
+    "sim_ivfpq_trained",
+    "sim_semantic_dedup",
+    "dedup_canonical_selection",
+}
+# Light relational shapes: the round-over-round comparable set.
+_RELATIONAL_PREFIXES = ("q", "window_", "skew_", "agg_", "join_", "sort_")
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+def _group_of(name: str) -> str:
+    if name in _TRAINERS:
+        return "trainers"
+    if name.startswith(_RELATIONAL_PREFIXES):
+        return "relational"
+    return "pipeline"
+
+
+def _run_group(group: str, sf_dir: str, second: str) -> dict:
+    """Child mode: run one group's queries in this process's own JVM."""
+    from auron_spark.registry import bench_queries, load_all
+    from auron_spark.session import get_spark
+
     load_all()
-    specs = bench_queries()
-    spark = get_spark("auron-spark-bench")
+    specs = {
+        n: s for n, s in bench_queries().items() if _group_of(n) == group
+    }
+    spark = get_spark(f"auron-spark-bench-{group}")
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(spec, where=None) -> float:
+    def run(spec, where: str) -> float:
         t0 = time.perf_counter()
-        spec.build(spark, where or sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        spec.build(spark, where).write.format("noop").mode("overwrite").save()
         elapsed = round(time.perf_counter() - t0, 3)
-        # Outside the timed window: release the query's driver-side refs so
-        # ContextCleaner can drop its localCheckpoint RDDs NOW instead of
-        # mid-way through a later query's measurement (the iterative
-        # trainers checkpoint per round; before this, their leftovers made
-        # a later query's warm run measure slower than its cold run).
+        # Outside the timed window: release driver-side refs so the
+        # ContextCleaner drops localCheckpoint RDDs now, not mid-measurement.
         import gc
 
         gc.collect()
@@ -60,41 +87,66 @@ def main() -> None:
 
     warm: dict[str, float] = {}
     cold: dict[str, float] = {}
+    warm2: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
-        cold[name] = run(spec)
-        warm[name] = run(spec)
+        cold[name] = run(spec, sf_dir)
+        warm[name] = run(spec, sf_dir)
+    if second and os.path.isdir(second) and second != sf_dir:
+        for name, spec in sorted(specs.items()):
+            warm2[name] = run(spec, second)
+    spark.stop()
+    return {"warm": warm, "cold": cold, "sf2": warm2}
 
-    total = round(sum(warm.values()), 3)
-    payload = {
-        "metric": "headline_queries_total_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": warm,
-        "queries_cold": cold,
-        "total_cold": round(sum(cold.values()), 3),
-        "sf": sf,
-    }
 
-    # Second-scale pass (VERDICT r4 ask #6): re-time the same headline set at
-    # a second SF so scale-sensitivity is tracked round-over-round alongside
-    # SCALE.md's multi-SF robustness claims.  Warm-only (plans/JIT already
-    # compiled), folded into the SAME single JSON line.  Opt out with
-    # SPARK_GRAFT_BENCH_SECOND_SF=""; defaults to sf0.01 when present.
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     second = os.environ.get(
         "SPARK_GRAFT_BENCH_SECOND_SF", "/root/testdata/sf0.01"
     )
-    if second and os.path.isdir(second) and second != sf_dir:
-        warm2 = {}
-        for name, spec in sorted(specs.items()):
-            warm2[name] = run(spec, where=second)
-        payload["sf2"] = (
-            float(second.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in second else -1.0
-        )
-        payload["queries_sf2"] = warm2
-        payload["total_sf2"] = round(sum(warm2.values()), 3)
 
-    print(json.dumps(payload))
-    spark.stop()
+    if len(sys.argv) > 1 and sys.argv[1] == "--group":
+        # Child: print this group's result as the last line and exit.
+        print(json.dumps(_run_group(sys.argv[2], sf_dir, second)))
+        return
+
+    warm: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    warm2: dict[str, float] = {}
+    subtotals: dict[str, float] = {}
+    for group in ("relational", "pipeline", "trainers"):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--group", group],
+            capture_output=True,
+            text=True,
+            cwd=_REPO,
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise SystemExit(f"bench group {group} failed rc={proc.returncode}")
+        last = proc.stdout.strip().splitlines()[-1]
+        res = json.loads(last)
+        warm.update(res["warm"])
+        cold.update(res["cold"])
+        warm2.update(res["sf2"])
+        subtotals[group] = round(sum(res["warm"].values()), 3)
+
+    sf2 = float(second.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in second else -1.0
+    # Bulky sections lead; the compact headline is the LAST line so a
+    # tail-capture of stdout always contains one complete parseable JSON.
+    print(json.dumps({"section": "cold", "queries_cold": cold,
+                      "total_cold": round(sum(cold.values()), 3)}))
+    if warm2:
+        print(json.dumps({"section": "sf2", "sf2": sf2, "queries_sf2": warm2,
+                          "total_sf2": round(sum(warm2.values()), 3)}))
+    print(json.dumps({"section": "groups", "warm_subtotals": subtotals}))
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(warm.values()), 3),
+        "unit": "sec",
+        "queries": warm,
+        "sf": sf,
+    }))
 
 
 if __name__ == "__main__":
