@@ -704,3 +704,73 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("decile").cast("int"), "n_users", "lo_sec", "hi_sec")
         .orderBy("decile")
     )
+
+
+@query(
+    "funnel_time_to_convert_scale",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN epoch(ts) END) AS fv,
+               MIN(CASE WHEN event_type = 'purchase' THEN epoch(ts) END) AS fp
+        FROM events GROUP BY user_id
+    ),
+    conv AS (
+        SELECT user_id, CAST(floor(fp - fv) AS BIGINT) AS latency_sec
+        FROM firsts WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv
+    ),
+    binned AS (
+        SELECT user_id, latency_sec,
+               NTILE(10) OVER (ORDER BY latency_sec, user_id) AS decile
+        FROM conv
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(latency_sec) AS BIGINT) AS lo_sec,
+           CAST(MAX(latency_sec) AS BIGINT) AS hi_sec
+    FROM binned
+    GROUP BY decile
+    ORDER BY decile
+    """,
+    tags=("events", "funnel", "latency", "distribution", "scale-safe"),
+)
+def funnel_time_to_convert_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """funnel_time_to_convert with NO single-partition window (VERDICT r6
+    ask #5): the converter-grain latency decile cut goes through
+    `distributed_ntile` (range repartition + parallel ranks + broadcast
+    offsets) instead of a global `Window.orderBy`.  Bit-identical to the
+    exact twin — (latency_sec, user_id) is a total order.
+
+    Scale shape: events collapse to user grain via partial/final
+    conditional-MIN aggregation, then the distributed rank shuffles the
+    CONVERTER-grain table twice (range + hash), both 32-way parallel; at
+    billions of users no task ever holds the full converter set."""
+    from auron_spark.operators.window import distributed_ntile
+
+    ev = Tables(spark, sf_dir).events
+    es = F.col("ts").cast("double")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", es)).alias("fv"),
+        F.min(F.when(F.col("event_type") == "purchase", es)).alias("fp"),
+    )
+    conv = firsts.where(
+        F.col("fv").isNotNull()
+        & F.col("fp").isNotNull()
+        & (F.col("fp") >= F.col("fv"))
+    ).select(
+        "user_id",
+        F.floor(F.col("fp") - F.col("fv")).cast("bigint").alias("latency_sec"),
+    )
+    binned = distributed_ntile(
+        conv, 10, ["latency_sec", "user_id"], "decile"
+    )
+    return (
+        binned.groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.min("latency_sec").cast("bigint").alias("lo_sec"),
+            F.max("latency_sec").cast("bigint").alias("hi_sec"),
+        )
+        .select(F.col("decile").cast("int"), "n_users", "lo_sec", "hi_sec")
+        .orderBy("decile")
+    )

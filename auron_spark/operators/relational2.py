@@ -793,3 +793,148 @@ def dq_audit_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.count_distinct(F.struct("l_orderkey", "l_linenumber"))
         ).cast("bigint").alias("dup_line_keys"),
     )
+
+
+@query(
+    "customer_rfm_segments_scale",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               MAX(o_orderdate) AS last_order,
+               COUNT(*) AS frequency,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        FROM orders
+        GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey,
+               NTILE(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+               NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+               NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m_score,
+               monetary
+        FROM per_cust
+    )
+    SELECT CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary) AS DOUBLE) AS segment_value
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+    tags=("agg", "rfm", "segmentation", "window", "scale-safe"),
+)
+def customer_rfm_segments_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer_rfm_segments with NO single-partition window (VERDICT r6
+    ask #5): each of the three global quintile cuts goes through
+    `distributed_ntile` — range repartition on the scoring key, parallel
+    per-partition ranks, broadcast prefix-sum offsets, map-side bucket
+    closed form.  Bit-identical to the exact twin (same key tiebreaks, so
+    the total order is unique), which stays registered as the
+    fixture-scale oracle pair.
+
+    Scale shape: three range exchanges + three hash exchanges of the
+    CUSTOMER-grain table, each 32-way parallel — at billions of customers
+    every task sees ~1/32nd of the entities, vs. the twin's one task
+    seeing all of them.  Driver-side state is 3 x 32 longs."""
+    from auron_spark.operators.window import distributed_ntile
+
+    o = Tables(spark, sf_dir).orders
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    scored = per_cust
+    for out, keys in (
+        ("r_score", ["last_order", "o_custkey"]),
+        ("f_score", ["frequency", "o_custkey"]),
+        ("m_score", ["monetary", "o_custkey"]),
+    ):
+        scored = distributed_ntile(scored, 5, keys, out)
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("monetary").cast("double").alias("segment_value"),
+        )
+        .select(
+            F.col("r_score").cast("int"),
+            F.col("f_score").cast("int"),
+            F.col("m_score").cast("int"),
+            "n_customers",
+            "segment_value",
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+@query(
+    "pareto_revenue_share_scale",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT o_custkey, revenue,
+               NTILE(10) OVER (ORDER BY revenue DESC, o_custkey) AS decile
+        FROM cust
+    ),
+    tot AS (SELECT SUM(revenue) AS total FROM cust)
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(revenue) AS DOUBLE) AS revenue,
+           ROUND(CAST(SUM(SUM(revenue)) OVER (ORDER BY decile
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / CAST(t.total AS DOUBLE), 6) AS cum_share
+    FROM ranked CROSS JOIN tot t
+    GROUP BY decile, t.total
+    ORDER BY decile
+    """,
+    tags=("agg", "pareto", "window", "analytics", "scale-safe"),
+)
+def pareto_revenue_share_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pareto_revenue_share with NO single-partition window anywhere
+    (VERDICT r6 ask #5): the customer-grain decile cut goes through
+    `distributed_ntile`, and the 10-row cumulative share is a triangular
+    broadcast self-join (decile b <= decile a) instead of a running-sum
+    window — so the plan carries zero `Exchange SinglePartition` nodes.
+
+    Scale shape: one partial/final aggregate to customer grain, one range
+    + one hash exchange for the distributed rank, then all remaining work
+    happens on the 10-row decile table."""
+    from auron_spark.operators.window import distributed_ntile
+
+    o = Tables(spark, sf_dir).orders
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue")
+    )
+    ranked = distributed_ntile(
+        cust, 10, [F.desc("revenue"), F.asc("o_custkey")], "decile"
+    )
+    tot = cust.agg(F.sum("revenue").alias("total"))
+    per_decile = ranked.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("revenue").alias("rev_dec"),
+    )
+    cum = (
+        per_decile.alias("a")
+        .join(
+            F.broadcast(per_decile.select("decile", "rev_dec").alias("b")),
+            F.col("b.decile") <= F.col("a.decile"),
+        )
+        .groupBy("a.decile", "a.n_customers", "a.rev_dec")
+        .agg(F.sum("b.rev_dec").alias("cum_rev"))
+        .join(F.broadcast(tot))
+    )
+    return cum.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_customers",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.round(
+            F.col("cum_rev").cast("double") / F.col("total").cast("double"), 6
+        ).alias("cum_share"),
+    ).orderBy("decile")

@@ -1126,3 +1126,68 @@ def test_degree_distribution_banded_candidates(spark):
     degree-sized."""
     plan = _plan(spark, "dedup_degree_distribution")
     assert "CartesianProduct" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "customer_rfm_segments_scale",
+        "pareto_revenue_share_scale",
+        "funnel_time_to_convert_scale",
+    ],
+)
+def test_scale_ntile_no_single_partition_window(spark, name):
+    """VERDICT r6 ask #5: the scale-safe ntile variants must never sort
+    entity-grain data in one task.  Every Window node must partition by
+    the range-partition id (`_pid`), and any `Exchange SinglePartition`
+    that remains may feed only a scalar aggregate (keys=[], a
+    #partitions->1-row rollup), never a Window or Sort."""
+    plan = _plan(spark, name)
+    lines = plan.splitlines()
+    for line in lines:
+        if "Window [" in line:
+            assert "_pid" in line, line
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            above = lines[i - 1]
+            assert "HashAggregate(keys=[]" in above, plan
+
+
+def test_scale_ntile_matches_exact_twin(spark):
+    """The distributed rank is bit-identical to the global-window ntile:
+    every (_scale, exact) pair returns identical segment tables."""
+    from tests.conftest import normalize
+
+    for scale, exact in [
+        ("customer_rfm_segments_scale", "customer_rfm_segments"),
+        ("pareto_revenue_share_scale", "pareto_revenue_share"),
+        ("funnel_time_to_convert_scale", "funnel_time_to_convert"),
+    ]:
+        got = normalize(SPECS[scale].build(spark, SF_DIR).toPandas())
+        want = normalize(SPECS[exact].build(spark, SF_DIR).toPandas())
+        assert got == want, f"{scale} != {exact}"
+
+
+def test_ivfpq_serve_reads_artifact_not_trainer(spark):
+    """sim_ivfpq_serve (VERDICT r6 ask #4): the serving plan must read the
+    persisted parquet index — scans over artifacts/ivfpq — and contain NO
+    training stages: no Lloyd rounds (posexplode of corpus dims) and no
+    corpus encode (the codes come from disk, not an argmin over residuals).
+    """
+    plan = _plan(spark, "sim_ivfpq_serve")
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert any("artifacts/ivfpq" in s for s in scans), plan
+    assert "posexplode" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ivfpq_serve_equals_trained(spark):
+    """The persisted-index serve path is bit-identical to the end-to-end
+    inline trainer — train-once/serve-many changes cost, not results."""
+    from tests.conftest import normalize
+
+    got = normalize(SPECS["sim_ivfpq_serve"].build(spark, SF_DIR).toPandas())
+    want = normalize(
+        SPECS["sim_ivfpq_trained"].build(spark, SF_DIR).toPandas()
+    )
+    assert got == want
