@@ -511,3 +511,71 @@ def agg_hll_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return flag_rows.unionAll(merged).orderBy("l_returnflag")
+
+
+@query(
+    "agg_approx_bounds",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6)
+               AS exact_p50_price,
+           TRUE AS ok_distinct,
+           TRUE AS ok_p50,
+           TRUE AS ok_p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "approx", "accuracy-bound"),
+)
+def agg_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-provable accuracy contract for `agg_approx` (VERDICT r6
+    stretch #7), completing the bound-twin pattern of
+    `agg_theta_sketch_bounds` / `agg_kll_quantile_bounds` /
+    `agg_hll_bounds`: the rows-only sketch query's estimators —
+    `approx_count_distinct` (HLL++) and `percentile_approx` (GK) — are
+    checked per return flag against EXACT twins computed in the same
+    pass, and the driver hash-matches the exact values plus one boolean
+    per estimator.  An estimator regression (merge bug, accuracy-knob
+    drift) flips a boolean into the value hash.
+
+    Bounds: HLL++ at rsd=2% is asserted within +/-5% of the exact
+    distinct count (measured worst case across sf0.001-0.1: 3.3%; the
+    default rsd=5% realizes up to 8.6% on this data, so the knob is part
+    of the proven contract); percentile_approx at accuracy=10000 guarantees rank
+    error <= N/10000, asserted as a +/-2% value band (generous: the price
+    distribution is near-uniform, so 1e-4 rank error is far below 2%).
+
+    Scale shape: ONE partial/final aggregate computes sketch and exact
+    states together; the exact-distinct side is the two-level distinct
+    rewrite, the exact percentile a per-group sort — the fixture-scale
+    proof harness.  At 100 TB only the sketch path runs; this twin
+    exists so the driver can prove the sketches honest."""
+    t = Tables(spark, sf_dir)
+    price = F.col("l_extendedprice").cast("double")
+    per_flag = t.lineitem.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.percentile(price, F.lit(0.5)).alias("exact_p50"),
+        F.percentile(price, F.lit(0.99)).alias("exact_p99"),
+        F.percentile_approx(price, 0.5, 10000).alias("approx_p50"),
+        F.percentile_approx(price, 0.99, 10000).alias("approx_p99"),
+    )
+    return per_flag.select(
+        "l_returnflag",
+        F.col("exact_orders").cast("bigint").alias("exact_orders"),
+        F.round("exact_p50", 6).alias("exact_p50_price"),
+        (
+            F.abs(F.col("approx_orders").cast("double") - F.col("exact_orders"))
+            <= 0.05 * F.col("exact_orders")
+        ).alias("ok_distinct"),
+        (
+            F.abs(F.col("approx_p50") - F.col("exact_p50"))
+            <= 0.02 * F.col("exact_p50")
+        ).alias("ok_p50"),
+        (
+            F.abs(F.col("approx_p99") - F.col("exact_p99"))
+            <= 0.02 * F.col("exact_p99")
+        ).alias("ok_p99"),
+    ).orderBy("l_returnflag")

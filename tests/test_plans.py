@@ -1191,3 +1191,62 @@ def test_ivfpq_serve_equals_trained(spark):
         SPECS["sim_ivfpq_trained"].build(spark, SF_DIR).toPandas()
     )
     assert got == want
+
+
+def test_window_group_limit_prunes_heaviest_skew_key(spark):
+    """VERDICT r6 stretch #8: tie the skew profiler to the optimizer
+    behavior it informs.  The zipf-skewed events table has a hot user_id
+    (skew_key_stats' top row); a rank<=k filter over the full table must
+    plan as WindowGroupLimit partial/final so the hot key's partition is
+    pruned to k rows BEFORE the per-partition sort.  Gate: (a) the
+    rewrite fires with the default threshold and disappears at
+    threshold=-1; (b) both plans agree on the hot key's rows; (c) warm
+    timing with pruning is not slower than without (1.5x slack for box
+    noise — the win grows with the hot partition, which is the point)."""
+    import time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from auron_spark.tables import Tables
+
+    ev = Tables(spark, SF_DIR).events
+    hot = (
+        ev.groupBy("user_id").count().orderBy(F.desc("count")).limit(1)
+    ).collect()[0]["user_id"]
+
+    def topk():
+        w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+        return (
+            ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("user_id", "event_id", "value")
+        )
+
+    key = "spark.sql.optimizer.windowGroupLimitThreshold"
+    default = spark.conf.get(key)
+
+    def run():
+        df = topk()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        rows = sorted(
+            (r.event_id, r.value)
+            for r in df.filter(F.col("user_id") == hot).collect()
+        )
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return plan, rows, time.perf_counter() - t0
+
+    try:
+        plan_on, rows_on, _ = run()
+        _, _, t_on = run()  # warm
+        spark.conf.set(key, "-1")
+        plan_off, rows_off, _ = run()
+        _, _, t_off = run()  # warm
+    finally:
+        spark.conf.set(key, default)
+
+    assert "WindowGroupLimit" in plan_on, plan_on
+    assert "WindowGroupLimit" not in plan_off, plan_off
+    assert rows_on == rows_off and len(rows_on) == 3
+    assert t_on <= t_off * 1.5, (t_on, t_off)
