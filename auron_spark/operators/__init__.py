@@ -12,5 +12,6 @@ from auron_spark.operators import (  # noqa: F401
     relational2,
     sort_setops,
     subqueries,
+    timeseries,
     window,
 )

@@ -774,3 +774,62 @@ def funnel_time_to_convert_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("decile").cast("int"), "n_users", "lo_sec", "hi_sec")
         .orderBy("decile")
     )
+
+
+@query(
+    "events_top_paths",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    paths AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM ranked WHERE rn <= 3 GROUP BY user_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 10
+    """,
+    tags=("events", "paths", "product-analytics", "window"),
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: each user's first three events (by time,
+    PK-tiebroken) concatenated into a path string, ranked by how many
+    users share the path — the entry-path analysis behind onboarding
+    funnels, and the sequence-prefix histogram a behavioral-cloning
+    pipeline computes before mining templates.
+
+    Scale shape: the rank filter is a per-user WindowGroupLimit (≤3 rows
+    per user survive the partitioned sort), paths aggregate at user grain
+    (ordered collect of ≤3 strings), the path histogram at |distinct
+    paths| grain (bounded by |event_types|^3), and the top-10 is
+    TakeOrderedAndProject — no global sort of user rows."""
+    ev = Tables(spark, sf_dir).events
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        firsts.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(10)
+    )

@@ -938,3 +938,184 @@ def pareto_revenue_share_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_rev").cast("double") / F.col("total").cast("double"), 6
         ).alias("cum_share"),
     ).orderBy("decile")
+
+
+@query(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey, MIN(o_orderdate) AS f
+        FROM orders GROUP BY o_custkey
+    ),
+    cohorts AS (
+        SELECT o_custkey,
+               strftime(f, '%Y-%m') AS cohort,
+               EXTRACT(year FROM f) * 12 + EXTRACT(month FROM f) AS fm
+        FROM firsts
+    ),
+    sizes AS (SELECT cohort, COUNT(*) AS n_customers FROM cohorts GROUP BY cohort),
+    rev AS (
+        SELECT c.cohort,
+               (EXTRACT(year FROM o.o_orderdate) * 12
+                + EXTRACT(month FROM o.o_orderdate)) - c.fm AS age,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS r
+        FROM orders o JOIN cohorts c USING (o_custkey)
+        GROUP BY c.cohort, age
+    ),
+    cum AS (
+        SELECT cohort, age,
+               SUM(r) OVER (PARTITION BY cohort ORDER BY age
+                            ROWS UNBOUNDED PRECEDING) AS cum_r
+        FROM rev
+    )
+    SELECT cum.cohort, CAST(cum.age AS INT) AS age,
+           CAST(s.n_customers AS BIGINT) AS n_customers,
+           ROUND(CAST(cum.cum_r AS DOUBLE) / s.n_customers, 6)
+               AS ltv_per_customer
+    FROM cum JOIN sizes s USING (cohort)
+    WHERE cum.age <= 11
+    ORDER BY cum.cohort, cum.age
+    """,
+    tags=("agg", "cohort", "ltv", "analytics", "window"),
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, cumulative revenue per customer tracked by cohort age in
+    months (first year) — the companion to `cohort_retention`'s activity
+    curves, and the payback-period table every growth team reads.
+
+    Exactness: revenue sums are DECIMAL; month arithmetic is integer
+    (year*12+month); the cumulative window is per-cohort over ≤12 rows.
+
+    Scale shape: orders collapse to customer grain for cohort assignment
+    (partial/final MIN), the cohort map joins back on the distributed
+    custkey equi-join, revenue aggregates at (cohort, age) grain, and the
+    running sum runs on the tiny cohort×age table PARTITIONED by cohort —
+    no single-partition window, no fact-table resident state."""
+    o = Tables(spark, sf_dir).orders
+    firsts = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("f"))
+    cohorts = firsts.select(
+        "o_custkey",
+        F.date_format("f", "yyyy-MM").alias("cohort"),
+        (F.year("f") * 12 + F.month("f")).alias("fm"),
+    )
+    sizes = cohorts.groupBy("cohort").agg(F.count("*").alias("n_customers"))
+    rev = (
+        o.join(cohorts, "o_custkey")
+        .groupBy(
+            "cohort",
+            (
+                (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+                - F.col("fm")
+            ).alias("age"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r"))
+    )
+    from pyspark.sql import Window
+
+    wc = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.withColumn("cum_r", F.sum("r").over(wc))
+        .where(F.col("age") <= 11)
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            F.col("age").cast("int").alias("age"),
+            F.col("n_customers").cast("bigint").alias("n_customers"),
+            F.round(
+                F.col("cum_r").cast("double") / F.col("n_customers"), 6
+            ).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort", "age")
+    )
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem_orphan_orderkey' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS n_violations
+    FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer_orphan_nationkey',
+           CAST(COUNT(*) AS BIGINT)
+    FROM customer c WHERE NOT EXISTS
+        (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    UNION ALL
+    SELECT 'orders_dup_orderkey',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_null_keys',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    WHERE l_orderkey IS NULL OR l_partkey IS NULL OR l_suppkey IS NULL
+    ORDER BY check_name
+    """,
+    tags=("dq", "referential-integrity", "anti-join", "audit"),
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit — the FK/PK contract check
+    a 100 TB ingest runs before publishing a snapshot (complements the
+    single-table `dq_audit_lineitem`/`dq_audit_events` profiles):
+    orphaned lineitems (FK→orders), orphaned orders (FK→customer),
+    orphaned customers (FK→nation), duplicate order PKs, and null key
+    fields — one (check_name, n_violations) row per invariant, all zero
+    on a healthy snapshot, and any nonzero hashes into the driver row.
+
+    Scale shape: each orphan check is a LEFT ANTI equi-join (broadcast
+    when the parent side is dimension-sized, shuffled hash otherwise)
+    collapsed to a count; the dup check is one distinct aggregate; the
+    null scan is map-side.  Five independent single-row aggregates union
+    at the end — nothing wide crosses the wire."""
+    t = Tables(spark, sf_dir)
+
+    def orphan(child, ckey, parent, pkey, name):
+        return (
+            child.join(
+                parent.select(F.col(pkey).alias(ckey)), ckey, "left_anti"
+            )
+            .agg(F.count("*").cast("bigint").alias("n_violations"))
+            .select(F.lit(name).alias("check_name"), "n_violations")
+        )
+
+    checks = [
+        orphan(
+            t.lineitem, "l_orderkey", t.orders, "o_orderkey",
+            "lineitem_orphan_orderkey",
+        ),
+        orphan(
+            t.orders, "o_custkey", t.customer, "c_custkey",
+            "orders_orphan_custkey",
+        ),
+        orphan(
+            t.customer, "c_nationkey", t.nation, "n_nationkey",
+            "customer_orphan_nationkey",
+        ),
+        t.orders.agg(
+            (F.count("*") - F.count_distinct("o_orderkey"))
+            .cast("bigint")
+            .alias("n_violations")
+        ).select(F.lit("orders_dup_orderkey").alias("check_name"), "n_violations"),
+        t.lineitem.where(
+            F.col("l_orderkey").isNull()
+            | F.col("l_partkey").isNull()
+            | F.col("l_suppkey").isNull()
+        )
+        .agg(F.count("*").cast("bigint").alias("n_violations"))
+        .select(F.lit("lineitem_null_keys").alias("check_name"), "n_violations"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out.orderBy("check_name")

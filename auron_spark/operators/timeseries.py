@@ -1,0 +1,242 @@
+"""Time-series resampling / smoothing / rolling-activity operators.
+
+Beyond the reference's surface (its window support stops at frame aggregates,
+`window_exec.rs:45`): the gap-fill / smoothing / rolling-cohort shapes every
+metrics warehouse and feature pipeline runs daily.  All three are expressed
+as compositions of built-in DataFrame ops — date spines via
+`sequence`+`explode`, forward fill via `last(ignorenulls)` over partitioned
+windows, EWMA as an index-ordered fold over a bounded ROWS frame — so the
+whole family stays inside whole-stage codegen with per-entity parallelism.
+
+Exactness notes: the EWMA decay is 0.5 so every weight 2^-k is an exactly
+representable double in BOTH engines (an arbitrary alpha would hit libm
+`pow` ulp drift); folds are index-ordered on both sides; daily grain uses
+MAX (order-insensitive) rather than "last in day" (whose tiebreak would need
+a cross-engine arg-max contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from auron_spark.registry import query
+from auron_spark.tables import Tables
+
+
+@query(
+    "timeseries_locf_resample",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, MAX(value) AS v
+        FROM events
+        WHERE user_id <= 20 AND event_type = 'view'
+        GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    span AS (
+        SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
+        FROM daily GROUP BY user_id
+    ),
+    spine AS (
+        SELECT user_id, CAST(unnest(generate_series(lo, hi,
+                                    INTERVAL 1 DAY)) AS DATE) AS day
+        FROM span
+    ),
+    filled AS (
+        SELECT s.user_id, s.day, d.v,
+               LAST_VALUE(d.v IGNORE NULLS) OVER (
+                   PARTITION BY s.user_id ORDER BY s.day
+                   ROWS UNBOUNDED PRECEDING) AS fv
+        FROM spine s LEFT JOIN daily d USING (user_id, day)
+    )
+    SELECT user_id, day, ROUND(fv, 6) AS filled_value,
+           (v IS NULL) AS was_gap
+    FROM filled
+    WHERE EXTRACT(day FROM day) IN (1, 8, 15, 22)
+    ORDER BY user_id, day
+    """,
+    tags=("timeseries", "resample", "locf", "gap-fill"),
+)
+def timeseries_locf_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample an irregular event stream to a DAILY grid and forward-fill
+    the gaps (LOCF) — the canonical feature-store preparation for
+    as-of-correct model inputs.  Per user: daily max of 'view' values, a
+    contiguous date spine over the user's active range
+    (`sequence(lo, hi)` + explode), left-join, then
+    `last(value, ignorenulls=True)` over the per-user ordered window.
+    `was_gap` marks synthesized rows (the fill provenance a training
+    pipeline keeps for ablation).  Output samples 4 days of month for a
+    compact driver hash.
+
+    Scale shape: everything partitions by user_id — daily agg
+    (partial/final), spine explode (≤ range-days rows per user, map-side),
+    one keyed left join, one PARTITIONED window.  No global sort, no
+    single-partition stage; a billion users is a billion independent
+    series."""
+    ev = Tables(spark, sf_dir).events
+    daily = (
+        ev.where((F.col("user_id") <= 20) & (F.col("event_type") == "view"))
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.max("value").alias("v"))
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = span.select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = spine.join(daily, ["user_id", "day"], "left").withColumn(
+        "fv", F.last("v", ignorenulls=True).over(w)
+    )
+    return (
+        filled.where(F.dayofmonth("day").isin(1, 8, 15, 22))
+        .select(
+            "user_id",
+            "day",
+            F.round("fv", 6).alias("filled_value"),
+            F.col("v").isNull().alias("was_gap"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+@query(
+    "timeseries_ewma_window",
+    oracle="""
+    WITH frames AS (
+        SELECT user_id, event_id,
+               list(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS l
+        FROM events
+        WHERE user_id <= 10
+    )
+    SELECT user_id, event_id,
+           ROUND(
+               list_sum(list_transform(range(1, len(l) + 1),
+                        i -> l[i] * pow(0.5, len(l) - i)))
+               / list_sum(list_transform(range(1, len(l) + 1),
+                          i -> pow(0.5, len(l) - i))), 6) AS ewma
+    FROM frames
+    WHERE event_id % 10 = 0
+    ORDER BY user_id, event_id
+    """,
+    tags=("timeseries", "ewma", "smoothing", "window"),
+)
+def timeseries_ewma_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average over the trailing 10 events
+    per user — the standard smoother for metrics/anomaly baselines
+    (`anomaly_mad_events`' robust complement).  The bounded ROWS frame
+    makes the recursive EWMA exactly expressible as a finite weighted
+    fold: collect the frame (≤10 values, frame-ordered), weight element i
+    by 2^-(L-1-i) (decay 0.5 — every weight an exact double in both
+    engines), normalize by the weight sum.
+
+    Scale shape: one partitioned window per user (no global sort); the
+    frame list is ≤10 doubles per row, so state is O(frame), not
+    O(history).  The fold is index-ordered `aggregate` — bit-identical to
+    DuckDB's list_sum over the same slice."""
+    ev = Tables(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    frames = ev.where(F.col("user_id") <= 10).select(
+        "user_id",
+        "event_id",
+        F.collect_list("value").over(w).alias("l"),
+    )
+    size = F.size("l")
+    # descending exponents L-1 .. 0 zip against the ascending frame
+    exps = F.sequence(size - 1, F.lit(0), F.lit(-1))
+    num = F.aggregate(
+        F.zip_with("l", exps, lambda v, e: v * F.pow(F.lit(0.5), e)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(
+        F.transform(exps, lambda e: F.pow(F.lit(0.5), e)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        frames.where(F.col("event_id") % 10 == 0)
+        .select(
+            "user_id", "event_id", F.round(num / den, 6).alias("ewma")
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "events_rolling_active",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    bounds AS (SELECT MAX(day) AS maxd FROM du),
+    contrib AS (
+        SELECT du.user_id,
+               CAST(unnest(generate_series(du.day,
+                       LEAST(du.day + INTERVAL 6 DAY, CAST(b.maxd AS TIMESTAMP)),
+                       INTERVAL 1 DAY)) AS DATE) AS active_on
+        FROM du CROSS JOIN bounds b
+    ),
+    wau AS (
+        SELECT active_on AS day, COUNT(DISTINCT user_id) AS wau7
+        FROM contrib GROUP BY active_on
+    ),
+    dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day)
+    SELECT d.day, CAST(d.dau AS BIGINT) AS dau,
+           CAST(w.wau7 AS BIGINT) AS wau7,
+           ROUND(CAST(d.dau AS DOUBLE) / w.wau7, 6) AS stickiness
+    FROM dau d JOIN wau w USING (day)
+    ORDER BY day
+    """,
+    tags=("timeseries", "dau", "wau", "rolling-distinct", "analytics"),
+)
+def events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness (DAU÷WAU) — the rolling
+    DISTINCT count Spark windows cannot express directly
+    (count_distinct over a RANGE frame is unsupported; cf.
+    window_running_distinct's cumulative variant).  Decomposition: each
+    (user, day) presence row CONTRIBUTES to the 7 trailing window ends
+    `sequence(day, day+6)` (clamped to the data's last day), so the
+    rolling distinct becomes a plain groupBy-distinct per window end — a
+    7× row expansion of the tiny presence table, never of the raw events.
+
+    Scale shape: events collapse to (user, day) grain FIRST (partial
+    distinct); the ×7 explode is map-side on presence rows; the final
+    distinct-count shuffles (day, user) pairs.  The clamp scalar is a
+    1-row broadcast."""
+    ev = Tables(spark, sf_dir).events
+    du = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    bounds = du.agg(F.max("day").alias("maxd"))
+    contrib = du.join(F.broadcast(bounds)).select(
+        "user_id",
+        F.explode(
+            F.sequence("day", F.least(F.date_add("day", 6), F.col("maxd")))
+        ).alias("active_on"),
+    )
+    wau = contrib.groupBy(F.col("active_on").alias("day")).agg(
+        F.count_distinct("user_id").alias("wau7")
+    )
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau7").cast("bigint").alias("wau7"),
+            F.round(
+                F.col("dau").cast("double") / F.col("wau7"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

@@ -1,0 +1,144 @@
+"""Supervised feature-engineering operators: categorical encodings a
+training pipeline computes over the full dataset before model fitting.
+
+Beyond the reference's surface (it has no ML-feature layer); the natural
+companions to `feature_quantile_binning` / `text_zscore_per_source`.  Both
+operators here are two-phase: a category-grain aggregate (k rows of model
+state) broadcast back onto the fact table, with the per-row encoding applied
+map-side — the only shuffle is the partial/final aggregate, so the shape
+survives any corpus size as long as the category vocabulary does (the same
+contract as every broadcast-model op in this repo).
+
+Exactness: sums are DECIMAL (order-insensitive); ratios divide exact
+integers/decimals as doubles and round to 6dp; `ln` is applied to one exact
+rational per category, so both engines evaluate libm log at identical
+arguments (same pattern text_bigram_perplexity proved driver-exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from auron_spark.registry import query
+from auron_spark.tables import Tables
+
+
+@query(
+    "feature_target_encoding",
+    oracle="""
+    WITH enc AS (
+        SELECT o_orderpriority,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderkey, o.o_orderpriority,
+           ROUND(CAST((e.s - CAST(o.o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / (e.n - 1), 6) AS te_loo,
+           ROUND(CAST(e.s AS DOUBLE) / e.n, 6) AS te_full
+    FROM orders o JOIN enc e USING (o_orderpriority)
+    WHERE o.o_orderkey % 100 = 0
+    ORDER BY o.o_orderkey
+    """,
+    tags=("pipeline", "features", "target-encoding"),
+)
+def feature_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of a categorical column: each row's
+    category is replaced by the mean target of OTHER rows in that category
+    ((sum - y_i) / (n - 1)) — the standard high-cardinality categorical
+    encoder, LOO-corrected so a row never leaks its own label into its
+    feature (the train-time variant; `te_full` is the plain mean a model
+    would apply at inference).  Encodes o_orderpriority against the
+    o_totalprice target; output samples orderkey % 100 for a compact hash.
+
+    Scale shape: one partial/final aggregate to category grain (5 rows
+    here; bounded by vocabulary generally), broadcast equi-join back, LOO
+    arithmetic map-side.  The fact table never shuffles."""
+    o = Tables(spark, sf_dir).orders
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    enc = o.groupBy("o_orderpriority").agg(
+        F.sum(price).alias("s"), F.count("*").alias("n")
+    )
+    return (
+        o.join(F.broadcast(enc), "o_orderpriority")
+        .where(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(
+                (F.col("s") - price).cast("double") / (F.col("n") - 1), 6
+            ).alias("te_loo"),
+            F.round(F.col("s").cast("double") / F.col("n"), 6).alias(
+                "te_full"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "feature_woe_iv",
+    oracle="""
+    WITH cells AS (
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS pos,
+               COUNT(*) FILTER (WHERE o_orderstatus <> 'F') AS neg
+        FROM orders GROUP BY o_orderpriority
+    ),
+    tot AS (SELECT SUM(pos) AS pt, SUM(neg) AS nt FROM cells)
+    SELECT c.o_orderpriority,
+           CAST(c.pos AS BIGINT) AS pos,
+           CAST(c.neg AS BIGINT) AS neg,
+           ROUND(ln((CAST(c.pos AS DOUBLE) * t.nt)
+                    / (CAST(c.neg AS DOUBLE) * t.pt)), 6) AS woe,
+           ROUND((CAST(c.pos AS DOUBLE) / t.pt
+                  - CAST(c.neg AS DOUBLE) / t.nt)
+                 * ln((CAST(c.pos AS DOUBLE) * t.nt)
+                      / (CAST(c.neg AS DOUBLE) * t.pt)), 6) AS iv_term
+    FROM cells c CROSS JOIN tot t
+    ORDER BY c.o_orderpriority
+    """,
+    tags=("pipeline", "features", "woe", "information-value"),
+)
+def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding + information-value terms for a
+    categorical feature against a binary target — the credit-scoring /
+    feature-selection classic: WOE_c = ln((pos_c/pos_tot)/(neg_c/neg_tot)),
+    IV = Σ_c (pos_share - neg_share)·WOE_c.  Computed for o_orderpriority
+    vs the target "order fully shipped" (o_orderstatus = 'F'); summing
+    iv_term gives the feature's IV.  The log argument is assembled as one
+    exact product ratio so both engines call ln on identical doubles.
+
+    Scale shape: one conditional-count aggregate to category grain, a
+    1-row totals broadcast, all WOE arithmetic on k category rows —
+    fact-table cost is ONE scan regardless of scale."""
+    o = Tables(spark, sf_dir).orders
+    is_pos = (F.col("o_orderstatus") == "F").cast("long")
+    cells = o.groupBy("o_orderpriority").agg(
+        F.sum(is_pos).alias("pos"),
+        F.sum(1 - is_pos).alias("neg"),
+    )
+    tot = cells.agg(F.sum("pos").alias("pt"), F.sum("neg").alias("nt"))
+    woe = F.log(
+        (F.col("pos").cast("double") * F.col("nt"))
+        / (F.col("neg").cast("double") * F.col("pt"))
+    )
+    return (
+        cells.join(F.broadcast(tot))
+        .select(
+            "o_orderpriority",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.col("neg").cast("bigint").alias("neg"),
+            F.round(woe, 6).alias("woe"),
+            F.round(
+                (
+                    F.col("pos").cast("double") / F.col("pt")
+                    - F.col("neg").cast("double") / F.col("nt")
+                )
+                * woe,
+                6,
+            ).alias("iv_term"),
+        )
+        .orderBy("o_orderpriority")
+    )

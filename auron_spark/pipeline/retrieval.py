@@ -439,3 +439,145 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term", "rk")
     )
+
+
+@query(
+    "retrieval_eval_ndcg",
+    oracle=f"""
+    WITH tf AS ({_SQL_TF}),
+    dl AS (
+        SELECT doc_id, COUNT(*) AS dl
+        FROM ({_SQL_TOKENS}) WHERE term <> ''
+        GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n_docs
+        FROM dl
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.term, tf.doc_id, tf.tf,
+               ((stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * ((tf.tf * {BM25_K1 + 1.0}) /
+                  (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl.dl / stats.avgdl)))
+                   AS score
+        FROM tf
+        JOIN dl USING (doc_id)
+        JOIN df USING (term)
+        CROSS JOIN stats
+        WHERE tf.term IN {BM25_TERMS!r}
+    ),
+    ranked AS (
+        SELECT term, tf, row_number() OVER (PARTITION BY term
+                       ORDER BY score DESC, doc_id) AS rk
+        FROM scored
+    ),
+    ideal AS (
+        SELECT term, tf, row_number() OVER (PARTITION BY term
+                       ORDER BY tf DESC, doc_id) AS rk
+        FROM scored
+    ),
+    dcg AS (
+        SELECT term,
+               SUM((pow(2.0, LEAST(tf, 10)) - 1) / log2(rk + 1.0)) AS dcg
+        FROM ranked WHERE rk <= 10 GROUP BY term
+    ),
+    idcg AS (
+        SELECT term,
+               SUM((pow(2.0, LEAST(tf, 10)) - 1) / log2(rk + 1.0)) AS idcg
+        FROM ideal WHERE rk <= 10 GROUP BY term
+    )
+    SELECT dcg.term, ROUND(dcg.dcg, 6) AS dcg_at_10,
+           ROUND(idcg.idcg, 6) AS idcg_at_10,
+           ROUND(dcg.dcg / idcg.idcg, 6) AS ndcg_at_10
+    FROM dcg JOIN idcg USING (term)
+    ORDER BY dcg.term
+    """,
+    tags=("pipeline", "retrieval", "evaluation", "ndcg"),
+)
+def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation: NDCG@10 of the BM25 ranking per probe
+    term, with graded relevance = the raw term frequency (capped at 10)
+    as a deterministic label — the offline eval loop every retrieval
+    stack runs when tuning k1/b or swapping rankers (pairs with
+    `sim_ann_recall_report`, which evaluates the dense leg).  DCG uses
+    the standard (2^rel - 1)/log2(rank+1) gains; IDCG re-ranks the same
+    pool by relevance (doc-id tiebroken), so NDCG = 1 iff BM25 ordered
+    the pool label-perfectly.
+
+    Scale shape: scoring touches only probe-term postings (the term
+    filter lands before the tf aggregate's exchange); both rank passes
+    are per-term WindowGroupLimit top-10s; the gains aggregate at term
+    grain.  Eval cost is O(|terms| x postings), independent of corpus
+    width.
+
+    Exactness: 2^rel is exact for integer rel <= 10; log2 of small
+    integers evaluates identically in both engines; the rank cuts are
+    tiebroken — the divisions round at 6dp."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    toks = _tokens(t.documents)
+    tf = (
+        toks.where(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count("*").alias("n_docs"),
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_), "term")
+        .join(F.broadcast(stats))
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            (
+                (
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (
+                    (F.col("tf") * (BM25_K1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + BM25_K1
+                        * (
+                            (1.0 - BM25_B)
+                            + BM25_B * F.col("dl") / F.col("avgdl")
+                        )
+                    )
+                )
+            ).alias("score"),
+        )
+    )
+    gain = (F.pow(F.lit(2.0), F.least(F.col("tf"), F.lit(10))) - 1)
+    w_rank = Window.partitionBy("term").orderBy(F.desc("score"), "doc_id")
+    w_ideal = Window.partitionBy("term").orderBy(F.desc("tf"), "doc_id")
+    dcg = (
+        scored.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= 10)
+        .groupBy("term")
+        .agg(F.sum(gain / F.log2(F.col("rk") + 1.0)).alias("dcg"))
+    )
+    idcg = (
+        scored.withColumn("rk", F.row_number().over(w_ideal))
+        .filter(F.col("rk") <= 10)
+        .groupBy("term")
+        .agg(F.sum(gain / F.log2(F.col("rk") + 1.0)).alias("idcg"))
+    )
+    return (
+        dcg.join(idcg, "term")
+        .select(
+            "term",
+            F.round("dcg", 6).alias("dcg_at_10"),
+            F.round("idcg", 6).alias("idcg_at_10"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_10"),
+        )
+        .orderBy("term")
+    )

@@ -111,10 +111,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (c) round-7 additions (inserted as they land, displacing (d) backfill)
     "customer_rfm_segments_scale", "pareto_revenue_share_scale",
     "funnel_time_to_convert_scale", "sim_ivfpq_serve", "agg_approx_bounds",
+    "timeseries_locf_resample", "timeseries_ewma_window",
+    "events_rolling_active", "feature_target_encoding", "feature_woe_iv",
+    "events_top_paths", "orders_cohort_ltv", "dq_referential_integrity",
+    "pivot_topn_other_bucket", "retrieval_eval_ndcg",
     # (d) backfill: oldest (r1) proofs in registry order
-    "fn_decimal_arith", "fn_decimal_agg_overflow_guard", "fn_string_basic",
-    "fn_string_pad_case", "fn_regexp_like", "fn_datetime", "fn_hash_crypto",
-    "fn_conditional", "fn_array_ops", "fn_struct_map", "fn_higher_order",
+    "fn_decimal_arith",
 )
 
 # Green driver rows from CORRECTNESS_r06.json — the whole round-6 window
