@@ -240,3 +240,80 @@ def events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "timeseries_cusum_drift",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS DOUBLE) AS x
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    ref AS (
+        SELECT event_type, AVG(x) AS mu FROM daily GROUP BY event_type
+    ),
+    pfx AS (
+        SELECT d.event_type, d.day, d.x, r.mu,
+               SUM(d.x - r.mu - 0.5) OVER (
+                   PARTITION BY d.event_type ORDER BY d.day
+                   ROWS UNBOUNDED PRECEDING) AS p
+        FROM daily d JOIN ref r USING (event_type)
+    ),
+    cusum AS (
+        SELECT event_type, day, x,
+               p - LEAST(MIN(p) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS UNBOUNDED PRECEDING), 0) AS s
+        FROM pfx
+    )
+    SELECT event_type, day, ROUND(s, 6) AS cusum,
+           (s > 5.0) AS drift_alarm
+    FROM cusum
+    WHERE EXTRACT(day FROM day) IN (1, 8, 15, 22)
+    ORDER BY event_type, day
+    """,
+    tags=("timeseries", "cusum", "changepoint", "window"),
+)
+def timeseries_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection on daily event volumes per type —
+    the classic sequential changepoint statistic
+    (s_t = max(0, s_{t-1} + x_t - mu - k)) that a data-quality monitor
+    runs over ingest rates.  The recursion is NOT a window aggregate, but
+    it has a closed form over prefixes:
+    s_t = P_t - min(0, min_{j<=t} P_j) where P_t = Σ(x_i - mu - k) —
+    so two PARTITIONED running windows (prefix sum, running min) compute
+    the exact recursive statistic with no sequential driver loop and no
+    UDF.  k = 0.5 (slack), alarm threshold 5.0, mu = each series' own
+    mean (the in-control reference).
+
+    Scale shape: events collapse to (type, day) grain first; the
+    reference mean is a per-type aggregate broadcast back; both windows
+    partition by event_type — a million series is a million independent
+    partitions, ~365 rows each."""
+    ev = Tables(spark, sf_dir).events
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("double").alias("x"))
+    ref = daily.groupBy("event_type").agg(F.avg("x").alias("mu"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pfx = daily.join(F.broadcast(ref), "event_type").withColumn(
+        "p", F.sum(F.col("x") - F.col("mu") - 0.5).over(w)
+    )
+    cusum = pfx.withColumn(
+        "s", F.col("p") - F.least(F.min("p").over(w), F.lit(0.0))
+    )
+    return (
+        cusum.where(F.dayofmonth("day").isin(1, 8, 15, 22))
+        .select(
+            "event_type",
+            "day",
+            F.round("s", 6).alias("cusum"),
+            (F.col("s") > 5.0).alias("drift_alarm"),
+        )
+        .orderBy("event_type", "day")
+    )

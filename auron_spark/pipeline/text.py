@@ -1345,3 +1345,111 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_pmi_collocations",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    uni AS (
+        SELECT unnest(w) AS term FROM toks
+    ),
+    ucnt AS (
+        SELECT term, COUNT(*) AS c FROM uni WHERE term <> '' GROUP BY term
+    ),
+    utot AS (SELECT SUM(c) AS nu FROM ucnt),
+    bg AS (
+        SELECT unnest(list_transform(range(1, len(w)), i -> w[i])) AS a,
+               unnest(list_transform(range(1, len(w)), i -> w[i + 1])) AS b
+        FROM toks WHERE len(w) >= 2
+    ),
+    bcnt AS (
+        SELECT a, b, COUNT(*) AS cab
+        FROM bg WHERE a <> '' AND b <> ''
+        GROUP BY a, b
+    ),
+    btot AS (SELECT SUM(cab) AS nb FROM bcnt)
+    SELECT a, b, CAST(cab AS BIGINT) AS cab,
+           ROUND(ln((CAST(cab AS DOUBLE) * t.nu * t.nu)
+                    / (CAST(bt.nb AS DOUBLE) * ua.c * ub.c)), 6) AS pmi
+    FROM bcnt
+    JOIN ucnt ua ON ua.term = bcnt.a
+    JOIN ucnt ub ON ub.term = bcnt.b
+    CROSS JOIN utot t CROSS JOIN btot bt
+    WHERE cab >= 5
+    ORDER BY pmi DESC, a, b
+    LIMIT 20
+    """,
+    tags=("pipeline", "text", "pmi", "collocations", "phrase-mining"),
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining: the top bigrams
+    whose words co-occur far more than chance —
+    PMI = ln(p(ab) / (p(a)·p(b))) with a min-count floor of 5 — the
+    classic phrase-extraction pass (word2phrase, spaCy merge-phrases)
+    a tokenizer pipeline runs before vocabulary induction
+    (`text_bpe_train`'s statistical complement).
+
+    Exactness: the log argument assembles as ONE double product in fixed
+    association order on both engines, so libm ln sees identical inputs;
+    counts are exact ints; top-20 is (pmi, a, b)-tiebroken.
+
+    Scale shape: unigram and bigram counts are the standard explode +
+    partial/final shuffles (distinct-gram grain on the wire); the PMI
+    join attaches vocabulary-sized unigram counts to the bigram table by
+    two equi-joins (broadcast at fixture scale, shuffled-hash at web
+    scale — both sides are gram-grain, never corpus-grain); totals are
+    1-row broadcasts; the final cut is TakeOrderedAndProject."""
+    docs = Tables(spark, sf_dir).documents
+    toks = docs.select(F.split(F.lower("text"), " ").alias("w"))
+    uni = toks.select(F.explode("w").alias("term")).where(F.col("term") != "")
+    ucnt = uni.groupBy("term").agg(F.count("*").alias("c"))
+    utot = ucnt.agg(F.sum("c").alias("nu"))
+    idx = F.sequence(F.lit(1), F.size("w") - 1)
+    bg = (
+        toks.where(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at("w", i).alias("a"),
+                        F.element_at("w", i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .where((F.col("a") != "") & (F.col("b") != ""))
+    )
+    bcnt = bg.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    btot = bcnt.agg(F.sum("cab").alias("nb"))
+    ua = ucnt.select(F.col("term").alias("a"), F.col("c").alias("ca"))
+    ub = ucnt.select(F.col("term").alias("b"), F.col("c").alias("cb"))
+    return (
+        bcnt.where(F.col("cab") >= 5)
+        .join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .join(F.broadcast(utot))
+        .join(F.broadcast(btot))
+        .select(
+            "a",
+            "b",
+            F.col("cab").cast("bigint").alias("cab"),
+            F.round(
+                F.log(
+                    (F.col("cab").cast("double") * F.col("nu") * F.col("nu"))
+                    / (
+                        F.col("nb").cast("double")
+                        * F.col("ca")
+                        * F.col("cb")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "a", "b")
+        .limit(20)
+    )

@@ -115,8 +115,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "events_rolling_active", "feature_target_encoding", "feature_woe_iv",
     "events_top_paths", "orders_cohort_ltv", "dq_referential_integrity",
     "pivot_topn_other_bucket", "retrieval_eval_ndcg",
-    # (d) backfill: oldest (r1) proofs in registry order
-    "fn_decimal_arith",
+    "timeseries_cusum_drift",
+    # (d) backfill: none needed — r7 additions fill the window; the two
+    # additions past position 50 (text_pmi_collocations,
+    # scan_dpp_partitioned) sort at 51-52 by the never-proven band of
+    # `_ordered` and lead the round-8 window.
 )
 
 # Green driver rows from CORRECTNESS_r06.json — the whole round-6 window

@@ -39,33 +39,34 @@ def test_nested_arrays_tagged():
 
 
 def test_driver_window_spans_all_families():
-    """The driver checks a 50-query prefix of the registry.  Round-6 policy
-    (VERDICT r5 ask #1): slots go to (a) the 8 round-5 operators with
-    bit-exact oracles but zero driver rows, (b) the three names parked at
-    positions 51-53 of the round-5 window, (c) the never-checked remainder
-    and round-6 additions, then (e) backfill with the oldest (r1) proofs,
-    which predate the mid-r4 fixture regen.  Rows-only queries are
-    permanently excluded from window slots: the driver can only record
+    """The driver checks a 50-query prefix of the registry.  Round-7 policy
+    (VERDICT r6 ask #1): slots go to (a) the 31 oracle-bearing names queued
+    at positions 51-81 of the round-6 window, (b) the three names parked
+    since mid-r6, (c) round-7 additions, then (d) backfill with the oldest
+    (r1) proofs, which predate the mid-r4 fixture regen.  Rows-only queries
+    are permanently excluded from window slots: the driver can only record
     `no_oracle` for them (round 5 burned 2 slots that way)."""
     from auron_spark import registry
 
     specs = registry.load_all()
     window = list(specs)[:50]
-    # the 8 round-5 operators + parked 51-53 must all be in-window
-    promote = {
-        "sim_kmeans_lloyd", "sim_knn_ivf_trained", "sim_pca_power_iteration",
-        "sample_weighted_topk", "text_quality_percentile_filter",
-        "text_zscore_per_source", "cdc_snapshot_diff",
-        "dedup_canonical_selection",
-        "fn_json", "fn_json_nested", "window_lead_lag",
+    # every name with NO driver row from any round must be in-window
+    # (that is the entire point of the rotation policy)
+    never_proven = {
+        n
+        for n, s in specs.items()
+        if s.oracle is not None and n not in registry._PROVEN
     }
-    assert promote <= set(window), f"promotions missing: {promote - set(window)}"
+    assert never_proven <= set(window), (
+        f"never-proven names missing from window: "
+        f"{never_proven - set(window)}"
+    )
     # no rows-only query may occupy a window slot, this round or ever
     rows_only = {n for n, s in specs.items() if s.oracle is None}
     wasted = set(window) & rows_only
     assert not wasted, f"window wastes slots on rows-only queries: {wasted}"
-    # no slot goes to a query already re-proven on fresh fixtures (r4/r5)
-    fresh = registry._R4_PROVEN | registry._R5_PROVEN
+    # no slot goes to a query already re-proven on fresh fixtures (r4/r5/r6)
+    fresh = registry._R4_PROVEN | registry._R5_PROVEN | registry._R6_PROVEN
     stale_ok = set(window) & fresh
     assert not stale_ok, f"window wastes slots on fresh-proven queries: {stale_ok}"
     # every window name must actually exist in the registry (typo guard)

@@ -1250,3 +1250,71 @@ def test_window_group_limit_prunes_heaviest_skew_key(spark):
     assert "WindowGroupLimit" not in plan_off, plan_off
     assert rows_on == rows_off and len(rows_on) == 3
     assert t_on <= t_off * 1.5, (t_on, t_off)
+
+
+def test_feature_encodings_broadcast_model(spark):
+    """feature_target_encoding / feature_woe_iv: the category model must
+    BROADCAST back onto the fact side (no shuffled join of orders against
+    a 5-row frame), and the category aggregate must partial/final."""
+    for name in ("feature_target_encoding", "feature_woe_iv"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+        assert "partial_sum" in plan or "partial_count" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+
+def test_rolling_active_collapses_before_explode(spark):
+    """events_rolling_active: the x7 contribution explode must run on the
+    (user, day) PRESENCE grain, after the distinct collapse — the plan
+    must show the partial distinct aggregate below the Generate node."""
+    plan = _plan(spark, "events_rolling_active")
+    lines = plan.splitlines()
+    gen = min(i for i, l in enumerate(lines) if "Generate explode" in l)
+    assert any("HashAggregate" in l for l in lines[gen:]), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_locf_resample_partitioned_window_only(spark):
+    """timeseries_locf_resample: the forward-fill window must partition by
+    user_id — never a global ordered window — and the per-day aggregate
+    must combine map-side."""
+    plan = _plan(spark, "timeseries_locf_resample")
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "user_id" in line, line
+    assert "partial_max" in plan, plan
+
+
+def test_top_paths_uses_window_group_limit(spark):
+    """events_top_paths: the first-3 filter must prune through
+    WindowGroupLimit before the per-user sort; the top-10 must be
+    TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, "events_top_paths")
+    assert "WindowGroupLimit" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_topn_other_no_driver_vocabulary(spark):
+    """pivot_topn_other_bucket: the bucket map must reach the fact table
+    as a broadcast join (the top-N frame), with the category rank running
+    at category grain — no shuffled join, no cartesian."""
+    plan = _plan(spark, "pivot_topn_other_bucket")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dpp_prunes_partitions(spark):
+    """scan_dpp_partitioned: the filtered month dim must reach the fact
+    scan as a dynamicpruning PartitionFilter (broadcast reuse), and the
+    executed scan must read exactly the 3 matching partition dirs."""
+    df = SPECS["scan_dpp_partitioned"].build(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    fact_scan = next(
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "orders_by_month" in l
+    )
+    assert "dynamicpruningexpression" in fact_scan, plan
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in final
