@@ -2861,3 +2861,126 @@ def sim_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda v: v.cast("double")).alias("e"),
     )
     return _ivfpq_serve_stage(emb, cents_row, cmap_row, rcarr, codes)
+
+
+@query(
+    "sim_knn_ivf_serve",
+    oracle=f"""
+    WITH cents AS (
+        SELECT cid, cv FROM read_parquet('{_SERVE_ART}/centroids/*.parquet')
+    ),
+    lists AS (
+        SELECT vec_id, CAST(cid AS INT) AS cid
+        FROM read_parquet('{_SERVE_ART}/codes/*/*.parquet',
+                          hive_partitioning = true)
+        WHERE sub = 0
+    ),
+    probe AS (
+        SELECT query_id, cid FROM (
+            SELECT e.vec_id AS query_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_SQL_KM_ASSIGN_DIST} ASC,
+                                               c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cents c
+            WHERE e.vec_id % {QUERY_MOD} = 0
+              AND e.vec_id < {QUERY_CAP})
+        WHERE rn <= {N_PROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, l.vec_id AS neighbor_id,
+               {_SQL_DOT} / ({_SQL_NORM_Q} * {_SQL_NORM_C}) AS cos
+        FROM probe p
+        JOIN lists l ON l.cid = p.cid AND l.vec_id <> p.query_id
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN embeddings c ON c.vec_id = l.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM (
+        SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored) WHERE rn <= {TOP_K}
+    ORDER BY query_id, neighbor_id
+    """,
+    tags=("pipeline", "similarity", "ivf", "ann", "serving"),
+    bench=True,
+)
+def sim_knn_ivf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat SERVING against the persisted index (the milder sibling of
+    `sim_ivfpq_serve` — VERDICT r6 noted `sim_knn_ivf_trained`'s inline
+    `_lloyd` has the same train-in-the-bench shape): centroids and
+    inverted-list membership come from the parquet artifacts
+    (`build_ivfpq_index` — the coarse quantizer and cid assignment are
+    shared between IVF-flat and IVF-PQ, so one index build serves both),
+    queries probe their N_PROBE nearest lists map-side over the broadcast
+    codebook, and exact cosine re-ranks within the probed lists with
+    vectors fetched by equi-join.  Bit-identical to
+    `sim_knn_ivf_trained`'s output.
+
+    Scale shape: model scans are k rows + the codes index filtered to one
+    sub (partition-pruned column subset); probing is map-side; the
+    candidate fetch is a vec_id equi-join against the embeddings table
+    (in production, the list-local vector store); per-query top-k is
+    WindowGroupLimit.  No Lloyd rounds, no corpus assignment pass."""
+    from pyspark.sql import Window
+
+    d = build_ivfpq_index(spark, sf_dir)
+    cent = spark.read.parquet(f"{d}/centroids")
+    lists_idx = (
+        spark.read.parquet(f"{d}/codes")
+        .where(F.col("sub") == 0)
+        .select("vec_id", F.col("cid").cast("int").alias("cid"))
+    )
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("e"),
+    )
+    cents_row = cent.agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
+    dist_structs = F.transform(
+        "cents",
+        lambda c: F.struct(
+            _sqdist(F.col("e"), c["cv"]).alias("d"), c["cid"].alias("cid")
+        ),
+    )
+    lists = emb.join(lists_idx, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("c_emb"),
+        norm(F.col("e")).alias("cn"),
+        "cid",
+    )
+    probe = (
+        emb.join(F.broadcast(cents_row))
+        .filter(
+            (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP)
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("q_emb"),
+            norm(F.col("e")).alias("qn"),
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(dist_structs), 1, N_PROBE),
+                    lambda s: s["cid"],
+                )
+            ).alias("cid"),
+        )
+    )
+    scored = (
+        lists.join(F.broadcast(probe), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("qn") * F.col("cn"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"))
+        .orderBy("query_id", "neighbor_id")
+    )
