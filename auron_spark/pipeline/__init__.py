@@ -5,6 +5,7 @@ plumbing.  Importing registers their queries."""
 from auron_spark.pipeline import (  # noqa: F401
     bpe,
     dedup,
+    evaluation,
     features,
     multimodal,
     retrieval,

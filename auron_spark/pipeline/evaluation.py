@@ -1,0 +1,185 @@
+"""Model-evaluation operators: the offline metrics a training pipeline
+computes over scored datasets (calibration, threshold sweeps) — completing
+the eval family alongside `retrieval_eval_ndcg` (ranking),
+`sim_ann_recall_report` (retrieval recall) and `sim_pq_distortion_report`
+(quantization).
+
+The "model score" is a deterministic logistic transform of the events
+`value` column (one `exp` call per row on identical double inputs in both
+engines, so the 6-dp rounded outputs agree bit-exactly), and the label is
+`event_type = 'purchase'` — a synthetic but fully reproducible scored
+dataset, which is exactly what an eval harness needs from a fixture.
+
+Scale shape: both operators are one map-side score projection + one
+partial/final aggregate at bin/threshold grain (10 rows) — nothing but the
+single fact scan touches corpus-sized data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from auron_spark.registry import query
+from auron_spark.tables import Tables
+
+# score = sigmoid((value - 50) / 20); fixture `value` spans ~[0, 100]
+_SQL_SCORE = "1.0 / (1.0 + exp(-(value - 50.0) / 20.0))"
+
+
+def _score() -> F.Column:
+    return 1.0 / (1.0 + F.exp(-(F.col("value") - 50.0) / 20.0))
+
+
+@query(
+    "eval_calibration_bins",
+    oracle=f"""
+    WITH scored AS (
+        SELECT {_SQL_SCORE} AS p,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    binned AS (
+        SELECT LEAST(CAST(floor(p * 10) AS INT), 9) AS bin, p, y
+        FROM scored
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(p) / COUNT(*), 6) AS mean_pred,
+           ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS frac_pos,
+           ROUND(SUM(p) / COUNT(*)
+                 - CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS gap
+    FROM binned
+    GROUP BY bin
+    ORDER BY bin
+    """,
+    tags=("pipeline", "evaluation", "calibration"),
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (calibration bins): predictions bucketed into
+    10 equal-width probability bins, comparing mean predicted probability
+    against the empirical positive rate per bin — the standard
+    calibration check (and the input to ECE) run after every model
+    training round.  `gap` > 0 reads as over-confidence in that bin.
+
+    Exactness: the bin index is integer floor of p*10 (clamped);
+    frac_pos is an exact integer ratio; mean_pred is a double SUM of
+    well-conditioned [0,1] addends rounded at 6dp — the same
+    sum-then-round contract `agg_stats_moments` proved driver-exact
+    across engines."""
+    ev = Tables(spark, sf_dir).events
+    scored = ev.select(
+        _score().alias("p"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    binned = scored.select(
+        F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("bin"),
+        "p",
+        "y",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("p") / F.count("*"), 6).alias("mean_pred"),
+            F.round(
+                F.sum("y").cast("double") / F.count("*"), 6
+            ).alias("frac_pos"),
+            F.round(
+                F.sum("p") / F.count("*")
+                - F.sum("y").cast("double") / F.count("*"),
+                6,
+            ).alias("gap"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "eval_threshold_sweep",
+    oracle=f"""
+    WITH scored AS (
+        SELECT {_SQL_SCORE} AS p,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    th AS (SELECT unnest(range(1, 10)) / 10.0 AS t),
+    cells AS (
+        SELECT th.t,
+               SUM(CASE WHEN p >= th.t AND y = 1 THEN 1 ELSE 0 END) AS tp,
+               SUM(CASE WHEN p >= th.t AND y = 0 THEN 1 ELSE 0 END) AS fp,
+               SUM(CASE WHEN p < th.t AND y = 1 THEN 1 ELSE 0 END) AS fn
+        FROM scored CROSS JOIN th
+        GROUP BY th.t
+    )
+    SELECT ROUND(t, 1) AS threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0), 6) AS precision,
+           ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 6) AS recall,
+           ROUND(2.0 * tp / NULLIF(2.0 * tp + fp + fn, 0), 6) AS f1
+    FROM cells
+    ORDER BY threshold
+    """,
+    tags=("pipeline", "evaluation", "precision-recall"),
+)
+def eval_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision / recall / F1 across 9 decision thresholds — the sweep
+    behind a PR curve and threshold selection, computed in ONE aggregate
+    pass: each scored row joins the broadcast 9-row threshold frame and
+    contributes conditional counts, so the confusion matrices for every
+    threshold materialize together (vs. 9 separate scans).
+
+    Exactness: all confusion cells are exact integers; the metric ratios
+    round at 6dp; thresholds are exact decimals k/10.
+
+    Scale shape: one fact scan × 9 broadcast thresholds (bounded row
+    expansion), partial/final aggregate at threshold grain — the same
+    one-pass multi-config eval trick `sample_kfold_assignment` uses for
+    folds."""
+    ev = Tables(spark, sf_dir).events
+    scored = ev.select(
+        _score().alias("p"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    th = spark.range(1, 10).select((F.col("id") / 10.0).alias("t"))
+    cells = (
+        scored.join(F.broadcast(th))
+        .groupBy("t")
+        .agg(
+            F.sum(
+                F.when((F.col("p") >= F.col("t")) & (F.col("y") == 1), 1)
+                .otherwise(0)
+            ).alias("tp"),
+            F.sum(
+                F.when((F.col("p") >= F.col("t")) & (F.col("y") == 0), 1)
+                .otherwise(0)
+            ).alias("fp"),
+            F.sum(
+                F.when((F.col("p") < F.col("t")) & (F.col("y") == 1), 1)
+                .otherwise(0)
+            ).alias("fn"),
+        )
+    )
+    return cells.select(
+        F.round("t", 1).alias("threshold"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        F.round(
+            F.col("tp").cast("double")
+            / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.col("tp").cast("double")
+            / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)),
+            6,
+        ).alias("recall"),
+        F.round(
+            2.0
+            * F.col("tp")
+            / F.nullif(2.0 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(0)),
+            6,
+        ).alias("f1"),
+    ).orderBy("threshold")
