@@ -1540,3 +1540,99 @@ def dedup_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("degree").cast("bigint"), "n_docs", "example_doc")
         .orderBy("degree")
     )
+
+
+@query(
+    "dedup_bloom_prefilter",
+    oracle="""
+    WITH corpus AS (
+        SELECT text FROM documents WHERE doc_id % 10 <> 0
+    ),
+    batch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT b.doc_id,
+           EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
+               AS is_known_dup
+    FROM batch b
+    ORDER BY b.doc_id
+    """,
+    tags=("pipeline", "dedup", "bloom", "incremental"),
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental exact dedup: an arriving batch is
+    checked against the corpus through a DISTRIBUTED Bloom filter built
+    with pure DataFrame ops — k=3 double-hashed positions per corpus text
+    (xxhash64 pair), bits packed into 64-bit words by the commutative
+    `bit_or` aggregate (256 words for m=16384 bits), folded into ONE
+    broadcast map row.  Batch rows whose k bits are all set are *maybe
+    seen* and pay the exact verification join; rows with any bit clear
+    are new with CERTAINTY (a Bloom filter has no false negatives), so
+    the final answer is exactly the anti-join's (the oracle) while the
+    corpus-keyed join probes only |batch| x fp_rate rows.
+
+    This is the user-level twin of the optimizer's runtime bloom join
+    pruning (`spark.sql.optimizer.runtime.bloomFilter.*` in session.py;
+    reference analog `agg/bloom_filter.rs`,
+    `bloom_filter_might_contain.rs`) — the same structure a 100 TB
+    incremental ingest uses when the corpus key set is far too large to
+    broadcast but 2 KB of bloom state is not.
+
+    Determinism: xxhash64 is seed-fixed, bit positions are pure column
+    functions, and bit_or is commutative — the bitmap is identical under
+    any partitioning, so the routing (and a fortiori the exact output)
+    is reproducible."""
+    M_BITS = 16384
+    docs = Tables(spark, sf_dir).documents
+    corpus = docs.where(F.col("doc_id") % 10 != 0).select("text")
+    batch = docs.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+
+    def positions(col):
+        h1 = F.pmod(F.xxhash64(col), F.lit(M_BITS))
+        h2 = F.pmod(F.xxhash64(col, F.lit("salt2")), F.lit(M_BITS))
+        return F.array(
+            *[F.pmod(h1 + i * h2, F.lit(M_BITS)) for i in range(3)]
+        )
+
+    word = F.expr("CAST(pos / 64 AS INT)")
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+    bits = corpus.select(
+        F.explode(positions(F.col("text"))).alias("pos")
+    ).select(word.alias("word"), bit.alias("bit"))
+    bloom_row = (
+        bits.groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word", "bits"))
+            ).alias("bloom")
+        )
+    )
+    probe_pos = batch.select(
+        "doc_id", "text", F.explode(positions(F.col("text"))).alias("pos")
+    ).join(F.broadcast(bloom_row)).select(
+        "doc_id",
+        "text",
+        (
+            F.coalesce(
+                F.element_at("bloom", word), F.lit(0).cast("long")
+            ).bitwiseAND(bit)
+            != 0
+        ).alias("hit"),
+    )
+    probed = probe_pos.groupBy("doc_id", "text").agg(
+        F.min("hit").alias("maybe")
+    )
+    cleared = probed.where(~F.col("maybe")).select(
+        "doc_id", F.lit(False).alias("is_known_dup")
+    )
+    verified = (
+        probed.where(F.col("maybe"))
+        .join(
+            corpus.select("text", F.lit(1).alias("hit")).distinct(),
+            "text",
+            "left",
+        )
+        .select("doc_id", F.col("hit").isNotNull().alias("is_known_dup"))
+    )
+    return cleared.unionAll(verified).orderBy("doc_id")

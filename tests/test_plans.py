@@ -1318,3 +1318,15 @@ def test_dpp_prunes_partitions(spark):
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in final
+
+
+def test_bloom_prefilter_builds_distributed_bitmap(spark):
+    """dedup_bloom_prefilter: the bloom must build as a partial/final
+    bit_or aggregate (commutative bitset state) and reach the batch as a
+    broadcast; the exact-verify join must be an equi-join, not a
+    cartesian."""
+    plan = _plan(spark, "dedup_bloom_prefilter")
+    assert "bit_or" in plan, plan
+    assert "partial_bit_or" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
