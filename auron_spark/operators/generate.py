@@ -224,3 +224,35 @@ def gen_python_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY p_partkey
         """
     )
+
+
+@query(
+    "gen_stack",
+    oracle="""
+    SELECT p_partkey, 'retail' AS metric, CAST(p_retailprice AS DOUBLE) AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+    ORDER BY p_partkey, metric
+    """,
+    tags=("generate", "stack", "unpivot"),
+)
+def gen_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `stack(n, ...)` generator — the row-expanding unpivot variant
+    (vs `unpivot_part_metrics`' relational Unpivot node): each part row
+    emits one (metric, val) row per measure.  Completes the generator
+    family (explode / posexplode / inline / json_tuple / UDTF / stack).
+
+    Scale shape: pure map-side row expansion inside whole-stage codegen —
+    no shuffle until a downstream aggregate asks for one."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.part.select(
+            "p_partkey",
+            F.expr(
+                "stack(2, 'retail', CAST(p_retailprice AS DOUBLE), "
+                "'size', CAST(p_size AS DOUBLE)) AS (metric, val)"
+            ),
+        )
+        .orderBy("p_partkey", "metric")
+    )
