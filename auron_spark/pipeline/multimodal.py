@@ -1059,3 +1059,101 @@ def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- binaryFile source: real files on disk through Spark's binary reader ---
+
+from pathlib import Path as _Path
+
+MM_ARTIFACT_ROOT = str(
+    _Path(__file__).resolve().parents[2] / "artifacts" / "mm"
+)
+N_PPM_FILES = 50
+
+
+def build_ppm_files(sf_dir: str) -> str:
+    """Materialize N_PPM_FILES deterministic P6 PPM images as REAL files
+    (committed artifact, like the IVF-PQ index): the fixture for Spark's
+    built-in `binaryFile` source.  The bytes are `encode_ppm`'s — the same
+    pixel law the closed-form oracle knows."""
+    d = f"{MM_ARTIFACT_ROOT}/{_Path(sf_dir.rstrip('/')).name}/ppm"
+    marker = _Path(d) / "_FILES_COMPLETE"
+    if marker.exists():
+        return d
+    _Path(d).mkdir(parents=True, exist_ok=True)
+    for i in range(N_PPM_FILES):
+        (_Path(d) / f"doc_{i:04d}.ppm").write_bytes(encode_ppm(i))
+    marker.touch()
+    return d
+
+
+@query(
+    "mm_binaryfile_scan",
+    oracle=f"""
+    WITH px AS (
+        SELECT d.doc_id, x.x, y.y
+        FROM (SELECT unnest(range(0, {N_PPM_FILES})) AS doc_id) d,
+             range(0, {PPM_W}) x(x), range(0, {PPM_H}) y(y)
+    )
+    SELECT doc_id,
+           CAST({11 + PPM_W * PPM_H * 3} AS BIGINT) AS n_bytes,
+           {PPM_W} AS width, {PPM_H} AS height,
+           ROUND(AVG((7 * x + doc_id) % 256), 6) AS mean_r,
+           ROUND(AVG((11 * y + 3 * doc_id) % 256), 6) AS mean_g,
+           ROUND(AVG((x + y) % 256), 6) AS mean_b
+    FROM px
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "multimodal", "source", "binaryfile"),
+)
+def mm_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal ingestion from REAL files via Spark's built-in
+    `binaryFile` source — the missing first mile of the mm family (the
+    other mm queries synthesize payloads in-column): 50 spec-compliant
+    PPM files on disk are read as (path, length, content) rows, the
+    doc_id is recovered from the filename, and the SAME mapInPandas
+    decoder as `mm_ppm_decode_real` parses header + raster to channel
+    means.  The closed-form oracle verifies byte length AND decoded
+    features, so a truncated read, wrong file-to-row mapping or stride
+    bug all fail the hash.
+
+    Scale shape: binaryFile lists and reads files partition-parallel
+    (maxPartitionBytes-packed); the decode is Arrow-batched map-side
+    work; nothing shuffles before the demo sort.  At 100 TB this is the
+    image/audio shard reader feeding the decode stages — path and byte
+    metadata come free for provenance (`scan_file_provenance`'s binary
+    sibling)."""
+    d = build_ppm_files(sf_dir)
+    bf = spark.read.format("binaryFile").load(f"{d}/*.ppm")
+    with_payload = bf.select(
+        F.regexp_extract(
+            F.col("path"), r"doc_(\d+)\.ppm$", 1
+        ).cast("long").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.col("content").alias("payload"),
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(decode_ppm_features)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["n_bytes"],
+                    "width": feats.map(lambda t: t[0]),
+                    "height": feats.map(lambda t: t[1]),
+                    "mean_r": feats.map(lambda t: round(t[2], 6)),
+                    "mean_g": feats.map(lambda t: round(t[3], 6)),
+                    "mean_b": feats.map(lambda t: round(t[4], 6)),
+                }
+            )
+
+    return (
+        with_payload.mapInPandas(
+            extract,
+            "doc_id long, n_bytes long, width long, height long, "
+            "mean_r double, mean_g double, mean_b double",
+        )
+        .orderBy("doc_id")
+    )
