@@ -659,3 +659,88 @@ def split_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold", "source")
     )
+
+
+# Poisson(1) CDF cutoffs scaled to 1e6 (exact integer thresholds shared
+# verbatim with the SQL oracle, so the draw is identical in both engines).
+_POIS1_CUTS = (367879, 735758, 919698, 981011, 996340, 999405, 999916)
+
+
+def _pois1_weight(u: Column) -> Column:
+    """Inverse-CDF Poisson(1) draw from an integer uniform in [0, 1e6)."""
+    w = F.lit(7)
+    for k in reversed(range(len(_POIS1_CUTS))):
+        w = F.when(u < _POIS1_CUTS[k], F.lit(k)).otherwise(w)
+    return w
+
+
+def _sql_pois1(u_expr: str) -> str:
+    branches = "".join(
+        f" WHEN {u_expr} < {c} THEN {k}"
+        for k, c in enumerate(_POIS1_CUTS)
+    )
+    return f"CASE{branches} ELSE 7 END"
+
+
+@query(
+    "sample_poisson_bootstrap",
+    oracle=f"""
+    WITH draws AS (
+        SELECT r.r, d.n_chars,
+               {_sql_pois1(_sql_bucket("d.doc_id || ':' || r.r", 1_000_000))}
+                   AS w
+        FROM documents d CROSS JOIN (SELECT unnest(range(0, 5)) AS r) r
+    )
+    SELECT CAST(r AS BIGINT) AS replicate,
+           CAST(SUM(w) AS BIGINT) AS n_effective,
+           ROUND(CAST(SUM(w * n_chars) AS DOUBLE) / SUM(w), 6)
+               AS mean_chars
+    FROM draws
+    GROUP BY r
+    ORDER BY replicate
+    """,
+    tags=("pipeline", "sampling", "bootstrap", "uncertainty"),
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (the streaming-scale bootstrap: each row draws an
+    independent Poisson(1) replication weight per replicate instead of
+    resampling n-of-n, so uncertainty estimation needs NO global
+    coordination): five bootstrap replicates of the corpus mean document
+    length, each a deterministic per-(doc, replicate) inverse-CDF draw
+    from the salted md5 uniform — reproducible anywhere, append-stable,
+    and identical in the oracle because the CDF cutoffs are shared
+    integer constants.
+
+    The spread across `mean_chars` replicates IS the bootstrap standard
+    error of the mean — the cheap uncertainty a 100 TB metrics pipeline
+    attaches to every aggregate.
+
+    Scale shape: a constant ×5 broadcast row expansion, a map-side CASE
+    draw, one partial/final aggregate at replicate grain.  No shuffle of
+    corpus rows, no resampled copies materialized."""
+    t = Tables(spark, sf_dir)
+    reps = spark.range(5).select(F.col("id").alias("r"))
+    u = hash_bucket(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                 F.col("r").cast("string")),
+        1_000_000,
+    )
+    draws = (
+        t.documents.select("doc_id", "n_chars")
+        .join(F.broadcast(reps))
+        .select("r", "n_chars", _pois1_weight(u).alias("w"))
+    )
+    return (
+        draws.groupBy("r")
+        .agg(
+            F.sum("w").cast("bigint").alias("n_effective"),
+            F.round(
+                F.sum(F.col("w") * F.col("n_chars")).cast("double")
+                / F.sum("w"),
+                6,
+            ).alias("mean_chars"),
+        )
+        .select(F.col("r").cast("bigint").alias("replicate"),
+                "n_effective", "mean_chars")
+        .orderBy("replicate")
+    )
