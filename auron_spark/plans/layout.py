@@ -189,3 +189,53 @@ def scan_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("om")
     )
+
+
+@query(
+    "scan_incremental_new_files",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS om,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) >= 1997
+    GROUP BY om
+    ORDER BY om
+    """,
+    tags=("scan", "incremental", "file-listing", "ingest"),
+)
+def scan_incremental_new_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental file-level ingestion (the Auto Loader / checkpointed
+    batch pattern): a CHECKPOINT records every file already processed; an
+    incremental pass lists the fact directory, anti-joins the listing
+    against the checkpoint by file path, and processes ONLY rows from new
+    files via `input_file_name()` — no partition-value convention needed,
+    so it works for append patterns partition pruning can't express (late
+    files landing in old partitions).  The fixture checkpoint covers the
+    pre-1997 months of the partitioned orders artifact, so the
+    incremental batch is exactly the 1997+ files (the oracle recomputes
+    that from the unpartitioned view).
+
+    Scale shape: the checkpoint is a file-path table (one row per
+    processed file — millions of rows at 100 TB, still a broadcast-sized
+    dimension vs the data); the listing join is an anti equi-join on
+    path; row filtering attaches `input_file_name()` map-side and
+    semi-joins the new-path set, so pruned files' rows never deserialize
+    past the scan batch.  The same checkpoint table is what a streaming
+    `cloudFiles`-style source maintains transactionally."""
+    d = build_month_layout(spark, sf_dir)
+    fact = spark.read.parquet(f"{d}/orders_by_month")
+    listed = fact.select(
+        F.input_file_name().alias("path")
+    ).distinct()
+    # checkpoint: files already processed (every pre-1997 month partition)
+    checkpoint = listed.where(
+        F.regexp_extract("path", r"om=(\d{4})-", 1).cast("int") < 1997
+    )
+    new_files = listed.join(checkpoint, "path", "left_anti")
+    return (
+        fact.withColumn("path", F.input_file_name())
+        .join(F.broadcast(new_files), "path", "left_semi")
+        .groupBy("om")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .orderBy("om")
+    )
