@@ -493,3 +493,48 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("overlap_hour")
     )
+
+
+@query(
+    "join_lateral_topk",
+    oracle="""
+    SELECT n.n_name, c.c_custkey, c.c_acctbal
+    FROM nation n,
+    LATERAL (SELECT c_custkey,
+                    ROUND(CAST(c_acctbal AS DOUBLE), 2) AS c_acctbal
+             FROM customer
+             WHERE c_nationkey = n.n_nationkey
+             ORDER BY CAST(c_acctbal AS DOUBLE) DESC, c_custkey
+             LIMIT 2) c
+    ORDER BY n.n_name, c.c_custkey
+    """,
+    tags=("join", "lateral", "correlated", "topk"),
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery join (SQL:1999 LATERAL, Spark 3.4+):
+    for each nation, the top-2 customers by account balance — the
+    per-outer-row subquery shape that rewrites a dependent loop into a
+    relational plan.  Spark decorrelates the LATERAL LIMIT into a
+    partitioned rank filter, so the plan is the same WindowGroupLimit
+    top-k a hand-written window would give — the optimizer, not the
+    user, removes the O(outer × inner) loop.
+
+    Scale shape: decorrelation turns per-row probing into one keyed join
+    + per-key group limit; no nested-loop over the outer side survives
+    in the physical plan."""
+    t = Tables(spark, sf_dir)
+    t.nation.createOrReplaceTempView("nation")
+    t.customer.createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_custkey, c.c_acctbal
+        FROM nation n,
+        LATERAL (SELECT c_custkey,
+                        ROUND(CAST(c_acctbal AS DOUBLE), 2) AS c_acctbal
+                 FROM customer
+                 WHERE c_nationkey = n.n_nationkey
+                 ORDER BY CAST(c_acctbal AS DOUBLE) DESC, c_custkey
+                 LIMIT 2) c
+        ORDER BY n.n_name, c.c_custkey
+        """
+    )

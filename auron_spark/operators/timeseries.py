@@ -317,3 +317,59 @@ def timeseries_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "orders_seasonality_index",
+    oracle="""
+    WITH monthly AS (
+        SELECT EXTRACT(year FROM o_orderdate) AS y,
+               EXTRACT(month FROM o_orderdate) AS m,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY y, m
+    ),
+    by_month AS (
+        SELECT m, CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS avg_rev
+        FROM monthly GROUP BY m
+    ),
+    overall AS (
+        SELECT CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS grand FROM monthly
+    )
+    SELECT CAST(b.m AS INT) AS month,
+           ROUND(b.avg_rev, 2) AS avg_monthly_rev,
+           ROUND(b.avg_rev / o.grand, 6) AS seasonality_index
+    FROM by_month b CROSS JOIN overall o
+    ORDER BY month
+    """,
+    tags=("timeseries", "seasonality", "agg"),
+)
+def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonality index: each calendar month's average revenue
+    (across years) relative to the overall monthly average — index > 1
+    marks the high season.  The multiplicative companion to
+    `timeseries_trend_decompose`'s additive split.
+
+    Scale shape: one partial/final aggregate to (year, month) grain, a
+    12-row month rollup, and a 1-row broadcast for the grand mean —
+    fact-table cost is a single scan."""
+    o = Tables(spark, sf_dir).orders
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    by_month = monthly.groupBy("m").agg(
+        (F.sum("rev").cast("double") / F.count("*")).alias("avg_rev")
+    )
+    overall = monthly.agg(
+        (F.sum("rev").cast("double") / F.count("*")).alias("grand")
+    )
+    return (
+        by_month.join(F.broadcast(overall))
+        .select(
+            F.col("m").cast("int").alias("month"),
+            F.round("avg_rev", 2).alias("avg_monthly_rev"),
+            F.round(F.col("avg_rev") / F.col("grand"), 6).alias(
+                "seasonality_index"
+            ),
+        )
+        .orderBy("month")
+    )

@@ -1746,3 +1746,119 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_members").cast("bigint"), "n_communities")
         .orderBy("n_members")
     )
+
+
+@query(
+    "dedup_minhash_bbit",
+    oracle=_sql_signature_cte()
+    + """
+    , cand AS (
+        SELECT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r ON l.band = r.band AND l.doc_id < r.doc_id
+        GROUP BY a, b
+    ),
+    matches AS (
+        SELECT c.a, c.b,
+               ((CASE WHEN sa.mh0 % 2 = sb.mh0 % 2 THEN 1 ELSE 0 END)
+              + (CASE WHEN sa.mh1 % 2 = sb.mh1 % 2 THEN 1 ELSE 0 END)
+              + (CASE WHEN sa.mh2 % 2 = sb.mh2 % 2 THEN 1 ELSE 0 END)
+              + (CASE WHEN sa.mh3 % 2 = sb.mh3 % 2 THEN 1 ELSE 0 END)
+              + (CASE WHEN sa.mh4 % 2 = sb.mh4 % 2 THEN 1 ELSE 0 END)
+              + (CASE WHEN sa.mh5 % 2 = sb.mh5 % 2 THEN 1 ELSE 0 END)
+              + (CASE WHEN sa.mh6 % 2 = sb.mh6 % 2 THEN 1 ELSE 0 END)
+              + (CASE WHEN sa.mh7 % 2 = sb.mh7 % 2 THEN 1 ELSE 0 END))
+                   AS n_match
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.a
+        JOIN sig sb ON sb.doc_id = c.b
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.a, c.b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh ha ON ha.doc_id = c.a
+        JOIN sh hb ON hb.doc_id = c.b AND hb.shingle = ha.shingle
+        GROUP BY c.a, c.b
+    )
+    SELECT m.a, m.b, CAST(m.n_match AS BIGINT) AS n_match,
+           ROUND(GREATEST(2.0 * m.n_match / 8 - 1.0, 0.0), 6) AS est_1bit,
+           ROUND(CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                 / (za.n + zb.n - COALESCE(i.n_common, 0)), 6) AS jaccard
+    FROM matches m
+    LEFT JOIN inter i ON i.a = m.a AND i.b = m.b
+    JOIN sizes za ON za.doc_id = m.a
+    JOIN sizes zb ON zb.doc_id = m.b
+    ORDER BY m.a, m.b
+    """,
+    tags=("pipeline", "dedup", "minhash", "b-bit"),
+)
+def dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit MinHash (Li & König, 2010) with b=1: keep only the LOWEST bit
+    of each of the 8 minhashes, so a signature is one byte instead of 64 —
+    the storage/bandwidth trick web-scale dedup indexes use (at b=1 the
+    unbiased Jaccard estimator is 2·(matchrate) − 1, since unequal minhash
+    values still collide on their low bit half the time).  For every LSH
+    candidate pair the query reports the 1-bit match count, the corrected
+    estimate, and the EXACT shingle Jaccard — the estimator's calibration
+    table, oracle-verified.
+
+    Scale shape: the 1-bit compare is a map-side XOR over two broadcastable
+    signature columns after the same banded candidate join as the exact
+    verify; nothing new shuffles — the whole point is that the per-doc
+    index state shrinks 64×."""
+    t = Tables(spark, sf_dir)
+    sh = _doc_shingles(t).cache()
+    sig = minhash_signature(sh)
+    cand = lsh_candidate_pairs(sig)
+    bits = sig.select(
+        "doc_id", *[(F.col(f"mh{s}") % 2).alias(f"bit{s}") for s in range(8)]
+    )
+    ba = bits.select(
+        F.col("doc_id").alias("a"),
+        *[F.col(f"bit{s}").alias(f"ba{s}") for s in range(8)],
+    )
+    bb = bits.select(
+        F.col("doc_id").alias("b"),
+        *[F.col(f"bit{s}").alias(f"bb{s}") for s in range(8)],
+    )
+    n_match = sum(
+        F.when(F.col(f"ba{s}") == F.col(f"bb{s}"), 1).otherwise(0)
+        for s in range(8)
+    )
+    matches = (
+        cand.join(ba, "a").join(bb, "b").select("a", "b", n_match.alias("m"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        cand.join(sa, "a")
+        .join(sb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    return (
+        matches.join(inter, ["a", "b"], "left")
+        .join(za, "a")
+        .join(zb, "b")
+        .select(
+            "a",
+            "b",
+            F.col("m").cast("bigint").alias("n_match"),
+            F.round(
+                F.greatest(2.0 * F.col("m") / 8 - 1.0, F.lit(0.0)), 6
+            ).alias("est_1bit"),
+            F.round(
+                F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
+                / (
+                    F.col("na")
+                    + F.col("nb")
+                    - F.coalesce(F.col("n_common"), F.lit(0))
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("a", "b")
+    )

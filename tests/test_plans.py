@@ -1330,3 +1330,12 @@ def test_bloom_prefilter_builds_distributed_bitmap(spark):
     assert "partial_bit_or" in plan, plan
     assert "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_lateral_topk_decorrelates(spark):
+    """join_lateral_topk: Spark must decorrelate the LATERAL LIMIT into a
+    keyed join + WindowGroupLimit — no nested loop over the outer side."""
+    plan = _plan(spark, "join_lateral_topk")
+    assert "WindowGroupLimit" in plan, plan
+    assert "NestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
