@@ -579,3 +579,46 @@ def agg_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.02 * F.col("exact_p99")
         ).alias("ok_p99"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "agg_bool_count_if",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+               AS n_final,
+           bool_and(o_totalprice > 900) AS all_above_min,
+           bool_or(CAST(o_totalprice AS DOUBLE) > 500000) AS any_whale,
+           CAST(COUNT(*) FILTER (WHERE EXTRACT(year FROM o_orderdate) >= 1997)
+                AS BIGINT) AS n_recent
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("agg", "boolean", "count-if"),
+)
+def agg_bool_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate tail: count_if / every (bool_and) / any (bool_or)
+    — the predicate-aggregation forms SQL dashboards lean on, completing
+    the aggregate function inventory alongside the FILTER-clause forms
+    `agg_distinct_filter` proves.
+
+    Scale shape: plain partial/final hash aggregation; boolean state is
+    one byte per group per aggregate."""
+    o = Tables(spark, sf_dir).orders
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("o_orderstatus") == "F")
+            .cast("bigint")
+            .alias("n_final"),
+            F.every(F.col("o_totalprice") > 900).alias("all_above_min"),
+            F.some(F.col("o_totalprice").cast("double") > 500000.0).alias(
+                "any_whale"
+            ),
+            F.count_if(F.year("o_orderdate") >= 1997)
+            .cast("bigint")
+            .alias("n_recent"),
+        )
+        .orderBy("o_orderpriority")
+    )

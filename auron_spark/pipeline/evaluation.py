@@ -183,3 +183,55 @@ def eval_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f1"),
     ).orderBy("threshold")
+
+
+@query(
+    "eval_langid_confusion",
+    oracle="""
+    WITH pred AS (
+        SELECT lang AS lang_label,
+               CASE
+                 WHEN (len(list_filter(string_split(lower(text), ' '), t -> t = 'the')) + len(list_filter(string_split(lower(text), ' '), t -> t = 'a')) + len(list_filter(string_split(lower(text), ' '), t -> t = 'of'))) >= (len(list_filter(string_split(lower(text), ' '), t -> t = 'der')) + len(list_filter(string_split(lower(text), ' '), t -> t = 'die')) + len(list_filter(string_split(lower(text), ' '), t -> t = 'und'))) AND (len(list_filter(string_split(lower(text), ' '), t -> t = 'the')) + len(list_filter(string_split(lower(text), ' '), t -> t = 'a')) + len(list_filter(string_split(lower(text), ' '), t -> t = 'of'))) >= (len(list_filter(string_split(lower(text), ' '), t -> t = 'le')) + len(list_filter(string_split(lower(text), ' '), t -> t = 'la')) + len(list_filter(string_split(lower(text), ' '), t -> t = 'et'))) AND (len(list_filter(string_split(lower(text), ' '), t -> t = 'the')) + len(list_filter(string_split(lower(text), ' '), t -> t = 'a')) + len(list_filter(string_split(lower(text), ' '), t -> t = 'of'))) >= (len(list_filter(string_split(lower(text), ' '), t -> t = 'el')) + len(list_filter(string_split(lower(text), ' '), t -> t = 'los')) + len(list_filter(string_split(lower(text), ' '), t -> t = 'y'))) THEN 'en'
+                 WHEN (len(list_filter(string_split(lower(text), ' '), t -> t = 'der')) + len(list_filter(string_split(lower(text), ' '), t -> t = 'die')) + len(list_filter(string_split(lower(text), ' '), t -> t = 'und'))) >= (len(list_filter(string_split(lower(text), ' '), t -> t = 'le')) + len(list_filter(string_split(lower(text), ' '), t -> t = 'la')) + len(list_filter(string_split(lower(text), ' '), t -> t = 'et'))) AND (len(list_filter(string_split(lower(text), ' '), t -> t = 'der')) + len(list_filter(string_split(lower(text), ' '), t -> t = 'die')) + len(list_filter(string_split(lower(text), ' '), t -> t = 'und'))) >= (len(list_filter(string_split(lower(text), ' '), t -> t = 'el')) + len(list_filter(string_split(lower(text), ' '), t -> t = 'los')) + len(list_filter(string_split(lower(text), ' '), t -> t = 'y'))) THEN 'de'
+                 WHEN (len(list_filter(string_split(lower(text), ' '), t -> t = 'le')) + len(list_filter(string_split(lower(text), ' '), t -> t = 'la')) + len(list_filter(string_split(lower(text), ' '), t -> t = 'et'))) >= (len(list_filter(string_split(lower(text), ' '), t -> t = 'el')) + len(list_filter(string_split(lower(text), ' '), t -> t = 'los')) + len(list_filter(string_split(lower(text), ' '), t -> t = 'y'))) THEN 'fr'
+                 ELSE 'es'
+               END AS lang_pred
+        FROM documents
+    )
+    SELECT lang_label, lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred
+    GROUP BY lang_label, lang_pred
+    ORDER BY lang_label, lang_pred
+    """,
+    tags=("pipeline", "evaluation", "lang-id", "confusion-matrix"),
+)
+def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-word language classifier
+    (`text_lang_id`) against the documents table's ground-truth `lang`
+    column — the per-class eval every classifier in the curation
+    pipeline gets before its threshold is trusted.  Long-form
+    (label, pred, count); diagonal sums give accuracy, row-normalizing
+    gives per-language recall.
+
+    Scale shape: the classifier is a map-side CASE over per-language
+    marker-hit counts; the matrix is one partial/final aggregate at
+    |langs|² grain."""
+    from auron_spark.pipeline.text import _marker_hits
+
+    t = Tables(spark, sf_dir)
+    en, de, fr, es = (_marker_hits(lang) for lang in ("en", "de", "fr", "es"))
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en >= es), "en")
+        .when((de >= fr) & (de >= es), "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+    )
+    return (
+        t.documents.select(
+            F.col("lang").alias("lang_label"), pred.alias("lang_pred")
+        )
+        .groupBy("lang_label", "lang_pred")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("lang_label", "lang_pred")
+    )

@@ -744,3 +744,90 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_effective", "mean_chars")
         .orderBy("replicate")
     )
+
+
+PACK_CONTEXT = 4096  # characters per packed context (stand-in for tokens)
+
+
+@query(
+    "pack_shelf_contexts",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT doc_id, n_chars,
+               {_sql_bucket("doc_id", 32)} AS packer,
+               SUM(n_chars) OVER (
+                   PARTITION BY {_sql_bucket("doc_id", 32)}
+                   ORDER BY n_chars DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents
+        WHERE n_chars <= {PACK_CONTEXT}
+    ),
+    binned AS (
+        SELECT packer, CAST((cum - 1) // {PACK_CONTEXT} AS BIGINT) AS shelf,
+               n_chars
+        FROM ordered
+    ),
+    shelves AS (
+        SELECT packer, shelf, COUNT(*) AS n_docs, SUM(n_chars) AS fill
+        FROM binned GROUP BY packer, shelf
+    )
+    SELECT CAST(packer AS BIGINT) AS packer,
+           CAST(COUNT(*) AS BIGINT) AS n_shelves,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(fill) AS DOUBLE)
+                 / (COUNT(*) * {PACK_CONTEXT}), 6) AS fill_ratio
+    FROM shelves
+    GROUP BY packer
+    ORDER BY packer
+    """,
+    tags=("pipeline", "packing", "sequence", "context-window"),
+)
+def pack_shelf_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing into fixed context windows by SHELF packing: docs
+    are hash-assigned to 32 independent packers, each packer sorts its
+    docs length-descending and cuts the running total into
+    PACK_CONTEXT-char shelves (shelf = floor((cum-1)/C)) — the
+    deterministic, window-expressible approximation of first-fit-
+    decreasing a training-data pipeline actually runs (true FFD is
+    sequentially stateful; the cumulative cut loses only the bin-level
+    backfill).  Over-long docs are excluded (chunking is
+    `text_chunk_windows`' job).  Output is the per-packer packing report:
+    shelves used, docs packed, mean fill ratio.
+
+    Scale shape: the hash-partitioned packers are the scale story — each
+    shelf sort is a PARTITIONED window (no global sort), packers never
+    communicate, and adding executors just adds packers.  Shuffle is one
+    hash exchange of (doc_id, n_chars) pairs."""
+    t = Tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    docs = t.documents.where(F.col("n_chars") <= PACK_CONTEXT).select(
+        "doc_id", "n_chars", hash_bucket(F.col("doc_id"), 32).alias("packer")
+    )
+    w = (
+        Window.partitionBy("packer")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = docs.withColumn(
+        "shelf",
+        F.floor((F.sum("n_chars").over(w) - 1) / PACK_CONTEXT).cast("bigint"),
+    )
+    shelves = binned.groupBy("packer", "shelf").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("fill")
+    )
+    return (
+        shelves.groupBy("packer")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shelves"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum("fill").cast("double")
+                / (F.count("*") * PACK_CONTEXT),
+                6,
+            ).alias("fill_ratio"),
+        )
+        .select(F.col("packer").cast("bigint"), "n_shelves", "n_docs",
+                "fill_ratio")
+        .orderBy("packer")
+    )
