@@ -1119,3 +1119,76 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionAll(c)
     return out.orderBy("check_name")
+
+
+@query(
+    "dq_psi_drift",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderpriority AS cat, COUNT(*) AS n FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) < 1997 GROUP BY cat
+    ),
+    cur AS (
+        SELECT o_orderpriority AS cat, COUNT(*) AS n FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) >= 1997 GROUP BY cat
+    ),
+    tot AS (
+        SELECT (SELECT SUM(n) FROM base) AS nb,
+               (SELECT SUM(n) FROM cur) AS nc
+    )
+    SELECT b.cat,
+           ROUND(CAST(b.n AS DOUBLE) / t.nb, 6) AS p_base,
+           ROUND(CAST(c.n AS DOUBLE) / t.nc, 6) AS p_cur,
+           ROUND((CAST(c.n AS DOUBLE) / t.nc - CAST(b.n AS DOUBLE) / t.nb)
+                 * ln((CAST(c.n AS DOUBLE) * t.nb)
+                      / (CAST(b.n AS DOUBLE) * t.nc)), 6) AS psi_term
+    FROM base b JOIN cur c ON c.cat = b.cat CROSS JOIN tot t
+    ORDER BY b.cat
+    """,
+    tags=("dq", "drift", "psi", "monitoring"),
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two snapshots of a categorical
+    distribution (orders priority, pre-1997 baseline vs 1997+ current) —
+    the drift monitor every production feature pipeline runs per batch:
+    PSI = Σ (p_cur − p_base)·ln(p_cur/p_base); > 0.25 conventionally
+    triggers retraining.  Per-category terms are emitted so the drifting
+    category is identifiable, not just the total.
+
+    Exactness: the log argument assembles as one exact product ratio of
+    counts (identical double input to ln in both engines, the
+    feature_woe_iv contract); shares are exact integer ratios.
+
+    Scale shape: two conditional aggregates at category grain in one
+    fact scan's worth of work, a 1-row totals broadcast, arithmetic on k
+    category rows."""
+    o = Tables(spark, sf_dir).orders
+    base = (
+        o.where(F.year("o_orderdate") < 1997)
+        .groupBy(F.col("o_orderpriority").alias("cat"))
+        .agg(F.count("*").alias("nb_c"))
+    )
+    cur = (
+        o.where(F.year("o_orderdate") >= 1997)
+        .groupBy(F.col("o_orderpriority").alias("cat"))
+        .agg(F.count("*").alias("nc_c"))
+    )
+    tot = base.agg(F.sum("nb_c").alias("nb")).join(
+        cur.agg(F.sum("nc_c").alias("nc"))
+    )
+    p_base = F.col("nb_c").cast("double") / F.col("nb")
+    p_cur = F.col("nc_c").cast("double") / F.col("nc")
+    ratio = (F.col("nc_c").cast("double") * F.col("nb")) / (
+        F.col("nb_c").cast("double") * F.col("nc")
+    )
+    return (
+        base.join(cur, "cat")
+        .join(F.broadcast(tot))
+        .select(
+            "cat",
+            F.round(p_base, 6).alias("p_base"),
+            F.round(p_cur, 6).alias("p_cur"),
+            F.round((p_cur - p_base) * F.log(ratio), 6).alias("psi_term"),
+        )
+        .orderBy("cat")
+    )

@@ -373,3 +373,54 @@ def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@query(
+    "events_inter_arrival_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               epoch(ts) - epoch(LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+           ROUND(AVG(gap), 6) AS mean_gap_sec,
+           CAST(MIN(gap) AS DOUBLE) AS min_gap_sec,
+           CAST(MAX(gap) AS DOUBLE) AS max_gap_sec
+    FROM gaps
+    WHERE gap IS NOT NULL AND user_id <= 30
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("timeseries", "inter-arrival", "window"),
+)
+def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap statistics per user (lag-diff + aggregate) — the
+    arrival-process profile behind rate limiting, bot detection and
+    session-gap tuning (`sessionize_gap`'s threshold comes from exactly
+    this table's distribution).
+
+    Scale shape: one per-user lag window (partitioned, PK-tiebroken) and
+    one partial/final aggregate at user grain — no global stage."""
+    from pyspark.sql import Window
+
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    es = F.col("ts").cast("double")
+    gaps = ev.select(
+        "user_id",
+        (es - F.lag(es).over(w)).alias("gap"),
+    )
+    return (
+        gaps.where(F.col("gap").isNotNull() & (F.col("user_id") <= 30))
+        .groupBy("user_id")
+        .agg(
+            F.count("gap").cast("bigint").alias("n_gaps"),
+            F.round(F.avg("gap"), 6).alias("mean_gap_sec"),
+            F.min("gap").cast("double").alias("min_gap_sec"),
+            F.max("gap").cast("double").alias("max_gap_sec"),
+        )
+        .orderBy("user_id")
+    )
