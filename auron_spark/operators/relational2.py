@@ -915,11 +915,13 @@ def pareto_revenue_share_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = distributed_ntile(
         cust, 10, [F.desc("revenue"), F.asc("o_custkey")], "decile"
     )
-    tot = cust.agg(F.sum("revenue").alias("total"))
     per_decile = ranked.groupBy("decile").agg(
         F.count("*").cast("bigint").alias("n_customers"),
         F.sum("revenue").alias("rev_dec"),
     )
+    # grand total from the 10-row decile frame — decimal sums re-associate
+    # exactly, and it avoids a second orders scan just for one scalar
+    tot = per_decile.agg(F.sum("rev_dec").alias("total"))
     cum = (
         per_decile.alias("a")
         .join(

@@ -1065,9 +1065,8 @@ def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from pathlib import Path as _Path
 
-MM_ARTIFACT_ROOT = str(
-    _Path(__file__).resolve().parents[2] / "artifacts" / "mm"
-)
+from auron_spark.artifacts import artifact_dir as _artifact_dir
+
 N_PPM_FILES = 50
 
 
@@ -1076,7 +1075,7 @@ def build_ppm_files(sf_dir: str) -> str:
     (committed artifact, like the IVF-PQ index): the fixture for Spark's
     built-in `binaryFile` source.  The bytes are `encode_ppm`'s — the same
     pixel law the closed-form oracle knows."""
-    d = f"{MM_ARTIFACT_ROOT}/{_Path(sf_dir.rstrip('/')).name}/ppm"
+    d = f"{_artifact_dir('mm', sf_dir)}/ppm"
     marker = _Path(d) / "_FILES_COMPLETE"
     if marker.exists():
         return d

@@ -2690,19 +2690,14 @@ def sim_pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # then measures ONLY the per-batch serving work, which is what a 100 TB
 # vector pipeline actually runs per query batch; `sim_ivfpq_trained` remains
 # the end-to-end twin that re-trains inline.
-import os as _os
 from pathlib import Path as _Path
 
-IVFPQ_ARTIFACT_ROOT = str(
-    _Path(__file__).resolve().parents[2] / "artifacts" / "ivfpq"
-)
-_ORACLE_SF_DIR = _os.environ.get(
-    "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01"
-)
+from auron_spark.artifacts import ORACLE_SF_DIR as _ORACLE_SF_DIR
+from auron_spark.artifacts import artifact_dir as _artifact_dir
 
 
 def ivfpq_artifact_dir(sf_dir: str) -> str:
-    return f"{IVFPQ_ARTIFACT_ROOT}/{_Path(sf_dir.rstrip('/')).name}"
+    return _artifact_dir("ivfpq", sf_dir)
 
 
 def build_ivfpq_index(
@@ -2833,8 +2828,10 @@ def sim_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact re-rank — with the model read from parquet artifacts instead of
     re-trained inline.  Bit-identical output to `sim_ivfpq_trained` (the
     artifact is the deterministic trainer's output, and the oracle reads
-    the SAME parquet files), but the bench number is an honest serving
-    cost: no Lloyd rounds, no corpus encode.
+    the SAME parquet files — pinned to ORACLE_SF_DIR at registration, see
+    `auron_spark/artifacts.py` for the static-SQL-vs-runtime-sf contract),
+    but the bench number is an honest serving cost: no Lloyd rounds, no
+    corpus encode.
 
     Scale shape: the model scans are k rows (centroids), |labels| x 8 rows
     (codebook) and the codes index — (vec_id, sub, code) ints partitioned

@@ -90,19 +90,13 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- partition layout + dynamic partition pruning --------------------------
 
-import os as _os  # noqa: E402
 from pathlib import Path as _Path  # noqa: E402
 
-LAYOUT_ARTIFACT_ROOT = str(
-    _Path(__file__).resolve().parents[2] / "artifacts" / "layout"
-)
-_ORACLE_SF_DIR = _os.environ.get(
-    "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01"
-)
+from auron_spark.artifacts import artifact_dir as _artifact_dir  # noqa: E402
 
 
 def month_layout_dir(sf_dir: str) -> str:
-    return f"{LAYOUT_ARTIFACT_ROOT}/{_Path(sf_dir.rstrip('/')).name}"
+    return _artifact_dir("layout", sf_dir)
 
 
 def build_month_layout(spark: SparkSession, sf_dir: str) -> str:

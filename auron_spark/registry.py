@@ -116,10 +116,16 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "events_top_paths", "orders_cohort_ltv", "dq_referential_integrity",
     "pivot_topn_other_bucket", "retrieval_eval_ndcg",
     "timeseries_cusum_drift",
-    # (d) backfill: none needed — r7 additions fill the window; the two
-    # additions past position 50 (text_pmi_collocations,
-    # scan_dpp_partitioned) sort at 51-52 by the never-proven band of
-    # `_ordered` and lead the round-8 window.
+    # (d) backfill: none needed — r7 additions fill the window.  The
+    # REMAINING r7 additions (~20 oracle-bearing names: the later waves —
+    # pmi/dpp, both extra serve queries, bloom prefilter, LPA, bootstrap,
+    # binaryfile scan, incremental files, b-bit minhash, lateral join,
+    # seasonality, bool-agg, langid confusion, shelf packing, PSI,
+    # inter-arrival, stack, eval pair) sort immediately after position 50
+    # in REGISTRY order via the never-proven band of `_ordered` and lead
+    # the round-8 window; `test_driver_window_spans_all_families` pins the
+    # unproven-before-proven invariant, so this comment is descriptive,
+    # not load-bearing.
 )
 
 # Green driver rows from CORRECTNESS_r06.json — the whole round-6 window

@@ -50,13 +50,14 @@ _TRAINERS = {
     "dedup_canonical_selection",
 }
 # Light relational shapes: the round-over-round comparable set.
-_RELATIONAL_PREFIXES = ("q", "window_", "skew_", "agg_", "join_", "sort_")
+_RELATIONAL_PREFIXES = ("window_", "skew_", "agg_", "join_", "sort_")
+_TPCH_RE = __import__("re").compile(r"^q\d+_")
 
 
 def _group_of(name: str) -> str:
     if name in _TRAINERS:
         return "trainers"
-    if name.startswith(_RELATIONAL_PREFIXES):
+    if _TPCH_RE.match(name) or name.startswith(_RELATIONAL_PREFIXES):
         return "relational"
     return "pipeline"
 

@@ -1147,10 +1147,19 @@ def test_scale_ntile_no_single_partition_window(spark, name):
     for line in lines:
         if "Window [" in line:
             assert "_pid" in line, line
+    marker = ("WholeStageCodegen", "InputAdapter", "AQEShuffleRead",
+              "ReusedExchange", "ShuffleQueryStage", "Project")
     for i, line in enumerate(lines):
         if "Exchange SinglePartition" in line:
-            above = lines[i - 1]
-            assert "HashAggregate(keys=[]" in above, plan
+            # walk up to the nearest real operator line (skipping codegen/
+            # AQE wrapper nodes) — that parent must be a scalar aggregate
+            j = i - 1
+            while j >= 0 and (
+                not lines[j].strip(" :+-*()")
+                or any(m in lines[j] for m in marker)
+            ):
+                j -= 1
+            assert j >= 0 and "HashAggregate(keys=[]" in lines[j], plan
 
 
 def test_scale_ntile_matches_exact_twin(spark):
@@ -1238,18 +1247,22 @@ def test_window_group_limit_prunes_heaviest_skew_key(spark):
         return plan, rows, time.perf_counter() - t0
 
     try:
-        plan_on, rows_on, _ = run()
-        _, _, t_on = run()  # warm
+        plan_on, rows_on, t_on1 = run()
+        _, _, t_on2 = run()  # warm
         spark.conf.set(key, "-1")
-        plan_off, rows_off, _ = run()
-        _, _, t_off = run()  # warm
+        plan_off, rows_off, t_off1 = run()
+        _, _, t_off2 = run()  # warm
     finally:
         spark.conf.set(key, default)
 
     assert "WindowGroupLimit" in plan_on, plan_on
     assert "WindowGroupLimit" not in plan_off, plan_off
     assert rows_on == rows_off and len(rows_on) == 3
-    assert t_on <= t_off * 1.5, (t_on, t_off)
+    # min-of-two absorbs one-off GC/JIT noise; 2x margin keeps the gate a
+    # pruning-regression tripwire, not a microbenchmark
+    assert min(t_on1, t_on2) <= min(t_off1, t_off2) * 2.0, (
+        t_on1, t_on2, t_off1, t_off2,
+    )
 
 
 def test_feature_encodings_broadcast_model(spark):
@@ -1307,7 +1320,9 @@ def test_topn_other_no_driver_vocabulary(spark):
 def test_dpp_prunes_partitions(spark):
     """scan_dpp_partitioned: the filtered month dim must reach the fact
     scan as a dynamicpruning PartitionFilter (broadcast reuse), and the
-    executed scan must read exactly the 3 matching partition dirs."""
+    EXECUTED scan must actually read only the 3 matching partition dirs —
+    checked empirically by task counts (a plan-text-only gate would pass
+    even if the runtime filter fell back to reading all ~80 dirs)."""
     df = SPECS["scan_dpp_partitioned"].build(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     fact_scan = next(
@@ -1315,9 +1330,26 @@ def test_dpp_prunes_partitions(spark):
         if "FileScan parquet" in l and "orders_by_month" in l
     )
     assert "dynamicpruningexpression" in fact_scan, plan
+    # empirical task-count gate: execution stages are named "collect at";
+    # directory-listing jobs are named "parquet at" and may legitimately
+    # run one task per partition dir.  A pruned fact scan launches 3 tasks
+    # (one per surviving partition file); an unpruned one launches ~80.
+    sc = spark.sparkContext
+    st = sc.statusTracker()
+    jobs_before = set(st.getJobIdsForGroup(None) or [])
     df.collect()
-    final = df._jdf.queryExecution().executedPlan().toString()
-    assert "dynamicpruningexpression" in final
+    st = sc.statusTracker()
+    counts = []
+    for j in set(st.getJobIdsForGroup(None) or []) - jobs_before:
+        ji = st.getJobInfo(j)
+        if ji is None:
+            continue
+        for sid in ji.stageIds:
+            si = st.getStageInfo(sid)
+            if si and "collect" in si.name:
+                counts.append(si.numTasks)
+    assert counts and max(counts) <= 3, counts
+    assert 3 in counts, counts
 
 
 def test_bloom_prefilter_builds_distributed_bitmap(spark):
