@@ -545,12 +545,16 @@ def distributed_ntile(
         F.element_at(off_map, F.col("_pid")) + F.row_number().over(w_local)
     ).cast("long")
     head = r * (q + 1)
-    bucket = F.when(
-        F.lit(head > 0) & (rank <= F.lit(head)),
-        (rank - 1) / F.lit(q + 1),
-    ).otherwise(
-        F.lit(r) + (rank - F.lit(head) - 1) / F.lit(max(q, 1))
+    # Integer division (ADVICE r7 #1): floor(double-division) is exact only
+    # while rank and bucket width stay below ~2^52 combined; `DIV` on longs
+    # is exact at ANY scale — the whole point of the scale-safe global rank.
+    bucket = (
+        f"CASE WHEN {head} > 0 AND _rank <= {head} "
+        f"THEN (_rank - 1) DIV {q + 1} "
+        f"ELSE {r} + (_rank - {head} - 1) DIV {max(q, 1)} END"
     )
-    return parts.withColumn(
-        out_col, (F.floor(bucket) + 1).cast("int")
-    ).drop("_pid")
+    return (
+        parts.withColumn("_rank", rank)
+        .withColumn(out_col, (F.expr(bucket) + 1).cast("int"))
+        .drop("_pid", "_rank")
+    )

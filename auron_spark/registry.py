@@ -79,19 +79,49 @@ _LOADED = False
 # queries (dedup_simhash, sim_knn_lsh — their exact twins ARE in-window), the
 # four mm_* stub-plumbing queries, two stream twins, and three text queries
 # whose family already has in-window representatives.
-# ROUND-7 WINDOW (per VERDICT r6 ask #1).  Priority order: (a) the 31
-# oracle-bearing names that were queued at positions 51-81 of the round-6
-# window (late-r6 additions that never got a driver slot), in their queued
-# order; (b) the three names parked since mid-r6 (`mm_binary_dedup`,
-# `cohort_retention`, `sim_matryoshka_topk`); (c) round-7 additions as they
-# land, displacing (d) backfill; (d) backfill with the OLDEST proofs — the
-# r1 set in registry order (their rows predate the mid-r4 fixture regen;
-# fn_json/fn_json_nested were re-proven in r6 so they are skipped here).
+# ROUND-8 WINDOW (per VERDICT r7 ask #1).  Priority order: (a) the 20
+# oracle-bearing names that have NEVER had a driver row — the late-r7
+# additions that missed the round-7 window, in the order VERDICT r7 lists
+# them; (b) round-8 additions as they land, displacing (c); (c) backfill
+# with the OLDEST proofs — the r1/r2 sets in registry (declaration) order,
+# skipping anything re-proven in r4-r7 (their surviving rows predate the
+# mid-r4 fixture regen, so re-proving them on current fixtures closes the
+# oldest evidence gap).
 # Rows-only queries (oracle=None) are permanently excluded from window slots:
 # the driver can only ever return `no_oracle` for them (r5 burned 2 slots
 # this way), so they sort dead-last in `_ordered` by construction.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # (a) queued never-proven remainder of the round-6 window
+    # (a) never-proven oracle-bearing r7 additions
+    "agg_bool_count_if", "gen_stack", "join_lateral_topk", "dq_psi_drift",
+    "orders_seasonality_index", "events_inter_arrival_stats",
+    "sample_poisson_bootstrap", "pack_shelf_contexts",
+    "dedup_bloom_prefilter", "graph_label_propagation",
+    "dedup_minhash_bbit", "eval_calibration_bins", "eval_threshold_sweep",
+    "eval_langid_confusion", "mm_binaryfile_scan", "sim_knn_ivf_serve",
+    "sim_semantic_dedup_serve", "text_pmi_collocations",
+    "scan_dpp_partitioned", "scan_incremental_new_files",
+    # (b) round-8 rewrites/additions (displacing (c) backfill):
+    # stream_late_data_cutoff was REWRITTEN this round from a global
+    # single-partition running window to the distributed prefix-max plan
+    # (VERDICT r7 ask #2), so its r5 proof covers the old plan only — the
+    # rewrite re-proves here.
+    "stream_late_data_cutoff",
+    # (c) backfill: oldest proofs (r1/r2, registry order, minus later
+    # re-proofs) — 29 slots
+    "fn_decimal_arith", "fn_decimal_agg_overflow_guard", "fn_string_basic",
+    "fn_string_pad_case", "fn_regexp_like", "fn_math", "fn_datetime",
+    "fn_hash_crypto", "fn_conditional", "fn_cast", "fn_array_ops",
+    "fn_struct_map", "fn_higher_order", "fn_map_builders", "fn_bitwise",
+    "fn_null_handling", "fn_interval", "fn_to_json_roundtrip",
+    "agg_listagg_ordered", "fn_reference_tail", "fn_try_arithmetic",
+    "fn_binary_map_tail", "fn_datetime_tail", "fn_array_set_ops",
+    "agg_stats_moments", "agg_corr_covar", "agg_median_percentile",
+    "agg_mode_deterministic", "udf_pandas_scalar",
+)
+
+# Green driver rows from CORRECTNESS_r07.json — the whole round-7 window
+# hash-matched 50/50 (the second consecutive perfect driver window).
+_R7_PROVEN: frozenset[str] = frozenset({
     "mm_image_ahash_dedup", "dedup_minhash_containment",
     "market_basket_pairs", "anomaly_mad_events", "window_gaps_islands",
     "text_bigram_perplexity", "events_markov_transitions",
@@ -105,28 +135,16 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "sim_pq_distortion_report", "window_rolling_median",
     "agg_weighted_median", "sample_class_balance",
     "timeseries_trend_decompose", "split_kfold_assignment",
-    "dq_audit_lineitem", "dedup_degree_distribution",
-    # (b) parked since mid-r6
-    "mm_binary_dedup", "cohort_retention", "sim_matryoshka_topk",
-    # (c) round-7 additions (inserted as they land, displacing (d) backfill)
-    "customer_rfm_segments_scale", "pareto_revenue_share_scale",
-    "funnel_time_to_convert_scale", "sim_ivfpq_serve", "agg_approx_bounds",
-    "timeseries_locf_resample", "timeseries_ewma_window",
-    "events_rolling_active", "feature_target_encoding", "feature_woe_iv",
-    "events_top_paths", "orders_cohort_ltv", "dq_referential_integrity",
+    "dq_audit_lineitem", "dedup_degree_distribution", "mm_binary_dedup",
+    "cohort_retention", "sim_matryoshka_topk", "customer_rfm_segments_scale",
+    "pareto_revenue_share_scale", "funnel_time_to_convert_scale",
+    "sim_ivfpq_serve", "agg_approx_bounds", "timeseries_locf_resample",
+    "timeseries_ewma_window", "events_rolling_active",
+    "feature_target_encoding", "feature_woe_iv", "events_top_paths",
+    "orders_cohort_ltv", "dq_referential_integrity",
     "pivot_topn_other_bucket", "retrieval_eval_ndcg",
     "timeseries_cusum_drift",
-    # (d) backfill: none needed — r7 additions fill the window.  The
-    # REMAINING r7 additions (~20 oracle-bearing names: the later waves —
-    # pmi/dpp, both extra serve queries, bloom prefilter, LPA, bootstrap,
-    # binaryfile scan, incremental files, b-bit minhash, lateral join,
-    # seasonality, bool-agg, langid confusion, shelf packing, PSI,
-    # inter-arrival, stack, eval pair) sort immediately after position 50
-    # in REGISTRY order via the never-proven band of `_ordered` and lead
-    # the round-8 window; `test_driver_window_spans_all_families` pins the
-    # unproven-before-proven invariant, so this comment is descriptive,
-    # not load-bearing.
-)
+})
 
 # Green driver rows from CORRECTNESS_r06.json — the whole round-6 window
 # hash-matched 50/50 (the first perfect driver window), so all of it joins
@@ -239,6 +257,7 @@ _R1_PROVEN: frozenset[str] = frozenset({
 
 _PROVEN: frozenset[str] = (
     _R1_PROVEN | _R2_PROVEN | _R4_PROVEN | _R5_PROVEN | _R6_PROVEN
+    | _R7_PROVEN
 )
 
 

@@ -214,6 +214,84 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _with_running_max_distributed(
+    df: DataFrame, order_col: str, val_col: str, out_col: str,
+    num_parts: int = 32,
+) -> DataFrame:
+    """Global running MAX(val_col) OVER (ORDER BY order_col) with NO
+    single-partition window — the distributed prefix-max (VERDICT r7 ask
+    #2, the same decomposition as `window.py::distributed_ntile`):
+
+    1. range-repartition on the total-ordering key, so partition ``p``
+       holds a contiguous key range entirely before partition ``p+1``;
+    2. running max WITHIN each partition (parallel windows over `_pid`);
+    3. per-partition maxima — ``num_parts`` scalars — collect to the
+       driver (constant-size model state) and prefix-max into "max over
+       all EARLIER partitions", broadcast back as a ``_pid``-keyed map
+       literal;
+    4. the global running max is map-side:
+       ``greatest(local_running_max, prior_partition_max)``.
+
+    At 100 TB the only driver traffic is ``num_parts`` scalars; every
+    window sorts one key range in parallel.  ``localCheckpoint`` pins the
+    sampled range partitioning so the maxima pass and the window pass see
+    identical partitions."""
+    from pyspark.sql import Window
+
+    parts = (
+        df.repartitionByRange(num_parts, order_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    maxima = {
+        r["_pid"]: r["m"]
+        for r in parts.groupBy("_pid").agg(F.max(val_col).alias("m")).collect()
+    }
+    prior, acc = {}, None
+    for pid in sorted(maxima):
+        if acc is not None:
+            prior[pid] = acc
+        m = maxima[pid]
+        acc = m if acc is None or (m is not None and m > acc) else acc
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local_max = F.max(val_col).over(w_local)
+    if prior:
+        prior_col = F.element_at(
+            F.create_map(
+                *[F.lit(x) for pid, m in prior.items() for x in (pid, m)]
+            ),
+            F.col("_pid"),
+        )
+        # greatest() skips NULLs, so partition 0 (absent from the map)
+        # falls back to its local running max alone.
+        running = F.greatest(local_max, prior_col)
+    else:
+        running = local_max
+    return parts.withColumn(out_col, running).drop("_pid")
+
+
+def _late_data_cutoff_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture-scale twin of `stream_late_data_cutoff` using the naive
+    global window (one task) — kept ONLY as the equality oracle for
+    `tests/test_plans.py::test_late_cutoff_matches_exact_twin`; never
+    registered, never run at scale."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        t.events.withColumn("max_seen", F.max("ts").over(w))
+        .filter(F.col("max_seen") - F.col("ts") > F.expr("INTERVAL 10 MINUTES"))
+        .agg(F.count("*").alias("n_late"))
+    )
+
+
 @query(
     "stream_late_data_cutoff",
     oracle="""
@@ -231,16 +309,19 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_late_data_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Counts events arriving >10 min behind the running event-time maximum
     (arrival order = event_id) — the rows a 10-minute watermark would drop.
-    Batch-computable watermark semantics used to validate the streaming test."""
-    from pyspark.sql import Window
+    Batch-computable watermark semantics used to validate the streaming test.
 
+    REWRITTEN round 8 (VERDICT r7 ask #2 — the last registered query whose
+    plan funneled corpus-scale data through one task): the running max is
+    now the distributed prefix-max (`_with_running_max_distributed`), so
+    every Window partitions by `_pid` and the only SinglePartition exchange
+    feeds the final scalar COUNT.  Full-precision timestamp difference —
+    per-value cast('long') floors to seconds, so a true gap of e.g. 600.4s
+    could floor to exactly 600 and diverge from the oracle's INTERVAL
+    comparison on sub-second ts."""
     t = Tables(spark, sf_dir)
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
-        t.events.withColumn("max_seen", F.max("ts").over(w))
-        # Full-precision timestamp difference — per-value cast('long') floors
-        # to seconds, so a true gap of e.g. 600.4s could floor to exactly 600
-        # and diverge from the oracle's INTERVAL comparison on sub-second ts.
+        _with_running_max_distributed(t.events, "event_id", "ts", "max_seen")
         .filter(F.col("max_seen") - F.col("ts") > F.expr("INTERVAL 10 MINUTES"))
         .agg(F.count("*").alias("n_late"))
     )
