@@ -24,6 +24,9 @@ runtime ``sf_dir``'s artifact.
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
+from collections.abc import Callable
 from pathlib import Path
 
 ARTIFACT_ROOT = str(Path(__file__).resolve().parents[1] / "artifacts")
@@ -36,3 +39,54 @@ ORACLE_SF_DIR = os.environ.get(
 def artifact_dir(kind: str, sf_dir: str) -> str:
     """``artifacts/<kind>/<sf-name>`` for a testdata scale directory."""
     return f"{ARTIFACT_ROOT}/{kind}/{Path(sf_dir.rstrip('/')).name}"
+
+
+def ensure_artifact(
+    final_dir: str,
+    marker_name: str,
+    build_into: Callable[[str], None],
+    force: bool = False,
+) -> str:
+    """Concurrency-safe idempotent artifact build (ADVICE r7 #4).
+
+    The pre-r8 builders checked/touched the marker directly in the final
+    directory, so two processes racing past a missing marker could
+    interleave ``mode("overwrite")`` writes and commit a torn artifact.
+    Now the build lands in a uniquely-named sibling temp dir and is
+    published with ONE atomic ``os.rename``:
+
+    - marker present and not ``force`` → return immediately (train-once);
+    - otherwise build into ``<final>.tmp-<pid>-<rand>``, touch the marker
+      INSIDE the temp dir, then rename into place;
+    - rename fails because a racer already published → discard our temp
+      (their artifact is complete by construction: the marker only ever
+      travels inside a fully-built tree);
+    - ``force`` (or a torn final dir with no marker, from a pre-r8 crash)
+      → move the stale tree aside, publish, delete the stale tree.
+    """
+    final = Path(final_dir)
+    marker = final / marker_name
+    if marker.exists() and not force:
+        return str(final)
+    tmp = final.with_name(f"{final.name}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    tmp.mkdir(parents=True, exist_ok=True)
+    try:
+        build_into(str(tmp))
+        (tmp / marker_name).touch()
+        final.parent.mkdir(parents=True, exist_ok=True)
+        if final.exists() and (force or not marker.exists()):
+            stale = final.with_name(
+                f"{final.name}.stale-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+            )
+            os.rename(final, stale)
+            os.rename(tmp, final)
+            shutil.rmtree(stale, ignore_errors=True)
+        else:
+            os.rename(tmp, final)
+    except OSError:
+        # Lost the publish race: a complete artifact is already in place.
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not marker.exists():
+            raise
+    return str(final)

@@ -547,6 +547,18 @@ def agg_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     error <= N/10000, asserted as a +/-2% value band (generous: the price
     distribution is near-uniform, so 1e-4 rank error is far below 2%).
 
+    RE-MEASUREMENT CONTRACT (ADVICE r7 #3): the oracle hardcodes TRUE for
+    the ok_* booleans, and the HLL++ band is an empirically measured
+    ~2.5-sigma band (rsd is a standard deviation, not a hard bound) — a
+    Spark version bump or driver fixture regen CAN flip a boolean without
+    any real regression.  `tests/test_functions.py::
+    test_approx_bounds_headroom` measures the realized relative errors at
+    sf0.01 and alerts at HALF the contract bands (2.5% / 1%), so drift
+    surfaces in pytest with the measured numbers BEFORE the driver hash
+    can flip; after any Spark upgrade or fixture regen, re-run that test
+    and, if it alerts, re-measure the worst case across sf0.001-0.1 and
+    re-pick the bands here and in `agg_hll_bounds` (keep 2x headroom).
+
     Scale shape: ONE partial/final aggregate computes sketch and exact
     states together; the exact-distinct side is the two-level distinct
     rewrite, the exact percentile a per-group sort — the fixture-scale

@@ -1074,16 +1074,17 @@ def build_ppm_files(sf_dir: str) -> str:
     """Materialize N_PPM_FILES deterministic P6 PPM images as REAL files
     (committed artifact, like the IVF-PQ index): the fixture for Spark's
     built-in `binaryFile` source.  The bytes are `encode_ppm`'s — the same
-    pixel law the closed-form oracle knows."""
-    d = f"{_artifact_dir('mm', sf_dir)}/ppm"
-    marker = _Path(d) / "_FILES_COMPLETE"
-    if marker.exists():
-        return d
-    _Path(d).mkdir(parents=True, exist_ok=True)
-    for i in range(N_PPM_FILES):
-        (_Path(d) / f"doc_{i:04d}.ppm").write_bytes(encode_ppm(i))
-    marker.touch()
-    return d
+    pixel law the closed-form oracle knows.  Idempotent + concurrency-safe
+    via `artifacts.ensure_artifact` (temp dir + atomic rename)."""
+    from auron_spark.artifacts import ensure_artifact
+
+    def _build(into: str) -> None:
+        for i in range(N_PPM_FILES):
+            (_Path(into) / f"doc_{i:04d}.ppm").write_bytes(encode_ppm(i))
+
+    return ensure_artifact(
+        f"{_artifact_dir('mm', sf_dir)}/ppm", "_FILES_COMPLETE", _build
+    )
 
 
 @query(

@@ -2694,6 +2694,7 @@ from pathlib import Path as _Path
 
 from auron_spark.artifacts import ORACLE_SF_DIR as _ORACLE_SF_DIR
 from auron_spark.artifacts import artifact_dir as _artifact_dir
+from auron_spark.artifacts import ensure_artifact
 
 
 def ivfpq_artifact_dir(sf_dir: str) -> str:
@@ -2701,7 +2702,8 @@ def ivfpq_artifact_dir(sf_dir: str) -> str:
 
 
 def build_ivfpq_index(
-    spark: SparkSession, sf_dir: str, force: bool = False
+    spark: SparkSession, sf_dir: str, force: bool = False,
+    out_dir: str | None = None,
 ) -> str:
     """Train the IVF-PQ model and persist it as parquet artifacts:
 
@@ -2713,28 +2715,36 @@ def build_ivfpq_index(
       list is a directory and a query batch touches nprobe/k of them).
 
     Idempotent: returns immediately when ``_INDEX_COMPLETE`` exists (the
-    train-once contract); ``force=True`` rebuilds."""
-    d = ivfpq_artifact_dir(sf_dir)
-    marker = _Path(d) / "_INDEX_COMPLETE"
-    if marker.exists() and not force:
-        return d
-    t = Tables(spark, sf_dir)
-    emb = t.embeddings.select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda v: v.cast("double")).alias("e"),
-    )
-    cent, _cents_row, _cmap_row, rcarr, codes = _ivfpq_train_frames(spark, emb)
-    cent.coalesce(1).write.mode("overwrite").parquet(f"{d}/centroids")
-    rcarr.coalesce(1).write.mode("overwrite").parquet(f"{d}/codebook")
-    (
-        codes.repartition(1)
-        .write.mode("overwrite")
-        .partitionBy("cid")
-        .parquet(f"{d}/codes")
-    )
-    marker.touch()
-    return d
+    train-once contract); ``force=True`` rebuilds.  Concurrency-safe via
+    `artifacts.ensure_artifact` (ADVICE r7 #4): the whole index trains
+    into a temp dir and publishes with one atomic rename, so racing
+    bench/test invocations can never commit a torn artifact.
+
+    ``out_dir`` overrides the destination (bench.py's `index_build`
+    timing rebuilds into a scratch dir without touching the committed
+    artifact)."""
+    d = out_dir or ivfpq_artifact_dir(sf_dir)
+
+    def _build(into: str) -> None:
+        t = Tables(spark, sf_dir)
+        emb = t.embeddings.select(
+            "vec_id",
+            "label",
+            F.transform("embedding", lambda v: v.cast("double")).alias("e"),
+        )
+        cent, _cents_row, _cmap_row, rcarr, codes = _ivfpq_train_frames(
+            spark, emb
+        )
+        cent.coalesce(1).write.mode("overwrite").parquet(f"{into}/centroids")
+        rcarr.coalesce(1).write.mode("overwrite").parquet(f"{into}/codebook")
+        (
+            codes.repartition(1)
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(f"{into}/codes")
+        )
+
+    return ensure_artifact(d, "_INDEX_COMPLETE", _build, force=force)
 
 
 _SERVE_ART = ivfpq_artifact_dir(_ORACLE_SF_DIR)

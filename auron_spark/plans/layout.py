@@ -90,9 +90,8 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- partition layout + dynamic partition pruning --------------------------
 
-from pathlib import Path as _Path  # noqa: E402
-
 from auron_spark.artifacts import artifact_dir as _artifact_dir  # noqa: E402
+from auron_spark.artifacts import ensure_artifact  # noqa: E402
 
 
 def month_layout_dir(sf_dir: str) -> str:
@@ -103,35 +102,36 @@ def build_month_layout(spark: SparkSession, sf_dir: str) -> str:
     """Write the orders fact partitioned by order month
     (``orders_by_month/om=YYYY-MM/``) plus a month dimension
     (om, y, q) — the star layout whose partition-pruned scan
-    `scan_dpp_partitioned` demonstrates.  Idempotent via marker, like
-    `build_ivfpq_index` (the artifacts are committed; the fact copy is
-    byte-stable because it is a repartition of static fixture data)."""
-    d = month_layout_dir(sf_dir)
-    marker = _Path(d) / "_LAYOUT_COMPLETE"
-    if marker.exists():
-        return d
-    o = Tables(spark, sf_dir).orders
-    om = F.date_format("o_orderdate", "yyyy-MM").alias("om")
-    (
-        o.withColumn("om", om)
-        .repartition(1)
-        .write.mode("overwrite")
-        .partitionBy("om")
-        .parquet(f"{d}/orders_by_month")
-    )
-    (
-        o.select(
-            om,
-            F.year("o_orderdate").alias("y"),
-            F.quarter("o_orderdate").alias("q"),
+    `scan_dpp_partitioned` demonstrates.  Idempotent + concurrency-safe
+    via `artifacts.ensure_artifact` (temp dir + atomic rename, ADVICE r7
+    #4); the artifacts are committed — the fact copy is byte-stable
+    because it is a repartition of static fixture data."""
+
+    def _build(into: str) -> None:
+        o = Tables(spark, sf_dir).orders
+        om = F.date_format("o_orderdate", "yyyy-MM").alias("om")
+        (
+            o.withColumn("om", om)
+            .repartition(1)
+            .write.mode("overwrite")
+            .partitionBy("om")
+            .parquet(f"{into}/orders_by_month")
         )
-        .distinct()
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{d}/month_dim")
+        (
+            o.select(
+                om,
+                F.year("o_orderdate").alias("y"),
+                F.quarter("o_orderdate").alias("q"),
+            )
+            .distinct()
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{into}/month_dim")
+        )
+
+    return ensure_artifact(
+        month_layout_dir(sf_dir), "_LAYOUT_COMPLETE", _build
     )
-    marker.touch()
-    return d
 
 
 @query(

@@ -96,6 +96,12 @@ def main() -> int:
             "err": None,
         }
         try:
+            from tests.conftest import assert_oracle_scale_consistent
+
+            # ADVICE r7 #2: serve-tagged oracles pin an artifact path at
+            # import time — fail with a clear message on a scale mismatch
+            # instead of an opaque hash mismatch.
+            assert_oracle_scale_consistent(spec, args.sf_dir)
             sdf = spec.build(spark, args.sf_dir).toPandas()
             row["spark_rows"] = len(sdf)
             if spec.oracle is None:

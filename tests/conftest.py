@@ -99,6 +99,26 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
 
 
+def assert_oracle_scale_consistent(spec, sf_dir: str) -> None:
+    """Fail fast on serve-query scale mismatch (ADVICE r7 #2): the
+    'serving'-tagged queries' DuckDB oracles embed a literal artifact path
+    pinned to `artifacts.ORACLE_SF_DIR` at import time, while the Spark
+    side serves the runtime ``sf_dir``'s artifact.  Comparing them at any
+    other scale silently produces a value-hash mismatch that looks like a
+    real bug; raise a clear error instead (export SPARK_GRAFT_TEST_SF_DIR
+    before import to move the pin)."""
+    from auron_spark.artifacts import ORACLE_SF_DIR
+
+    if "serving" in spec.tags and sf_dir.rstrip("/") != ORACLE_SF_DIR.rstrip("/"):
+        raise AssertionError(
+            f"{spec.name}: oracle artifact path is pinned to "
+            f"{ORACLE_SF_DIR} (artifacts.ORACLE_SF_DIR, set at import) but "
+            f"the comparison runs at {sf_dir}; the hashes would mismatch "
+            "by construction.  Export SPARK_GRAFT_TEST_SF_DIR="
+            f"{sf_dir} before importing auron_spark to re-pin the oracle."
+        )
+
+
 def assert_matches_oracle(spark_df, con, sql: str, name: str = "") -> None:
     got = normalize(spark_df.toPandas())
     want = normalize(con.execute(sql).df())

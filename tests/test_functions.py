@@ -510,3 +510,52 @@ def test_kcenter_radius_non_increasing(spark):
     assert radii == sorted(radii, reverse=True), radii
     ids = [r.vec_id for r in rows]
     assert len(set(ids)) == len(ids), ids
+
+
+def test_approx_bounds_headroom(spark):
+    """ADVICE r7 #3: the agg_approx_bounds / agg_hll_bounds oracles
+    hardcode TRUE for their ok_* booleans, and the HLL++ +/-5% band is an
+    empirical ~2.5-sigma band, not a hard bound — a Spark bump or fixture
+    regen can flip a boolean into a driver hash mismatch with no real
+    regression.  This test measures the REALIZED relative errors and
+    alerts at HALF the contract bands, so drift is caught here first,
+    with the numbers in the failure message (see the re-measurement
+    contract in the agg_approx_bounds docstring)."""
+    import pyspark.sql.functions as F
+
+    from auron_spark.tables import Tables
+    from tests.conftest import SF_DIR
+
+    t = Tables(spark, SF_DIR)
+    price = F.col("l_extendedprice").cast("double")
+    rows = (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_orderkey").alias("exact_d"),
+            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_d"),
+            F.percentile(price, F.lit(0.5)).alias("exact_p50"),
+            F.percentile_approx(price, 0.5, 10000).alias("approx_p50"),
+            F.percentile(price, F.lit(0.99)).alias("exact_p99"),
+            F.percentile_approx(price, 0.99, 10000).alias("approx_p99"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey")).alias(
+                "hll_d"
+            ),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        d_err = abs(r["approx_d"] - r["exact_d"]) / r["exact_d"]
+        hll_err = abs(r["hll_d"] - r["exact_d"]) / r["exact_d"]
+        p50_err = abs(r["approx_p50"] - r["exact_p50"]) / r["exact_p50"]
+        p99_err = abs(r["approx_p99"] - r["exact_p99"]) / r["exact_p99"]
+        msg = (
+            f"flag={r['l_returnflag']} realized errors: hll++={d_err:.4f} "
+            f"(contract 0.05), ds-hll={hll_err:.4f} (contract 0.05), "
+            f"p50={p50_err:.4f} p99={p99_err:.4f} (contract 0.02) — "
+            "within contract but past the 2x-headroom alert line: "
+            "re-measure per the agg_approx_bounds docstring before the "
+            "driver window runs"
+        )
+        assert d_err <= 0.025 and hll_err <= 0.025, msg
+        assert p50_err <= 0.01 and p99_err <= 0.01, msg
