@@ -1558,6 +1558,8 @@ def dedup_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY b.doc_id
     """,
     tags=("pipeline", "dedup", "bloom", "incremental"),
+    bench=True,  # VERDICT r7 ask #6: the scale-defining incremental-ingest
+    # pattern needs a round-over-round timing series
 )
 def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered incremental exact dedup: an arriving batch is

@@ -5,7 +5,9 @@
 Output protocol (VERDICT r6 asks #2/#3 — the r6 single-line payload outgrew
 the driver's tail-capture window and parsed as null):
 - several leading JSON lines carry the bulky sections (`{"section": "cold",
-  ...}`, `{"section": "sf2", ...}`, `{"section": "groups", ...}`);
+  ...}`, `{"section": "sf2", ...}`, `{"section": "groups", ...}`,
+  `{"section": "shards", ...}`, `{"section": "variance", ...}`,
+  `{"section": "index_build", ...}`);
 - the LAST printed line is the compact headline
   `{"metric", "value", "unit", "queries", "sf"}` — always complete inside a
   tail-capture window, so the driver can parse it.
@@ -20,10 +22,29 @@ inherited JIT/GC pollution from the trainers and read 2.5-3.7× worse than r5
 while plan goldens were unchanged.  Per-group subtotals make round-over-round
 comparison apples-to-apples.
 
-Methodology: each query runs twice and BOTH times are reported — `cold`
-(first execution: file listing + whole-stage-codegen + JIT) and `warm`
-(steady state).  The headline `value` / `queries` numbers are the warm times:
-at 100 TB the one-shot compile costs amortize to zero, so warm is the number
+Sharded fixtures (VERDICT r7 ask #4 — measurement honesty, not gaming): the
+driver fixtures are single-row-group parquet, so every scan is ONE task and
+every query pays a serial-scan + JIT floor that masks plan quality; at 100 TB
+every scan has thousands of splits.  Unless SPARK_GRAFT_BENCH_SHARD=0, the
+harness first rewrites each table into `.bench_shards/<sf>/<table>.parquet/`
+with multiple part files (32 for facts, fewer for dims — layout-only; rows,
+values and read-schema are identical, and correctness runs still read the
+untouched originals) and benches against the sharded copy.  The one-time
+build cost is reported in its own `shards` section, never in the headline.
+
+Variance guard (VERDICT r7 ask #3): each query runs cold + TWO warm passes;
+the headline warm number is the MIN of the two (steady-state, box-weather
+suppressed) and the `variance` section carries both, so a real plan
+regression (both runs move) is distinguishable from box noise (one run
+spikes) round-over-round.
+
+Train-once visibility (VERDICT r7 ask #5): the trainers group also times a
+forced IVF-PQ index rebuild into a scratch dir — the `index_build` section —
+so the train-once cost the serve queries amortize is tracked explicitly
+instead of invisibly.
+
+Methodology: the headline `value` / `queries` numbers are warm times: at
+100 TB the one-shot compile costs amortize to zero, so warm is the number
 that scales.
 """
 
@@ -31,6 +52,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -53,6 +75,15 @@ _TRAINERS = {
 _RELATIONAL_PREFIXES = ("window_", "skew_", "agg_", "join_", "sort_")
 _TPCH_RE = __import__("re").compile(r"^q\d+_")
 
+# Layout-only resharding: facts get full scan parallelism, dims stay small
+# (32 one-row files for region would be silly).  Unlisted tables default 8.
+_SHARD_SPLITS = {
+    "lineitem": 32, "orders": 32, "events": 32, "documents": 32,
+    "embeddings": 32, "customer": 8, "part": 8, "supplier": 8,
+    "nation": 1, "region": 1,
+}
+_SHARD_ROOT = f"{_REPO}/.bench_shards"
+
 
 def _group_of(name: str) -> str:
     if name in _TRAINERS:
@@ -62,10 +93,44 @@ def _group_of(name: str) -> str:
     return "pipeline"
 
 
+def _shard_dir_for(sf_dir: str) -> str:
+    return f"{_SHARD_ROOT}/{Path(sf_dir.rstrip('/')).name}"
+
+
+def _build_shards(dirs: list[str]) -> dict:
+    """Child mode: reshard each fixture dir into .bench_shards (idempotent
+    + atomic via ensure_artifact); returns per-dir build seconds."""
+    from auron_spark.artifacts import ensure_artifact
+    from auron_spark.session import get_spark
+    from auron_spark.tables import TABLE_NAMES, table
+
+    spark = get_spark("auron-spark-bench-shard")
+    spark.sparkContext.setLogLevel("WARN")
+    out: dict[str, float] = {}
+    for sf_dir in dirs:
+        dest = _shard_dir_for(sf_dir)
+        t0 = time.perf_counter()
+
+        def _build(into: str, src: str = sf_dir) -> None:
+            for name in TABLE_NAMES:
+                # table() normalizes physical quirks (ns timestamps) once;
+                # the sharded copy is then uniform for every reader.
+                df = table(spark, src, name)
+                df.repartition(_SHARD_SPLITS.get(name, 8)).write.mode(
+                    "overwrite"
+                ).parquet(f"{into}/{name}.parquet")
+
+        ensure_artifact(dest, "_SHARDS_COMPLETE", _build)
+        out[dest] = round(time.perf_counter() - t0, 3)
+    spark.stop()
+    return out
+
+
 def _run_group(group: str, sf_dir: str, second: str) -> dict:
     """Child mode: run one group's queries in this process's own JVM."""
     from auron_spark.registry import bench_queries, load_all
     from auron_spark.session import get_spark
+    from auron_spark.tables import Tables  # noqa: F401 (registry import)
 
     load_all()
     specs = {
@@ -86,17 +151,34 @@ def _run_group(group: str, sf_dir: str, second: str) -> dict:
         spark._jvm.System.gc()
         return elapsed
 
-    warm: dict[str, float] = {}
     cold: dict[str, float] = {}
+    warm_runs: dict[str, list[float]] = {}
     warm2: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
         cold[name] = run(spec, sf_dir)
-        warm[name] = run(spec, sf_dir)
+        warm_runs[name] = [run(spec, sf_dir), run(spec, sf_dir)]
     if second and os.path.isdir(second) and second != sf_dir:
         for name, spec in sorted(specs.items()):
             warm2[name] = run(spec, second)
+
+    index_build: dict[str, float] = {}
+    if group == "trainers":
+        from auron_spark.pipeline.similarity import build_ivfpq_index
+
+        scratch = f"{_SHARD_ROOT}/.scratch_ivfpq-{os.getpid()}"
+        t0 = time.perf_counter()
+        build_ivfpq_index(spark, sf_dir, force=True, out_dir=scratch)
+        index_build["ivfpq_sec"] = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(scratch, ignore_errors=True)
+
     spark.stop()
-    return {"warm": warm, "cold": cold, "sf2": warm2}
+    return {
+        "warm": {n: min(r) for n, r in warm_runs.items()},
+        "warm_runs": warm_runs,
+        "cold": cold,
+        "sf2": warm2,
+        "index_build": index_build,
+    }
 
 
 def main() -> None:
@@ -108,38 +190,63 @@ def main() -> None:
 
     if len(sys.argv) > 1 and sys.argv[1] == "--group":
         # Child: print this group's result as the last line and exit.
-        print(json.dumps(_run_group(sys.argv[2], sf_dir, second)))
+        print(json.dumps(_run_group(sys.argv[2], sys.argv[3], sys.argv[4])))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--shard":
+        print(json.dumps(_build_shards(sys.argv[2:])))
         return
 
-    warm: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    warm2: dict[str, float] = {}
-    subtotals: dict[str, float] = {}
-    for group in ("relational", "pipeline", "trainers"):
+    def _child(args: list[str]) -> dict:
         proc = subprocess.run(
-            [sys.executable, __file__, "--group", group],
+            [sys.executable, __file__, *args],
             capture_output=True,
             text=True,
             cwd=_REPO,
         )
         if proc.returncode != 0:
             sys.stderr.write(proc.stderr[-4000:])
-            raise SystemExit(f"bench group {group} failed rc={proc.returncode}")
-        last = proc.stdout.strip().splitlines()[-1]
-        res = json.loads(last)
+            raise SystemExit(f"bench child {args[0]} failed rc={proc.returncode}")
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    shard_sec: dict[str, float] = {}
+    run_dir, second_dir = sf_dir, second
+    if os.environ.get("SPARK_GRAFT_BENCH_SHARD", "1") != "0":
+        want = [d for d in (sf_dir, second) if d and os.path.isdir(d)]
+        shard_sec = _child(["--shard", *want])
+        run_dir = _shard_dir_for(sf_dir)
+        if second and os.path.isdir(second):
+            second_dir = _shard_dir_for(second)
+
+    warm: dict[str, float] = {}
+    warm_runs: dict[str, list[float]] = {}
+    cold: dict[str, float] = {}
+    warm2: dict[str, float] = {}
+    subtotals: dict[str, float] = {}
+    index_build: dict[str, float] = {}
+    for group in ("relational", "pipeline", "trainers"):
+        res = _child(["--group", group, run_dir, second_dir])
         warm.update(res["warm"])
+        warm_runs.update(res["warm_runs"])
         cold.update(res["cold"])
         warm2.update(res["sf2"])
+        index_build.update(res.get("index_build", {}))
         subtotals[group] = round(sum(res["warm"].values()), 3)
 
     sf2 = float(second.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in second else -1.0
     # Bulky sections lead; the compact headline is the LAST line so a
     # tail-capture of stdout always contains one complete parseable JSON.
+    if shard_sec:
+        print(json.dumps({"section": "shards", "build_sec": shard_sec,
+                          "run_dir": run_dir,
+                          "splits": _SHARD_SPLITS}))
     print(json.dumps({"section": "cold", "queries_cold": cold,
                       "total_cold": round(sum(cold.values()), 3)}))
     if warm2:
         print(json.dumps({"section": "sf2", "sf2": sf2, "queries_sf2": warm2,
                           "total_sf2": round(sum(warm2.values()), 3)}))
+    print(json.dumps({"section": "variance", "warm_runs": warm_runs}))
+    if index_build:
+        print(json.dumps({"section": "index_build", **index_build}))
     print(json.dumps({"section": "groups", "warm_subtotals": subtotals}))
     print(json.dumps({
         "metric": "headline_queries_total_wall",

@@ -34,12 +34,82 @@ def _value_hash(norm_rows: list[tuple]) -> str:
     return h.hexdigest()
 
 
+def _counts_block() -> tuple[str, str]:
+    """Compute the coverage headline from the registry itself (VERDICT r7
+    stretch #8): returns (COVERAGE.md block, README.md inline fragment).
+    The numbers can never drift from the artifacts because they ARE the
+    artifacts — registry size, oracle count, and the proven sets that
+    mirror the driver's CORRECTNESS_r0N.json green rows."""
+    import textwrap
+
+    from auron_spark.registry import _PROVEN, load_all
+
+    specs = load_all()
+    total = len(specs)
+    rows_only = sorted(n for n, s in specs.items() if s.oracle is None)
+    n_oracle = total - len(rows_only)
+    proven = sum(1 for n in specs if n in _PROVEN)
+    names = ", ".join(f"`{n}`" for n in rows_only)
+    block = textwrap.fill(
+        f"**{total} registered queries, {n_oracle} with exact DuckDB "
+        f"oracles, {proven} with a green driver row** (rows-only: {names}).",
+        width=74,
+    )
+    inline = (
+        f"{total} registered queries, {n_oracle} with exact\nDuckDB oracles"
+    )
+    return block, inline
+
+
+def sync_counts(check_only: bool = False) -> int:
+    """Rewrite (or verify, for the drift test) the marker-delimited count
+    lines in COVERAGE.md and README.md from the registry."""
+    import re
+
+    block, inline = _counts_block()
+    specs = [
+        (
+            Path(_REPO) / "COVERAGE.md",
+            r"(<!-- counts:begin[^>]*-->\n).*?(\n<!-- counts:end -->)",
+            block,
+        ),
+        (
+            Path(_REPO) / "README.md",
+            r"(<!-- counts:inline-begin -->).*?(<!-- counts:inline-end -->)",
+            inline,
+        ),
+    ]
+    drift = 0
+    for path, pat, payload in specs:
+        text = path.read_text()
+        new = re.sub(pat, lambda m: m.group(1) + payload + m.group(2),
+                     text, count=1, flags=re.S)
+        assert re.search(pat, text, flags=re.S), f"markers missing in {path}"
+        if new != text:
+            drift += 1
+            if check_only:
+                print(f"COUNT DRIFT in {path}", file=sys.stderr)
+            else:
+                path.write_text(new)
+    return drift
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default="", help="comma-separated query names")
     ap.add_argument("--out", default="CORRECTNESS_self.json")
+    ap.add_argument(
+        "--sync-counts", action="store_true",
+        help="regenerate the COVERAGE.md/README.md coverage counts from "
+        "the registry and exit",
+    )
     args = ap.parse_args()
+
+    if args.sync_counts:
+        changed = sync_counts()
+        print(json.dumps({"synced_files": changed}))
+        return 0
 
     import duckdb
 
