@@ -296,3 +296,115 @@ def test_connected_components_vs_union_find(spark, edges):
         for r in connected_components(nodes, e, max_rounds=12).collect()
     }
     assert labels == expected
+
+
+# --- composed operator chains (VERDICT r7 stretch #7) ----------------------
+#
+# The per-operator oracles prove each §2 row alone; this layer composes
+# random scan -> filter -> join -> aggregate -> window -> sort/limit CHAINS
+# from a seeded generator and diffs the whole pipeline against DuckDB —
+# the fuzz insurance against composition bugs (join null-handling feeding a
+# group-by, window over an aggregated subquery, limit over a windowed sort)
+# that neither the reference's suites nor per-operator tests can see.
+# Every random choice renders to ONE SQL string valid in both dialects
+# (explicit NULLS FIRST, decimal-exact sums, deterministic total order).
+
+_CHAIN_NUM = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_CHAIN_PREDS = [
+    "l_quantity {} {}",
+    "l_extendedprice {} {}",
+    "l_linenumber {} {}",
+    "l_orderkey % 7 {} {}",
+]
+_CHAIN_STR_PREDS = [
+    "l_returnflag = 'A'", "l_returnflag <> 'N'", "l_linestatus = 'O'",
+    "l_shipdate >= DATE '1995-06-01'", "l_shipdate < DATE '1997-01-01'",
+]
+
+
+def _gen_chain_sql(seed: int) -> str:
+    import random
+
+    rng = random.Random(seed)
+    join = rng.choice(["none", "JOIN", "LEFT JOIN"])
+    base_cols = (
+        "l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_extendedprice, "
+        "l.l_discount, l.l_tax, l.l_returnflag, l.l_linestatus, l.l_shipdate"
+    )
+    if join == "none":
+        frm = "{li} l"
+        keys = ["l_returnflag", "l_linestatus", "l_linenumber"]
+    else:
+        base_cols += ", o.o_orderpriority, o.o_orderstatus"
+        frm = f"{{li}} l {join} {{ord}} o ON l.l_orderkey = o.o_orderkey"
+        keys = [
+            "l_returnflag", "l_linestatus", "l_linenumber",
+            "o_orderpriority", "o_orderstatus",
+        ]
+    preds = []
+    for _ in range(rng.randint(1, 3)):
+        if rng.random() < 0.6:
+            tmpl = rng.choice(_CHAIN_PREDS)
+            preds.append(
+                tmpl.format(
+                    rng.choice(["<", "<=", ">", ">=", "=", "<>"]),
+                    rng.randint(0, 60),
+                )
+            )
+        else:
+            preds.append(rng.choice(_CHAIN_STR_PREDS))
+    where = f" ({rng.choice([' AND ', ' OR ']).join(preds)}) "
+    key = rng.choice(keys)
+    col = rng.choice(_CHAIN_NUM)
+    col2 = rng.choice(_CHAIN_NUM)
+    rankfn = rng.choice(["RANK()", "DENSE_RANK()", "ROW_NUMBER()"])
+    limit = f"LIMIT {rng.randint(1, 25)}" if rng.random() < 0.7 else ""
+    return f"""
+    WITH base AS (
+        SELECT {base_cols}
+        FROM {frm}
+        WHERE {where}
+    ),
+    agg AS (
+        SELECT {key} AS k,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) AS s,
+               MIN({col2}) AS mn, MAX({col2}) AS mx
+        FROM base
+        GROUP BY {key}
+    )
+    SELECT k, n, s, mn, mx,
+           {rankfn} OVER (ORDER BY n DESC, k ASC NULLS FIRST) AS rnk,
+           CAST(SUM(n) OVER (ORDER BY k ASC NULLS FIRST
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_n
+    FROM agg
+    ORDER BY k ASC NULLS FIRST
+    {limit}
+    """
+
+
+@pytest.fixture(scope="module")
+def duck2(oracle):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_SMOKE}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_random_composed_chains(spark, duck2, seed):
+    sql = _gen_chain_sql(seed)
+    table(spark, SF_SMOKE, "lineitem").createOrReplaceTempView("li_chain")
+    table(spark, SF_SMOKE, "orders").createOrReplaceTempView("ord_chain")
+    got = normalize(
+        spark.sql(sql.format(li="li_chain", ord="ord_chain")).toPandas()
+    )
+    want = normalize(
+        duck2.execute(sql.format(li="lineitem", ord="orders")).df()
+    )
+    assert got == want, f"seed={seed}\n{sql}"
