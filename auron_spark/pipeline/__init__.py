@@ -11,5 +11,6 @@ from auron_spark.pipeline import (  # noqa: F401
     retrieval,
     sampling,
     similarity,
+    simjoin,
     text,
 )

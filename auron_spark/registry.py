@@ -106,8 +106,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (VERDICT r7 ask #2), so its r5 proof covers the old plan only — the
     # rewrite re-proves here.
     "stream_late_data_cutoff",
+    # exact similarity joins with lossless pruning (new r8 module
+    # pipeline/simjoin.py)
+    "join_set_similarity_prefix", "join_edit_distance_qgram",
+    "dedup_simhash_hamming_pairs",
     # (c) backfill: oldest proofs (r1/r2, registry order, minus later
-    # re-proofs) — 29 slots
+    # re-proofs) — 26 slots
     "fn_decimal_arith", "fn_decimal_agg_overflow_guard", "fn_string_basic",
     "fn_string_pad_case", "fn_regexp_like", "fn_math", "fn_datetime",
     "fn_hash_crypto", "fn_conditional", "fn_cast", "fn_array_ops",
@@ -115,8 +119,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "fn_null_handling", "fn_interval", "fn_to_json_roundtrip",
     "agg_listagg_ordered", "fn_reference_tail", "fn_try_arithmetic",
     "fn_binary_map_tail", "fn_datetime_tail", "fn_array_set_ops",
-    "agg_stats_moments", "agg_corr_covar", "agg_median_percentile",
-    "agg_mode_deterministic", "udf_pandas_scalar",
+    "agg_stats_moments", "agg_corr_covar",
 )
 
 # Green driver rows from CORRECTNESS_r07.json — the whole round-7 window

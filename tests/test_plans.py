@@ -1410,3 +1410,33 @@ def test_late_cutoff_matches_exact_twin(spark):
     )
     want = normalize(_late_data_cutoff_exact(spark, SF_DIR).toPandas())
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "join_set_similarity_prefix",
+        "join_edit_distance_qgram",
+        "dedup_simhash_hamming_pairs",
+    ],
+)
+def test_exact_simjoin_no_quadratic(spark, name):
+    """pipeline/simjoin.py: the exact similarity joins must get their
+    candidates from equi-joins on prefix shingles / q-grams / band bytes —
+    never a cartesian or nested loop — and the only global windows allowed
+    are per-doc (partitioned)."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan or "join_edit" in name, plan
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "doc_id" in line, line
+
+
+def test_edit_distance_short_band_broadcasts(spark):
+    """The length<=5 safety band in join_edit_distance_qgram must reach
+    the non-equi join as a broadcast (it is bounded), never a shuffled
+    nested loop."""
+    plan = _plan(spark, "join_edit_distance_qgram")
+    if "NestedLoopJoin" in plan:
+        assert "BroadcastNestedLoopJoin" in plan, plan
