@@ -634,3 +634,132 @@ def agg_bool_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def _cms_hash_sql(i_expr: str, key_expr: str, w: int) -> str:
+    """DuckDB-side CMS row hash — identical string input to the Spark side:
+    md5('<i>:<key>') 32-bit prefix mod w."""
+    return (
+        f"CAST('0x' || substr(md5(CAST({i_expr} AS VARCHAR) || ':' || "
+        f"CAST({key_expr} AS VARCHAR)), 1, 8) AS BIGINT) % {w}"
+    )
+
+
+_CMS_D, _CMS_W = 4, 256
+
+
+@query(
+    "agg_countmin_frequency",
+    oracle=f"""
+    WITH h AS (
+        SELECT l_partkey, r.i,
+               {_cms_hash_sql('r.i', 'l_partkey', _CMS_W)} AS hh
+        FROM lineitem CROSS JOIN range(0, {_CMS_D}) r(i)
+    ),
+    counters AS (SELECT i, hh, COUNT(*) AS c FROM h GROUP BY i, hh),
+    exact AS (
+        SELECT l_partkey, COUNT(*) AS exact_n FROM lineitem GROUP BY l_partkey
+    ),
+    top AS (SELECT * FROM exact ORDER BY exact_n DESC, l_partkey LIMIT 20),
+    est AS (
+        SELECT t.l_partkey, MIN(c.c) AS cms_est
+        FROM top t
+        CROSS JOIN range(0, {_CMS_D}) r(i)
+        JOIN counters c
+          ON c.i = r.i
+         AND c.hh = {_cms_hash_sql('r.i', 't.l_partkey', _CMS_W)}
+        GROUP BY t.l_partkey
+    )
+    SELECT t.l_partkey, CAST(t.exact_n AS BIGINT) AS exact_n,
+           CAST(e.cms_est AS BIGINT) AS cms_est,
+           e.cms_est >= t.exact_n AS ok_overest
+    FROM top t JOIN est e USING (l_partkey)
+    ORDER BY exact_n DESC, l_partkey
+    """,
+    tags=("agg", "approx", "sketch", "count-min", "accuracy-bound"),
+)
+def agg_countmin_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation (Cormode-Muthukrishnan '05) —
+    the FIFTH sketch family (after HLL / theta / KLL / GK-percentile), and
+    the only one that is fully DETERMINISTIC end to end: both engines
+    build the identical d=4 x w=256 counter matrix from md5-derived row
+    hashes, so the driver hash-matches the estimates themselves, not just
+    bound booleans.  `ok_overest` additionally pins the CMS one-sided
+    guarantee (an estimate can never undercount — min over d counters,
+    each counting a superset).
+
+    Scale shape: the sketch is ONE partial/final aggregate to d*w = 1024
+    counters (constant state, mergeable by addition — the same
+    PARTIAL/FINAL lifecycle the reference's native agg framework
+    implements, `agg/mod.rs`); the exact side (top-20 per-key counts)
+    exists as the fixture-scale proof harness, exactly like
+    `agg_approx_bounds`.  At 100 TB only the 1024-counter aggregate runs;
+    point estimates are O(d) lookups in a broadcast-size table."""
+    t = Tables(spark, sf_dir)
+
+    def h(i, key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.lit(str(i)), F.col(key_col).cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    li = t.lineitem.select("l_partkey")
+    hashed = li.select(
+        "l_partkey",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("i"),
+                        h(i, "l_partkey").alias("hh"),
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("ih"),
+    ).select("ih.i", "ih.hh")
+    counters = hashed.groupBy("i", "hh").agg(F.count("*").alias("c"))
+    top = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "l_partkey")
+        .limit(20)
+    )
+    probes = top.select(
+        "l_partkey",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("i"),
+                        h(i, "l_partkey").alias("hh"),
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("ih"),
+    ).select("l_partkey", "exact_n", "ih.i", "ih.hh")
+    est = (
+        probes.join(F.broadcast(counters), ["i", "hh"])
+        .groupBy("l_partkey", "exact_n")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        "l_partkey",
+        F.col("exact_n").cast("bigint").alias("exact_n"),
+        F.col("cms_est").cast("bigint").alias("cms_est"),
+        (F.col("cms_est") >= F.col("exact_n")).alias("ok_overest"),
+    ).orderBy(F.desc("exact_n"), "l_partkey")

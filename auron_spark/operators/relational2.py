@@ -1194,3 +1194,89 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cat")
     )
+
+
+_BENFORD_EXPECTED = {
+    d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)
+}
+
+
+@query(
+    "dq_benford_digits",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                 AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders
+    ),
+    obs AS (SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit),
+    tot AS (SELECT SUM(n) AS total FROM obs),
+    expected AS (
+        -- CAST: DuckDB types bare VALUES literals as DECIMAL, which would
+        -- reach the driver's type-sensitive hash as a different class than
+        -- Spark's double
+        SELECT digit, CAST(expected_p AS DOUBLE) AS expected_p
+        FROM (VALUES
+            {', '.join(f'({d}, {p!r})' for d, p in _BENFORD_EXPECTED.items())}
+        ) v(digit, expected_p)
+    )
+    SELECT e.digit, COALESCE(o.n, 0) AS n,
+           ROUND(COALESCE(o.n, 0) / t.total, 6) AS observed_p,
+           ROUND(e.expected_p, 6) AS expected_p,
+           ROUND(POWER(COALESCE(o.n, 0) / t.total - e.expected_p, 2)
+                 / e.expected_p, 6) AS chi2_term
+    FROM expected e LEFT JOIN obs o ON o.digit = e.digit
+    CROSS JOIN tot t
+    ORDER BY e.digit
+    """,
+    tags=("dq", "benford", "audit"),
+)
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit on order totals: per digit 1-9,
+    observed frequency vs the Benford expectation log10(1+1/d) and the
+    chi-square contribution — the classic synthetic-data / fraud screen
+    (TPC-H's near-uniform prices fail it loudly, which is the point: the
+    audit flags generated data).  The expected probabilities are injected
+    as the SAME Python-computed literals into builder and oracle, so no
+    cross-engine log10 ULP can flip a rounded value.
+
+    Scale shape: one map-side digit extraction + a 9-group aggregate; the
+    total joins back as a broadcast scalar.  All digits 1-9 are emitted
+    (zero-filled from a 9-row literal frame) so the output grain is fixed
+    regardless of data."""
+    t = Tables(spark, sf_dir)
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("long")
+    obs = (
+        t.orders.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    expected = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD_EXPECTED.items()],
+        "digit long, expected_p double",
+    )
+    tot = obs.agg(F.sum("n").alias("total"))
+    out = (
+        expected.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.round(F.coalesce("n", F.lit(0)) / F.col("total"), 6).alias(
+                "observed_p"
+            ),
+            F.round("expected_p", 6).alias("expected_p"),
+            F.round(
+                F.pow(
+                    F.coalesce("n", F.lit(0)) / F.col("total")
+                    - F.col("expected_p"),
+                    2,
+                )
+                / F.col("expected_p"),
+                6,
+            ).alias("chi2_term"),
+        )
+    )
+    return out.orderBy("digit")

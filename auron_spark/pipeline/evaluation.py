@@ -235,3 +235,69 @@ def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .orderBy("lang_label", "lang_pred")
     )
+
+
+@query(
+    "eval_ab_srm_check",
+    oracle="""
+    WITH assign AS (
+        SELECT DISTINCT user_id,
+               CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                             1, 8) AS BIGINT) % 100 < 50
+                    THEN 'A' ELSE 'B' END AS arm
+        FROM events
+    ),
+    counts AS (
+        SELECT COUNT(*) FILTER (WHERE arm = 'A') AS n_a,
+               COUNT(*) FILTER (WHERE arm = 'B') AS n_b
+        FROM assign
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(CAST(n_a AS DOUBLE) / (n_a + n_b), 6) AS ratio_a,
+           ROUND(POWER(CAST(n_a AS DOUBLE) - n_b, 2) / (n_a + n_b), 6)
+               AS chi_square,
+           POWER(CAST(n_a AS DOUBLE) - n_b, 2) / (n_a + n_b) > 10.828
+               AS srm_alert
+    FROM counts
+    """,
+    tags=("eval", "ab-test", "srm", "sampling"),
+)
+def eval_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check for a deterministic 50/50 A/B hash
+    split: assign each user by md5(user_id) % 100, count distinct users
+    per arm, and compute the 1-df chi-square against the expected equal
+    split (alert at the p<0.001 critical value 10.828).  SRM is the first
+    gate of every experimentation pipeline — a biased assignment hash or
+    a logging loss invalidates the experiment before any metric is read.
+
+    Scale shape: arm assignment is map-side (one md5); the user-distinct
+    collapses by user_id; the final chi-square is a 2-value scalar
+    aggregate.  Identical md5-derived assignment in the oracle makes the
+    whole check deterministic — the driver hashes the statistic itself."""
+    t = Tables(spark, sf_dir)
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+        < 50,
+        "A",
+    ).otherwise("B")
+    assign = t.events.select("user_id", arm.alias("arm")).dropDuplicates(
+        ["user_id"]
+    )
+    counts = assign.agg(
+        F.count(F.when(F.col("arm") == "A", 1)).alias("n_a"),
+        F.count(F.when(F.col("arm") == "B", 1)).alias("n_b"),
+    )
+    chi = F.pow(F.col("n_a").cast("double") - F.col("n_b"), 2) / (
+        F.col("n_a") + F.col("n_b")
+    )
+    return counts.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(
+            F.col("n_a").cast("double") / (F.col("n_a") + F.col("n_b")), 6
+        ).alias("ratio_a"),
+        F.round(chi, 6).alias("chi_square"),
+        (chi > 10.828).alias("srm_alert"),
+    )

@@ -142,3 +142,68 @@ def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+_FH_DIM = 64
+
+
+@query(
+    "feature_hashing_trick",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents WHERE doc_id % 25 = 0
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % {_FH_DIM}
+                   AS dim,
+               CASE WHEN (CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+                          >> 7) & 1 = 1 THEN 1 ELSE -1 END AS sgn
+        FROM toks
+    )
+    SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS val
+    FROM hashed
+    GROUP BY doc_id, dim
+    HAVING SUM(sgn) <> 0
+    ORDER BY doc_id, dim
+    """,
+    tags=("pipeline", "features", "hashing-trick", "vectorizer"),
+)
+def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature hashing (the Weinberger et al. '09 hashing trick):
+    each token maps to dimension md5_32(tok) % 64 with a +/-1 sign drawn
+    from an independent hash bit (bit 7 — outside the 6 dimension bits),
+    and a document's sparse feature vector is the per-(doc, dim) sum of
+    signs.  The signed sum makes collisions unbiased — the property that
+    lets a fixed-width vectorizer feed regression/classification heads
+    without a vocabulary.  Zero-sum entries are dropped (sparse form).
+
+    Scale shape: hash + sign are map-side; ONE groupBy(doc, dim) builds
+    the sparse vectors — no vocabulary table, no driver state, which is
+    the entire point of the hashing trick at 100 TB (a vocabulary join
+    would shuffle the dictionary; the hash needs nothing).  The 1-in-25
+    doc sample keeps the registered output driver-sized; the plan is
+    identical without it."""
+    t = Tables(spark, sf_dir)
+    toks = (
+        t.parallel("documents", "doc_id")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+    )
+    h32 = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    hashed = toks.select(
+        "doc_id",
+        (h32 % _FH_DIM).alias("dim"),
+        F.when(
+            F.shiftright(h32, 7).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1)).alias("sgn"),
+    )
+    return (
+        hashed.groupBy("doc_id", "dim")
+        .agg(F.sum("sgn").cast("bigint").alias("val"))
+        .filter(F.col("val") != 0)
+        .orderBy("doc_id", "dim")
+    )

@@ -251,3 +251,27 @@ def test_coverage_counts_in_sync():
     import selfcheck
 
     assert selfcheck.sync_counts(check_only=True) == 0
+
+
+def test_no_decimal_typed_oracle_columns(oracle):
+    """Round-8 regression gate: DuckDB types bare numeric literals (and
+    un-cast money sums) as DECIMAL, which the driver's type-sensitive
+    value hash sees as a different class than Spark's double — while the
+    pandas path in selfcheck silently converts and masks it (caught live
+    in dq_benford_digits).  Every oracle's result schema must be
+    DECIMAL-free: cast to DOUBLE/BIGINT at the oracle's outermost select."""
+    from auron_spark.registry import load_all
+
+    offenders = {}
+    for name, spec in load_all().items():
+        if spec.oracle is None:
+            continue
+        rel = oracle.sql(
+            f"SELECT * FROM ({spec.oracle.rstrip().rstrip(';')}) q LIMIT 0"
+        )
+        decs = [
+            c for c, ty in zip(rel.columns, rel.types) if "DECIMAL" in str(ty)
+        ]
+        if decs:
+            offenders[name] = decs
+    assert not offenders, offenders

@@ -1440,3 +1440,31 @@ def test_edit_distance_short_band_broadcasts(spark):
     plan = _plan(spark, "join_edit_distance_qgram")
     if "NestedLoopJoin" in plan:
         assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_countmin_constant_sketch_state(spark):
+    """agg_countmin_frequency: the sketch build must be ONE partial/final
+    aggregate to d*w counters (partial_count present), the probe join must
+    broadcast the counter table, and nothing may go cartesian."""
+    plan = _plan(spark, "agg_countmin_frequency")
+    assert "partial_count" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_hashing_trick_no_vocabulary_join(spark):
+    """feature_hashing_trick: the whole vectorizer is map-side hash +
+    one groupBy — NO join (a vocabulary join is exactly what the hashing
+    trick exists to avoid) and no window."""
+    plan = _plan(spark, "feature_hashing_trick")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_srm_scalar_aggregate_only(spark):
+    """eval_ab_srm_check: assignment is map-side; after the per-user
+    distinct the remaining plan is a scalar aggregate (keys=[]) — no join,
+    no window."""
+    plan = _plan(spark, "eval_ab_srm_check")
+    assert "Join" not in plan, plan
+    assert "HashAggregate(keys=[]" in plan, plan
