@@ -3083,3 +3083,161 @@ def sim_semantic_dedup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+# --- SRP-LSH: the driver-provable twin of sim_knn_lsh (round 8) -----------
+
+_SRP_TABLES, _SRP_PLANES = 4, 4
+
+
+def _srp_signs() -> list[list[list[float]]]:
+    """Deterministic +/-1 hyperplane components: sign[t][p][d] from
+    hashlib-md5 of 't:p:d' (bit 0).  Computed ONCE in Python and injected
+    as identical literals into the Spark builder AND the DuckDB oracle,
+    so no cross-engine hash agreement is needed at all — the classic
+    Charikar'02 signed-random-projection family with a pinned seed."""
+    import hashlib
+
+    return [
+        [
+            [
+                1.0
+                if hashlib.md5(f"{t}:{p}:{d}".encode()).digest()[0] & 1
+                else -1.0
+                for d in range(EMB_DIM)
+            ]
+            for p in range(_SRP_PLANES)
+        ]
+        for t in range(_SRP_TABLES)
+    ]
+
+
+def _srp_bucket_sql(alias: str) -> str:
+    """DuckDB: per-table SRP bucket key list for one embedding column."""
+    signs = _srp_signs()
+    keys = []
+    for t in range(_SRP_TABLES):
+        bits = []
+        for p in range(_SRP_PLANES):
+            lit = "[" + ",".join(str(s) for s in signs[t][p]) + "]"
+            dot = (
+                f"list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> "
+                f"CAST({alias}.embedding[i] AS DOUBLE) * ({lit})[i]))"
+            )
+            bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+        keys.append(f"'{t}:' || CAST({' + '.join(bits)} AS VARCHAR)")
+    return "[" + ", ".join(keys) + "]"
+
+
+def _srp_buckets_spark(emb_col) -> "Column":
+    """Spark: the same per-table bucket keys, all map-side (zip_with dot
+    against literal sign arrays — no explode, no shuffle)."""
+    signs = _srp_signs()
+    keys = []
+    for t in range(_SRP_TABLES):
+        bits = []
+        for p in range(_SRP_PLANES):
+            s = F.array(*[F.lit(x) for x in signs[t][p]])
+            d = F.aggregate(
+                F.zip_with(emb_col, s, lambda a, b: a.cast("double") * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        total = bits[0]
+        for b in bits[1:]:
+            total = total + b
+        keys.append(F.concat_ws(":", F.lit(str(t)), total.cast("string")))
+    return F.array(*keys)
+
+
+@query(
+    "sim_knn_srp_lsh",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT e.vec_id, e.embedding,
+               unnest({_srp_bucket_sql('e')}) AS tb
+        FROM embeddings e
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, tb FROM bucketed
+        WHERE vec_id % {QUERY_MOD} = 0
+          AND vec_id < {QUERY_MOD * QUERY_BUDGET}
+    ),
+    cand AS (
+        SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id,
+               q.q_emb, c.embedding AS c_emb
+        FROM bucketed c JOIN q ON c.tb = q.tb
+        WHERE c.vec_id <> q.query_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               list_sum(list_transform(range(1, {EMB_DIM + 1}), i ->
+                   CAST(q_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, {EMB_DIM + 1}), i ->
+                      CAST(q_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, {EMB_DIM + 1}), i ->
+                      CAST(c_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)))))
+                   AS cos
+        FROM cand
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim FROM (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= {TOP_K}
+    ORDER BY query_id, neighbor_id
+    """,
+    tags=("pipeline", "similarity", "lsh", "ann", "srp"),
+)
+def sim_knn_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection LSH kNN (Charikar'02) — the EXACT,
+    driver-provable twin of the rows-only `sim_knn_lsh` (whose xxhash64
+    hyperplanes have no DuckDB equivalent): 4 tables x 4 hyperplanes with
+    +/-1 components pinned by Python-side md5, so builder and oracle share
+    identical literals and the whole approximate pipeline — bucketing,
+    candidate generation, cosine re-rank, top-k — hash-matches.
+
+    Scale shape (same as sim_knn_lsh): bucket keys are MAP-SIDE zip_with
+    dot products against 16 broadcast-literal sign arrays (no explode, no
+    per-dim shuffle); candidates come from an equi-join on 't:bucket' with
+    the capped query side broadcast; only candidates pay the exact cosine;
+    WindowGroupLimit takes the per-query top-k."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    emb = t.parallel("embeddings").withColumn(
+        "tb", F.explode(_srp_buckets_spark(F.col("embedding")))
+    )
+    q = emb.filter(
+        (F.col("vec_id") % QUERY_MOD == 0)
+        & (F.col("vec_id") < QUERY_MOD * QUERY_BUDGET)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        "tb",
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"), "tb",
+    )
+    cand = (
+        c.join(F.broadcast(q), "tb")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (
+            dot(F.col("q_emb"), F.col("c_emb"))
+            / (norm(F.col("q_emb")) * norm(F.col("c_emb")))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"))
+        .orderBy("query_id", "neighbor_id")
+    )

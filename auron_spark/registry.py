@@ -114,15 +114,18 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # Benford DQ audit, A/B sample-ratio-mismatch, hashing-trick vectorizer
     "agg_countmin_frequency", "dq_benford_digits", "eval_ab_srm_check",
     "feature_hashing_trick",
+    # r8 wave 3: deterministic SRP-LSH — the exact twin of the rows-only
+    # sim_knn_lsh, closing the last ANN family without a driver-provable
+    # variant
+    "sim_knn_srp_lsh",
     # (c) backfill: oldest proofs (r1/r2, registry order, minus later
-    # re-proofs) — 22 slots
+    # re-proofs) — 21 slots
     "fn_decimal_arith", "fn_decimal_agg_overflow_guard", "fn_string_basic",
     "fn_string_pad_case", "fn_regexp_like", "fn_math", "fn_datetime",
     "fn_hash_crypto", "fn_conditional", "fn_cast", "fn_array_ops",
     "fn_struct_map", "fn_higher_order", "fn_map_builders", "fn_bitwise",
     "fn_null_handling", "fn_interval", "fn_to_json_roundtrip",
     "agg_listagg_ordered", "fn_reference_tail", "fn_try_arithmetic",
-    "fn_binary_map_tail",
 )
 
 # Green driver rows from CORRECTNESS_r07.json — the whole round-7 window

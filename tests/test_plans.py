@@ -1468,3 +1468,13 @@ def test_srm_scalar_aggregate_only(spark):
     plan = _plan(spark, "eval_ab_srm_check")
     assert "Join" not in plan, plan
     assert "HashAggregate(keys=[]" in plan, plan
+
+
+def test_srp_lsh_mapside_buckets_no_cartesian(spark):
+    """sim_knn_srp_lsh: bucket keys must be computed map-side (no join or
+    shuffle before the candidate equi-join), the capped query side must
+    broadcast, and nothing may go cartesian."""
+    plan = _plan(spark, "sim_knn_srp_lsh")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
