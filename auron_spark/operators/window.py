@@ -558,3 +558,58 @@ def distributed_ntile(
         .withColumn(out_col, (F.expr(bucket) + 1).cast("int"))
         .drop("_pid", "_rank")
     )
+
+
+@query(
+    "window_time_range_frame",
+    oracle="""
+    SELECT event_type, event_id,
+           CAST(n_1h AS BIGINT) AS n_1h,
+           CAST(sum_1h AS DOUBLE) AS sum_1h
+    FROM (
+        SELECT event_type, event_id,
+               COUNT(*) OVER w AS n_1h,
+               SUM(CAST(value AS DECIMAL(18,2))) OVER w AS sum_1h
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                           AND CURRENT ROW)
+    )
+    WHERE event_id % 50 = 0
+    ORDER BY event_type, event_id
+    """,
+    tags=("window", "range-frame", "interval", "timeseries"),
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per event type, the trailing-1-hour event
+    count and decimal-exact value sum at every event — the INTERVAL form
+    of the RANGE frame family (`window_range_frame` covers the numeric
+    form; the reference rejects non-trivial frames outright,
+    `NativeWindowBase.scala:163-188`, so both forms are beyond-ref
+    surface).  RANGE frames are tie-safe by construction: all ts-peers
+    share one frame, so the sums are deterministic under tie reordering
+    in both engines.
+
+    Scale shape: one window pass partitioned by event_type ordered by ts
+    — the same partitioned-sort any per-entity rolling metric pays; the
+    1-in-50 sample caps the registered output only."""
+    t = Tables(spark, sf_dir)
+    t.events.createOrReplaceTempView("events_trf")
+    return spark.sql(
+        """
+        SELECT event_type, event_id,
+               CAST(n_1h AS BIGINT) AS n_1h,
+               CAST(sum_1h AS DOUBLE) AS sum_1h
+        FROM (
+            SELECT event_type, event_id,
+                   COUNT(*) OVER w AS n_1h,
+                   SUM(CAST(value AS DECIMAL(18,2))) OVER w AS sum_1h
+            FROM events_trf
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)
+        )
+        WHERE event_id % 50 = 0
+        ORDER BY event_type, event_id
+        """
+    )

@@ -118,14 +118,17 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # sim_knn_lsh, closing the last ANN family without a driver-provable
     # variant
     "sim_knn_srp_lsh",
+    # r8 wave 3 tail: INTERVAL RANGE frames + sliding stateful distinct +
+    # driver-provable CSV/JSON source scans over committed artifacts
+    "window_time_range_frame", "stream_sliding_distinct",
+    "scan_csv_typed", "scan_json_lines",
     # (c) backfill: oldest proofs (r1/r2, registry order, minus later
-    # re-proofs) — 21 slots
+    # re-proofs) — 17 slots
     "fn_decimal_arith", "fn_decimal_agg_overflow_guard", "fn_string_basic",
     "fn_string_pad_case", "fn_regexp_like", "fn_math", "fn_datetime",
     "fn_hash_crypto", "fn_conditional", "fn_cast", "fn_array_ops",
     "fn_struct_map", "fn_higher_order", "fn_map_builders", "fn_bitwise",
-    "fn_null_handling", "fn_interval", "fn_to_json_roundtrip",
-    "agg_listagg_ordered", "fn_reference_tail", "fn_try_arithmetic",
+    "fn_null_handling", "fn_interval",
 )
 
 # Green driver rows from CORRECTNESS_r07.json — the whole round-7 window

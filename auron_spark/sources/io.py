@@ -294,3 +294,151 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+# --- driver-provable CSV / JSON-lines scans over committed artifacts ------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from auron_spark.artifacts import ORACLE_SF_DIR as _ORACLE_SF_DIR  # noqa: E402
+from auron_spark.artifacts import artifact_dir as _artifact_dir  # noqa: E402
+from auron_spark.artifacts import ensure_artifact  # noqa: E402
+from auron_spark.registry import query  # noqa: E402
+from auron_spark.tables import Tables  # noqa: E402
+
+
+def textfmt_dir(sf_dir: str) -> str:
+    return _artifact_dir("textfmt", sf_dir)
+
+
+def build_textfmt_files(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize CSV (nation, region) and JSON-lines (supplier) copies
+    of fixture dims as committed artifacts — the real files behind the
+    `scan_csv_typed` / `scan_json_lines` queries, so the CSV/JSON source
+    paths get DRIVER-provable coverage, not just pytest round trips.
+    Columns are restricted to key/name/numeric fields (no freeform
+    comment text) so both engines' parsers see the same trivial quoting.
+    Idempotent + concurrency-safe via `ensure_artifact`."""
+    t = Tables(spark, sf_dir)
+
+    def _build(into: str) -> None:
+        (
+            t.nation.select("n_nationkey", "n_name", "n_regionkey")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("header", True)
+            .csv(f"{into}/nation_csv")
+        )
+        (
+            t.region.select("r_regionkey", "r_name")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("header", True)
+            .csv(f"{into}/region_csv")
+        )
+        (
+            t.supplier.select(
+                "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(f"{into}/supplier_json")
+        )
+
+    return ensure_artifact(textfmt_dir(sf_dir), "_TEXTFMT_COMPLETE", _build)
+
+
+_TEXTFMT_ART = textfmt_dir(_ORACLE_SF_DIR)
+
+
+@query(
+    "scan_csv_typed",
+    oracle=f"""
+    WITH n AS (
+        SELECT * FROM read_csv('{_TEXTFMT_ART}/nation_csv/*.csv',
+            header = true,
+            columns = {{'n_nationkey': 'BIGINT', 'n_name': 'VARCHAR',
+                        'n_regionkey': 'BIGINT'}})
+    ),
+    r AS (
+        SELECT * FROM read_csv('{_TEXTFMT_ART}/region_csv/*.csv',
+            header = true,
+            columns = {{'r_regionkey': 'BIGINT', 'r_name': 'VARCHAR'}})
+    )
+    SELECT r.r_name, COUNT(*) AS n_nations,
+           MIN(n.n_name) AS first_nation
+    FROM n JOIN r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+    tags=("scan", "csv", "source", "serving"),
+)
+def scan_csv_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-typed CSV scan through Spark's csv source over REAL files
+    (committed artifact): nation x region from headers + explicit schema,
+    joined and aggregated; the oracle parses the SAME files with DuckDB's
+    read_csv.  'serving' tag = the oracle path pins to ORACLE_SF_DIR at
+    import (same contract as the ANN serve queries).
+
+    Scale shape: CSV scans split by file/line ranges exactly like
+    parquet; the explicit schema avoids the inference pass (a full extra
+    read at 100 TB)."""
+    d = build_textfmt_files(spark, sf_dir)
+    n = spark.read.schema(
+        "n_nationkey long, n_name string, n_regionkey long"
+    ).option("header", True).csv(f"{d}/nation_csv")
+    r = spark.read.schema("r_regionkey long, r_name string").option(
+        "header", True
+    ).csv(f"{d}/region_csv")
+    return (
+        n.join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@query(
+    "scan_json_lines",
+    oracle=f"""
+    SELECT s_nationkey, COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_acctbal
+    FROM read_json('{_TEXTFMT_ART}/supplier_json/*.json',
+        format = 'newline_delimited',
+        columns = {{'s_suppkey': 'BIGINT', 's_name': 'VARCHAR',
+                    's_nationkey': 'BIGINT', 's_acctbal': 'DOUBLE'}})
+    GROUP BY s_nationkey
+    ORDER BY s_nationkey
+    """,
+    tags=("scan", "json", "source", "serving"),
+)
+def scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-typed JSON-lines scan over REAL files (committed artifact):
+    supplier balances aggregated per nation through Spark's json source;
+    the oracle parses the SAME files with DuckDB's read_json.  Doubles
+    round-trip exactly (writers emit shortest-round-trip decimal strings,
+    both parsers reconstruct the identical double), and the money sum
+    goes through DECIMAL per repo convention.
+
+    Scale shape: newline-delimited JSON splits by line ranges; explicit
+    schema skips inference.  The JSON parse-once rewrite
+    (`plans/json_once.py`) covers the expression-level JSON surface; this
+    covers the SOURCE level."""
+    d = build_textfmt_files(spark, sf_dir)
+    s = spark.read.schema(
+        "s_suppkey long, s_name string, s_nationkey long, s_acctbal double"
+    ).json(f"{d}/supplier_json")
+    return (
+        s.groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+        .orderBy("s_nationkey")
+    )

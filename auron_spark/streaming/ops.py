@@ -842,3 +842,49 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_active").cast("bigint").alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "stream_sliding_distinct",
+    oracle="""
+    SELECT strftime(make_timestamp(win_start * 1000000),
+                    '%Y-%m-%d %H:%M:%S') AS win_start,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM (
+        SELECT user_id, unnest([g, g - 1800]) AS win_start
+        FROM (
+            SELECT user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT)
+                     - (CAST(floor(epoch(ts)) AS BIGINT) % 1800) AS g
+            FROM events WHERE user_id <= 30
+        )
+    )
+    GROUP BY win_start
+    ORDER BY win_start
+    """,
+    tags=("streaming", "window", "sliding", "distinct"),
+)
+def stream_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window DISTINCT user counts (1 h width, 30 min slide) —
+    the stateful-distinct shape `stream_sliding_window` (plain counts)
+    does not cover: the aggregate state per window is a user set, the
+    form Structured Streaming plans as a two-level
+    window+user pre-aggregate.  Batch twin oracle-checked; the oracle
+    materializes each event's two candidate windows via unnest.
+
+    Scale shape: groupBy(window, user) partial collapse first, then the
+    per-window distinct roll-up — both shuffles are keyed; no global
+    stage."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.filter(F.col("user_id") <= 30)
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "n_users",
+        )
+        .orderBy("win_start")
+    )
