@@ -39,41 +39,51 @@ def test_nested_arrays_tagged():
 
 
 def test_driver_window_spans_all_families():
-    """The driver checks a 50-query prefix of the registry.  Round-7 policy
-    (VERDICT r6 ask #1): slots go to (a) the 31 oracle-bearing names queued
-    at positions 51-81 of the round-6 window, (b) the three names parked
-    since mid-r6, (c) round-7 additions, then (d) backfill with the oldest
-    (r1) proofs, which predate the mid-r4 fixture regen.  Rows-only queries
-    are permanently excluded from window slots: the driver can only record
+    """The driver checks a 50-query prefix of the registry.  Round-8 policy
+    (VERDICT r7 ask #1): slots go to (a) the 20 never-proven r7 names, (b)
+    the rewritten `stream_late_data_cutoff` (its r5 proof covers the OLD
+    single-partition plan) plus round-8 additions as they land, then (c)
+    backfill with the OLDEST proofs — r1/r2 names never re-proven since,
+    whose rows predate the mid-r4 fixture regen.  Rows-only queries are
+    permanently excluded from window slots: the driver can only record
     `no_oracle` for them (round 5 burned 2 slots that way)."""
     from auron_spark import registry
 
     specs = registry.load_all()
     window = list(specs)[:50]
-    # every oracle-bearing name with NO driver row must sort BEFORE every
-    # already-proven name — in-window first, overflow queued immediately
-    # after position 50 so it leads the next round's rotation
     order = {n: i for i, n in enumerate(specs)}
+    # every oracle-bearing name with NO driver row must be in the window,
+    # or (if additions ever overflow 50) sort immediately after it — always
+    # before the proven tail
     never_proven = {
         n
         for n, s in specs.items()
         if s.oracle is not None and n not in registry._PROVEN
     }
-    last_unproven = max(order[n] for n in never_proven)
-    first_proven = min(
-        order[n] for n in specs if n in registry._PROVEN
+    fresh = (
+        registry._R4_PROVEN | registry._R5_PROVEN | registry._R6_PROVEN
+        | registry._R7_PROVEN
     )
-    assert last_unproven < first_proven, (
-        f"a proven name sorts before a never-proven one: "
-        f"unproven up to {last_unproven}, proven from {first_proven}"
+    rewrites = {"stream_late_data_cutoff"}  # re-proving: plan rewritten r8
+    last_unproven = max(order[n] for n in never_proven)
+    first_fresh_proven = min(
+        order[n] for n in specs if n in fresh and n not in rewrites
+    )
+    assert last_unproven < first_fresh_proven, (
+        f"a fresh-proven name sorts before a never-proven one: "
+        f"unproven up to {last_unproven}, fresh-proven from "
+        f"{first_fresh_proven}"
     )
     # no rows-only query may occupy a window slot, this round or ever
     rows_only = {n for n, s in specs.items() if s.oracle is None}
     wasted = set(window) & rows_only
     assert not wasted, f"window wastes slots on rows-only queries: {wasted}"
-    # no slot goes to a query already re-proven on fresh fixtures (r4/r5/r6)
-    fresh = registry._R4_PROVEN | registry._R5_PROVEN | registry._R6_PROVEN
-    stale_ok = set(window) & fresh
+    # backfill slots may hold ONLY oldest-proof names (r1/r2, never
+    # re-proven in r4-r7) or documented rewrites — never fresh proofs
+    stale_ok = {
+        n for n in set(window) & fresh
+        if n not in rewrites
+    }
     assert not stale_ok, f"window wastes slots on fresh-proven queries: {stale_ok}"
     # every window name must actually exist in the registry (typo guard)
     unknown = set(registry._DRIVER_WINDOW) - set(specs)
