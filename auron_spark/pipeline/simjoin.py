@@ -62,6 +62,7 @@ _TAU = 0.6  # Jaccard threshold for the set-similarity join
     ORDER BY doc_a, doc_b
     """,
     tags=("pipeline", "dedup", "similarity-join", "prefix-filter"),
+    bench=True,  # round-over-round series for the exact-join family
 )
 def join_set_similarity_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-set Jaccard >= 0.6 self-join via prefix filtering

@@ -408,3 +408,39 @@ def test_random_composed_chains(spark, duck2, seed):
         duck2.execute(sql.format(li="lineitem", ord="orders")).df()
     )
     assert got == want, f"seed={seed}\n{sql}"
+
+
+def _gen_having_setop_sql(seed: int) -> str:
+    """Second chain shape: two filtered aggregates composed by a set
+    operation, with HAVING on each side — exercises agg->having->setop
+    composition the first generator doesn't reach."""
+    import random
+
+    rng = random.Random(1_000_000 + seed)
+    key = rng.choice(["l_returnflag", "l_linestatus", "l_linenumber"])
+    col = rng.choice(_CHAIN_NUM)
+    op = rng.choice(["UNION ALL", "UNION", "INTERSECT", "EXCEPT"])
+    lo_a, lo_b = rng.randint(0, 40), rng.randint(0, 40)
+    hmin = rng.randint(1, 50)
+
+    def side(lo):
+        return (
+            f"SELECT {key} AS k, CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) AS s "
+            f"FROM {{t}} WHERE l_quantity >= {lo} GROUP BY {key} "
+            f"HAVING COUNT(*) >= {hmin}"
+        )
+
+    return (
+        f"SELECT * FROM (({side(lo_a)}) {op} ({side(lo_b)})) "
+        "ORDER BY k, n, s"
+    )
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_random_having_setop_chains(spark, duck2, seed):
+    sql = _gen_having_setop_sql(seed)
+    table(spark, SF_SMOKE, "lineitem").createOrReplaceTempView("li_chain")
+    got = normalize(spark.sql(sql.format(t="li_chain")).toPandas())
+    want = normalize(duck2.execute(sql.format(t="lineitem")).df())
+    assert got == want, f"seed={seed}\n{sql}"
