@@ -7,6 +7,7 @@ from auron_spark.operators import (  # noqa: F401
     funnel,
     generate,
     joins,
+    patterns,
     pivot,
     relational,
     relational2,

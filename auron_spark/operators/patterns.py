@@ -1,0 +1,196 @@
+"""Sequence-pattern matching and recursive SQL — the row-pattern surface.
+
+Two capabilities SQL:2016 standardized that most engines (including the
+reference — its operator inventory stops at joins/aggs/windows, see
+``spark-extension/.../NativeWindowBase.scala`` for the window ceiling) do not
+execute natively at scale:
+
+- ``events_pattern_regex``: MATCH_RECOGNIZE-style row-pattern detection,
+  re-expressed as per-entity symbol sequences + regex — each user's ordered
+  event stream collapses to a compact symbol string, and the pattern
+  (``v[ce]*p``: view, any clicks/errors, purchase) is evaluated by the
+  engine's regex machinery map-side at sequence grain.  This is how
+  production Spark pipelines implement funnels-with-gaps, fraud motifs and
+  session grammars without a per-row NFA operator.
+- ``sql_recursive_date_spine``: a genuine recursive CTE (Spark 4.1's
+  ``WITH RECURSIVE``, SPARK-24497) generating the month spine between the
+  fact's min and max dates, left-joined to monthly aggregates so silent
+  calendar gaps surface as explicit zero rows — the canonical
+  reporting-spine pattern that previously needed driver-side date loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from auron_spark.registry import query
+from auron_spark.tables import Tables, register_views
+
+# Row-pattern over event-type symbols (first letter: c=click, e=error,
+# p=purchase, s=signup, v=view).  Constants shared verbatim with the oracle.
+_CONV_PAT = "v[ce]*p"  # view, then any clicks/errors, then purchase
+_ERR_PAT = "ee+"  # a burst of >= 2 consecutive errors
+
+
+@query(
+    "events_pattern_regex",
+    oracle=f"""
+    WITH seqs AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                   AS seq
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS INT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, '{_CONV_PAT}')) AS INT)
+               AS n_conversions,
+           CAST(CASE WHEN len(regexp_extract_all(seq, '{_CONV_PAT}')) > 0
+                THEN length(regexp_replace(seq, '{_CONV_PAT}.*', '', 'g')) + 1
+                ELSE 0 END AS INT) AS first_conv_pos,
+           CAST(len(regexp_extract_all(seq, '{_ERR_PAT}')) AS INT)
+               AS n_error_runs
+    FROM seqs
+    ORDER BY user_id
+    """,
+    tags=("events", "pattern", "match-recognize", "sequence"),
+)
+def events_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style row-pattern detection per user: the ordered
+    event stream becomes a symbol string (one char per event, (ts,
+    event_id)-ordered via the `events_top_paths`-proven sorted-struct
+    collect), then the conversion pattern ``v[ce]*p`` and the error-burst
+    pattern ``ee+`` are counted with non-overlapping leftmost regex
+    matches.  `first_conv_pos` (1-based symbol index of the first
+    conversion start) uses the prefix-erase trick —
+    ``length(regexp_replace(seq, PAT.*, ''))`` — which both engines
+    evaluate identically because the leftmost match extent of a
+    greedy-but-disjoint alphabet pattern is unambiguous.
+
+    Scale shape: sequences aggregate at user grain (one shuffle, state
+    bounded by per-user event count — the same bound any sessionizer
+    carries; mega-users would be split by session first, see
+    `sessionize_gap`); every pattern evaluation is a map-side regex on
+    the collapsed string, ~100 bytes/user, NOT a per-event operator.
+    At 100 TB the symbol table is |users| rows — three orders of
+    magnitude smaller than the event fact it summarizes."""
+    ev = Tables(spark, sf_dir).events
+    seqs = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts",
+                            "event_id",
+                            F.substring("event_type", 1, 1).alias("s"),
+                        )
+                    )
+                ),
+                lambda x: x["s"],
+            ),
+            "",
+        ).alias("seq")
+    )
+    n_conv = F.regexp_count("seq", F.lit(_CONV_PAT))
+    return (
+        seqs.select(
+            "user_id",
+            F.length("seq").alias("seq_len"),
+            n_conv.alias("n_conversions"),
+            F.when(
+                n_conv > 0,
+                F.length(F.regexp_replace("seq", _CONV_PAT + ".*", "")) + 1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("first_conv_pos"),
+            F.regexp_count("seq", F.lit(_ERR_PAT)).alias("n_error_runs"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# Recursion bound: 100 anchor+steps covers any fixture span up to 100 months
+# (current fixtures span 80); Spark's default cteRecursionLevelLimit is 100.
+_SPINE_STEPS = 99
+
+
+@query(
+    "sql_recursive_date_spine",
+    oracle=f"""
+    WITH RECURSIVE nums(k) AS (
+        SELECT 0 UNION ALL SELECT k + 1 FROM nums WHERE k < {_SPINE_STEPS}
+    ),
+    b AS (
+        SELECT (EXTRACT(year FROM MIN(o_orderdate)) * 12
+                + EXTRACT(month FROM MIN(o_orderdate)) - 1) AS lo,
+               (EXTRACT(year FROM MAX(o_orderdate)) * 12
+                + EXTRACT(month FROM MAX(o_orderdate)) - 1) AS hi
+        FROM orders
+    ),
+    spine AS (SELECT lo + k AS mi FROM nums CROSS JOIN b WHERE lo + k <= hi),
+    monthly AS (
+        SELECT EXTRACT(year FROM o_orderdate) * 12
+               + EXTRACT(month FROM o_orderdate) - 1 AS mi,
+               COUNT(*) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(s.mi // 12 AS VARCHAR) || '-'
+               || lpad(CAST(s.mi % 12 + 1 AS VARCHAR), 2, '0') AS om,
+           CAST(COALESCE(m.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(m.rev, 0) AS DOUBLE) AS revenue,
+           CAST(CASE WHEN m.mi IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+    FROM spine s LEFT JOIN monthly m ON s.mi = m.mi
+    ORDER BY om
+    """,
+    tags=("sql", "recursive-cte", "date-spine", "calendar"),
+)
+def sql_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE month spine (Spark 4.1 ``WITH RECURSIVE``): generate
+    every month index between the fact's min and max order date by
+    recursion, LEFT JOIN the monthly revenue rollup, and flag calendar
+    gaps as explicit `is_gap` zero rows — the reporting date-spine every
+    dashboard needs so a month with no orders reads as 0, not as a
+    silently missing row.  Month arithmetic stays in integer month-index
+    space (`year*12 + month - 1`, formatted with integer DIV/lpad) so no
+    date/interval type semantics cross engines.
+
+    Scale shape: the recursion materializes <= 100 single-row steps
+    driver-side (constant work, like any dimension build); the fact
+    contributes one partial/final month-grain aggregate; the spine join
+    broadcasts ~100 rows.  Recursion depth is bounded and documented
+    against `spark.sql.cteRecursionLevelLimit` (default 100)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE nums(k) AS (
+            SELECT 0 UNION ALL SELECT k + 1 FROM nums WHERE k < {_SPINE_STEPS}
+        ),
+        b AS (
+            SELECT (year(MIN(o_orderdate)) * 12
+                    + month(MIN(o_orderdate)) - 1) AS lo,
+                   (year(MAX(o_orderdate)) * 12
+                    + month(MAX(o_orderdate)) - 1) AS hi
+            FROM orders
+        ),
+        spine AS (
+            SELECT lo + k AS mi FROM nums CROSS JOIN b WHERE lo + k <= hi
+        ),
+        monthly AS (
+            SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi,
+                   COUNT(*) AS n_orders,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+            FROM orders GROUP BY 1
+        )
+        SELECT CAST(s.mi DIV 12 AS STRING) || '-'
+                   || lpad(CAST(s.mi % 12 + 1 AS STRING), 2, '0') AS om,
+               CAST(COALESCE(m.n_orders, 0) AS BIGINT) AS n_orders,
+               CAST(COALESCE(m.rev, 0) AS DOUBLE) AS revenue,
+               CAST(CASE WHEN m.mi IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+        FROM spine s LEFT JOIN monthly m ON s.mi = m.mi
+        ORDER BY om
+        """
+    )

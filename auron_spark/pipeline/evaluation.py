@@ -301,3 +301,123 @@ def eval_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi, 6).alias("chi_square"),
         (chi > 10.828).alias("srm_alert"),
     )
+
+
+# --- bootstrap confidence interval ----------------------------------------
+
+from auron_spark.pipeline.sampling import (  # noqa: E402
+    _pois1_weight,
+    _sql_bucket,
+    _sql_pois1,
+    hash_bucket,
+)
+
+_N_REPS = 32  # bootstrap replicates; ranks 2 and 31 bracket ~a 90% CI
+
+
+@query(
+    "eval_bootstrap_ci",
+    oracle=f"""
+    WITH draws AS (
+        SELECT r.r,
+               CAST(o.o_totalprice AS DECIMAL(18,2)) AS price,
+               {_sql_pois1(_sql_bucket("o.o_orderkey || ':' || r.r",
+                                       1_000_000))} AS w
+        FROM orders o CROSS JOIN (SELECT unnest(range(0, {_N_REPS})) AS r) r
+    ),
+    rep_means AS (
+        SELECT r,
+               ROUND(CAST(SUM(w * price) AS DOUBLE) / SUM(w), 6) AS m
+        FROM draws GROUP BY r
+    ),
+    ranked AS (
+        SELECT m, ROW_NUMBER() OVER (ORDER BY m, r) AS rn FROM rep_means
+    ),
+    point AS (
+        SELECT ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     / COUNT(*), 6) AS point_mean
+        FROM orders
+    )
+    SELECT CAST({_N_REPS} AS INT) AS n_replicates,
+           point.point_mean,
+           MIN(CASE WHEN rn = 2 THEN m END) AS boot_lo,
+           MIN(CASE WHEN rn = {_N_REPS - 1} THEN m END) AS boot_hi,
+           ROUND(MIN(CASE WHEN rn = {_N_REPS - 1} THEN m END)
+                 - MIN(CASE WHEN rn = 2 THEN m END), 6) AS ci_width
+    FROM ranked CROSS JOIN point
+    GROUP BY point.point_mean
+    """,
+    tags=("pipeline", "evaluation", "bootstrap", "uncertainty"),
+)
+def eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-method bootstrap confidence interval for a corpus metric
+    (mean order value), built on the Poisson-bootstrap draw
+    `sample_poisson_bootstrap` proved driver-exact: 32 replicates each
+    reweight every order by an independent deterministic Poisson(1) draw,
+    the replicate means are order-ranked, and ranks 2/31 of 32 bracket
+    ~a 90% CI.  This is the uncertainty attachment step of a metrics
+    pipeline — the spread IS the sampling error, with no closed-form
+    variance assumption.
+
+    Exactness: replicate means are exact DECIMAL sums over integer
+    weights divided once and rounded at 6dp; ranking 32 such rounded
+    doubles (replicate-id tiebreak) is engine-independent; the point
+    estimate is the proven DECIMAL-sum mean.
+
+    Scale shape: a constant x32 broadcast row expansion with map-side
+    CASE draws, one partial/final aggregate at replicate grain, then a
+    32-row (constant, model-state-sized) rank — the corpus is scanned
+    once and never reshuffled or resampled into copies."""
+    t = Tables(spark, sf_dir)
+    reps = spark.range(_N_REPS).select(F.col("id").alias("r"))
+    u = hash_bucket(
+        F.concat(
+            F.col("o_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("r").cast("string"),
+        ),
+        1_000_000,
+    )
+    draws = (
+        t.orders.select(
+            "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
+        )
+        .join(F.broadcast(reps))
+        .select("r", "price", _pois1_weight(u).alias("w"))
+    )
+    rep_means = draws.groupBy("r").agg(
+        F.round(
+            F.sum(F.col("w") * F.col("price")).cast("double") / F.sum("w"), 6
+        ).alias("m")
+    )
+    from pyspark.sql import Window
+
+    # 32 rows — constant model-state scale, same contract as the
+    # per-partition offset collects in `distributed_ntile`.
+    ranked = rep_means.withColumn(
+        "rn", F.row_number().over(Window.orderBy("m", "r"))
+    )
+    point = t.orders.agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("point_mean")
+    )
+    return (
+        ranked.join(F.broadcast(point))
+        .groupBy("point_mean")
+        .agg(
+            F.min(F.when(F.col("rn") == 2, F.col("m"))).alias("boot_lo"),
+            F.min(
+                F.when(F.col("rn") == _N_REPS - 1, F.col("m"))
+            ).alias("boot_hi"),
+        )
+        .select(
+            F.lit(_N_REPS).cast("int").alias("n_replicates"),
+            "point_mean",
+            "boot_lo",
+            "boot_hi",
+            F.round(F.col("boot_hi") - F.col("boot_lo"), 6).alias("ci_width"),
+        )
+    )

@@ -122,13 +122,17 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # driver-provable CSV/JSON source scans over committed artifacts
     "window_time_range_frame", "stream_sliding_distinct",
     "scan_csv_typed", "scan_json_lines",
+    # r8 wave 4: MATCH_RECOGNIZE-style row patterns, a genuine recursive
+    # CTE (Spark 4.1 WITH RECURSIVE), percentile-bootstrap CI, and
+    # zone-map file skipping over a range-clustered layout
+    "events_pattern_regex", "sql_recursive_date_spine", "eval_bootstrap_ci",
+    "scan_zone_map_skipping",
     # (c) backfill: oldest proofs (r1/r2, registry order, minus later
-    # re-proofs) — 17 slots
+    # re-proofs) — 13 slots
     "fn_decimal_arith", "fn_decimal_agg_overflow_guard", "fn_string_basic",
     "fn_string_pad_case", "fn_regexp_like", "fn_math", "fn_datetime",
     "fn_hash_crypto", "fn_conditional", "fn_cast", "fn_array_ops",
-    "fn_struct_map", "fn_higher_order", "fn_map_builders", "fn_bitwise",
-    "fn_null_handling", "fn_interval",
+    "fn_struct_map", "fn_higher_order",
 )
 
 # Green driver rows from CORRECTNESS_r07.json — the whole round-7 window
