@@ -84,7 +84,15 @@ def join_set_similarity_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     output size.  The oracle runs the full share-a-shingle quadratic and
     must agree row-for-row — the losslessness proof on data."""
     t = Tables(spark, sf_dir)
-    sh = _doc_shingles(t)
+    # The shingle relation feeds FOUR branches (sizes, document frequency,
+    # prefix ranking, verify join); without materialization Spark re-runs
+    # the explode+distinct shuffle for each.  A lazy localCheckpoint
+    # computes it once per execution and shares the result across branches
+    # (measured 6.2 -> 4.2 s warm at sf0.1) with NO cross-run cache: every
+    # build() creates a fresh checkpoint, so bench warm numbers stay
+    # honest.  At cluster scale the same statement becomes
+    # persist(MEMORY_AND_DISK) for executor-loss resilience.
+    sh = _doc_shingles(t).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     ranked = (

@@ -127,12 +127,15 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # zone-map file skipping over a range-clustered layout
     "events_pattern_regex", "sql_recursive_date_spine", "eval_bootstrap_ci",
     "scan_zone_map_skipping",
+    # r8 wave 5: the XML source (built-in since Spark 4.0) — completes the
+    # text-format source family
+    "scan_xml_rowtag",
     # (c) backfill: oldest proofs (r1/r2, registry order, minus later
-    # re-proofs) — 13 slots
+    # re-proofs) — 12 slots
     "fn_decimal_arith", "fn_decimal_agg_overflow_guard", "fn_string_basic",
     "fn_string_pad_case", "fn_regexp_like", "fn_math", "fn_datetime",
     "fn_hash_crypto", "fn_conditional", "fn_cast", "fn_array_ops",
-    "fn_struct_map", "fn_higher_order",
+    "fn_struct_map",
 )
 
 # Green driver rows from CORRECTNESS_r07.json — the whole round-7 window

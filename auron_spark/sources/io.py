@@ -442,3 +442,82 @@ def scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_nationkey")
     )
+
+
+# --- XML source (built-in since Spark 4.0, SPARK-44265) --------------------
+
+
+def xmlfmt_dir(sf_dir: str) -> str:
+    return _artifact_dir("xmlfmt", sf_dir)
+
+
+def build_xmlfmt_files(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize an XML copy of the customer dim (key/name/nation/
+    balance) as a committed artifact — the real files behind
+    `scan_xml_rowtag`.  Idempotent + concurrency-safe via
+    `ensure_artifact`."""
+    t = Tables(spark, sf_dir)
+
+    def _build(into: str) -> None:
+        (
+            t.customer.select(
+                "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("rowTag", "customer")
+            .option("rootTag", "customers")
+            .xml(f"{into}/customer_xml")
+        )
+
+    return ensure_artifact(xmlfmt_dir(sf_dir), "_XMLFMT_COMPLETE", _build)
+
+
+@query(
+    "scan_xml_rowtag",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           MIN(c_name) AS first_name,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_acctbal
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    tags=("scan", "xml", "source"),
+)
+def scan_xml_rowtag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source scan (Spark 4's built-in XML data source, the former
+    spark-xml package — SPARK-44265): customer balances aggregated per
+    nation from REAL row-tagged XML files (committed artifact written
+    from the same fixture).  DuckDB has no XML reader, so the oracle
+    aggregates the ORIGINAL customer view — the artifact write is a pure
+    projection of it, making the comparison a full write->parse->read
+    round-trip proof: element escaping, double formatting (Java shortest
+    round-trip toString, reparsed exactly) and explicit schema-on-read
+    all have to be lossless for the hash to match.
+
+    Scale shape: XML files split like any text source; the explicit
+    schema (rowTag streaming parse) avoids schema inference's extra full
+    read.  The XML surface completes the text-format source family
+    (CSV `scan_csv_typed`, JSON `scan_json_lines`)."""
+    d = build_xmlfmt_files(spark, sf_dir)
+    c = (
+        spark.read.schema(
+            "c_custkey long, c_name string, c_nationkey long, c_acctbal double"
+        )
+        .option("rowTag", "customer")
+        .xml(f"{d}/customer_xml")
+    )
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.min("c_name").alias("first_name"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -74,6 +74,10 @@ _TRAINERS = {
 # Light relational shapes: the round-over-round comparable set.
 _RELATIONAL_PREFIXES = ("window_", "skew_", "agg_", "join_", "sort_")
 _TPCH_RE = __import__("re").compile(r"^q\d+_")
+# Name-prefix exceptions: heavyweight pipeline ops whose names collide with
+# the relational prefixes — keeping them out of `relational` preserves the
+# round-over-round comparability of the TPC-H-era subtotal.
+_PIPELINE_OVERRIDES = {"join_set_similarity_prefix"}
 
 # Layout-only resharding: facts get full scan parallelism, dims stay small
 # (32 one-row files for region would be silly).  Unlisted tables default 8.
@@ -88,6 +92,8 @@ _SHARD_ROOT = f"{_REPO}/.bench_shards"
 def _group_of(name: str) -> str:
     if name in _TRAINERS:
         return "trainers"
+    if name in _PIPELINE_OVERRIDES:
+        return "pipeline"
     if _TPCH_RE.match(name) or name.startswith(_RELATIONAL_PREFIXES):
         return "relational"
     return "pipeline"
