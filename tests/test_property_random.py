@@ -444,3 +444,55 @@ def test_random_having_setop_chains(spark, duck2, seed):
     got = normalize(spark.sql(sql.format(t="li_chain")).toPandas())
     want = normalize(duck2.execute(sql.format(t="lineitem")).df())
     assert got == want, f"seed={seed}\n{sql}"
+
+
+def _gen_subquery_chain_sql(seed: int) -> str:
+    """Third chain shape: correlated EXISTS / NOT EXISTS against lineitem
+    plus a correlated scalar-subquery threshold — the subquery
+    decorrelation surface (Filter -> Join rewrite) the first two
+    generators never reach.  Thresholds use MIN/MAX + integer offsets
+    only (order-independent exact aggregates), so no FP-summation-order
+    divergence can flip a boundary row between engines."""
+    import random
+
+    rng = random.Random(2_000_000 + seed)
+    exists = rng.choice(["EXISTS", "NOT EXISTS"])
+    qop = rng.choice(["<", "<=", ">", ">=", "="])
+    qv = rng.randint(0, 55)
+    scalar_fn = rng.choice(["MIN", "MAX"])
+    offset = rng.randint(-50_000, 50_000)
+    corr_key = rng.choice(["o_orderstatus", "o_orderpriority"])
+    key = rng.choice(["o_orderpriority", "o_orderstatus"])
+    neg = rng.choice(["", "NOT"])
+    return f"""
+    SELECT {key} AS k,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+    FROM {{ord}} o
+    WHERE {exists} (
+            SELECT 1 FROM {{li}} l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_quantity {qop} {qv}
+          )
+      AND {neg} (o.o_totalprice >= (
+            SELECT {scalar_fn}(o2.o_totalprice) + {offset}
+            FROM {{ord}} o2
+            WHERE o2.{corr_key} = o.{corr_key}
+          ))
+    GROUP BY {key}
+    ORDER BY k
+    """
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_random_subquery_chains(spark, duck2, seed):
+    sql = _gen_subquery_chain_sql(seed)
+    table(spark, SF_SMOKE, "lineitem").createOrReplaceTempView("li_chain")
+    table(spark, SF_SMOKE, "orders").createOrReplaceTempView("ord_chain")
+    got = normalize(
+        spark.sql(sql.format(li="li_chain", ord="ord_chain")).toPandas()
+    )
+    want = normalize(
+        duck2.execute(sql.format(li="lineitem", ord="orders")).df()
+    )
+    assert got == want, f"seed={seed}\n{sql}"
