@@ -613,3 +613,61 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY event_type, event_id
         """
     )
+
+
+def distributed_running_sums(
+    df: DataFrame,
+    order_cols: list,
+    val_cols: list,
+    num_parts: int = 32,
+) -> DataFrame:
+    """Exact inclusive running ``SUM(val) OVER (ORDER BY order_cols)`` for
+    each of ``val_cols`` — with NO single-partition window (the prefix-sum
+    generalization of `distributed_ntile`, same three moves):
+
+    1. range-repartition on the total-ordering key (contiguous, sorted
+       partition ranges);
+    2. running sums WITHIN each partition (parallel ``_pid`` windows);
+    3. per-partition totals — ``num_parts`` longs per column — collected
+       as constant-size model state and prefix-summed into offsets, so
+       ``global_cum = offset[pid] + local_cum``.
+
+    Adds one ``cum_<col>`` long column per value column.  ``order_cols``
+    must be a total order across rows (here: callers pass a key whose
+    rows are unique, e.g. a value-grain aggregate's group key).
+    ``localCheckpoint`` pins the partitioning so the totals pass and the
+    window pass see identical partitions."""
+    parts = (
+        df.repartitionByRange(num_parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    totals = sorted(
+        (r["_pid"], tuple(r[f"t_{c}"] for c in val_cols))
+        for r in parts.groupBy("_pid")
+        .agg(*[F.sum(c).cast("long").alias(f"t_{c}") for c in val_cols])
+        .collect()
+    )
+    offsets: dict[int, tuple] = {}
+    acc = [0] * len(val_cols)
+    for pid, ts in totals:
+        offsets[pid] = tuple(acc)
+        acc = [a + t for a, t in zip(acc, ts)]
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = parts
+    for i, c in enumerate(val_cols):
+        off_map = F.create_map(
+            *[F.lit(x) for pid, offs in offsets.items() for x in (pid, offs[i])]
+        )
+        out = out.withColumn(
+            f"cum_{c}",
+            (
+                F.element_at(off_map, F.col("_pid"))
+                + F.sum(c).over(w_local)
+            ).cast("long"),
+        )
+    return out.drop("_pid")

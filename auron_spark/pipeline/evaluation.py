@@ -421,3 +421,215 @@ def eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("boot_hi") - F.col("boot_lo"), 6).alias("ci_width"),
         )
     )
+
+
+# --- nonparametric two-sample tests ---------------------------------------
+
+# Shared value-grain scaffold: compare the `value` distribution between
+# purchase (group A) and click (group B) events.  Collapsing to value grain
+# FIRST makes every downstream statistic a function of exact integer counts,
+# and the global cumulative runs over |distinct values| rows via the
+# distributed prefix-sum — never a per-row single-partition window.
+_SQL_VALUE_GRAIN = """
+    SELECT value,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS na_v,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nb_v,
+           COUNT(*) AS n_v
+    FROM events
+    WHERE event_type IN ('purchase', 'click')
+    GROUP BY value
+"""
+
+
+def _value_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Tables(spark, sf_dir).events
+    return (
+        ev.where(F.col("event_type").isin("purchase", "click"))
+        .groupBy("value")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("na_v"),
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("nb_v"),
+            F.count("*").alias("n_v"),
+        )
+    )
+
+
+@query(
+    "eval_mannwhitney_u",
+    oracle=f"""
+    WITH vg AS ({_SQL_VALUE_GRAIN}),
+    cum AS (
+        SELECT value, na_v, nb_v, n_v,
+               SUM(n_v) OVER (ORDER BY value
+                              ROWS UNBOUNDED PRECEDING) - n_v AS cum_before
+        FROM vg
+    ),
+    tot AS (
+        SELECT CAST(SUM(na_v) AS BIGINT) AS na,
+               CAST(SUM(nb_v) AS BIGINT) AS nb,
+               CAST(SUM(n_v) AS BIGINT) AS n,
+               SUM(CAST(n_v AS DOUBLE) * n_v * n_v - n_v) AS tie_term
+        FROM vg
+    ),
+    rs AS (
+        SELECT SUM(na_v * (cum_before + (n_v + 1) / 2.0)) AS ra FROM cum
+    )
+    SELECT na, nb,
+           ROUND(ra - na * (na + 1) / 2.0, 1) AS u_a,
+           ROUND(na * nb / 2.0, 1) AS mu,
+           ROUND((ra - na * (na + 1) / 2.0 - na * nb / 2.0)
+                 / sqrt(na * CAST(nb AS DOUBLE) / 12.0
+                        * ((n + 1) - tie_term / (n * (n - 1.0)))), 6) AS z
+    FROM rs CROSS JOIN tot
+    """,
+    tags=("pipeline", "evaluation", "ab-test", "nonparametric"),
+)
+def eval_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) two-sample test — the
+    nonparametric A/B significance test run when metric distributions are
+    skewed (most revenue/latency metrics): ranks purchase vs click event
+    values jointly, with midranks for ties and the tie-corrected normal
+    approximation for z.
+
+    Exactness: collapsing to value grain first makes the rank sum
+    SUM(na_v * (cum_before + (n_v+1)/2)) — every term an exact
+    integer-or-half (midranks), so ra/U/mu are exact doubles; the tie
+    term and z are deterministic double expressions over exact integer
+    inputs, rounded at 6dp.
+
+    Scale shape: one value-grain aggregate collapses the fact; the ONLY
+    global ordering runs at distinct-value grain through
+    `distributed_running_sums` (range repartition + parallel `_pid`
+    windows + 32 broadcast offsets — `distributed_ntile`'s prefix-sum
+    twin), so no single-partition window exists at ANY cardinality; the
+    final statistics are scalar aggregates."""
+    from auron_spark.operators.window import distributed_running_sums
+
+    vg = _value_grain(spark, sf_dir)
+    cum = distributed_running_sums(vg, ["value"], ["n_v"]).withColumn(
+        "cum_before", F.col("cum_n_v") - F.col("n_v")
+    )
+    tot = vg.agg(
+        F.sum("na_v").cast("bigint").alias("na"),
+        F.sum("nb_v").cast("bigint").alias("nb"),
+        F.sum("n_v").cast("bigint").alias("n"),
+        F.sum(
+            F.col("n_v").cast("double") * F.col("n_v") * F.col("n_v")
+            - F.col("n_v")
+        ).alias("tie_term"),
+    )
+    rs = cum.agg(
+        F.sum(
+            F.col("na_v") * (F.col("cum_before") + (F.col("n_v") + 1) / 2.0)
+        ).alias("ra")
+    )
+    ua = F.col("ra") - F.col("na") * (F.col("na") + 1) / 2.0
+    mu = F.col("na") * F.col("nb") / 2.0
+    sigma = F.sqrt(
+        F.col("na") * F.col("nb").cast("double") / 12.0
+        * (
+            (F.col("n") + 1)
+            - F.col("tie_term") / (F.col("n") * (F.col("n") - 1.0))
+        )
+    )
+    return rs.join(F.broadcast(tot)).select(
+        "na",
+        "nb",
+        F.round(ua, 1).alias("u_a"),
+        F.round(mu, 1).alias("mu"),
+        F.round((ua - mu) / sigma, 6).alias("z"),
+    )
+
+
+#: KS critical coefficient at alpha=0.05 (two-sided): c(alpha)=1.358.
+_KS_C05 = 1.358
+
+
+@query(
+    "eval_ks_test",
+    oracle=f"""
+    WITH vg AS ({_SQL_VALUE_GRAIN}),
+    tot AS (
+        SELECT CAST(SUM(na_v) AS BIGINT) AS na,
+               CAST(SUM(nb_v) AS BIGINT) AS nb
+        FROM vg
+    ),
+    cum AS (
+        SELECT value,
+               SUM(na_v) OVER (ORDER BY value
+                               ROWS UNBOUNDED PRECEDING) AS cum_na,
+               SUM(nb_v) OVER (ORDER BY value
+                               ROWS UNBOUNDED PRECEDING) AS cum_nb
+        FROM vg
+    ),
+    gaps AS (
+        SELECT value,
+               abs(CAST(cum_na AS DOUBLE) / na
+                   - CAST(cum_nb AS DOUBLE) / nb) AS gap
+        FROM cum CROSS JOIN tot
+    ),
+    best AS (
+        SELECT value AS d_at, gap FROM gaps
+        ORDER BY gap DESC, value ASC LIMIT 1
+    )
+    SELECT na, nb,
+           ROUND(gap, 6) AS d_stat,
+           d_at,
+           ROUND({_KS_C05} * sqrt((na + CAST(nb AS DOUBLE)) / (na * CAST(nb AS DOUBLE))), 6)
+               AS d_crit_05,
+           CAST(gap > {_KS_C05} * sqrt((na + CAST(nb AS DOUBLE)) / (na * CAST(nb AS DOUBLE)))
+               AS INT) AS reject_05
+    FROM best CROSS JOIN tot
+    """,
+    tags=("pipeline", "evaluation", "ab-test", "nonparametric"),
+)
+def eval_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test: D = max |F_a(v) - F_b(v)| over
+    the joint support, with the alpha=0.05 critical value — the
+    distribution-shift detector (did the metric's whole shape move, not
+    just its mean?) that complements `eval_mannwhitney_u` (location) and
+    `dq_psi_drift` (binned population drift).
+
+    Exactness: both empirical CDFs are exact rationals cum/n evaluated as
+    single divisions of exact longs — deterministic doubles, so the max
+    gap and its argmax (value tiebreak) agree across engines; D and the
+    critical value round at 6dp.
+
+    Scale shape: identical to the U test — value-grain collapse, the
+    global CDF cumulative via `distributed_running_sums` (no
+    single-partition window), and a TakeOrderedAndProject(1) for the
+    argmax instead of a global sort."""
+    from auron_spark.operators.window import distributed_running_sums
+
+    vg = _value_grain(spark, sf_dir)
+    tot = vg.agg(
+        F.sum("na_v").cast("bigint").alias("na"),
+        F.sum("nb_v").cast("bigint").alias("nb"),
+    )
+    cum = distributed_running_sums(vg, ["value"], ["na_v", "nb_v"])
+    gaps = cum.join(F.broadcast(tot)).select(
+        "value",
+        "na",
+        "nb",
+        F.abs(
+            F.col("cum_na_v").cast("double") / F.col("na")
+            - F.col("cum_nb_v").cast("double") / F.col("nb")
+        ).alias("gap"),
+    )
+    best = gaps.orderBy(F.desc("gap"), F.asc("value")).limit(1)
+    crit = F.lit(_KS_C05) * F.sqrt(
+        (F.col("na") + F.col("nb").cast("double"))
+        / (F.col("na") * F.col("nb").cast("double"))
+    )
+    return best.select(
+        "na",
+        "nb",
+        F.round("gap", 6).alias("d_stat"),
+        F.col("value").alias("d_at"),
+        F.round(crit, 6).alias("d_crit_05"),
+        (F.col("gap") > crit).cast("int").alias("reject_05"),
+    )

@@ -130,12 +130,14 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # r8 wave 5: the XML source (built-in since Spark 4.0) — completes the
     # text-format source family
     "scan_xml_rowtag",
+    # r8 wave 6: nonparametric two-sample tests at value grain over the
+    # distributed prefix-sum (no single-partition window at any scale)
+    "eval_mannwhitney_u", "eval_ks_test",
     # (c) backfill: oldest proofs (r1/r2, registry order, minus later
-    # re-proofs) — 12 slots
+    # re-proofs) — 10 slots
     "fn_decimal_arith", "fn_decimal_agg_overflow_guard", "fn_string_basic",
     "fn_string_pad_case", "fn_regexp_like", "fn_math", "fn_datetime",
-    "fn_hash_crypto", "fn_conditional", "fn_cast", "fn_array_ops",
-    "fn_struct_map",
+    "fn_hash_crypto", "fn_conditional", "fn_cast",
 )
 
 # Green driver rows from CORRECTNESS_r07.json — the whole round-7 window

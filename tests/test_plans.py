@@ -1535,3 +1535,27 @@ def test_recursive_spine_is_bounded_and_broadcast(spark):
     plan = _plan(spark, "sql_recursive_date_spine")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+@pytest.mark.parametrize("name", ["eval_mannwhitney_u", "eval_ks_test"])
+def test_nonparametric_tests_no_single_partition_window(spark, name):
+    """The two-sample tests' global CDF/rank cumulatives run through
+    `distributed_running_sums`: every Window partitions by `_pid`, and
+    any remaining SinglePartition exchange feeds only a scalar aggregate
+    (same policy walker as the scale-safe ntile family)."""
+    plan = _plan(spark, name)
+    lines = plan.splitlines()
+    for line in lines:
+        if "Window [" in line:
+            assert "_pid" in line, line
+    marker = ("WholeStageCodegen", "InputAdapter", "AQEShuffleRead",
+              "ReusedExchange", "ShuffleQueryStage", "Project")
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            j = i - 1
+            while j >= 0 and (
+                not lines[j].strip(" :+-*()")
+                or any(m in lines[j] for m in marker)
+            ):
+                j -= 1
+            assert j >= 0 and "HashAggregate(keys=[]" in lines[j], plan
