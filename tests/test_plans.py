@@ -1559,3 +1559,33 @@ def test_nonparametric_tests_no_single_partition_window(spark, name):
             ):
                 j -= 1
             assert j >= 0 and "HashAggregate(keys=[]" in lines[j], plan
+
+
+def test_distributed_running_sums_matches_global_window(spark):
+    """`distributed_running_sums` is bit-identical to the naive
+    single-partition running sum on the same value-grain input (the
+    prefix-sum analog of `test_scale_ntile_matches_exact_twin`)."""
+    from pyspark.sql import Window, functions as F
+
+    from auron_spark.operators.window import distributed_running_sums
+    from auron_spark.pipeline.evaluation import _value_grain
+
+    vg = _value_grain(spark, SF_DIR)
+    got = {
+        r["value"]: (r["cum_n_v"], r["cum_na_v"])
+        for r in distributed_running_sums(
+            vg, ["value"], ["n_v", "na_v"]
+        ).collect()
+    }
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r["value"]: (r["c1"], r["c2"])
+        for r in vg.select(
+            "value",
+            F.sum("n_v").over(w).cast("long").alias("c1"),
+            F.sum("na_v").over(w).cast("long").alias("c2"),
+        ).collect()
+    }
+    assert got == want
