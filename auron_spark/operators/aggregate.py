@@ -763,3 +763,54 @@ def agg_countmin_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cms_est").cast("bigint").alias("cms_est"),
         (F.col("cms_est") >= F.col("exact_n")).alias("ok_overest"),
     ).orderBy(F.desc("exact_n"), "l_partkey")
+
+
+@query(
+    "agg_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY g_status, g_prio,
+             o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    tags=("agg", "expand", "grouping-id"),
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with GROUPING() marker columns — the disambiguation flags that
+    distinguish "subtotal row" from "the group whose key is NULL" in any
+    Expand-based rollup (reference: the Expand operator the grouping-sets
+    family lowers to, `expand_exec.rs`).  Completes the Expand surface:
+    `agg_rollup` / `agg_cube` / `agg_grouping_sets` prove the lattices,
+    this proves the marker semantics.
+
+    Scale shape: identical to any cube — Expand multiplies rows by lattice
+    size map-side, then one partial/final aggregate; the markers are
+    constants attached at Expand time, zero extra shuffle."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "g_status", "g_prio", "n",
+            "sum_price",
+        )
+        .orderBy(
+            "g_status",
+            "g_prio",
+            F.asc_nulls_first("o_orderstatus"),
+            F.asc_nulls_first("o_orderpriority"),
+        )
+    )

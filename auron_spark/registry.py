@@ -133,11 +133,14 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # r8 wave 6: nonparametric two-sample tests at value grain over the
     # distributed prefix-sum (no single-partition window at any scale)
     "eval_mannwhitney_u", "eval_ks_test",
+    # r8 wave 7: GROUPING() markers (Expand surface tail) + the bucketed
+    # zero-exchange join made driver-provable
+    "agg_grouping_id", "join_bucketed_colocated",
     # (c) backfill: oldest proofs (r1/r2, registry order, minus later
-    # re-proofs) — 10 slots
+    # re-proofs) — 8 slots
     "fn_decimal_arith", "fn_decimal_agg_overflow_guard", "fn_string_basic",
     "fn_string_pad_case", "fn_regexp_like", "fn_math", "fn_datetime",
-    "fn_hash_crypto", "fn_conditional", "fn_cast",
+    "fn_hash_crypto",
 )
 
 # Green driver rows from CORRECTNESS_r07.json — the whole round-7 window

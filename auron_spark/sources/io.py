@@ -521,3 +521,67 @@ def scan_xml_rowtag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("join", "bucketed", "layout", "zero-exchange"),
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join over hash-bucketed layouts: both sides
+    are written bucketed+sorted on the join key (8 buckets), so the
+    sort-merge join reads co-located buckets with NO exchange on either
+    side — the shuffle was paid ONCE at write time, the open-layout
+    analog of lakehouse table distribution.  The plan gate
+    (`test_bucketed_query_join_has_no_join_key_exchange`) asserts no
+    hashpartitioning exchange on either join key feeds the SMJ.
+
+    The bucketed write happens in-query (catalog bucketing metadata is
+    session-scoped), which keeps the query self-contained for the driver;
+    at 100 TB the write is the one-time layout job and every subsequent
+    join of the co-bucketed facts runs exchange-free.
+
+    Oracle: the identical join/aggregate over the unbucketed views —
+    bucketing is a pure layout permutation."""
+    import tempfile
+
+    t = Tables(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="bucketed_")
+    write_bucketed(
+        t.customer.select("c_custkey", "c_mktsegment"),
+        "bkt_customer",
+        f"{base}/customer",
+        8,
+        ["c_custkey"],
+    )
+    write_bucketed(
+        t.orders.select("o_custkey", "o_totalprice"),
+        "bkt_orders",
+        f"{base}/orders",
+        8,
+        ["o_custkey"],
+    )
+    # hint forces SMJ (the small side would otherwise broadcast at fixture
+    # scale, which hides the co-location this query demonstrates)
+    c = spark.table("bkt_customer").hint("merge")
+    o = spark.table("bkt_orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )

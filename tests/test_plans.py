@@ -1589,3 +1589,14 @@ def test_distributed_running_sums_matches_global_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_bucketed_query_join_has_no_join_key_exchange(spark):
+    """join_bucketed_colocated: both sides read bucketed layouts, so the
+    forced SMJ must see NO hashpartitioning exchange on either join key —
+    the shuffle was paid once at write time."""
+    plan = _plan(spark, "join_bucketed_colocated")
+    assert "SortMergeJoin" in plan, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "c_custkey" not in line and "o_custkey" not in line, line
