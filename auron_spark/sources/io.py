@@ -585,3 +585,44 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --- Avro source/sink (external module since Spark 2.4) --------------------
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True if the spark-avro DataSource module is on the classpath (the
+    avro-core jars ship with pyspark, but the `avro` format lives in the
+    separate spark-avro module)."""
+    try:
+        spark.read.format("avro").load("/nonexistent-probe-path")
+    except Exception as e:  # noqa: BLE001
+        msg = str(e)
+        return "Failed to find" not in msg and "ClassNotFound" not in msg
+    return True
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan — environment-blocked in this container (no spark-avro
+    jar, no network/pip to fetch it); the gate is pinned by
+    `test_sources.py::test_avro_gated` and flips to a real scan the
+    moment the module jar is present (`spark.jars.packages
+    org.apache.spark:spark-avro_2.13:<ver>`)."""
+    if not avro_available(spark):
+        raise NotImplementedError(
+            "spark-avro module jar is not on the classpath; add "
+            "org.apache.spark:spark-avro to spark.jars.packages to enable "
+            "this source"
+        )
+    return spark.read.format("avro").load(path)
+
+
+def write_avro(df: DataFrame, path: str) -> None:
+    """Avro sink twin of :func:`read_avro` — same capability gate."""
+    if not avro_available(df.sparkSession):
+        raise NotImplementedError(
+            "spark-avro module jar is not on the classpath; add "
+            "org.apache.spark:spark-avro to spark.jars.packages to enable "
+            "this sink"
+        )
+    df.write.format("avro").mode("overwrite").save(path)

@@ -450,3 +450,18 @@ def test_bucketed_join_is_shuffle_free(spark, tmpdir):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_docs")
         spark.sql("DROP TABLE IF EXISTS b_meta")
+
+
+def test_avro_gated(spark):
+    """Avro is an external Spark module (spark-avro) absent from this
+    container; the gate must raise the pinned actionable message on both
+    read and write, and flips to a real scan when the jar appears."""
+    import pytest
+
+    from auron_spark.sources.io import avro_available, read_avro, write_avro
+
+    assert not avro_available(spark)
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        read_avro(spark, "/tmp/never-read")
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        write_avro(spark.range(1), "/tmp/never-written")
