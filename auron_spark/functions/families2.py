@@ -783,3 +783,96 @@ def fn_math_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+# --- Spark 4 surface tail: collation + native listagg ----------------------
+
+
+@query(
+    "fn_collation_lcase",
+    oracle="""
+    WITH d AS (
+        SELECT CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment
+               ELSE upper(substr(c_mktsegment, 1, 1))
+                    || lower(substr(c_mktsegment, 2)) END AS seg
+        FROM customer
+    )
+    SELECT CAST(SUM(CASE WHEN lower(seg) = lower('BUILDING')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_ci,
+           CAST(SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_cs,
+           CAST(SUM(CASE WHEN lower(seg) LIKE lower('Build') || '%'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_prefix_ci
+    FROM d
+    """,
+    tags=("functions", "collation", "spark4"),
+)
+def fn_collation_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware string semantics (Spark 4 COLLATE, SPARK-46830):
+    case-insensitive equality and prefix matching via the UTF8_LCASE
+    collation — the engine-level answer to lower()-wrapping every
+    comparison (the collation participates in codegen, pushdown and join
+    keys; the reference has no collation support at all).  The fixture's
+    segments are re-cased half-and-half so both variants exist; the
+    oracle computes the same three counts with explicit lower() —
+    identical semantics for ASCII data, which is the contract being
+    proven.
+
+    Scale shape: map-side comparisons + one scalar aggregate."""
+    t = Tables(spark, sf_dir)
+    t.customer.createOrReplaceTempView("cust_coll")
+    return spark.sql(
+        """
+        WITH d AS (
+            SELECT CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment
+                   ELSE initcap(lower(c_mktsegment)) END AS seg
+            FROM cust_coll
+        )
+        SELECT CAST(SUM(CASE WHEN seg COLLATE UTF8_LCASE = 'BUILDING'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_ci,
+               CAST(SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_cs,
+               CAST(SUM(CASE WHEN startswith(seg COLLATE UTF8_LCASE,
+                                             'Build')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_prefix_ci
+        FROM d
+        """
+    )
+
+
+@query(
+    "agg_listagg_native",
+    oracle="""
+    SELECT c_mktsegment,
+           string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("agg", "listagg", "spark4"),
+)
+def agg_listagg_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``listagg(DISTINCT ...) WITHIN GROUP (ORDER BY ...)``
+    (Spark 4.0, SPARK-42746) — the SQL-standard ordered string aggregate,
+    previously emulated via array_join(array_sort(collect_set))
+    (`agg_listagg_ordered`); this proves the engine's own aggregate
+    against DuckDB's string_agg with the same DISTINCT + ORDER BY
+    modifiers.
+
+    Scale shape: partial/final aggregate at group grain; state is the
+    distinct set per group (bounded by |nations|)."""
+    t = Tables(spark, sf_dir)
+    t.customer.createOrReplaceTempView("cust_la")
+    t.nation.createOrReplaceTempView("nation_la")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               listagg(DISTINCT n_name, ',')
+                   WITHIN GROUP (ORDER BY n_name) AS nations,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM cust_la JOIN nation_la ON c_nationkey = n_nationkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )
