@@ -496,3 +496,69 @@ def test_random_subquery_chains(spark, duck2, seed):
         duck2.execute(sql.format(li="lineitem", ord="orders")).df()
     )
     assert got == want, f"seed={seed}\n{sql}"
+
+
+def _gen_window_chain_sql(seed: int) -> str:
+    """Fourth chain shape: window functions computed OVER a join result
+    with random frames and partition keys, then filtered on the window
+    value — the window-over-join composition (and the window-in-predicate
+    rewrite via subquery) the other generators don't reach.  Frames are
+    ROWS-based with integer bounds.  ROWS frames and rank filters compose
+    deterministically ONLY over a STRICT total order, and this fixture's
+    lineitem has duplicate (l_orderkey, l_linenumber) pairs (the driver
+    generator does not enforce the TPC-H PK), so `base` first collapses
+    to one row per key — the same discipline every registered frame
+    query follows."""
+    import random
+
+    rng = random.Random(3_000_000 + seed)
+    pkey = rng.choice(["l_returnflag", "l_linestatus", "o_orderpriority"])
+    frame_lo = rng.randint(1, 5)
+    frame_hi = rng.randint(0, 3)
+    lo = rng.randint(0, 45)
+    fn = rng.choice(["SUM", "MIN", "MAX", "COUNT"])
+    rank_cut = rng.randint(1, 8)
+    return f"""
+    WITH base AS (
+        SELECT l.l_orderkey, l.l_linenumber,
+               MAX(l.l_quantity) AS l_quantity,
+               MIN(l.l_returnflag) AS l_returnflag,
+               MIN(l.l_linestatus) AS l_linestatus,
+               MIN(o.o_orderpriority) AS o_orderpriority
+        FROM {{li}} l JOIN {{ord}} o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_quantity >= {lo}
+        GROUP BY l.l_orderkey, l.l_linenumber
+    ),
+    win AS (
+        SELECT l_orderkey, l_linenumber, {pkey} AS pk,
+               CAST({fn}(l_quantity) OVER (
+                   PARTITION BY {pkey}
+                   ORDER BY l_orderkey, l_linenumber
+                   ROWS BETWEEN {frame_lo} PRECEDING
+                        AND {frame_hi} FOLLOWING) AS DOUBLE) AS fval,
+               ROW_NUMBER() OVER (
+                   PARTITION BY {pkey}
+                   ORDER BY l_quantity DESC, l_orderkey, l_linenumber)
+                   AS rk
+        FROM base
+    )
+    SELECT pk, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(fval AS DECIMAL(18,2))) AS DOUBLE) AS s
+    FROM win WHERE rk <= {rank_cut}
+    GROUP BY pk
+    ORDER BY pk
+    """
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_random_window_chains(spark, duck2, seed):
+    sql = _gen_window_chain_sql(seed)
+    table(spark, SF_SMOKE, "lineitem").createOrReplaceTempView("li_chain")
+    table(spark, SF_SMOKE, "orders").createOrReplaceTempView("ord_chain")
+    got = normalize(
+        spark.sql(sql.format(li="li_chain", ord="ord_chain")).toPandas()
+    )
+    want = normalize(
+        duck2.execute(sql.format(li="lineitem", ord="orders")).df()
+    )
+    assert got == want, f"seed={seed}\n{sql}"
