@@ -633,3 +633,119 @@ def eval_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(crit, 6).alias("d_crit_05"),
         (F.col("gap") > crit).cast("int").alias("reject_05"),
     )
+
+
+# --- survival analysis -----------------------------------------------------
+
+_CHURN_MONTHS = 6  # inactive this long before corpus end = churned (event)
+
+
+@query(
+    "eval_survival_km",
+    oracle=f"""
+    WITH idx AS (
+        SELECT o_custkey,
+               MIN(EXTRACT(year FROM o_orderdate) * 12
+                   + EXTRACT(month FROM o_orderdate)) AS first_m,
+               MAX(EXTRACT(year FROM o_orderdate) * 12
+                   + EXTRACT(month FROM o_orderdate)) AS last_m
+        FROM orders GROUP BY o_custkey
+    ),
+    mx AS (
+        SELECT MAX(EXTRACT(year FROM o_orderdate) * 12
+                   + EXTRACT(month FROM o_orderdate)) AS corpus_m
+        FROM orders
+    ),
+    life AS (
+        SELECT last_m - first_m AS t,
+               CASE WHEN corpus_m - last_m >= {_CHURN_MONTHS}
+                    THEN 1 ELSE 0 END AS churned
+        FROM idx CROSS JOIN mx
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM life),
+    grain AS (
+        SELECT t, SUM(churned) AS d, COUNT(*) AS c FROM life GROUP BY t
+    ),
+    cum AS (
+        SELECT t, d,
+               SUM(c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) - c
+                   AS before
+        FROM grain
+    )
+    SELECT CAST(t AS INT) AS t_months,
+           CAST(d AS BIGINT) AS n_churned,
+           CAST(n - before AS BIGINT) AS n_at_risk,
+           ROUND(exp(SUM(ln(1.0 - CAST(d AS DOUBLE) / (n - before)))
+                     OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6)
+               AS survival
+    FROM cum CROSS JOIN tot
+    WHERE d > 0
+    ORDER BY t_months
+    """,
+    tags=("pipeline", "evaluation", "survival", "churn"),
+)
+def eval_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve with right-censoring — the churn
+    analysis every subscription/retention team runs: a customer's
+    "lifetime" is months between first and last order, the churn EVENT is
+    >= 6 months of inactivity before corpus end, still-active customers
+    are CENSORED (they leave the at-risk pool without counting as
+    deaths), and S(t) = prod over death times (1 - d_i/n_i).  Completes
+    the retention family (`cohort_retention` observes raw rates;
+    KM is the estimator that handles censoring correctly).
+
+    Exactness: lifetimes stay in integer month-index space (the
+    `sql_recursive_date_spine` convention — no date_diff dialect
+    exposure); d/n are exact integers; the running product is computed
+    in log space by a FRAME-ORDERED running sum — a sequential fold with
+    identical addend order in both engines — then exp + round(6).
+
+    Scale shape: the fact collapses to customer grain, then to lifetime
+    grain (calendar-bounded: <= corpus-span months, ~80 rows — the
+    `timeseries_trend_decompose` contract), so the only unpartitioned
+    windows run over a bounded month-grain relation; everything below
+    them is partial/final aggregation."""
+    o = Tables(spark, sf_dir).orders
+    midx = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    idx = o.groupBy("o_custkey").agg(
+        F.min(midx).alias("first_m"), F.max(midx).alias("last_m")
+    )
+    mx = o.agg(F.max(midx).alias("corpus_m"))
+    life = idx.join(F.broadcast(mx)).select(
+        (F.col("last_m") - F.col("first_m")).alias("t"),
+        (F.col("corpus_m") - F.col("last_m") >= _CHURN_MONTHS)
+        .cast("int")
+        .alias("churned"),
+    )
+    tot = life.agg(F.count("*").alias("n"))
+    grain = life.groupBy("t").agg(
+        F.sum("churned").alias("d"), F.count("*").alias("c")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = grain.withColumn("before", F.sum("c").over(w) - F.col("c"))
+    km = (
+        cum.join(F.broadcast(tot))
+        .where(F.col("d") > 0)
+        .withColumn("at_risk", F.col("n") - F.col("before"))
+        .withColumn(
+            "survival",
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.log(
+                            1.0 - F.col("d").cast("double") / F.col("at_risk")
+                        )
+                    ).over(w)
+                ),
+                6,
+            ),
+        )
+    )
+    return km.select(
+        F.col("t").cast("int").alias("t_months"),
+        F.col("d").cast("bigint").alias("n_churned"),
+        F.col("at_risk").cast("bigint").alias("n_at_risk"),
+        "survival",
+    ).orderBy("t_months")

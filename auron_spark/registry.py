@@ -138,10 +138,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "agg_grouping_id", "join_bucketed_colocated",
     # r8 wave 8: Spark 4 surface tail — COLLATE semantics + native listagg
     "fn_collation_lcase", "agg_listagg_native",
+    # r8 wave 9: Kaplan-Meier survival with right-censoring
+    "eval_survival_km",
     # (c) backfill: oldest proofs (r1/r2, registry order, minus later
-    # re-proofs) — 6 slots
+    # re-proofs) — 5 slots
     "fn_decimal_arith", "fn_decimal_agg_overflow_guard", "fn_string_basic",
-    "fn_string_pad_case", "fn_regexp_like", "fn_math",
+    "fn_string_pad_case", "fn_regexp_like",
 )
 
 # Green driver rows from CORRECTNESS_r07.json — the whole round-7 window
