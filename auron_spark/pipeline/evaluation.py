@@ -749,3 +749,157 @@ def eval_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("at_risk").cast("bigint").alias("n_at_risk"),
         "survival",
     ).orderBy("t_months")
+
+
+@query(
+    "eval_survival_logrank",
+    oracle=f"""
+    WITH idx AS (
+        SELECT o_custkey,
+               MIN(EXTRACT(year FROM o_orderdate) * 12
+                   + EXTRACT(month FROM o_orderdate)) AS first_m,
+               MAX(EXTRACT(year FROM o_orderdate) * 12
+                   + EXTRACT(month FROM o_orderdate)) AS last_m
+        FROM orders GROUP BY o_custkey
+    ),
+    mx AS (
+        SELECT MAX(EXTRACT(year FROM o_orderdate) * 12
+                   + EXTRACT(month FROM o_orderdate)) AS corpus_m
+        FROM orders
+    ),
+    life AS (
+        SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g,
+               last_m - first_m AS t,
+               CASE WHEN corpus_m - last_m >= {_CHURN_MONTHS}
+                    THEN 1 ELSE 0 END AS churned
+        FROM idx JOIN customer c ON c.c_custkey = idx.o_custkey
+        CROSS JOIN mx
+    ),
+    grain AS (
+        SELECT t, SUM(churned) AS d, COUNT(*) AS c,
+               SUM(CASE WHEN g = 1 THEN churned ELSE 0 END) AS d1,
+               SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS c1
+        FROM life GROUP BY t
+    ),
+    cum AS (
+        SELECT t, d, d1,
+               SUM(c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) - c
+                   AS before,
+               SUM(c1) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) - c1
+                   AS before1
+        FROM grain
+    ),
+    tot AS (
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS n1tot
+        FROM life
+    ),
+    terms AS (
+        SELECT t, d, d1, n - before AS ni, n1tot - before1 AS n1i
+        FROM cum CROSS JOIN tot
+        WHERE d > 0 AND n - before > 1
+    ),
+    run AS (
+        SELECT t,
+               SUM(d1) OVER w AS o1,
+               SUM(CAST(n1i AS DOUBLE) * d / ni) OVER w AS e1,
+               SUM(CAST(n1i AS DOUBLE) / ni * (1.0 - CAST(n1i AS DOUBLE) / ni)
+                   * d * (ni - d) / (ni - 1)) OVER w AS v
+        FROM terms
+        WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT CAST(o1 AS BIGINT) AS observed_1,
+           ROUND(e1, 6) AS expected_1,
+           ROUND(v, 6) AS variance,
+           ROUND(pow(o1 - e1, 2) / v, 6) AS chi_square,
+           CAST(CASE WHEN pow(o1 - e1, 2) / v > 3.841 THEN 1 ELSE 0 END
+               AS INT) AS reject_05
+    FROM run ORDER BY t DESC LIMIT 1
+    """,
+    tags=("pipeline", "evaluation", "survival", "ab-test"),
+)
+def eval_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test — does one customer segment (BUILDING) churn at a
+    different rate than the rest?  The survival-curve companion to
+    `eval_survival_km`: at every death time, group 1's expected deaths
+    under the null are n1_i*d_i/n_i with the hypergeometric variance;
+    chi-square = (O-E)^2/V against the 1-df 5% critical value 3.841.
+    This is how churn A/B tests are read when lifetimes are censored —
+    `eval_mannwhitney_u` cannot handle censoring, KM + log-rank can.
+
+    Exactness: all inputs are exact integers at lifetime grain; the O/E/V
+    accumulations are FRAME-ORDERED running sums (identical sequential
+    addend order in both engines — stronger than relying on SUM
+    round-stability), with the final row selected by the total order.
+
+    Scale shape: customer-grain collapse -> calendar-bounded lifetime
+    grain (same contract as `eval_survival_km`); the verdict is one
+    bounded-window pass + a 1-row tail."""
+    o = Tables(spark, sf_dir).orders
+    cust = Tables(spark, sf_dir).customer
+    midx = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    idx = o.groupBy("o_custkey").agg(
+        F.min(midx).alias("first_m"), F.max(midx).alias("last_m")
+    )
+    mx = o.agg(F.max(midx).alias("corpus_m"))
+    life = (
+        idx.join(cust, idx["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(mx))
+        .select(
+            (F.col("c_mktsegment") == "BUILDING").cast("int").alias("g"),
+            (F.col("last_m") - F.col("first_m")).alias("t"),
+            (F.col("corpus_m") - F.col("last_m") >= _CHURN_MONTHS)
+            .cast("int")
+            .alias("churned"),
+        )
+    )
+    grain = life.groupBy("t").agg(
+        F.sum("churned").alias("d"),
+        F.count("*").alias("c"),
+        F.sum(F.when(F.col("g") == 1, F.col("churned")).otherwise(0)).alias("d1"),
+        F.sum("g").alias("c1"),
+    )
+    tot = life.agg(
+        F.count("*").alias("n"), F.sum("g").alias("n1tot")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grain.withColumn("before", F.sum("c").over(w) - F.col("c")).withColumn(
+        "before1", F.sum("c1").over(w) - F.col("c1")
+    )
+    terms = (
+        cum.join(F.broadcast(tot))
+        .where((F.col("d") > 0) & (F.col("n") - F.col("before") > 1))
+        .select(
+            "t",
+            "d",
+            "d1",
+            (F.col("n") - F.col("before")).alias("ni"),
+            (F.col("n1tot") - F.col("before1")).alias("n1i"),
+        )
+    )
+    frac = F.col("n1i").cast("double") / F.col("ni")
+    run = terms.select(
+        "t",
+        F.sum("d1").over(w).alias("o1"),
+        F.sum(frac * F.col("d")).over(w).alias("e1"),
+        F.sum(
+            frac * (1.0 - frac) * F.col("d") * (F.col("ni") - F.col("d"))
+            / (F.col("ni") - 1)
+        ).over(w).alias("v"),
+    )
+    chi = F.pow(F.col("o1") - F.col("e1"), 2) / F.col("v")
+    return (
+        run.orderBy(F.desc("t"))
+        .limit(1)
+        .select(
+            F.col("o1").cast("bigint").alias("observed_1"),
+            F.round("e1", 6).alias("expected_1"),
+            F.round("v", 6).alias("variance"),
+            F.round(chi, 6).alias("chi_square"),
+            (chi > 3.841).cast("int").alias("reject_05"),
+        )
+    )

@@ -138,12 +138,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "agg_grouping_id", "join_bucketed_colocated",
     # r8 wave 8: Spark 4 surface tail — COLLATE semantics + native listagg
     "fn_collation_lcase", "agg_listagg_native",
-    # r8 wave 9: Kaplan-Meier survival with right-censoring
-    "eval_survival_km",
+    # r8 wave 9: survival analysis — Kaplan-Meier estimator + log-rank test
+    "eval_survival_km", "eval_survival_logrank",
     # (c) backfill: oldest proofs (r1/r2, registry order, minus later
-    # re-proofs) — 5 slots
+    # re-proofs) — 4 slots
     "fn_decimal_arith", "fn_decimal_agg_overflow_guard", "fn_string_basic",
-    "fn_string_pad_case", "fn_regexp_like",
+    "fn_string_pad_case",
 )
 
 # Green driver rows from CORRECTNESS_r07.json — the whole round-7 window
