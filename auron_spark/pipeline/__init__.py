@@ -6,6 +6,7 @@ from auron_spark.pipeline import (  # noqa: F401
     bpe,
     dedup,
     evaluation,
+    experiments,
     features,
     multimodal,
     retrieval,

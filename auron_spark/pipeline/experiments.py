@@ -1,0 +1,589 @@
+"""Experiment-analysis operators: the parametric / categorical / causal
+statistics an A/B platform computes after `eval_ab_srm_check` admits the
+assignment — completing the test family next to the nonparametric
+`eval_mannwhitney_u` / `eval_ks_test` (evaluation.py) and the censored
+`eval_survival_logrank`.
+
+Exactness contract (the `agg_stats_moments` pattern): every sum over
+corpus-sized data is an exact DECIMAL power sum (the fixture's doubles are
+2-dp decimals, so the casts are lossless), cast to double only once
+aggregated; the statistic is then the SAME double expression tree in Spark
+and DuckDB, so the 6-dp rounded outputs agree bit-exactly.
+
+Scale shape: every query is one fact scan + a partial/final aggregate at
+group/cell grain (2-25 rows), then scalar arithmetic — nothing but the scan
+touches corpus-sized data, and nothing shuffles more than the group-grain
+partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from auron_spark.registry import query
+from auron_spark.tables import Tables
+
+# Exact decimal view of the events metric (2-dp doubles in the fixture).
+_X_DEC = "CAST(value AS DECIMAL(12,2))"
+# Mid-corpus experiment start: events span 2024-01-01 .. 2024-01-30.
+_CUTOVER = "2024-01-16"
+# Deterministic 50/50 arm split — the same md5 assignment eval_ab_srm_check
+# proved driver-exact.
+_SQL_ARM = """CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                            1, 8) AS BIGINT) % 100 < 50
+                   THEN 'A' ELSE 'B' END"""
+
+
+def _x_dec() -> F.Column:
+    return F.col("value").cast("decimal(12,2)")
+
+
+def _arm() -> F.Column:
+    return F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+        < 50,
+        "A",
+    ).otherwise("B")
+
+
+def _pow_sums(tag: str) -> list[F.Column]:
+    """Exact n / sum(x) / sum(x^2) for rows where event_type == tag."""
+    m = F.col("event_type") == tag
+    x = F.when(m, _x_dec())
+    return [
+        F.count(F.when(m, 1)).alias(f"n_{tag[0]}"),
+        F.sum(x).cast("double").alias(f"s1_{tag[0]}"),
+        F.sum((x * x).cast("decimal(24,4)")).cast("double").alias(f"s2_{tag[0]}"),
+    ]
+
+
+def _sql_pow(tag: str, a: str) -> str:
+    """Oracle-side twin of `_pow_sums`: exact decimal n / Σx / Σx²."""
+    return f"""
+           COUNT(*) FILTER (WHERE event_type = '{tag}') AS n_{a},
+           CAST(SUM({_X_DEC}) FILTER (WHERE event_type = '{tag}')
+                AS DOUBLE) AS s1_{a},
+           CAST(SUM(CAST({_X_DEC} * {_X_DEC} AS DECIMAL(24,4)))
+                FILTER (WHERE event_type = '{tag}') AS DOUBLE) AS s2_{a}"""
+
+
+@query(
+    "eval_welch_ttest",
+    oracle=f"""
+    WITH ps AS (
+        SELECT {_sql_pow("purchase", "p")},
+               {_sql_pow("click", "c")}
+        FROM events
+    )
+    SELECT CAST(n_p AS BIGINT) AS n_a, CAST(n_c AS BIGINT) AS n_b,
+           ROUND(s1_p / n_p, 6) AS mean_a,
+           ROUND(s1_c / n_c, 6) AS mean_b,
+           ROUND((s2_p - s1_p * s1_p / n_p) / (n_p - 1), 6) AS var_a,
+           ROUND((s2_c - s1_c * s1_c / n_c) / (n_c - 1), 6) AS var_b,
+           ROUND((s1_p / n_p - s1_c / n_c)
+                 / sqrt((s2_p - s1_p * s1_p / n_p) / (n_p - 1) / n_p
+                        + (s2_c - s1_c * s1_c / n_c) / (n_c - 1) / n_c), 6)
+               AS t_stat,
+           ROUND(
+             ((s2_p - s1_p * s1_p / n_p) / (n_p - 1) / n_p
+              + (s2_c - s1_c * s1_c / n_c) / (n_c - 1) / n_c)
+             * ((s2_p - s1_p * s1_p / n_p) / (n_p - 1) / n_p
+                + (s2_c - s1_c * s1_c / n_c) / (n_c - 1) / n_c)
+             / ( ((s2_p - s1_p * s1_p / n_p) / (n_p - 1) / n_p)
+                 * ((s2_p - s1_p * s1_p / n_p) / (n_p - 1) / n_p) / (n_p - 1)
+               + ((s2_c - s1_c * s1_c / n_c) / (n_c - 1) / n_c)
+                 * ((s2_c - s1_c * s1_c / n_c) / (n_c - 1) / n_c) / (n_c - 1)),
+             6) AS df_welch,
+           CAST(abs((s1_p / n_p - s1_c / n_c)
+                 / sqrt((s2_p - s1_p * s1_p / n_p) / (n_p - 1) / n_p
+                        + (s2_c - s1_c * s1_c / n_c) / (n_c - 1) / n_c))
+                > 1.96 AS INT) AS reject_05
+    FROM ps
+    """,
+    tags=("pipeline", "evaluation", "ab-test", "parametric"),
+)
+def eval_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between purchase and click event
+    values — the default parametric A/B test (never pooled-variance
+    Student's t: arm variances are never equal in practice), with the
+    Welch-Satterthwaite effective degrees of freedom and a normal-
+    approximation 5% verdict (df is in the thousands here, where
+    t ~= z; the df column lets a reader re-check against any table).
+
+    Exactness: both groups' n/Σx/Σx² are exact DECIMAL power sums taken
+    in ONE conditional-aggregation pass; every statistic is the same
+    double expression tree over those exact inputs in both engines.
+
+    Scale shape: one fact scan -> partial/final scalar aggregate (6
+    numbers) -> map-side arithmetic on a 1-row frame."""
+    ev = Tables(spark, sf_dir).events
+    ps = ev.agg(*_pow_sums("purchase"), *_pow_sums("click"))
+    n_a, s1_a, s2_a = F.col("n_p"), F.col("s1_p"), F.col("s2_p")
+    n_b, s1_b, s2_b = F.col("n_c"), F.col("s1_c"), F.col("s2_c")
+    mean_a, mean_b = s1_a / n_a, s1_b / n_b
+    var_a = (s2_a - s1_a * s1_a / n_a) / (n_a - 1)
+    var_b = (s2_b - s1_b * s1_b / n_b) / (n_b - 1)
+    sea, seb = var_a / n_a, var_b / n_b
+    t = (mean_a - mean_b) / F.sqrt(sea + seb)
+    df_w = (sea + seb) * (sea + seb) / (
+        sea * sea / (n_a - 1) + seb * seb / (n_b - 1)
+    )
+    return ps.select(
+        n_a.cast("bigint").alias("n_a"),
+        n_b.cast("bigint").alias("n_b"),
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(var_a, 6).alias("var_a"),
+        F.round(var_b, 6).alias("var_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df_w, 6).alias("df_welch"),
+        (F.abs(t) > 1.96).cast("int").alias("reject_05"),
+    )
+
+
+@query(
+    "eval_anova_oneway",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type,
+               COUNT(*) AS n_g,
+               CAST(SUM({_X_DEC}) AS DOUBLE) AS s1_g,
+               CAST(SUM(CAST({_X_DEC} * {_X_DEC} AS DECIMAL(24,4)))
+                    AS DOUBLE) AS s2_g
+        FROM events GROUP BY event_type
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n_g) AS BIGINT) AS n,
+               SUM(s1_g) AS s1,
+               SUM(s2_g) AS s2,
+               SUM(s1_g * s1_g / n_g) AS sgm
+        FROM g
+    )
+    SELECT k, n,
+           ROUND(sgm - s1 * s1 / n, 6) AS ss_between,
+           ROUND(s2 - sgm, 6) AS ss_within,
+           ROUND((sgm - s1 * s1 / n) / (k - 1)
+                 / ((s2 - sgm) / (n - k)), 6) AS f_stat,
+           CAST((sgm - s1 * s1 / n) / (k - 1)
+                / ((s2 - sgm) / (n - k)) > 2.372 AS INT) AS reject_05
+    FROM tot
+    """,
+    tags=("pipeline", "evaluation", "ab-test", "parametric"),
+)
+def eval_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test across all five event types — does the metric
+    differ across more than two variants?  SS_between / SS_within from
+    per-group exact power sums; the 5% verdict uses the F(4, inf)
+    critical value 2.372 (n-k is in the thousands; the k/n columns let a
+    reader re-check any exact table).
+
+    Exactness: group-grain power sums are exact DECIMAL; the 5-row
+    second-stage sums (s1, s2, sgm) add five deterministic doubles whose
+    magnitudes make the worst-case order effect ~1e-9 relative — the
+    same second-stage contract `eval_mannwhitney_u` proved driver-exact.
+
+    Scale shape: fact scan -> group-grain partial/final aggregate
+    (|event_type| = 5 rows) -> scalar fold."""
+    ev = Tables(spark, sf_dir).events
+    x = _x_dec()
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_g"),
+        F.sum(x).cast("double").alias("s1_g"),
+        F.sum((x * x).cast("decimal(24,4)")).cast("double").alias("s2_g"),
+    )
+    tot = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s1_g").alias("s1"),
+        F.sum("s2_g").alias("s2"),
+        F.sum(F.col("s1_g") * F.col("s1_g") / F.col("n_g")).alias("sgm"),
+    )
+    ssb = F.col("sgm") - F.col("s1") * F.col("s1") / F.col("n")
+    ssw = F.col("s2") - F.col("sgm")
+    f_stat = ssb / (F.col("k") - 1) / (ssw / (F.col("n") - F.col("k")))
+    return tot.select(
+        "k",
+        "n",
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.round(f_stat, 6).alias("f_stat"),
+        (f_stat > 2.372).cast("int").alias("reject_05"),
+    )
+
+
+@query(
+    "eval_chi_square_independence",
+    oracle="""
+    WITH cells AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio,
+               COUNT(*) AS obs
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY seg, prio
+    ),
+    m AS (
+        SELECT seg, prio, obs,
+               SUM(obs) OVER (PARTITION BY seg) AS row_tot,
+               SUM(obs) OVER (PARTITION BY prio) AS col_tot,
+               SUM(obs) OVER () AS n
+        FROM cells
+    ),
+    agg AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT prio) AS BIGINT) AS n_cols,
+               SUM(pow(obs - CAST(row_tot AS DOUBLE) * col_tot / n, 2)
+                   / (CAST(row_tot AS DOUBLE) * col_tot / n)) AS chi
+        FROM m
+    )
+    SELECT n, n_rows, n_cols,
+           CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS df,
+           ROUND(chi, 6) AS chi_square,
+           ROUND(sqrt(chi / (n * CAST(LEAST(n_rows, n_cols) - 1 AS DOUBLE))),
+                 6) AS cramers_v,
+           CAST(chi > 26.296 AS INT) AS reject_05
+    FROM agg
+    """,
+    tags=("pipeline", "evaluation", "categorical", "independence"),
+)
+def eval_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between customer market
+    segment and order priority (5x5 contingency), with Cramér's V effect
+    size — the categorical-association check behind feature screening and
+    segment-mix monitoring.  The 5% verdict uses the df=16 critical value
+    26.296 (df is emitted for re-checking).
+
+    Exactness: observed cells and marginals are exact integers; expected
+    counts and chi terms are deterministic double expressions per cell;
+    the final sum folds 25 such terms (second-stage contract as
+    `eval_anova_oneway`).
+
+    Scale shape: fact join (customer dim broadcasts) -> cell-grain
+    aggregate (25 rows) -> marginal windows over the 25-row grain ->
+    scalar fold.  Nothing after the first aggregate is corpus-sized."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    cells = (
+        t.orders.join(
+            F.broadcast(t.customer),
+            t.customer["c_custkey"] == t.orders["o_custkey"],
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count("*").alias("obs"))
+    )
+    m = (
+        cells.withColumn("row_tot", F.sum("obs").over(Window.partitionBy("seg")))
+        .withColumn("col_tot", F.sum("obs").over(Window.partitionBy("prio")))
+        .withColumn(
+            "n", F.sum("obs").over(Window.partitionBy(F.lit(1)))
+        )
+    )
+    exp = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    agg = m.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.countDistinct("seg").cast("bigint").alias("n_rows"),
+        F.countDistinct("prio").cast("bigint").alias("n_cols"),
+        F.sum(F.pow(F.col("obs") - exp, 2) / exp).alias("chi"),
+    )
+    return agg.select(
+        "n",
+        "n_rows",
+        "n_cols",
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1))
+        .cast("bigint")
+        .alias("df"),
+        F.round("chi", 6).alias("chi_square"),
+        F.round(
+            F.sqrt(
+                F.col("chi")
+                / (
+                    F.col("n")
+                    * (F.least("n_rows", "n_cols") - 1).cast("double")
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+        (F.col("chi") > 26.296).cast("int").alias("reject_05"),
+    )
+
+
+@query(
+    "eval_roc_auc",
+    oracle="""
+    WITH vg AS (
+        SELECT value,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS np_v,
+               COUNT(*) AS n_v
+        FROM events
+        GROUP BY value
+    ),
+    cum AS (
+        SELECT value, np_v, n_v,
+               SUM(n_v) OVER (ORDER BY value
+                              ROWS UNBOUNDED PRECEDING) - n_v AS cum_before
+        FROM vg
+    ),
+    tot AS (
+        SELECT CAST(SUM(np_v) AS BIGINT) AS na,
+               CAST(SUM(n_v) - SUM(np_v) AS BIGINT) AS nb
+        FROM vg
+    ),
+    rs AS (
+        SELECT SUM(np_v * (cum_before + (n_v + 1) / 2.0)) AS ra FROM cum
+    ),
+    a AS (
+        SELECT na, nb,
+               (ra - na * (na + 1) / 2.0) / (na * CAST(nb AS DOUBLE)) AS auc
+        FROM rs CROSS JOIN tot
+    )
+    SELECT na AS n_pos, nb AS n_neg,
+           ROUND(auc, 6) AS auc,
+           ROUND(2 * auc - 1, 6) AS gini,
+           ROUND(sqrt((auc * (1 - auc)
+                       + (na - 1) * (auc / (2 - auc) - auc * auc)
+                       + (nb - 1) * (2 * auc * auc / (1 + auc) - auc * auc))
+                      / (na * CAST(nb AS DOUBLE))), 6) AS se_hanley
+    FROM a
+    """,
+    tags=("pipeline", "evaluation", "ranking", "roc"),
+)
+def eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the logistic scorer (`eval_calibration_bins`'s
+    model) for predicting purchases, via the rank-sum identity
+    AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) with midranks for
+    ties, plus the Gini coefficient and the Hanley-McNeil standard error.
+    The scorer is a strictly increasing transform of `value`, so ranking
+    the raw metric gives the identical AUC — no exp() need cross engines.
+
+    Exactness: the rank sum is midrank arithmetic over exact integers
+    (every term an integer or half-integer), so AUC is an exact rational;
+    Gini and the SE are deterministic double expressions over it.
+
+    Scale shape: value-grain collapse, then the ONLY global ordering runs
+    at distinct-value grain through `distributed_running_sums` (no
+    single-partition window at any cardinality), then scalar folds —
+    the `eval_mannwhitney_u` scaffold pointed at ranking quality."""
+    from auron_spark.operators.window import distributed_running_sums
+
+    ev = Tables(spark, sf_dir).events
+    vg = ev.groupBy("value").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("np_v"),
+        F.count("*").alias("n_v"),
+    )
+    cum = distributed_running_sums(vg, ["value"], ["n_v"]).withColumn(
+        "cum_before", F.col("cum_n_v") - F.col("n_v")
+    )
+    tot = vg.agg(
+        F.sum("np_v").cast("bigint").alias("na"),
+        (F.sum("n_v") - F.sum("np_v")).cast("bigint").alias("nb"),
+    )
+    rs = cum.agg(
+        F.sum(
+            F.col("np_v") * (F.col("cum_before") + (F.col("n_v") + 1) / 2.0)
+        ).alias("ra")
+    )
+    auc = (F.col("ra") - F.col("na") * (F.col("na") + 1) / 2.0) / (
+        F.col("na") * F.col("nb").cast("double")
+    )
+    a = rs.join(F.broadcast(tot)).select("na", "nb", auc.alias("auc"))
+    q1 = F.col("auc") / (2 - F.col("auc"))
+    q2 = 2 * F.col("auc") * F.col("auc") / (1 + F.col("auc"))
+    se = F.sqrt(
+        (
+            F.col("auc") * (1 - F.col("auc"))
+            + (F.col("na") - 1) * (q1 - F.col("auc") * F.col("auc"))
+            + (F.col("nb") - 1) * (q2 - F.col("auc") * F.col("auc"))
+        )
+        / (F.col("na") * F.col("nb").cast("double"))
+    )
+    return a.select(
+        F.col("na").alias("n_pos"),
+        F.col("nb").alias("n_neg"),
+        F.round("auc", 6).alias("auc"),
+        F.round(2 * F.col("auc") - 1, 6).alias("gini"),
+        F.round(se, 6).alias("se_hanley"),
+    )
+
+
+@query(
+    "eval_cuped_adjustment",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(COALESCE(SUM({_X_DEC})
+                    FILTER (WHERE ts < TIMESTAMP '{_CUTOVER}'),
+                    0) AS DOUBLE) AS pre,
+               CAST(COALESCE(SUM({_X_DEC})
+                    FILTER (WHERE ts >= TIMESTAMP '{_CUTOVER}'),
+                    0) AS DOUBLE) AS post
+        FROM events GROUP BY user_id
+    ),
+    ps AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(pre AS DECIMAL(14,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(post AS DECIMAL(14,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(CAST(pre AS DECIMAL(14,2))
+                             * CAST(pre AS DECIMAL(14,2))
+                             AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(CAST(pre AS DECIMAL(14,2))
+                             * CAST(post AS DECIMAL(14,2))
+                             AS DECIMAL(30,4))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(CAST(post AS DECIMAL(14,2))
+                             * CAST(post AS DECIMAL(14,2))
+                             AS DECIMAL(30,4))) AS DOUBLE) AS syy
+        FROM per_user
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           ROUND((sxy / n - sx / n * (sy / n))
+                 / (sxx / n - sx / n * (sx / n)), 6) AS theta,
+           ROUND(syy / n - sy / n * (sy / n), 6) AS var_post,
+           ROUND((syy / n - sy / n * (sy / n))
+                 - pow(sxy / n - sx / n * (sy / n), 2)
+                   / (sxx / n - sx / n * (sx / n)), 6) AS var_cuped,
+           ROUND(pow(sxy / n - sx / n * (sy / n), 2)
+                 / ((sxx / n - sx / n * (sx / n))
+                    * (syy / n - sy / n * (sy / n))), 6)
+               AS var_reduction_pct
+    FROM ps
+    """,
+    tags=("pipeline", "evaluation", "ab-test", "variance-reduction"),
+)
+def eval_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction: theta = cov(pre, post) / var(pre) over
+    per-user pre-period and post-period metric sums (cutover mid-corpus),
+    the adjusted-metric variance var(post) - theta^2 var(pre), and the
+    achieved reduction rho^2 — the standard pre-experiment-covariate
+    trick that shrinks A/B confidence intervals without more traffic.
+
+    Exactness: per-user pre/post are exact DECIMAL sums (2-dp metric)
+    surfacing as exact 2-dp doubles; the covariance power sums re-enter
+    DECIMAL at user grain, so theta's inputs are exact; the output is one
+    double expression tree, rounded at 6dp.
+
+    Scale shape: fact scan -> user-grain conditional aggregate (the only
+    corpus-sized shuffle, on the natural user key) -> scalar power-sum
+    fold -> 1-row arithmetic."""
+    ev = Tables(spark, sf_dir).events
+    cut = F.lit(_CUTOVER).cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ts") < cut, _x_dec())), F.lit(0)
+        )
+        .cast("double")
+        .alias("pre"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts") >= cut, _x_dec())), F.lit(0)
+        )
+        .cast("double")
+        .alias("post"),
+    )
+    xd = F.col("pre").cast("decimal(14,2)")
+    yd = F.col("post").cast("decimal(14,2)")
+    ps = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum((xd * xd).cast("decimal(30,4)")).cast("double").alias("sxx"),
+        F.sum((xd * yd).cast("decimal(30,4)")).cast("double").alias("sxy"),
+        F.sum((yd * yd).cast("decimal(30,4)")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    cov = F.col("sxy") / n - F.col("sx") / n * (F.col("sy") / n)
+    var_x = F.col("sxx") / n - F.col("sx") / n * (F.col("sx") / n)
+    var_y = F.col("syy") / n - F.col("sy") / n * (F.col("sy") / n)
+    return ps.select(
+        n.cast("bigint").alias("n_users"),
+        F.round(cov / var_x, 6).alias("theta"),
+        F.round(var_y, 6).alias("var_post"),
+        F.round(var_y - F.pow(cov, 2) / var_x, 6).alias("var_cuped"),
+        F.round(F.pow(cov, 2) / (var_x * var_y), 6).alias(
+            "var_reduction_pct"
+        ),
+    )
+
+
+@query(
+    "eval_diff_in_differences",
+    oracle=f"""
+    WITH cells AS (
+        SELECT {_SQL_ARM} AS arm,
+               CASE WHEN ts < TIMESTAMP '{_CUTOVER}' THEN 'pre'
+                    ELSE 'post' END AS period,
+               COUNT(*) AS n,
+               CAST(SUM({_X_DEC}) AS DOUBLE) AS s1
+        FROM events
+        GROUP BY arm, period
+    )
+    SELECT MAX(CASE WHEN arm = 'A' AND period = 'pre'
+                    THEN CAST(n AS BIGINT) END) AS n_a_pre,
+           MAX(CASE WHEN arm = 'B' AND period = 'pre'
+                    THEN CAST(n AS BIGINT) END) AS n_b_pre,
+           ROUND(MAX(CASE WHEN arm = 'A' AND period = 'pre'
+                          THEN s1 / n END), 6) AS mean_a_pre,
+           ROUND(MAX(CASE WHEN arm = 'A' AND period = 'post'
+                          THEN s1 / n END), 6) AS mean_a_post,
+           ROUND(MAX(CASE WHEN arm = 'B' AND period = 'pre'
+                          THEN s1 / n END), 6) AS mean_b_pre,
+           ROUND(MAX(CASE WHEN arm = 'B' AND period = 'post'
+                          THEN s1 / n END), 6) AS mean_b_post,
+           ROUND((MAX(CASE WHEN arm = 'B' AND period = 'post'
+                           THEN s1 / n END)
+                  - MAX(CASE WHEN arm = 'B' AND period = 'pre'
+                             THEN s1 / n END))
+                 - (MAX(CASE WHEN arm = 'A' AND period = 'post'
+                            THEN s1 / n END)
+                    - MAX(CASE WHEN arm = 'A' AND period = 'pre'
+                               THEN s1 / n END)), 6) AS did_estimate
+    FROM cells
+    """,
+    tags=("pipeline", "evaluation", "ab-test", "causal"),
+)
+def eval_diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator over the deterministic A/B
+    hash split and a mid-corpus cutover: DiD = (B_post - B_pre) -
+    (A_post - A_pre), the first causal read when randomization is doubted
+    (it nets out both arm-level baseline offsets and the common time
+    trend).  Emits the four cell means so the parallel-trends inputs are
+    auditable.
+
+    Exactness: cell sums are exact DECIMAL in one conditional-aggregation
+    pass; means and the estimator are one double expression tree.
+
+    Scale shape: fact scan -> 4-cell partial/final aggregate -> 1-row
+    pivot fold.  The arm is the map-side md5 split proven by
+    `eval_ab_srm_check`."""
+    ev = Tables(spark, sf_dir).events
+    cut = F.lit(_CUTOVER).cast("timestamp")
+    cells = ev.groupBy(
+        _arm().alias("arm"),
+        F.when(F.col("ts") < cut, "pre").otherwise("post").alias("period"),
+    ).agg(F.count("*").alias("n"), F.sum(_x_dec()).cast("double").alias("s1"))
+
+    def cell(arm: str, period: str, col: F.Column) -> F.Column:
+        return F.max(
+            F.when((F.col("arm") == arm) & (F.col("period") == period), col)
+        )
+
+    mean = F.col("s1") / F.col("n")
+    did = (cell("B", "post", mean) - cell("B", "pre", mean)) - (
+        cell("A", "post", mean) - cell("A", "pre", mean)
+    )
+    return cells.agg(
+        cell("A", "pre", F.col("n").cast("bigint")).alias("n_a_pre"),
+        cell("B", "pre", F.col("n").cast("bigint")).alias("n_b_pre"),
+        F.round(cell("A", "pre", mean), 6).alias("mean_a_pre"),
+        F.round(cell("A", "post", mean), 6).alias("mean_a_post"),
+        F.round(cell("B", "pre", mean), 6).alias("mean_b_pre"),
+        F.round(cell("B", "post", mean), 6).alias("mean_b_post"),
+        F.round(did, 6).alias("did_estimate"),
+    )

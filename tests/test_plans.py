@@ -1537,9 +1537,11 @@ def test_recursive_spine_is_bounded_and_broadcast(spark):
     assert "CartesianProduct" not in plan, plan
 
 
-@pytest.mark.parametrize("name", ["eval_mannwhitney_u", "eval_ks_test"])
+@pytest.mark.parametrize(
+    "name", ["eval_mannwhitney_u", "eval_ks_test", "eval_roc_auc"]
+)
 def test_nonparametric_tests_no_single_partition_window(spark, name):
-    """The two-sample tests' global CDF/rank cumulatives run through
+    """The rank-based tests' global CDF/rank cumulatives run through
     `distributed_running_sums`: every Window partitions by `_pid`, and
     any remaining SinglePartition exchange feeds only a scalar aggregate
     (same policy walker as the scale-safe ntile family)."""
