@@ -424,3 +424,176 @@ def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# Shared month-grain revenue series: orders collapse to (month-index, exact
+# DECIMAL revenue) — calendar-bounded (~80 rows over the 1995-2001 fixture
+# span), the grain every global window/join below runs at.
+_SQL_MONTHLY = """
+    SELECT EXTRACT(year FROM o_orderdate) * 12
+           + EXTRACT(month FROM o_orderdate) AS mi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+    FROM orders
+    GROUP BY mi
+"""
+
+
+def _monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Tables(spark, sf_dir).orders
+    return o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mi")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+
+
+@query(
+    "timeseries_acf",
+    oracle=f"""
+    WITH s AS ({_SQL_MONTHLY}),
+    mean AS (
+        SELECT SUM(rev) / COUNT(*) AS mu,
+               SUM((rev - (SELECT SUM(rev) / COUNT(*) FROM s))
+                   * (rev - (SELECT SUM(rev) / COUNT(*) FROM s))) AS denom
+        FROM s
+    ),
+    lags AS (SELECT unnest(range(1, 13)) AS k),
+    terms AS (
+        SELECT l.k,
+               (a.rev - mean.mu) * (b.rev - mean.mu) AS term
+        FROM s a
+        JOIN lags l ON TRUE
+        JOIN s b ON b.mi = a.mi - l.k
+        CROSS JOIN mean
+    )
+    SELECT CAST(k AS INT) AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND(SUM(term) / MIN(mean.denom), 6) AS acf
+    FROM terms CROSS JOIN mean
+    GROUP BY k
+    ORDER BY lag
+    """,
+    tags=("timeseries", "autocorrelation"),
+)
+def timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of monthly revenue at lags 1..12 — the
+    seasonality / momentum diagnostic read before any forecasting model
+    is chosen (a spike at lag 12 confirms the annual cycle
+    `orders_seasonality_index` indexes; slow decay says trend).
+    r_k = sum (x_t - mu)(x_(t-k) - mu) / sum (x_t - mu)^2 over the
+    aligned pairs (the standard biased-denominator estimator).
+
+    Exactness: the series is exact DECIMAL month sums as doubles; mu and
+    the denominator are single folds over the ~80-row series; each lag's
+    numerator folds <= 80 deterministic products (second-stage contract
+    as `eval_anova_oneway`).
+
+    Scale shape: one fact scan collapses to calendar-bounded month grain;
+    the lag alignment is a self-join of that tiny series against 12
+    broadcast lag offsets — at 100 TB the only corpus-sized work remains
+    the first aggregate."""
+    s = _monthly(spark, sf_dir)
+    mean = s.agg(
+        (F.sum("rev") / F.count("*")).alias("mu"),
+        F.count("*").alias("n_series"),
+    )
+    with_mu = s.join(F.broadcast(mean))
+    denom = with_mu.agg(
+        F.sum(
+            (F.col("rev") - F.col("mu")) * (F.col("rev") - F.col("mu"))
+        ).alias("denom")
+    )
+    lags = spark.range(1, 13).select(F.col("id").alias("k"))
+    a = with_mu.select("mi", "rev", "mu")
+    b = s.select(F.col("mi").alias("mi_b"), F.col("rev").alias("rev_b"))
+    terms = (
+        a.join(F.broadcast(lags))
+        .join(b, F.col("mi_b") == F.col("mi") - F.col("k"))
+        .select(
+            "k",
+            ((F.col("rev") - F.col("mu")) * (F.col("rev_b") - F.col("mu"))).alias(
+                "term"
+            ),
+        )
+    )
+    return (
+        terms.join(F.broadcast(denom))
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms"),
+            F.round(F.sum("term") / F.min("denom"), 6).alias("acf"),
+        )
+        .select(F.col("k").cast("int").alias("lag"), "n_terms", "acf")
+        .orderBy("lag")
+    )
+
+
+@query(
+    "timeseries_snaive_backtest",
+    oracle=f"""
+    WITH s AS ({_SQL_MONTHLY}),
+    joined AS (
+        SELECT a.mi, a.rev,
+               s12.rev AS fc_snaive,
+               s1.rev AS fc_naive1
+        FROM s a
+        JOIN s s12 ON s12.mi = a.mi - 12
+        JOIN s s1 ON s1.mi = a.mi - 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+           ROUND(SUM(abs(rev - fc_snaive) / rev) / COUNT(*), 6)
+               AS mape_snaive,
+           ROUND(SUM(abs(rev - fc_naive1) / rev) / COUNT(*), 6)
+               AS mape_naive1,
+           ROUND(SUM(abs(rev - fc_snaive)) / SUM(abs(rev - fc_naive1)), 6)
+               AS mase,
+           ROUND(SUM(rev - fc_snaive) / COUNT(*), 2) AS mean_error_snaive
+    FROM joined
+    """,
+    tags=("timeseries", "forecast", "backtest"),
+)
+def timeseries_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each month's revenue as
+    the same month last year (lag 12), scored with MAPE against the
+    one-month naive (lag 1) baseline and their ratio MASE-style — the
+    honest floor every forecasting model must beat before it ships, and
+    the standard way a metrics warehouse backtests without a model
+    registry.  mase < 1 reads "seasonality carries signal beyond
+    persistence"; mean_error_snaive exposes drift bias (growth makes
+    last-year forecasts run low).
+
+    Exactness: forecasts are exact month sums aligned by integer month
+    index; the score is one fold of deterministic ratios over the
+    calendar-bounded evaluable months.
+
+    Scale shape: fact scan -> month grain, then self-joins and the score
+    fold all run at that bounded grain."""
+    s = _monthly(spark, sf_dir)
+    s12 = s.select(F.col("mi").alias("mi12"), F.col("rev").alias("fc_snaive"))
+    s1 = s.select(F.col("mi").alias("mi1"), F.col("rev").alias("fc_naive1"))
+    joined = s.join(s12, F.col("mi12") == F.col("mi") - 12).join(
+        s1, F.col("mi1") == F.col("mi") - 1
+    )
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_months"),
+        F.round(
+            F.sum(F.abs(F.col("rev") - F.col("fc_snaive")) / F.col("rev"))
+            / F.count("*"),
+            6,
+        ).alias("mape_snaive"),
+        F.round(
+            F.sum(F.abs(F.col("rev") - F.col("fc_naive1")) / F.col("rev"))
+            / F.count("*"),
+            6,
+        ).alias("mape_naive1"),
+        F.round(
+            F.sum(F.abs(F.col("rev") - F.col("fc_snaive")))
+            / F.sum(F.abs(F.col("rev") - F.col("fc_naive1"))),
+            6,
+        ).alias("mase"),
+        F.round(
+            F.sum(F.col("rev") - F.col("fc_snaive")) / F.count("*"), 2
+        ).alias("mean_error_snaive"),
+    )
