@@ -814,3 +814,105 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.asc_nulls_first("o_orderpriority"),
         )
     )
+
+
+# --- heavy hitters: Misra-Gries mergeable summaries + exact verify ---------
+
+#: Heavy-hitter support threshold: a token is heavy iff count >= ceil(phi*N).
+_MG_PHI = 0.002
+#: Counters per partition summary.  k = ceil(1/phi) makes the merged-summary
+#: deficiency bound N/(k+1) < phi*N, so NO true heavy hitter can be absent
+#: from every partition summary (candidates are a guaranteed superset).
+_MG_K = 500
+
+
+def _mg_merge(acc: dict, batch: dict, k: int) -> dict:
+    """Merge two Misra-Gries summaries (Agarwal et al., 'Mergeable
+    Summaries', PODS'12): sum counts per key; if over k keys, subtract the
+    (k+1)-th largest count and drop non-positives.  Each merge adds at most
+    that offset to every item's deficiency, keeping the invariant
+    (true_count - summary_count) <= n_merged/(k+1)."""
+    for t, c in batch.items():
+        acc[t] = acc.get(t, 0) + c
+    if len(acc) > k:
+        off = sorted(acc.values(), reverse=True)[k]
+        acc = {t: c - off for t, c in acc.items() if c > off}
+    return acc
+
+
+@query(
+    "agg_heavy_hitters_mg",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM toks),
+    c AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token)
+    SELECT token, CAST(cnt AS BIGINT) AS cnt,
+           ROUND(cnt / CAST(n AS DOUBLE), 6) AS share
+    FROM c CROSS JOIN tot
+    WHERE cnt >= CEIL({_MG_PHI} * n)
+    ORDER BY cnt DESC, token
+    """,
+    tags=("agg", "sketch", "heavy-hitters", "pipeline"),
+    bench=True,
+)
+def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (tokens with frequency >= phi*N) found
+    the scale-safe way: per-partition Misra-Gries summaries (k = 1/phi
+    counters, built by exact per-batch value_counts + the PODS'12
+    mergeable-summary merge), whose union is a GUARANTEED superset of the
+    true heavy hitters — an item absent from every summary has total
+    count <= N/(k+1) < phi*N.  The bounded candidate set (<= 32*k tokens)
+    then broadcast-semi-joins the token stream once for exact counts, and
+    the phi threshold filters to the exact answer.  Summary content
+    depends on partition layout; the exact-verified OUTPUT does not.
+
+    This is the `dedup_bloom_prefilter` economics applied to frequency:
+    candidate state stays constant-size per partition no matter how large
+    the corpus, and only |candidates| keys pay the exact re-count — vs a
+    full groupBy whose shuffle carries the entire vocabulary.  The same
+    summary merge runs as combiner trees on a 1000-executor cluster.
+
+    Exactness: the final counts are plain exact integers; candidates only
+    gate WHICH keys are counted, and the MG bound proves no heavy hitter
+    is gated out.  N comes from a map-side token-length sum (no second
+    explode)."""
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    )
+
+    def mg_partition(batches):
+        acc: dict = {}
+        for pdf in batches:
+            vc = pdf["token"].value_counts()
+            acc = _mg_merge(acc, vc.to_dict(), _MG_K)
+        if acc:
+            yield pd.DataFrame(
+                {"token": list(acc.keys()), "mg_cnt": list(acc.values())}
+            )
+
+    summaries = toks.mapInPandas(mg_partition, "token string, mg_cnt long")
+    candidates = summaries.select("token").distinct()
+    n_total = t.documents.agg(
+        F.sum(F.size(F.split(F.lower(F.col("text")), " "))).alias("n")
+    )
+    exact = (
+        toks.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        exact.join(F.broadcast(n_total))
+        .where(F.col("cnt") >= F.ceil(F.lit(_MG_PHI) * F.col("n")))
+        .select(
+            "token",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(F.col("cnt") / F.col("n").cast("double"), 6).alias("share"),
+        )
+        .orderBy(F.desc("cnt"), "token")
+    )

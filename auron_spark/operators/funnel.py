@@ -833,3 +833,124 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), "path")
         .limit(10)
     )
+
+
+@query(
+    "attribution_position_based",
+    oracle=f"""
+    WITH touches AS (
+        SELECT event_id AS tid, user_id, epoch(ts) AS tts,
+               {_SQL_CHANNEL.format(p="props")} AS channel
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    purchases AS (
+        SELECT event_id, user_id, epoch(ts) AS pts,
+               CAST(value AS DECIMAL(18,2)) AS value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    matched AS (
+        SELECT p.event_id, p.value, t.channel, t.tts, t.tid
+        FROM purchases p JOIN touches t
+          ON t.user_id = p.user_id
+         AND t.tts <= p.pts AND t.tts > p.pts - 604800
+    ),
+    pos AS (
+        SELECT event_id, value, channel,
+               ROW_NUMBER() OVER (PARTITION BY event_id
+                                  ORDER BY tts, tid) AS rn,
+               COUNT(*) OVER (PARTITION BY event_id) AS n
+        FROM matched
+    ),
+    weighted AS (
+        SELECT channel,
+               CAST(ROUND(CAST(value AS DOUBLE)
+                          * CASE WHEN n = 1 THEN 1.0
+                                 WHEN n = 2 THEN 0.5
+                                 WHEN rn = 1 OR rn = n THEN 0.4
+                                 ELSE 0.2 / (n - 2) END, 6)
+                    AS DECIMAL(28,6)) AS contrib
+        FROM pos
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(contrib) AS DOUBLE) AS attributed_revenue
+    FROM weighted
+    GROUP BY channel
+    ORDER BY channel
+    """,
+    tags=("events", "attribution", "funnel", "range-join"),
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: 40% of each
+    purchase's value to the FIRST touch, 40% to the LAST, the middle 20%
+    split evenly across interior touches (1-touch paths take 100%,
+    2-touch paths 50/50) — the standard middle ground between
+    `asof_join_purchase_click` (last-touch takes all) and
+    `attribution_linear_touch` (position-blind), crediting discovery and
+    closing more than nurture.
+
+    Exactness: touch positions are a total order (timestamp, touch
+    event_id tiebreak); weights are exact decimal fractions chosen by
+    integer position; contributions round at 6dp into DECIMAL(28,6) so
+    the channel rollup is order-insensitive (the linear-touch contract).
+
+    Scale shape: the same user-key equi-join with lookback residual as
+    linear touch; the position window partitions by conversion id
+    (per-purchase touch lists are small), then one channel-grain
+    aggregate."""
+    from pyspark.sql import Window
+
+    ev = Tables(spark, sf_dir).events
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    channel = (
+        F.when(k % 4 == 0, "organic")
+        .when(k % 4 == 1, "paid")
+        .when(k % 4 == 2, "social")
+        .otherwise("email")
+    )
+    touches = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("tid"),
+        F.col("user_id").alias("t_user"),
+        F.col("ts").cast("double").alias("tts"),
+        channel.alias("channel"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("double").alias("pts"),
+        F.col("value").cast("decimal(18,2)").alias("value"),
+    )
+    matched = purchases.join(
+        touches,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("tts") <= F.col("pts"))
+        & (F.col("tts") > F.col("pts") - 604800),
+    )
+    wp = Window.partitionBy("event_id")
+    pos = matched.select(
+        "event_id",
+        "value",
+        "channel",
+        F.row_number().over(wp.orderBy("tts", "tid")).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+    weight = (
+        F.when(F.col("n") == 1, 1.0)
+        .when(F.col("n") == 2, 0.5)
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), 0.4)
+        .otherwise(0.2 / (F.col("n") - 2))
+    )
+    weighted = pos.select(
+        "channel",
+        F.round(F.col("value").cast("double") * weight, 6)
+        .cast("decimal(28,6)")
+        .alias("contrib"),
+    )
+    return (
+        weighted.groupBy("channel")
+        .agg(
+            F.count("*").cast("bigint").alias("n_touches"),
+            F.sum("contrib").cast("double").alias("attributed_revenue"),
+        )
+        .orderBy("channel")
+    )

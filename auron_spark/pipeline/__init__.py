@@ -9,6 +9,7 @@ from auron_spark.pipeline import (  # noqa: F401
     experiments,
     features,
     multimodal,
+    recommend,
     regression,
     retrieval,
     sampling,

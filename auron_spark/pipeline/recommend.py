@@ -1,0 +1,125 @@
+"""Collaborative-filtering primitives: item-item co-occurrence similarity —
+the classic "customers who bought X also bought Y" built purely from basket
+structure (the within-group pair join `market_basket_pairs` introduced,
+upgraded into a normalized similarity ranking with cosine and lift).
+
+Scale shape: the pair fan-out is an EQUI self-join on the order key, so
+it co-locates per order and is bounded by basket size squared (baskets are
+small and bounded; never an item-item cartesian); item frequencies are a
+catalog-grain aggregate that broadcasts.  This is the shape ALS/co-visit
+pipelines use to build candidate generators at billions of interactions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from auron_spark.registry import query
+from auron_spark.tables import Tables
+
+_MIN_CO = 2  # support floor: pairs must co-occur in >= 2 orders
+_TOP_K = 20
+
+
+@query(
+    "rec_item_cooccurrence",
+    oracle=f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM op),
+    item AS (SELECT l_partkey, COUNT(*) AS n_item FROM op GROUP BY l_partkey),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS n_co
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY part_a, part_b
+    )
+    SELECT part_a, part_b,
+           CAST(n_co AS BIGINT) AS n_co,
+           CAST(ia.n_item AS BIGINT) AS n_a,
+           CAST(ib.n_item AS BIGINT) AS n_b,
+           ROUND(n_co / sqrt(ia.n_item * CAST(ib.n_item AS DOUBLE)), 6)
+               AS cosine,
+           ROUND(n_co * CAST(n.n AS DOUBLE)
+                 / (ia.n_item * CAST(ib.n_item AS DOUBLE)), 6) AS lift
+    FROM pairs
+    JOIN item ia ON ia.l_partkey = part_a
+    JOIN item ib ON ib.l_partkey = part_b
+    CROSS JOIN n_orders n
+    WHERE n_co >= {_MIN_CO}
+    ORDER BY n_co DESC,
+             n_co / sqrt(ia.n_item * CAST(ib.n_item AS DOUBLE)) DESC,
+             part_a, part_b
+    LIMIT {_TOP_K}
+    """,
+    tags=("pipeline", "recommend", "cooccurrence"),
+)
+def rec_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 item-item associations by basket co-occurrence, scored
+    with cosine (co-count normalized by item popularity) and lift
+    (observed / expected-under-independence) — the candidate-generation
+    stage of an item-to-item recommender and the statistical upgrade of
+    `market_basket_pairs` (raw pair counts conflate popularity with
+    affinity; lift > 1 is actual association).
+
+    Exactness: all counts are exact integers at (order, part) grain
+    (dedup first — fixture orders repeat a part across lines); cosine and
+    lift are identical double expressions, and the top-k ordering ends in
+    the (part_a, part_b) total order.
+
+    Scale shape: the pair join co-locates on l_orderkey (basket-bounded
+    fan-out, the `market_basket_pairs` contract); item frequencies are
+    catalog-grain and broadcast into the pair relation; the final ranking
+    is TakeOrderedAndProject, never a global sort."""
+    li = Tables(spark, sf_dir).lineitem
+    op = li.select("l_orderkey", "l_partkey").dropDuplicates()
+    n_orders = op.agg(F.countDistinct("l_orderkey").alias("n"))
+    item = op.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    b = op.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        op.join(
+            b,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_partkey") < F.col("part_b")),
+        )
+        .groupBy(F.col("l_partkey").alias("part_a"), "part_b")
+        .agg(F.count("*").alias("n_co"))
+        .where(F.col("n_co") >= _MIN_CO)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("ka"), F.col("n_item").alias("n_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("kb"), F.col("n_item").alias("n_b")
+    )
+    scored = (
+        pairs.join(F.broadcast(ia), F.col("part_a") == F.col("ka"))
+        .join(F.broadcast(ib), F.col("part_b") == F.col("kb"))
+        .join(F.broadcast(n_orders))
+    )
+    cosine = F.col("n_co") / F.sqrt(F.col("n_a") * F.col("n_b").cast("double"))
+    lift = (
+        F.col("n_co")
+        * F.col("n").cast("double")
+        / (F.col("n_a") * F.col("n_b").cast("double"))
+    )
+    return (
+        scored.select(
+            "part_a",
+            "part_b",
+            F.col("n_co").cast("bigint").alias("n_co"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(cosine, 6).alias("cosine"),
+            F.round(lift, 6).alias("lift"),
+            cosine.alias("_ord"),
+        )
+        .orderBy(F.desc("n_co"), F.desc("_ord"), "part_a", "part_b")
+        .limit(_TOP_K)
+        .drop("_ord")
+    )
