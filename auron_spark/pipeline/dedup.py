@@ -1882,3 +1882,93 @@ def dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a", "b")
     )
+
+
+@query(
+    "graph_kcore_peel",
+    oracle=_sql_signature_cte()
+    + """
+    , pairs AS (
+        SELECT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r ON l.band = r.band AND l.doc_id < r.doc_id
+        GROUP BY a, b
+    ),
+    e0 AS (
+        SELECT a AS u, b AS v FROM pairs
+        UNION ALL
+        SELECT b AS u, a AS v FROM pairs
+    ),
+    a1 AS (SELECT u FROM e0 GROUP BY u HAVING COUNT(*) >= 2),
+    e1 AS (
+        SELECT e.u, e.v FROM e0 e
+        JOIN a1 x ON x.u = e.u JOIN a1 y ON y.u = e.v
+    ),
+    a2 AS (SELECT u FROM e1 GROUP BY u HAVING COUNT(*) >= 2),
+    e2 AS (
+        SELECT e.u, e.v FROM e1 e
+        JOIN a2 x ON x.u = e.u JOIN a2 y ON y.u = e.v
+    ),
+    a3 AS (SELECT u FROM e2 GROUP BY u HAVING COUNT(*) >= 2),
+    e3 AS (
+        SELECT e.u, e.v FROM e2 e
+        JOIN a3 x ON x.u = e.u JOIN a3 y ON y.u = e.v
+    )
+    SELECT 1 AS round,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM a1) AS n_nodes,
+           (SELECT CAST(FLOOR(COUNT(*) / 2.0) AS BIGINT) FROM e1) AS n_edges
+    UNION ALL
+    SELECT 2,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM a2),
+           (SELECT CAST(FLOOR(COUNT(*) / 2.0) AS BIGINT) FROM e2)
+    UNION ALL
+    SELECT 3,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM a3),
+           (SELECT CAST(FLOOR(COUNT(*) / 2.0) AS BIGINT) FROM e3)
+    ORDER BY round
+    """,
+    tags=("pipeline", "graph", "k-core"),
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core peeling of the LSH near-duplicate graph, three synchronized
+    rounds: drop every node with degree < 2, re-induce the edge set,
+    repeat — per-round survivor counts show how much of the graph is
+    chains/pendants (gone by round 1-2) versus dense duplicate cores
+    (the stable 2-core a cluster-then-canonicalize pipeline should trust;
+    pendant edges are the borderline pairs `graph_kcore` filters before
+    `dedup_canonical_selection` spends verify joins on them).
+
+    Fixed-round peeling keeps the DuckDB oracle expressible (the same
+    synchronized-rounds contract as `graph_label_propagation`); at full
+    scale the identical loop runs until fixpoint with an active-set that
+    only shrinks (the `dedup_connected_components` posture) — each round
+    is a degree aggregate plus two semi-joins on the edge key, never a
+    global structure.
+
+    Exactness: every round's survivor set is a deterministic integer
+    degree filter; outputs are exact counts."""
+    pairs = lsh_candidate_pairs(
+        minhash_signature(_doc_shingles(Tables(spark, sf_dir), dedup=False))
+    ).localCheckpoint()
+    edges = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    out = None
+    for rnd in (1, 2, 3):
+        alive = (
+            edges.groupBy("u").agg(F.count("*").alias("d"))
+            .where(F.col("d") >= 2)
+            .select("u")
+        )
+        edges = edges.join(alive, "u").join(
+            alive.select(F.col("u").alias("v")), "v"
+        ).select("u", "v")
+        n_nodes = alive.agg(F.count("*").cast("bigint").alias("n_nodes"))
+        n_edges = edges.agg(
+            F.floor(F.count("*") / 2.0).cast("bigint").alias("n_edges")
+        )
+        row = (
+            n_nodes.join(F.broadcast(n_edges))
+            .select(F.lit(rnd).cast("int").alias("round"), "n_nodes", "n_edges")
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("round")

@@ -207,3 +207,123 @@ def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("val") != 0)
         .orderBy("doc_id", "dim")
     )
+
+
+@query(
+    "feature_mutual_information",
+    oracle="""
+    WITH joint AS (
+        SELECT lang, source, COUNT(*) AS c
+        FROM documents GROUP BY lang, source
+    ),
+    m AS (
+        SELECT lang, source, c,
+               SUM(c) OVER (PARTITION BY lang) AS cx,
+               SUM(c) OVER (PARTITION BY source) AS cy,
+               SUM(c) OVER () AS n
+        FROM joint
+    ),
+    mi AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               SUM(CAST(c AS DOUBLE) / n
+                   * ln(CAST(c AS DOUBLE) * n
+                        / (CAST(cx AS DOUBLE) * cy))) AS mi_nats
+        FROM m
+    ),
+    hx AS (
+        SELECT -SUM(CAST(cx AS DOUBLE) / n
+                    * ln(CAST(cx AS DOUBLE) / n)) AS h
+        FROM (SELECT lang, MAX(cx) AS cx, MAX(n) AS n
+              FROM m GROUP BY lang)
+    ),
+    hy AS (
+        SELECT -SUM(CAST(cy AS DOUBLE) / n
+                    * ln(CAST(cy AS DOUBLE) / n)) AS h
+        FROM (SELECT source, MAX(cy) AS cy, MAX(n) AS n
+              FROM m GROUP BY source)
+    )
+    SELECT n_docs, n_cells,
+           ROUND(mi_nats / ln(2), 6) AS mi_bits,
+           ROUND(hx.h / ln(2), 6) AS h_lang_bits,
+           ROUND(hy.h / ln(2), 6) AS h_source_bits,
+           ROUND(mi_nats / sqrt(hx.h * hy.h), 6) AS nmi
+    FROM mi CROSS JOIN hx CROSS JOIN hy
+    """,
+    tags=("pipeline", "features", "information-theory"),
+)
+def feature_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical columns (document lang x
+    source) in bits, with both marginal entropies and the sqrt-normalized
+    NMI — the model-free dependence screen run before categorical
+    features enter a model (MI ~ 0 reads "this pair is redundant /
+    independent"; NMI makes it comparable across vocabulary sizes).
+
+    Exactness: all probabilities are exact integer ratios; ln runs on
+    identical exact rationals in both engines (the `features.py` libm
+    contract); the folds are cell-grain (<= |lang| x |source| = 80
+    terms).
+
+    Scale shape: one fact scan -> joint-grain aggregate; marginals are
+    windows OVER the tiny joint grain (never a second corpus pass); the
+    entropy/MI folds are scalar."""
+    from pyspark.sql import Window
+
+    d = Tables(spark, sf_dir).documents
+    joint = d.groupBy("lang", "source").agg(F.count("*").alias("c"))
+    m = (
+        joint.withColumn("cx", F.sum("c").over(Window.partitionBy("lang")))
+        .withColumn("cy", F.sum("c").over(Window.partitionBy("source")))
+        .withColumn("n", F.sum("c").over(Window.partitionBy(F.lit(1))))
+    )
+    mi = m.agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.sum(
+            F.col("c").cast("double")
+            / F.col("n")
+            * F.log(
+                F.col("c").cast("double")
+                * F.col("n")
+                / (F.col("cx").cast("double") * F.col("cy"))
+            )
+        ).alias("mi_nats"),
+    )
+    hx = (
+        m.groupBy("lang")
+        .agg(F.max("cx").alias("cx"), F.max("n").alias("n"))
+        .agg(
+            (-F.sum(
+                F.col("cx").cast("double")
+                / F.col("n")
+                * F.log(F.col("cx").cast("double") / F.col("n"))
+            )).alias("h_lang")
+        )
+    )
+    hy = (
+        m.groupBy("source")
+        .agg(F.max("cy").alias("cy"), F.max("n").alias("n"))
+        .agg(
+            (-F.sum(
+                F.col("cy").cast("double")
+                / F.col("n")
+                * F.log(F.col("cy").cast("double") / F.col("n"))
+            )).alias("h_source")
+        )
+    )
+    ln2 = F.log(F.lit(2.0))
+    return (
+        mi.join(F.broadcast(hx))
+        .join(F.broadcast(hy))
+        .select(
+            "n_docs",
+            "n_cells",
+            F.round(F.col("mi_nats") / ln2, 6).alias("mi_bits"),
+            F.round(F.col("h_lang") / ln2, 6).alias("h_lang_bits"),
+            F.round(F.col("h_source") / ln2, 6).alias("h_source_bits"),
+            F.round(
+                F.col("mi_nats") / F.sqrt(F.col("h_lang") * F.col("h_source")),
+                6,
+            ).alias("nmi"),
+        )
+    )

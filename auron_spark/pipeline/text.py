@@ -1453,3 +1453,97 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "a", "b")
         .limit(20)
     )
+
+
+@query(
+    "text_zipf_slope",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+    top AS (
+        SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank
+        FROM freq
+        ORDER BY cnt DESC, token
+        LIMIT 500
+    ),
+    xy AS (
+        SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+        FROM top
+    ),
+    ps AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+        FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_ranks,
+           ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS zipf_slope,
+           ROUND(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx / n,
+                 6) AS log_intercept,
+           ROUND((sxy - sx * sy / n) * (sxy - sx * sy / n)
+                 / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r2
+    FROM ps
+    """,
+    tags=("pipeline", "text", "zipf", "statistics"),
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    log(frequency) against log(rank) for the top-500 tokens — the
+    classic corpus-health diagnostic (natural language sits near -1;
+    a flat slope flags template/boilerplate corpora, a cliff flags
+    vocabulary collapse), with r2 as goodness-of-Zipf.
+
+    Exactness: ranks are a deterministic total order (count desc, token);
+    x/y are libm ln of exact integers (identical arguments both
+    engines); the regression folds 500 deterministic doubles
+    (second-stage contract as `eval_anova_oneway`).
+
+    Scale shape: corpus scan -> vocabulary-grain count (the shuffle), a
+    TakeOrderedAndProject(500) — never a global sort — then scalar
+    power sums over the bounded head.  At 100 TB only the vocabulary
+    aggregate grows; the fit stays 500 rows."""
+    from pyspark.sql import Window
+
+    d = Tables(spark, sf_dir).documents
+    toks = d.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    top = (
+        freq.orderBy(F.desc("cnt"), "token")
+        .limit(500)
+        .select(
+            "cnt",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), "token"))
+            .alias("rank"),
+        )
+    )
+    xy = top.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    ps = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    return ps.select(
+        n.cast("bigint").alias("n_ranks"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(sy / n - slope * sx / n, 6).alias("log_intercept"),
+        F.round(
+            (sxy - sx * sy / n)
+            * (sxy - sx * sy / n)
+            / ((sxx - sx * sx / n) * (syy - sy * sy / n)),
+            6,
+        ).alias("r2"),
+    )
