@@ -1280,3 +1280,211 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("digit")
+
+
+@query(
+    "dq_completeness_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           ROUND(CAST(COUNT(o_orderkey) AS DOUBLE) / COUNT(*), 6) AS fill_rate
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           ROUND(CAST(COUNT(o_custkey) AS DOUBLE) / COUNT(*), 6)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           ROUND(CAST(COUNT(o_orderstatus) AS DOUBLE) / COUNT(*), 6)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           ROUND(CAST(COUNT(o_totalprice) AS DOUBLE) / COUNT(*), 6)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+           ROUND(CAST(COUNT(o_orderdate) AS DOUBLE) / COUNT(*), 6)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           ROUND(CAST(COUNT(o_orderpriority) AS DOUBLE) / COUNT(*), 6)
+    FROM orders
+    ORDER BY column_name
+    """,
+    tags=("dq", "profiling"),
+)
+def dq_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-completeness profile of the orders table — per-column row
+    count, nulls, exact distinct cardinality and fill rate, the first
+    artifact any data-quality framework (Deequ-style) materializes per
+    snapshot and diffs across loads (a fill_rate step-change or a
+    distinct-count collapse is the classic upstream-loss signature).
+
+    Spark computes ALL columns' metrics in ONE scan + one aggregate
+    (multi-count-distinct via Expand), then unpivots the 1-row result to
+    column-grain — vs the oracle's literal per-column scans; same exact
+    integers either way.
+
+    Scale shape: one corpus scan; the Expand for multi-distinct is the
+    only fan-out (x columns, the standard cost of exact profiles); output
+    is |columns| rows."""
+    o = Tables(spark, sf_dir).orders
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    one = o.agg(*aggs)
+    out = None
+    for c in cols:
+        row = one.select(
+            F.lit(c).alias("column_name"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            (F.col("n_rows") - F.col(f"nn_{c}")).cast("bigint").alias("n_null"),
+            F.col(f"nd_{c}").cast("bigint").alias("n_distinct"),
+            F.round(
+                F.col(f"nn_{c}").cast("double") / F.col("n_rows"), 6
+            ).alias("fill_rate"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("column_name")
+
+
+@query(
+    "parts_abc_xyz_matrix",
+    oracle="""
+    WITH pr AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS rev_cents
+        FROM lineitem GROUP BY l_partkey
+    ),
+    cum AS (
+        SELECT l_partkey, rev_cents,
+               SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+                                    ROWS UNBOUNDED PRECEDING) AS cum_cents,
+               SUM(rev_cents) OVER () AS total
+        FROM pr
+    ),
+    abc AS (
+        SELECT l_partkey, rev_cents, total,
+               CASE WHEN cum_cents <= 0.8 * total THEN 'A'
+                    WHEN cum_cents <= 0.95 * total THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM cum
+    ),
+    monthly AS (
+        SELECT l_partkey,
+               EXTRACT(year FROM l_shipdate) * 12
+               + EXTRACT(month FROM l_shipdate) AS mi,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS q
+        FROM lineitem GROUP BY l_partkey, mi
+    ),
+    xyz AS (
+        SELECT l_partkey,
+               CASE WHEN sqrt(SUM(q * q) / COUNT(*)
+                              - (SUM(q) / COUNT(*)) * (SUM(q) / COUNT(*)))
+                         / (SUM(q) / COUNT(*)) < 0.5 THEN 'X'
+                    WHEN sqrt(SUM(q * q) / COUNT(*)
+                              - (SUM(q) / COUNT(*)) * (SUM(q) / COUNT(*)))
+                         / (SUM(q) / COUNT(*)) < 1.0 THEN 'Y'
+                    ELSE 'Z' END AS xyz_class
+        FROM monthly GROUP BY l_partkey
+    )
+    SELECT abc.abc_class, xyz.xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(SUM(abc.rev_cents) / CAST(MIN(abc.total) AS DOUBLE), 6)
+               AS revenue_share
+    FROM abc JOIN xyz ON xyz.l_partkey = abc.l_partkey
+    GROUP BY abc.abc_class, xyz.xyz_class
+    ORDER BY abc.abc_class, xyz.xyz_class
+    """,
+    tags=("analytics", "inventory", "pareto", "scale-safe"),
+)
+def parts_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/XYZ inventory classification matrix — the supply-chain planner's
+    two-axis segmentation: ABC from cumulative revenue share (A = parts
+    covering the top 80% of revenue, B to 95%, C the tail — the
+    `pareto_revenue_share` curve turned into classes) crossed with XYZ
+    from demand variability (CV of observed monthly shipped quantity:
+    X < 0.5 steady, Y < 1.0 seasonal, Z erratic).  The A-X cell is
+    forecast-and-automate; C-Z is order-on-demand.
+
+    Exactness: revenue ranks in exact integer cents; the cumulative is
+    exact longs, so class boundaries compare a long against a
+    deterministic double; monthly quantity power sums stay exactly
+    representable (2-dp values, bounded magnitude), so CV is one double
+    expression tree.
+
+    Scale shape: both axes collapse the fact to part grain first; the
+    ONLY global ordering (the Pareto cumulative) runs through
+    `distributed_running_sums` on (-revenue, part) — range repartition +
+    parallel `_pid` windows + 32 broadcast offsets, no single-partition
+    window at any catalog size; the class join is part-grain equi."""
+    from auron_spark.operators.window import distributed_running_sums
+
+    li = Tables(spark, sf_dir).lineitem
+    pr = li.groupBy("l_partkey").agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    ranked = pr.withColumn("skey", -F.col("rev_cents"))
+    cum = distributed_running_sums(
+        ranked, ["skey", "l_partkey"], ["rev_cents"]
+    )
+    total = pr.agg(F.sum("rev_cents").cast("bigint").alias("total"))
+    abc = cum.join(F.broadcast(total)).select(
+        "l_partkey",
+        "rev_cents",
+        "total",
+        F.when(F.col("cum_rev_cents") <= 0.8 * F.col("total"), "A")
+        .when(F.col("cum_rev_cents") <= 0.95 * F.col("total"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    monthly = li.groupBy(
+        "l_partkey",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("mi"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(9,2)"))
+        .cast("double")
+        .alias("q")
+    )
+    mean_q = F.sum("q") / F.count("*")
+    cv = F.sqrt(F.sum(F.col("q") * F.col("q")) / F.count("*") - mean_q * mean_q) / mean_q
+    xyz = monthly.groupBy("l_partkey").agg(
+        F.when(cv < 0.5, "X").when(cv < 1.0, "Y").otherwise("Z").alias(
+            "xyz_class"
+        )
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.round(
+                F.sum("rev_cents") / F.min("total").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class", "xyz_class")
+    )

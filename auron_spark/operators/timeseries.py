@@ -597,3 +597,71 @@ def timeseries_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("rev") - F.col("fc_snaive")) / F.count("*"), 2
         ).alias("mean_error_snaive"),
     )
+
+
+@query(
+    "events_burstiness",
+    oracle="""
+    WITH pm AS (
+        SELECT event_type, date_trunc('minute', ts) AS m,
+               COUNT(*) AS c
+        FROM events GROUP BY event_type, m
+    ),
+    ps AS (
+        SELECT event_type,
+               COUNT(*) AS n_minutes,
+               SUM(c) AS s1,
+               SUM(c * c) AS s2
+        FROM pm GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_minutes AS BIGINT) AS n_minutes,
+           CAST(s1 AS BIGINT) AS n_events,
+           ROUND(CAST(s1 AS DOUBLE) / n_minutes, 6) AS mean_per_min,
+           ROUND((CAST(s2 AS DOUBLE) / n_minutes
+                  - (CAST(s1 AS DOUBLE) / n_minutes)
+                    * (CAST(s1 AS DOUBLE) / n_minutes))
+                 / (CAST(s1 AS DOUBLE) / n_minutes), 6) AS fano_factor,
+           ROUND(sqrt(CAST(s2 AS DOUBLE) / n_minutes
+                      - (CAST(s1 AS DOUBLE) / n_minutes)
+                        * (CAST(s1 AS DOUBLE) / n_minutes))
+                 / (CAST(s1 AS DOUBLE) / n_minutes), 6) AS cv
+    FROM ps
+    ORDER BY event_type
+    """,
+    tags=("timeseries", "dispersion", "operations"),
+)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic burstiness per event type: the Fano factor (variance /
+    mean of per-minute arrival counts over observed minutes) and the
+    coefficient of variation — the dispersion diagnostics behind
+    capacity planning and anomaly-detector threshold tuning (Poisson
+    arrivals give Fano ~= 1; >> 1 means bursts, so p99 provisioning off
+    the mean will fall over).  Complements `events_inter_arrival_stats`
+    (gap view) with the count view, and `timeseries_cusum_drift` (level
+    shifts) with a variability read.
+
+    Exactness: minute counts are exact integers, so the power sums are
+    exact; the moment arithmetic is one double expression tree.
+
+    Scale shape: fact scan -> (type, minute) grain -> type grain; both
+    aggregates are partial/final, nothing else touches corpus data."""
+    ev = Tables(spark, sf_dir).events
+    pm = ev.groupBy(
+        "event_type", F.date_trunc("minute", F.col("ts")).alias("m")
+    ).agg(F.count("*").alias("c"))
+    ps = pm.groupBy("event_type").agg(
+        F.count("*").alias("n_minutes"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_minutes")
+    var = F.col("s2").cast("double") / F.col("n_minutes") - mean * mean
+    return ps.select(
+        "event_type",
+        F.col("n_minutes").cast("bigint").alias("n_minutes"),
+        F.col("s1").cast("bigint").alias("n_events"),
+        F.round(mean, 6).alias("mean_per_min"),
+        F.round(var / mean, 6).alias("fano_factor"),
+        F.round(F.sqrt(var) / mean, 6).alias("cv"),
+    ).orderBy("event_type")

@@ -587,3 +587,121 @@ def eval_diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cell("B", "post", mean), 6).alias("mean_b_post"),
         F.round(did, 6).alias("did_estimate"),
     )
+
+
+#: Two-sided alpha=.05 and power=.80 normal quantiles (fixed literals so
+#: both engines fold the same constants).
+_Z_ALPHA = 1.959964
+_Z_BETA = 0.841621
+_MDE_REL = 0.10  # minimum detectable effect: +10% relative
+
+
+@query(
+    "eval_power_analysis",
+    oracle=f"""
+    WITH conv AS (
+        SELECT user_id, date_trunc('day', ts) AS d,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        FROM events GROUP BY user_id, d
+    ),
+    base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+               CAST(SUM(y) AS DOUBLE) / COUNT(*) AS p1
+        FROM conv
+    ),
+    tr AS (
+        SELECT CAST(COUNT(*) AS DOUBLE)
+               / COUNT(DISTINCT d) AS daily_units
+        FROM conv
+    ),
+    calc AS (
+        SELECT n_units, p1, p1 * (1 + {_MDE_REL}) AS p2, daily_units
+        FROM base CROSS JOIN tr
+    )
+    SELECT n_units,
+           ROUND(p1, 6) AS p_baseline,
+           ROUND(p2, 6) AS p_target,
+           CAST(CEIL(
+               pow({_Z_ALPHA} * sqrt(2 * ((p1 + p2) / 2)
+                                     * (1 - (p1 + p2) / 2))
+                   + {_Z_BETA} * sqrt(p1 * (1 - p1) + p2 * (1 - p2)), 2)
+               / pow(p2 - p1, 2)) AS BIGINT) AS n_per_arm,
+           ROUND(daily_units, 6) AS avg_daily_units,
+           CAST(CEIL(
+               2 * CEIL(
+                   pow({_Z_ALPHA} * sqrt(2 * ((p1 + p2) / 2)
+                                         * (1 - (p1 + p2) / 2))
+                       + {_Z_BETA} * sqrt(p1 * (1 - p1) + p2 * (1 - p2)), 2)
+                   / pow(p2 - p1, 2))
+               / daily_units) AS BIGINT) AS days_required
+    FROM calc
+    """,
+    tags=("pipeline", "evaluation", "ab-test", "power"),
+)
+def eval_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size calculator fed by the corpus itself: measure the
+    baseline USER-DAY purchase conversion (the randomization unit a
+    daily-exposure experiment actually assigns; user-level conversion
+    saturates to ~1 over a month and cannot power a test), target a +10%
+    relative lift, and compute the required units per arm
+    (two-proportion z-test, alpha=.05 two-sided, power=.80) plus how many
+    days of observed user-day traffic that costs — the pre-experiment
+    feasibility check that kills underpowered tests before they run.
+    Closes the experiment lifecycle: power (here) -> SRM
+    (`eval_ab_srm_check`) -> read (`eval_welch_ttest` /
+    `eval_mannwhitney_u`) -> variance reduction
+    (`eval_cuped_adjustment`).
+
+    Exactness: p1 is an exact integer ratio; the quantiles are fixed
+    literals; the formula is one double expression tree; CEIL lands on
+    values far from integer boundaries (p1 is an arbitrary rational), so
+    the integer outputs are stable.
+
+    Scale shape: one user-day-grain aggregate on the fact scan, two
+    scalar rollups of it, then 1-row arithmetic."""
+    ev = Tables(spark, sf_dir).events
+    conv = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y")
+    )
+    base = conv.agg(
+        F.count("*").cast("bigint").alias("n_units"),
+        (F.sum("y").cast("double") / F.count("*")).alias("p1"),
+    )
+    tr = conv.agg(
+        (F.count("*").cast("double") / F.countDistinct("d")).alias(
+            "daily_units"
+        )
+    )
+    calc = base.join(F.broadcast(tr)).select(
+        "n_units",
+        "p1",
+        (F.col("p1") * (1 + _MDE_REL)).alias("p2"),
+        "daily_units",
+    )
+    pbar = (F.col("p1") + F.col("p2")) / 2
+    n_arm = F.ceil(
+        F.pow(
+            _Z_ALPHA * F.sqrt(2 * pbar * (1 - pbar))
+            + _Z_BETA
+            * F.sqrt(
+                F.col("p1") * (1 - F.col("p1"))
+                + F.col("p2") * (1 - F.col("p2"))
+            ),
+            2,
+        )
+        / F.pow(F.col("p2") - F.col("p1"), 2)
+    )
+    return calc.select(
+        "n_units",
+        F.round("p1", 6).alias("p_baseline"),
+        F.round("p2", 6).alias("p_target"),
+        n_arm.cast("bigint").alias("n_per_arm"),
+        F.round("daily_units", 6).alias("avg_daily_units"),
+        F.ceil(2 * n_arm / F.col("daily_units"))
+        .cast("bigint")
+        .alias("days_required"),
+    )
