@@ -954,3 +954,105 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "events_markov_multistep",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    trans AS (
+        SELECT event_type AS f, next_type AS t, COUNT(*) AS c
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY f, t
+    ),
+    p1 AS (
+        SELECT f, t, CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY f) AS p
+        FROM trans
+    ),
+    p2 AS (
+        SELECT a.f, b.t, SUM(a.p * b.p) AS p
+        FROM p1 a JOIN p1 b ON b.f = a.t GROUP BY a.f, b.t
+    ),
+    p4 AS (
+        SELECT a.f, b.t, SUM(a.p * b.p) AS p
+        FROM p2 a JOIN p2 b ON b.f = a.t GROUP BY a.f, b.t
+    ),
+    p8 AS (
+        SELECT a.f, b.t, SUM(a.p * b.p) AS p
+        FROM p4 a JOIN p4 b ON b.f = a.t GROUP BY a.f, b.t
+    )
+    SELECT f AS from_type,
+           ROUND(MAX(CASE WHEN t = 'purchase' THEN p END), 6)
+               AS p8_purchase,
+           ROUND(MAX(CASE WHEN t = 'error' THEN p END), 6) AS p8_error,
+           ROUND(SUM(p), 6) AS row_sum
+    FROM p8
+    GROUP BY f
+    ORDER BY from_type
+    """,
+    tags=("events", "markov", "sequence", "matrix-power"),
+)
+def events_markov_multistep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eight-step Markov reachability: P^8 by three relational matrix
+    squarings of the `events_markov_transitions` matrix, reporting each
+    starting state's probability of sitting in 'purchase' (the
+    conversion read: "where do journeys that start at X end up?") and in
+    'error' (the failure read), with the row sum as a stochasticity
+    audit (= 1 up to rounding).  Matrix power as JOIN + GROUP BY is the
+    standard trick that scales squarings to state spaces far beyond
+    driver memory — each squaring is an equi-join on the inner index.
+
+    Exactness: P entries are single divisions of exact integers; each
+    squaring folds <= |states| = 5 deterministic products per cell
+    (second-stage contract as `eval_anova_oneway`), three times; outputs
+    round at 6dp.
+
+    Scale shape: one lead() window exchange on user_id builds the
+    transition stream (the proven transitions shape); everything after
+    lives at |states|^2 = 25-row grain."""
+    from pyspark.sql import Window
+
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("f"),
+        F.lead("event_type").over(w).alias("t"),
+    ).where(F.col("t").isNotNull())
+    trans = seq.groupBy("f", "t").agg(F.count("*").alias("c"))
+    p = trans.select(
+        "f",
+        "t",
+        (
+            F.col("c").cast("double")
+            / F.sum("c").over(Window.partitionBy("f"))
+        ).alias("p"),
+    )
+    for _ in range(3):  # P -> P^2 -> P^4 -> P^8
+        b = p.select(
+            F.col("f").alias("bf"), F.col("t").alias("bt"), F.col("p").alias("bp")
+        )
+        p = (
+            p.join(b, F.col("bf") == F.col("t"))
+            .groupBy("f", "bt")
+            .agg(F.sum(F.col("p") * F.col("bp")).alias("p"))
+            .select("f", F.col("bt").alias("t"), "p")
+        )
+    return (
+        p.groupBy("f")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("t") == "purchase", F.col("p"))), 6
+            ).alias("p8_purchase"),
+            F.round(
+                F.max(F.when(F.col("t") == "error", F.col("p"))), 6
+            ).alias("p8_error"),
+            F.round(F.sum("p"), 6).alias("row_sum"),
+        )
+        .select(F.col("f").alias("from_type"), "p8_purchase", "p8_error", "row_sum")
+        .orderBy("from_type")
+    )

@@ -3241,3 +3241,95 @@ def sim_knn_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"))
         .orderBy("query_id", "neighbor_id")
     )
+
+
+@query(
+    "sim_label_centroid_confusion",
+    oracle="""
+    WITH e AS (
+        SELECT label, r.range AS dim,
+               CAST(embedding[r.range] AS DOUBLE) AS v
+        FROM embeddings CROSS JOIN range(1, 65) r
+    ),
+    cent AS (
+        SELECT label, dim, SUM(v) / COUNT(*) AS c
+        FROM e GROUP BY label, dim
+    ),
+    nrm AS (
+        SELECT label, sqrt(SUM(c * c)) AS n FROM cent GROUP BY label
+    ),
+    pair AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               SUM(a.c * b.c) AS dot
+        FROM cent a JOIN cent b ON b.dim = a.dim AND a.label < b.label
+        GROUP BY label_a, label_b
+    )
+    SELECT pair.label_a, pair.label_b,
+           ROUND(dot / (na.n * nb.n), 6) AS centroid_cosine
+    FROM pair
+    JOIN nrm na ON na.label = pair.label_a
+    JOIN nrm nb ON nb.label = pair.label_b
+    ORDER BY dot / (na.n * nb.n) DESC, pair.label_a, pair.label_b
+    LIMIT 10
+    """,
+    tags=("pipeline", "similarity", "evaluation", "embedding-qa"),
+)
+def sim_label_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space confusion risk: the 10 most similar LABEL-CENTROID
+    pairs by cosine — classes whose centroids nearly coincide are the
+    ones a nearest-centroid classifier (and any ANN-filtered retrieval
+    with label routing) will confuse, so this is the embedding-QA
+    report read after every re-embedding alongside
+    `sim_silhouette_simplified` (which scores cohesion; this names the
+    specific confusable pairs).
+
+    Exactness: centroids are per-(label, dim) means of float32 values
+    widened to double (addend sets identical across engines; the
+    class-grain folds follow the second-stage sum contract); dots and
+    norms fold 64 deterministic products; ties in the top-10 break on
+    the (label_a, label_b) total order.
+
+    Scale shape: the corpus collapses to |labels| x dim centroid state in
+    one partial/final aggregate (k x dim model state — the
+    `sim_kmeans_lloyd` reduction); the pair join runs at centroid grain
+    (|labels|^2 bounded), never touching rows again."""
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select("label", "dim", F.col("v").cast("double").alias("v"))
+    cent = e.groupBy("label", "dim").agg(
+        (F.sum("v") / F.count("*")).alias("c")
+    )
+    nrm = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("n")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        F.col("dim").alias("dim_b"),
+        F.col("c").alias("cb"),
+    )
+    pair = (
+        cent.join(
+            b,
+            (F.col("dim_b") == F.col("dim"))
+            & (F.col("label") < F.col("label_b")),
+        )
+        .groupBy(F.col("label").alias("label_a"), "label_b")
+        .agg(F.sum(F.col("c") * F.col("cb")).alias("dot"))
+    )
+    na = nrm.select(F.col("label").alias("label_a"), F.col("n").alias("na"))
+    nb = nrm.select(F.col("label").alias("label_b"), F.col("n").alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (
+        pair.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(cos, 6).alias("centroid_cosine"),
+            cos.alias("_ord"),
+        )
+        .orderBy(F.desc("_ord"), "label_a", "label_b")
+        .limit(10)
+        .drop("_ord")
+    )

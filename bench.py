@@ -77,7 +77,7 @@ _TPCH_RE = __import__("re").compile(r"^q\d+_")
 # Name-prefix exceptions: heavyweight pipeline ops whose names collide with
 # the relational prefixes — keeping them out of `relational` preserves the
 # round-over-round comparability of the TPC-H-era subtotal.
-_PIPELINE_OVERRIDES = {"join_set_similarity_prefix"}
+_PIPELINE_OVERRIDES = {"join_set_similarity_prefix", "agg_heavy_hitters_mg"}
 
 # Layout-only resharding: facts get full scan parallelism, dims stay small
 # (32 one-row files for region would be silly).  Unlisted tables default 8.

@@ -39,14 +39,15 @@ def test_nested_arrays_tagged():
 
 
 def test_driver_window_spans_all_families():
-    """The driver checks a 50-query prefix of the registry.  Round-8 policy
-    (VERDICT r7 ask #1): slots go to (a) the 20 never-proven r7 names, (b)
-    the rewritten `stream_late_data_cutoff` (its r5 proof covers the OLD
-    single-partition plan) plus round-8 additions as they land, then (c)
+    """The driver checks a 50-query prefix of the registry.  Round-9 policy:
+    slots go to (a) the round-9 additions (never a driver row), then (b)
     backfill with the OLDEST proofs — r1/r2 names never re-proven since,
-    whose rows predate the mid-r4 fixture regen.  Rows-only queries are
-    permanently excluded from window slots: the driver can only record
-    `no_oracle` for them (round 5 burned 2 slots that way)."""
+    whose rows predate the mid-r4 fixture regen (round 8 took the first 4,
+    round 9 the next 28).  The full round-8 window is treated as proven
+    (`_R8_WINDOW`; its artifact never landed in-tree — see registry.py).
+    Rows-only queries are permanently excluded from window slots: the
+    driver can only record `no_oracle` for them (round 5 burned 2 slots
+    that way)."""
     from auron_spark import registry
 
     specs = registry.load_all()
@@ -62,9 +63,9 @@ def test_driver_window_spans_all_families():
     }
     fresh = (
         registry._R4_PROVEN | registry._R5_PROVEN | registry._R6_PROVEN
-        | registry._R7_PROVEN
+        | registry._R7_PROVEN | registry._R8_WINDOW
     )
-    rewrites = {"stream_late_data_cutoff"}  # re-proving: plan rewritten r8
+    rewrites: set[str] = set()  # no plan rewrites re-proving this round
     last_unproven = max(order[n] for n in never_proven)
     first_fresh_proven = min(
         order[n] for n in specs if n in fresh and n not in rewrites
