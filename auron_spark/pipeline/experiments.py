@@ -705,3 +705,122 @@ def eval_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("days_required"),
     )
+
+
+@query(
+    "eval_qini_uplift",
+    oracle=f"""
+    WITH pu AS (
+        SELECT user_id,
+               {_SQL_ARM} AS arm,
+               CAST(COALESCE(SUM({_X_DEC})
+                    FILTER (WHERE ts < TIMESTAMP '{_CUTOVER}'),
+                    0) AS DOUBLE) AS score,
+               MAX(CASE WHEN event_type = 'purchase'
+                        AND ts >= TIMESTAMP '{_CUTOVER}'
+                        THEN 1 ELSE 0 END) AS y
+        FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT arm, y,
+               NTILE(10) OVER (ORDER BY score DESC, user_id) AS decile
+        FROM pu
+    ),
+    cells AS (
+        SELECT decile,
+               SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS n_t,
+               SUM(CASE WHEN arm = 'B' THEN y ELSE 0 END) AS r_t,
+               SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS n_c,
+               SUM(CASE WHEN arm = 'A' THEN y ELSE 0 END) AS r_c
+        FROM ranked GROUP BY decile
+    ),
+    cum AS (
+        SELECT decile,
+               SUM(n_t) OVER w AS nt, SUM(r_t) OVER w AS rt,
+               SUM(n_c) OVER w AS nc, SUM(r_c) OVER w AS rc
+        FROM cells
+        WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(nt AS BIGINT) AS n_treat_cum,
+           CAST(rt AS BIGINT) AS resp_treat_cum,
+           CAST(nc AS BIGINT) AS n_ctrl_cum,
+           CAST(rc AS BIGINT) AS resp_ctrl_cum,
+           ROUND(rt - CAST(rc AS DOUBLE) * nt / nc, 6) AS qini_uplift
+    FROM cum
+    ORDER BY decile
+    """,
+    tags=("pipeline", "evaluation", "ab-test", "uplift", "scale-safe"),
+)
+def eval_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini (cumulative uplift) curve: rank users by a targeting score
+    (pre-period spend — the model-free proxy every uplift evaluation
+    starts from), split into score deciles, and accumulate incremental
+    responders rt - rc*nt/nc down the ranking — the curve that answers
+    "if I can only treat the top k%, how much incremental conversion do
+    I buy?", read next to `eval_cuped_adjustment` (same pre-period
+    covariate, opposite use).  A curve hugging zero says the score does
+    not identify persuadables (correct for this random split — that
+    null read IS the calibration).
+
+    Exactness: scores are exact 2-dp doubles; the decile assignment is
+    NTILE over the (score DESC, user_id) total order; all outputs fold
+    exact integers, with one division per row.
+
+    Scale shape: user-grain conditional aggregate (the only corpus
+    shuffle), then the global ranking runs through `distributed_ntile`
+    (range repartition + per-partition ranks + 32 broadcast offsets — no
+    single-partition window at any user count); cells and cumulative live
+    at decile grain."""
+    from pyspark.sql import Window
+
+    from auron_spark.operators.window import distributed_ntile
+
+    ev = Tables(spark, sf_dir).events
+    cut = F.lit(_CUTOVER).cast("timestamp")
+    pu = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ts") < cut, _x_dec())), F.lit(0)
+        )
+        .cast("double")
+        .alias("score"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") >= cut), 1
+            ).otherwise(0)
+        ).alias("y"),
+    )
+    pu = pu.join(
+        ev.select("user_id", _arm().alias("arm")).dropDuplicates(["user_id"]),
+        "user_id",
+    ).withColumn("neg_score", -F.col("score"))
+    ranked = distributed_ntile(
+        pu, 10, ["neg_score", "user_id"], "decile"
+    )
+    cells = ranked.groupBy("decile").agg(
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(F.col("arm") == "B", F.col("y")).otherwise(0)).alias("r_t"),
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(F.col("arm") == "A", F.col("y")).otherwise(0)).alias("r_c"),
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cells.select(
+        "decile",
+        F.sum("n_t").over(w).alias("nt"),
+        F.sum("r_t").over(w).alias("rt"),
+        F.sum("n_c").over(w).alias("nc"),
+        F.sum("r_c").over(w).alias("rc"),
+    )
+    return cum.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("nt").cast("bigint").alias("n_treat_cum"),
+        F.col("rt").cast("bigint").alias("resp_treat_cum"),
+        F.col("nc").cast("bigint").alias("n_ctrl_cum"),
+        F.col("rc").cast("bigint").alias("resp_ctrl_cum"),
+        F.round(
+            F.col("rt") - F.col("rc").cast("double") * F.col("nt") / F.col("nc"),
+            6,
+        ).alias("qini_uplift"),
+    ).orderBy("decile")

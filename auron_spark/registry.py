@@ -94,7 +94,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # around eval_ab_srm_check / eval_mannwhitney_u / eval_survival_*
     "eval_welch_ttest", "eval_anova_oneway", "eval_chi_square_independence",
     "eval_roc_auc", "eval_cuped_adjustment", "eval_diff_in_differences",
-    "eval_power_analysis",
+    "eval_power_analysis", "eval_qini_uplift",
     # closed-form distributed regression (multivariate OLS + ridge) and
     # information-theoretic feature screening
     "feature_ols_two_var", "feature_ridge_closed_form",
@@ -121,7 +121,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "fn_datetime_tail", "fn_array_set_ops", "agg_stats_moments",
     "agg_corr_covar", "agg_median_percentile", "agg_mode_deterministic",
     "udf_pandas_scalar", "udf_pandas_grouped_agg", "udf_python_row",
-    "udf_map_in_pandas",
 )
 
 # The full round-8 driver window (the 20 late-r7 names + the r8 additions +

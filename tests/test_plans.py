@@ -1602,3 +1602,38 @@ def test_bucketed_query_join_has_no_join_key_exchange(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "c_custkey" not in line and "o_custkey" not in line, line
+
+
+def test_heavy_hitters_candidates_broadcast_not_shuffled(spark):
+    """agg_heavy_hitters_mg: the exact re-count pass must join the token
+    stream against the BOUNDED candidate set via broadcast (the whole point
+    — the vocabulary-sized shuffle of a plain groupBy is replaced by a
+    |candidates|-key count), and the summaries must come from the
+    Arrow-batched per-partition mapInPandas."""
+    plan = _plan(spark, "agg_heavy_hitters_mg", final=True)
+    assert "MapInPandas" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_abc_xyz_pareto_cumulative_is_distributed(spark):
+    """parts_abc_xyz_matrix: the Pareto cumulative runs through
+    `distributed_running_sums` — every Window partitions by `_pid`; any
+    SinglePartition exchange feeds only a scalar aggregate (the ntile-family
+    policy walker)."""
+    plan = _plan(spark, "parts_abc_xyz_matrix")
+    lines = plan.splitlines()
+    for line in lines:
+        if "Window [" in line:
+            assert "_pid" in line, line
+    marker = ("WholeStageCodegen", "InputAdapter", "AQEShuffleRead",
+              "ReusedExchange", "ShuffleQueryStage", "Project")
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            j = i - 1
+            while j >= 0 and (
+                not lines[j].strip(" :+-*()")
+                or any(m in lines[j] for m in marker)
+            ):
+                j -= 1
+            assert j >= 0 and "HashAggregate(keys=[]" in lines[j], plan

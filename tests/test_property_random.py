@@ -562,3 +562,46 @@ def test_random_window_chains(spark, duck2, seed):
         duck2.execute(sql.format(li="lineitem", ord="orders")).df()
     )
     assert got == want, f"seed={seed}\n{sql}"
+
+
+# --- Misra-Gries mergeable-summary guarantee --------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=30), min_size=1,
+                 max_size=200),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=2, max_value=12),
+)
+def test_mg_merge_deficiency_bound(batches, k):
+    """The PODS'12 merge invariant behind `agg_heavy_hitters_mg`'s
+    candidate-superset proof: after merging per-batch exact counts through
+    `_mg_merge(k)`, (true_count - summary_count) <= N/(k+1) for EVERY item,
+    hence any item with true count > N/(k+1) is present in the summary —
+    on arbitrary stream shapes, not just the fixture."""
+    from collections import Counter
+
+    from auron_spark.operators.aggregate import _mg_merge
+
+    acc: dict = {}
+    truth: Counter = Counter()
+    n = 0
+    for batch in batches:
+        c = Counter(batch)
+        truth.update(c)
+        n += len(batch)
+        acc = _mg_merge(acc, dict(c), k)
+        assert len(acc) <= k
+    bound = n / (k + 1)
+    for item, true_c in truth.items():
+        est = acc.get(item, 0)
+        assert est <= true_c  # never overcount
+        assert true_c - est <= bound + 1e-9, (item, true_c, est, bound)
+        if true_c > bound:
+            assert item in acc
