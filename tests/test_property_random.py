@@ -605,3 +605,75 @@ def test_mg_merge_deficiency_bound(batches, k):
         assert true_c - est <= bound + 1e-9, (item, true_c, est, bound)
         if true_c > bound:
             assert item in acc
+
+
+# --- randomized two-sample power-sum statistics ------------------------------
+
+_ETYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+def _welch_sql(a: str, b: str, day: int) -> str:
+    """The `eval_welch_ttest` shape with a parameterized group pair and a
+    date filter — a single SQL text run by BOTH engines, so any divergence
+    in the exact-DECIMAL power-sum contract (FILTER clauses, decimal
+    products, the double expression tree) surfaces on arbitrary slices,
+    not just the registered query's fixed one."""
+    xd = "CAST(value AS DECIMAL(12,2))"
+    return f"""
+    WITH ps AS (
+        SELECT COUNT(*) FILTER (WHERE event_type = '{a}') AS na,
+               CAST(SUM({xd}) FILTER (WHERE event_type = '{a}')
+                    AS DOUBLE) AS s1a,
+               CAST(SUM(CAST({xd} * {xd} AS DECIMAL(24,4)))
+                    FILTER (WHERE event_type = '{a}') AS DOUBLE) AS s2a,
+               COUNT(*) FILTER (WHERE event_type = '{b}') AS nb,
+               CAST(SUM({xd}) FILTER (WHERE event_type = '{b}')
+                    AS DOUBLE) AS s1b,
+               CAST(SUM(CAST({xd} * {xd} AS DECIMAL(24,4)))
+                    FILTER (WHERE event_type = '{b}') AS DOUBLE) AS s2b
+        FROM {{ev}}
+        WHERE ts >= TIMESTAMP '2024-01-{day:02d}'
+    )
+    SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+           ROUND(s1a / na, 6) AS mean_a,
+           ROUND(s1b / nb, 6) AS mean_b,
+           ROUND((s2a - s1a * s1a / na) / (na - 1), 6) AS var_a,
+           ROUND((s2b - s1b * s1b / nb) / (nb - 1), 6) AS var_b,
+           ROUND((s1a / na - s1b / nb)
+                 / sqrt((s2a - s1a * s1a / na) / (na - 1) / na
+                        + (s2b - s1b * s1b / nb) / (nb - 1) / nb), 6) AS t
+    FROM ps
+    """
+
+
+@pytest.fixture(scope="module")
+def duck_ev():
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_SMOKE}/events.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pair=st.sampled_from(
+        [(a, b) for a in _ETYPES for b in _ETYPES if a < b]
+    ),
+    day=st.integers(min_value=1, max_value=25),
+)
+def test_random_two_sample_power_sums(spark, duck_ev, pair, day):
+    a, b = pair
+    sql = _welch_sql(a, b, day)
+    table(spark, SF_SMOKE, "events").createOrReplaceTempView("ev_prop")
+    got = normalize(spark.sql(sql.format(ev="ev_prop")).toPandas())
+    want = normalize(duck_ev.execute(sql.format(ev="events")).df())
+    assert got == want, f"pair={pair} day={day}"
