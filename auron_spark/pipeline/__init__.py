@@ -8,6 +8,7 @@ from auron_spark.pipeline import (  # noqa: F401
     evaluation,
     experiments,
     features,
+    geo,
     multimodal,
     recommend,
     regression,

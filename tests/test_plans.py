@@ -1637,3 +1637,13 @@ def test_abc_xyz_pareto_cumulative_is_distributed(spark):
             ):
                 j -= 1
             assert j >= 0 and "HashAggregate(keys=[]" in lines[j], plan
+
+
+def test_geo_radius_join_is_equi_join(spark):
+    """geo_radius_join: the 3x3 grid pruning must surface as a real
+    equi-join on (cell_x, cell_y) — never a nested-loop / cartesian
+    fallback, which is what an unpruned spatial join degrades to."""
+    plan = _plan(spark, "geo_radius_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "cell_x" in plan and "cell_y" in plan
