@@ -1488,3 +1488,155 @@ def parts_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class", "xyz_class")
     )
+
+
+@query(
+    "dq_k_anonymity",
+    oracle="""
+    WITH classes AS (
+        SELECT c_nationkey,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+               COUNT(*) AS k,
+               COUNT(DISTINCT c_mktsegment) AS l_div
+        FROM customer
+        GROUP BY 1, 2
+    )
+    SELECT k,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(k) AS BIGINT) AS n_rows,
+           CAST(MIN(l_div) AS BIGINT) AS min_l,
+           ROUND(CAST(SUM(l_div) AS DOUBLE) / COUNT(*), 6) AS avg_l,
+           CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+               AS rows_below_k5
+    FROM classes
+    GROUP BY k
+    ORDER BY k
+    """,
+    tags=("dq", "privacy"),
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over the customer table:
+    quasi-identifiers = (nation, account-balance band); sensitive
+    attribute = market segment.  Rows whose QI equivalence class has
+    k < 5 are re-identifiable under the standard k-anonymity threshold;
+    classes with l_div = 1 leak the sensitive value outright (homogeneity
+    attack).  The per-k histogram is what a privacy review reads before
+    a dataset export — the release gate is min(k) and min(l), the row
+    mass below k=5 sizes the suppression cost.
+
+    Scale shape: one scan -> hash aggregate at QI grain (exact distinct
+    over one low-cardinality sensitive column) -> re-aggregate at k grain
+    (tens of rows).  No joins, no windows; both shuffles key on group
+    columns, the second on a scalar."""
+    t = Tables(spark, sf_dir)
+    classes = (
+        t.customer.select(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+            "c_mktsegment",
+        )
+        .groupBy("c_nationkey", "bal_band")
+        .agg(
+            F.count("*").alias("k"),
+            F.countDistinct("c_mktsegment").alias("l_div"),
+        )
+    )
+    return (
+        classes.groupBy("k")
+        .agg(
+            F.count("*").cast("bigint").alias("n_classes"),
+            F.sum("k").cast("bigint").alias("n_rows"),
+            F.min("l_div").cast("bigint").alias("min_l"),
+            F.round(F.sum("l_div").cast("double") / F.count("*"), 6).alias(
+                "avg_l"
+            ),
+            F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_below_k5"),
+        )
+        .orderBy("k")
+    )
+
+
+@query(
+    "dq_join_explosion_audit",
+    oracle="""
+    WITH le AS (
+        SELECT user_id AS k, COUNT(*) AS cnt_l FROM events GROUP BY 1
+    ), ri AS (
+        SELECT o_custkey AS k, COUNT(*) AS cnt_r FROM orders GROUP BY 1
+    ), fan AS (
+        SELECT le.k, cnt_l, cnt_r, cnt_l * cnt_r AS fanout
+        FROM le JOIN ri USING (k)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM le) AS BIGINT) AS n_keys_left,
+           CAST((SELECT COUNT(*) FROM ri) AS BIGINT) AS n_keys_right,
+           CAST(COUNT(*) AS BIGINT) AS n_keys_both,
+           CAST(SUM(fanout) AS BIGINT) AS predicted_join_rows,
+           CAST(MAX(fanout) AS BIGINT) AS max_fanout,
+           ROUND(CAST(SUM(fanout) AS DOUBLE) / COUNT(*), 6) AS avg_fanout,
+           CAST(SUM(CASE WHEN fanout > 100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_keys_over_100,
+           CAST(MAX(fanout * 10000000000 + k) % 10000000000 AS BIGINT)
+               AS top_fanout_key
+    FROM fan
+    """,
+    tags=("dq", "join", "profiling"),
+)
+def dq_join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality audit BEFORE running an M:N join (events.user_id
+    |x| orders.o_custkey): per-key multiplicities on each side, predicted
+    output rows (sum of per-key products), worst fan-out key and the
+    count of keys whose product exceeds 100 — the pre-flight check that
+    catches join explosions from duplicate keys at plan time instead of
+    OOMing a 100-TB shuffle at run time.
+
+    The audit itself never materializes the join: both sides reduce to
+    per-key counts first (map-side partial aggregation), so its cost is
+    two aggregates plus a count-grain equi-join — orders of magnitude
+    cheaper than the join it predicts.
+
+    Exactness: everything is integer counts; the argmax key rides the
+    encoded-BIGINT max (fanout * 1e10 + key, ties -> larger key) exactly
+    as both engines compute it."""
+    t = Tables(spark, sf_dir)
+    le = t.events.groupBy(F.col("user_id").alias("k")).agg(
+        F.count("*").alias("cnt_l")
+    )
+    ri = t.orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("cnt_r")
+    )
+    fan = le.join(ri, "k").select(
+        "k", (F.col("cnt_l") * F.col("cnt_r")).alias("fanout")
+    )
+    # Side cardinalities join in as 1x1 scalar aggregates (no driver-side
+    # .count() actions — the whole audit is one lazy plan).
+    nl = le.agg(F.count("*").cast("bigint").alias("n_keys_left"))
+    nr = ri.agg(F.count("*").cast("bigint").alias("n_keys_right"))
+    body = fan.agg(
+        F.count("*").cast("bigint").alias("n_keys_both"),
+        F.sum("fanout").cast("bigint").alias("predicted_join_rows"),
+        F.max("fanout").cast("bigint").alias("max_fanout"),
+        F.round(F.sum("fanout").cast("double") / F.count("*"), 6).alias(
+            "avg_fanout"
+        ),
+        F.sum(F.when(F.col("fanout") > 100, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_keys_over_100"),
+        (
+            F.max(F.col("fanout") * F.lit(10000000000).cast("long") + F.col("k"))
+            % F.lit(10000000000).cast("long")
+        )
+        .cast("bigint")
+        .alias("top_fanout_key"),
+    )
+    return nl.crossJoin(nr).crossJoin(body).select(
+        "n_keys_left",
+        "n_keys_right",
+        "n_keys_both",
+        "predicted_join_rows",
+        "max_fanout",
+        "avg_fanout",
+        "n_keys_over_100",
+        "top_fanout_key",
+    )

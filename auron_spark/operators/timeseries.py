@@ -665,3 +665,241 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var / mean, 6).alias("fano_factor"),
         F.round(F.sqrt(var) / mean, 6).alias("cv"),
     ).orderBy("event_type")
+
+
+@query(
+    "timeseries_linear_interpolate",
+    oracle="""
+    WITH monthly AS (
+        SELECT n_name,
+               (EXTRACT(year FROM o_orderdate) - 1995) * 12
+                 + EXTRACT(month FROM o_orderdate) - 1 AS m,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT n_name, gs.m
+        FROM nation, (SELECT unnest(generate_series(0, 79)) AS m) gs
+    ),
+    joined AS (
+        SELECT s.n_name, s.m, CAST(rev AS DOUBLE) AS rev
+        FROM spine s LEFT JOIN monthly USING (n_name, m)
+    ),
+    ctx AS (
+        SELECT n_name, m, rev,
+               LAST_VALUE(rev IGNORE NULLS) OVER w_prev AS pv,
+               LAST_VALUE(CASE WHEN rev IS NOT NULL THEN m END IGNORE NULLS)
+                   OVER w_prev AS pm,
+               FIRST_VALUE(rev IGNORE NULLS) OVER w_next AS nv,
+               FIRST_VALUE(CASE WHEN rev IS NOT NULL THEN m END IGNORE NULLS)
+                   OVER w_next AS nm
+        FROM joined
+        WINDOW w_prev AS (PARTITION BY n_name ORDER BY m
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w_next AS (PARTITION BY n_name ORDER BY m
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT n_name, CAST(m AS BIGINT) AS m,
+           ROUND(rev, 2) AS rev_raw,
+           ROUND(CASE
+                   WHEN rev IS NOT NULL THEN rev
+                   WHEN pv IS NOT NULL AND nv IS NOT NULL
+                     THEN pv + (nv - pv) * CAST(m - pm AS DOUBLE) / (nm - pm)
+                 END, 6) AS rev_filled,
+           CASE WHEN rev IS NOT NULL THEN 'observed'
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interpolated'
+                ELSE 'edge' END AS fill_kind
+    FROM ctx
+    ORDER BY n_name, m
+    """,
+    tags=("timeseries", "gap-fill", "window"),
+)
+def timeseries_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill of monthly revenue per nation: a
+    calendar spine (nation x 80 months), observed months left-joined on,
+    missing months filled as the straight line between the nearest
+    observed months on each side (edges flagged, not extrapolated) —
+    the resampling step feature pipelines run before any fixed-frequency
+    model, completing the fill family next to `timeseries_locf_resample`
+    (which only carries values forward).
+
+    Scale shape: the corpus-sized work is one orders aggregate at
+    (nation, month) grain with broadcast dims; the spine, the left join
+    and BOTH bracketing windows run at calendar-bounded grain (25 x 80
+    rows regardless of SF — per-nation partitions, never a global
+    window).  Interpolation is (prev, next) arithmetic, exact integer
+    month distances, 6-dp round."""
+    t = Tables(spark, sf_dir)
+    monthly = (
+        t.orders.join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            "n_name",
+            (
+                (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+            ).alias("m"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    spine = (
+        t.nation.select("n_name")
+        .crossJoin(
+            spark.range(80).select(F.col("id").cast("int").alias("m"))
+        )
+    )
+    joined = spine.join(monthly, ["n_name", "m"], "left").select(
+        "n_name", "m", F.col("rev").cast("double").alias("rev")
+    )
+    w_prev = (
+        Window.partitionBy("n_name")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("n_name")
+        .orderBy("m")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_m = F.when(F.col("rev").isNotNull(), F.col("m"))
+    ctx = joined.select(
+        "n_name",
+        "m",
+        "rev",
+        F.last("rev", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(known_m, ignorenulls=True).over(w_prev).alias("pm"),
+        F.first("rev", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(known_m, ignorenulls=True).over(w_next).alias("nm"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.col("m") - F.col("pm")
+    ).cast("double") / (F.col("nm") - F.col("pm"))
+    return ctx.select(
+        "n_name",
+        F.col("m").cast("bigint").alias("m"),
+        F.round(F.col("rev"), 2).alias("rev_raw"),
+        F.round(
+            F.when(F.col("rev").isNotNull(), F.col("rev")).otherwise(
+                F.when(
+                    F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp
+                )
+            ),
+            6,
+        ).alias("rev_filled"),
+        F.when(F.col("rev").isNotNull(), "observed")
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), "interpolated")
+        .otherwise("edge")
+        .alias("fill_kind"),
+    ).orderBy("n_name", "m")
+
+
+@query(
+    "timeseries_cross_correlation",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CASE WHEN event_type = 'view'
+                             THEN CAST(value AS DECIMAL(12,2)) END) * 100
+                    AS BIGINT) AS vx,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(value AS DECIMAL(12,2)) END) * 100
+                    AS BIGINT) AS vy
+        FROM events
+        GROUP BY 1
+    ),
+    lagged AS (
+        SELECT l.lag, a.vx AS x, b.vy AS y
+        FROM (SELECT unnest(generate_series(0, 7)) AS lag) l
+        JOIN daily a ON true
+        JOIN daily b ON b.day = a.day + CAST(l.lag AS INT)
+    ),
+    ps AS (
+        SELECT lag, COUNT(*) AS n,
+               SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+               SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+               SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+               SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+               SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+        FROM lagged
+        GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS pearson_r
+    FROM ps
+    ORDER BY lag
+    """,
+    tags=("timeseries", "correlation"),
+)
+def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the daily view-value series and
+    the purchase-value series at lags 0..7 days — the signal-discovery
+    step behind 'do views predict purchases k days later?' (marketing-mix
+    and demand-sensing pipelines run exactly this sweep before fitting
+    any transfer-function model).
+
+    Exactness: daily series values are exact integer cents; every power
+    sum runs in DECIMAL(38,0) integer arithmetic (order-insensitive),
+    and Pearson r is one double expression over those exact integers.
+
+    Scale shape: the corpus reduces to day grain in one aggregate
+    (calendar-bounded: 30 rows here, 365/yr in production); the lag
+    join and correlation run on that day-grain frame, so the sweep costs
+    one scan regardless of SF."""
+    t = Tables(spark, sf_dir)
+    vdec = F.col("value").cast("decimal(12,2)")
+    daily = t.events.groupBy(F.to_date("ts").alias("day")).agg(
+        (
+            F.sum(F.when(F.col("event_type") == "view", vdec)) * 100
+        ).cast("long").alias("vx"),
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", vdec)) * 100
+        ).cast("long").alias("vy"),
+    )
+    lags = spark.range(8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(F.col("day").alias("a_day"), F.col("vx").alias("x"))
+    b = daily.select(F.col("day").alias("b_day"), F.col("vy").alias("y"))
+    lagged = (
+        lags.crossJoin(a)
+        .join(b, F.col("b_day") == F.date_add(F.col("a_day"), F.col("lag")))
+        .select("lag", "x", "y")
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    ps = lagged.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
+        F.sum(yd * F.col("y")).alias("syy"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    return ps.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("pearson_r"),
+    ).orderBy("lag")

@@ -203,3 +203,165 @@ def feature_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescanning the corpus (the power sums are reusable), which is why
     closed-form ridge sweeps are cheap at any scale."""
     return _solve(_powersums(Tables(spark, sf_dir)), _RIDGE_LAMBDA)
+
+
+_KF = 5
+
+# Fold power sums stay exact DECIMAL through the complement subtraction
+# (train = total - fold), get FLOOR'd to integer units, and only then cast
+# to DOUBLE — the same guard `_powersums` uses, applied after the exact
+# subtraction so train-side and test-side sums share one contract.
+_SQL_FOLD_SUMS = """
+    SELECT CAST(('0x' || substr(md5(CAST(l_orderkey * 8 + l_linenumber
+                                         AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 5 AS fold,
+           COUNT(*) AS n,
+           SUM(CAST(l_quantity AS DECIMAL(9,2))) AS sx,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+           SUM(CAST(CAST(l_quantity AS DECIMAL(9,2))
+                    * CAST(l_quantity AS DECIMAL(9,2))
+                    AS DECIMAL(19,4))) AS sxx,
+           SUM(CAST(CAST(l_quantity AS DECIMAL(9,2))
+                    * CAST(l_extendedprice AS DECIMAL(18,2))
+                    AS DECIMAL(28,4))) AS sxy,
+           SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_extendedprice AS DECIMAL(18,2))
+                    AS DECIMAL(37,4))) AS syy
+    FROM lineitem
+    GROUP BY 1
+"""
+
+
+@query(
+    "eval_kfold_ols_oos",
+    oracle=f"""
+    WITH fs AS ({_SQL_FOLD_SUMS}),
+    tot AS (
+        SELECT SUM(n) AS tn, SUM(sx) AS tsx, SUM(sy) AS tsy,
+               SUM(sxx) AS tsxx, SUM(sxy) AS tsxy, SUM(syy) AS tsyy
+        FROM fs
+    ),
+    d AS (
+        SELECT fold,
+               CAST(n AS BIGINT) AS n_test,
+               CAST(tn - n AS BIGINT) AS n_train,
+               CAST(FLOOR(sx) AS DOUBLE) AS fsx,
+               CAST(FLOOR(sy) AS DOUBLE) AS fsy,
+               CAST(FLOOR(sxx) AS DOUBLE) AS fsxx,
+               CAST(FLOOR(sxy) AS DOUBLE) AS fsxy,
+               CAST(FLOOR(syy) AS DOUBLE) AS fsyy,
+               CAST(tn - n AS DOUBLE) AS cn,
+               CAST(FLOOR(tsx - sx) AS DOUBLE) AS csx,
+               CAST(FLOOR(tsy - sy) AS DOUBLE) AS csy,
+               CAST(FLOOR(tsxx - sxx) AS DOUBLE) AS csxx,
+               CAST(FLOOR(tsxy - sxy) AS DOUBLE) AS csxy
+        FROM fs, tot
+    ),
+    coef AS (
+        SELECT fold, n_test, n_train, fsx, fsy, fsxx, fsxy, fsyy,
+               CAST(n_test AS DOUBLE) AS fn,
+               (cn * csxy - csx * csy) / (cn * csxx - csx * csx) AS b,
+               (csy - (cn * csxy - csx * csy) / (cn * csxx - csx * csx)
+                      * csx) / cn AS a
+        FROM d
+    )
+    SELECT fold, n_train, n_test,
+           ROUND(b, 6) AS slope,
+           ROUND(a, 6) AS intercept,
+           ROUND(sqrt((fsyy - 2 * a * fsy - 2 * b * fsxy
+                       + fn * a * a + 2 * a * b * fsx + b * b * fsxx) / fn),
+                 6) AS oos_rmse
+    FROM coef
+    ORDER BY fold
+    """,
+    tags=("pipeline", "evaluation", "regression", "cross-validation"),
+)
+def eval_kfold_ols_oos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated OLS (extendedprice ~ quantity) with
+    out-of-fold RMSE — the model-selection loop, run WITHOUT 5 training
+    passes: one aggregate reduces the corpus to per-fold sufficient
+    statistics (n, Σx, Σy, Σx², Σxy, Σy²), each fold's training moments
+    are total-minus-fold, the closed-form solve is constant-time, and the
+    held-out SSE expands algebraically onto the SAME fold sums
+    (Σ(y-a-bx)² = Σy² - 2aΣy - 2bΣxy + na² + 2abΣx + b²Σx²), so
+    evaluation needs no second data pass either.  One corpus scan total,
+    for a 5-model cross-validation — the pattern that makes CV free at
+    100 TB.
+
+    Folds are md5-hash-assigned on the lineitem PK (deterministic, both
+    engines identical); all sums are exact DECIMAL through the complement
+    subtraction, FLOOR'd to integer units, then one double expression
+    tree shared with the oracle."""
+    t = Tables(spark, sf_dir)
+    x = F.col("l_quantity").cast("decimal(9,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5((F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("string")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _KF
+    )
+    fs = t.lineitem.groupBy(fold.alias("fold")).agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * x).cast("decimal(19,4)")).alias("sxx"),
+        F.sum((x * y).cast("decimal(28,4)")).alias("sxy"),
+        F.sum((y * y).cast("decimal(37,4)")).alias("syy"),
+    )
+    tot = fs.agg(
+        F.sum("n").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxx").alias("tsxx"),
+        F.sum("sxy").alias("tsxy"),
+        F.sum("syy").alias("tsyy"),
+    )
+    d = fs.crossJoin(tot).select(
+        "fold",
+        F.col("n").cast("bigint").alias("n_test"),
+        (F.col("tn") - F.col("n")).cast("bigint").alias("n_train"),
+        F.floor(F.col("sx")).cast("double").alias("fsx"),
+        F.floor(F.col("sy")).cast("double").alias("fsy"),
+        F.floor(F.col("sxx")).cast("double").alias("fsxx"),
+        F.floor(F.col("sxy")).cast("double").alias("fsxy"),
+        F.floor(F.col("syy")).cast("double").alias("fsyy"),
+        (F.col("tn") - F.col("n")).cast("double").alias("cn"),
+        F.floor(F.col("tsx") - F.col("sx")).cast("double").alias("csx"),
+        F.floor(F.col("tsy") - F.col("sy")).cast("double").alias("csy"),
+        F.floor(F.col("tsxx") - F.col("sxx")).cast("double").alias("csxx"),
+        F.floor(F.col("tsxy") - F.col("sxy")).cast("double").alias("csxy"),
+    )
+    cn, csx, csy, csxx, csxy = (
+        F.col("cn"), F.col("csx"), F.col("csy"), F.col("csxx"), F.col("csxy")
+    )
+    b = (cn * csxy - csx * csy) / (cn * csxx - csx * csx)
+    coef = d.select(
+        "fold", "n_test", "n_train", "fsx", "fsy", "fsxx", "fsxy", "fsyy",
+        F.col("n_test").cast("double").alias("fn"),
+        b.alias("b"),
+        ((csy - b * csx) / cn).alias("a"),
+    )
+    a_, b_, fn = F.col("a"), F.col("b"), F.col("fn")
+    sse = (
+        F.col("fsyy")
+        - 2 * a_ * F.col("fsy")
+        - 2 * b_ * F.col("fsxy")
+        + fn * a_ * a_
+        + 2 * a_ * b_ * F.col("fsx")
+        + b_ * b_ * F.col("fsxx")
+    )
+    return coef.select(
+        "fold",
+        "n_train",
+        "n_test",
+        F.round(b_, 6).alias("slope"),
+        F.round(a_, 6).alias("intercept"),
+        F.round(F.sqrt(sse / fn), 6).alias("oos_rmse"),
+    ).orderBy("fold")
