@@ -1972,3 +1972,201 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("round")
+
+
+@query(
+    "graph_link_prediction",
+    oracle=_sql_signature_cte()
+    + """
+    , pairs AS (
+        SELECT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r ON l.band = r.band AND l.doc_id < r.doc_id
+        GROUP BY a, b
+    ),
+    e0 AS (
+        SELECT a AS u, b AS v FROM pairs
+        UNION ALL
+        SELECT b AS u, a AS v FROM pairs
+    ),
+    deg AS (SELECT u, COUNT(*) AS d FROM e0 GROUP BY u),
+    cand AS (
+        SELECT w1.u AS u, w2.v AS w,
+               COUNT(*) AS cn,
+               CAST(SUM(CAST(ROUND(1.0 / ln(dm.d), 9) AS DECIMAL(28,9)))
+                    AS DOUBLE) AS aa
+        FROM e0 w1
+        JOIN e0 w2 ON w1.v = w2.u AND w1.u < w2.v
+        JOIN deg dm ON dm.u = w1.v
+        WHERE NOT EXISTS (
+            SELECT 1 FROM e0 e WHERE e.u = w1.u AND e.v = w2.v
+        )
+        GROUP BY 1, 2
+    )
+    SELECT c.u, c.w,
+           CAST(cn AS BIGINT) AS common_neighbors,
+           ROUND(CAST(cn AS DOUBLE) / (du.d + dw.d - cn), 6) AS jaccard,
+           ROUND(aa, 6) AS adamic_adar
+    FROM cand c
+    JOIN deg du ON du.u = c.u
+    JOIN deg dw ON dw.u = c.w
+    ORDER BY common_neighbors DESC, c.u, c.w
+    LIMIT 20
+    """,
+    tags=("pipeline", "graph", "link-prediction"),
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the LSH near-duplicate graph: for every
+    NON-adjacent pair with at least one common neighbor, common-neighbor
+    count, Jaccard overlap of neighborhoods and Adamic-Adar score — the
+    'pairs the banding likely MISSED' report (two docs sharing near-dup
+    neighbors are near-dups of each other with high probability; a
+    curation pipeline feeds this top list back into the exact-verify
+    join, the same recall-recovery role as `dedup_lsh_quality`).
+
+    Scale shape: the wedge join is the triangle-counting shape
+    (edge |x| edge on the middle vertex, id-ordered to halve fan-out);
+    degrees join in at vertex grain; the anti-join on existing edges is
+    an equi-join.  Everything keys on vertex ids — no global structure.
+
+    Exactness: counts are integers; Adamic-Adar per-wedge terms are
+    9-dp-rounded into DECIMAL before the (order-insensitive) sum — the
+    `text_word_entropy` containment device for transcendental sums."""
+    pairs = lsh_candidate_pairs(
+        minhash_signature(_doc_shingles(Tables(spark, sf_dir), dedup=False))
+    ).localCheckpoint()
+    e0 = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = e0.groupBy("u").agg(F.count("*").alias("d"))
+    w1 = e0.select(F.col("u").alias("u"), F.col("v").alias("mid"))
+    w2 = e0.select(F.col("u").alias("mid"), F.col("v").alias("w"))
+    wedges = (
+        w1.join(w2, "mid")
+        .where(F.col("u") < F.col("w"))
+        .join(
+            e0.select(F.col("u").alias("u"), F.col("v").alias("w")),
+            ["u", "w"],
+            "left_anti",
+        )
+        .join(deg.select(F.col("u").alias("mid"), F.col("d").alias("dm")), "mid")
+    )
+    cand = wedges.groupBy("u", "w").agg(
+        F.count("*").alias("cn"),
+        F.sum(
+            F.round(1.0 / F.log(F.col("dm")), 9).cast("decimal(28,9)")
+        )
+        .cast("double")
+        .alias("aa"),
+    )
+    out = (
+        cand.join(deg.select(F.col("u").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("u").alias("w"), F.col("d").alias("dw")), "w")
+        .select(
+            "u",
+            "w",
+            F.col("cn").cast("bigint").alias("common_neighbors"),
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("du") + F.col("dw") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+            F.round(F.col("aa"), 6).alias("adamic_adar"),
+        )
+    )
+    return out.orderBy(F.desc("common_neighbors"), "u", "w").limit(20)
+
+
+@query(
+    "graph_bfs_reach",
+    oracle=_sql_signature_cte()
+    + """
+    , pairs AS (
+        SELECT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r ON l.band = r.band AND l.doc_id < r.doc_id
+        GROUP BY a, b
+    ),
+    e0 AS (
+        SELECT a AS u, b AS v FROM pairs
+        UNION ALL
+        SELECT b AS u, a AS v FROM pairs
+    ),
+    nodes AS (SELECT u FROM e0 GROUP BY u),
+    d0 AS (SELECT u AS node, 0 AS dist FROM nodes WHERE u % 5 = 0),
+    d1 AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d0
+            UNION ALL
+            SELECT e.v AS node, d.dist + 1 FROM d0 d JOIN e0 e ON e.u = d.node
+        ) GROUP BY node
+    ),
+    d2 AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d1
+            UNION ALL
+            SELECT e.v AS node, d.dist + 1 FROM d1 d JOIN e0 e ON e.u = d.node
+        ) GROUP BY node
+    ),
+    d3 AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d2
+            UNION ALL
+            SELECT e.v AS node, d.dist + 1 FROM d2 d JOIN e0 e ON e.u = d.node
+        ) GROUP BY node
+    ),
+    labeled AS (
+        SELECT n.u, COALESCE(d3.dist, -1) AS dist
+        FROM nodes n LEFT JOIN d3 ON d3.node = n.u
+    )
+    SELECT CAST(dist AS INT) AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM labeled
+    GROUP BY dist
+    ORDER BY dist
+    """,
+    tags=("pipeline", "graph", "bfs"),
+)
+def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the LSH near-duplicate graph, three
+    synchronized rounds from the seed set {doc_id % 5 = 0}: per-distance
+    node counts plus the still-unreachable mass (dist = -1) — the
+    blast-radius query ('how much of the corpus is within k near-dup
+    hops of this batch?') behind contamination spread analysis and
+    incremental-dedup invalidation.
+
+    Each round is the textbook distributed BFS step: frontier |x| edges
+    on the vertex key, then MIN(dist) per vertex — shuffle proportional
+    to touched edges, state one (node, dist) row per reached vertex.
+    Fixed rounds keep the DuckDB oracle expressible (the
+    `graph_kcore_peel` contract); the full loop runs to fixpoint with a
+    shrinking frontier at scale.
+
+    Exactness: distances and counts are integers; MIN is
+    order-insensitive."""
+    pairs = lsh_candidate_pairs(
+        minhash_signature(_doc_shingles(Tables(spark, sf_dir), dedup=False))
+    ).localCheckpoint()
+    e0 = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    nodes = e0.groupBy("u").agg(F.lit(1)).select("u")
+    d = (
+        nodes.where(F.col("u") % 5 == 0)
+        .select(F.col("u").alias("node"), F.lit(0).alias("dist"))
+    )
+    for _ in range(3):
+        expanded = d.join(e0, F.col("node") == F.col("u")).select(
+            F.col("v").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        d = (
+            d.unionAll(expanded)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    labeled = nodes.join(d, nodes.u == d.node, "left").select(
+        F.coalesce(F.col("dist"), F.lit(-1)).alias("dist")
+    )
+    return (
+        labeled.groupBy("dist")
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+        .select(F.col("dist").cast("int").alias("dist"), "n_nodes")
+        .orderBy("dist")
+    )

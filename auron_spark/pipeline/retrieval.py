@@ -591,3 +591,155 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+@query(
+    "retrieval_eval_map_mrr",
+    oracle=f"""
+    WITH tf AS ({_SQL_TF}),
+    dl AS (
+        SELECT doc_id, COUNT(*) AS dl
+        FROM ({_SQL_TOKENS}) WHERE term <> ''
+        GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n_docs
+        FROM dl
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.term, tf.doc_id,
+               CASE WHEN tf.tf >= 2 THEN 1 ELSE 0 END AS rel,
+               ((stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * ((tf.tf * {BM25_K1 + 1.0}) /
+                  (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl.dl / stats.avgdl)))
+                   AS score
+        FROM tf
+        JOIN dl USING (doc_id)
+        JOIN df USING (term)
+        CROSS JOIN stats
+        WHERE tf.term IN {BM25_TERMS!r}
+    ),
+    pool AS (SELECT term, SUM(rel) AS n_rel_pool FROM scored GROUP BY term),
+    ranked AS (
+        SELECT term, rel, row_number() OVER (PARTITION BY term
+                       ORDER BY score DESC, doc_id) AS rk
+        FROM scored
+    ),
+    top AS (
+        SELECT term, rel, rk,
+               SUM(rel) OVER (PARTITION BY term ORDER BY rk
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum_rel
+        FROM ranked WHERE rk <= 10
+    ),
+    m AS (
+        SELECT term,
+               SUM(CASE WHEN rk <= 5 THEN rel ELSE 0 END) AS rel5,
+               SUM(rel) AS rel10,
+               MIN(CASE WHEN rel = 1 THEN rk END) AS first_rel,
+               CAST(SUM(CAST(ROUND(rel * CAST(cum_rel AS DOUBLE) / rk, 9)
+                             AS DECIMAL(28,9))) AS DOUBLE) AS ap_num
+        FROM top GROUP BY term
+    )
+    SELECT m.term,
+           CAST(n_rel_pool AS BIGINT) AS n_rel_pool,
+           ROUND(rel5 / 5.0, 6) AS p_at_5,
+           ROUND(rel10 / 10.0, 6) AS p_at_10,
+           ROUND(COALESCE(1.0 / first_rel, 0.0), 6) AS mrr_at_10,
+           ROUND(ap_num / LEAST(n_rel_pool, 10), 6) AS ap_at_10
+    FROM m JOIN pool ON pool.term = m.term
+    ORDER BY m.term
+    """,
+    tags=("pipeline", "retrieval", "evaluation"),
+)
+def retrieval_eval_map_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-relevance ranking metrics for the BM25 probe terms:
+    Precision@5/@10, MRR@10 and AP@10 (relevant = tf >= 2) — the metric
+    sweep that complements `retrieval_eval_ndcg`'s graded view; MRR is
+    what a known-item / navigational eval reads, AP what a recall-heavy
+    one reads, and disagreement between them localizes WHERE in the
+    ranking the quality is lost.
+
+    Scale shape: identical to the ndcg query — probe-term postings only,
+    per-term WindowGroupLimit top-10, term-grain aggregates.
+
+    Exactness: precisions and MRR are small-integer divisions; the AP
+    summands (rel_k * cum_rel_k / k) are 9-dp-rounded into DECIMAL
+    before summing, so aggregation order cannot perturb the hash."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    toks = _tokens(t.documents)
+    tf = (
+        toks.where(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count("*").alias("n_docs"),
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_), "term")
+        .join(F.broadcast(stats))
+        .select(
+            "term",
+            "doc_id",
+            F.when(F.col("tf") >= 2, 1).otherwise(0).alias("rel"),
+            (
+                ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (
+                    (F.col("tf") * (BM25_K1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + BM25_K1
+                        * ((1.0 - BM25_B) + BM25_B * F.col("dl") / F.col("avgdl"))
+                    )
+                )
+            ).alias("score"),
+        )
+    )
+    pool = scored.groupBy("term").agg(F.sum("rel").alias("n_rel_pool"))
+    w_rank = Window.partitionBy("term").orderBy(F.desc("score"), "doc_id")
+    w_cum = (
+        Window.partitionBy("term")
+        .orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    top = (
+        scored.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= 10)
+        .withColumn("cum_rel", F.sum("rel").over(w_cum))
+    )
+    m = top.groupBy("term").agg(
+        F.sum(F.when(F.col("rk") <= 5, F.col("rel")).otherwise(0)).alias("rel5"),
+        F.sum("rel").alias("rel10"),
+        F.min(F.when(F.col("rel") == 1, F.col("rk"))).alias("first_rel"),
+        F.sum(
+            F.round(
+                F.col("rel") * F.col("cum_rel").cast("double") / F.col("rk"), 9
+            ).cast("decimal(28,9)")
+        )
+        .cast("double")
+        .alias("ap_num"),
+    )
+    return (
+        m.join(pool, "term")
+        .select(
+            "term",
+            F.col("n_rel_pool").cast("bigint").alias("n_rel_pool"),
+            F.round(F.col("rel5") / 5.0, 6).alias("p_at_5"),
+            F.round(F.col("rel10") / 10.0, 6).alias("p_at_10"),
+            F.round(F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0)), 6).alias(
+                "mrr_at_10"
+            ),
+            F.round(
+                F.col("ap_num") / F.least(F.col("n_rel_pool"), F.lit(10)), 6
+            ).alias("ap_at_10"),
+        )
+        .orderBy("term")
+    )

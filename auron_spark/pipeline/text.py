@@ -1547,3 +1547,206 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+@query(
+    "text_kneser_ney_bigram",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    bg AS (
+        SELECT unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+               unnest(list_transform(range(1, len(w)), i -> w[i + 1])) AS w2
+        FROM toks WHERE len(w) >= 2
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+    ctx AS (
+        SELECT w1, SUM(c2) AS c1, COUNT(*) AS n1_fwd FROM c2 GROUP BY w1
+    ),
+    cont AS (SELECT w2, COUNT(*) AS n1_bwd FROM c2 GROUP BY w2),
+    btypes AS (SELECT COUNT(*) AS b FROM c2)
+    SELECT c2.w1, c2.w2,
+           CAST(c2.c2 AS BIGINT) AS c_bigram,
+           CAST(ctx.c1 AS BIGINT) AS c_context,
+           ROUND(CAST(c2.c2 AS DOUBLE) / ctx.c1, 6) AS p_mle,
+           ROUND((c2.c2 - 0.75) / ctx.c1
+                 + 0.75 * n1_fwd / ctx.c1
+                   * (CAST(n1_bwd AS DOUBLE) / b), 6) AS p_kn
+    FROM c2
+    JOIN ctx ON ctx.w1 = c2.w1
+    JOIN cont ON cont.w2 = c2.w2
+    CROSS JOIN btypes
+    ORDER BY c_bigram DESC, c2.w1, c2.w2
+    LIMIT 30
+    """,
+    tags=("pipeline", "text", "lm"),
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (absolute discount
+    d = 0.75, the standard value) for the corpus's top bigrams —
+    P_KN(w2|w1) = max(c-d,0)/c(w1) + d*N1+(w1:)/c(w1) * N1+(:w2)/|B| —
+    the smoothing every n-gram LM quality filter should use instead of
+    add-one (`text_bigram_perplexity`'s deliberately simple baseline):
+    continuation counts demote high-frequency-but-narrow-context tokens.
+
+    The sufficient statistics all derive from the bigram TYPE table
+    (c2): context totals and forward continuation counts are one
+    re-aggregate of c2 at w1 grain (SUM + COUNT — no second corpus
+    pass), backward continuation counts one at w2 grain, and |B| is a
+    broadcast scalar.  Corpus-sized data is touched exactly once, by the
+    bigram count; everything after runs at vocabulary grain.
+
+    Exactness: counts are integers; every bigram's probability rides on
+    c > 0.75 (so the max() never fires on observed bigrams) and the
+    final expression is one shared double tree, 6-dp rounded."""
+    t = Tables(spark, sf_dir)
+    w = F.split(F.lower(F.col("text")), " ")
+    d = t.documents.select("doc_id", w.alias("w")).where(F.size("w") >= 2)
+    bg = d.select(
+        F.explode(
+            F.zip_with(
+                F.slice("w", F.lit(1), F.size("w") - 1),
+                F.slice("w", F.lit(2), F.size("w") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    ctx = c2.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count("*").alias("n1_fwd")
+    )
+    cont = c2.groupBy("w2").agg(F.count("*").alias("n1_bwd"))
+    btypes = c2.agg(F.count("*").alias("b"))
+    out = (
+        c2.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(btypes))
+        .select(
+            "w1",
+            "w2",
+            F.col("c2").cast("bigint").alias("c_bigram"),
+            F.col("c1").cast("bigint").alias("c_context"),
+            F.round(F.col("c2").cast("double") / F.col("c1"), 6).alias("p_mle"),
+            F.round(
+                (F.col("c2") - 0.75) / F.col("c1")
+                + 0.75
+                * F.col("n1_fwd")
+                / F.col("c1")
+                * (F.col("n1_bwd").cast("double") / F.col("b")),
+                6,
+            ).alias("p_kn"),
+        )
+    )
+    return out.orderBy(F.desc("c_bigram"), "w1", "w2").limit(30)
+
+
+@query(
+    "text_gopher_filters",
+    oracle="""
+    WITH scored AS (
+        SELECT source,
+               len(list_filter(string_split(lower(text), ' '), s -> s <> ''))
+                   AS n_words,
+               length(replace(text, ' ', '')) AS n_nonspace,
+               length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                   AS n_symbols,
+               len(list_distinct(
+                     list_filter(string_split(lower(text), ' '), s -> s <> '')))
+                   AS n_distinct,
+               len(list_filter(string_split(lower(text), ' '),
+                               s -> s IN ('the', 'a', 'of', 'and', 'is')))
+                   AS n_stop
+        FROM documents
+    ),
+    flags AS (
+        SELECT source,
+               CASE WHEN n_words BETWEEN 30 AND 80 THEN 1 ELSE 0 END AS r_len,
+               CASE WHEN CAST(n_nonspace AS DOUBLE) / n_words
+                         BETWEEN 3 AND 7 THEN 1 ELSE 0 END AS r_wordlen,
+               CASE WHEN CAST(n_symbols AS DOUBLE) / n_nonspace < 0.1
+                    THEN 1 ELSE 0 END AS r_symbol,
+               CASE WHEN CAST(n_distinct AS DOUBLE) / n_words > 0.5
+                    THEN 1 ELSE 0 END AS r_rep,
+               CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stop
+        FROM scored
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(r_len) AS BIGINT) AS pass_len,
+           CAST(SUM(r_wordlen) AS BIGINT) AS pass_wordlen,
+           CAST(SUM(r_symbol) AS BIGINT) AS pass_symbol,
+           CAST(SUM(r_rep) AS BIGINT) AS pass_repetition,
+           CAST(SUM(r_stop) AS BIGINT) AS pass_stopword,
+           CAST(SUM(r_len * r_wordlen * r_symbol * r_rep * r_stop)
+                AS BIGINT) AS pass_all
+    FROM flags
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("pipeline", "text", "quality"),
+)
+def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021, §A1.1
+    simplified to the fixture's single-line docs): word-count window,
+    mean-word-length window, symbol-to-char ratio, repetition
+    (distinct/total) floor, and a stopword-presence floor — reported as
+    per-source pass counts per rule plus the all-rules conjunction, the
+    shape a curation dashboard renders to show WHICH rule is dropping a
+    source's mass (vs `text_quality_score`, which blends signals into
+    one number).
+
+    Scale shape: all five flags are map-side string/array arithmetic on
+    one scan; the only exchange is the final source-grain aggregate.
+    Every flag and count is integer-exact; the two ratio rules compare
+    identical double divisions in both engines."""
+    t = Tables(spark, sf_dir)
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda s: s != "")
+    n_words = F.size(toks)
+    n_nonspace = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    n_symbols = F.length(
+        F.regexp_replace(F.col("text"), "[a-zA-Z0-9 ]", "")
+    )
+    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = F.size(
+        F.filter(toks, lambda s: s.isin("the", "a", "of", "and", "is"))
+    )
+    flags = t.documents.select(
+        "source",
+        F.when((n_words >= 30) & (n_words <= 80), 1).otherwise(0).alias("r_len"),
+        F.when(
+            (n_nonspace.cast("double") / n_words >= 3)
+            & (n_nonspace.cast("double") / n_words <= 7),
+            1,
+        )
+        .otherwise(0)
+        .alias("r_wordlen"),
+        F.when(n_symbols.cast("double") / n_nonspace < 0.1, 1)
+        .otherwise(0)
+        .alias("r_symbol"),
+        F.when(n_distinct.cast("double") / n_words > 0.5, 1)
+        .otherwise(0)
+        .alias("r_rep"),
+        F.when(n_stop >= 2, 1).otherwise(0).alias("r_stop"),
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("r_len").cast("bigint").alias("pass_len"),
+            F.sum("r_wordlen").cast("bigint").alias("pass_wordlen"),
+            F.sum("r_symbol").cast("bigint").alias("pass_symbol"),
+            F.sum("r_rep").cast("bigint").alias("pass_repetition"),
+            F.sum("r_stop").cast("bigint").alias("pass_stopword"),
+            F.sum(
+                F.col("r_len")
+                * F.col("r_wordlen")
+                * F.col("r_symbol")
+                * F.col("r_rep")
+                * F.col("r_stop")
+            )
+            .cast("bigint")
+            .alias("pass_all"),
+        )
+        .orderBy("source")
+    )

@@ -888,3 +888,118 @@ def stream_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("win_start")
     )
+
+
+@query(
+    "sessionize_entry_stats",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_id, ts, event_type,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM marked
+    ),
+    with_rn AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id, session_seq
+                                     ORDER BY ts, event_id) AS rn
+        FROM sess
+    ),
+    per_session AS (
+        SELECT user_id, session_seq,
+               MAX(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+               COUNT(*) AS n_events,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted,
+               CAST(floor(epoch(MAX(ts)) - epoch(MIN(ts))) AS BIGINT)
+                   AS duration_sec
+        FROM with_rn
+        GROUP BY user_id, session_seq
+    )
+    SELECT entry_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           ROUND(SUM(CASE WHEN n_events = 1 THEN 1.0 ELSE 0 END) / COUNT(*),
+                 6) AS bounce_rate,
+           ROUND(SUM(CAST(converted AS DOUBLE)) / COUNT(*), 6) AS conv_rate,
+           ROUND(SUM(CAST(n_events AS DOUBLE)) / COUNT(*), 6) AS avg_events,
+           ROUND(SUM(CAST(duration_sec AS DOUBLE)) / COUNT(*), 6)
+               AS avg_duration_sec
+    FROM per_session
+    GROUP BY entry_type
+    ORDER BY entry_type
+    """,
+    tags=("streaming", "session", "analytics", "batch-twin"),
+)
+def sessionize_entry_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-quality rollup by ENTRY event type (the first event of
+    each 30-min-gap session): session count, bounce rate (single-event
+    sessions), conversion rate (any purchase), mean depth and mean
+    duration — the landing-page table a growth dashboard leads with,
+    built on the same sessionization contract as `sessionize_gap`.
+
+    Scale shape: the lag marker, the session cumsum and the
+    within-session row_number all share ONE window exchange on user_id;
+    the per-session rollup reuses that partitioning; only the final
+    entry-type aggregate (5 rows) re-shuffles.
+
+    Exactness: bounce/conversion flags and durations are integers at
+    session grain; the rate divisions are double-over-count, 6-dp."""
+    from pyspark.sql import Window
+
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    sess = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum(F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_seq"),
+    )
+    w_s = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    with_rn = sess.withColumn("rn", F.row_number().over(w_s))
+    per_session = with_rn.groupBy("user_id", "session_seq").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias("entry_type"),
+        F.count("*").alias("n_events"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+        F.floor(
+            F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double"))
+        )
+        .cast("bigint")
+        .alias("duration_sec"),
+    )
+    return (
+        per_session.groupBy("entry_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.round(
+                F.sum(
+                    F.when(F.col("n_events") == 1, 1.0).otherwise(0.0)
+                )
+                / F.count("*"),
+                6,
+            ).alias("bounce_rate"),
+            F.round(
+                F.sum(F.col("converted").cast("double")) / F.count("*"), 6
+            ).alias("conv_rate"),
+            F.round(
+                F.sum(F.col("n_events").cast("double")) / F.count("*"), 6
+            ).alias("avg_events"),
+            F.round(
+                F.sum(F.col("duration_sec").cast("double")) / F.count("*"), 6
+            ).alias("avg_duration_sec"),
+        )
+        .orderBy("entry_type")
+    )
