@@ -876,3 +876,66 @@ def agg_listagg_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_mktsegment
         """
     )
+
+
+@query(
+    "fn_url_parse",
+    oracle="""
+    WITH urls AS (
+        SELECT doc_id, lang,
+               'https://' || source || '.Example.COM/docs/'
+                 || CAST(doc_id AS VARCHAR)
+                 || '?utm_source=feed&lang=' || lang || '&utm_campaign=x'
+                 AS url
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+           replace(replace(replace('q=a b&lang=' || lang, ' ', '+'),
+                           '&', '%26'), '=', '%3D') AS encoded,
+           'q=a b&lang=' || lang AS decoded
+    FROM urls
+    ORDER BY doc_id
+    """,
+    tags=("functions", "url", "string"),
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function family: `parse_url` component extraction (HOST / PATH
+    / QUERY / named query parameter) plus the `url_encode` /
+    `url_decode` round trip — Spark's java.net-backed built-ins, proven
+    against a regexp/replace oracle (DuckDB has no parse_url or
+    url_encode, so the oracle spells out RFC-1738 form-encoding for the
+    exercised alphabet: space -> '+', '&' -> %26, '=' -> %3D).
+
+    The URLs are synthesized deterministically from document metadata
+    (the `text_url_canonicalize` pattern).  All functions are map-side
+    codegen expressions; the only plan cost is the scan + sort."""
+    t = Tables(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".Example.COM/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed&lang="),
+        F.col("lang"),
+        F.lit("&utm_campaign=x"),
+    )
+    plain = F.concat(F.lit("q=a b&lang="), F.col("lang"))
+    return (
+        t.documents.select("doc_id", "lang", url.alias("url"), plain.alias("plain"))
+        .select(
+            "doc_id",
+            F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+            F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+            F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
+            F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).alias(
+                "lang_param"
+            ),
+            F.url_encode(F.col("plain")).alias("encoded"),
+            F.url_decode(F.url_encode(F.col("plain"))).alias("decoded"),
+        )
+        .orderBy("doc_id")
+    )

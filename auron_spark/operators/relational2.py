@@ -1640,3 +1640,76 @@ def dq_join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_keys_over_100",
         "top_fanout_key",
     )
+
+
+@query(
+    "dq_dp_noisy_counts",
+    oracle="""
+    WITH g AS (
+        SELECT c_mktsegment, COUNT(*) AS true_n
+        FROM customer GROUP BY c_mktsegment
+    ),
+    seeded AS (
+        SELECT c_mktsegment, true_n,
+               (CAST(('0x' || substr(md5('dp-seed-' || c_mktsegment), 1, 8))
+                     AS BIGINT) % 1000000 + 0.5) / 1000000.0 - 0.5 AS u
+        FROM g
+    )
+    SELECT c_mktsegment,
+           CAST(true_n AS BIGINT) AS true_n,
+           ROUND(-2.0 * CASE WHEN u < 0 THEN -1.0 ELSE 1.0 END
+                      * ln(1.0 - 2.0 * abs(u)), 6) AS noise,
+           ROUND(true_n - 2.0 * CASE WHEN u < 0 THEN -1.0 ELSE 1.0 END
+                        * ln(1.0 - 2.0 * abs(u)), 6) AS noisy_n,
+           0.5 AS epsilon
+    FROM seeded
+    ORDER BY c_mktsegment
+    """,
+    tags=("dq", "privacy"),
+)
+def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (Laplace mechanism, eps = 0.5,
+    sensitivity 1 => scale b = 2): per-segment customer counts plus
+    Laplace noise drawn by inverse-CDF — noise = -b * sign(u) *
+    ln(1 - 2|u|) for u ~ Uniform(-1/2, 1/2).  TEST-HARNESS
+    DETERMINIZATION, documented loudly: u is seeded from md5(segment) so
+    both engines draw the identical sample and the driver can hash the
+    release; a production release draws u fresh per query (the one-line
+    swap is `rand()` for the hash) — everything else (scale calibration,
+    the inverse-CDF transform, post-processing) is the real mechanism.
+
+    Scale shape: one scan -> segment-grain count aggregate; the noise is
+    scalar arithmetic on the 5-row release.  The noisy release, not the
+    true counts, is what leaves the boundary — the true_n column is kept
+    here only because the audit (not the release) is the query."""
+    t = Tables(spark, sf_dir)
+    g = t.customer.groupBy("c_mktsegment").agg(F.count("*").alias("true_n"))
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("dp-seed-"), F.col("c_mktsegment"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000000
+            + 0.5
+        )
+        / 1000000.0
+        - 0.5
+    )
+    noise = (
+        -2.0
+        * F.when(u < 0, -1.0).otherwise(1.0)
+        * F.log(1.0 - 2.0 * F.abs(u))
+    )
+    return g.select(
+        "c_mktsegment",
+        F.col("true_n").cast("bigint").alias("true_n"),
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("true_n") + noise, 6).alias("noisy_n"),
+        F.lit(0.5).alias("epsilon"),
+    ).orderBy("c_mktsegment")

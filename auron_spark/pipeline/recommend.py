@@ -123,3 +123,169 @@ def rec_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_TOP_K)
         .drop("_ord")
     )
+
+
+_SERVE_USERS = 3
+_SERVE_K = 5
+
+
+@query(
+    "rec_user_item_serve",
+    oracle=f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    item AS (SELECT l_partkey, COUNT(*) AS n_item FROM op GROUP BY l_partkey),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS n_co
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY part_a, part_b
+        HAVING COUNT(*) >= {_MIN_CO}
+    ),
+    sims AS (
+        SELECT part_a AS i, part_b AS j,
+               n_co / sqrt(ia.n_item * CAST(ib.n_item AS DOUBLE)) AS cos
+        FROM pairs
+        JOIN item ia ON ia.l_partkey = part_a
+        JOIN item ib ON ib.l_partkey = part_b
+        UNION ALL
+        SELECT part_b AS i, part_a AS j,
+               n_co / sqrt(ia.n_item * CAST(ib.n_item AS DOUBLE)) AS cos
+        FROM pairs
+        JOIN item ia ON ia.l_partkey = part_a
+        JOIN item ib ON ib.l_partkey = part_b
+    ),
+    hist AS (
+        SELECT DISTINCT o_custkey AS u, l_partkey AS j
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    probes AS (
+        SELECT u FROM hist GROUP BY u
+        ORDER BY COUNT(*) DESC, u LIMIT {_SERVE_USERS}
+    ),
+    cand AS (
+        SELECT h.u, s.i,
+               COUNT(*) AS n_contributing,
+               CAST(SUM(CAST(ROUND(s.cos, 9) AS DECIMAL(28,9))) AS DOUBLE)
+                   AS score
+        FROM hist h
+        JOIN probes p ON p.u = h.u
+        JOIN sims s ON s.j = h.j
+        WHERE NOT EXISTS (
+            SELECT 1 FROM hist h2 WHERE h2.u = h.u AND h2.j = s.i
+        )
+        GROUP BY h.u, s.i
+    )
+    SELECT u AS custkey, i AS partkey,
+           CAST(n_contributing AS BIGINT) AS n_contributing,
+           ROUND(score, 6) AS score
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY u
+                       ORDER BY ROUND(score, 9) DESC, i) AS rk
+        FROM cand
+    ) WHERE rk <= {_SERVE_K}
+    ORDER BY custkey, ROUND(score, 9) DESC, partkey
+    """,
+    tags=("pipeline", "recommend", "serve"),
+)
+def rec_user_item_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-to-item recommender SERVE path: for the 3 heaviest buyers,
+    score every not-yet-bought part by the sum of its cooccurrence-cosine
+    similarity to the parts in the user's history, and return each
+    user's top-5 — the second stage that turns `rec_item_cooccurrence`'s
+    model table into per-user recommendations (candidate generation by
+    neighbor expansion -> anti-join own history -> rank).
+
+    Scale shape: the sim table build is the basket-colocated pair join
+    (model-table-sized output); serving joins the PROBE users' small
+    histories against the sim table on the history item key, anti-joins
+    the same history, aggregates at (user, candidate) grain and takes a
+    per-user WindowGroupLimit top-5 — probe cost is history x neighbors,
+    independent of corpus width.
+
+    Exactness: similarity contributions are 9-dp-rounded into DECIMAL
+    before the (order-insensitive) sum; ranking orders by the rounded
+    score with a part tiebreak."""
+    t = Tables(spark, sf_dir)
+    op = t.lineitem.select("l_orderkey", "l_partkey").dropDuplicates()
+    item = op.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    b = op.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        op.join(
+            b,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_partkey") < F.col("part_b")),
+        )
+        .groupBy(F.col("l_partkey").alias("part_a"), "part_b")
+        .agg(F.count("*").alias("n_co"))
+        .where(F.col("n_co") >= _MIN_CO)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    half = (
+        pairs.join(ia, "part_a")
+        .join(ib, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            (
+                F.col("n_co")
+                / F.sqrt(F.col("n_a") * F.col("n_b").cast("double"))
+            ).alias("cos"),
+        )
+    )
+    sims = half.select(
+        F.col("part_a").alias("i"), F.col("part_b").alias("j"), "cos"
+    ).unionAll(
+        half.select(
+            F.col("part_b").alias("i"), F.col("part_a").alias("j"), "cos"
+        )
+    )
+    hist = (
+        t.orders.join(
+            t.lineitem, F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("j"))
+        .dropDuplicates()
+    )
+    probes = (
+        hist.groupBy("u")
+        .agg(F.count("*").alias("h"))
+        .orderBy(F.desc("h"), "u")
+        .limit(_SERVE_USERS)
+        .select("u")
+    )
+    ph = hist.join(F.broadcast(probes), "u")
+    cand = (
+        ph.join(sims, "j")
+        .join(
+            ph.select("u", F.col("j").alias("i")),
+            ["u", "i"],
+            "left_anti",
+        )
+        .groupBy("u", "i")
+        .agg(
+            F.count("*").alias("n_contributing"),
+            F.sum(F.round(F.col("cos"), 9).cast("decimal(28,9)"))
+            .cast("double")
+            .alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("u").orderBy(F.desc(F.round("score", 9)), "i")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _SERVE_K)
+        .select(
+            F.col("u").alias("custkey"),
+            F.col("i").alias("partkey"),
+            F.col("n_contributing").cast("bigint").alias("n_contributing"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy("custkey", F.desc(F.round("score", 9)), "partkey")
+    )

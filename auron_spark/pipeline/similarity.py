@@ -3333,3 +3333,152 @@ def sim_label_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .drop("_ord")
     )
+
+
+_MMR_LAMBDA = 0.7
+_MMR_POOL = 12
+_MMR_K = 5
+# Pairwise fragments over candidate aliases a / b (the q/c fragments
+# retargeted — same expression tree).
+_SQL_DOT_AB = _SQL_DOT.replace("q.", "a.").replace("c.", "b.")
+_SQL_NORM_A = _SQL_NORM_Q.replace("q.", "a.")
+_SQL_NORM_B = _SQL_NORM_C.replace("c.", "b.")
+
+
+def _mmr_round_sql(prev_sel: str, idx: int) -> str:
+    """One MMR round: score the unselected pool against the selected set,
+    pick argmax(0.7*rel - 0.3*max_sim) with a 9-dp round + vec_id tiebreak."""
+    return f"""
+    sc{idx} AS (
+        SELECT c.vec_id, c.rel,
+               {_MMR_LAMBDA} * c.rel - {1 - _MMR_LAMBDA:.1f} * MAX(p.sim) AS mmr
+        FROM cand c
+        JOIN pw p ON p.a = c.vec_id
+        JOIN {prev_sel} s ON s.vec_id = p.b
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev_sel})
+        GROUP BY 1, 2
+    ),
+    p{idx} AS (
+        SELECT vec_id, rel, mmr FROM sc{idx}
+        ORDER BY ROUND(mmr, 9) DESC, vec_id LIMIT 1
+    ),
+    s{idx} AS (
+        SELECT vec_id FROM {prev_sel} UNION ALL SELECT vec_id FROM p{idx}
+    )"""
+
+
+@query(
+    "sim_mmr_diversify",
+    oracle=f"""
+    WITH cand AS (
+        SELECT c.vec_id, c.embedding,
+               {_SQL_DOT} / ({_SQL_NORM_Q} * {_SQL_NORM_C}) AS rel
+        FROM embeddings c JOIN embeddings q ON q.vec_id = 0
+        WHERE c.vec_id <> 0
+        ORDER BY ROUND({_SQL_DOT} / ({_SQL_NORM_Q} * {_SQL_NORM_C}), 9) DESC,
+                 c.vec_id
+        LIMIT {_MMR_POOL}
+    ),
+    pw AS (
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               {_SQL_DOT_AB} / ({_SQL_NORM_A} * {_SQL_NORM_B}) AS sim
+        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    p1 AS (
+        SELECT vec_id, rel, rel AS mmr FROM cand
+        ORDER BY ROUND(rel, 9) DESC, vec_id LIMIT 1
+    ),
+    s1 AS (SELECT vec_id FROM p1),
+    {_mmr_round_sql("s1", 2)},
+    {_mmr_round_sql("s2", 3)},
+    {_mmr_round_sql("s3", 4)},
+    {_mmr_round_sql("s4", 5)}
+    SELECT pick_order, vec_id, relevance, mmr_score FROM (
+        SELECT 1 AS pick_order, vec_id,
+               ROUND(rel, 6) AS relevance, ROUND(mmr, 6) AS mmr_score FROM p1
+        UNION ALL SELECT 2, vec_id, ROUND(rel, 6), ROUND(mmr, 6) FROM p2
+        UNION ALL SELECT 3, vec_id, ROUND(rel, 6), ROUND(mmr, 6) FROM p3
+        UNION ALL SELECT 4, vec_id, ROUND(rel, 6), ROUND(mmr, 6) FROM p4
+        UNION ALL SELECT 5, vec_id, ROUND(rel, 6), ROUND(mmr, 6) FROM p5
+    ) ORDER BY pick_order
+    """,
+    tags=("pipeline", "similarity", "diversity", "rerank"),
+)
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell-Goldstein '98):
+    from the query's top-12 cosine pool, greedily pick 5 results
+    maximizing 0.7*relevance - 0.3*max-similarity-to-already-picked — the
+    diversity pass a retrieval stack (or a training-data selector picking
+    varied exemplars) runs after ANN: near-duplicate hits that would all
+    say the same thing are demoted in favor of coverage.
+
+    Scale shape: the corpus-sized work is exactly one brute-force scoring
+    pass against ONE query vector (TakeOrdered top-12, the
+    `sim_knn_bruteforce` shape); the greedy loop then runs entirely on
+    the constant-size pool (pairwise sims = 12x12),
+    so iteration cost is independent of corpus size.  Fixed k keeps the
+    DuckDB oracle expressible as chained CTE rounds (the
+    `graph_kcore_peel` contract).
+
+    Exactness: relevance and pairwise sims are the same double cosine
+    tree both engines; every argmax orders by the 9-dp-rounded score
+    with a vec_id tiebreak."""
+    from auron_spark.tables import Tables as _T
+
+    t = _T(spark, sf_dir)
+    emb = t.embeddings
+    qv = F.broadcast(
+        emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    )
+    rel = dot(F.col("embedding"), F.col("qe")) / (
+        norm(F.col("embedding")) * norm(F.col("qe"))
+    )
+    cand = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(qv)
+        .select("vec_id", "embedding", rel.alias("rel"))
+        .orderBy(F.desc(F.round("rel", 9)), "vec_id")
+        .limit(_MMR_POOL)
+    )
+    a = cand.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = cand.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    sim = dot(F.col("ea"), F.col("eb")) / (norm(F.col("ea")) * norm(F.col("eb")))
+    pw = (
+        a.crossJoin(b)
+        .where(F.col("a") != F.col("b"))
+        .select("a", "b", sim.alias("sim"))
+    )
+    pick = (
+        cand.orderBy(F.desc(F.round("rel", 9)), "vec_id")
+        .limit(1)
+        .select("vec_id", "rel", F.col("rel").alias("mmr"))
+    )
+    out = pick.select(
+        F.lit(1).alias("pick_order"), "vec_id", "rel", "mmr"
+    )
+    sel = pick.select("vec_id")
+    for r in range(2, _MMR_K + 1):
+        rem = cand.join(sel, "vec_id", "left_anti")
+        ms = (
+            pw.join(sel.withColumnRenamed("vec_id", "b"), "b")
+            .groupBy("a")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        sc = rem.join(ms, rem.vec_id == ms.a).select(
+            "vec_id",
+            "rel",
+            (
+                _MMR_LAMBDA * F.col("rel") - (1 - _MMR_LAMBDA) * F.col("maxsim")
+            ).alias("mmr"),
+        )
+        pick = sc.orderBy(F.desc(F.round("mmr", 9)), "vec_id").limit(1)
+        out = out.unionAll(
+            pick.select(F.lit(r).alias("pick_order"), "vec_id", "rel", "mmr")
+        )
+        sel = sel.unionAll(pick.select("vec_id"))
+    return out.select(
+        F.col("pick_order").cast("int").alias("pick_order"),
+        "vec_id",
+        F.round("rel", 6).alias("relevance"),
+        F.round("mmr", 6).alias("mmr_score"),
+    ).orderBy("pick_order")

@@ -111,16 +111,31 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "dq_completeness_profile", "parts_abc_xyz_matrix",
     # relational matrix power + embedding QA
     "events_markov_multistep", "sim_label_centroid_confusion",
+    # round-9 second wave: geospatial-lite (grid pruning proven lossless
+    # against unpruned quadratic oracles)
+    "geo_grid_cell_stats", "geo_radius_join", "geo_nation_trade_distance",
+    # privacy + join-cardinality DQ audits
+    "dq_k_anonymity", "dq_join_explosion_audit",
+    # one-scan 5-fold cross-validated OLS (sufficient-statistics CV)
+    "eval_kfold_ols_oos",
+    # gap-fill interpolation + lead-lag correlation sweep
+    "timeseries_linear_interpolate", "timeseries_cross_correlation",
+    # LM smoothing + rule-based quality gate
+    "text_kneser_ney_bigram", "text_gopher_filters",
+    # near-dup graph: link prediction + multi-source BFS
+    "graph_link_prediction", "graph_bfs_reach",
+    # ranking metrics + session analytics
+    "retrieval_eval_map_mrr", "sessionize_entry_stats",
+    # MMR diversity rerank, URL function family, DP noisy release,
+    # recommender serve path
+    "sim_mmr_diversify", "fn_url_parse", "dq_dp_noisy_counts",
+    "rec_user_item_serve",
     # (b) backfill: oldest proofs (r1/r2, registry order, minus later
-    # re-proofs and the four taken by round 8) — 28 slots
+    # re-proofs and the four taken by round 8) — 9 slots after the
+    # second-wave additions displaced the rest
     "fn_regexp_like", "fn_math", "fn_datetime", "fn_hash_crypto",
     "fn_conditional", "fn_cast", "fn_array_ops", "fn_struct_map",
-    "fn_higher_order", "fn_map_builders", "fn_bitwise", "fn_null_handling",
-    "fn_interval", "fn_to_json_roundtrip", "agg_listagg_ordered",
-    "fn_reference_tail", "fn_try_arithmetic", "fn_binary_map_tail",
-    "fn_datetime_tail", "fn_array_set_ops", "agg_stats_moments",
-    "agg_corr_covar", "agg_median_percentile", "agg_mode_deterministic",
-    "udf_pandas_scalar", "udf_pandas_grouped_agg", "udf_python_row",
+    "fn_higher_order",
 )
 
 # The full round-8 driver window (the 20 late-r7 names + the r8 additions +
