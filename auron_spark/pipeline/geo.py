@@ -180,6 +180,7 @@ _SUPP_LAT, _SUPP_LON = _sql_latlon("s_suppkey")
     ORDER BY c_custkey
     """,
     tags=("pipeline", "geo", "join"),
+    bench=True,
 )
 def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radius join: every (customer, supplier) pair within 150 km, reduced
@@ -201,15 +202,24 @@ def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side trig.  At 100 TB the same shape holds with the dim side
     broadcast or bucketed by cell.
     """
-    t = Tables(spark, sf_dir)
+    return grid_radius_join(Tables(spark, sf_dir), R_KM, CELL_LAT, CELL_LON)
+
+
+def grid_radius_join(
+    t: Tables, r_km: float, cell_lat: float, cell_lon: float
+) -> DataFrame:
+    """Parameterized grid-pruned radius join (see `geo_radius_join`).
+    Lossless whenever cell_lat >= r_km/110.57 deg and cell_lon >=
+    r_km/(111.195*cos(max|lat| + cell_lat)) deg — property-tested against
+    the unpruned cross join at several radii."""
     clat, clon = _spark_latlon("c_custkey")
     slat, slon = _spark_latlon("s_suppkey")
     cust = t.customer.select(
         "c_custkey",
         clat.alias("lat"),
         clon.alias("lon"),
-        F.floor(clon / CELL_LON).cast("long").alias("cell_x"),
-        F.floor(clat / CELL_LAT).cast("long").alias("cell_y"),
+        F.floor(clon / cell_lon).cast("long").alias("cell_x"),
+        F.floor(clat / cell_lat).cast("long").alias("cell_y"),
     )
     off = F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)]))
     supp = (
@@ -217,8 +227,8 @@ def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey",
             slat.alias("s_lat"),
             slon.alias("s_lon"),
-            F.floor(slon / CELL_LON).cast("long").alias("scx"),
-            F.floor(slat / CELL_LAT).cast("long").alias("scy"),
+            F.floor(slon / cell_lon).cast("long").alias("scx"),
+            F.floor(slat / cell_lat).cast("long").alias("scy"),
         )
         .withColumn("dx", off)
         .withColumn("dy", off)
@@ -235,7 +245,7 @@ def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = (
         cust.join(supp, ["cell_x", "cell_y"])
-        .where(km_raw <= R_KM)
+        .where(km_raw <= r_km)
         .select("c_custkey", "s_suppkey", F.round(km_raw, 6).alias("km"))
     )
     # Nearest-with-tiebreak as a plain MIN over an encoded BIGINT

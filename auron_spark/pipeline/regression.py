@@ -275,6 +275,7 @@ _SQL_FOLD_SUMS = """
     ORDER BY fold
     """,
     tags=("pipeline", "evaluation", "regression", "cross-validation"),
+    bench=True,
 )
 def eval_kfold_ols_oos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-fold cross-validated OLS (extendedprice ~ quantity) with

@@ -677,3 +677,140 @@ def test_random_two_sample_power_sums(spark, duck_ev, pair, day):
     got = normalize(spark.sql(sql.format(ev="ev_prop")).toPandas())
     want = normalize(duck_ev.execute(sql.format(ev="events")).df())
     assert got == want, f"pair={pair} day={day}"
+
+
+# --- geo grid-pruning losslessness at multiple radii -------------------------
+
+
+@pytest.mark.parametrize(
+    "r_km,cell_lat,cell_lon",
+    [(80.0, 0.8, 1.6), (250.0, 2.3, 5.0)],
+)
+def test_grid_radius_join_lossless(spark, r_km, cell_lat, cell_lon):
+    """The 3x3 grid pruning must be LOSSLESS for any (radius, cell) pair
+    satisfying the degree-extent bound — checked against the unpruned
+    Spark cross join at radii besides the registered query's 150 km."""
+    from pyspark.sql import functions as F
+
+    from auron_spark.pipeline.geo import (
+        _spark_haversine,
+        _spark_latlon,
+        grid_radius_join,
+    )
+    from auron_spark.tables import Tables
+
+    t = Tables(spark, SF_SMOKE)
+    pruned = grid_radius_join(t, r_km, cell_lat, cell_lon).toPandas()
+    clat, clon = _spark_latlon("c_custkey")
+    slat, slon = _spark_latlon("s_suppkey")
+    cust = t.customer.select("c_custkey", clat.alias("lat"), clon.alias("lon"))
+    supp = t.supplier.select(
+        "s_suppkey", slat.alias("s_lat"), slon.alias("s_lon")
+    )
+    km = _spark_haversine(
+        F.col("lat"), F.col("lon"), F.col("s_lat"), F.col("s_lon")
+    )
+    enc = F.floor(F.col("km") * 1000000) * 1000000 + F.col("s_suppkey")
+    brute = (
+        cust.crossJoin(supp)
+        .where(km <= r_km)
+        .select("c_custkey", "s_suppkey", F.round(km, 6).alias("km"))
+        .groupBy("c_custkey")
+        .agg(
+            F.count("*").alias("n_near"),
+            F.min("km").alias("min_km"),
+            (F.min(enc) % 1000000).alias("nearest_suppkey"),
+        )
+        .orderBy("c_custkey")
+        .toPandas()
+    )
+    assert normalize(pruned) == normalize(brute)
+
+
+# --- k-fold CV: complement algebra vs direct per-fold refit ------------------
+
+
+def test_kfold_ols_matches_direct_refit(spark):
+    """eval_kfold_ols_oos derives each fold's training moments as
+    total-minus-fold; re-fit every fold DIRECTLY on its complement rows
+    (numpy lstsq on the collected sf0.001 subset) and the slopes,
+    intercepts and OOS RMSEs must agree to ~1e-6."""
+    import numpy as np
+
+    from auron_spark.registry import load_all
+
+    got = (
+        load_all()["eval_kfold_ols_oos"]
+        .build(spark, SF_SMOKE)
+        .toPandas()
+        .set_index("fold")
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT CAST(('0x' || substr(md5(CAST(l_orderkey * 8 + l_linenumber
+                                             AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 5 AS fold,
+               l_quantity AS x, l_extendedprice AS y
+        FROM read_parquet('{SF_SMOKE}/lineitem.parquet')
+        """
+    ).df()
+    for fold in range(5):
+        train = rows[rows.fold != fold]
+        test = rows[rows.fold == fold]
+        A = np.vstack([train.x.values, np.ones(len(train))]).T
+        slope, intercept = np.linalg.lstsq(A, train.y.values, rcond=None)[0]
+        pred = intercept + slope * test.x.values
+        rmse = float(np.sqrt(np.mean((test.y.values - pred) ** 2)))
+        g = got.loc[fold]
+        assert abs(g.slope - slope) < 1e-4 * max(1, abs(slope)), (fold, slope)
+        assert abs(g.intercept - intercept) < 1e-3 * max(1, abs(intercept))
+        assert abs(g.oos_rmse - rmse) < 1e-4 * max(1, rmse), (fold, rmse)
+        assert g.n_train == len(train) and g.n_test == len(test)
+
+
+# --- MMR: differential vs an independent greedy reimplementation -------------
+
+
+def test_mmr_matches_numpy_greedy(spark):
+    """sim_mmr_diversify's DataFrame-relay greedy must equal a direct
+    numpy implementation of MMR run on the same pool."""
+    import numpy as np
+
+    from auron_spark.registry import load_all
+    from auron_spark.tables import table
+
+    got = load_all()["sim_mmr_diversify"].build(spark, SF_SMOKE).toPandas()
+    emb = table(spark, SF_SMOKE, "embeddings").toPandas()
+    vecs = {int(r.vec_id): np.array(r.embedding, dtype=np.float64)
+            for r in emb.itertuples()}
+    q = vecs[0]
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    rel = {i: cos(v, q) for i, v in vecs.items() if i != 0}
+    pool = sorted(rel, key=lambda i: (-round(rel[i], 9), i))[:12]
+    sel, picks = [], []
+    for r in range(5):
+        if not sel:
+            scores = {i: rel[i] for i in pool}
+        else:
+            scores = {
+                i: 0.7 * rel[i]
+                - 0.3 * max(cos(vecs[i], vecs[j]) for j in sel)
+                for i in pool
+                if i not in sel
+            }
+        best = min(scores, key=lambda i: (-round(scores[i], 9), i))
+        sel.append(best)
+        picks.append((r + 1, best, round(rel[best], 6), round(scores[best], 6)))
+    want = [tuple(p) for p in picks]
+    have = [
+        (int(r.pick_order), int(r.vec_id), round(r.relevance, 6),
+         round(r.mmr_score, 6))
+        for r in got.itertuples()
+    ]
+    assert have == want
