@@ -1713,3 +1713,159 @@ def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("true_n") + noise, 6).alias("noisy_n"),
         F.lit(0.5).alias("epsilon"),
     ).orderBy("c_mktsegment")
+
+
+_COMPACT_TARGET = 60000  # rows per compaction group (the 128 MB analog)
+
+_SQL_FILE_INVENTORY = " UNION ALL ".join(
+    f"SELECT '{t}' AS table_name, COUNT(*) AS n_rows FROM {t}"
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    )
+)
+
+
+@query(
+    "layout_compaction_plan",
+    oracle=f"""
+    WITH inv AS ({_SQL_FILE_INVENTORY}),
+    ordered AS (
+        SELECT table_name, n_rows,
+               COALESCE(SUM(n_rows) OVER (
+                   ORDER BY n_rows DESC, table_name
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS rows_before
+        FROM inv
+    )
+    SELECT table_name,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(floor(CAST(rows_before AS DOUBLE) / {_COMPACT_TARGET})
+                AS BIGINT) AS compaction_group
+    FROM ordered
+    ORDER BY n_rows DESC, table_name
+    """,
+    tags=("layout", "maintenance", "compaction"),
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction (OPTIMIZE) planning: inventory every data file with its
+    row count via the zero-I/O `_metadata` scan column, order size-
+    descending, and pack into target-size groups by cumulative-rows
+    bucketing — the greedy bin-packing plan a lakehouse table service
+    (Delta OPTIMIZE / Iceberg rewriteDataFiles) computes before rewriting
+    small files.  Row count stands in for byte size on the fixtures (the
+    planner is size-metric-agnostic); at fixture SF each table is one
+    file, so file grain == table grain and the oracle can mirror the
+    inventory with per-view COUNT(*)s.
+
+    Scale shape: the inventory is file-grain (footer metadata, no row
+    materialized beyond the count aggregate); the ordering + cumulative
+    window run at file-inventory grain — thousands of rows for a 100-TB
+    table, never corpus rows.  The plan itself (group -> files) is what
+    the rewrite job consumes."""
+    from auron_spark.tables import TABLE_NAMES, table
+    from pyspark.sql import Window
+
+    inv = None
+    for name in TABLE_NAMES:
+        one = (
+            table(spark, sf_dir, name)
+            .select(F.col("_metadata.file_name").alias("f"))
+            .agg(F.count("*").alias("n_rows"))
+            .select(F.lit(name).alias("table_name"), "n_rows")
+        )
+        inv = one if inv is None else inv.unionAll(one)
+    w = (
+        Window.orderBy(F.desc("n_rows"), "table_name")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        inv.select(
+            "table_name",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.floor(
+                F.coalesce(F.sum("n_rows").over(w), F.lit(0)).cast("double")
+                / _COMPACT_TARGET
+            )
+            .cast("bigint")
+            .alias("compaction_group"),
+        )
+        .orderBy(F.desc("n_rows"), "table_name")
+    )
+
+
+@query(
+    "split_temporal_holdout",
+    oracle="""
+    WITH labeled AS (
+        SELECT user_id,
+               CASE WHEN ts < TIMESTAMP '2024-01-22' THEN 'train'
+                    ELSE 'test' END AS split
+        FROM events
+    ),
+    tr AS (SELECT DISTINCT user_id FROM labeled WHERE split = 'train'),
+    te AS (SELECT DISTINCT user_id FROM labeled WHERE split = 'test')
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM labeled
+            WHERE split = 'train') AS n_train,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM labeled
+            WHERE split = 'test') AS n_test,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tr) AS users_train,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM te) AS users_test,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM tr JOIN te ON tr.user_id = te.user_id) AS users_overlap,
+           ROUND((SELECT CAST(COUNT(*) AS DOUBLE)
+                  FROM tr JOIN te ON tr.user_id = te.user_id)
+                 / (SELECT COUNT(*) FROM te), 6) AS overlap_rate
+    """,
+    tags=("pipeline", "split", "temporal"),
+)
+def split_temporal_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test holdout audit: events before 2024-01-22 train,
+    the rest test — with the entity-overlap measurement (users present on
+    BOTH sides of the cut) that decides whether this is a future-forecast
+    split (overlap expected) or must be tightened to a user-disjoint split
+    (`split_group_integrity`'s contract) for memorization-sensitive evals.
+    Completes the split family: random (`split_train_val_test`), k-fold,
+    group-integrity, leakage-audit, and now time-based.
+
+    Scale shape: one scan labels map-side; the two distinct-user sets are
+    user-grain aggregates and their overlap a user-key equi-join; the
+    five counts merge as 1x1 scalar aggregates (no driver actions)."""
+    t = Tables(spark, sf_dir)
+    labeled = t.events.select(
+        "user_id",
+        F.when(F.col("ts") < F.lit("2024-01-22").cast("timestamp"), "train")
+        .otherwise("test")
+        .alias("split"),
+    )
+    counts = labeled.agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_test"),
+    )
+    tr = labeled.where(F.col("split") == "train").select("user_id").distinct()
+    te = labeled.where(F.col("split") == "test").select("user_id").distinct()
+    utr = tr.agg(F.count("*").cast("bigint").alias("users_train"))
+    ute = te.agg(F.count("*").cast("bigint").alias("users_test"))
+    uov = (
+        tr.join(te, "user_id")
+        .agg(F.count("*").cast("bigint").alias("users_overlap"))
+    )
+    return (
+        counts.crossJoin(utr)
+        .crossJoin(ute)
+        .crossJoin(uov)
+        .select(
+            "n_train",
+            "n_test",
+            "users_train",
+            "users_test",
+            "users_overlap",
+            F.round(
+                F.col("users_overlap").cast("double") / F.col("users_test"), 6
+            ).alias("overlap_rate"),
+        )
+    )

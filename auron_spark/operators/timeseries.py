@@ -903,3 +903,68 @@ def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pearson_r"),
     ).orderBy("lag")
+
+
+@query(
+    "events_dow_hour_heatmap",
+    oracle="""
+    WITH cells AS (
+        SELECT dayofweek(ts) AS dow, EXTRACT(hour FROM ts) AS hour,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2
+    ),
+    margins AS (
+        SELECT dow, hour, n,
+               SUM(n) OVER (PARTITION BY dow) AS n_dow,
+               SUM(n) OVER (PARTITION BY hour) AS n_hour,
+               SUM(n) OVER () AS n_all
+        FROM cells
+    )
+    SELECT CAST(dow AS INT) AS dow, CAST(hour AS INT) AS hour,
+           CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n_dow AS DOUBLE) * n_hour / n_all, 6) AS expected,
+           ROUND((n - CAST(n_dow AS DOUBLE) * n_hour / n_all)
+                 / sqrt(CAST(n_dow AS DOUBLE) * n_hour / n_all), 6)
+               AS pearson_resid
+    FROM margins
+    ORDER BY dow, hour
+    """,
+    tags=("timeseries", "seasonality", "heatmap"),
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour activity heatmap with independence residuals:
+    observed cell counts vs the margin-product expectation, standardized
+    as Pearson residuals — the seasonality fingerprint (|resid| > 2 cells
+    are the real weekly structure, not volume artifacts) that feeds
+    staffing/capacity models and anomaly baselines.
+
+    Scale shape: one scan -> (dow, hour) aggregate (<= 168 cells); the
+    margin windows run on the cell frame, not the corpus.  Counts exact;
+    expectation/residual are one shared double tree.
+
+    Engine note: DuckDB dayofweek() is 0=Sunday..6; Spark dayofweek() is
+    1=Sunday..7 — the Spark side subtracts 1 to match."""
+    t = Tables(spark, sf_dir)
+    cells = t.events.groupBy(
+        (F.dayofweek("ts") - 1).alias("dow"), F.hour("ts").alias("hour")
+    ).agg(F.count("*").alias("n"))
+    w_d = Window.partitionBy("dow")
+    w_h = Window.partitionBy("hour")
+    w_all = Window.partitionBy()
+    m = cells.select(
+        "dow",
+        "hour",
+        "n",
+        F.sum("n").over(w_d).alias("n_dow"),
+        F.sum("n").over(w_h).alias("n_hour"),
+        F.sum("n").over(w_all).alias("n_all"),
+    )
+    exp_ = F.col("n_dow").cast("double") * F.col("n_hour") / F.col("n_all")
+    return m.select(
+        F.col("dow").cast("int").alias("dow"),
+        F.col("hour").cast("int").alias("hour"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(exp_, 6).alias("expected"),
+        F.round((F.col("n") - exp_) / F.sqrt(exp_), 6).alias("pearson_resid"),
+    ).orderBy("dow", "hour")

@@ -3482,3 +3482,93 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rel", 6).alias("relevance"),
         F.round("mmr", 6).alias("mmr_score"),
     ).orderBy("pick_order")
+
+
+_ANALOGY = (1, 2, 3)  # target = v(1) - v(2) + v(3)
+_ANALOGY_SQL_T = (
+    "list_transform(range(1, 65), i -> "
+    "CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)"
+    " + CAST(c.embedding[i] AS DOUBLE))"
+)
+
+
+@query(
+    "sim_vector_analogy",
+    oracle=f"""
+    WITH t AS (
+        SELECT {_ANALOGY_SQL_T} AS tv
+        FROM embeddings a, embeddings b, embeddings c
+        WHERE a.vec_id = {_ANALOGY[0]} AND b.vec_id = {_ANALOGY[1]}
+          AND c.vec_id = {_ANALOGY[2]}
+    )
+    SELECT vec_id, cos_sim FROM (
+        SELECT e.vec_id,
+               ROUND(
+                 list_sum(list_transform(range(1, 65), i ->
+                     tv[i] * CAST(e.embedding[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, 65), i ->
+                        tv[i] * tv[i])))
+                    * sqrt(list_sum(list_transform(range(1, 65), i ->
+                        CAST(e.embedding[i] AS DOUBLE)
+                        * CAST(e.embedding[i] AS DOUBLE))))), 6) AS cos_sim,
+               ROW_NUMBER() OVER (
+                   ORDER BY list_sum(list_transform(range(1, 65), i ->
+                       tv[i] * CAST(e.embedding[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, 65), i ->
+                        tv[i] * tv[i])))
+                    * sqrt(list_sum(list_transform(range(1, 65), i ->
+                        CAST(e.embedding[i] AS DOUBLE)
+                        * CAST(e.embedding[i] AS DOUBLE))))) DESC,
+                   e.vec_id) AS rn
+        FROM embeddings e, t
+        WHERE e.vec_id NOT IN {_ANALOGY!r}
+    ) WHERE rn <= 5
+    ORDER BY vec_id
+    """,
+    tags=("pipeline", "similarity", "analogy"),
+)
+def sim_vector_analogy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-arithmetic analogy retrieval (the word2vec 'king - man +
+    woman' probe): target = v(1) - v(2) + v(3), then cosine top-5 over
+    the corpus excluding the probe ids — the embedding-space sanity check
+    an embedding-quality harness runs per training epoch (alongside
+    `sim_ann_recall_report`).
+
+    Scale shape: the target vector is a 1-row broadcast (three dim-table
+    lookups + map-side arithmetic); scoring is one streamed corpus pass;
+    top-5 is TakeOrdered with a vec_id tiebreak — the
+    `sim_knn_bruteforce` shape with a synthesized query."""
+    from auron_spark.tables import Tables as _T
+
+    t = _T(spark, sf_dir)
+    emb = t.embeddings
+    a_, b_, c_ = (
+        emb.where(F.col("vec_id") == i).select(
+            F.col("embedding").alias(n)
+        )
+        for i, n in zip(_ANALOGY, ("ea", "eb", "ec"))
+    )
+    tv = F.zip_with(
+        F.zip_with(
+            F.col("ea"),
+            F.col("eb"),
+            lambda x, y: x.cast("double") - y.cast("double"),
+        ),
+        F.col("ec"),
+        lambda d, z: d + z.cast("double"),
+    )
+    target = F.broadcast(
+        a_.crossJoin(b_).crossJoin(c_).select(tv.alias("tv"))
+    )
+    cos = dot(F.col("tv"), F.col("embedding")) / (
+        norm(F.col("tv")) * norm(F.col("embedding"))
+    )
+    return (
+        emb.where(~F.col("vec_id").isin(*_ANALOGY))
+        .crossJoin(target)
+        .select("vec_id", cos.alias("raw"))
+        .orderBy(F.desc("raw"), "vec_id")
+        .limit(5)
+        .select("vec_id", F.round("raw", 6).alias("cos_sim"))
+        .orderBy("vec_id")
+    )

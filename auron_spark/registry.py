@@ -130,12 +130,15 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # recommender serve path
     "sim_mmr_diversify", "fn_url_parse", "dq_dp_noisy_counts",
     "rec_user_item_serve",
+    # lakehouse compaction planning, temporal holdout, vector analogy,
+    # weekly-seasonality heatmap
+    "layout_compaction_plan", "split_temporal_holdout",
+    "sim_vector_analogy", "events_dow_hour_heatmap",
     # (b) backfill: oldest proofs (r1/r2, registry order, minus later
-    # re-proofs and the four taken by round 8) — 9 slots after the
+    # re-proofs and the four taken by round 8) — 5 slots after the
     # second-wave additions displaced the rest
     "fn_regexp_like", "fn_math", "fn_datetime", "fn_hash_crypto",
-    "fn_conditional", "fn_cast", "fn_array_ops", "fn_struct_map",
-    "fn_higher_order",
+    "fn_conditional",
 )
 
 # The full round-8 driver window (the 20 late-r7 names + the r8 additions +
