@@ -1661,7 +1661,7 @@ def dq_join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                       * ln(1.0 - 2.0 * abs(u)), 6) AS noise,
            ROUND(true_n - 2.0 * CASE WHEN u < 0 THEN -1.0 ELSE 1.0 END
                         * ln(1.0 - 2.0 * abs(u)), 6) AS noisy_n,
-           0.5 AS epsilon
+           CAST(0.5 AS DOUBLE) AS epsilon
     FROM seeded
     ORDER BY c_mktsegment
     """,
@@ -1868,4 +1868,337 @@ def split_temporal_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("users_overlap").cast("double") / F.col("users_test"), 6
             ).alias("overlap_rate"),
         )
+    )
+
+
+@query(
+    "dq_iqr_outliers",
+    oracle="""
+    WITH vals AS (
+        SELECT 'quantity' AS metric, l_quantity AS v FROM lineitem
+        UNION ALL
+        SELECT 'extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT 'discount', l_discount FROM lineitem
+    ),
+    q AS (
+        SELECT metric,
+               quantile_cont(v, 0.25) AS q1,
+               quantile_cont(v, 0.75) AS q3
+        FROM vals GROUP BY metric
+    )
+    SELECT v.metric,
+           ROUND(q1, 6) AS q1, ROUND(q3, 6) AS q3,
+           ROUND(q3 - q1, 6) AS iqr,
+           ROUND(q1 - 1.5 * (q3 - q1), 6) AS lo_fence,
+           ROUND(q3 + 1.5 * (q3 - q1), 6) AS hi_fence,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN v.v < q1 - 1.5 * (q3 - q1)
+                           OR v.v > q3 + 1.5 * (q3 - q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(SUM(CASE WHEN v.v < q1 - 1.5 * (q3 - q1)
+                            OR v.v > q3 + 1.5 * (q3 - q1)
+                          THEN 1.0 ELSE 0 END) / COUNT(*), 6) AS outlier_rate
+    FROM vals v JOIN q ON q.metric = v.metric
+    GROUP BY v.metric, q1, q3
+    ORDER BY v.metric
+    """,
+    tags=("dq", "profiling", "outliers"),
+)
+def dq_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit over three lineitem metrics: exact
+    Q1/Q3/IQR, the 1.5xIQR fences, and the count/share of values outside
+    them — the robust companion to `anomaly_mad_events` (IQR fences are
+    the standard box-plot rule a DQ monitor alerts on when a load's
+    outlier share jumps).
+
+    Scale shape: the unpivot is map-side (x3 row fan-out); exact
+    quartiles sort within 3 metric groups (the approx_percentile sketch
+    is the 100-TB swap, as documented on `agg_median_percentile`); the
+    fence pass is one more scan with a metric-grain broadcast join of the
+    3-row quartile table.
+
+    Exactness: quartile interpolation on 2-dp doubles is exact and
+    definition-shared (Spark percentile == DuckDB quantile_cont); counts
+    integer; rates 6-dp."""
+    t = Tables(spark, sf_dir)
+    li = t.lineitem
+    vals = (
+        li.select(F.lit("quantity").alias("metric"), F.col("l_quantity").alias("v"))
+        .unionAll(
+            li.select(
+                F.lit("extendedprice").alias("metric"),
+                F.col("l_extendedprice").alias("v"),
+            )
+        )
+        .unionAll(
+            li.select(
+                F.lit("discount").alias("metric"), F.col("l_discount").alias("v")
+            )
+        )
+    )
+    q = vals.groupBy("metric").agg(
+        F.expr("percentile(v, 0.25)").alias("q1"),
+        F.expr("percentile(v, 0.75)").alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    out_flag = (F.col("v") < lo) | (F.col("v") > hi)
+    return (
+        vals.join(F.broadcast(q), "metric")
+        .groupBy("metric", "q1", "q3")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.when(out_flag, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.round(
+                F.sum(F.when(out_flag, 1.0).otherwise(0.0)) / F.count("*"), 6
+            ).alias("outlier_rate"),
+        )
+        .select(
+            "metric",
+            F.round("q1", 6).alias("q1"),
+            F.round("q3", 6).alias("q3"),
+            F.round(F.col("q3") - F.col("q1"), 6).alias("iqr"),
+            F.round(lo, 6).alias("lo_fence"),
+            F.round(hi, 6).alias("hi_fence"),
+            "n",
+            "n_outliers",
+            "outlier_rate",
+        )
+        .orderBy("metric")
+    )
+
+
+@query(
+    "customer_segment_migration",
+    oracle="""
+    WITH p1 AS (
+        SELECT o_custkey,
+               NTILE(4) OVER (ORDER BY SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                                       DESC, o_custkey) AS tier
+        FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY o_custkey
+    ),
+    p2 AS (
+        SELECT o_custkey,
+               NTILE(4) OVER (ORDER BY SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                                       DESC, o_custkey) AS tier
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        GROUP BY o_custkey
+    )
+    SELECT COALESCE(CAST(p1.tier AS INT), 0) AS tier_from,
+           COALESCE(CAST(p2.tier AS INT), 0) AS tier_to,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM p1 FULL OUTER JOIN p2 ON p1.o_custkey = p2.o_custkey
+    GROUP BY 1, 2
+    ORDER BY tier_from, tier_to
+    """,
+    tags=("agg", "segmentation", "migration", "window"),
+)
+def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-tier migration matrix: spend quartiles (tier 1 =
+    top) computed independently for 1995-97 and 1998-2001, full-outer
+    joined per customer into a 5x5 transition matrix (tier 0 = absent in
+    that period: churned / newly acquired) — the retention report behind
+    'are our top-quartile customers staying top-quartile?', and the
+    business-grain sibling of `events_markov_transitions`.
+
+    Scale shape: each period is one orders aggregate to customer grain +
+    one customer-grain quartile cut (the `customer_rfm_segments` global-
+    ntile posture — `customer_rfm_segments_scale` shows the
+    distributed_ntile swap at billions of customers); the matrix is a
+    customer-key full-outer join aggregated to <= 25 cells.
+
+    Exactness: spend is exact DECIMAL; ntile cuts are tiebroken on the
+    customer key; counts integer."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+
+    def tiers(pred):
+        spend = (
+            t.orders.where(pred)
+            .groupBy("o_custkey")
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("m")
+            )
+        )
+        w = Window.orderBy(F.desc("m"), "o_custkey")
+        return spend.select("o_custkey", F.ntile(4).over(w).alias("tier"))
+
+    cut = F.lit("1998-01-01").cast("timestamp")
+    p1 = tiers(F.col("o_orderdate") < cut).select(
+        F.col("o_custkey").alias("k1"), F.col("tier").alias("t1")
+    )
+    p2 = tiers(F.col("o_orderdate") >= cut).select(
+        F.col("o_custkey").alias("k2"), F.col("tier").alias("t2")
+    )
+    return (
+        p1.join(p2, F.col("k1") == F.col("k2"), "full")
+        .select(
+            F.coalesce(F.col("t1"), F.lit(0)).cast("int").alias("tier_from"),
+            F.coalesce(F.col("t2"), F.lit(0)).cast("int").alias("tier_to"),
+        )
+        .groupBy("tier_from", "tier_to")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+        .orderBy("tier_from", "tier_to")
+    )
+
+
+@query(
+    "parts_supplier_hhi",
+    oracle="""
+    WITH cat AS (
+        SELECT split_part(p_type, ' ', 1) AS category, l_suppkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS rev_cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT category, SUM(rev_cents) AS cat_cents,
+               COUNT(*) AS n_suppliers
+        FROM cat GROUP BY category
+    )
+    SELECT c.category,
+           CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           ROUND(CAST(cat_cents AS DOUBLE) / 100, 2) AS category_revenue,
+           CAST(ROUND(SUM(CAST(ROUND(pow(10000.0 * c.rev_cents / t.cat_cents,
+                                      2) / 10000, 9) AS DECIMAL(28,9))), 6)
+                AS DOUBLE) AS hhi,
+           ROUND(CAST(MAX(c.rev_cents) AS DOUBLE) / t.cat_cents, 6)
+               AS top_share
+    FROM cat c JOIN tot t ON t.category = c.category
+    GROUP BY c.category, t.cat_cents, t.n_suppliers
+    ORDER BY c.category
+    """,
+    tags=("agg", "concentration", "supply-chain"),
+)
+def parts_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier concentration per part category: the Herfindahl-Hirschman
+    index (sum of squared percentage market shares, the antitrust /
+    supply-risk standard — >2500 is 'highly concentrated'), supplier
+    count and top-supplier share — the single-source-risk report a
+    procurement mart refreshes per load, extending the Pareto family
+    (`pareto_revenue_share`) with the index form.
+
+    Scale shape: one fact aggregate to (category, supplier) grain (exact
+    integer cents), category totals one re-aggregate of that, and the
+    HHI a share-grain rollup — every shuffle shrinks.
+
+    Exactness: shares derive from exact integer cents; each squared-share
+    term is 9-dp-rounded into DECIMAL before the order-insensitive sum
+    (the `text_word_entropy` containment device)."""
+    t = Tables(spark, sf_dir)
+    cat = (
+        t.lineitem.join(
+            F.broadcast(t.part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("category"),
+            "l_suppkey",
+        )
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    tot = cat.groupBy("category").agg(
+        F.sum("rev_cents").alias("cat_cents"),
+        F.count("*").alias("n_suppliers"),
+    )
+    share_sq = F.round(
+        F.pow(10000.0 * F.col("rev_cents") / F.col("cat_cents"), 2) / 10000, 9
+    ).cast("decimal(28,9)")
+    return (
+        cat.join(tot, "category")
+        .groupBy("category", "cat_cents", "n_suppliers")
+        .agg(
+            F.round(F.sum(share_sq), 6).alias("hhi"),
+            F.round(
+                F.max("rev_cents").cast("double") / F.col("cat_cents"), 6
+            ).alias("top_share"),
+        )
+        .select(
+            "category",
+            F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+            F.round(F.col("cat_cents").cast("double") / 100, 2).alias(
+                "category_revenue"
+            ),
+            F.col("hhi").cast("double").alias("hhi"),
+            "top_share",
+        )
+        .orderBy("category")
+    )
+
+
+@query(
+    "events_engagement_gini",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, COUNT(*) AS x FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT x, row_number() OVER (ORDER BY x, user_id) AS r,
+               COUNT(*) OVER () AS n_all
+        FROM per_user
+    ),
+    s AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(r * x) AS srx,
+               SUM(CASE WHEN r > n_all * 0.9 THEN x ELSE 0 END)
+                   AS top_decile_x
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(sx AS BIGINT) AS total_events,
+           ROUND(2.0 * srx / (n * CAST(sx AS DOUBLE)) - (n + 1.0) / n, 6)
+               AS gini,
+           ROUND(CAST(top_decile_x AS DOUBLE) / sx, 6) AS top_decile_share
+    FROM s
+    """,
+    tags=("agg", "concentration", "inequality"),
+)
+def events_engagement_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement inequality: the Gini coefficient of per-user event
+    counts (rank formula G = 2*SUM(r*x)/(n*SUM(x)) - (n+1)/n on the
+    ascending-sorted counts) plus the top-decile activity share — the
+    'how concentrated is our usage' number that pairs with
+    `pareto_revenue_share` (curve) and `parts_supplier_hhi` (index) to
+    complete the concentration-metrics trio.
+
+    Scale shape: corpus reduces to user grain in one aggregate; the rank
+    runs at user grain (the documented `customer_rfm_segments` global-
+    ntile posture — swap in `distributed_running_sums` at billions of
+    users, as `pareto_revenue_share_scale` demonstrates); the power sums
+    are exact integers into one scalar row."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    per_user = t.events.groupBy("user_id").agg(F.count("*").alias("x"))
+    ranked = per_user.select(
+        "x", F.row_number().over(Window.orderBy("x", "user_id")).alias("r")
+    ).withColumn("n_all", F.count("*").over(Window.partitionBy()))
+    s = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("r") * F.col("x")).alias("srx"),
+        F.sum(
+            F.when(F.col("r") > F.col("n_all") * 0.9, F.col("x")).otherwise(0)
+        ).alias("top_decile_x"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("sx").cast("bigint").alias("total_events"),
+        F.round(
+            2.0 * F.col("srx") / (F.col("n") * F.col("sx").cast("double"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.col("top_decile_x").cast("double") / F.col("sx"), 6
+        ).alias("top_decile_share"),
     )

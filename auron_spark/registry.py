@@ -134,11 +134,13 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # weekly-seasonality heatmap
     "layout_compaction_plan", "split_temporal_holdout",
     "sim_vector_analogy", "events_dow_hour_heatmap",
-    # (b) backfill: oldest proofs (r1/r2, registry order, minus later
-    # re-proofs and the four taken by round 8) — 5 slots after the
+    # IQR outlier audit, tier migration matrix, concentration metrics
+    "dq_iqr_outliers", "customer_segment_migration",
+    "parts_supplier_hhi", "events_engagement_gini",
+    # (b) backfill: oldest proof (r1/r2, registry order, minus later
+    # re-proofs and the four taken by round 8) — 1 slot after the
     # second-wave additions displaced the rest
-    "fn_regexp_like", "fn_math", "fn_datetime", "fn_hash_crypto",
-    "fn_conditional",
+    "fn_regexp_like",
 )
 
 # The full round-8 driver window (the 20 late-r7 names + the r8 additions +
