@@ -1566,15 +1566,16 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), ri AS (
         SELECT o_custkey AS k, COUNT(*) AS cnt_r FROM orders GROUP BY 1
     ), fan AS (
-        SELECT le.k, cnt_l, cnt_r, cnt_l * cnt_r AS fanout
-        FROM le JOIN ri USING (k)
+        SELECT COALESCE(le.k, ri.k) AS k, cnt_l, cnt_r,
+               cnt_l * cnt_r AS fanout
+        FROM le FULL OUTER JOIN ri ON le.k = ri.k
     )
-    SELECT CAST((SELECT COUNT(*) FROM le) AS BIGINT) AS n_keys_left,
-           CAST((SELECT COUNT(*) FROM ri) AS BIGINT) AS n_keys_right,
-           CAST(COUNT(*) AS BIGINT) AS n_keys_both,
+    SELECT CAST(COUNT(cnt_l) AS BIGINT) AS n_keys_left,
+           CAST(COUNT(cnt_r) AS BIGINT) AS n_keys_right,
+           CAST(COUNT(fanout) AS BIGINT) AS n_keys_both,
            CAST(SUM(fanout) AS BIGINT) AS predicted_join_rows,
            CAST(MAX(fanout) AS BIGINT) AS max_fanout,
-           ROUND(CAST(SUM(fanout) AS DOUBLE) / COUNT(*), 6) AS avg_fanout,
+           ROUND(CAST(SUM(fanout) AS DOUBLE) / COUNT(fanout), 6) AS avg_fanout,
            CAST(SUM(CASE WHEN fanout > 100 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_keys_over_100,
            CAST(MAX(fanout * 10000000000 + k) % 10000000000 AS BIGINT)
@@ -1592,9 +1593,10 @@ def dq_join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     OOMing a 100-TB shuffle at run time.
 
     The audit itself never materializes the join: both sides reduce to
-    per-key counts first (map-side partial aggregation), so its cost is
-    two aggregates plus a count-grain equi-join — orders of magnitude
-    cheaper than the join it predicts.
+    per-key counts first (map-side partial aggregation), then ONE
+    count-grain FULL OUTER join computes side cardinalities and
+    intersection stats in a single pass — orders of magnitude cheaper
+    than the join it predicts.
 
     Exactness: everything is integer counts; the argmax key rides the
     encoded-BIGINT max (fanout * 1e10 + key, ties -> larger key) exactly
@@ -1606,20 +1608,25 @@ def dq_join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ri = t.orders.groupBy(F.col("o_custkey").alias("k")).agg(
         F.count("*").alias("cnt_r")
     )
-    fan = le.join(ri, "k").select(
-        "k", (F.col("cnt_l") * F.col("cnt_r")).alias("fanout")
+    # FULL OUTER at count grain: one pass computes both side
+    # cardinalities AND the intersection stats (a crossJoin of per-side
+    # scalar aggregates would make Catalyst re-scan each fact — the
+    # single-subtree rule, plan-gated to one scan per fact).
+    fan = le.join(ri, "k", "full").select(
+        F.coalesce(le.k, ri.k).alias("k"),
+        "cnt_l",
+        "cnt_r",
+        (F.col("cnt_l") * F.col("cnt_r")).alias("fanout"),
     )
-    # Side cardinalities join in as 1x1 scalar aggregates (no driver-side
-    # .count() actions — the whole audit is one lazy plan).
-    nl = le.agg(F.count("*").cast("bigint").alias("n_keys_left"))
-    nr = ri.agg(F.count("*").cast("bigint").alias("n_keys_right"))
-    body = fan.agg(
-        F.count("*").cast("bigint").alias("n_keys_both"),
+    return fan.agg(
+        F.count("cnt_l").cast("bigint").alias("n_keys_left"),
+        F.count("cnt_r").cast("bigint").alias("n_keys_right"),
+        F.count("fanout").cast("bigint").alias("n_keys_both"),
         F.sum("fanout").cast("bigint").alias("predicted_join_rows"),
         F.max("fanout").cast("bigint").alias("max_fanout"),
-        F.round(F.sum("fanout").cast("double") / F.count("*"), 6).alias(
-            "avg_fanout"
-        ),
+        F.round(
+            F.sum("fanout").cast("double") / F.count("fanout"), 6
+        ).alias("avg_fanout"),
         F.sum(F.when(F.col("fanout") > 100, 1).otherwise(0))
         .cast("bigint")
         .alias("n_keys_over_100"),
@@ -1629,16 +1636,6 @@ def dq_join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("top_fanout_key"),
-    )
-    return nl.crossJoin(nr).crossJoin(body).select(
-        "n_keys_left",
-        "n_keys_right",
-        "n_keys_both",
-        "predicted_join_rows",
-        "max_fanout",
-        "avg_fanout",
-        "n_keys_over_100",
-        "top_fanout_key",
     )
 
 
@@ -1797,25 +1794,26 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "split_temporal_holdout",
     oracle="""
-    WITH labeled AS (
+    WITH per_user AS (
         SELECT user_id,
-               CASE WHEN ts < TIMESTAMP '2024-01-22' THEN 'train'
-                    ELSE 'test' END AS split
-        FROM events
-    ),
-    tr AS (SELECT DISTINCT user_id FROM labeled WHERE split = 'train'),
-    te AS (SELECT DISTINCT user_id FROM labeled WHERE split = 'test')
-    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM labeled
-            WHERE split = 'train') AS n_train,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM labeled
-            WHERE split = 'test') AS n_test,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM tr) AS users_train,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM te) AS users_test,
-           (SELECT CAST(COUNT(*) AS BIGINT)
-            FROM tr JOIN te ON tr.user_id = te.user_id) AS users_overlap,
-           ROUND((SELECT CAST(COUNT(*) AS DOUBLE)
-                  FROM tr JOIN te ON tr.user_id = te.user_id)
-                 / (SELECT COUNT(*) FROM te), 6) AS overlap_rate
+               SUM(CASE WHEN ts < TIMESTAMP '2024-01-22'
+                        THEN 1 ELSE 0 END) AS n_tr,
+               SUM(CASE WHEN ts >= TIMESTAMP '2024-01-22'
+                        THEN 1 ELSE 0 END) AS n_te
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(SUM(n_tr) AS BIGINT) AS n_train,
+           CAST(SUM(n_te) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN n_tr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS users_train,
+           CAST(SUM(CASE WHEN n_te > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS users_test,
+           CAST(SUM(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS users_overlap,
+           ROUND(SUM(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1.0 ELSE 0 END)
+                 / SUM(CASE WHEN n_te > 0 THEN 1 ELSE 0 END), 6)
+               AS overlap_rate
+    FROM per_user
     """,
     tags=("pipeline", "split", "temporal"),
 )
@@ -1828,46 +1826,29 @@ def split_temporal_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     Completes the split family: random (`split_train_val_test`), k-fold,
     group-integrity, leakage-audit, and now time-based.
 
-    Scale shape: one scan labels map-side; the two distinct-user sets are
-    user-grain aggregates and their overlap a user-key equi-join; the
-    five counts merge as 1x1 scalar aggregates (no driver actions)."""
+    Scale shape: ONE corpus scan — the per-user side tallies (n_tr, n_te)
+    are a single user-grain aggregate, and every audit number (row
+    counts, per-side user counts, overlap) is a flag-sum over that frame
+    (the single-subtree rule: separate distinct/join formulations would
+    re-scan the fact per output column; plan-gated to one scan)."""
     t = Tables(spark, sf_dir)
-    labeled = t.events.select(
-        "user_id",
-        F.when(F.col("ts") < F.lit("2024-01-22").cast("timestamp"), "train")
-        .otherwise("test")
-        .alias("split"),
+    cut = F.lit("2024-01-22").cast("timestamp")
+    per_user = t.events.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, 1).otherwise(0)).alias("n_tr"),
+        F.sum(F.when(F.col("ts") >= cut, 1).otherwise(0)).alias("n_te"),
     )
-    counts = labeled.agg(
-        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_train"),
-        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_test"),
-    )
-    tr = labeled.where(F.col("split") == "train").select("user_id").distinct()
-    te = labeled.where(F.col("split") == "test").select("user_id").distinct()
-    utr = tr.agg(F.count("*").cast("bigint").alias("users_train"))
-    ute = te.agg(F.count("*").cast("bigint").alias("users_test"))
-    uov = (
-        tr.join(te, "user_id")
-        .agg(F.count("*").cast("bigint").alias("users_overlap"))
-    )
-    return (
-        counts.crossJoin(utr)
-        .crossJoin(ute)
-        .crossJoin(uov)
-        .select(
-            "n_train",
-            "n_test",
-            "users_train",
-            "users_test",
-            "users_overlap",
-            F.round(
-                F.col("users_overlap").cast("double") / F.col("users_test"), 6
-            ).alias("overlap_rate"),
-        )
+    tr_flag = F.when(F.col("n_tr") > 0, 1).otherwise(0)
+    te_flag = F.when(F.col("n_te") > 0, 1).otherwise(0)
+    ov_flag = F.when((F.col("n_tr") > 0) & (F.col("n_te") > 0), 1).otherwise(0)
+    return per_user.agg(
+        F.sum("n_tr").cast("bigint").alias("n_train"),
+        F.sum("n_te").cast("bigint").alias("n_test"),
+        F.sum(tr_flag).cast("bigint").alias("users_train"),
+        F.sum(te_flag).cast("bigint").alias("users_test"),
+        F.sum(ov_flag).cast("bigint").alias("users_overlap"),
+        F.round(
+            F.sum(ov_flag.cast("double")) / F.sum(te_flag), 6
+        ).alias("overlap_rate"),
     )
 
 

@@ -316,15 +316,22 @@ def eval_kfold_ols_oos(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((x * y).cast("decimal(28,4)")).alias("sxy"),
         F.sum((y * y).cast("decimal(37,4)")).alias("syy"),
     )
-    tot = fs.agg(
-        F.sum("n").alias("tn"),
-        F.sum("sx").alias("tsx"),
-        F.sum("sy").alias("tsy"),
-        F.sum("sxx").alias("tsxx"),
-        F.sum("sxy").alias("tsxy"),
-        F.sum("syy").alias("tsyy"),
+    # Totals as unpartitioned window sums over the 5-row fold frame: the
+    # single-subtree formulation — a crossJoin with fs.agg(...) would make
+    # Catalyst duplicate the corpus scan (plan-gated to exactly one scan).
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    fs = fs.select(
+        "fold", "n", "sx", "sy", "sxx", "sxy", "syy",
+        F.sum("n").over(w_all).alias("tn"),
+        F.sum("sx").over(w_all).alias("tsx"),
+        F.sum("sy").over(w_all).alias("tsy"),
+        F.sum("sxx").over(w_all).alias("tsxx"),
+        F.sum("sxy").over(w_all).alias("tsxy"),
+        F.sum("syy").over(w_all).alias("tsyy"),
     )
-    d = fs.crossJoin(tot).select(
+    d = fs.select(
         "fold",
         F.col("n").cast("bigint").alias("n_test"),
         (F.col("tn") - F.col("n")).cast("bigint").alias("n_train"),

@@ -1647,3 +1647,26 @@ def test_geo_radius_join_is_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "cell_x" in plan and "cell_y" in plan
+
+
+def test_kfold_cv_is_single_scan(spark):
+    """eval_kfold_ols_oos trains and evaluates 5 models from ONE corpus
+    pass: the plan must contain exactly one lineitem FileScan (the 5-row
+    fold frame and its total re-aggregate reuse the same exchange)."""
+    plan = _plan(spark, "eval_kfold_ols_oos")
+    scans = [l for l in plan.splitlines() if "Scan parquet" in l]
+    assert len(scans) == 1, plan
+
+
+@pytest.mark.parametrize(
+    "name,max_scans",
+    [("dq_join_explosion_audit", 2), ("split_temporal_holdout", 1)],
+)
+def test_audit_queries_scan_each_fact_once(spark, name, max_scans):
+    """The DQ/split audits follow the single-subtree rule: each fact is
+    scanned exactly once (explosion audit: events + orders = 2 scans;
+    temporal holdout: events = 1).  A crossJoin-of-scalar-aggregates
+    formulation silently re-scans the corpus per output column."""
+    plan = _plan(spark, name)
+    scans = [l for l in plan.splitlines() if "Scan parquet" in l]
+    assert len(scans) == max_scans, plan
