@@ -60,13 +60,20 @@ from auron_spark.tables import Tables
     tags=("events", "funnel", "sequence"),
 )
 def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Strictly-ordered three-stage funnel with per-stage reach flags."""
+    """Strictly-ordered three-stage funnel with per-stage reach flags.
+
+    The per-stage user-grain frames v and c are localCheckpoint-ed: each
+    feeds both the next stage's filter and the final reach join, and
+    un-materialized the compiled plan re-derived the events scan 6x
+    (round-9 plan sweep).  Materialized, the plan pays exactly one
+    events scan per stage filter — the funnel's inherent minimum."""
     t = Tables(spark, sf_dir)
     ev = t.events.select("user_id", "event_type", "ts")
     v = (
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_view"))
+        .localCheckpoint(eager=False)
     )
     c = (
         ev.where(F.col("event_type") == "click")
@@ -77,6 +84,7 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_click"))
+        .localCheckpoint(eager=False)
     )
     p = (
         ev.where(F.col("event_type") == "purchase")
@@ -1014,7 +1022,11 @@ def events_markov_multistep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one lead() window exchange on user_id builds the
     transition stream (the proven transitions shape); everything after
-    lives at |states|^2 = 25-row grain."""
+    lives at |states|^2 = 25-row grain.  The matrix is localCheckpoint-ed
+    before the squarings: each squaring references it twice, so the
+    un-materialized plan re-derived the corpus window 2^3 = 8 times
+    (round-9 plan sweep) — materialized once, the squarings are pure
+    25-row joins."""
     from pyspark.sql import Window
 
     ev = Tables(spark, sf_dir).events
@@ -1031,7 +1043,7 @@ def events_markov_multistep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").cast("double")
             / F.sum("c").over(Window.partitionBy("f"))
         ).alias("p"),
-    )
+    ).localCheckpoint(eager=False)
     for _ in range(3):  # P -> P^2 -> P^4 -> P^8
         b = p.select(
             F.col("f").alias("bf"), F.col("t").alias("bt"), F.col("p").alias("bp")

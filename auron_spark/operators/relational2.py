@@ -18,7 +18,7 @@ and merges them into a single stage pipeline.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from auron_spark.exprs import SQL_DISC_PRICE, disc_price
@@ -404,9 +404,19 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear overall — the classic a-priori first pass, never a global
     cross join); per-part counts broadcast back onto the pair table and
     the final top-20 goes through TakeOrderedAndProject.  Lift divides
-    exact integers in doubles — bit-identical in DuckDB."""
+    exact integers in doubles — bit-identical in DuckDB.
+
+    The distinct basket table is localCheckpoint-ed: it feeds four
+    consumers (order count, per-part counts, both join legs), and
+    un-materialized each re-ran the distinct shuffle (round-9 plan
+    sweep).  Materializing stage-1 output is the standard a-priori
+    posture at scale."""
     li = Tables(spark, sf_dir).lineitem
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n_orders = items.agg(
         F.count_distinct("l_orderkey").alias("n")
     )
@@ -1161,39 +1171,42 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts (identical double input to ln in both engines, the
     feature_woe_iv contract); shares are exact integer ratios.
 
-    Scale shape: two conditional aggregates at category grain in one
-    fact scan's worth of work, a 1-row totals broadcast, arithmetic on k
-    category rows."""
+    Scale shape: ONE fact scan — both snapshots' counts are flag-sums of
+    the same groupBy(cat) (the single-subtree rule: the pre-r9 form built
+    base/cur/totals as four separate aggregates of orders, compiling to
+    four scans); totals are a window over the k-row category frame, so
+    nothing re-derives the corpus subtree."""
     o = Tables(spark, sf_dir).orders
-    base = (
-        o.where(F.year("o_orderdate") < 1997)
-        .groupBy(F.col("o_orderpriority").alias("cat"))
-        .agg(F.count("*").alias("nb_c"))
+    cats = (
+        o.groupBy(F.col("o_orderpriority").alias("cat"))
+        .agg(
+            F.sum(
+                F.when(F.year("o_orderdate") < 1997, 1).otherwise(0)
+            ).alias("nb_c"),
+            F.sum(
+                F.when(F.year("o_orderdate") >= 1997, 1).otherwise(0)
+            ).alias("nc_c"),
+        )
     )
-    cur = (
-        o.where(F.year("o_orderdate") >= 1997)
-        .groupBy(F.col("o_orderpriority").alias("cat"))
-        .agg(F.count("*").alias("nc_c"))
-    )
-    tot = base.agg(F.sum("nb_c").alias("nb")).join(
-        cur.agg(F.sum("nc_c").alias("nc"))
+    w = Window.partitionBy()
+    cats = (
+        cats.withColumn("nb", F.sum("nb_c").over(w))
+        .withColumn("nc", F.sum("nc_c").over(w))
+        # inner-join semantics of the oracle (cat present in BOTH windows),
+        # applied AFTER the totals so nb/nc cover every category
+        .where((F.col("nb_c") > 0) & (F.col("nc_c") > 0))
     )
     p_base = F.col("nb_c").cast("double") / F.col("nb")
     p_cur = F.col("nc_c").cast("double") / F.col("nc")
     ratio = (F.col("nc_c").cast("double") * F.col("nb")) / (
         F.col("nb_c").cast("double") * F.col("nc")
     )
-    return (
-        base.join(cur, "cat")
-        .join(F.broadcast(tot))
-        .select(
-            "cat",
-            F.round(p_base, 6).alias("p_base"),
-            F.round(p_cur, 6).alias("p_cur"),
-            F.round((p_cur - p_base) * F.log(ratio), 6).alias("psi_term"),
-        )
-        .orderBy("cat")
-    )
+    return cats.select(
+        "cat",
+        F.round(p_base, 6).alias("p_base"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round((p_cur - p_base) * F.log(ratio), 6).alias("psi_term"),
+    ).orderBy("cat")
 
 
 _BENFORD_EXPECTED = {
@@ -1334,8 +1347,11 @@ def dq_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark computes ALL columns' metrics in ONE scan + one aggregate
     (multi-count-distinct via Expand), then unpivots the 1-row result to
-    column-grain — vs the oracle's literal per-column scans; same exact
-    integers either way.
+    column-grain with a single `stack` — vs the oracle's literal
+    per-column scans; same exact integers either way.  (The pre-r9 form
+    unioned six selects of the same un-materialized aggregate, which
+    compiled to SIX scans of orders — the single-subtree rule, caught by
+    the round-9 plan sweep.)
 
     Scale shape: one corpus scan; the Expand for multi-distinct is the
     only fan-out (x columns, the standard cost of exact profiles); output
@@ -1354,19 +1370,22 @@ def dq_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(F.count(c).alias(f"nn_{c}"))
         aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
     one = o.agg(*aggs)
-    out = None
-    for c in cols:
-        row = one.select(
-            F.lit(c).alias("column_name"),
+    stack = "stack({}, {}) AS (column_name, nn, n_distinct)".format(
+        len(cols), ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in cols)
+    )
+    return (
+        one.select(F.col("n_rows"), F.expr(stack))
+        .select(
+            "column_name",
             F.col("n_rows").cast("bigint").alias("n_rows"),
-            (F.col("n_rows") - F.col(f"nn_{c}")).cast("bigint").alias("n_null"),
-            F.col(f"nd_{c}").cast("bigint").alias("n_distinct"),
-            F.round(
-                F.col(f"nn_{c}").cast("double") / F.col("n_rows"), 6
-            ).alias("fill_rate"),
+            (F.col("n_rows") - F.col("nn")).cast("bigint").alias("n_null"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+            F.round(F.col("nn").cast("double") / F.col("n_rows"), 6).alias(
+                "fill_rate"
+            ),
         )
-        out = row if out is None else out.unionAll(row)
-    return out.orderBy("column_name")
+        .orderBy("column_name")
+    )
 
 
 @query(
@@ -1893,29 +1912,25 @@ def dq_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard box-plot rule a DQ monitor alerts on when a load's
     outlier share jumps).
 
-    Scale shape: the unpivot is map-side (x3 row fan-out); exact
-    quartiles sort within 3 metric groups (the approx_percentile sketch
-    is the 100-TB swap, as documented on `agg_median_percentile`); the
-    fence pass is one more scan with a metric-grain broadcast join of the
-    3-row quartile table.
+    Scale shape: the unpivot is a map-side `stack` (x3 row fan-out inside
+    ONE scan — the pre-r9 union-of-three-selects compiled to three scans
+    per pass, six total; now two, and the remaining second pass is
+    inherent: exact quantiles need a full pass before any value can be
+    classified against the fences); exact quartiles sort within 3 metric
+    groups (the approx_percentile sketch is the 100-TB swap, as
+    documented on `agg_median_percentile`); the fence pass joins the
+    3-row quartile table broadcast.
 
     Exactness: quartile interpolation on 2-dp doubles is exact and
     definition-shared (Spark percentile == DuckDB quantile_cont); counts
     integer; rates 6-dp."""
     t = Tables(spark, sf_dir)
     li = t.lineitem
-    vals = (
-        li.select(F.lit("quantity").alias("metric"), F.col("l_quantity").alias("v"))
-        .unionAll(
-            li.select(
-                F.lit("extendedprice").alias("metric"),
-                F.col("l_extendedprice").alias("v"),
-            )
-        )
-        .unionAll(
-            li.select(
-                F.lit("discount").alias("metric"), F.col("l_discount").alias("v")
-            )
+    vals = li.select(
+        F.expr(
+            "stack(3, 'quantity', CAST(l_quantity AS DOUBLE), "
+            "'extendedprice', CAST(l_extendedprice AS DOUBLE), "
+            "'discount', CAST(l_discount AS DOUBLE)) AS (metric, v)"
         )
     )
     q = vals.groupBy("metric").agg(
@@ -2066,8 +2081,11 @@ def parts_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`pareto_revenue_share`) with the index form.
 
     Scale shape: one fact aggregate to (category, supplier) grain (exact
-    integer cents), category totals one re-aggregate of that, and the
-    HHI a share-grain rollup — every shuffle shrinks.
+    integer cents); category totals and supplier counts are a
+    category-partitioned window over that grain frame (single-subtree
+    rule — the pre-r9 groupBy-then-join-back re-derived the fact
+    aggregate, compiling to four scans of part), and the HHI a
+    share-grain rollup — every shuffle shrinks.
 
     Exactness: shares derive from exact integer cents; each squared-share
     term is 9-dp-rounded into DECIMAL before the order-insensitive sum
@@ -2088,16 +2106,15 @@ def parts_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev_cents")
         )
     )
-    tot = cat.groupBy("category").agg(
-        F.sum("rev_cents").alias("cat_cents"),
-        F.count("*").alias("n_suppliers"),
+    wc = Window.partitionBy("category")
+    cat = cat.withColumn("cat_cents", F.sum("rev_cents").over(wc)).withColumn(
+        "n_suppliers", F.count("*").over(wc)
     )
     share_sq = F.round(
         F.pow(10000.0 * F.col("rev_cents") / F.col("cat_cents"), 2) / 10000, 9
     ).cast("decimal(28,9)")
     return (
-        cat.join(tot, "category")
-        .groupBy("category", "cat_cents", "n_suppliers")
+        cat.groupBy("category", "cat_cents", "n_suppliers")
         .agg(
             F.round(F.sum(share_sq), 6).alias("hhi"),
             F.round(

@@ -440,12 +440,20 @@ _SQL_MONTHLY = """
 
 def _monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = Tables(spark, sf_dir).orders
-    return o.groupBy(
-        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mi")
-    ).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("rev")
+    return (
+        o.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mi")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+        # Materialize the collapsed series ONCE: ACF references it five
+        # times (mean / denom / a / b) and the backtest three; without the
+        # checkpoint each reference re-derived the corpus aggregate — five
+        # orders scans in one compiled plan (round-9 plan sweep).
+        .localCheckpoint(eager=False)
     )
 
 

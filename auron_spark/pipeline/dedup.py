@@ -1828,8 +1828,13 @@ def dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
     index state shrinks 64×."""
     t = Tables(spark, sf_dir)
     sh = _doc_shingles(t).cache()
-    sig = minhash_signature(sh)
-    cand = lsh_candidate_pairs(sig)
+    # sig is the per-doc signature index and cand the LSH candidate set —
+    # both referenced more than once below; un-materialized, the banding
+    # shuffle re-ran three times and the compiled plan re-derived the
+    # corpus subtree 10x (round-9 plan sweep).  In production both are the
+    # STORED dedup index, so materializing them here mirrors that posture.
+    sig = minhash_signature(sh).localCheckpoint(eager=False)
+    cand = lsh_candidate_pairs(sig).localCheckpoint(eager=False)
     bits = sig.select(
         "doc_id", *[(F.col(f"mh{s}") % 2).alias(f"bit{s}") for s in range(8)]
     )

@@ -700,34 +700,42 @@ def eval_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     in log space by a FRAME-ORDERED running sum — a sequential fold with
     identical addend order in both engines — then exp + round(6).
 
-    Scale shape: the fact collapses to customer grain, then to lifetime
-    grain (calendar-bounded: <= corpus-span months, ~80 rows — the
-    `timeseries_trend_decompose` contract), so the only unpartitioned
-    windows run over a bounded month-grain relation; everything below
-    them is partial/final aggregation."""
-    o = Tables(spark, sf_dir).orders
-    midx = F.year("o_orderdate") * 12 + F.month("o_orderdate")
-    idx = o.groupBy("o_custkey").agg(
-        F.min(midx).alias("first_m"), F.max(midx).alias("last_m")
-    )
-    mx = o.agg(F.max(midx).alias("corpus_m"))
-    life = idx.join(F.broadcast(mx)).select(
-        (F.col("last_m") - F.col("first_m")).alias("t"),
-        (F.col("corpus_m") - F.col("last_m") >= _CHURN_MONTHS)
-        .cast("int")
-        .alias("churned"),
-    )
-    tot = life.agg(F.count("*").alias("n"))
-    grain = life.groupBy("t").agg(
-        F.sum("churned").alias("d"), F.count("*").alias("c")
-    )
+    Scale shape: ONE fact scan — the corpus collapses to customer grain
+    and immediately to (lifetime, last-month) CELL grain (calendar-
+    bounded: <= span^2 cells, ~6400 rows — the
+    `timeseries_trend_decompose` contract); the corpus-end month is then
+    max(last_m) OVER the cell frame and the at-risk total a window sum
+    over the lifetime frame, so neither scalar re-derives the fact
+    subtree (the pre-r9 form built mx / tot / grain as separate
+    aggregates — four compiled scans, round-9 plan sweep).  The only
+    unpartitioned windows run over bounded month-grain relations."""
     from pyspark.sql import Window
 
+    o = Tables(spark, sf_dir).orders
+    midx = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    cells = (
+        o.groupBy("o_custkey")
+        .agg(F.min(midx).alias("first_m"), F.max(midx).alias("last_m"))
+        .groupBy(
+            (F.col("last_m") - F.col("first_m")).alias("t"), "last_m"
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    w0 = Window.partitionBy()
+    cells = cells.withColumn("corpus_m", F.max("last_m").over(w0))
+    churned_cell = (
+        F.col("corpus_m") - F.col("last_m") >= _CHURN_MONTHS
+    ).cast("int")
+    grain = cells.groupBy("t").agg(
+        F.sum(churned_cell * F.col("c")).alias("d"),
+        F.sum("c").alias("c"),
+    )
     w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = grain.withColumn("before", F.sum("c").over(w) - F.col("c"))
+    cum = grain.withColumn("before", F.sum("c").over(w) - F.col("c")).withColumn(
+        "n", F.sum("c").over(w0)
+    )
     km = (
-        cum.join(F.broadcast(tot))
-        .where(F.col("d") > 0)
+        cum.where(F.col("d") > 0)
         .withColumn("at_risk", F.col("n") - F.col("before"))
         .withColumn(
             "survival",
@@ -832,47 +840,51 @@ def eval_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     addend order in both engines — stronger than relying on SUM
     round-stability), with the final row selected by the total order.
 
-    Scale shape: customer-grain collapse -> calendar-bounded lifetime
-    grain (same contract as `eval_survival_km`); the verdict is one
-    bounded-window pass + a 1-row tail."""
+    Scale shape: ONE fact scan + the customer-dim join — the corpus
+    collapses to customer grain and immediately to (lifetime, last-month,
+    group) CELL grain (calendar-bounded, the `eval_survival_km`
+    single-subtree shape); corpus-end month and the at-risk totals come
+    from windows over that bounded frame, so no scalar re-derives the
+    fact subtree."""
+    from pyspark.sql import Window
+
     o = Tables(spark, sf_dir).orders
     cust = Tables(spark, sf_dir).customer
     midx = F.year("o_orderdate") * 12 + F.month("o_orderdate")
     idx = o.groupBy("o_custkey").agg(
         F.min(midx).alias("first_m"), F.max(midx).alias("last_m")
     )
-    mx = o.agg(F.max(midx).alias("corpus_m"))
-    life = (
+    cells = (
         idx.join(cust, idx["o_custkey"] == cust["c_custkey"])
-        .join(F.broadcast(mx))
-        .select(
-            (F.col("c_mktsegment") == "BUILDING").cast("int").alias("g"),
+        .groupBy(
             (F.col("last_m") - F.col("first_m")).alias("t"),
-            (F.col("corpus_m") - F.col("last_m") >= _CHURN_MONTHS)
-            .cast("int")
-            .alias("churned"),
+            "last_m",
+            (F.col("c_mktsegment") == "BUILDING").cast("int").alias("g"),
         )
+        .agg(F.count("*").alias("nc"))
     )
-    grain = life.groupBy("t").agg(
-        F.sum("churned").alias("d"),
-        F.count("*").alias("c"),
-        F.sum(F.when(F.col("g") == 1, F.col("churned")).otherwise(0)).alias("d1"),
-        F.sum("g").alias("c1"),
+    w0 = Window.partitionBy()
+    cells = cells.withColumn("corpus_m", F.max("last_m").over(w0))
+    churned_cell = (
+        F.col("corpus_m") - F.col("last_m") >= _CHURN_MONTHS
+    ).cast("int")
+    grain = cells.groupBy("t").agg(
+        F.sum(churned_cell * F.col("nc")).alias("d"),
+        F.sum("nc").alias("c"),
+        F.sum(churned_cell * F.col("g") * F.col("nc")).alias("d1"),
+        F.sum(F.col("g") * F.col("nc")).alias("c1"),
     )
-    tot = life.agg(
-        F.count("*").alias("n"), F.sum("g").alias("n1tot")
-    )
-    from pyspark.sql import Window
-
     w = Window.orderBy("t").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = grain.withColumn("before", F.sum("c").over(w) - F.col("c")).withColumn(
-        "before1", F.sum("c1").over(w) - F.col("c1")
+    cum = (
+        grain.withColumn("before", F.sum("c").over(w) - F.col("c"))
+        .withColumn("before1", F.sum("c1").over(w) - F.col("c1"))
+        .withColumn("n", F.sum("c").over(w0))
+        .withColumn("n1tot", F.sum("c1").over(w0))
     )
     terms = (
-        cum.join(F.broadcast(tot))
-        .where((F.col("d") > 0) & (F.col("n") - F.col("before") > 1))
+        cum.where((F.col("d") > 0) & (F.col("n") - F.col("before") > 1))
         .select(
             "t",
             "d",

@@ -73,9 +73,15 @@ def rec_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the pair join co-locates on l_orderkey (basket-bounded
     fan-out, the `market_basket_pairs` contract); item frequencies are
     catalog-grain and broadcast into the pair relation; the final ranking
-    is TakeOrderedAndProject, never a global sort."""
+    is TakeOrderedAndProject, never a global sort.  The distinct basket
+    table is materialized once — four consumers otherwise re-run the
+    distinct shuffle (the `market_basket_pairs` note)."""
     li = Tables(spark, sf_dir).lineitem
-    op = li.select("l_orderkey", "l_partkey").dropDuplicates()
+    op = (
+        li.select("l_orderkey", "l_partkey")
+        .dropDuplicates()
+        .localCheckpoint(eager=False)
+    )
     n_orders = op.agg(F.countDistinct("l_orderkey").alias("n"))
     item = op.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
     b = op.select(
@@ -207,9 +213,20 @@ def rec_user_item_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: similarity contributions are 9-dp-rounded into DECIMAL
     before the (order-insensitive) sum; ranking orders by the rounded
-    score with a part tiebreak."""
+    score with a part tiebreak.
+
+    Single-subtree note (round-9 plan sweep): `op` is referenced three
+    times, `half` twice (the symmetric union) and `hist` three times —
+    un-materialized, the compiled plan re-derived the basket scan 16x.
+    Each is localCheckpoint-ed once; in production the sims table is a
+    prebuilt artifact (the `sim_ivfpq_serve` train-once posture) and
+    serving pays only the probe joins."""
     t = Tables(spark, sf_dir)
-    op = t.lineitem.select("l_orderkey", "l_partkey").dropDuplicates()
+    op = (
+        t.lineitem.select("l_orderkey", "l_partkey")
+        .dropDuplicates()
+        .localCheckpoint(eager=False)
+    )
     item = op.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
     b = op.select(
         F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("part_b")
@@ -237,6 +254,7 @@ def rec_user_item_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sqrt(F.col("n_a") * F.col("n_b").cast("double"))
             ).alias("cos"),
         )
+        .localCheckpoint(eager=False)
     )
     sims = half.select(
         F.col("part_a").alias("i"), F.col("part_b").alias("j"), "cos"
@@ -251,6 +269,7 @@ def rec_user_item_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("j"))
         .dropDuplicates()
+        .localCheckpoint(eager=False)
     )
     probes = (
         hist.groupBy("u")

@@ -565,6 +565,11 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("score"),
         )
+        # The scored pool feeds BOTH rank passes (DCG and IDCG) —
+        # un-materialized, each pass re-derived the corpus tokenization
+        # (8 scans compiled, round-9 plan sweep); materialized it is
+        # |probe terms| x postings, eval-pool-sized.
+        .localCheckpoint(eager=False)
     )
     gain = (F.pow(F.lit(2.0), F.least(F.col("tf"), F.lit(10))) - 1)
     w_rank = Window.partitionBy("term").orderBy(F.desc("score"), "doc_id")
@@ -702,6 +707,9 @@ def retrieval_eval_map_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("score"),
         )
+        # Referenced by pool AND top — materialized once (see
+        # retrieval_eval_ndcg's note; same 8-scan compile otherwise).
+        .localCheckpoint(eager=False)
     )
     pool = scored.groupBy("term").agg(F.sum("rel").alias("n_rel_pool"))
     w_rank = Window.partitionBy("term").orderBy(F.desc("score"), "doc_id")

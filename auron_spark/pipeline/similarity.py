@@ -3414,11 +3414,15 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the corpus-sized work is exactly one brute-force scoring
     pass against ONE query vector (TakeOrdered top-12, the
-    `sim_knn_bruteforce` shape); the greedy loop then runs entirely on
-    the constant-size pool (pairwise sims = 12x12),
-    so iteration cost is independent of corpus size.  Fixed k keeps the
-    DuckDB oracle expressible as chained CTE rounds (the
-    `graph_kcore_peel` contract).
+    `sim_knn_bruteforce` shape); the pool and its 12x12 pairwise-sim
+    table are then eagerly localCheckpoint-ed, so the greedy loop builds
+    on two constant-size in-memory relations.  Without the checkpoint the
+    loop NESTS the un-materialized pool plan into every round's
+    left-anti/join/argmax — the compiled plan referenced the embeddings
+    parquet scan 402 times (round-9 plan sweep); with it the corpus is
+    scanned exactly once, and iteration cost is independent of corpus
+    size.  Fixed k keeps the DuckDB oracle expressible as chained CTE
+    rounds (the `graph_kcore_peel` contract).
 
     Exactness: relevance and pairwise sims are the same double cosine
     tree both engines; every argmax orders by the 9-dp-rounded score
@@ -3439,6 +3443,8 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding", rel.alias("rel"))
         .orderBy(F.desc(F.round("rel", 9)), "vec_id")
         .limit(_MMR_POOL)
+        .localCheckpoint(eager=True)  # 12 rows — truncate lineage so the
+        # greedy rounds never re-derive (and re-scan) the corpus pool.
     )
     a = cand.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
     b = cand.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
@@ -3447,7 +3453,9 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.crossJoin(b)
         .where(F.col("a") != F.col("b"))
         .select("a", "b", sim.alias("sim"))
+        .localCheckpoint(eager=True)  # 132 rows, reused by every round
     )
+    cand = cand.drop("embedding")
     pick = (
         cand.orderBy(F.desc(F.round("rel", 9)), "vec_id")
         .limit(1)
