@@ -1670,3 +1670,42 @@ def test_audit_queries_scan_each_fact_once(spark, name, max_scans):
     plan = _plan(spark, name)
     scans = [l for l in plan.splitlines() if "Scan parquet" in l]
     assert len(scans) == max_scans, plan
+
+
+@pytest.mark.parametrize(
+    "name,n_scans",
+    [
+        # 0 = every reused frame is localCheckpoint-ed, so the compiled
+        # plan references only in-memory relations (the corpus scan runs
+        # exactly once, inside the checkpointed lineage).  Non-zero counts
+        # are the query's inherent pass structure: IQR pays the exact-
+        # quantile pass + the fence pass; HHI scans lineitem + part once
+        # each; the funnel's remaining scan is the purchase-stage filter;
+        # log-rank scans orders + customer once each.
+        ("sim_mmr_diversify", 0),  # was 402 before the round-9 sweep
+        ("events_markov_multistep", 0),  # was 2^3 = 8
+        ("rec_user_item_serve", 0),  # was 16
+        ("retrieval_eval_ndcg", 0),  # was 8
+        ("retrieval_eval_map_mrr", 0),  # was 8
+        ("market_basket_pairs", 0),  # was 4
+        ("rec_item_cooccurrence", 0),  # was 4
+        ("timeseries_acf", 0),  # was 5
+        ("timeseries_snaive_backtest", 0),  # was 3
+        ("dq_completeness_profile", 1),  # was 6
+        ("dq_psi_drift", 1),  # was 4
+        ("eval_survival_km", 1),  # was 4
+        ("funnel_view_click_purchase", 1),  # was 6
+        ("dq_iqr_outliers", 2),  # was 6
+        ("parts_supplier_hhi", 2),  # was 4
+        ("eval_survival_logrank", 2),  # was 6
+    ],
+)
+def test_single_subtree_scan_counts(spark, name, n_scans):
+    """Round-9 plan-sweep regressions stay fixed: queries that re-derived
+    a shared subtree (greedy loops nesting the un-materialized pool,
+    unions of per-column aggregates, scalar totals re-aggregating the
+    corpus) now compile to exactly their inherent number of parquet
+    scans."""
+    plan = _plan(spark, name)
+    scans = [l for l in plan.splitlines() if "Scan parquet" in l]
+    assert len(scans) == n_scans, f"{name}: {len(scans)} scans\n{plan}"
