@@ -2200,3 +2200,100 @@ def events_engagement_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("top_decile_x").cast("double") / F.col("sx"), 6
         ).alias("top_decile_share"),
     )
+
+
+_SNAP_CUT1 = "1997-07-01"
+_SNAP_CUT2 = "1998-01-01"
+
+
+@query(
+    "dq_snapshot_reconcile",
+    oracle=f"""
+    WITH st AS (
+        SELECT l_orderkey,
+               SUM(CASE WHEN l_shipdate < DATE '{_SNAP_CUT1}'
+                        THEN 1 ELSE 0 END) AS ship_a,
+               SUM(CASE WHEN l_shipdate < DATE '{_SNAP_CUT2}'
+                        THEN 1 ELSE 0 END) AS ship_b
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    classed AS (
+        SELECT CASE
+                 WHEN o.o_orderdate >= DATE '{_SNAP_CUT1}' THEN 'added'
+                 WHEN COALESCE(s.ship_a, 0) <> COALESCE(s.ship_b, 0)
+                     THEN 'changed'
+                 ELSE 'unchanged'
+               END AS diff_class,
+               COALESCE(s.ship_a, 0) AS ship_a,
+               COALESCE(s.ship_b, 0) AS ship_b
+        FROM orders o LEFT JOIN st s ON s.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate < DATE '{_SNAP_CUT2}'
+    )
+    SELECT diff_class,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(ship_b - ship_a) AS BIGINT) AS shipped_delta
+    FROM classed
+    GROUP BY diff_class
+    ORDER BY diff_class
+    """,
+    tags=("dq", "reconciliation", "snapshot-diff"),
+)
+def dq_snapshot_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation between two as-of cuts of the order book
+    (1997-07-01 vs 1998-01-01): every order in the later snapshot is
+    classed as ADDED (absent from the earlier cut), CHANGED (its
+    shipped-lineitem state advanced between cuts) or UNCHANGED, with the
+    total shipped-count delta per class — the load-to-load diff a
+    warehouse reconciliation job publishes after every batch (row counts
+    alone miss in-place state drift; this catches both).
+
+    Scale shape: ONE scan per fact — both snapshots' per-order states
+    are flag-sums of the same lineitem aggregate (the `dq_psi_drift`
+    single-subtree device), joined once to the order filter; output is
+    3 rows.  At 100 TB the join is key-colocated (both sides hash on
+    orderkey) and everything before it is partial-aggregatable.
+
+    Exactness: all counts exact integers; classification is pure flag
+    logic."""
+    t = Tables(spark, sf_dir)
+    st = t.lineitem.groupBy("l_orderkey").agg(
+        F.sum(
+            F.when(F.col("l_shipdate") < F.lit(_SNAP_CUT1).cast("date"), 1)
+            .otherwise(0)
+        ).alias("ship_a"),
+        F.sum(
+            F.when(F.col("l_shipdate") < F.lit(_SNAP_CUT2).cast("date"), 1)
+            .otherwise(0)
+        ).alias("ship_b"),
+    )
+    classed = (
+        t.orders.where(
+            F.col("o_orderdate") < F.lit(_SNAP_CUT2).cast("date")
+        )
+        .join(st, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .select(
+            F.when(
+                F.col("o_orderdate") >= F.lit(_SNAP_CUT1).cast("date"),
+                F.lit("added"),
+            )
+            .when(
+                F.coalesce("ship_a", F.lit(0))
+                != F.coalesce("ship_b", F.lit(0)),
+                F.lit("changed"),
+            )
+            .otherwise(F.lit("unchanged"))
+            .alias("diff_class"),
+            F.coalesce("ship_a", F.lit(0)).alias("ship_a"),
+            F.coalesce("ship_b", F.lit(0)).alias("ship_b"),
+        )
+    )
+    return (
+        classed.groupBy("diff_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("ship_b") - F.col("ship_a"))
+            .cast("bigint")
+            .alias("shipped_delta"),
+        )
+        .orderBy("diff_class")
+    )

@@ -976,3 +976,122 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exp_, 6).alias("expected"),
         F.round((F.col("n") - exp_) / F.sqrt(exp_), 6).alias("pearson_resid"),
     ).orderBy("dow", "hour")
+
+
+@query(
+    "stats_theil_sen_trend",
+    oracle="""
+    WITH s AS (
+        SELECT n_name,
+               EXTRACT(year FROM o_orderdate) * 12
+               + EXTRACT(month FROM o_orderdate) AS mi,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS rev
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        GROUP BY n_name, mi
+    ),
+    slopes AS (
+        SELECT a.n_name,
+               (b.rev - a.rev) / (b.mi - a.mi) AS slope
+        FROM s a JOIN s b ON b.n_name = a.n_name AND b.mi > a.mi
+    ),
+    sl AS (
+        SELECT n_name, COUNT(*) AS n_pairs, median(slope) AS ts_slope
+        FROM slopes GROUP BY n_name
+    ),
+    ic AS (
+        SELECT s.n_name, COUNT(*) AS n_months,
+               median(s.rev - sl.ts_slope * s.mi) AS ts_intercept
+        FROM s JOIN sl ON sl.n_name = s.n_name
+        GROUP BY s.n_name
+    )
+    SELECT sl.n_name AS nation,
+           CAST(ic.n_months AS BIGINT) AS n_months,
+           CAST(sl.n_pairs AS BIGINT) AS n_pairs,
+           ROUND(sl.ts_slope, 6) AS ts_slope,
+           ROUND(ic.ts_intercept, 6) AS ts_intercept
+    FROM sl JOIN ic ON ic.n_name = sl.n_name
+    ORDER BY nation
+    """,
+    tags=("timeseries", "robust-stats", "regression"),
+)
+def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per nation: the MEDIAN of all pairwise
+    slopes of the monthly-revenue series (and the median-residual
+    intercept) — the regression that shrugs off the outlier months that
+    corrupt the OLS line (`eval_kfold_ols_oos`'s estimator); 29.3%
+    breakdown point vs OLS's zero.
+
+    Scale shape: the corpus collapses to (nation, month) grain in one
+    fact scan (calendar-bounded: |nations| x span months, ~2000 rows —
+    checkpointed once, the `_monthly` single-subtree device); the
+    pairwise-slope fan-out is quadratic ONLY in the bounded series
+    length (~80 months -> ~3000 pairs per nation), co-located by the
+    nation equi-join; medians sort within nation groups.
+
+    Exactness: revenues are exact DECIMAL month sums as doubles; each
+    slope is one double division of identical inputs; median matches
+    DuckDB's quantile_cont(0.5) interpolation (the `dq_iqr_outliers`
+    percentile contract); outputs round at 6dp."""
+    t = Tables(spark, sf_dir)
+    s = (
+        t.orders.join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mi"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+        .localCheckpoint(eager=False)
+    )
+    b = s.select(
+        F.col("n_name").alias("nb"),
+        F.col("mi").alias("mi_b"),
+        F.col("rev").alias("rev_b"),
+    )
+    sl = (
+        s.join(b, (F.col("nb") == F.col("n_name")) & (F.col("mi_b") > F.col("mi")))
+        .select(
+            "n_name",
+            (
+                (F.col("rev_b") - F.col("rev"))
+                / (F.col("mi_b") - F.col("mi"))
+            ).alias("slope"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.expr("median(slope)").alias("ts_slope"),
+        )
+    )
+    ic = (
+        s.join(F.broadcast(sl), "n_name")
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_months"),
+            F.expr("median(rev - ts_slope * mi)").alias("ts_intercept"),
+        )
+    )
+    return (
+        sl.join(ic, "n_name")
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n_months").cast("bigint").alias("n_months"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.round("ts_slope", 6).alias("ts_slope"),
+            F.round("ts_intercept", 6).alias("ts_intercept"),
+        )
+        .orderBy("nation")
+    )
