@@ -2297,3 +2297,95 @@ def dq_snapshot_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("diff_class")
     )
+
+
+_TRI_MIN_SUPPORT = 2
+
+
+@query(
+    "market_basket_triples",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    tri AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, c.l_partkey AS pc,
+               COUNT(*) AS n_baskets
+        FROM op a
+        JOIN op b ON b.l_orderkey = a.l_orderkey
+                 AND b.l_partkey > a.l_partkey
+        JOIN op c ON c.l_orderkey = a.l_orderkey
+                 AND c.l_partkey > b.l_partkey
+        GROUP BY pa, pb, pc
+        HAVING COUNT(*) >= {_TRI_MIN_SUPPORT}
+    )
+    SELECT pa, pb, pc, CAST(n_baskets AS BIGINT) AS n_baskets
+    FROM tri
+    ORDER BY n_baskets DESC, pa, pb, pc
+    """,
+    tags=("agg", "market-basket", "apriori"),
+)
+def market_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets (a-priori level 3): part triples bought
+    together in >= 2 baskets — the next candidate-generation level above
+    `market_basket_pairs`, and the step where a-priori's anti-monotone
+    pruning starts to matter: a triple can only be frequent if ALL THREE
+    of its sub-pairs are, so the Spark side semi-joins each pair leg
+    against the frequent-pair set BEFORE the triple count.  The DuckDB
+    oracle counts triples UNPRUNED and applies only the final support
+    filter — the hash match is therefore a machine-checked proof that the
+    pruning is lossless, the `geo_radius_join` proof device applied to
+    a-priori.
+
+    Scale shape: the basket table materializes once (the
+    `market_basket_pairs` note); pair and triple joins co-locate on
+    l_orderkey with basket-bounded fan-out (~items-per-order choose 3);
+    the frequent-pair set is model-sized and broadcast into the three
+    semi-joins, so at 100 TB the triple stage only enumerates candidates
+    whose every sub-pair already survived level 2.
+
+    Exactness: all counts are exact integers; output ends in the
+    (pa, pb, pc) total order."""
+    li = Tables(spark, sf_dir).lineitem
+    op = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    c = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pc"))
+    fp = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_pair"))
+        .where(F.col("n_pair") >= _TRI_MIN_SUPPORT)
+        .select("pa", "pb")
+        .localCheckpoint(eager=False)
+    )
+    cand = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .join(c, "ok")
+        .where(F.col("pc") > F.col("pb"))
+        # anti-monotone pruning: every sub-pair must be level-2 frequent
+        .join(F.broadcast(fp), ["pa", "pb"], "left_semi")
+        .join(
+            F.broadcast(fp.select(F.col("pa").alias("pb"), F.col("pb").alias("pc"))),
+            ["pb", "pc"],
+            "left_semi",
+        )
+        .join(
+            F.broadcast(fp.select("pa", F.col("pb").alias("pc"))),
+            ["pa", "pc"],
+            "left_semi",
+        )
+    )
+    return (
+        cand.groupBy("pa", "pb", "pc")
+        .agg(F.count("*").alias("n_baskets"))
+        .where(F.col("n_baskets") >= _TRI_MIN_SUPPORT)
+        .select(
+            "pa", "pb", "pc", F.col("n_baskets").cast("bigint").alias("n_baskets")
+        )
+        .orderBy(F.desc("n_baskets"), "pa", "pb", "pc")
+    )

@@ -1095,3 +1095,100 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@query(
+    "events_seasonal_anomaly",
+    oracle="""
+    WITH cells AS (
+        SELECT dayofweek(ts) AS dow, EXTRACT(hour FROM ts) AS hour,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))
+                        * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sq
+        FROM events GROUP BY 1, 2
+    ),
+    mom AS (
+        SELECT dow, hour, n,
+               s / n AS mu,
+               sqrt(sq / n - (s / n) * (s / n)) AS sigma
+        FROM cells
+    )
+    SELECT CAST(m.dow AS INT) AS dow, CAST(m.hour AS INT) AS hour,
+           CAST(m.n AS BIGINT) AS n,
+           ROUND(m.mu, 6) AS cell_mean,
+           ROUND(m.sigma, 6) AS cell_std,
+           CAST(COUNT(*) FILTER (
+               WHERE abs(e.value - m.mu) > 3 * m.sigma) AS BIGINT)
+               AS n_anomalies
+    FROM events e
+    JOIN mom m ON m.dow = dayofweek(e.ts)
+              AND m.hour = EXTRACT(hour FROM e.ts)
+    GROUP BY m.dow, m.hour, m.n, m.mu, m.sigma
+    ORDER BY dow, hour
+    """,
+    tags=("timeseries", "anomaly", "seasonality"),
+)
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly counts: each event's value is judged
+    against ITS OWN (day-of-week x hour) cell's mean/std baseline, and
+    the 3-sigma exceedances are reported per cell — the anomaly monitor
+    that doesn't page on every Monday-morning surge (a raw z-score
+    baseline flags weekly structure as anomalies; `anomaly_mad_events`
+    is the robust-global variant, this is the seasonal one, baselined on
+    the `events_dow_hour_heatmap` grid).
+
+    Scale shape: TWO corpus scans, both inherent (moments cannot be known
+    before the pass that classifies against them — the `dq_iqr_outliers`
+    contract): one (dow, hour) aggregate to <= 168 cells, one classify
+    pass with the cell frame broadcast back.
+
+    Exactness: power sums go through exact DECIMAL (2-dp fixture doubles,
+    lossless cast — the `eval_welch_ttest` device), so mean/std are
+    identical doubles in both engines; anomaly counts are exact
+    integers."""
+    t = Tables(spark, sf_dir)
+    xd = F.col("value").cast("decimal(12,2)")
+    cells = t.events.groupBy(
+        (F.dayofweek("ts") - 1).alias("dow"), F.hour("ts").alias("hour")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(xd).cast("double").alias("s"),
+        F.sum(xd * xd).cast("double").alias("sq"),
+    )
+    mu = F.col("s") / F.col("n")
+    mom = cells.select(
+        "dow",
+        "hour",
+        "n",
+        mu.alias("mu"),
+        F.sqrt(F.col("sq") / F.col("n") - mu * mu).alias("sigma"),
+    )
+    return (
+        t.events.select(
+            (F.dayofweek("ts") - 1).alias("dow"),
+            F.hour("ts").alias("hour"),
+            "value",
+        )
+        .join(F.broadcast(mom), ["dow", "hour"])
+        .groupBy("dow", "hour", "n", "mu", "sigma")
+        .agg(
+            F.count(
+                F.when(
+                    F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma"),
+                    1,
+                )
+            )
+            .cast("bigint")
+            .alias("n_anomalies")
+        )
+        .select(
+            F.col("dow").cast("int").alias("dow"),
+            F.col("hour").cast("int").alias("hour"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round("mu", 6).alias("cell_mean"),
+            F.round("sigma", 6).alias("cell_std"),
+            "n_anomalies",
+        )
+        .orderBy("dow", "hour")
+    )
