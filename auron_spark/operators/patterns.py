@@ -194,3 +194,63 @@ def sql_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY om
         """
     )
+
+
+@query(
+    "sql_group_order_by_all",
+    oracle="""
+    SELECT yr, priority, n_orders, revenue,
+           revenue / n_orders AS raw_avg,
+           ROUND(raw_avg, 6) AS avg_revenue
+    FROM (
+        SELECT EXTRACT(year FROM o_orderdate) AS yr,
+               o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders
+        GROUP BY ALL
+    )
+    ORDER BY ALL
+    """,
+    tags=("sql", "surface", "group-by-all", "lateral-alias"),
+)
+def sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern SQL sugar surface — GROUP BY ALL (group by every
+    non-aggregate select item), ORDER BY ALL (deterministic total order
+    over the full select list), and a LATERAL COLUMN ALIAS chain
+    (`avg_revenue` references `raw_avg`, itself defined from `revenue` /
+    `n_orders` in the SAME select, SPARK-27561) — in one statement, run
+    through `spark.sql` over the registered views.  DuckDB implements
+    all three with identical semantics, so the oracle is the SAME
+    statement text: the surface itself is what's under test.  (The
+    lateral alias lives in the outer block: Spark 4.1 still rejects
+    lateral references combined with GROUP BY ALL in one block —
+    UNSUPPORTED_FEATURE.LATERAL_COLUMN_ALIAS_IN_GROUP_BY — the split is
+    the documented workaround.)
+
+    Beyond the reference: its SQL surface is whatever vanilla Spark
+    parses (the extension replaces physical operators, not the parser);
+    this pins the Spark-4 sugar working end-to-end over our tables.
+
+    Scale shape / exactness: one scan, one hash aggregate at
+    (year, priority) grain (~35 cells); DECIMAL revenue, 6-dp division
+    of exact inputs."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT yr, priority, n_orders, revenue,
+               revenue / n_orders AS raw_avg,
+               ROUND(raw_avg, 6) AS avg_revenue
+        FROM (
+            SELECT year(o_orderdate) AS yr,
+                   o_orderpriority AS priority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS revenue
+            FROM orders
+            GROUP BY ALL
+        )
+        ORDER BY ALL
+        """
+    )

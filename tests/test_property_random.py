@@ -814,3 +814,87 @@ def test_mmr_matches_numpy_greedy(spark):
         for r in got.itertuples()
     ]
     assert have == want
+
+
+def _gen_expr(rng, depth: int) -> str:
+    """Random scalar expression tree over lineitem numerics.  Every leaf
+    casts to DOUBLE first so no decimal precision/scale inference rules
+    cross engines (IEEE double arithmetic is bit-identical); division is
+    NULLIF-guarded."""
+    leaves = [
+        "CAST(l_quantity AS DOUBLE)",
+        "CAST(l_extendedprice AS DOUBLE)",
+        "CAST(l_discount AS DOUBLE)",
+        "CAST(l_tax AS DOUBLE)",
+        "CAST(l_linenumber AS DOUBLE)",
+    ]
+    if depth == 0 or rng.random() < 0.25:
+        if rng.random() < 0.2:
+            return str(rng.randint(1, 9))
+        return rng.choice(leaves)
+    a = _gen_expr(rng, depth - 1)
+    b = _gen_expr(rng, depth - 1)
+    op = rng.choice(
+        ["add", "sub", "mul", "div", "greatest", "least", "abs", "case"]
+    )
+    if op == "add":
+        return f"({a} + {b})"
+    if op == "sub":
+        return f"({a} - {b})"
+    if op == "mul":
+        return f"({a} * {b})"
+    if op == "div":
+        return f"({a} / NULLIF({b}, 0.0))"
+    if op == "greatest":
+        return f"GREATEST({a}, {b})"
+    if op == "least":
+        return f"LEAST({a}, {b})"
+    if op == "abs":
+        return f"ABS({a})"
+    return f"(CASE WHEN {a} > {b} THEN {a} ELSE COALESCE({b}, 0.0) END)"
+
+
+def _gen_expr_sql(seed: int) -> str:
+    """SQLancer-style differential expression shape: a random depth-3
+    scalar tree evaluated ROW-WISE on a deterministic slice, plus its
+    decimal-contained per-group sum — one statement exercises the scalar
+    surface (arith / comparison / conditional / null propagation) far
+    more densely than the hand-written per-function oracles."""
+    import random
+
+    rng = random.Random(7_000_000 + seed)
+    expr = _gen_expr(rng, 3)
+    return f"""
+    WITH rows_slice AS (
+        SELECT l_orderkey, l_linenumber, l_returnflag,
+               ROUND({expr}, 6) AS v
+        FROM {{t}}
+        WHERE l_orderkey % 7 = 0
+    ),
+    per_row AS (
+        SELECT l_orderkey, l_linenumber, v
+        FROM rows_slice
+        ORDER BY l_orderkey, l_linenumber LIMIT 300
+    ),
+    per_group AS (
+        SELECT l_returnflag AS k,
+               CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) AS sv,
+               CAST(COUNT(v) AS BIGINT) AS nv
+        FROM rows_slice GROUP BY l_returnflag
+    )
+    SELECT CAST(l_orderkey AS BIGINT) AS a, CAST(l_linenumber AS BIGINT) AS b,
+           v, NULL AS sv, NULL AS nv
+    FROM per_row
+    UNION ALL
+    SELECT NULL, NULL, NULL, sv, nv FROM per_group
+    ORDER BY a NULLS LAST, b, sv
+    """
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_random_scalar_expressions(spark, duck2, seed):
+    sql = _gen_expr_sql(seed)
+    table(spark, SF_SMOKE, "lineitem").createOrReplaceTempView("li_expr")
+    got = normalize(spark.sql(sql.format(t="li_expr")).toPandas())
+    want = normalize(duck2.execute(sql.format(t="lineitem")).df())
+    assert got == want, f"seed={seed}\n{sql}"
