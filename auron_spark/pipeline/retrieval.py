@@ -751,3 +751,169 @@ def retrieval_eval_map_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+# --- persisted inverted-index serve path (train-once/serve-many, text leg) --
+
+from auron_spark.artifacts import (  # noqa: E402
+    ORACLE_SF_DIR as _ORACLE_SF_DIR,
+    artifact_dir as _artifact_dir,
+    ensure_artifact as _ensure_artifact,
+)
+
+
+def bm25_index_dir(sf_dir: str) -> str:
+    return _artifact_dir("bm25", sf_dir)
+
+
+def build_bm25_index(
+    spark: SparkSession, sf_dir: str, force: bool = False,
+    out_dir: str | None = None,
+) -> str:
+    """Build and persist the BM25 inverted index as parquet artifacts —
+    the text-leg twin of `build_ivfpq_index`:
+
+    - ``postings/tb=*/`` (term, doc_id, tf) — partitioned by the term's
+      first letter, so a probe-term scan PRUNES to its letter directories
+      (the cid-partitioned-codes layout applied to an inverted index; a
+      production index partitions by term hash bucket);
+    - ``doclen/`` (doc_id, dl) — the length normalizer;
+    - ``vocab/``  (term, df)  — document frequencies;
+    - ``stats/``  (n_docs, avgdl) — one row.
+
+    Idempotent + concurrency-safe via `artifacts.ensure_artifact` (atomic
+    temp-dir rename; the `_INDEX_COMPLETE` marker is the publish bit)."""
+    d = out_dir or bm25_index_dir(sf_dir)
+
+    def _build(into: str) -> None:
+        t = Tables(spark, sf_dir)
+        tf = _tf(t.documents).localCheckpoint(eager=False)
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        (
+            tf.withColumn("tb", F.substring("term", 1, 1))
+            .repartition(1)
+            .write.mode("overwrite")
+            .partitionBy("tb")
+            .parquet(f"{into}/postings")
+        )
+        dl.coalesce(1).write.mode("overwrite").parquet(f"{into}/doclen")
+        (
+            tf.groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{into}/vocab")
+        )
+        (
+            dl.agg(
+                F.count("*").alias("n_docs"),
+                (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{into}/stats")
+        )
+
+    return _ensure_artifact(d, "_INDEX_COMPLETE", _build, force=force)
+
+
+_BM25_ART = bm25_index_dir(_ORACLE_SF_DIR)
+
+
+@query(
+    "retrieval_bm25_serve",
+    oracle=f"""
+    WITH tf AS (
+        SELECT term, doc_id, tf
+        FROM read_parquet('{_BM25_ART}/postings/*/*.parquet',
+                          hive_partitioning = true)
+        WHERE term IN {BM25_TERMS!r}
+    ),
+    dl AS (SELECT doc_id, dl FROM read_parquet('{_BM25_ART}/doclen/*.parquet')),
+    df AS (SELECT term, df FROM read_parquet('{_BM25_ART}/vocab/*.parquet')),
+    stats AS (
+        SELECT n_docs, avgdl FROM read_parquet('{_BM25_ART}/stats/*.parquet')
+    ),
+    scored AS (
+        SELECT tf.term, tf.doc_id,
+               ((stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * ((tf.tf * {BM25_K1 + 1.0}) /
+                  (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl.dl / stats.avgdl)))
+                   AS score
+        FROM tf
+        JOIN dl USING (doc_id)
+        JOIN df USING (term)
+        CROSS JOIN stats
+    )
+    SELECT term, doc_id, ROUND(score, 6) AS bm25, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT term, doc_id, score,
+               row_number() OVER (PARTITION BY term
+                                  ORDER BY score DESC, doc_id) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+    ORDER BY term, rk
+    """,
+    tags=("pipeline", "retrieval", "bm25", "serving"),
+)
+def retrieval_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 per probe term served from the PERSISTED inverted
+    index (`build_bm25_index` artifacts) instead of re-tokenizing the
+    corpus — the text-retrieval twin of `sim_ivfpq_serve`, completing the
+    train-once/serve-many split for the hybrid (BM25 + ANN) stack: both
+    legs of `retrieval_rrf_fusion` now have an honest per-batch serving
+    cost.  Output is defined to equal `bm25_single_term` exactly (same
+    score tree over the same statistics, now read from parquet).
+
+    Scale shape: the probe-term filter lands on the letter-partitioned
+    postings layout, so a query batch touches |distinct first letters|
+    directories, not the index (partition pruning on an inverted index);
+    doclen joins key-colocated on doc_id; vocab slice and the 1-row
+    stats broadcast.  NO tokenization, NO corpus aggregate at serve time
+    — the plan gate pins both.
+
+    Exactness: the artifact stores exact integer tf/df/dl and the
+    identical double avgdl both engines read back; the score is the same
+    log-free double tree as `bm25_single_term`."""
+    from pyspark.sql import Window
+
+    d = build_bm25_index(spark, sf_dir)
+    tf = (
+        spark.read.parquet(f"{d}/postings")
+        .where(
+            F.col("tb").isin(*sorted({t[0] for t in BM25_TERMS}))
+            & F.col("term").isin(*BM25_TERMS)
+        )
+        .select("term", "doc_id", "tf")
+    )
+    dl = spark.read.parquet(f"{d}/doclen")
+    dfv = spark.read.parquet(f"{d}/vocab")
+    stats = spark.read.parquet(f"{d}/stats")
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfv), "term")
+        .join(F.broadcast(stats))
+        .select(
+            "term",
+            "doc_id",
+            _bm25_score(
+                F.col("tf").cast("double"),
+                F.col("df").cast("double"),
+                F.col("n_docs").cast("double"),
+                F.col("dl").cast("double"),
+                F.col("avgdl"),
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select(
+            "term",
+            "doc_id",
+            F.round("score", 6).alias("bm25"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+        .orderBy("term", "rk")
+    )

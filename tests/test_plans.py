@@ -1709,3 +1709,30 @@ def test_single_subtree_scan_counts(spark, name, n_scans):
     plan = _plan(spark, name)
     scans = [l for l in plan.splitlines() if "Scan parquet" in l]
     assert len(scans) == n_scans, f"{name}: {len(scans)} scans\n{plan}"
+
+
+def test_bm25_serve_reads_index_with_partition_pruning(spark):
+    """retrieval_bm25_serve: the serving plan must read the persisted
+    inverted index (scans over artifacts/bm25) with the probe-term filter
+    reaching the letter-PARTITIONED postings layout as a partition
+    filter, and contain NO tokenization (no Generate/explode of the
+    corpus) and NO corpus aggregate — serve cost is probe-sized."""
+    plan = _plan(spark, "retrieval_bm25_serve")
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert any("artifacts/bm25" in s for s in scans), plan
+    postings = next(s for s in scans if "postings" in s)
+    assert "PartitionFilters: [" in postings and "tb#" in postings, postings
+    assert "Generate" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bm25_serve_equals_inline(spark):
+    """The persisted-index BM25 serve path returns exactly the inline
+    bm25_single_term result — same statistics, now read from parquet."""
+    from tests.conftest import normalize
+
+    got = normalize(
+        SPECS["retrieval_bm25_serve"].build(spark, SF_DIR).toPandas()
+    )
+    want = normalize(SPECS["bm25_single_term"].build(spark, SF_DIR).toPandas())
+    assert got == want
