@@ -855,6 +855,7 @@ _BM25_ART = bm25_index_dir(_ORACLE_SF_DIR)
     ORDER BY term, rk
     """,
     tags=("pipeline", "retrieval", "bm25", "serving"),
+    bench=True,  # serve-family round-over-round series (text leg)
 )
 def retrieval_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-5 per probe term served from the PERSISTED inverted
