@@ -2389,3 +2389,128 @@ def market_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_baskets"), "pa", "pb", "pc")
     )
+
+
+_DRIFT_CUT = "1997-07-01"
+
+
+@query(
+    "dq_schema_drift",
+    oracle=f"""
+    WITH flags AS (
+        SELECT *, (o_orderdate < DATE '{_DRIFT_CUT}') AS in_a FROM orders
+    ),
+    m AS (
+        SELECT
+          SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS na,
+          SUM(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS nb,
+          COUNT(CASE WHEN in_a THEN o_custkey END) AS nn_a_o_custkey,
+          COUNT(CASE WHEN NOT in_a THEN o_custkey END) AS nn_b_o_custkey,
+          COUNT(DISTINCT CASE WHEN in_a THEN o_custkey END) AS nd_a_o_custkey,
+          COUNT(DISTINCT CASE WHEN NOT in_a THEN o_custkey END)
+              AS nd_b_o_custkey,
+          COUNT(CASE WHEN in_a THEN o_orderstatus END) AS nn_a_o_orderstatus,
+          COUNT(CASE WHEN NOT in_a THEN o_orderstatus END)
+              AS nn_b_o_orderstatus,
+          COUNT(DISTINCT CASE WHEN in_a THEN o_orderstatus END)
+              AS nd_a_o_orderstatus,
+          COUNT(DISTINCT CASE WHEN NOT in_a THEN o_orderstatus END)
+              AS nd_b_o_orderstatus,
+          COUNT(CASE WHEN in_a THEN o_orderpriority END)
+              AS nn_a_o_orderpriority,
+          COUNT(CASE WHEN NOT in_a THEN o_orderpriority END)
+              AS nn_b_o_orderpriority,
+          COUNT(DISTINCT CASE WHEN in_a THEN o_orderpriority END)
+              AS nd_a_o_orderpriority,
+          COUNT(DISTINCT CASE WHEN NOT in_a THEN o_orderpriority END)
+              AS nd_b_o_orderpriority,
+          COUNT(CASE WHEN in_a THEN o_totalprice END) AS nn_a_o_totalprice,
+          COUNT(CASE WHEN NOT in_a THEN o_totalprice END) AS nn_b_o_totalprice,
+          COUNT(DISTINCT CASE WHEN in_a THEN o_totalprice END) AS nd_a_o_totalprice,
+          COUNT(DISTINCT CASE WHEN NOT in_a THEN o_totalprice END) AS nd_b_o_totalprice
+        FROM flags
+    )
+    SELECT column_name,
+           CAST(nn_a AS BIGINT) AS nn_a, CAST(nn_b AS BIGINT) AS nn_b,
+           CAST(nd_a AS BIGINT) AS nd_a, CAST(nd_b AS BIGINT) AS nd_b,
+           ROUND(CAST(nn_b AS DOUBLE) / nb - CAST(nn_a AS DOUBLE) / na, 6)
+               AS fill_delta,
+           ROUND(CAST(nd_b AS DOUBLE) / nd_a, 6) AS cardinality_ratio
+    FROM (
+        SELECT 'o_custkey' AS column_name, na, nb,
+               nn_a_o_custkey AS nn_a, nn_b_o_custkey AS nn_b,
+               nd_a_o_custkey AS nd_a, nd_b_o_custkey AS nd_b FROM m
+        UNION ALL
+        SELECT 'o_orderstatus', na, nb, nn_a_o_orderstatus,
+               nn_b_o_orderstatus, nd_a_o_orderstatus, nd_b_o_orderstatus
+        FROM m
+        UNION ALL
+        SELECT 'o_orderpriority', na, nb, nn_a_o_orderpriority,
+               nn_b_o_orderpriority, nd_a_o_orderpriority,
+               nd_b_o_orderpriority FROM m
+        UNION ALL
+        SELECT 'o_totalprice', na, nb, nn_a_o_totalprice, nn_b_o_totalprice,
+               nd_a_o_totalprice, nd_b_o_totalprice FROM m
+    )
+    ORDER BY column_name
+    """,
+    tags=("dq", "drift", "profiling"),
+)
+def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural drift between two load periods: per column, the fill
+    rate and distinct cardinality in the pre-cut vs post-cut half, with
+    the fill-rate delta and cardinality ratio — the schema-level drift
+    monitor that complements `dq_psi_drift` (value-distribution drift):
+    a price-cardinality collapse or an upstream null regression shows here
+    before any distribution test fires.
+
+    Scale shape: ONE corpus scan — both periods' per-column metrics are
+    conditional aggregates of the same pass (flag-sums + conditional
+    multi-distinct via one Expand, the `dq_completeness_profile` /
+    `dq_psi_drift` single-subtree devices), unpivoted to column grain
+    with a single stack.
+
+    Exactness: all counts exact integers; deltas/ratios 6-dp divisions
+    of exact inputs."""
+    o = Tables(spark, sf_dir).orders
+    in_a = F.col("o_orderdate") < F.lit(_DRIFT_CUT).cast("date")
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"]
+    aggs = [
+        F.sum(F.when(in_a, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(~in_a, 1).otherwise(0)).alias("nb"),
+    ]
+    for c in cols:
+        aggs.append(F.count(F.when(in_a, F.col(c))).alias(f"nn_a_{c}"))
+        aggs.append(F.count(F.when(~in_a, F.col(c))).alias(f"nn_b_{c}"))
+        aggs.append(
+            F.countDistinct(F.when(in_a, F.col(c))).alias(f"nd_a_{c}")
+        )
+        aggs.append(
+            F.countDistinct(F.when(~in_a, F.col(c))).alias(f"nd_b_{c}")
+        )
+    one = o.agg(*aggs)
+    stack = "stack({}, {}) AS (column_name, nn_a, nn_b, nd_a, nd_b)".format(
+        len(cols),
+        ", ".join(
+            f"'{c}', nn_a_{c}, nn_b_{c}, nd_a_{c}, nd_b_{c}" for c in cols
+        ),
+    )
+    return (
+        one.select("na", "nb", F.expr(stack))
+        .select(
+            "column_name",
+            F.col("nn_a").cast("bigint").alias("nn_a"),
+            F.col("nn_b").cast("bigint").alias("nn_b"),
+            F.col("nd_a").cast("bigint").alias("nd_a"),
+            F.col("nd_b").cast("bigint").alias("nd_b"),
+            F.round(
+                F.col("nn_b").cast("double") / F.col("nb")
+                - F.col("nn_a").cast("double") / F.col("na"),
+                6,
+            ).alias("fill_delta"),
+            F.round(
+                F.col("nd_b").cast("double") / F.col("nd_a"), 6
+            ).alias("cardinality_ratio"),
+        )
+        .orderBy("column_name")
+    )

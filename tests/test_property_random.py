@@ -898,3 +898,46 @@ def test_random_scalar_expressions(spark, duck2, seed):
     got = normalize(spark.sql(sql.format(t="li_expr")).toPandas())
     want = normalize(duck2.execute(sql.format(t="lineitem")).df())
     assert got == want, f"seed={seed}\n{sql}"
+
+
+def _gen_grouping_sets_sql(seed: int) -> str:
+    """Fifth chain shape: randomized multi-dimensional aggregation —
+    ROLLUP / CUBE / explicit GROUPING SETS with GROUPING() markers and a
+    random pre-filter.  Exercises the Expand-based grouping paths (and
+    their null-vs-grouping-null disambiguation) that the fixed-shape
+    oracles only cover at one point each."""
+    import random
+
+    rng = random.Random(9_000_000 + seed)
+    keys = rng.sample(
+        ["l_returnflag", "l_linestatus", "l_linenumber"], k=2
+    )
+    construct = rng.choice(["ROLLUP", "CUBE", "SETS"])
+    if construct == "SETS":
+        grp = (
+            f"GROUPING SETS (({keys[0]}, {keys[1]}), ({keys[0]}), ())"
+        )
+    else:
+        grp = f"{construct}({keys[0]}, {keys[1]})"
+    lo = rng.randint(0, 40)
+    col = rng.choice(["l_extendedprice", "l_quantity", "l_discount"])
+    return f"""
+    SELECT {keys[0]} AS k1, {keys[1]} AS k2,
+           CAST(GROUPING({keys[0]}) AS INT) AS g1,
+           CAST(GROUPING({keys[1]}) AS INT) AS g2,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) AS s
+    FROM {{t}}
+    WHERE l_quantity >= {lo}
+    GROUP BY {grp}
+    ORDER BY g1, g2, k1 NULLS FIRST, k2 NULLS FIRST
+    """
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_random_grouping_sets(spark, duck2, seed):
+    sql = _gen_grouping_sets_sql(seed)
+    table(spark, SF_SMOKE, "lineitem").createOrReplaceTempView("li_gsets")
+    got = normalize(spark.sql(sql.format(t="li_gsets")).toPandas())
+    want = normalize(duck2.execute(sql.format(t="lineitem")).df())
+    assert got == want, f"seed={seed}\n{sql}"
