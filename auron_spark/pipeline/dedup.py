@@ -2279,3 +2279,173 @@ def dedup_editdistance_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "graph_modularity_score",
+    oracle=_sql_signature_cte()
+    + """
+    , pairs AS (
+        SELECT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r ON l.band = r.band AND l.doc_id < r.doc_id
+        GROUP BY a, b
+    ),
+    edges AS (
+        SELECT a AS u, b AS v FROM pairs
+        UNION ALL
+        SELECT b AS u, a AS v FROM pairs
+    ),
+    l0 AS (SELECT doc_id, doc_id AS label FROM documents),
+    w1 AS (
+        SELECT doc_id, label FROM (
+            SELECT e.v AS doc_id, l.label,
+                   ROW_NUMBER() OVER (PARTITION BY e.v
+                                      ORDER BY COUNT(*) DESC, l.label ASC)
+                       AS rk
+            FROM edges e JOIN l0 l ON l.doc_id = e.u
+            GROUP BY e.v, l.label)
+        WHERE rk = 1
+    ),
+    l1 AS (
+        SELECT d.doc_id, COALESCE(w.label, d.label) AS label
+        FROM l0 d LEFT JOIN w1 w ON w.doc_id = d.doc_id
+    ),
+    w2 AS (
+        SELECT doc_id, label FROM (
+            SELECT e.v AS doc_id, l.label,
+                   ROW_NUMBER() OVER (PARTITION BY e.v
+                                      ORDER BY COUNT(*) DESC, l.label ASC)
+                       AS rk
+            FROM edges e JOIN l1 l ON l.doc_id = e.u
+            GROUP BY e.v, l.label)
+        WHERE rk = 1
+    ),
+    l2 AS (
+        SELECT d.doc_id, COALESCE(w.label, d.label) AS label
+        FROM l1 d LEFT JOIN w2 w ON w.doc_id = d.doc_id
+    ),
+    m AS (SELECT COUNT(*) AS m FROM pairs),
+    deg AS (SELECT u AS doc_id, COUNT(*) AS deg FROM edges GROUP BY u),
+    intra AS (
+        SELECT la.label, COUNT(*) AS mc
+        FROM pairs p
+        JOIN l2 la ON la.doc_id = p.a
+        JOIN l2 lb ON lb.doc_id = p.b
+        WHERE la.label = lb.label
+        GROUP BY la.label
+    ),
+    comm AS (
+        SELECT l2.label, COUNT(*) AS n_members,
+               SUM(COALESCE(deg.deg, 0)) AS dc
+        FROM l2 LEFT JOIN deg ON deg.doc_id = l2.doc_id
+        GROUP BY l2.label
+        HAVING SUM(COALESCE(deg.deg, 0)) > 0
+    ),
+    terms AS (
+        SELECT c.label, c.n_members,
+               COALESCE(i.mc, 0) AS intra_edges, c.dc AS degree_sum,
+               CAST(ROUND(
+                   CAST(COALESCE(i.mc, 0) AS DOUBLE) / m.m
+                   - (CAST(c.dc AS DOUBLE) / (2 * m.m))
+                     * (CAST(c.dc AS DOUBLE) / (2 * m.m)), 9)
+                   AS DECIMAL(28,9)) AS q_term
+        FROM comm c LEFT JOIN intra i ON i.label = c.label CROSS JOIN m
+    )
+    SELECT label, CAST(n_members AS BIGINT) AS n_members,
+           CAST(intra_edges AS BIGINT) AS intra_edges,
+           CAST(degree_sum AS BIGINT) AS degree_sum,
+           CAST(q_term AS DOUBLE) AS q_term,
+           CAST((SELECT SUM(q_term) FROM terms) AS DOUBLE) AS modularity
+    FROM terms
+    ORDER BY label
+    """,
+    tags=("pipeline", "graph", "community", "modularity"),
+)
+def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities over the LSH near-dup
+    graph: Q = sum over communities of [m_c/m - (d_c/2m)^2] — the
+    partition-quality score that tells a dedup pipeline whether its
+    cluster structure is real (Q near 0 = no better than random wiring)
+    before canonical-selection trusts it.  Completes the graph family's
+    measurement leg: LPA finds communities, this scores them.  Isolated
+    nodes (degree 0) contribute nothing and are excluded from the
+    community rows.
+
+    Scale shape: the LPA rounds are the `graph_label_propagation`
+    contract (edge-join + per-node argmax window per round); modularity
+    itself is two label-joins of the pair list + a community-grain
+    rollup — shuffle ∝ edges, output ∝ communities.
+
+    Exactness: m / m_c / d_c are exact integers; each community's Q term
+    is 9-dp-rounded into DECIMAL before the order-insensitive total (the
+    `parts_supplier_hhi` containment device)."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    pairs = lsh_candidate_pairs(
+        minhash_signature(_doc_shingles(t, dedup=False))
+    ).localCheckpoint()
+    edges = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).localCheckpoint()
+    labels = t.documents.select("doc_id", F.col("doc_id").alias("label"))
+    w_mode = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(2):
+        winners = (
+            edges.join(labels, edges.u == labels.doc_id)
+            .groupBy(F.col("v").alias("doc_id"), "label")
+            .agg(F.count("*").alias("c"))
+            .withColumn("rk", F.row_number().over(w_mode))
+            .filter(F.col("rk") == 1)
+            .select("doc_id", F.col("label").alias("new_label"))
+        )
+        labels = labels.join(winners, "doc_id", "left").select(
+            "doc_id", F.coalesce("new_label", "label").alias("label")
+        )
+    labels = labels.localCheckpoint(eager=False)
+    m = pairs.count()  # scalar edge count — constant driver state
+    deg = edges.groupBy(F.col("u").alias("doc_id")).agg(
+        F.count("*").alias("deg")
+    )
+    la = labels.select(F.col("doc_id").alias("a"), F.col("label").alias("lab_a"))
+    lb = labels.select(F.col("doc_id").alias("b"), F.col("label").alias("lab_b"))
+    intra = (
+        pairs.join(la, "a")
+        .join(lb, "b")
+        .where(F.col("lab_a") == F.col("lab_b"))
+        .groupBy(F.col("lab_a").alias("label"))
+        .agg(F.count("*").alias("mc"))
+    )
+    comm = (
+        labels.join(deg, "doc_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(F.coalesce("deg", F.lit(0))).alias("dc"),
+        )
+        .where(F.col("dc") > 0)
+    )
+    q_term = F.round(
+        F.col("mc_f").cast("double") / m
+        - (F.col("dc").cast("double") / (2 * m))
+        * (F.col("dc").cast("double") / (2 * m)),
+        9,
+    ).cast("decimal(28,9)")
+    terms = (
+        comm.join(intra, "label", "left")
+        .withColumn("mc_f", F.coalesce("mc", F.lit(0)))
+        .withColumn("q_term", q_term)
+    )
+    w_all = Window.partitionBy()
+    return (
+        terms.withColumn("modularity", F.sum("q_term").over(w_all))
+        .select(
+            "label",
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col("mc_f").cast("bigint").alias("intra_edges"),
+            F.col("dc").cast("bigint").alias("degree_sum"),
+            F.col("q_term").cast("double").alias("q_term"),
+            F.col("modularity").cast("double").alias("modularity"),
+        )
+        .orderBy("label")
+    )
