@@ -824,3 +824,104 @@ def eval_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("qini_uplift"),
     ).orderBy("decile")
+
+
+@query(
+    "eval_ks_two_sample",
+    oracle="""
+    WITH s AS (
+        SELECT value,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS f1,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS f2
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    g AS (
+        SELECT value, SUM(f1) AS c1, SUM(f2) AS c2 FROM s GROUP BY value
+    ),
+    cum AS (
+        SELECT value,
+               SUM(c1) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS a1,
+               SUM(c2) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS a2,
+               SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+        FROM g
+    ),
+    d AS (
+        SELECT value,
+               abs(CAST(a1 AS DOUBLE) / n1 - CAST(a2 AS DOUBLE) / n2) AS dd,
+               n1, n2
+        FROM cum
+    ),
+    best AS (
+        SELECT value, dd, n1, n2,
+               row_number() OVER (ORDER BY dd DESC, value) AS rk
+        FROM d
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           ROUND(dd, 6) AS ks_d,
+           ROUND(value, 6) AS at_value,
+           ROUND(1.36 * sqrt((n1 + CAST(n2 AS DOUBLE)) / (n1 * CAST(n2 AS DOUBLE))), 6)
+               AS crit_05,
+           CAST(dd > 1.36 * sqrt((n1 + CAST(n2 AS DOUBLE)) / (n1 * CAST(n2 AS DOUBLE)))
+                AS INT) AS reject_05
+    FROM best WHERE rk = 1
+    """,
+    tags=("experiments", "ks-test", "two-sample", "distribution"),
+)
+def eval_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov test between the 'view' and
+    'click' value distributions: D = max |F1(x) - F2(x)| over the pooled
+    support, with the location of the maximum gap and the 5% asymptotic
+    verdict (c(0.05) = 1.36) — the distribution-shape test that catches
+    what mean-based tests miss (`eval_welch_ttest` compares centers,
+    `eval_mannwhitney_u` stochastic order, PSI binned shares; KS is the
+    sup-norm on the raw CDFs, no binning choice at all).
+
+    Scale shape: one fact scan collapses to VALUE grain (2-dp fixture
+    values — bounded support); both empirical CDFs are cumulative
+    flag-sums over that grain in one ordered window (the
+    `eval_survival_km` single-subtree device: totals are windows over
+    the same frame); the argmax is one more frame-ordered pass.
+
+    Exactness: CDFs are exact-integer ratios; D and the argmax value are
+    selected on identical doubles with a value tiebreak."""
+    from pyspark.sql import Window
+
+    ev = Tables(spark, sf_dir).events.where(
+        F.col("event_type").isin("view", "click")
+    )
+    g = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c2"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    w0 = Window.partitionBy()
+    cum = (
+        g.withColumn("a1", F.sum("c1").over(w))
+        .withColumn("a2", F.sum("c2").over(w))
+        .withColumn("n1", F.sum("c1").over(w0))
+        .withColumn("n2", F.sum("c2").over(w0))
+    )
+    dd = F.abs(
+        F.col("a1").cast("double") / F.col("n1")
+        - F.col("a2").cast("double") / F.col("n2")
+    )
+    best = (
+        cum.withColumn("dd", dd)
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("dd"), F.asc("value"))),
+        )
+        .where(F.col("rk") == 1)
+    )
+    crit = 1.36 * F.sqrt(
+        (F.col("n1") + F.col("n2").cast("double"))
+        / (F.col("n1") * F.col("n2").cast("double"))
+    )
+    return best.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round("dd", 6).alias("ks_d"),
+        F.round("value", 6).alias("at_value"),
+        F.round(crit, 6).alias("crit_05"),
+        (F.col("dd") > crit).cast("int").alias("reject_05"),
+    )

@@ -327,3 +327,119 @@ def feature_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+@query(
+    "feature_best_split_stump",
+    oracle="""
+    WITH s AS (
+        SELECT o_totalprice AS x,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    g AS (SELECT x, COUNT(*) AS n, SUM(y) AS pos FROM s GROUP BY x),
+    cum AS (
+        SELECT x,
+               SUM(n) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS nl,
+               SUM(pos) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS posl,
+               SUM(n) OVER () AS nt, SUM(pos) OVER () AS post
+        FROM g
+    ),
+    scored AS (
+        SELECT x, nl, nt - nl AS nr,
+               2.0 * (CAST(posl AS DOUBLE) / nl)
+                   * (1.0 - CAST(posl AS DOUBLE) / nl) AS gl,
+               2.0 * (CAST(post - posl AS DOUBLE) / (nt - nl))
+                   * (1.0 - CAST(post - posl AS DOUBLE) / (nt - nl)) AS gr,
+               2.0 * (CAST(post AS DOUBLE) / nt)
+                   * (1.0 - CAST(post AS DOUBLE) / nt) AS gparent,
+               nt
+        FROM cum WHERE nt - nl > 0
+    ),
+    gains AS (
+        SELECT x, nl, nr, gparent,
+               gparent - (nl * gl + nr * gr) / nt AS gain
+        FROM scored
+    ),
+    best AS (
+        SELECT x, nl, nr, gparent, gain,
+               row_number() OVER (ORDER BY ROUND(gain, 9) DESC, x) AS rk
+        FROM gains
+    )
+    SELECT ROUND(CAST(x AS DOUBLE), 2) AS threshold,
+           CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+           ROUND(gparent, 6) AS gini_parent,
+           ROUND(gain, 6) AS gini_gain
+    FROM best WHERE rk = 1
+    """,
+    tags=("features", "ml-primitive", "decision-tree", "split-search"),
+)
+def feature_best_split_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal 1-D decision-stump split: the threshold on o_totalprice
+    that maximizes Gini gain for predicting urgent-priority orders — the
+    inner-loop primitive of every distributed tree learner (XGBoost /
+    LightGBM histogram split finding IS this, binned): evaluate EVERY
+    candidate split in one cumulative pass instead of one scan per
+    threshold.
+
+    Scale shape: one fact scan collapses to feature-VALUE grain; left/
+    right class counts for all thresholds at once are cumulative sums in
+    one ordered window over that grain (the `eval_ks_two_sample` CDF
+    device); the argmax is a frame-ordered top-1.  At 100 TB the value
+    grain is first quantile-binned (`feature_quantile_binning` is that
+    path — tree learners use 255 bins for exactly this reason), making
+    the window frame constant-size.
+
+    Exactness: class counts are exact integers; impurities are identical
+    double trees; the argmax orders by 9-dp-rounded gain with a
+    threshold tiebreak."""
+    from pyspark.sql import Window
+
+    o = Tables(spark, sf_dir).orders
+    g = o.groupBy(F.col("o_totalprice").alias("x")).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("pos"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    w0 = Window.partitionBy()
+    cum = (
+        g.withColumn("nl", F.sum("n").over(w))
+        .withColumn("posl", F.sum("pos").over(w))
+        .withColumn("nt", F.sum("n").over(w0))
+        .withColumn("post", F.sum("pos").over(w0))
+        .where(F.col("nt") - F.col("nl") > 0)
+    )
+    pl = F.col("posl").cast("double") / F.col("nl")
+    pr = (F.col("post") - F.col("posl")).cast("double") / (
+        F.col("nt") - F.col("nl")
+    )
+    pp = F.col("post").cast("double") / F.col("nt")
+    scored = cum.select(
+        "x",
+        "nl",
+        (F.col("nt") - F.col("nl")).alias("nr"),
+        (2.0 * pl * (1.0 - pl)).alias("gl"),
+        (2.0 * pr * (1.0 - pr)).alias("gr"),
+        (2.0 * pp * (1.0 - pp)).alias("gparent"),
+        "nt",
+    )
+    gains = scored.withColumn(
+        "gain",
+        F.col("gparent")
+        - (F.col("nl") * F.col("gl") + F.col("nr") * F.col("gr")) / F.col("nt"),
+    )
+    best = gains.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.desc(F.round("gain", 9)), F.asc("x"))
+        ),
+    ).where(F.col("rk") == 1)
+    return best.select(
+        F.round(F.col("x").cast("double"), 2).alias("threshold"),
+        F.col("nl").cast("bigint").alias("n_left"),
+        F.col("nr").cast("bigint").alias("n_right"),
+        F.round("gparent", 6).alias("gini_parent"),
+        F.round("gain", 6).alias("gini_gain"),
+    )
