@@ -941,3 +941,74 @@ def test_random_grouping_sets(spark, duck2, seed):
     got = normalize(spark.sql(sql.format(t="li_gsets")).toPandas())
     want = normalize(duck2.execute(sql.format(t="lineitem")).df())
     assert got == want, f"seed={seed}\n{sql}"
+
+
+@pytest.fixture(scope="module")
+def duck3(oracle):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_SMOKE}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _gen_star_join_sql(seed: int) -> str:
+    """Sixth chain shape: a randomized 3-4 table star join
+    (lineitem -> orders -> customer [-> nation]) with per-table filters,
+    a random join type on the outer leg, and a grouped rollup — the
+    multi-join reordering surface the 2-table chains don't reach."""
+    import random
+
+    rng = random.Random(11_000_000 + seed)
+    lo_q = rng.randint(0, 40)
+    lo_p = rng.choice([0, 50_000, 150_000])
+    seg = rng.choice(
+        ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    )
+    outer = rng.choice(["JOIN", "LEFT JOIN"])
+    with_nation = rng.random() < 0.5
+    key = "n_name" if with_nation else "c_mktsegment"
+    nation_join = (
+        "LEFT JOIN {na} ON n_nationkey = c_nationkey" if with_nation else ""
+    )
+    seg_pred = (
+        f"AND c_mktsegment = '{seg}'" if rng.random() < 0.6 else ""
+    )
+    return f"""
+    SELECT {key} AS k,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(c_custkey) AS BIGINT) AS n_matched,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+    FROM {{li}}
+    JOIN {{ord}} ON o_orderkey = l_orderkey
+               AND o_totalprice >= {lo_p}
+    {outer} {{cu}} ON c_custkey = o_custkey {seg_pred}
+    {nation_join}
+    WHERE l_quantity >= {lo_q}
+    GROUP BY {key}
+    ORDER BY k NULLS FIRST
+    """
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_random_star_joins(spark, duck3, seed):
+    sql = _gen_star_join_sql(seed)
+    table(spark, SF_SMOKE, "lineitem").createOrReplaceTempView("li_star")
+    table(spark, SF_SMOKE, "orders").createOrReplaceTempView("ord_star")
+    table(spark, SF_SMOKE, "customer").createOrReplaceTempView("cu_star")
+    table(spark, SF_SMOKE, "nation").createOrReplaceTempView("na_star")
+    got = normalize(
+        spark.sql(
+            sql.format(li="li_star", ord="ord_star", cu="cu_star", na="na_star")
+        ).toPandas()
+    )
+    want = normalize(
+        duck3.execute(
+            sql.format(li="lineitem", ord="orders", cu="customer", na="nation")
+        ).df()
+    )
+    assert got == want, f"seed={seed}\n{sql}"
