@@ -925,3 +925,140 @@ def eval_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(crit, 6).alias("crit_05"),
         (F.col("dd") > crit).cast("int").alias("reject_05"),
     )
+
+
+_PERM_B = 64  # Monte-Carlo relabelings; b = -1 is the REAL labeling
+
+
+@query(
+    "eval_permutation_test",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_id, CAST(value AS DECIMAL(12,2)) AS x,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g_real
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    fan AS (
+        SELECT x,
+               CASE WHEN b = -1 THEN g_real
+                    ELSE CAST('0x' || substr(md5('perm:' || CAST(b AS VARCHAR)
+                              || ':' || CAST(event_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) % 2
+               END AS g,
+               b
+        FROM s CROSS JOIN (SELECT unnest(range(-1, {_PERM_B})) AS b)
+    ),
+    per_b AS (
+        SELECT b,
+               CAST(SUM(CASE WHEN g = 1 THEN x END) AS DOUBLE)
+                   / COUNT(CASE WHEN g = 1 THEN 1 END)
+               - CAST(SUM(CASE WHEN g = 0 THEN x END) AS DOUBLE)
+                   / COUNT(CASE WHEN g = 0 THEN 1 END) AS diff
+        FROM fan GROUP BY b
+    ),
+    withobs AS (
+        SELECT b, diff,
+               MAX(CASE WHEN b = -1 THEN abs(diff) END) OVER () AS obs_abs,
+               MAX(CASE WHEN b = -1 THEN diff END) OVER () AS obs
+        FROM per_b
+    )
+    SELECT ROUND(obs, 6) AS observed_diff,
+           CAST({_PERM_B} AS BIGINT) AS n_permutations,
+           CAST(SUM(CASE WHEN b >= 0 AND abs(diff) >= obs_abs
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_as_extreme,
+           ROUND((1.0 + SUM(CASE WHEN b >= 0 AND abs(diff) >= obs_abs
+                                 THEN 1 ELSE 0 END)) / (1.0 + {_PERM_B}), 6)
+               AS p_value
+    FROM withobs
+    GROUP BY obs, obs_abs
+    """,
+    tags=("experiments", "permutation-test", "randomization"),
+)
+def eval_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed randomization test for the view-vs-click mean
+    difference: 64 Monte-Carlo relabelings AND the observed statistic
+    computed in ONE corpus pass — each event map-side explodes to 65
+    (b, pseudo-group) rows, where b = -1 keeps the real labels and
+    b >= 0 reassigns by the salted md5-prefix hash of (b, event_id)
+    (the `sample_hash_fraction` device, so both engines draw identical
+    relabelings); the two-sided p-value is the add-one-smoothed share of
+    relabelings at least as extreme.  This is the assumption-free
+    companion to `eval_welch_ttest` (no normality, no variance model) —
+    the Bernoulli-relabeling Monte-Carlo variant of Fisher's exact
+    randomization (group sizes vary binomially across draws, the
+    standard approximation at corpus scale).
+
+    Scale shape: the fan-out is map-side (x65 inside one scan, the
+    `dq_iqr_outliers` stack posture); everything after lives at the
+    65-row b-grain, where the observed row is a window over the SAME
+    frame (single-subtree rule — no second corpus aggregate).
+
+    Exactness: per-b sums are exact DECIMAL (2-dp fixture values); means
+    and diffs identical doubles; the verdict counts integers."""
+    from pyspark.sql import Window
+
+    ev = Tables(spark, sf_dir).events.where(
+        F.col("event_type").isin("view", "click")
+    )
+    perm_g = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("perm:"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("event_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    fan = (
+        ev.select(
+            "event_id",
+            F.col("value").cast("decimal(12,2)").alias("x"),
+            (F.col("event_type") == "view").cast("int").alias("g_real"),
+            F.explode(
+                F.array(*[F.lit(b) for b in range(-1, _PERM_B)])
+            ).alias("b"),
+        )
+        .select(
+            "x",
+            "b",
+            F.when(F.col("b") == -1, F.col("g_real"))
+            .otherwise(perm_g)
+            .alias("g"),
+        )
+    )
+    per_b = fan.groupBy("b").agg(
+        (
+            F.sum(F.when(F.col("g") == 1, F.col("x"))).cast("double")
+            / F.count(F.when(F.col("g") == 1, 1))
+            - F.sum(F.when(F.col("g") == 0, F.col("x"))).cast("double")
+            / F.count(F.when(F.col("g") == 0, 1))
+        ).alias("diff")
+    )
+    w0 = Window.partitionBy()
+    withobs = per_b.withColumn(
+        "obs_abs",
+        F.max(F.when(F.col("b") == -1, F.abs("diff"))).over(w0),
+    ).withColumn("obs", F.max(F.when(F.col("b") == -1, F.col("diff"))).over(w0))
+    n_ext = F.sum(
+        F.when(
+            (F.col("b") >= 0) & (F.abs("diff") >= F.col("obs_abs")), 1
+        ).otherwise(0)
+    )
+    return withobs.groupBy("obs", "obs_abs").agg(
+        F.round(F.first("obs"), 6).alias("observed_diff"),
+        F.lit(_PERM_B).cast("bigint").alias("n_permutations"),
+        n_ext.cast("bigint").alias("n_as_extreme"),
+        F.round((1.0 + n_ext) / (1.0 + _PERM_B), 6).alias("p_value"),
+    ).drop("obs", "obs_abs").select(
+        "observed_diff", "n_permutations", "n_as_extreme", "p_value"
+    )
