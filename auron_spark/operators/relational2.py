@@ -2514,3 +2514,81 @@ def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+@query(
+    "orders_ship_latency_sla",
+    oracle="""
+    WITH lat AS (
+        SELECT o.o_orderpriority AS priority,
+               date_diff('day', o.o_orderdate, l.l_shipdate) AS days
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    q AS (
+        SELECT priority,
+               COUNT(*) AS n,
+               quantile_cont(days, 0.5) AS p50,
+               quantile_cont(days, 0.9) AS p90,
+               quantile_cont(days, 0.99) AS p99
+        FROM lat GROUP BY priority
+    ),
+    b AS (
+        SELECT priority,
+               SUM(CASE WHEN days > 90 THEN 1 ELSE 0 END) AS n_breach
+        FROM lat GROUP BY priority
+    )
+    SELECT q.priority, CAST(q.n AS BIGINT) AS n_lines,
+           ROUND(p50, 6) AS p50_days, ROUND(p90, 6) AS p90_days,
+           ROUND(p99, 6) AS p99_days,
+           CAST(b.n_breach AS BIGINT) AS n_breach_90d,
+           ROUND(CAST(b.n_breach AS DOUBLE) / q.n, 6) AS breach_rate
+    FROM q JOIN b ON b.priority = q.priority
+    ORDER BY q.priority
+    """,
+    tags=("agg", "latency", "sla", "percentiles"),
+)
+def orders_ship_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency SLA report per priority class: exact
+    p50/p90/p99 of the order-date-to-ship-date gap plus the 90-day
+    breach count and rate — the fulfilment-SLA dashboard (and the same
+    shape as a pipeline-latency SLO report over any two event
+    timestamps).
+
+    Scale shape: one fact join (key-colocated on orderkey) collapses to
+    integer-day latency values; exact percentiles sort within |priority|
+    = 5 groups (approx_percentile is the 100-TB swap, the
+    `dq_iqr_outliers` contract); breach counts ride the same grain in
+    one aggregate — Spark computes percentiles AND breach flags in ONE
+    groupBy (the oracle splits them into two CTEs for clarity; same
+    exact numbers).
+
+    Exactness: day gaps are exact integers (no timezone arithmetic —
+    dates only); percentile interpolation is the shared
+    percentile/quantile_cont definition; rates 6-dp."""
+    t = Tables(spark, sf_dir)
+    lat = t.orders.join(
+        t.lineitem, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff("l_shipdate", "o_orderdate").alias("days"),
+    )
+    return (
+        lat.groupBy("priority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.round(F.expr("percentile(days, 0.5)"), 6).alias("p50_days"),
+            F.round(F.expr("percentile(days, 0.9)"), 6).alias("p90_days"),
+            F.round(F.expr("percentile(days, 0.99)"), 6).alias("p99_days"),
+            F.sum(F.when(F.col("days") > 90, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_breach_90d"),
+            F.round(
+                F.sum(F.when(F.col("days") > 90, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("breach_rate"),
+        )
+        .orderBy("priority")
+    )

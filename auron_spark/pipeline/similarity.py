@@ -3580,3 +3580,112 @@ def sim_vector_analogy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.round("raw", 6).alias("cos_sim"))
         .orderBy("vec_id")
     )
+
+
+@query(
+    "sim_centroid_stability",
+    oracle="""
+    WITH ex AS (
+        SELECT label, half, pos - 1 AS dim,
+               CAST(ROUND(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6)) AS v
+        FROM (
+            SELECT label, vec_id % 2 AS half,
+                   unnest(embedding) AS v,
+                   unnest(range(1, len(embedding) + 1)) AS pos
+            FROM embeddings
+        )
+    ),
+    cent AS (
+        SELECT label, half, dim,
+               CAST(SUM(v) AS DOUBLE) / COUNT(*) AS c
+        FROM ex GROUP BY label, half, dim
+    ),
+    pair AS (
+        SELECT a.label,
+               SUM(a.c * b.c) AS dot,
+               SUM(a.c * a.c) AS na2,
+               SUM(b.c * b.c) AS nb2
+        FROM cent a JOIN cent b
+          ON b.label = a.label AND b.dim = a.dim
+         AND a.half = 0 AND b.half = 1
+        GROUP BY a.label
+    ),
+    sizes AS (
+        SELECT label,
+               SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS n0,
+               SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS n1
+        FROM embeddings GROUP BY label
+    )
+    SELECT p.label, CAST(s.n0 AS BIGINT) AS n_half0,
+           CAST(s.n1 AS BIGINT) AS n_half1,
+           ROUND(dot / (sqrt(na2) * sqrt(nb2)), 6) AS centroid_cosine,
+           ROUND(sqrt(na2) / sqrt(nb2), 6) AS norm_ratio
+    FROM pair p JOIN sizes s ON s.label = p.label
+    ORDER BY p.label
+    """,
+    tags=("pipeline", "similarity", "drift", "stability"),
+)
+def sim_centroid_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-centroid stability audit: split each label's vectors
+    into two pseudo-batches (vec_id parity — in production, two ingest
+    batches or time windows) and report the cosine between the two
+    half-centroids plus their norm ratio — the drift monitor a vector
+    platform runs per load (centroid cosine falling from ~1 says the
+    new batch's embedding distribution moved; the upstream-model-change
+    signature that silently poisons ANN recall).
+
+    Scale shape: one corpus scan collapses to (label, half, dim) grain
+    (the `sim_centroids` posexplode posture — k x 2 x dims rows); the
+    cosine is a dim-equi-join of that tiny frame; sizes ride a second
+    label-grain flag-sum of the same scan's worth.
+
+    Exactness: component sums are DECIMAL(18,6) of 6-dp-rounded
+    components (the `sim_centroids` device); the cosine tree is
+    identical doubles."""
+    t = Tables(spark, sf_dir)
+    ex = t.embeddings.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim", "v"),
+    )
+    cent = ex.groupBy("label", "half", "dim").agg(
+        (
+            F.sum(
+                F.round(F.col("v").cast("double"), 6).cast("decimal(18,6)")
+            ).cast("double")
+            / F.count("*")
+        ).alias("c")
+    )
+    a = cent.where(F.col("half") == 0).select(
+        "label", "dim", F.col("c").alias("ca")
+    )
+    b = cent.where(F.col("half") == 1).select(
+        F.col("label").alias("lb"), F.col("dim").alias("db"),
+        F.col("c").alias("cb"),
+    )
+    pair = (
+        a.join(b, (F.col("lb") == F.col("label")) & (F.col("db") == F.col("dim")))
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+            F.sum(F.col("ca") * F.col("ca")).alias("na2"),
+            F.sum(F.col("cb") * F.col("cb")).alias("nb2"),
+        )
+    )
+    sizes = t.embeddings.groupBy("label").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0)).alias("n1"),
+    )
+    return (
+        pair.join(sizes, "label")
+        .select(
+            "label",
+            F.col("n0").cast("bigint").alias("n_half0"),
+            F.col("n1").cast("bigint").alias("n_half1"),
+            F.round(
+                F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2")), 6
+            ).alias("centroid_cosine"),
+            F.round(F.sqrt("na2") / F.sqrt("nb2"), 6).alias("norm_ratio"),
+        )
+        .orderBy("label")
+    )
