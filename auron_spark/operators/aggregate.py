@@ -916,3 +916,44 @@ def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cnt"), "token")
     )
+
+
+@query(
+    "agg_approx_top_k",
+    oracle="""
+    SELECT p_brand AS item, CAST(COUNT(*) AS BIGINT) AS n
+    FROM part
+    GROUP BY p_brand
+    ORDER BY n DESC, item
+    LIMIT 10
+    """,
+    tags=("agg", "sketch", "top-k", "spark4-surface"),
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.1's `approx_top_k` sketch aggregate, pinned in its
+    EXACT-below-capacity regime: with maxItemsTracked (10000) far above
+    p_brand's 25 distinct values the sketch degenerates to exact counts,
+    so the driver hash-checks the function surface against a plain
+    GROUP BY oracle.  The sketch regime (distincts > capacity) is
+    rows-only by nature; its error story is covered by the
+    `agg_heavy_hitters_mg` deficiency-bound property tests — this query
+    is the registration that the BUILT-IN sketch agg works end-to-end.
+    The sketch's choice AMONG count-ties at the k boundary is not part
+    of its contract, so the query requests k=30 >= |distinct| (every
+    brand comes back, exactly counted) and applies the deterministic
+    (count desc, item) top-10 itself — the same re-rank a consumer does.
+
+    Scale shape: one partial/final sketch aggregate (constant-size state
+    per partition — the whole point of the operator at 100 TB), then
+    work at k-row grain."""
+    t = Tables(spark, sf_dir)
+    arr = t.part.agg(F.expr("approx_top_k(p_brand, 30)").alias("tk"))
+    return (
+        arr.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").cast("bigint").alias("n"),
+        )
+        .orderBy(F.desc("n"), "item")
+        .limit(10)
+    )
