@@ -1109,9 +1109,13 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY 1, 2
     ),
     mom AS (
+        -- greatest(.,0): a 1-row cell's variance is a negative ulp
+        -- (sq/n is x^2 rounded once; mu^2 squares the once-rounded x),
+        -- and DuckDB's sqrt THROWS on negatives where Spark yields NaN
+        -- (found by the sf0.001 battery, round 9)
         SELECT dow, hour, n,
                s / n AS mu,
-               sqrt(sq / n - (s / n) * (s / n)) AS sigma
+               sqrt(greatest(sq / n - (s / n) * (s / n), 0)) AS sigma
         FROM cells
     )
     SELECT CAST(m.dow AS INT) AS dow, CAST(m.hour AS INT) AS hour,
@@ -1162,7 +1166,11 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour",
         "n",
         mu.alias("mu"),
-        F.sqrt(F.col("sq") / F.col("n") - mu * mu).alias("sigma"),
+        # greatest(.,0): single-row cells produce a negative-ulp variance
+        # (see the oracle comment) — clamp BEFORE sqrt in both engines
+        F.sqrt(
+            F.greatest(F.col("sq") / F.col("n") - mu * mu, F.lit(0.0))
+        ).alias("sigma"),
     )
     return (
         t.events.select(
