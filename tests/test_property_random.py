@@ -1012,3 +1012,69 @@ def test_random_star_joins(spark, duck3, seed):
         ).df()
     )
     assert got == want, f"seed={seed}\n{sql}"
+
+
+def test_permutation_test_invariants(spark):
+    from auron_spark.registry import load_all
+    SPECS = load_all()
+    from tests.conftest import SF_DIR
+    """eval_permutation_test: the observed diff must equal the directly
+    computed group-mean difference, and the add-one-smoothed p must be
+    consistent with the reported exceedance count."""
+    from pyspark.sql import functions as F
+
+    row = SPECS["eval_permutation_test"].build(spark, SF_DIR).collect()[0]
+    ev = (
+        table(spark, SF_DIR, "events")
+        .where(F.col("event_type").isin("view", "click"))
+        .select(
+            F.col("value").cast("decimal(12,2)").alias("x"), "event_type"
+        )
+    )
+    agg = ev.groupBy("event_type").agg(
+        (F.sum("x").cast("double") / F.count("*")).alias("m")
+    ).collect()
+    means = {r["event_type"]: r["m"] for r in agg}
+    direct = round(means["view"] - means["click"], 6)
+    assert row["observed_diff"] == direct
+    assert 0 <= row["n_as_extreme"] <= row["n_permutations"]
+    assert row["p_value"] == round(
+        (1.0 + row["n_as_extreme"]) / (1.0 + row["n_permutations"]), 6
+    )
+
+
+def test_best_split_stump_matches_numpy(spark):
+    from auron_spark.registry import load_all
+    SPECS = load_all()
+    """feature_best_split_stump vs a direct numpy scan over every
+    candidate threshold — the distributed cumulative-sum split search
+    must pick the same threshold and gain as the O(n * thresholds)
+    reference."""
+    import numpy as np
+
+    got = SPECS["feature_best_split_stump"].build(spark, SF_SMOKE).collect()[0]
+    pdf = (
+        table(spark, SF_SMOKE, "orders")
+        .select("o_totalprice", "o_orderpriority")
+        .toPandas()
+    )
+    x = pdf["o_totalprice"].astype(float).to_numpy()
+    y = (pdf["o_orderpriority"] == "1-URGENT").to_numpy().astype(int)
+    nt, post = len(x), y.sum()
+
+    def gini(p):
+        return 2.0 * p * (1.0 - p)
+
+    gp = gini(post / nt)
+    best = (-1.0, None)
+    for t in np.unique(x)[:-1]:  # last value -> empty right side
+        left = x <= t
+        nl, pl = left.sum(), y[left].sum()
+        nr, pr = nt - nl, post - y[left].sum()
+        gain = gp - (nl * gini(pl / nl) + nr * gini(pr / nr)) / nt
+        key = (round(gain, 9), -t)
+        if best[1] is None or key > best[1]:
+            best = (t, key)
+    got_b = SPECS["feature_best_split_stump"].build(spark, SF_SMOKE).collect()[0]
+    assert float(got_b["threshold"]) == round(float(best[0]), 2)
+    assert abs(float(got_b["gini_gain"]) - best[1][0]) < 1e-6
