@@ -831,3 +831,128 @@ def pack_shelf_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "fill_ratio")
         .orderBy("packer")
     )
+
+
+_EPOCH_CAP = 4.0  # max repeats of any one source (the standard repeat guard)
+
+
+@query(
+    "pipeline_mixture_epoch_plan",
+    oracle="""
+    WITH tok AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               SUM(len(string_split(lower(text), ' '))
+                   - len(list_filter(string_split(lower(text), ' '),
+                                     x -> x = ''))) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)), 6)
+                    AS DECIMAL(28,6)) AS wt
+        FROM tok
+    ),
+    tots AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(wt AS DOUBLE) / CAST(SUM(wt) OVER () AS DOUBLE)
+                   AS target_share,
+               CAST(SUM(n_tokens) OVER () AS DOUBLE) AS total_tokens
+        FROM w
+    ),
+    plan AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(n_tokens AS DOUBLE) / total_tokens AS raw_share,
+               target_share,
+               LEAST(4.0, target_share * total_tokens / n_tokens) AS epochs
+        FROM tots
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(raw_share, 6) AS raw_share,
+           ROUND(target_share, 6) AS target_share,
+           ROUND(epochs, 6) AS epochs,
+           CAST(ROUND(epochs * n_tokens) AS BIGINT) AS planned_tokens
+    FROM plan
+    ORDER BY source
+    """,
+    tags=("pipeline", "sampling", "mixture", "epochs", "planning"),
+)
+def pipeline_mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture EPOCH plan: given per-source token counts and a
+    temperature-0.5 target mixture (sqrt upweighting of small sources),
+    the per-source repeat factor (epochs, capped at 4 — the standard
+    repeat guard against memorizing small domains) and the planned token
+    budget per source — the planning table a data-mixing run publishes
+    BEFORE any sampling job executes, capstone of the mixture family
+    (`sample_mixture_weights` applies per-row rates,
+    `sample_temperature_mixture` materializes the kept set; this plans
+    the token economy).
+
+    Scale shape: one corpus scan aggregates token counts to |sources|
+    rows; the mixture normalizer and total budget are windows over that
+    tiny frame (single-subtree rule); everything else is row-local
+    arithmetic on the plan rows.
+
+    Exactness: token counts are exact integers (whitespace split,
+    empties excluded); sqrt weights are 6-dp DECIMALs summed exactly
+    (the `sample_temperature_mixture` device); shares and epochs are
+    identical double trees, 6-dp at the edge."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    toks = (
+        t.documents.select(
+            "source",
+            F.size(
+                F.filter(
+                    F.split(F.lower("text"), " "), lambda x: x != ""
+                )
+            ).alias("ntok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ntok").alias("n_tokens"),
+        )
+        .withColumn(
+            "wt",
+            F.round(F.sqrt(F.col("n_tokens").cast("double")), 6).cast(
+                "decimal(28,6)"
+            ),
+        )
+    )
+    w0 = Window.partitionBy()
+    plan = (
+        toks.withColumn(
+            "target_share",
+            F.col("wt").cast("double") / F.sum("wt").over(w0).cast("double"),
+        )
+        .withColumn(
+            "total_tokens", F.sum("n_tokens").over(w0).cast("double")
+        )
+        .withColumn(
+            "raw_share",
+            F.col("n_tokens").cast("double") / F.col("total_tokens"),
+        )
+        .withColumn(
+            "epochs",
+            F.least(
+                F.lit(_EPOCH_CAP),
+                F.col("target_share")
+                * F.col("total_tokens")
+                / F.col("n_tokens"),
+            ),
+        )
+    )
+    return plan.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round("raw_share", 6).alias("raw_share"),
+        F.round("target_share", 6).alias("target_share"),
+        F.round("epochs", 6).alias("epochs"),
+        F.round(F.col("epochs") * F.col("n_tokens"))
+        .cast("bigint")
+        .alias("planned_tokens"),
+    ).orderBy("source")
