@@ -1560,6 +1560,37 @@ def dedup_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_M_BITS = 16384
+
+
+def _bloom_positions(col):
+    h1 = F.pmod(F.xxhash64(col), F.lit(_BLOOM_M_BITS))
+    h2 = F.pmod(F.xxhash64(col, F.lit("salt2")), F.lit(_BLOOM_M_BITS))
+    return F.array(
+        *[F.pmod(h1 + i * h2, F.lit(_BLOOM_M_BITS)) for i in range(3)]
+    )
+
+
+def bloom_bitmap_row(corpus: DataFrame) -> DataFrame:
+    """One-row bloom bitmap over corpus["text"]: partial/final bit_or per
+    64-bit word, collected into a map literal — the distributed build the
+    plan gate asserts on (pre-materialization)."""
+    word = F.expr("CAST(pos / 64 AS INT)")
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+    bits = corpus.select(
+        F.explode(_bloom_positions(F.col("text"))).alias("pos")
+    ).select(word.alias("word"), bit.alias("bit"))
+    return (
+        bits.groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word", "bits"))
+            ).alias("bloom")
+        )
+    )
+
+
 @query(
     "dedup_bloom_prefilter",
     oracle="""
@@ -1602,32 +1633,18 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions, and bit_or is commutative — the bitmap is identical under
     any partitioning, so the routing (and a fortiori the exact output)
     is reproducible."""
-    M_BITS = 16384
     docs = Tables(spark, sf_dir).documents
     corpus = docs.where(F.col("doc_id") % 10 != 0).select("text")
     batch = docs.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
-
-    def positions(col):
-        h1 = F.pmod(F.xxhash64(col), F.lit(M_BITS))
-        h2 = F.pmod(F.xxhash64(col, F.lit("salt2")), F.lit(M_BITS))
-        return F.array(
-            *[F.pmod(h1 + i * h2, F.lit(M_BITS)) for i in range(3)]
-        )
-
+    positions = _bloom_positions
     word = F.expr("CAST(pos / 64 AS INT)")
     bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
-    bits = corpus.select(
-        F.explode(positions(F.col("text"))).alias("pos")
-    ).select(word.alias("word"), bit.alias("bit"))
-    bloom_row = (
-        bits.groupBy("word")
-        .agg(F.bit_or("bit").alias("bits"))
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("word", "bits"))
-            ).alias("bloom")
-        )
-    )
+    # The 2 KB bitmap is THE model state — materialize it once: both
+    # probe branches below otherwise re-derived the corpus bloom build
+    # (round-9 single-subtree rule).  `bloom_bitmap_row` stays factored
+    # un-checkpointed so the plan gate can assert its partial/final
+    # bit_or shape directly.
+    bloom_row = bloom_bitmap_row(corpus).localCheckpoint(eager=False)
     probe_pos = batch.select(
         "doc_id", "text", F.explode(positions(F.col("text"))).alias("pos")
     ).join(F.broadcast(bloom_row)).select(
@@ -1640,9 +1657,12 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             != 0
         ).alias("hit"),
     )
+    # Batch-grain probe verdicts, referenced by BOTH branches below —
+    # materialized once (round-9 single-subtree rule; the incremental
+    # batch is small by definition, that is the whole premise of the op)
     probed = probe_pos.groupBy("doc_id", "text").agg(
         F.min("hit").alias("maybe")
-    )
+    ).localCheckpoint(eager=False)  # batch-grain verdicts, two consumers
     cleared = probed.where(~F.col("maybe")).select(
         "doc_id", F.lit(False).alias("is_known_dup")
     )

@@ -1327,8 +1327,16 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
-    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    # Bigram TYPE-count table: checkpoint once (single-subtree rule), and
+    # derive the context totals FROM it (c1(w1) = sum_w2 c2) instead of a
+    # second corpus aggregate — the plan pays one vocab pass + two bigram
+    # derivations total instead of four.
+    c2 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+        .localCheckpoint(eager=False)
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     term = F.round(
         F.log2((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v"))), 9
     ).cast("decimal(28,9)")
@@ -1405,7 +1413,13 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Tables(spark, sf_dir).documents
     toks = docs.select(F.split(F.lower("text"), " ").alias("w"))
     uni = toks.select(F.explode("w").alias("term")).where(F.col("term") != "")
-    ucnt = uni.groupBy("term").agg(F.count("*").alias("c"))
+    # vocab-grain index, referenced three times (total, both join legs) —
+    # materialized once per the round-9 single-subtree rule
+    ucnt = (
+        uni.groupBy("term")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     utot = ucnt.agg(F.sum("c").alias("nu"))
     idx = F.sequence(F.lit(1), F.size("w") - 1)
     bg = (
@@ -1424,7 +1438,11 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.a", "p.b")
         .where((F.col("a") != "") & (F.col("b") != ""))
     )
-    bcnt = bg.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    bcnt = (
+        bg.groupBy("a", "b")
+        .agg(F.count("*").alias("cab"))
+        .localCheckpoint(eager=False)  # bigram TYPE table, referenced twice
+    )
     btot = bcnt.agg(F.sum("cab").alias("nb"))
     ua = ucnt.select(F.col("term").alias("a"), F.col("c").alias("ca"))
     ub = ucnt.select(F.col("term").alias("b"), F.col("c").alias("cb"))
@@ -1612,7 +1630,14 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
-    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    # one corpus pass: every KN statistic derives from the bigram TYPE
+    # table, so materialize it once (round-9 single-subtree rule — four
+    # consumers otherwise re-ran the explode+count)
+    c2 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+        .localCheckpoint(eager=False)
+    )
     ctx = c2.groupBy("w1").agg(
         F.sum("c2").alias("c1"), F.count("*").alias("n1_fwd")
     )

@@ -1356,10 +1356,29 @@ def test_bloom_prefilter_builds_distributed_bitmap(spark):
     """dedup_bloom_prefilter: the bloom must build as a partial/final
     bit_or aggregate (commutative bitset state) and reach the batch as a
     broadcast; the exact-verify join must be an equi-join, not a
-    cartesian."""
+    cartesian.  Since round 9 the bitmap is localCheckpoint-ed (the 2 KB
+    model state was otherwise re-derived by both probe branches), so the
+    bit_or shape is asserted on the factored pre-materialization builder
+    and the broadcast/no-cartesian contract on the serving plan."""
+    from pyspark.sql import functions as F
+
+    from auron_spark.pipeline.dedup import bloom_bitmap_row
+    from auron_spark.tables import Tables
+
+    corpus = (
+        Tables(spark, SF_DIR).documents
+        .where(F.col("doc_id") % 10 != 0)
+        .select("text")
+    )
+    build = (
+        bloom_bitmap_row(corpus)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "bit_or" in build, build
+    assert "partial_bit_or" in build, build
     plan = _plan(spark, "dedup_bloom_prefilter")
-    assert "bit_or" in plan, plan
-    assert "partial_bit_or" in plan, plan
     assert "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
 
@@ -1698,6 +1717,10 @@ def test_audit_queries_scan_each_fact_once(spark, name, max_scans):
         ("dq_iqr_outliers", 2),  # was 6
         ("parts_supplier_hhi", 2),  # was 4
         ("eval_survival_logrank", 2),  # was 6
+        ("text_pmi_collocations", 0),  # was 5 (index frames checkpointed)
+        ("text_kneser_ney_bigram", 0),  # was 4 (bigram TYPE table)
+        ("text_bigram_perplexity", 2),  # was 4 (c1 derived FROM c2)
+        ("dedup_bloom_prefilter", 1),  # was 5 (bitmap + verdicts pinned)
     ],
 )
 def test_single_subtree_scan_counts(spark, name, n_scans):
