@@ -1010,7 +1010,9 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.date_format("f", "yyyy-MM").alias("cohort"),
         (F.year("f") * 12 + F.month("f")).alias("fm"),
-    )
+        # customer-grain acquisition dimension, referenced by sizes AND
+        # the revenue join — materialized once (single-subtree rule)
+    ).localCheckpoint(eager=False)
     sizes = cohorts.groupBy("cohort").agg(F.count("*").alias("n_customers"))
     rev = (
         o.join(cohorts, "o_custkey")

@@ -682,6 +682,11 @@ def mm_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.documents.where(F.col("doc_id") < AHASH_DOCS)
         .select("doc_id", make_img("doc_id").alias("payload"))
         .mapInPandas(hash_batch, "doc_id long, h_lo long, h_hi long")
+        # The decode+hash stage is the expensive (Python) pass and its
+        # output IS the stored perceptual-hash index: materialize once —
+        # both join sides and the symmetric union otherwise re-ran the
+        # decode 4x (round-9 single-subtree sweep).
+        .localCheckpoint(eager=False)
     )
     band_structs = F.array(
         *[
@@ -720,6 +725,7 @@ def mm_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         .where(F.col("hamming") <= AHASH_HAM_T)
+        .localCheckpoint(eager=False)  # pair list, two symmetric consumers
     )
     neigh = (
         pairs.select(F.col("a").alias("doc_id"), F.col("b").alias("other"))

@@ -1721,6 +1721,8 @@ def test_audit_queries_scan_each_fact_once(spark, name, max_scans):
         ("text_kneser_ney_bigram", 0),  # was 4 (bigram TYPE table)
         ("text_bigram_perplexity", 2),  # was 4 (c1 derived FROM c2)
         ("dedup_bloom_prefilter", 1),  # was 5 (bitmap + verdicts pinned)
+        ("mm_image_ahash_dedup", 0),  # was 5 (decode+hash index pinned)
+        ("orders_cohort_ltv", 1),  # was 3 (acquisition dim pinned)
     ],
 )
 def test_single_subtree_scan_counts(spark, name, n_scans):
