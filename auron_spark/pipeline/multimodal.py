@@ -581,6 +581,76 @@ def ahash_ppm(payload: bytes) -> tuple[int, int]:
     return lo, hi
 
 
+def ahash_hash_frame(t) -> "DataFrame":
+    """Decode+hash stage (Arrow-batched Python over deterministic PPM
+    payloads) — factored pre-materialization so the plan gate can assert
+    the MapInPandas shape; `mm_image_ahash_dedup` checkpoints it (the
+    stored perceptual-hash index)."""
+    @F.pandas_udf("binary")
+    def make_img(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: encode_template_ppm(int(i)))
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs = pdf["payload"].map(ahash_ppm)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "h_lo": hs.map(lambda t: t[0]),
+                    "h_hi": hs.map(lambda t: t[1]),
+                }
+            )
+
+    return (
+        t.documents.where(F.col("doc_id") < AHASH_DOCS)
+        .select("doc_id", make_img("doc_id").alias("payload"))
+        .mapInPandas(hash_batch, "doc_id long, h_lo long, h_hi long")
+    )
+
+
+def ahash_pair_frame(hashes: "DataFrame") -> "DataFrame":
+    """Banded candidate join + exact hamming verify — factored so the
+    plan gate can assert the (band_idx, band_val) equi-join shape."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftright(col, shift).bitwiseAND(65535).alias("band_val"),
+            )
+            for i, (col, shift) in enumerate(
+                [
+                    (F.col("h_lo"), 0),
+                    (F.col("h_lo"), 16),
+                    (F.col("h_hi"), 0),
+                    (F.col("h_hi"), 16),
+                ]
+            )
+        ]
+    )
+    bands = hashes.select(
+        "doc_id", "h_lo", "h_hi", F.explode(band_structs).alias("bd")
+    ).select("doc_id", "h_lo", "h_hi", "bd.band_idx", "bd.band_val")
+    l, r = bands.alias("l"), bands.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            (
+                F.bit_count(F.col("l.h_lo").bitwiseXOR(F.col("r.h_lo")))
+                + F.bit_count(F.col("l.h_hi").bitwiseXOR(F.col("r.h_hi")))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= AHASH_HAM_T)
+    )
+
+
 @query(
     "mm_image_ahash_dedup",
     oracle=f"""
@@ -662,71 +732,15 @@ def mm_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     input is pairs-sized.  Hamming <= 3 is guaranteed caught by 4-band
     pigeonhole; 4-6 rely on band luck (measured 94% at the fixtures) —
     the standard LSH recall trade, stated rather than hidden."""
-    @F.pandas_udf("binary")
-    def make_img(ids: pd.Series) -> pd.Series:
-        return ids.map(lambda i: encode_template_ppm(int(i)))
-
-    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            hs = pdf["payload"].map(ahash_ppm)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "h_lo": hs.map(lambda t: t[0]),
-                    "h_hi": hs.map(lambda t: t[1]),
-                }
-            )
-
     t = Tables(spark, sf_dir)
-    hashes = (
-        t.documents.where(F.col("doc_id") < AHASH_DOCS)
-        .select("doc_id", make_img("doc_id").alias("payload"))
-        .mapInPandas(hash_batch, "doc_id long, h_lo long, h_hi long")
-        # The decode+hash stage is the expensive (Python) pass and its
-        # output IS the stored perceptual-hash index: materialize once —
-        # both join sides and the symmetric union otherwise re-ran the
-        # decode 4x (round-9 single-subtree sweep).
-        .localCheckpoint(eager=False)
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band_idx"),
-                F.shiftright(col, shift).bitwiseAND(65535).alias("band_val"),
-            )
-            for i, (col, shift) in enumerate(
-                [
-                    (F.col("h_lo"), 0),
-                    (F.col("h_lo"), 16),
-                    (F.col("h_hi"), 0),
-                    (F.col("h_hi"), 16),
-                ]
-            )
-        ]
-    )
-    bands = hashes.select(
-        "doc_id", "h_lo", "h_hi", F.explode(band_structs).alias("bd")
-    ).select("doc_id", "h_lo", "h_hi", "bd.band_idx", "bd.band_val")
-    l, r = bands.alias("l"), bands.alias("r")
-    pairs = (
-        l.join(
-            r,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_val") == F.col("r.band_val"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("a"),
-            F.col("r.doc_id").alias("b"),
-            (
-                F.bit_count(F.col("l.h_lo").bitwiseXOR(F.col("r.h_lo")))
-                + F.bit_count(F.col("l.h_hi").bitwiseXOR(F.col("r.h_hi")))
-            ).alias("hamming"),
-        )
-        .distinct()
-        .where(F.col("hamming") <= AHASH_HAM_T)
-        .localCheckpoint(eager=False)  # pair list, two symmetric consumers
-    )
+    # The decode+hash stage is the expensive (Python) pass and its output
+    # IS the stored perceptual-hash index; the pair list feeds both sides
+    # of the symmetric union — each materializes once (round-9
+    # single-subtree sweep; un-checkpointed, the decode re-ran 4x).  The
+    # builders stay factored so the plan gates assert their MapInPandas /
+    # banded-equi-join shapes pre-materialization.
+    hashes = ahash_hash_frame(t).localCheckpoint(eager=False)
+    pairs = ahash_pair_frame(hashes).localCheckpoint(eager=False)
     neigh = (
         pairs.select(F.col("a").alias("doc_id"), F.col("b").alias("other"))
         .unionAll(

@@ -803,17 +803,35 @@ def test_ahash_dedup_banded_equi_join(spark):
     """mm_image_ahash_dedup: candidate pairs must come from the banded
     equi-join on (band_idx, band_val) — never an all-pairs plan — and the
     decode/hash stage must be Arrow-batched Python (MapInPandas), not a
-    row-at-a-time UDF."""
-    plan = _plan(spark, "mm_image_ahash_dedup")
-    assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "MapInPandas" in plan, plan
+    row-at-a-time UDF.  Since round 9 both stages are localCheckpoint-ed
+    (the decode otherwise re-ran 4x), so the shapes are asserted on the
+    factored pre-materialization builders and the no-all-pairs contract
+    on the full serving plan."""
+    from auron_spark.pipeline.multimodal import (
+        ahash_hash_frame,
+        ahash_pair_frame,
+    )
+    from auron_spark.tables import Tables
+
+    t = Tables(spark, SF_DIR)
+    hashes = ahash_hash_frame(t)
+    hplan = hashes._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in hplan, hplan
+    pplan = (
+        ahash_pair_frame(hashes)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     joins = [
         line
-        for line in plan.splitlines()
+        for line in pplan.splitlines()
         if "HashJoin" in line or "SortMergeJoin" in line
     ]
-    assert any("band_idx" in j and "band_val" in j for j in joins), plan
+    assert any("band_idx" in j and "band_val" in j for j in joins), pplan
+    for plan in (hplan, pplan, _plan(spark, "mm_image_ahash_dedup")):
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
 def test_containment_pairs_only_shingle_join(spark):
