@@ -254,3 +254,51 @@ def sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+@query(
+    "sql_parameterized_identifier",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders
+    WHERE o_orderdate >= DATE '1997-01-01'
+      AND o_totalprice > 1000.0
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    tags=("sql", "surface", "parameterized", "identifier", "session-variable"),
+)
+def sql_parameterized_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 programmatic-SQL surface in one statement: NAMED PARAMETER
+    MARKERS (`:cutoff`, `:minprice` bound via `spark.sql(..., args=)` —
+    injection-safe literals, SPARK-44140), the IDENTIFIER() clause
+    (table name as a bound parameter instead of string interpolation,
+    SPARK-43205), and a SESSION VARIABLE (`DECLARE` / `SET VAR`,
+    SPARK-42849) consumed in the same query.  The oracle is the
+    fully-bound equivalent — the binding machinery itself is what's
+    under test, so a wrong binding shows as a hash mismatch.
+
+    Beyond the reference: its SQL surface is vanilla Spark's parser;
+    this pins the Spark-4 programmatic-parameter features working over
+    our tables.  Scale/exactness: one scan, priority-grain aggregate,
+    exact DECIMAL revenue."""
+    register_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE min_price DOUBLE")
+    spark.sql("SET VAR min_price = 1000.0")
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM IDENTIFIER(:tbl)
+        WHERE o_orderdate >= :cutoff
+          AND o_totalprice > min_price
+        GROUP BY o_orderpriority
+        ORDER BY priority
+        """,
+        args={"tbl": "orders", "cutoff": "1997-01-01"},
+    )
