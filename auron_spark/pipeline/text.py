@@ -1775,3 +1775,120 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_HEAPS_CUTS = (50, 100, 150, 200, 250, 300, 350, 400, 450, 500)
+
+
+@query(
+    "text_heaps_law_fit",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    pts AS (
+        SELECT
+          {', '.join(
+              f"COUNT(CASE WHEN doc_id < {c} THEN 1 END) AS n_{c}, "
+              f"COUNT(DISTINCT CASE WHEN doc_id < {c} THEN term END) AS v_{c}"
+              for c in _HEAPS_CUTS
+          )}
+        FROM tok
+    ),
+    curve AS (
+        {' UNION ALL '.join(
+            f"SELECT {c} AS n_docs, n_{c} AS n_tokens, v_{c} AS vocab "
+            f"FROM pts" for c in _HEAPS_CUTS
+        )}
+    ),
+    ll AS (
+        SELECT n_docs, n_tokens, vocab,
+               ln(CAST(n_tokens AS DOUBLE)) AS x,
+               ln(CAST(vocab AS DOUBLE)) AS y
+        FROM curve
+    ),
+    fit AS (
+        SELECT COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM ll
+    )
+    SELECT l.n_docs, CAST(l.n_tokens AS BIGINT) AS n_tokens,
+           CAST(l.vocab AS BIGINT) AS vocab,
+           ROUND((f.k * f.sxy - f.sx * f.sy)
+                 / (f.k * f.sxx - f.sx * f.sx), 6) AS heaps_beta,
+           ROUND(exp((f.sy - (f.k * f.sxy - f.sx * f.sy)
+                            / (f.k * f.sxx - f.sx * f.sx) * f.sx) / f.k), 6)
+               AS heaps_kappa
+    FROM ll l CROSS JOIN fit f
+    ORDER BY n_docs
+    """,
+    tags=("pipeline", "text", "corpus-stats", "heaps-law"),
+)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit — vocabulary growth V(n) = kappa * n^beta as the
+    corpus grows: ten prefix checkpoints of (tokens seen, distinct types
+    seen) computed as CONDITIONAL counts + conditional multi-distincts in
+    ONE aggregate over one scan (the `dq_schema_drift` device — no
+    per-checkpoint re-scan, no sequential running-distinct), then a
+    closed-form log-log OLS for (beta, kappa).  Pairs with
+    `text_zipf_slope` (frequency law) to complete the corpus-statistics
+    leg; a falling beta across loads means the corpus is saturating
+    (dedup working), a jump means new-domain inflow.
+
+    Scale shape: one corpus scan; the Expand for 10 conditional
+    distincts is the standard exact-profile cost (the 100-TB swap is
+    one HLL sketch per checkpoint); the fit runs on a 10-row frame.
+
+    Exactness: token/vocab counts exact integers; ln/exp of identical
+    doubles; the OLS is the shared closed-form power-sum tree
+    (`feature_ols_two_var` contract)."""
+    from pyspark.sql import Window
+
+    toks = (
+        Tables(spark, sf_dir).documents.select(
+            "doc_id", F.explode(_tokens()).alias("term")
+        ).where(F.col("term") != "")
+    )
+    aggs = []
+    for c in _HEAPS_CUTS:
+        aggs.append(
+            F.count(F.when(F.col("doc_id") < c, 1)).alias(f"n_{c}")
+        )
+        aggs.append(
+            F.countDistinct(
+                F.when(F.col("doc_id") < c, F.col("term"))
+            ).alias(f"v_{c}")
+        )
+    pts = toks.agg(*aggs)
+    stack = "stack({}, {}) AS (n_docs, n_tokens, vocab)".format(
+        len(_HEAPS_CUTS),
+        ", ".join(f"{c}, n_{c}, v_{c}" for c in _HEAPS_CUTS),
+    )
+    ll = pts.select(F.expr(stack)).select(
+        "n_docs",
+        "n_tokens",
+        "vocab",
+        F.log(F.col("n_tokens").cast("double")).alias("x"),
+        F.log(F.col("vocab").cast("double")).alias("y"),
+    )
+    w0 = Window.partitionBy()
+    ll = (
+        ll.withColumn("k", F.count("*").over(w0))
+        .withColumn("sx", F.sum("x").over(w0))
+        .withColumn("sy", F.sum("y").over(w0))
+        .withColumn("sxx", F.sum(F.col("x") * F.col("x")).over(w0))
+        .withColumn("sxy", F.sum(F.col("x") * F.col("y")).over(w0))
+    )
+    beta = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    kappa = F.exp((F.col("sy") - beta * F.col("sx")) / F.col("k"))
+    return ll.select(
+        F.col("n_docs").cast("int").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("vocab").cast("bigint").alias("vocab"),
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(kappa, 6).alias("heaps_kappa"),
+    ).orderBy("n_docs")
