@@ -1200,3 +1200,148 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour")
     )
+
+
+@query(
+    "timeseries_binary_segmentation",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    r1 AS (
+        SELECT day, cents,
+               SUM(cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                   AS cum,
+               row_number() OVER (ORDER BY day) AS rk,
+               COUNT(*) OVER () AS n, SUM(cents) OVER () AS tot
+        FROM daily
+    ),
+    cp1 AS (
+        SELECT day AS cp_day, abs(cum * n - rk * tot) AS dev
+        FROM r1 WHERE rk < n
+        ORDER BY abs(cum * n - rk * tot) DESC, day LIMIT 1
+    ),
+    seg AS (
+        SELECT r1.day, r1.cents,
+               CASE WHEN r1.day <= c.cp_day THEN 0 ELSE 1 END AS sid
+        FROM r1 CROSS JOIN cp1 c
+    ),
+    r2 AS (
+        SELECT day, sid,
+               SUM(cents) OVER (PARTITION BY sid ORDER BY day
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+               row_number() OVER (PARTITION BY sid ORDER BY day) AS rk,
+               COUNT(*) OVER (PARTITION BY sid) AS n,
+               SUM(cents) OVER (PARTITION BY sid) AS tot
+        FROM seg
+    ),
+    cp2 AS (
+        SELECT sid, day, dev FROM (
+            SELECT sid, day, abs(cum * n - rk * tot) AS dev,
+                   row_number() OVER (PARTITION BY sid
+                       ORDER BY abs(cum * n - rk * tot) DESC, day) AS brk
+            FROM r2 WHERE rk < n
+        ) WHERE brk = 1
+    )
+    SELECT * FROM (
+        SELECT 1 AS level, 0 AS segment,
+               strftime(cp_day, '%Y-%m-%d') AS change_day,
+               CAST(dev AS DOUBLE) AS cusum_dev
+        FROM cp1
+        UNION ALL
+        SELECT 2, sid, strftime(day, '%Y-%m-%d'), CAST(dev AS DOUBLE)
+        FROM cp2
+    ) ORDER BY level, segment
+    """,
+    tags=("timeseries", "changepoint", "binary-segmentation"),
+)
+def timeseries_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level binary segmentation over the daily-revenue series: the
+    strongest changepoint of the whole series (level 1), then the
+    strongest within each resulting half (level 2) — the multi-changepoint
+    extension of `timeseries_cusum_drift` (which detects ONE drift), the
+    standard recursive scheme (Scott & Knott) regime-shift reports use.
+
+    The deviation statistic stays in INTEGER space —
+    |cum*n - rank*total| over exact cents — so every argmax compares
+    exact integers cross-engine; no double enters until the output cast.
+
+    Scale shape: the corpus collapses to calendar-bounded day grain ONCE
+    (checkpointed — level 2 re-partitions the same frame by segment, the
+    single-subtree rule); each level is one ordered window pass + a
+    1-or-2-row argmax; level-2 windows partition by segment id.  Depth
+    is a fixed small constant, the `events_markov_multistep` unroll
+    contract."""
+    from pyspark.sql import Window
+
+    o = Tables(spark, sf_dir).orders
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=False)
+    )
+    w_ord = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w0 = Window.partitionBy()
+    r1 = (
+        daily.withColumn("cum", F.sum("cents").over(w_ord))
+        .withColumn("rk", F.row_number().over(Window.orderBy("day")))
+        .withColumn("n", F.count("*").over(w0))
+        .withColumn("tot", F.sum("cents").over(w0))
+    )
+    dev = F.abs(F.col("cum") * F.col("n") - F.col("rk") * F.col("tot"))
+    cp1 = (
+        r1.where(F.col("rk") < F.col("n"))
+        .withColumn("dev", dev)
+        .orderBy(F.desc("dev"), "day")
+        .limit(1)
+        .select(F.col("day").alias("cp_day"), "dev")
+        .localCheckpoint(eager=False)  # 1-row split point, two consumers
+    )
+    seg = daily.join(F.broadcast(cp1.select("cp_day"))).select(
+        "day",
+        "cents",
+        F.when(F.col("day") <= F.col("cp_day"), 0).otherwise(1).alias("sid"),
+    )
+    ws_ord = Window.partitionBy("sid").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ws = Window.partitionBy("sid")
+    r2 = (
+        seg.withColumn("cum", F.sum("cents").over(ws_ord))
+        .withColumn(
+            "rk", F.row_number().over(Window.partitionBy("sid").orderBy("day"))
+        )
+        .withColumn("n", F.count("*").over(ws))
+        .withColumn("tot", F.sum("cents").over(ws))
+    )
+    cp2 = (
+        r2.where(F.col("rk") < F.col("n"))
+        .withColumn("dev", dev)
+        .withColumn(
+            "brk",
+            F.row_number().over(
+                Window.partitionBy("sid").orderBy(F.desc("dev"), "day")
+            ),
+        )
+        .where(F.col("brk") == 1)
+    )
+    out1 = cp1.select(
+        F.lit(1).alias("level"),
+        F.lit(0).alias("segment"),
+        F.date_format("cp_day", "yyyy-MM-dd").alias("change_day"),
+        F.col("dev").cast("double").alias("cusum_dev"),
+    )
+    out2 = cp2.select(
+        F.lit(2).alias("level"),
+        F.col("sid").alias("segment"),
+        F.date_format("day", "yyyy-MM-dd").alias("change_day"),
+        F.col("dev").cast("double").alias("cusum_dev"),
+    )
+    return out1.unionAll(out2).orderBy("level", "segment")
