@@ -3689,3 +3689,220 @@ def sim_centroid_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_SWEEP_PROBES = (1, 2, 4)
+
+
+def _nprobe_sweep_oracle() -> str:
+    from auron_spark.registry import REGISTRY as _R
+
+    brute = _R["sim_knn_bruteforce"].oracle
+    return f"""
+    WITH b AS ({brute}),
+    cents AS (
+        SELECT cid, cv FROM read_parquet('{_SERVE_ART}/centroids/*.parquet')
+    ),
+    lists AS (
+        SELECT vec_id, CAST(cid AS INT) AS cid
+        FROM read_parquet('{_SERVE_ART}/codes/*/*.parquet',
+                          hive_partitioning = true)
+        WHERE sub = 0
+    ),
+    nps (np) AS (VALUES (1), (2), (4)),
+    proberk AS (
+        SELECT query_id, cid, prk FROM (
+            SELECT e.vec_id AS query_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_SQL_KM_ASSIGN_DIST} ASC,
+                                               c.cid ASC) AS prk
+            FROM embeddings e CROSS JOIN cents c
+            WHERE e.vec_id % {QUERY_MOD} = 0
+              AND e.vec_id < {QUERY_CAP})
+        WHERE prk <= {max(_SWEEP_PROBES)}
+    ),
+    cand AS (
+        SELECT p.query_id, l.vec_id AS neighbor_id,
+               MIN(p.prk) AS minprk,
+               MIN({_SQL_DOT} / ({_SQL_NORM_Q} * {_SQL_NORM_C})) AS cos
+        FROM proberk p
+        JOIN lists l ON l.cid = p.cid AND l.vec_id <> p.query_id
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN embeddings c ON c.vec_id = l.vec_id
+        GROUP BY p.query_id, l.vec_id
+    ),
+    topk AS (
+        SELECT np, query_id, neighbor_id FROM (
+            SELECT n.np, c.query_id, c.neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY n.np, c.query_id
+                                      ORDER BY c.cos DESC, c.neighbor_id)
+                       AS rn
+            FROM cand c JOIN nps n ON c.minprk <= n.np
+        ) WHERE rn <= {TOP_K}
+    ),
+    costs AS (
+        SELECT n.np, c.query_id, COUNT(*) AS n_cand
+        FROM cand c JOIN nps n ON c.minprk <= n.np
+        GROUP BY n.np, c.query_id
+    ),
+    rec AS (
+        SELECT n.np, b.query_id,
+               COUNT(t.neighbor_id) AS hit, COUNT(*) AS n_true
+        FROM nps n CROSS JOIN b
+        LEFT JOIN topk t ON t.np = n.np AND t.query_id = b.query_id
+                        AND t.neighbor_id = b.neighbor_id
+        GROUP BY n.np, b.query_id
+    )
+    SELECT CAST(r.np AS INT) AS nprobe,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(CAST(SUM(c.n_cand) AS DOUBLE) / COUNT(*), 6)
+               AS avg_candidates,
+           ROUND(CAST(SUM(r.hit) AS DOUBLE) / SUM(r.n_true), 6)
+               AS recall_at_k
+    FROM rec r JOIN costs c ON c.np = r.np AND c.query_id = r.query_id
+    GROUP BY r.np
+    ORDER BY nprobe
+    """
+
+
+@query(
+    "sim_nprobe_recall_sweep",
+    oracle=_nprobe_sweep_oracle(),  # composes the brute oracle, already
+    # registered above in this module (the _ann_recall_oracle device)
+    tags=("pipeline", "similarity", "ann", "tuning", "serving"),
+)
+def sim_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe tuning frontier: recall@5 vs candidate-set cost at
+    nprobe = 1 / 2 / 4, all from the persisted index — the table a
+    vector platform reads to pick its latency/recall operating point
+    (the missing piece between `sim_knn_ivf_serve`, which serves ONE
+    setting, and `sim_ann_recall_report`, which evaluates it).
+
+    Single-subtree construction: the probed-candidate frame is computed
+    ONCE at the widest setting, carrying each (query, neighbor)'s
+    MINIMUM probe rank; every nprobe leg is then a filter
+    (minprk <= np) + per-leg WindowGroupLimit over that one frame — no
+    per-setting re-probe, no corpus re-scan.  Ground truth is the exact
+    brute-force top-k (both tiers bit-exact, the
+    `sim_ann_recall_report` composition device).
+
+    Scale shape: model scans are k centroid rows + the sub=0 slice of
+    the codes index; the candidate fetch is one vec_id equi-join; legs
+    multiply only the top-k-sized frame (x3).  Exactness: cosines are
+    the shared double tree (deduplicated per pair via MIN — identical
+    per group); recalls and costs are exact-integer ratios."""
+    from pyspark.sql import Window
+
+    from auron_spark.registry import REGISTRY as _R
+
+    d = build_ivfpq_index(spark, sf_dir)
+    cent = spark.read.parquet(f"{d}/centroids")
+    lists_idx = (
+        spark.read.parquet(f"{d}/codes")
+        .where(F.col("sub") == 0)
+        .select("vec_id", F.col("cid").cast("int").alias("cid"))
+    )
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("e"),
+    )
+    cents_row = cent.agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
+    dist_structs = F.transform(
+        "cents",
+        lambda c: F.struct(
+            _sqdist(F.col("e"), c["cv"]).alias("d"), c["cid"].alias("cid")
+        ),
+    )
+    probes = (
+        emb.join(F.broadcast(cents_row))
+        .filter(
+            (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP)
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("q_emb"),
+            norm(F.col("e")).alias("qn"),
+            F.posexplode(
+                F.transform(
+                    F.slice(
+                        F.array_sort(dist_structs), 1, max(_SWEEP_PROBES)
+                    ),
+                    lambda s: s["cid"],
+                )
+            ).alias("pos", "cid"),
+        )
+        .withColumn("prk", F.col("pos") + 1)
+    )
+    lists = emb.join(lists_idx, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("c_emb"),
+        norm(F.col("e")).alias("cn"),
+        "cid",
+    )
+    cand = (
+        lists.join(F.broadcast(probes), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.min("prk").alias("minprk"),
+            F.min(
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("qn") * F.col("cn"))
+            ).alias("cos"),
+        )
+        .localCheckpoint(eager=False)  # ONE probe pass feeds all legs
+    )
+    nps = spark.range(0).sparkSession.createDataFrame(
+        [(n,) for n in _SWEEP_PROBES], "np int"
+    )
+    legged = cand.join(
+        F.broadcast(nps), F.col("minprk") <= F.col("np")
+    )
+    w = Window.partitionBy("np", "query_id").orderBy(
+        F.desc("cos"), "neighbor_id"
+    )
+    topk = (
+        legged.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("np", "query_id", "neighbor_id")
+    )
+    costs = legged.groupBy("np", "query_id").agg(
+        F.count("*").alias("n_cand")
+    )
+    brute = (
+        _R["sim_knn_bruteforce"]
+        .build(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+    )
+    rec = (
+        nps.crossJoin(brute)
+        .join(
+            topk.withColumn("hit", F.lit(1)),
+            ["np", "query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("np", "query_id")
+        .agg(F.count("hit").alias("hit"), F.count("*").alias("n_true"))
+    )
+    return (
+        rec.join(costs, ["np", "query_id"])
+        .groupBy("np")
+        .agg(
+            F.count("*").cast("bigint").alias("n_queries"),
+            F.round(
+                F.sum("n_cand").cast("double") / F.count("*"), 6
+            ).alias("avg_candidates"),
+            F.round(
+                F.sum("hit").cast("double") / F.sum("n_true"), 6
+            ).alias("recall_at_k"),
+        )
+        .select(
+            F.col("np").cast("int").alias("nprobe"),
+            "n_queries",
+            "avg_candidates",
+            "recall_at_k",
+        )
+        .orderBy("nprobe")
+    )
+
