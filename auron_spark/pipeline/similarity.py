@@ -3876,7 +3876,7 @@ def sim_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
     rec = (
-        nps.crossJoin(brute)
+        brute.crossJoin(F.broadcast(nps))
         .join(
             topk.withColumn("hit", F.lit(1)),
             ["np", "query_id", "neighbor_id"],
