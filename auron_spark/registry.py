@@ -70,78 +70,24 @@ _LOADED = False
 
 # The differential driver checks a prefix window of the registry in iteration
 # order (rounds 1 and 2 each covered exactly the first 50 names), so ordering
-# is evidence policy, not cosmetics.  Round 3 rotates the window onto the
-# queries that have NEVER had a driver row: every round-2 operator (funnel,
-# streaks, sampling, quantization, repetition, contamination, connected
-# components, packing, partial-merge UDAF), the TPC-H tail, the window /
-# generator tails, json-parse-once + variant, and five streaming batch-twins.
-# Deferred to the middle band (next window's first picks): the two rows-only
-# queries (dedup_simhash, sim_knn_lsh — their exact twins ARE in-window), the
-# four mm_* stub-plumbing queries, two stream twins, and three text queries
-# whose family already has in-window representatives.
-# ROUND-9 WINDOW.  Priority order: (a) the round-9 additions (never a
-# driver row, by construction); (b) backfill with the OLDEST proofs — the
-# r1/r2 sets in registry (declaration) order, skipping anything re-proven
-# in r4-r8 (their surviving rows predate the mid-r4 fixture regen, so
-# re-proving them on current fixtures closes the oldest evidence gap;
-# round 8 backfilled the first four, this round takes the next 28).
+# is evidence policy, not cosmetics.  Rounds 3-9 hand-rotated a 50-name
+# `_DRIVER_WINDOW` tuple each round; since round 10 the window is DERIVED
+# (VERDICT r9 stretch #8) so the rotation can never be mis-transcribed:
+#   1. never-proven oracle-bearing queries, in registration order (every
+#      late-round addition automatically leads the next round's window);
+#   2. backfill: names whose ONLY proof is the artifact-less round-8 window
+#      (presumed proven, no in-tree CORRECTNESS_r08.json — weakest evidence
+#      first), in registration order;
+#   3. then artifact-backed names by OLDEST newest-artifact round (their
+#      surviving rows predate later fixture regens), registration order.
 # Rows-only queries (oracle=None) are permanently excluded from window slots:
 # the driver can only ever return `no_oracle` for them (r5 burned 2 slots
 # this way), so they sort dead-last in `_ordered` by construction.
-_DRIVER_WINDOW: tuple[str, ...] = (
-    # (a) round-9 additions — experiment-analysis family (parametric /
-    # categorical / rank / causal tests + power), completing the lifecycle
-    # around eval_ab_srm_check / eval_mannwhitney_u / eval_survival_*
-    "eval_welch_ttest", "eval_anova_oneway", "eval_chi_square_independence",
-    "eval_roc_auc", "eval_cuped_adjustment", "eval_diff_in_differences",
-    "eval_power_analysis", "eval_qini_uplift",
-    # closed-form distributed regression (multivariate OLS + ridge) and
-    # information-theoretic feature screening
-    "feature_ols_two_var", "feature_ridge_closed_form",
-    "feature_mutual_information",
-    # timeseries tail: autocorrelation, forecast backtest, dispersion
-    "timeseries_acf", "timeseries_snaive_backtest", "events_burstiness",
-    # mergeable-summary heavy hitters (Misra-Gries + exact verify)
-    "agg_heavy_hitters_mg",
-    # recommendation + attribution tails
-    "rec_item_cooccurrence", "attribution_position_based",
-    # corpus statistics + graph tail
-    "text_zipf_slope", "graph_kcore_peel",
-    # DQ profiling + supply-chain classification matrix
-    "dq_completeness_profile", "parts_abc_xyz_matrix",
-    # relational matrix power + embedding QA
-    "events_markov_multistep", "sim_label_centroid_confusion",
-    # round-9 second wave: geospatial-lite (grid pruning proven lossless
-    # against unpruned quadratic oracles)
-    "geo_grid_cell_stats", "geo_radius_join", "geo_nation_trade_distance",
-    # privacy + join-cardinality DQ audits
-    "dq_k_anonymity", "dq_join_explosion_audit",
-    # one-scan 5-fold cross-validated OLS (sufficient-statistics CV)
-    "eval_kfold_ols_oos",
-    # gap-fill interpolation + lead-lag correlation sweep
-    "timeseries_linear_interpolate", "timeseries_cross_correlation",
-    # LM smoothing + rule-based quality gate
-    "text_kneser_ney_bigram", "text_gopher_filters",
-    # near-dup graph: link prediction + multi-source BFS
-    "graph_link_prediction", "graph_bfs_reach",
-    # ranking metrics + session analytics
-    "retrieval_eval_map_mrr", "sessionize_entry_stats",
-    # MMR diversity rerank, URL function family, DP noisy release,
-    # recommender serve path
-    "sim_mmr_diversify", "fn_url_parse", "dq_dp_noisy_counts",
-    "rec_user_item_serve",
-    # lakehouse compaction planning, temporal holdout, vector analogy,
-    # weekly-seasonality heatmap
-    "layout_compaction_plan", "split_temporal_holdout",
-    "sim_vector_analogy", "events_dow_hour_heatmap",
-    # IQR outlier audit, tier migration matrix, concentration metrics
-    "dq_iqr_outliers", "customer_segment_migration",
-    "parts_supplier_hhi", "events_engagement_gini",
-    # (b) backfill: oldest proof (r1/r2, registry order, minus later
-    # re-proofs and the four taken by round 8) — 1 slot after the
-    # second-wave additions displaced the rest
-    "fn_regexp_like",
-)
+_WINDOW_SIZE = 50
+
+# Filled by `_ordered` on every `load_all()`; kept as a module global for
+# introspection by tests/test_harness.py and COVERAGE tooling.
+_DRIVER_WINDOW: tuple[str, ...] = ()
 
 # The full round-8 driver window (the 20 late-r7 names + the r8 additions +
 # 4 oldest-proof backfills).  The driver ran it, but the round-8
@@ -177,6 +123,30 @@ _R8_WINDOW: frozenset[str] = frozenset({
     "eval_survival_km", "eval_survival_logrank",
     "fn_decimal_arith", "fn_decimal_agg_overflow_guard", "fn_string_basic",
     "fn_string_pad_case",
+})
+
+# Green driver rows from CORRECTNESS_r09.json — the whole round-9 window
+# hash-matched 50/50 (the third consecutive perfect driver window).
+_R9_PROVEN: frozenset[str] = frozenset({
+    "eval_welch_ttest", "eval_anova_oneway", "eval_chi_square_independence",
+    "eval_roc_auc", "eval_cuped_adjustment", "eval_diff_in_differences",
+    "eval_power_analysis", "eval_qini_uplift", "feature_ols_two_var",
+    "feature_ridge_closed_form", "feature_mutual_information",
+    "timeseries_acf", "timeseries_snaive_backtest", "events_burstiness",
+    "agg_heavy_hitters_mg", "rec_item_cooccurrence",
+    "attribution_position_based", "text_zipf_slope", "graph_kcore_peel",
+    "dq_completeness_profile", "parts_abc_xyz_matrix",
+    "events_markov_multistep", "sim_label_centroid_confusion",
+    "geo_grid_cell_stats", "geo_radius_join", "geo_nation_trade_distance",
+    "dq_k_anonymity", "dq_join_explosion_audit", "eval_kfold_ols_oos",
+    "timeseries_linear_interpolate", "timeseries_cross_correlation",
+    "text_kneser_ney_bigram", "text_gopher_filters", "graph_link_prediction",
+    "graph_bfs_reach", "retrieval_eval_map_mrr", "sessionize_entry_stats",
+    "sim_mmr_diversify", "fn_url_parse", "dq_dp_noisy_counts",
+    "rec_user_item_serve", "layout_compaction_plan", "split_temporal_holdout",
+    "sim_vector_analogy", "events_dow_hour_heatmap", "dq_iqr_outliers",
+    "customer_segment_migration", "parts_supplier_hhi",
+    "events_engagement_gini", "fn_regexp_like",
 })
 
 # Green driver rows from CORRECTNESS_r07.json — the whole round-7 window
@@ -315,15 +285,67 @@ _R1_PROVEN: frozenset[str] = frozenset({
 })
 
 
-_PROVEN: frozenset[str] = (
-    _R1_PROVEN | _R2_PROVEN | _R4_PROVEN | _R5_PROVEN | _R6_PROVEN
-    | _R7_PROVEN | _R8_WINDOW
+# Rounds with an in-tree driver artifact (CORRECTNESS_r0N.json committed).
+# Round 8's artifact never landed, so `_R8_WINDOW` is NOT in this map — its
+# names are "presumed proven" and get first claim on re-prove backfill slots.
+_ARTIFACT_PROVEN: dict[int, frozenset[str]] = {
+    1: _R1_PROVEN,
+    2: _R2_PROVEN,
+    4: _R4_PROVEN,
+    5: _R5_PROVEN,
+    6: _R6_PROVEN,
+    7: _R7_PROVEN,
+    9: _R9_PROVEN,
+}
+
+_PROVEN: frozenset[str] = frozenset().union(*_ARTIFACT_PROVEN.values()) | _R8_WINDOW
+
+# Within the presumed-r8 backfill band, re-prove the PLAN-CRITICAL names
+# first (VERDICT r9 ask #1): the distributed late-data rewrite, the runtime-
+# pruning / layout gates, the exact-similarity-join trio and the scan-format
+# trio — these carry the scale-posture claims, so their evidence matters
+# most.  Everything else in the band follows in registration order.
+_R8_REPROVE_FIRST: tuple[str, ...] = (
+    "stream_late_data_cutoff", "dedup_bloom_prefilter",
+    "join_bucketed_colocated", "scan_dpp_partitioned",
+    "join_set_similarity_prefix", "join_edit_distance_qgram",
+    "dedup_simhash_hamming_pairs", "scan_csv_typed", "scan_json_lines",
+    "scan_xml_rowtag", "scan_incremental_new_files", "scan_zone_map_skipping",
 )
 
 
+def _window_key(reg: dict[str, QuerySpec], reg_rank: dict[str, int]):
+    """Sort key implementing the mechanical window policy (see module
+    comment at `_WINDOW_SIZE`): (0) never proven, (1) presumed-r8 only
+    (plan-critical names first), (2) artifact-backed by ascending
+    newest-artifact round."""
+    r8_first = {n: i for i, n in enumerate(_R8_REPROVE_FIRST)}
+
+    def key(name: str) -> tuple[int, int, int]:
+        rounds = [r for r, s in _ARTIFACT_PROVEN.items() if name in s]
+        if name in r8_first:
+            # Plan-critical r8 names re-prove even over an older artifact:
+            # e.g. stream_late_data_cutoff's r5 row predates its r7
+            # distributed rewrite, so the old proof no longer covers it.
+            return (1, 0, r8_first[name])
+        if not rounds:
+            if name not in _R8_WINDOW:
+                return (0, 0, reg_rank[name])
+            return (1, 0, len(r8_first) + reg_rank[name])
+        return (2, max(rounds), reg_rank[name])
+
+    return key
+
+
 def _ordered(reg: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
-    window_rank = {n: i for i, n in enumerate(_DRIVER_WINDOW)}
+    global _DRIVER_WINDOW
     reg_rank = {n: i for i, n in enumerate(reg)}
+    candidates = sorted(
+        (n for n, s in reg.items() if s.oracle is not None),
+        key=_window_key(reg, reg_rank),
+    )
+    _DRIVER_WINDOW = tuple(candidates[:_WINDOW_SIZE])
+    window_rank = {n: i for i, n in enumerate(_DRIVER_WINDOW)}
 
     def key(name: str) -> tuple[int, int]:
         if reg[name].oracle is None:

@@ -39,56 +39,60 @@ def test_nested_arrays_tagged():
 
 
 def test_driver_window_spans_all_families():
-    """The driver checks a 50-query prefix of the registry.  Round-9 policy:
-    slots go to (a) the round-9 additions (never a driver row), then (b)
-    backfill with the OLDEST proofs — r1/r2 names never re-proven since,
-    whose rows predate the mid-r4 fixture regen (round 8 took the first 4,
-    round 9 the next 28).  The full round-8 window is treated as proven
-    (`_R8_WINDOW`; its artifact never landed in-tree — see registry.py).
+    """The driver checks a 50-query prefix of the registry.  Since round 10
+    the window is DERIVED, not hand-rotated (VERDICT r9 stretch #8): never-
+    proven oracle queries first (registration order), then re-prove backfill
+    — presumed-r8 names (artifact-less round-8 window, plan-critical first
+    via `_R8_REPROVE_FIRST`), then oldest artifact-backed proofs.  This test
+    pins the policy invariants so the rotation can never be mis-transcribed.
     Rows-only queries are permanently excluded from window slots: the
     driver can only record `no_oracle` for them (round 5 burned 2 slots
     that way)."""
     from auron_spark import registry
 
     specs = registry.load_all()
-    window = list(specs)[:50]
+    window = list(specs)[: registry._WINDOW_SIZE]
     order = {n: i for i, n in enumerate(specs)}
-    # every oracle-bearing name with NO driver row must be in the window,
-    # or (if additions ever overflow 50) sort immediately after it — always
-    # before the proven tail
+    # the derived window IS the registry prefix
+    assert tuple(window) == registry._DRIVER_WINDOW
+    # no unproven oracle query may sort after any proven one (as long as
+    # the unproven set fits the window, it is fully inside it)
     never_proven = {
         n
         for n, s in specs.items()
         if s.oracle is not None and n not in registry._PROVEN
     }
-    fresh = (
-        registry._R4_PROVEN | registry._R5_PROVEN | registry._R6_PROVEN
-        | registry._R7_PROVEN | registry._R8_WINDOW
-    )
-    rewrites: set[str] = set()  # no plan rewrites re-proving this round
-    last_unproven = max(order[n] for n in never_proven)
-    first_fresh_proven = min(
-        order[n] for n in specs if n in fresh and n not in rewrites
-    )
-    assert last_unproven < first_fresh_proven, (
-        f"a fresh-proven name sorts before a never-proven one: "
-        f"unproven up to {last_unproven}, fresh-proven from "
-        f"{first_fresh_proven}"
-    )
+    if never_proven:
+        last_unproven = max(order[n] for n in never_proven)
+        proven_not_windowed = [
+            n for n, s in specs.items()
+            if s.oracle is not None and n in registry._PROVEN
+            and n not in set(window)
+        ]
+        if len(never_proven) <= registry._WINDOW_SIZE:
+            assert never_proven <= set(window), (
+                f"unproven oracle queries left outside the driver window: "
+                f"{never_proven - set(window)}"
+            )
+        if proven_not_windowed:
+            assert last_unproven < min(order[n] for n in proven_not_windowed)
     # no rows-only query may occupy a window slot, this round or ever
     rows_only = {n for n, s in specs.items() if s.oracle is None}
     wasted = set(window) & rows_only
     assert not wasted, f"window wastes slots on rows-only queries: {wasted}"
-    # backfill slots may hold ONLY oldest-proof names (r1/r2, never
-    # re-proven in r4-r7) or documented rewrites — never fresh proofs
-    stale_ok = {
-        n for n in set(window) & fresh
-        if n not in rewrites
-    }
-    assert not stale_ok, f"window wastes slots on fresh-proven queries: {stale_ok}"
-    # every window name must actually exist in the registry (typo guard)
-    unknown = set(registry._DRIVER_WINDOW) - set(specs)
-    assert not unknown, f"window names not in registry: {unknown}"
+    # backfill slots hold only the weakest evidence: presumed-r8 names or
+    # documented plan-critical re-proofs — never a name whose newest proof
+    # is an in-tree artifact (those re-prove last, by ascending round)
+    backfill = [n for n in window if n not in never_proven]
+    ok_backfill = registry._R8_WINDOW | set(registry._R8_REPROVE_FIRST)
+    bad = [n for n in backfill if n not in ok_backfill]
+    assert not bad, f"window wastes slots on artifact-proven queries: {bad}"
+    # plan-critical names lead the backfill band, in declared order
+    declared = [n for n in registry._R8_REPROVE_FIRST if n in specs]
+    assert backfill[: len(declared)] == declared
+    # every plan-critical name must actually exist in the registry (typo guard)
+    unknown = set(registry._R8_REPROVE_FIRST) - set(specs)
+    assert not unknown, f"_R8_REPROVE_FIRST names not in registry: {unknown}"
 
 
 def test_shingles_short_documents(spark):
