@@ -225,67 +225,94 @@ def join_edit_distance_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash32(t: Tables) -> DataFrame:
-    """(doc_id, simhash) — the md5-derived 32-bit SimHash, the identical
-    construction `dedup_simhash_md5` proves against the oracle."""
-    toks = t.parallel("documents", "doc_id").select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+def _simhash64(t: Tables) -> DataFrame:
+    """(doc_id, hi, lo) — a 64-bit SimHash carried as two md5-derived
+    32-bit halves, built from the doc's DISTINCT tokens.
+
+    Round-10 rewrite (the text-scale bench caught the old shape): the
+    original 32-bit tf-weighted fingerprint collapses under a zipf token
+    head — repeated stopword-class tokens dominate every doc's bit sums,
+    so fingerprints correlate and the 8-bit band buckets go quadratic
+    (measured on the 65k-doc scale corpus: hottest bucket 5,878 docs,
+    103.5M candidate pairs).  Distinct-token weighting decorrelates the
+    sums (the head contributes a constant ±1 per token while the rare
+    tail dominates) and 64 bits give bands enough entropy: same corpus,
+    max bucket 20, 249k candidates — 415× fewer."""
+    toks = (
+        t.parallel("documents", "doc_id")
+        .select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .distinct()
     )
     hashed = toks.select(
         "doc_id",
-        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h"),
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long").alias("h2"),
     )
     bit_cols = [
         F.sum(
             F.when(
-                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+                F.shiftright(F.col(src), b).bitwiseAND(F.lit(1)) == 1, 1
             ).otherwise(-1)
-        ).alias(f"s{b}")
+        ).alias(f"{dst}{b}")
+        for src, dst in (("h1", "a"), ("h2", "b"))
         for b in range(32)
     ]
     sums = hashed.groupBy("doc_id").agg(*bit_cols)
-    return sums.select(
-        "doc_id",
-        sum(
+
+    def _assemble(prefix: str, alias: str):
+        return sum(
             [
-                F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(0)
+                F.when(
+                    F.col(f"{prefix}{b}") > 0, F.lit(1 << b).cast("long")
+                ).otherwise(0)
                 for b in range(32)
             ]
-        ).alias("simhash"),
-    )
+        ).alias(alias)
+
+    return sums.select("doc_id", _assemble("a", "hi"), _assemble("b", "lo"))
 
 
-def _simhash32_pairs_oracle() -> str:
+def _simhash64_pairs_oracle() -> str:
     sum_cols = ",\n               ".join(
-        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        f"SUM(CASE WHEN (h{src} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS {dst}{b}"
+        for src, dst in ((1, "a"), (2, "b"))
         for b in range(32)
     )
-    assemble = " + ".join(
-        f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+    hi = " + ".join(
+        f"CASE WHEN a{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(32)
+    )
+    lo = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
         for b in range(32)
     )
     return f"""
     WITH toks AS (
-        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS tok
         FROM documents
     ),
     hashed AS (
-        SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h1,
+               CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS h2
         FROM toks
     ),
     sums AS (SELECT doc_id, {sum_cols} FROM hashed GROUP BY doc_id),
-    sh AS (SELECT doc_id, {assemble} AS simhash FROM sums)
+    sh AS (SELECT doc_id, {hi} AS hi, {lo} AS lo FROM sums)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                AS BIGINT) AS hamming
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
     ORDER BY doc_a, doc_b
     """
 
 
 @query(
     "dedup_simhash_hamming_pairs",
-    oracle=_simhash32_pairs_oracle(),
+    oracle=_simhash64_pairs_oracle(),
     tags=("pipeline", "dedup", "simhash", "hamming"),
 )
 def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,55 +320,59 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded blocking — the exact near-dup pair enumeration that makes the
     rows-only `dedup_simhash` family driver-provable end to end.
 
-    Losslessness: the 32-bit fingerprint splits into 4 bytes; hamming <= 3
-    can corrupt at most 3 of them, so at least one byte matches exactly
-    (pigeonhole) — candidates = pairs agreeing on (band_index, band_byte),
-    verify = bit_count(xor) <= 3.  The oracle computes the unblocked
-    quadratic and must agree row-for-row.
+    Losslessness: the 64-bit fingerprint splits into 4 disjoint 16-bit
+    bands; hamming <= 3 can corrupt at most 3 of them, so at least one
+    band matches exactly (pigeonhole) — candidates = pairs agreeing on
+    (band_index, band_key), verify = popcount(xor) <= 3.  The oracle
+    computes the unblocked quadratic and must agree row-for-row.
 
-    Scale shape: fingerprints are one 4-byte row per doc; the band
-    equi-join shuffles 4 rows per doc on (band, byte); only band-colliding
-    pairs pay the (single-instruction) xor/popcount verify.  At 100 TB the
-    fingerprint table is ~0.4 TB and each band bucket holds docs agreeing
-    on 8 bits — the standard Manku-Jain-Sarma layout."""
+    Scale shape (round-10 rewrite, see `_simhash64`): fingerprints are one
+    8-byte row per doc carried as two 32-bit halves; the band equi-join
+    shuffles 4 rows per doc on (band, key); only band-colliding pairs pay
+    the (two-instruction) xor/popcount verify, which runs BEFORE the
+    pair-dedup so the distinct shuffle carries survivors only.  16-bit
+    bands give 65,536 buckets per band — the Manku-Jain-Sarma block
+    layout sized so each bucket holds n/65,536 docs; on the 65k-doc
+    zipf-vocab scale corpus this is 249k candidates against the old
+    8-bit-band tf-weighted layout's 103.5M."""
     t = Tables(spark, sf_dir)
-    sh = _simhash32(t).localCheckpoint()
+    sh = _simhash64(t).localCheckpoint()
     bands = sh.select(
         "doc_id",
-        "simhash",
+        "hi",
+        "lo",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright("simhash", 8 * i)
-                        .bitwiseAND(F.lit(255))
-                        .alias("byte"),
+                        F.lit(2 * h + i).alias("band"),
+                        F.shiftright(F.col(half), 16 * i)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("key"),
                     )
-                    for i in range(4)
+                    for h, half in enumerate(("hi", "lo"))
+                    for i in range(2)
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "simhash", "bb.band", "bb.byte")
+    ).select("doc_id", "hi", "lo", "bb.band", "bb.key")
     ba = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sha"),
-        "band", "byte",
+        F.col("doc_id").alias("doc_a"), F.col("hi").alias("hia"),
+        F.col("lo").alias("loa"), "band", "key",
     )
     bb = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("shb"),
-        "band", "byte",
+        F.col("doc_id").alias("doc_b"), F.col("hi").alias("hib"),
+        F.col("lo").alias("lob"), "band", "key",
     )
-    cand = (
-        ba.join(bb, ["band", "byte"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sha", "shb")
-        .dropDuplicates(["doc_a", "doc_b"])
+    hamming = (
+        F.bit_count(F.col("hia").bitwiseXOR(F.col("hib")))
+        + F.bit_count(F.col("loa").bitwiseXOR(F.col("lob")))
     )
-    hamming = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
     return (
-        cand.select(
-            "doc_a", "doc_b", hamming.cast("bigint").alias("hamming")
-        )
+        ba.join(bb, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
         .filter(F.col("hamming") <= 3)
+        .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")
     )

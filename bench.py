@@ -41,7 +41,18 @@ spikes) round-over-round.
 Train-once visibility (VERDICT r7 ask #5): the trainers group also times a
 forced IVF-PQ index rebuild into a scratch dir — the `index_build` section —
 so the train-once cost the serve queries amortize is tracked explicitly
-instead of invisibly.
+instead of invisibly.  Round 10 adds the BM25 inverted-index build next to
+it (VERDICT r9 ask #6) — both persisted indexes now report build cost.
+
+Text-scale group (VERDICT r9 ask #3): the driver's documents fixture is 500
+rows at EVERY SF, so the text/dedup/simjoin families were never timed above
+500 docs — a constant-factor regression in the shingle/verify stages would
+be invisible.  The `text_scale` section runs the flagship text queries over
+a deterministic synthetic corpus (default 65,536 docs, zipf-skewed 10k-word
+vocab, planted exact + near duplicates; override with SPARK_GRAFT_TEXT_DOCS,
+0 disables).  Correctness is untouched — oracle runs still read the driver
+fixture; this group exists purely to time the scale path, so its numbers
+live in their own section and group subtotal, never in the headline series.
 
 Methodology: the headline `value` / `queries` numbers are warm times: at
 100 TB the one-shot compile costs amortize to zero, so warm is the number
@@ -88,6 +99,19 @@ _SHARD_SPLITS = {
 }
 _SHARD_ROOT = f"{_REPO}/.bench_shards"
 
+# Flagship text/dedup queries timed over the synthetic scale corpus (their
+# builders read ONLY the documents table, so a corpus dir with a single
+# documents.parquet serves as sf_dir).  Not bench-tagged in the registry —
+# membership here is the bench contract for the scale leg.
+_TEXT_SCALE_QUERIES = (
+    "join_set_similarity_prefix",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_hamming_pairs",
+    "text_kneser_ney_bigram",
+    "text_gopher_filters",
+    "text_bpe_train",
+)
+
 
 def _group_of(name: str) -> str:
     if name in _TRAINERS:
@@ -132,16 +156,79 @@ def _build_shards(dirs: list[str]) -> dict:
     return out
 
 
+def _build_text_corpus(dest: str, n_docs: int) -> dict:
+    """Child mode: synthesize the deterministic text-scale corpus (same
+    5-column schema as the driver's documents fixture) entirely Spark-side:
+    no driver-side text generation, no randomness — every token is a pure
+    function of (base_id, position) via xxhash64, so the corpus is
+    byte-stable across rebuilds.  Vocabulary is 10k words with a zipf-like
+    skew (cube of a uniform hash: the top ~10 words carry ~10% of tokens,
+    the tail is rare), which is what makes prefix-filtering / BM25 df
+    statistics behave like real text instead of like the fixture's ~20-word
+    vocab.  Planted duplicates: every doc_id % 40 == 39 is an EXACT copy of
+    its predecessor, every doc_id % 40 == 19 a NEAR-dup (one appended
+    marker word), so the dedup queries have a known-positive signal."""
+    from auron_spark.artifacts import ensure_artifact
+    from auron_spark.session import get_spark
+
+    spark = get_spark("auron-spark-bench-textcorpus")
+    spark.sparkContext.setLogLevel("WARN")
+    t0 = time.perf_counter()
+
+    def _build(into: str) -> None:
+        vocab = 10_000
+        words = (
+            "transform(sequence(1, 30 + pmod(xxhash64(base_id, 7), 90)), "
+            "j -> concat('w', CAST(CAST("
+            f"pow(pmod(xxhash64(base_id, j), 1000000) / 1000000.0, 3.0) "
+            f"* {vocab} AS BIGINT) AS STRING)))"
+        )
+        (
+            spark.range(n_docs)
+            .selectExpr(
+                "id AS doc_id",
+                "CASE WHEN id % 20 = 19 THEN id - 1 ELSE id END AS base_id",
+                "id % 40 = 19 AS near_dup",
+            )
+            .selectExpr(
+                "doc_id", f"array_join({words}, ' ') AS base_text", "near_dup"
+            )
+            .selectExpr(
+                "doc_id",
+                "CASE WHEN near_dup THEN concat(base_text, ' dupmarkerword') "
+                "ELSE base_text END AS text",
+            )
+            .selectExpr(
+                "doc_id",
+                "text",
+                "'en' AS lang",
+                "concat('src', CAST(pmod(doc_id, 10) AS STRING)) AS source",
+                "CAST(length(text) AS BIGINT) AS n_chars",
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(f"{into}/documents.parquet")
+        )
+
+    ensure_artifact(dest, "_CORPUS_COMPLETE", _build)
+    spark.stop()
+    return {"corpus": dest, "n_docs": n_docs,
+            "build_sec": round(time.perf_counter() - t0, 3)}
+
+
 def _run_group(group: str, sf_dir: str, second: str) -> dict:
     """Child mode: run one group's queries in this process's own JVM."""
     from auron_spark.registry import bench_queries, load_all
     from auron_spark.session import get_spark
     from auron_spark.tables import Tables  # noqa: F401 (registry import)
 
-    load_all()
-    specs = {
-        n: s for n, s in bench_queries().items() if _group_of(n) == group
-    }
+    all_specs = load_all()
+    if group == "text_scale":
+        specs = {n: all_specs[n] for n in _TEXT_SCALE_QUERIES}
+    else:
+        specs = {
+            n: s for n, s in bench_queries().items() if _group_of(n) == group
+        }
     spark = get_spark(f"auron-spark-bench-{group}")
     spark.sparkContext.setLogLevel("WARN")
 
@@ -169,12 +256,30 @@ def _run_group(group: str, sf_dir: str, second: str) -> dict:
 
     index_build: dict[str, float] = {}
     if group == "trainers":
+        from auron_spark.pipeline.retrieval import build_bm25_index
         from auron_spark.pipeline.similarity import build_ivfpq_index
 
         scratch = f"{_SHARD_ROOT}/.scratch_ivfpq-{os.getpid()}"
         t0 = time.perf_counter()
         build_ivfpq_index(spark, sf_dir, force=True, out_dir=scratch)
         index_build["ivfpq_sec"] = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(scratch, ignore_errors=True)
+        # BM25 inverted-index build next to ivfpq's (VERDICT r9 ask #6):
+        # both persisted serve indexes now report their train-once cost.
+        scratch = f"{_SHARD_ROOT}/.scratch_bm25-{os.getpid()}"
+        t0 = time.perf_counter()
+        build_bm25_index(spark, sf_dir, force=True, out_dir=scratch)
+        index_build["bm25_sec"] = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(scratch, ignore_errors=True)
+    if group == "text_scale":
+        # The scale corpus is where the BM25 build cost is actually visible
+        # (the driver fixture is 500 docs at every SF).
+        from auron_spark.pipeline.retrieval import build_bm25_index
+
+        scratch = f"{_SHARD_ROOT}/.scratch_bm25s-{os.getpid()}"
+        t0 = time.perf_counter()
+        build_bm25_index(spark, sf_dir, force=True, out_dir=scratch)
+        index_build["bm25_scale_sec"] = round(time.perf_counter() - t0, 3)
         shutil.rmtree(scratch, ignore_errors=True)
 
     spark.stop()
@@ -200,6 +305,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--shard":
         print(json.dumps(_build_shards(sys.argv[2:])))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--textcorpus":
+        print(json.dumps(_build_text_corpus(sys.argv[2], int(sys.argv[3]))))
         return
 
     def _child(args: list[str]) -> dict:
@@ -238,6 +346,25 @@ def main() -> None:
         index_build.update(res.get("index_build", {}))
         subtotals[group] = round(sum(res["warm"].values()), 3)
 
+    # Text-scale leg: flagship text/dedup queries over the synthetic corpus.
+    # Separate section + subtotal; NEVER merged into the headline series
+    # (which stays round-over-round comparable on the driver fixtures).
+    text_docs = int(os.environ.get("SPARK_GRAFT_TEXT_DOCS", "65536"))
+    text_scale: dict = {}
+    if text_docs > 0:
+        corpus = f"{_SHARD_ROOT}/textcorpus_{text_docs}"
+        built = _child(["--textcorpus", corpus, str(text_docs)])
+        res = _child(["--group", "text_scale", corpus, ""])
+        index_build.update(res.get("index_build", {}))
+        subtotals["text_scale"] = round(sum(res["warm"].values()), 3)
+        text_scale = {
+            "n_docs": text_docs,
+            "corpus_build_sec": built["build_sec"],
+            "queries_warm": res["warm"],
+            "warm_runs": res["warm_runs"],
+            "queries_cold": res["cold"],
+        }
+
     sf2 = float(second.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in second else -1.0
     # Bulky sections lead; the compact headline is the LAST line so a
     # tail-capture of stdout always contains one complete parseable JSON.
@@ -251,6 +378,8 @@ def main() -> None:
         print(json.dumps({"section": "sf2", "sf2": sf2, "queries_sf2": warm2,
                           "total_sf2": round(sum(warm2.values()), 3)}))
     print(json.dumps({"section": "variance", "warm_runs": warm_runs}))
+    if text_scale:
+        print(json.dumps({"section": "text_scale", **text_scale}))
     if index_build:
         print(json.dumps({"section": "index_build", **index_build}))
     print(json.dumps({"section": "groups", "warm_subtotals": subtotals}))
