@@ -83,7 +83,13 @@ def join_set_similarity_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     only |candidates|, which the rare-first prefix keeps near the true
     output size.  The oracle runs the full share-a-shingle quadratic and
     must agree row-for-row — the losslessness proof on data."""
-    t = Tables(spark, sf_dir)
+    return _set_similarity_pairs(Tables(spark, sf_dir), _TAU)
+
+
+def _set_similarity_pairs(t: Tables, tau: float) -> DataFrame:
+    """Parameterized AllPairs/PPJoin core (see `join_set_similarity_prefix`
+    for the algorithm contract); the property fuzzer runs it at multiple
+    thresholds against the unpruned quadratic."""
     # The shingle relation feeds FOUR branches (sizes, document frequency,
     # prefix ranking, verify join); without materialization Spark re-runs
     # the explode+distinct shuffle for each.  A lazy localCheckpoint
@@ -106,7 +112,7 @@ def join_set_similarity_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     prefix = ranked.filter(
-        F.col("pos") <= F.col("n") - F.ceil(F.lit(_TAU) * F.col("n")) + 1
+        F.col("pos") <= F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1
     ).select("doc_id", "shingle", "n")
     pa = prefix.select(
         F.col("doc_id").alias("doc_a"), "shingle", F.col("n").alias("na")
@@ -119,7 +125,7 @@ def join_set_similarity_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
             & (
-                F.lit(_TAU) * F.greatest("na", "nb")
+                F.lit(tau) * F.greatest("na", "nb")
                 <= F.least("na", "nb").cast("double")
             )
         )
@@ -138,7 +144,7 @@ def join_set_similarity_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("na") + F.col("nb") - F.col("i")
     )
     return (
-        inter.filter(jac >= _TAU)
+        inter.filter(jac >= tau)
         .select("doc_a", "doc_b", F.round(jac, 9).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )

@@ -396,7 +396,7 @@ def duck2(oracle):
     con.close()
 
 
-@pytest.mark.parametrize("seed", range(30))
+@pytest.mark.parametrize("seed", range(60))
 def test_random_composed_chains(spark, duck2, seed):
     sql = _gen_chain_sql(seed)
     table(spark, SF_SMOKE, "lineitem").createOrReplaceTempView("li_chain")
@@ -684,7 +684,8 @@ def test_random_two_sample_power_sums(spark, duck_ev, pair, day):
 
 @pytest.mark.parametrize(
     "r_km,cell_lat,cell_lon",
-    [(80.0, 0.8, 1.6), (250.0, 2.3, 5.0)],
+    [(40.0, 0.4, 0.8), (80.0, 0.8, 1.6), (250.0, 2.3, 5.0),
+     (500.0, 4.6, 10.0)],
 )
 def test_grid_radius_join_lossless(spark, r_km, cell_lat, cell_lon):
     """The 3x3 grid pruning must be LOSSLESS for any (radius, cell) pair
@@ -941,6 +942,111 @@ def test_random_grouping_sets(spark, duck2, seed):
     got = normalize(spark.sql(sql.format(t="li_gsets")).toPandas())
     want = normalize(duck2.execute(sql.format(t="lineitem")).df())
     assert got == want, f"seed={seed}\n{sql}"
+
+
+def _gen_time_window_sql(seed: int) -> str:
+    """Seventh chain shape (VERDICT r9 ask #4): time-bucketed aggregation
+    over events composed with running/lag windows and a ROLLUP on top —
+    the grouping-sets × time-windows composition from the r8/r9 surface.
+    Buckets cast to DATE (both engines' date_trunc agrees at day/week/
+    month grain under the UTC-pinned session); the rollup re-aggregates
+    only integer counts and order-safe MIN/MAX, never re-sums doubles, so
+    no FP-summation-order divergence can appear."""
+    import random
+
+    rng = random.Random(13_000_000 + seed)
+    gran = rng.choice(["day", "week", "month"])
+    types = rng.sample(["view", "click", "purchase", "signup", "error"],
+                       k=rng.randint(2, 3))
+    ty_list = ", ".join(f"'{t}'" for t in sorted(types))
+    day = rng.randint(1, 20)
+    # Spark rejects explicit frames on lag/row_number — those use the
+    # order-only window `wo`, the frame-bearing aggregates use `wf`.
+    winfn = rng.choice(
+        ["SUM(n) OVER wf", "LAG(n, 1, 0) OVER wo", "MIN(n) OVER wf",
+         "ROW_NUMBER() OVER wo"]
+    )
+    return f"""
+    WITH b AS (
+        SELECT CAST(date_trunc('{gran}', ts) AS DATE) AS bucket,
+               event_type,
+               CAST(value AS DECIMAL(12,2)) AS v
+        FROM {{ev}}
+        WHERE event_type IN ({ty_list})
+          AND ts >= TIMESTAMP '2024-01-{day:02d}'
+    ),
+    agg AS (
+        SELECT bucket, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS DOUBLE) AS s
+        FROM b GROUP BY bucket, event_type
+    ),
+    win AS (
+        SELECT bucket, event_type, n, s,
+               CAST({winfn} AS BIGINT) AS w
+        FROM agg
+        WINDOW wf AS (PARTITION BY event_type ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING),
+               wo AS (PARTITION BY event_type ORDER BY bucket)
+    )
+    SELECT event_type,
+           CAST(GROUPING(event_type) AS INT) AS g,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(n) AS BIGINT) AS total_n,
+           CAST(SUM(w) AS BIGINT) AS total_w,
+           ROUND(MAX(s), 6) AS max_s
+    FROM win
+    GROUP BY ROLLUP(event_type)
+    ORDER BY g, event_type NULLS FIRST
+    """
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_random_time_window_chains(spark, duck_ev, seed):
+    sql = _gen_time_window_sql(seed)
+    table(spark, SF_SMOKE, "events").createOrReplaceTempView("ev_prop")
+    got = normalize(spark.sql(sql.format(ev="ev_prop")).toPandas())
+    want = normalize(duck_ev.execute(sql.format(ev="events")).df())
+    assert got == want, f"seed={seed}\n{sql}"
+
+
+# --- set-similarity prefix filter: losslessness at random thresholds ---------
+
+
+@pytest.mark.parametrize("tau", [0.4, 0.5, 0.7, 0.85])
+def test_set_similarity_prefix_lossless_random_tau(spark, tau):
+    """The AllPairs/PPJoin prefix filter must be LOSSLESS at ANY threshold,
+    not just the registered query's 0.6: candidates may only come from
+    rare-first prefixes, yet the output must equal the unpruned
+    share-a-shingle quadratic computed Spark-side on the same shingle
+    relation (VERDICT r9 ask #4 — fuzz the r8 surface)."""
+    import pyspark.sql.functions as F
+
+    from auron_spark.pipeline.dedup import _doc_shingles
+    from auron_spark.pipeline.simjoin import _set_similarity_pairs
+    from auron_spark.tables import Tables
+
+    t = Tables(spark, SF_SMOKE)
+    got = normalize(_set_similarity_pairs(t, tau).toPandas())
+    sh = _doc_shingles(t).localCheckpoint(eager=False)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+        .join(sizes.selectExpr("doc_id AS doc_a", "n AS na"), "doc_a")
+        .join(sizes.selectExpr("doc_id AS doc_b", "n AS nb"), "doc_b")
+    )
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    brute = normalize(
+        inter.filter(jac >= tau)
+        .select("doc_a", "doc_b", F.round(jac, 9).alias("jaccard"))
+        .toPandas()
+    )
+    assert got == brute
 
 
 @pytest.fixture(scope="module")
