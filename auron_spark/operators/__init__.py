@@ -14,5 +14,6 @@ from auron_spark.operators import (  # noqa: F401
     sort_setops,
     subqueries,
     timeseries,
+    tpcds_shapes,
     window,
 )

@@ -1779,3 +1779,51 @@ def test_bm25_serve_equals_inline(spark):
     )
     want = normalize(SPECS["bm25_single_term"].build(spark, SF_DIR).toPandas())
     assert got == want
+
+
+# --- TPC-DS-shaped battery (operators/tpcds_shapes.py) -----------------------
+
+
+_DS_NAMES = [
+    "ds_rollup_margin_rank", "ds_channel_union_rollup", "ds_yoy_brand_delta",
+    "ds_rollup_topk_brand", "ds_cross_period_customers",
+    "ds_monthly_moving_avg", "ds_grouping_sets_mix", "ds_demand_variability",
+    "ds_monthly_deviation_rank", "ds_cumulative_channel_share",
+    "ds_segment_revenue_quartiles",
+]
+
+
+@pytest.mark.parametrize("name", _DS_NAMES)
+def test_ds_shapes_plan_hygiene(spark, name):
+    """The TPC-DS-shaped battery must plan like its TPC-H siblings: no
+    cartesian/nested-loop joins, every rollup/grouping-sets query goes
+    through ONE Expand (not repeated scans per grouping set), and dims
+    (part/customer/nation) broadcast under the size threshold."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    if name in ("ds_rollup_margin_rank", "ds_channel_union_rollup",
+                "ds_rollup_topk_brand", "ds_grouping_sets_mix"):
+        assert plan.count("Expand") == 1, plan
+    if name in ("ds_rollup_margin_rank", "ds_yoy_brand_delta",
+                "ds_rollup_topk_brand", "ds_demand_variability"):
+        assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ds_topk_uses_window_group_limit(spark):
+    """ds_rollup_topk_brand's rk <= 5 filter must plan as WindowGroupLimit
+    (per-partition pruning before the rank sort materializes) — the same
+    gate window_top_k_per_group carries."""
+    plan = _plan(spark, "ds_rollup_topk_brand")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_ds_channel_union_single_pass(spark):
+    """ds_channel_union_rollup's three channel legs partition the priority
+    domain of ONE table; the plan must stay a plan-level union of pushed-
+    down filter scans — no join, no shuffle beyond the final aggregate's."""
+    plan = _plan(spark, "ds_channel_union_rollup")
+    assert "Join" not in plan, plan
+    for line in plan.splitlines():
+        if "Scan parquet" in line:
+            assert "orders.parquet" in line, line
