@@ -2594,3 +2594,210 @@ def orders_ship_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# --- round-10 wave: backlog aging + DQ profiles ------------------------------
+
+
+@query(
+    "orders_backlog_aging",
+    oracle="""
+    WITH open_orders AS (
+        SELECT o_orderkey, o_totalprice, o_orderpriority,
+               date_diff('day', o_orderdate, TIMESTAMP '1998-01-01')
+                   AS age_days
+        FROM orders
+        WHERE o_orderstatus = 'O' AND o_orderdate <= TIMESTAMP '1998-01-01'
+    ),
+    b AS (
+        SELECT CASE WHEN age_days <= 30 THEN '0-30'
+                    WHEN age_days <= 90 THEN '31-90'
+                    WHEN age_days <= 180 THEN '91-180'
+                    ELSE '180+' END AS bucket,
+               o_totalprice, age_days
+        FROM open_orders
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS open_value,
+           CAST(MAX(age_days) AS BIGINT) AS oldest_days
+    FROM b
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("relational", "aging", "backlog", "report"),
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging report at a snapshot date: orders still
+    open ('O') as of 1998-01-01 bucketed by days outstanding, with count,
+    exposed value and the oldest age per bucket — the AR-aging /
+    fulfillment-backlog report every operational warehouse runs.
+
+    Scale shape: one pushed-down filter scan over orders (status +
+    date predicates reach the parquet reader), one 4-bucket aggregate —
+    map-side combine makes the shuffle 4 rows per partition."""
+    t = Tables(spark, sf_dir)
+    snap = F.lit("1998-01-01").cast("date")
+    open_ = t.orders.where(
+        (F.col("o_orderstatus") == "O")
+        & (F.col("o_orderdate") <= "1998-01-01 00:00:00")
+    ).select(
+        "o_totalprice",
+        F.datediff(snap, F.col("o_orderdate").cast("date")).alias("age_days"),
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 90, "31-90")
+        .when(F.col("age_days") <= 180, "91-180")
+        .otherwise("180+")
+    )
+    return (
+        open_.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("open_value"),
+            F.max("age_days").cast("bigint").alias("oldest_days"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_ENTROPY_COLS = (
+    ("events", "event_type"),
+    ("customer", "c_mktsegment"),
+    ("orders", "o_orderpriority"),
+    ("lineitem", "l_returnflag"),
+)
+
+
+def _entropy_leg_sql(table: str, col: str) -> str:
+    return f"""
+    SELECT '{table}.{col}' AS column_name,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           ROUND(CAST(SUM(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6)
+               AS entropy_bits,
+           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_share
+    FROM (
+        SELECT c,
+               ROUND(-(CAST(c AS DOUBLE) / tot)
+                     * log2(CAST(c AS DOUBLE) / tot), 9) AS term
+        FROM (
+            SELECT c, SUM(c) OVER () AS tot
+            FROM (SELECT {col} AS v, COUNT(*) AS c FROM {table}
+                  GROUP BY {col})
+        )
+    )
+    """
+
+
+@query(
+    "dq_column_entropy_profile",
+    oracle=" UNION ALL ".join(
+        _entropy_leg_sql(tb, c) for tb, c in _ENTROPY_COLS
+    )
+    + " ORDER BY column_name",
+    tags=("pipeline", "dq", "profile", "entropy"),
+)
+def dq_column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-column information profile: Shannon entropy (bits),
+    distinct count and top-value share for the four main categorical
+    columns — the column-level profiling a data catalog runs to flag
+    near-constant (entropy ~ 0) or unexpectedly-diffuse columns.
+
+    Exactness contract: per-value probabilities come from integer counts;
+    each -p*log2(p) double term is 9-dp-rounded into DECIMAL(28,9) so the
+    cross-value sum is order-insensitive.
+
+    Scale shape: one value-grain aggregate per column (map-side combine;
+    the value domains are small), unioned plan-level — each leg scans
+    ONLY its own column (column pruning)."""
+    t = Tables(spark, sf_dir)
+    out = None
+    for tb, c in _ENTROPY_COLS:
+        vg = getattr(t, tb).groupBy(F.col(c).alias("v")).agg(
+            F.count("*").alias("c")
+        )
+        tot = Window.partitionBy()
+        p = F.col("c").cast("double") / F.sum("c").over(tot)
+        leg = (
+            vg.select("c", F.round(-p * F.log2(p), 9).alias("term"))
+            .agg(
+                F.lit(f"{tb}.{c}").alias("column_name"),
+                F.sum("c").cast("bigint").alias("n_rows"),
+                F.count("*").cast("bigint").alias("n_distinct"),
+                F.round(
+                    F.sum(F.col("term").cast("decimal(28,9)")).cast("double"),
+                    6,
+                ).alias("entropy_bits"),
+                F.round(
+                    F.max("c").cast("double") / F.sum("c"), 6
+                ).alias("top_share"),
+            )
+        )
+        out = leg if out is None else out.unionAll(leg)
+    return out.orderBy("column_name")
+
+
+@query(
+    "dq_freshness_lag",
+    oracle="""
+    WITH per_type AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS max_epoch,
+               MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS min_epoch
+        FROM events
+        GROUP BY event_type
+    ),
+    g AS (SELECT MAX(max_epoch) AS global_max FROM per_type)
+    SELECT event_type, n_events,
+           CAST(g.global_max - max_epoch AS BIGINT) AS staleness_sec,
+           CAST(max_epoch - min_epoch AS BIGINT) AS span_sec,
+           ROUND(n_events * 3600.0 / (max_epoch - min_epoch), 6)
+               AS events_per_hour
+    FROM per_type CROSS JOIN g
+    ORDER BY event_type
+    """,
+    tags=("pipeline", "dq", "freshness", "sla"),
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source freshness audit: how far each event type's newest record
+    lags the newest record overall (staleness), plus its time span and
+    arrival rate — the staleness SLA check a data-health dashboard runs
+    per upstream feed.
+
+    Exactness contract: epochs are integer seconds; the only double is the
+    final rate division.
+
+    Scale shape: one per-type aggregate (5 rows) + a broadcast 1-row
+    global max — the fact is scanned once."""
+    t = Tables(spark, sf_dir)
+    per = t.events.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.max(F.unix_timestamp("ts")).alias("max_epoch"),
+        F.min(F.unix_timestamp("ts")).alias("min_epoch"),
+    )
+    g = per.agg(F.max("max_epoch").alias("global_max"))
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "n_events",
+            (F.col("global_max") - F.col("max_epoch"))
+            .cast("bigint")
+            .alias("staleness_sec"),
+            (F.col("max_epoch") - F.col("min_epoch"))
+            .cast("bigint")
+            .alias("span_sec"),
+            F.round(
+                F.col("n_events") * 3600.0
+                / (F.col("max_epoch") - F.col("min_epoch")),
+                6,
+            ).alias("events_per_hour"),
+        )
+        .orderBy("event_type")
+    )

@@ -18,7 +18,7 @@ partials.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from auron_spark.registry import query
@@ -1062,3 +1062,197 @@ def eval_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("obs", "obs_abs").select(
         "observed_diff", "n_permutations", "n_as_extreme", "p_value"
     )
+
+
+# --- round-10 wave: PR-side ranking evaluation -------------------------------
+
+
+@query(
+    "eval_pr_auc",
+    oracle="""
+    WITH vg AS (
+        SELECT value,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS np_v,
+               COUNT(*) AS n_v
+        FROM events
+        GROUP BY value
+    ),
+    cum AS (
+        SELECT value, np_v, n_v,
+               SUM(np_v) OVER (ORDER BY value DESC
+                               ROWS UNBOUNDED PRECEDING) AS cum_tp,
+               SUM(n_v) OVER (ORDER BY value DESC
+                              ROWS UNBOUNDED PRECEDING) AS cum_n
+        FROM vg
+    ),
+    tot AS (
+        SELECT CAST(SUM(np_v) AS BIGINT) AS p, CAST(SUM(n_v) AS BIGINT) AS n
+        FROM vg
+    ),
+    terms AS (
+        SELECT CAST(SUM(CAST(ROUND(
+                   np_v * (CAST(cum_tp AS DOUBLE) / cum_n) / tot.p, 9)
+               AS DECIMAL(28,9))) AS DOUBLE) AS pr_auc,
+               CAST(COUNT(*) AS BIGINT) AS n_thresholds
+        FROM cum CROSS JOIN tot
+    )
+    SELECT tot.p AS n_pos, tot.n AS n_total, terms.n_thresholds,
+           ROUND(terms.pr_auc, 6) AS pr_auc,
+           ROUND(CAST(tot.p AS DOUBLE) / tot.n, 6) AS prevalence
+    FROM terms CROSS JOIN tot
+    """,
+    tags=("pipeline", "evaluation", "ranking", "precision-recall"),
+)
+def eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall AUC (tie-grouped step integral / average
+    precision) for the same score→label setting as `eval_roc_auc`
+    (score = value, positive = purchase): AP = Σ_groups Δtp_g ·
+    precision(≥ v_g) / P, the quantity that, unlike ROC-AUC, stays
+    informative under class imbalance.
+
+    Exactness contract: all cumulatives are integer window sums at score
+    grain; each group's double summand is 9-dp-rounded into
+    DECIMAL(28,9) so the cross-group sum is order-insensitive (the
+    retrieval_eval_map_mrr contract).
+
+    Scale shape: one groupBy to score grain, then windows over the
+    bounded 2-dp score domain — identical posture to eval_roc_auc."""
+    t = Tables(spark, sf_dir)
+    vg = t.events.groupBy("value").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("np_v"),
+        F.count("*").alias("n_v"),
+    )
+    w = Window.orderBy(F.desc("value")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = vg.select(
+        "np_v",
+        F.sum("np_v").over(w).alias("cum_tp"),
+        F.sum("n_v").over(w).alias("cum_n"),
+    )
+    tot = vg.agg(
+        F.sum("np_v").cast("bigint").alias("p"),
+        F.sum("n_v").cast("bigint").alias("n"),
+    )
+    terms = cum.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.round(
+                F.col("np_v")
+                * (F.col("cum_tp").cast("double") / F.col("cum_n"))
+                / F.col("p"),
+                9,
+            ).cast("decimal(28,9)")
+        )
+        .cast("double")
+        .alias("pr_auc"),
+        F.count("*").cast("bigint").alias("n_thresholds"),
+        F.first("p").alias("p"),
+        F.first("n").alias("n"),
+    )
+    return terms.select(
+        F.col("p").alias("n_pos"),
+        F.col("n").alias("n_total"),
+        "n_thresholds",
+        F.round("pr_auc", 6).alias("pr_auc"),
+        F.round(F.col("p").cast("double") / F.col("n"), 6).alias(
+            "prevalence"
+        ),
+    )
+
+
+@query(
+    "eval_cumulative_gains",
+    oracle="""
+    WITH vg AS (
+        SELECT value,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS np_v,
+               COUNT(*) AS n_v
+        FROM events
+        GROUP BY value
+    ),
+    cum AS (
+        SELECT value, np_v, n_v,
+               SUM(np_v) OVER (ORDER BY value DESC
+                               ROWS UNBOUNDED PRECEDING) AS cum_tp,
+               SUM(n_v) OVER (ORDER BY value DESC
+                              ROWS UNBOUNDED PRECEDING) AS cum_n
+        FROM vg
+    ),
+    tot AS (
+        SELECT CAST(SUM(np_v) AS BIGINT) AS p, CAST(SUM(n_v) AS BIGINT) AS n
+        FROM vg
+    ),
+    dec AS (
+        SELECT CAST(CEIL(10.0 * cum_n / tot.n) AS BIGINT) AS decile,
+               MAX(cum_tp) AS tp_cum, MAX(cum_n) AS n_cum
+        FROM cum CROSS JOIN tot
+        GROUP BY decile
+    )
+    SELECT decile,
+           CAST(n_cum AS BIGINT) AS n_cum,
+           CAST(tp_cum AS BIGINT) AS tp_cum,
+           ROUND(CAST(tp_cum AS DOUBLE) / tot.p, 6) AS gain,
+           ROUND((CAST(tp_cum AS DOUBLE) / n_cum)
+                 / (CAST(tot.p AS DOUBLE) / tot.n), 6) AS lift
+    FROM dec CROSS JOIN tot
+    ORDER BY decile
+    """,
+    tags=("pipeline", "evaluation", "ranking", "lift"),
+)
+def eval_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table by score decile for the
+    score = value, positive = purchase ranking: each score group lands in
+    the decile where its cumulative population ENDS (ceil(10·cum_n/N)),
+    so decile assignment needs no per-row global NTILE — only integer
+    cumulatives at the bounded score grain.
+
+    Scale shape: one score-grain aggregate; the decile regroup touches
+    |distinct scores| rows.  The per-row global-NTILE formulation this
+    replaces is the classic single-partition scale killer."""
+    t = Tables(spark, sf_dir)
+    vg = t.events.groupBy("value").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("np_v"),
+        F.count("*").alias("n_v"),
+    )
+    w = Window.orderBy(F.desc("value")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = vg.select(
+        F.sum("np_v").over(w).alias("cum_tp"),
+        F.sum("n_v").over(w).alias("cum_n"),
+    )
+    tot = vg.agg(
+        F.sum("np_v").cast("bigint").alias("p"),
+        F.sum("n_v").cast("bigint").alias("n"),
+    )
+    dec = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.ceil(F.lit(10.0) * F.col("cum_n") / F.col("n"))
+            .cast("bigint")
+            .alias("decile")
+        )
+        .agg(
+            F.max("cum_tp").alias("tp_cum"),
+            F.max("cum_n").alias("n_cum"),
+            F.first("p").alias("p"),
+            F.first("n").alias("n"),
+        )
+    )
+    return dec.select(
+        "decile",
+        F.col("n_cum").cast("bigint").alias("n_cum"),
+        F.col("tp_cum").cast("bigint").alias("tp_cum"),
+        F.round(F.col("tp_cum").cast("double") / F.col("p"), 6).alias("gain"),
+        F.round(
+            (F.col("tp_cum").cast("double") / F.col("n_cum"))
+            / (F.col("p").cast("double") / F.col("n")),
+            6,
+        ).alias("lift"),
+    ).orderBy("decile")

@@ -918,3 +918,132 @@ def retrieval_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term", "rk")
     )
+
+
+# --- round-10 wave: pseudo-relevance-feedback query expansion ----------------
+
+
+@query(
+    "retrieval_query_expansion_rm3",
+    oracle=f"""
+    WITH tf AS ({_SQL_TF}),
+    dl AS (
+        SELECT doc_id, COUNT(*) AS dl
+        FROM ({_SQL_TOKENS}) WHERE term <> ''
+        GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n_docs
+        FROM dl
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.term, tf.doc_id,
+               ((stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * ((tf.tf * {BM25_K1 + 1.0}) /
+                  (tf.tf + {BM25_K1} * ({1.0 - BM25_B}
+                   + {BM25_B} * dl.dl / stats.avgdl))) AS score
+        FROM tf
+        JOIN dl USING (doc_id)
+        JOIN df USING (term)
+        CROSS JOIN stats
+        WHERE tf.term IN {BM25_TERMS!r}
+    ),
+    pool AS (
+        SELECT term AS probe, doc_id,
+               row_number() OVER (PARTITION BY term
+                                  ORDER BY score DESC, doc_id) AS rk
+        FROM scored
+        QUALIFY rk <= 10
+    ),
+    expansion AS (
+        SELECT pool.probe, tf.term AS exp_term,
+               CAST(COUNT(*) AS BIGINT) AS n_pool_docs,
+               CAST(SUM(tf.tf) AS BIGINT) AS total_tf
+        FROM pool JOIN tf USING (doc_id)
+        WHERE tf.term <> pool.probe
+        GROUP BY pool.probe, tf.term
+        HAVING COUNT(*) >= 2
+    )
+    SELECT probe, exp_term, n_pool_docs, total_tf,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT probe, exp_term, n_pool_docs, total_tf,
+               row_number() OVER (PARTITION BY probe
+                                  ORDER BY total_tf DESC, n_pool_docs DESC,
+                                           exp_term) AS rk
+        FROM expansion
+    )
+    WHERE rk <= 5
+    ORDER BY probe, rk
+    """,
+    tags=("pipeline", "retrieval", "query-expansion", "prf"),
+)
+def retrieval_query_expansion_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (the RM3 recipe, integer
+    evidence only): for each probe term, take the BM25 top-10 documents as
+    the pseudo-relevant pool, score every other term in the pool by its
+    summed term frequency (requiring support in >= 2 pool docs — the
+    classic PRF noise guard), and return the top-5 expansion terms per
+    probe with deterministic (tf, df, term) tiebreaks.
+
+    Exactness contract: expansion evidence is pure integer aggregation
+    (SUM(tf), COUNT(docs)); BM25 doubles only ORDER the pool, they never
+    enter the output.
+
+    Scale shape: the pool is |probes| x 10 doc ids (WindowGroupLimit
+    prunes per probe); the expansion join touches only pool docs' token
+    rows via an equi-join on doc_id — at 100 TB this is a probe-sized
+    semi-join against the posting lists, the same posture as the
+    persisted-index serve path."""
+    t = Tables(spark, sf_dir)
+    toks = _tokens(t.documents).localCheckpoint(eager=False)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count("*").alias("n_docs"),
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.where(F.col("term").isin(*BM25_TERMS))
+        .join(dl, "doc_id")
+        .join(F.broadcast(df_), "term")
+        .join(F.broadcast(stats))
+        .select(
+            "term",
+            "doc_id",
+            _bm25_score(
+                F.col("tf").cast("double"),
+                F.col("df").cast("double"),
+                F.col("n_docs").cast("double"),
+                F.col("dl").cast("double"),
+                F.col("avgdl"),
+            ).alias("score"),
+        )
+    )
+    wp = Window.partitionBy("term").orderBy(F.desc("score"), F.asc("doc_id"))
+    pool = (
+        scored.withColumn("rk", F.row_number().over(wp))
+        .where(F.col("rk") <= 10)
+        .select(F.col("term").alias("probe"), "doc_id")
+    )
+    expansion = (
+        pool.join(tf, "doc_id")
+        .where(F.col("term") != F.col("probe"))
+        .groupBy("probe", F.col("term").alias("exp_term"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_pool_docs"),
+            F.sum("tf").cast("bigint").alias("total_tf"),
+        )
+        .where(F.col("n_pool_docs") >= 2)
+    )
+    we = Window.partitionBy("probe").orderBy(
+        F.desc("total_tf"), F.desc("n_pool_docs"), F.asc("exp_term")
+    )
+    return (
+        expansion.withColumn("rk", F.row_number().over(we).cast("bigint"))
+        .where(F.col("rk") <= 5)
+        .select("probe", "exp_term", "n_pool_docs", "total_tf", "rk")
+        .orderBy("probe", "rk")
+    )

@@ -1892,3 +1892,163 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(beta, 6).alias("heaps_beta"),
         F.round(kappa, 6).alias("heaps_kappa"),
     ).orderBy("n_docs")
+
+
+# --- round-10 wave: RAKE-lite keyword extraction -----------------------------
+
+_RAKE_STOPS = ("the", "a")
+
+
+@query(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, i AS pos, w[i] AS term
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+              FROM documents),
+             unnest(range(1, len(w) + 1)) AS t(i)
+        WHERE w[i] <> ''
+    ),
+    marked AS (
+        SELECT doc_id, pos, term,
+               CASE WHEN term IN {_RAKE_STOPS!r} THEN 1 ELSE 0 END AS is_stop
+        FROM toks
+    ),
+    pid AS (
+        SELECT doc_id, pos, term, is_stop,
+               SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS phrase_id
+        FROM marked
+    ),
+    members AS (
+        SELECT doc_id, phrase_id, pos, term FROM pid WHERE is_stop = 0
+    ),
+    phrases AS (
+        SELECT doc_id, phrase_id,
+               string_agg(term, ' ' ORDER BY pos) AS phrase,
+               COUNT(*) AS len
+        FROM members GROUP BY doc_id, phrase_id
+        HAVING COUNT(*) BETWEEN 1 AND 3
+    ),
+    pm AS (
+        SELECT m.term, p.len, p.phrase, m.doc_id, m.phrase_id
+        FROM members m JOIN phrases p USING (doc_id, phrase_id)
+    ),
+    wstat AS (
+        SELECT term, COUNT(*) AS freq, SUM(len) AS degree FROM pm
+        GROUP BY term
+    ),
+    pocc AS (
+        SELECT pm.doc_id, pm.phrase_id, pm.phrase, MAX(pm.len) AS n_words,
+               CAST(SUM(CAST(ROUND(CAST(w.degree AS DOUBLE) / w.freq, 9)
+                             AS DECIMAL(28,9))) AS DOUBLE) AS score
+        FROM pm JOIN wstat w USING (term)
+        GROUP BY pm.doc_id, pm.phrase_id, pm.phrase
+    ),
+    agg AS (
+        SELECT phrase, CAST(MAX(n_words) AS BIGINT) AS n_words,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               MAX(score) AS score
+        FROM pocc GROUP BY phrase
+    )
+    SELECT phrase, n_words, n_occurrences, ROUND(score, 6) AS score,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY score DESC, phrase) AS rk
+        FROM agg
+    )
+    WHERE rk <= 10
+    ORDER BY rk
+    """,
+    tags=("pipeline", "text", "keywords", "rake"),
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE-lite keyword extraction (Rose et al. 2010): split each doc
+    into candidate phrases at stopword boundaries (1-3 content words),
+    score each word by degree/frequency over the retained phrases (degree
+    = summed length of phrases it appears in), score a phrase as the sum
+    of its member word scores, and return the corpus top-10 phrases with
+    occurrence counts.
+
+    Exactness contract: word degree/freq are integers; each member-word
+    double score is 9-dp-rounded into DECIMAL(28,9) so the per-phrase sum
+    is order-insensitive; identical phrase texts have identical member
+    multisets, hence identical scores, so the text-grain regroup is
+    well-defined.
+
+    Scale shape: phrase segmentation is a per-doc cumulative window
+    (partitioned by doc, never global); word stats are one token-grain
+    aggregate; the top-10 head is TakeOrderedAndProject (orderBy+limit),
+    not a global row_number window."""
+    t = Tables(spark, sf_dir)
+    toks = (
+        t.parallel("documents", "doc_id")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), " ")).alias("pos0", "term"),
+        )
+        .where(F.col("term") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    )
+    from pyspark.sql import Window
+
+    marked = toks.withColumn(
+        "is_stop", F.col("term").isin(*_RAKE_STOPS).cast("int")
+    )
+    wp = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    members = (
+        marked.withColumn("phrase_id", F.sum("is_stop").over(wp))
+        .where(F.col("is_stop") == 0)
+        .select("doc_id", "phrase_id", "pos", "term")
+        .localCheckpoint(eager=False)
+    )
+    phrases = (
+        members.groupBy("doc_id", "phrase_id")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(sort_array(collect_list(struct(pos, term))),"
+                    " s -> s.term)"
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").alias("len"),
+        )
+        .where(F.col("len").between(1, 3))
+    )
+    pm = members.join(phrases, ["doc_id", "phrase_id"])
+    wstat = pm.groupBy("term").agg(
+        F.count("*").alias("freq"), F.sum("len").alias("degree")
+    )
+    pocc = (
+        pm.join(wstat, "term")
+        .groupBy("doc_id", "phrase_id", "phrase")
+        .agg(
+            F.max("len").alias("n_words"),
+            F.sum(
+                F.round(
+                    F.col("degree").cast("double") / F.col("freq"), 9
+                ).cast("decimal(28,9)")
+            )
+            .cast("double")
+            .alias("score"),
+        )
+    )
+    agg = pocc.groupBy("phrase").agg(
+        F.max("n_words").cast("bigint").alias("n_words"),
+        F.count("*").cast("bigint").alias("n_occurrences"),
+        F.max("score").alias("score"),
+    )
+    top = agg.orderBy(F.desc("score"), "phrase").limit(10)
+    wr = Window.orderBy(F.desc("score"), "phrase")
+    return top.select(
+        "phrase",
+        "n_words",
+        "n_occurrences",
+        F.round("score", 6).alias("score"),
+        F.row_number().over(wr).cast("bigint").alias("rk"),
+    ).orderBy("rk")
