@@ -30,7 +30,8 @@ from auron_spark.registry import query
 from auron_spark.tables import register_views
 
 
-def _sql_query(name: str, sql: str, tags: tuple[str, ...], doc: str):
+def _sql_query(name: str, sql: str, tags: tuple[str, ...], doc: str,
+               bench: bool = False):
     """Register a shared-text SQL query: Spark runs `sql` over views, DuckDB
     runs it verbatim as the oracle."""
 
@@ -40,7 +41,7 @@ def _sql_query(name: str, sql: str, tags: tuple[str, ...], doc: str):
 
     build.__doc__ = doc
     build.__name__ = name
-    return query(name, oracle=sql, tags=tags)(build)
+    return query(name, oracle=sql, tags=tags, bench=bench)(build)
 
 
 _MARGIN_ROLLUP = f"""
@@ -85,6 +86,7 @@ _sql_query(
     aggregate (Expand multiplies rows 3x pre-shuffle, standard); the rank
     window partitions by hierarchy level x parent, never globally.
     Reference frame: dev/auron-it TPC-DS battery (q36).""",
+    bench=True,  # the TPC-DS-series flagship: join pipeline + Expand + rank
 )
 
 
@@ -195,6 +197,7 @@ _sql_query(
     Scale shape: rank partitions are the grouping-level markers, and the
     rk <= 5 filter lets Spark's WindowGroupLimit prune per partition
     before the full sort materializes.""",
+    bench=True,  # rollup -> WindowGroupLimit series
 )
 
 
