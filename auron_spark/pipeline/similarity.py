@@ -984,7 +984,9 @@ def _sql_km_round(prev: str, out_assign: str, out_mean: str, out_cent: str) -> s
     tags=("pipeline", "similarity", "kmeans", "iterative", "ann"),
     bench=True,
 )
-def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_kmeans_lloyd(
+    spark: SparkSession, sf_dir: str, k: int = KM_K
+) -> DataFrame:
     """k-means (Lloyd) training for the IVF coarse quantizer — the learned
     replacement for ``sim_knn_ivf``'s label-as-assignment stand-in.
     Deterministic init (the KM_K lowest vec_ids), KM_ITERS Lloyd rounds,
@@ -1013,7 +1015,7 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda v: v.cast("double")).alias("e"),
     )
-    cent, last_mean = _lloyd(spark, emb)
+    cent, last_mean = _lloyd(spark, emb, k)
     # emit the trained codebook per-dim, carrying empty clusters at n = 0
     dims = spark.range(EMB_DIM).select(F.col("id").cast("int").alias("dim"))
     return (
@@ -1041,16 +1043,20 @@ def _sqdist(e: Column, cv: Column) -> Column:
     )
 
 
-def _lloyd(spark: SparkSession, emb: DataFrame):
+def _lloyd(spark: SparkSession, emb: DataFrame, k: int = KM_K):
     """KM_ITERS Lloyd rounds over ``emb`` (vec_id, e: array<double>).
 
     Returns ``(cent, last_mean)``: the trained codebook (cid, cv) and the
     final per-(cid, dim) mean/count frame.  See sim_kmeans_lloyd for the
-    scale shape; shared by the trainer query and the trained-IVF server."""
-    # deterministic init: the KM_K lowest vec_ids, cid in vec_id order
+    scale shape; shared by the trainer query and the trained-IVF server.
+    ``k`` defaults to the registered queries' KM_K; the bench scale leg
+    passes k ∝ corpus size — the SemDeDup/IVF block-size knob — so the
+    broadcast codebook and the k×64 partial-agg exchange are exercised at
+    production list counts, not just the fixture's 8."""
+    # deterministic init: the k lowest vec_ids, cid in vec_id order
     init_rows = (
         emb.orderBy("vec_id")
-        .limit(KM_K)
+        .limit(k)
         .collect()  # k rows of model state — constant size, like MLlib
     )
     cent = spark.createDataFrame(
@@ -1168,7 +1174,9 @@ _SQL_KM_ASSIGN_DIST = (
     tags=("pipeline", "similarity", "kmeans", "ivf", "ann"),
     bench=True,
 )
-def sim_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_knn_ivf_trained(
+    spark: SparkSession, sf_dir: str, k: int = KM_K
+) -> DataFrame:
     """End-to-end IVF over the TRAINED codebook: k-means training
     (sim_kmeans_lloyd's _lloyd), corpus assignment to inverted lists,
     query probing of the N_PROBE nearest centroids, exact cosine re-rank
@@ -1188,7 +1196,7 @@ def sim_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda v: v.cast("double")).alias("e"),
     )
-    cent, _ = _lloyd(spark, emb)
+    cent, _ = _lloyd(spark, emb, k)
     cents_row = cent.agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
     dist_structs = F.transform(
         "cents",
@@ -1531,7 +1539,9 @@ ADC_RERANK = 64
     tags=("pipeline", "similarity", "kmeans", "ivf", "pq", "ann"),
     bench=True,
 )
-def sim_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ivfpq_trained(
+    spark: SparkSession, sf_dir: str, k: int = KM_K
+) -> DataFrame:
     """IVF-PQ end-to-end — the composition a production vector pipeline
     actually serves (Jégou et al., TPAMI 2011): k-means-trained coarse
     quantizer (sim_kmeans_lloyd's `_lloyd`), corpus residuals against the
@@ -1572,19 +1582,21 @@ def sim_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.transform("embedding", lambda v: v.cast("double")).alias("e"),
     )
-    cent, cents_row, cmap_row, rcarr, codes = _ivfpq_train_frames(spark, emb)
+    cent, cents_row, cmap_row, rcarr, codes = _ivfpq_train_frames(
+        spark, emb, k
+    )
     return _ivfpq_serve_stage(
         emb.select("vec_id", "e"), cents_row, cmap_row, rcarr, codes
     )
 
 
-def _ivfpq_train_frames(spark: SparkSession, emb: DataFrame):
+def _ivfpq_train_frames(spark: SparkSession, emb: DataFrame, k: int = KM_K):
     """Training half of IVF-PQ (shared by the end-to-end query and the
     persisted-index builder): Lloyd coarse quantizer, residual PQ codebook,
     8-byte codes per corpus vector.  ``emb`` is (vec_id, label, e).
     Returns ``(cent, cents_row, cmap_row, rcarr, codes)`` — the model
     frames `_ivfpq_serve_stage` and `build_ivfpq_index` consume."""
-    cent, _ = _lloyd(spark, emb.select("vec_id", "e"))
+    cent, _ = _lloyd(spark, emb.select("vec_id", "e"), k)
     cents_row = cent.agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
     cmap_row = cent.agg(
         F.map_from_entries(F.collect_list(F.struct("cid", "cv"))).alias("cmap")
@@ -2268,7 +2280,9 @@ _SQL_SEM_COS = (
     tags=("pipeline", "similarity", "dedup", "kmeans", "semantic"),
     bench=True,
 )
-def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_semantic_dedup(
+    spark: SparkSession, sf_dir: str, k: int = KM_K
+) -> DataFrame:
     """Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023):
     cluster the corpus with the TRAINED coarse quantizer, then search for
     near-duplicate pairs only WITHIN each cluster and drop every vector
@@ -2292,7 +2306,7 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda v: v.cast("double")).alias("e"),
     )
-    cent, _ = _lloyd(spark, emb)
+    cent, _ = _lloyd(spark, emb, k)
     cents_row = cent.agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
     dist_structs = F.transform(
         "cents",

@@ -112,6 +112,22 @@ _TEXT_SCALE_QUERIES = (
     "text_bpe_train",
 )
 
+# Flagship vector/ANN queries timed over the synthetic embedding corpus
+# (their builders read ONLY the embeddings table).  The driver fixture is
+# 500-2000 vectors at every SF, so without this leg the trainer family's
+# 100 TB posture is never timed above 2k vectors — the same blind-spot
+# class text_scale closed for the text family.  The four k-means-backed
+# queries run with k ∝ corpus size (k = n/256, the SemDeDup/IVF block-size
+# knob their docstrings advertise); registered-query semantics (k = KM_K)
+# are untouched.
+_VECTOR_SCALE_QUERIES = ("sim_knn_bruteforce", "dedup_embedding_cosine")
+_VECTOR_SCALE_KSCALED = (
+    "sim_kmeans_lloyd",
+    "sim_knn_ivf_trained",
+    "sim_ivfpq_trained",
+    "sim_semantic_dedup",
+)
+
 
 def _group_of(name: str) -> str:
     if name in _TRAINERS:
@@ -216,6 +232,69 @@ def _build_text_corpus(dest: str, n_docs: int) -> dict:
             "build_sec": round(time.perf_counter() - t0, 3)}
 
 
+def _build_vector_corpus(dest: str, n_vecs: int) -> dict:
+    """Child mode: synthesize the deterministic vector-scale corpus (same
+    3-column schema as the driver's embeddings fixture: vec_id BIGINT,
+    embedding ARRAY<FLOAT> (64-dim), label INT) entirely Spark-side via
+    xxhash64 — byte-stable across rebuilds, no driver-side generation.
+
+    Structure: 128 planted clusters; vector = centroid(cluster) + 2.5x
+    per-vector noise, so within-cluster cosine sits near 0.14 (below the
+    0.3 near-dup threshold) and k-means has a real signal to find without
+    the threshold queries drowning in positives.  ``label`` = the planted
+    cluster, giving `dedup_embedding_cosine` ~n/128-row blocks and the PQ
+    codebook 128 codewords per subquantizer (production-shaped, vs the
+    fixture's handful of labels).  Planted near-dups: every vec_id % 40 ==
+    39 shares its predecessor's noise seed plus a 0.02-weight perturbation
+    (cosine ~0.999), so the dedup queries have a known-positive signal."""
+    from auron_spark.artifacts import ensure_artifact
+    from auron_spark.session import get_spark
+
+    spark = get_spark("auron-spark-bench-veccorpus")
+    spark.sparkContext.setLogLevel("WARN")
+    t0 = time.perf_counter()
+
+    def _build(into: str) -> None:
+        n_clusters = 128
+        # uniform [-1, 1] components from xxhash64(seed, salt)
+        unit = "((pmod(xxhash64({s}, {salt} + j), 2001) - 1000) / 1000.0)"
+        comp = (
+            unit.format(s="cluster", salt=2000)
+            + " + 2.5 * " + unit.format(s="base_id", salt=3000)
+            + " + CASE WHEN is_dup THEN 0.02 * "
+            + unit.format(s="vec_id", salt=4000)
+            + " ELSE 0.0 END"
+        )
+        (
+            spark.range(n_vecs)
+            .selectExpr(
+                "id AS vec_id",
+                "CASE WHEN id % 40 = 39 THEN id - 1 ELSE id END AS base_id",
+                "id % 40 = 39 AS is_dup",
+            )
+            .selectExpr(
+                "vec_id",
+                "base_id",
+                "is_dup",
+                f"pmod(xxhash64(base_id, 1001), {n_clusters}) AS cluster",
+            )
+            .selectExpr(
+                "vec_id",
+                f"transform(sequence(1, 64), j -> CAST({comp} AS FLOAT)) "
+                "AS embedding",
+                "CAST(cluster AS INT) AS label",
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(f"{into}/embeddings.parquet")
+        )
+
+    ensure_artifact(dest, "_CORPUS_COMPLETE", _build)
+    spark.stop()
+    return {"corpus": dest, "n_vecs": n_vecs,
+            "build_sec": round(time.perf_counter() - t0, 3)}
+
+
 def _run_group(group: str, sf_dir: str, second: str) -> dict:
     """Child mode: run one group's queries in this process's own JVM."""
     from auron_spark.registry import bench_queries, load_all
@@ -225,6 +304,19 @@ def _run_group(group: str, sf_dir: str, second: str) -> dict:
     all_specs = load_all()
     if group == "text_scale":
         specs = {n: all_specs[n] for n in _TEXT_SCALE_QUERIES}
+    elif group == "vector_scale":
+        from types import SimpleNamespace
+
+        from auron_spark.pipeline import similarity as _sim
+
+        n_vecs = int(os.environ.get("SPARK_GRAFT_VECTOR_VECS", "32768"))
+        sk = max(_sim.KM_K, n_vecs // 256)
+        specs = {n: all_specs[n] for n in _VECTOR_SCALE_QUERIES}
+        for n in _VECTOR_SCALE_KSCALED:
+            fn = getattr(_sim, n)
+            specs[f"{n}_kscaled"] = SimpleNamespace(
+                build=lambda s, w, fn=fn: fn(s, w, sk)
+            )
     else:
         specs = {
             n: s for n, s in bench_queries().items() if _group_of(n) == group
@@ -249,7 +341,10 @@ def _run_group(group: str, sf_dir: str, second: str) -> dict:
     warm2: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
         cold[name] = run(spec, sf_dir)
-        warm_runs[name] = [run(spec, sf_dir), run(spec, sf_dir)]
+        # Scale legs are throughput probes: one warm pass (the two-pass
+        # variance bracket lives on the round-comparable headline series).
+        n_warm = 1 if group.endswith("_scale") else 2
+        warm_runs[name] = [run(spec, sf_dir) for _ in range(n_warm)]
     if second and os.path.isdir(second) and second != sf_dir:
         for name, spec in sorted(specs.items()):
             warm2[name] = run(spec, second)
@@ -309,6 +404,9 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--textcorpus":
         print(json.dumps(_build_text_corpus(sys.argv[2], int(sys.argv[3]))))
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--veccorpus":
+        print(json.dumps(_build_vector_corpus(sys.argv[2], int(sys.argv[3]))))
+        return
 
     def _child(args: list[str]) -> dict:
         proc = subprocess.run(
@@ -365,6 +463,25 @@ def main() -> None:
             "queries_cold": res["cold"],
         }
 
+    # Vector-scale leg: flagship ANN/dedup queries over the synthetic
+    # embedding corpus, k-means-backed ones at k = n/256.  Same contract as
+    # text_scale: separate section, never merged into the headline series.
+    vec_vecs = int(os.environ.get("SPARK_GRAFT_VECTOR_VECS", "32768"))
+    vector_scale: dict = {}
+    if vec_vecs > 0:
+        vcorpus = f"{_SHARD_ROOT}/veccorpus_{vec_vecs}"
+        vbuilt = _child(["--veccorpus", vcorpus, str(vec_vecs)])
+        res = _child(["--group", "vector_scale", vcorpus, ""])
+        subtotals["vector_scale"] = round(sum(res["warm"].values()), 3)
+        vector_scale = {
+            "n_vecs": vec_vecs,
+            "k_scaled": max(8, vec_vecs // 256),
+            "corpus_build_sec": vbuilt["build_sec"],
+            "queries_warm": res["warm"],
+            "warm_runs": res["warm_runs"],
+            "queries_cold": res["cold"],
+        }
+
     sf2 = float(second.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in second else -1.0
     # Bulky sections lead; the compact headline is the LAST line so a
     # tail-capture of stdout always contains one complete parseable JSON.
@@ -380,6 +497,8 @@ def main() -> None:
     print(json.dumps({"section": "variance", "warm_runs": warm_runs}))
     if text_scale:
         print(json.dumps({"section": "text_scale", **text_scale}))
+    if vector_scale:
+        print(json.dumps({"section": "vector_scale", **vector_scale}))
     if index_build:
         print(json.dumps({"section": "index_build", **index_build}))
     print(json.dumps({"section": "groups", "warm_subtotals": subtotals}))

@@ -1184,3 +1184,35 @@ def test_best_split_stump_matches_numpy(spark):
     got_b = SPECS["feature_best_split_stump"].build(spark, SF_SMOKE).collect()[0]
     assert float(got_b["threshold"]) == round(float(best[0]), 2)
     assert abs(float(got_b["gini_gain"]) - best[1][0]) < 1e-6
+
+
+# --- the k knob behind the bench vector-scale leg ---------------------------
+
+
+@pytest.mark.parametrize("k", [4, 12])
+def test_kmeans_k_knob_oracle_exact(spark, oracle, k):
+    """`_lloyd`'s k parameter (bench.py's vector_scale leg runs the
+    k-means-backed trainers at k = n/256) is oracle-exact at arbitrary k,
+    not just the registered KM_K = 8: k enters each oracle's SQL only
+    through the init CTE's LIMIT, so substituting it yields an exact
+    k-parameterized oracle.  Proves the knob changes BLOCKING, never
+    arithmetic."""
+    from auron_spark.pipeline.similarity import (
+        KM_K,
+        sim_kmeans_lloyd,
+        sim_knn_ivf_trained,
+        sim_semantic_dedup,
+    )
+    from auron_spark.registry import load_all
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    specs = load_all()
+    for name, fn in (
+        ("sim_kmeans_lloyd", sim_kmeans_lloyd),
+        ("sim_semantic_dedup", sim_semantic_dedup),
+        ("sim_knn_ivf_trained", sim_knn_ivf_trained),
+    ):
+        sql = specs[name].oracle
+        assert sql.count(f"LIMIT {KM_K}") == 1, name
+        sql = sql.replace(f"LIMIT {KM_K}", f"LIMIT {k}")
+        assert_matches_oracle(fn(spark, SF_DIR, k), oracle, sql, f"{name}@k={k}")
