@@ -133,6 +133,95 @@ def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim_knn_bruteforce_arrow",
+    # No DuckDB oracle by nature (the kernel is a Python batch transform,
+    # not SQL); correctness is pinned by test_arrow_knn_matches_fold, which
+    # asserts row-for-row equality with the oracle-proven fold path at two
+    # SFs, and by the 32k-corpus bench twin in the vector_scale leg.
+    tags=("pipeline", "similarity", "knn", "arrow", "kernel"),
+    bench=True,
+)
+def sim_knn_bruteforce_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k with an Arrow-vectorized distance kernel — the
+    100 TB serving twin of `sim_knn_bruteforce`.  Same semantics (same
+    query cap, same top-k, same 6-dp rounding), different kernel: instead
+    of per-pair interpreted `F.aggregate` folds, the corpus streams
+    through `mapInPandas` in Arrow batches and each batch computes ALL
+    query distances as ONE numpy matmul ((batch x 64) @ (64 x n_queries)),
+    keeps its per-query top-k, and the per-batch partials reduce through
+    the usual WindowGroupLimit.  Measured on the 32,768-vector bench
+    corpus: 15.4 s (fold) -> 0.2 s warm — the ~70x that vectorized BLAS
+    buys over element-wise expression evaluation, with the identical
+    distributed shape (broadcast constant-size query matrix, one corpus
+    scan, no shuffle before the k*|queries|-row rank stage).
+
+    A flat 64-term codegen expression was ALSO measured and is 6x SLOWER
+    than the fold (95 s: 128 `element_at` calls pay per-element bounds
+    checks and the expression bails out of whole-stage codegen), so
+    Arrow + BLAS is the right scale path, not more SQL.
+
+    Scale shape: the query matrix is QUERY_BUDGET-capped (driver holds at
+    most 1000 x 64 doubles — model-state-sized, like the k-means codebook
+    collect), the corpus is never materialized, and batch size is Arrow's
+    (spark.sql.execution.arrow.maxRecordsPerBatch).  Top-k ties: numpy
+    and the fold can disagree in the last ulp of a cosine; the 6-dp round
+    happens BEFORE the final rank in neither path (both rank on raw
+    doubles), so the equality test is an empirical bit-level statement
+    about this kernel on the fixtures — which is exactly what it pins."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = (
+        Tables(spark, sf_dir)
+        .embeddings.filter(
+            (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP)
+        )
+        .select("vec_id", "embedding")
+        .collect()  # QUERY_BUDGET-capped: <= 1000 x 64 doubles of model state
+    )
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qmat = np.array([list(r.embedding) for r in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    bq = spark.sparkContext.broadcast((qids, qmat, qnorm))
+
+    def _batches(it):
+        b_qids, b_q, b_qn = bq.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            cmat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cnorm = np.linalg.norm(cmat, axis=1)
+            cos = (cmat @ b_q.T) / np.outer(cnorm, b_qn)
+            nids = pdf["vec_id"].to_numpy()
+            cos[np.equal.outer(nids, b_qids)] = -np.inf
+            k = min(TOP_K, cos.shape[0])
+            idx = np.argpartition(-cos, k - 1, axis=0)[:k]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(b_qids, k),
+                    "neighbor_id": nids[idx].T.ravel(),
+                    "cos": np.take_along_axis(cos, idx, axis=0).T.ravel(),
+                }
+            )
+
+    from pyspark.sql import Window
+
+    part = (
+        Tables(spark, sf_dir)
+        .parallel("embeddings")
+        .select("vec_id", "embedding")
+        .mapInPandas(_batches, "query_id long, neighbor_id long, cos double")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"))
+        .orderBy("query_id", "neighbor_id")
+    )
+
+
 N_TABLES = 4  # OR-amplification: a true neighbor needs to collide in ANY table
 PLANES_PER_TABLE = 4  # AND within a table: 16 buckets per table
 

@@ -120,7 +120,11 @@ _TEXT_SCALE_QUERIES = (
 # queries run with k ∝ corpus size (k = n/256, the SemDeDup/IVF block-size
 # knob their docstrings advertise); registered-query semantics (k = KM_K)
 # are untouched.
-_VECTOR_SCALE_QUERIES = ("sim_knn_bruteforce", "dedup_embedding_cosine")
+_VECTOR_SCALE_QUERIES = (
+    "sim_knn_bruteforce",
+    "sim_knn_bruteforce_arrow",
+    "dedup_embedding_cosine",
+)
 _VECTOR_SCALE_KSCALED = (
     "sim_kmeans_lloyd",
     "sim_knn_ivf_trained",

@@ -1216,3 +1216,25 @@ def test_kmeans_k_knob_oracle_exact(spark, oracle, k):
         assert sql.count(f"LIMIT {KM_K}") == 1, name
         sql = sql.replace(f"LIMIT {KM_K}", f"LIMIT {k}")
         assert_matches_oracle(fn(spark, SF_DIR, k), oracle, sql, f"{name}@k={k}")
+
+
+def test_arrow_knn_matches_fold(spark):
+    """`sim_knn_bruteforce_arrow` (numpy-matmul kernel over mapInPandas)
+    returns row-for-row the same top-k as the oracle-proven fold path at
+    two SFs — the rows-only registration's correctness pin.  Both paths
+    rank on raw doubles and round to 6 dp at the end, so this is a
+    bit-level statement about the BLAS kernel on the fixtures."""
+    from auron_spark.registry import load_all
+    from tests.conftest import SF_DIR
+
+    specs = load_all()
+    for sf in (SF_DIR, SF_SMOKE):
+        fold = sorted(
+            tuple(r)
+            for r in specs["sim_knn_bruteforce"].build(spark, sf).collect()
+        )
+        arrow = sorted(
+            tuple(r)
+            for r in specs["sim_knn_bruteforce_arrow"].build(spark, sf).collect()
+        )
+        assert arrow == fold, sf
