@@ -2319,6 +2319,34 @@ def sim_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEMDEDUP_COS = 0.3  # same tail-hitting threshold as dedup_embedding_cosine
 
+
+def _semdedup_assigned(spark: SparkSession, sf_dir: str, k: int):
+    """Shared SemDeDup front half: train the coarse quantizer (`_lloyd`),
+    assign every vector to its nearest centroid map-side, and carry the
+    precomputed norm.  Returns (vec_id, e, nrm, cid) — consumed by the
+    oracle-exact fold pair stage (`sim_semantic_dedup`) and the Arrow
+    kernel twin (`sim_semantic_dedup_arrow`), so the two variants differ
+    ONLY in the within-cluster pair kernel, never in clustering."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("e"),
+    )
+    cent, _ = _lloyd(spark, emb, k)
+    cents_row = cent.agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
+    dist_structs = F.transform(
+        "cents",
+        lambda c: F.struct(
+            _sqdist(F.col("e"), c["cv"]).alias("d"), c["cid"].alias("cid")
+        ),
+    )
+    return emb.join(F.broadcast(cents_row)).select(
+        "vec_id",
+        "e",
+        norm(F.col("e")).alias("nrm"),
+        F.array_min(dist_structs)["cid"].alias("cid"),
+    )
+
 _SQL_SEM_COS = (
     "list_sum(list_transform(range(1, 65), i -> "
     "CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) "
@@ -2390,28 +2418,7 @@ def sim_semantic_dedup(
     — no iterative connected components — and is deterministic.
     Arithmetic: cosine is the index-ordered double fold shared with the
     ANN family, so the threshold compare is bit-identical in DuckDB."""
-    t = Tables(spark, sf_dir)
-    emb = t.embeddings.select(
-        "vec_id",
-        F.transform("embedding", lambda v: v.cast("double")).alias("e"),
-    )
-    cent, _ = _lloyd(spark, emb, k)
-    cents_row = cent.agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
-    dist_structs = F.transform(
-        "cents",
-        lambda c: F.struct(
-            _sqdist(F.col("e"), c["cv"]).alias("d"), c["cid"].alias("cid")
-        ),
-    )
-    assigned = (
-        emb.join(F.broadcast(cents_row))
-        .select(
-            "vec_id",
-            "e",
-            norm(F.col("e")).alias("nrm"),
-            F.array_min(dist_structs)["cid"].alias("cid"),
-        )
-    )
+    assigned = _semdedup_assigned(spark, sf_dir, k)
     a = assigned.select(
         F.col("cid"),
         F.col("vec_id").alias("ai"),
@@ -2441,6 +2448,63 @@ def sim_semantic_dedup(
             F.count("*").cast("bigint").alias("n_vectors"),
             F.count("is_dropped").cast("bigint").alias("n_dropped"),
         )
+        .orderBy("cid")
+    )
+
+
+@query(
+    "sim_semantic_dedup_arrow",
+    # Rows-only by nature (Python batch kernel, not SQL); correctness is
+    # pinned by test_semdedup_arrow_matches_fold — row-for-row equality
+    # with the oracle-proven fold variant at two SFs.
+    tags=("pipeline", "similarity", "dedup", "kmeans", "semantic", "arrow",
+          "kernel"),
+    bench=True,
+)
+def sim_semantic_dedup_arrow(
+    spark: SparkSession, sf_dir: str, k: int = KM_K
+) -> DataFrame:
+    """SemDeDup with the within-cluster pair stage as an Arrow kernel —
+    the production twin of `sim_semantic_dedup`, sharing its EXACT
+    clustering front half (`_semdedup_assigned`: same `_lloyd` codebook,
+    same map-side fold argmin, so cluster membership is bit-identical to
+    the oracle-proven variant).  Each cluster block then flows through
+    `applyInPandas` as ONE group: a numpy gram matrix over the block's
+    vectors, upper-triangle thresholding, and the drop rule (has a
+    similar lower-id neighbor) — which is how SemDeDup actually runs at
+    web scale (FAISS-style BLAS within blocks), vs the fold variant's
+    per-pair interpreted cosines.
+
+    Scale shape: the block size is n/k, bounded by the k knob (the bench
+    vector_scale leg runs k = n/256, so blocks stay ~256 rows and each
+    gram matrix is ~256x256 regardless of corpus size); the shuffle is
+    the SAME single exchange on cid the fold variant pays — the kernel
+    swap changes per-block compute only, not the plan shape."""
+    import numpy as np
+    import pandas as pd
+
+    def _per_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.array(pdf["e"].tolist(), dtype=np.float64)[order]
+        nrm = pdf["nrm"].to_numpy()[order]
+        gram = (mat @ mat.T) / np.outer(nrm, nrm)
+        iu = np.triu_indices(len(ids), k=1)  # row < col => id[row] < id[col]
+        hit = gram[iu] >= SEMDEDUP_COS
+        n_dropped = len(np.unique(iu[1][hit]))
+        return pd.DataFrame(
+            {
+                "cid": [int(pdf["cid"].iloc[0])],
+                "n_vectors": [len(ids)],
+                "n_dropped": [n_dropped],
+            }
+        )
+
+    assigned = _semdedup_assigned(spark, sf_dir, k)
+    return (
+        assigned.groupBy("cid")
+        .applyInPandas(_per_cluster, "cid int, n_vectors long, n_dropped long")
         .orderBy("cid")
     )
 

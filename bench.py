@@ -130,6 +130,7 @@ _VECTOR_SCALE_KSCALED = (
     "sim_knn_ivf_trained",
     "sim_ivfpq_trained",
     "sim_semantic_dedup",
+    "sim_semantic_dedup_arrow",
 )
 
 

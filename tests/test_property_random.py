@@ -1238,3 +1238,25 @@ def test_arrow_knn_matches_fold(spark):
             for r in specs["sim_knn_bruteforce_arrow"].build(spark, sf).collect()
         )
         assert arrow == fold, sf
+
+
+def test_semdedup_arrow_matches_fold(spark):
+    """`sim_semantic_dedup_arrow` (numpy gram-matrix pair kernel over
+    applyInPandas, sharing the fold variant's exact clustering front
+    half) returns row-for-row the same per-cluster dedup report as the
+    oracle-proven fold variant at two SFs — and at a scaled k, since the
+    bench leg runs it there."""
+    from auron_spark.pipeline.similarity import (
+        sim_semantic_dedup,
+        sim_semantic_dedup_arrow,
+    )
+    from tests.conftest import SF_DIR
+
+    for sf, k in ((SF_DIR, 8), (SF_SMOKE, 8), (SF_DIR, 16)):
+        fold = sorted(
+            tuple(r) for r in sim_semantic_dedup(spark, sf, k).collect()
+        )
+        arrow = sorted(
+            tuple(r) for r in sim_semantic_dedup_arrow(spark, sf, k).collect()
+        )
+        assert arrow == fold, (sf, k)
