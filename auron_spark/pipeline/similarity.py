@@ -1769,6 +1769,106 @@ def _ivfpq_train_frames(spark: SparkSession, emb: DataFrame, k: int = KM_K):
     return cent, cents_row, cmap_row, rcarr, codes
 
 
+@query(
+    "sim_ivfpq_trained_arrow",
+    # Rows-only by nature (Python batch kernel); correctness is pinned by
+    # test_ivfpq_arrow_matches_fold — row-for-row equality with the
+    # oracle-proven fold variant at two SFs.
+    tags=("pipeline", "similarity", "kmeans", "ivf", "pq", "ann", "arrow",
+          "kernel"),
+    bench=True,
+)
+def sim_ivfpq_trained_arrow(
+    spark: SparkSession, sf_dir: str, k: int = KM_K
+) -> DataFrame:
+    """IVF-PQ with the corpus ENCODE as an Arrow kernel — the production
+    twin of `sim_ivfpq_trained`.  Training is SHARED (same `_lloyd`
+    centroids, same decimal-exact PQ codeword means out of
+    `_ivfpq_train_frames`; the fold `codes` plan is simply never
+    executed), and the serve stage (LUT, ADC join, exact re-rank) is the
+    SAME DataFrame program.  What's swapped is the per-vector hot loop —
+    coarse-list argmin, residual, and 8 per-sub code argmins — which runs
+    as ONE `mapInPandas` pass: per Arrow batch, distances to all k
+    centroids via the ||e||² − 2eCᵀ + ||C||² expansion, residuals as one
+    matrix subtract, and per-sub code argmins via the same expansion
+    against each 8-dim codeword matrix.  Model state (k×64 centroids +
+    n_codes×8×8 codewords) is collected and broadcast — the codebook-sized
+    collect every trainer already does.
+
+    Tie-break parity: the fold's `array_min(struct(d, cid/code))` picks
+    the smallest id on equal distance; the kernel sorts ids ascending and
+    numpy argmin returns the first minimum — same rule.  Distances differ
+    from the fold in the last ulp (BLAS vs sequential fold), so equality
+    with the fold twin is an empirical bit-level statement on the
+    fixtures, pinned by the test at two SFs."""
+    import numpy as np
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda v: v.cast("double")).alias("e"),
+    )
+    cent, cents_row, cmap_row, rcarr, _codes_fold = _ivfpq_train_frames(
+        spark, emb, k
+    )
+    cent_rows = cent.collect()  # k x 64 doubles of model state
+    order = np.argsort([r.cid for r in cent_rows])
+    cids = np.array([cent_rows[i].cid for i in order], dtype=np.int32)
+    cmat = np.array([cent_rows[i].cv for i in order], dtype=np.float64)
+    rc_rows = rcarr.collect()  # n_codes x 8 subs of model state
+    cb: dict[int, tuple] = {}
+    for sub in range(8):
+        ent = sorted(
+            ((r.label, r.cv) for r in rc_rows if r.sub == sub),
+            key=lambda x: x[0],
+        )
+        cb[sub] = (
+            np.array([x[0] for x in ent], dtype=np.int32),
+            np.array([x[1] for x in ent], dtype=np.float64),
+        )
+    bstate = spark.sparkContext.broadcast((cids, cmat, cb))
+
+    def _encode(it):
+        b_cids, b_c, b_cb = bstate.value
+        c_sq = (b_c**2).sum(1)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf["e"].tolist(), dtype=np.float64)
+            d = (mat**2).sum(1)[:, None] - 2.0 * (mat @ b_c.T) + c_sq[None, :]
+            idx = d.argmin(1)
+            res = mat - b_c[idx]
+            code_cols = []
+            for sub in range(8):
+                codes_l, cw = b_cb[sub]
+                v = res[:, sub * 8 : (sub + 1) * 8]
+                dd = (
+                    (v**2).sum(1)[:, None]
+                    - 2.0 * (v @ cw.T)
+                    + (cw**2).sum(1)[None, :]
+                )
+                code_cols.append(codes_l[dd.argmin(1)])
+            n = len(mat)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), 8),
+                    "cid": np.repeat(b_cids[idx], 8),
+                    "sub": np.tile(np.arange(8, dtype=np.int32), n),
+                    "code": np.stack(code_cols, axis=1).ravel(),
+                }
+            )
+
+    codes = (
+        emb.select("vec_id", "e")
+        .mapInPandas(_encode, "vec_id long, cid int, sub int, code int")
+    )
+    return _ivfpq_serve_stage(
+        emb.select("vec_id", "e"), cents_row, cmap_row, rcarr, codes
+    )
+
+
 def _ivfpq_serve_stage(
     emb: DataFrame,
     cents_row: DataFrame,

@@ -129,6 +129,7 @@ _VECTOR_SCALE_KSCALED = (
     "sim_kmeans_lloyd",
     "sim_knn_ivf_trained",
     "sim_ivfpq_trained",
+    "sim_ivfpq_trained_arrow",
     "sim_semantic_dedup",
     "sim_semantic_dedup_arrow",
 )

@@ -1260,3 +1260,24 @@ def test_semdedup_arrow_matches_fold(spark):
             tuple(r) for r in sim_semantic_dedup_arrow(spark, sf, k).collect()
         )
         assert arrow == fold, (sf, k)
+
+
+def test_ivfpq_arrow_matches_fold(spark):
+    """`sim_ivfpq_trained_arrow` (numpy encode kernel over mapInPandas,
+    sharing the fold variant's training frames and serve stage) returns
+    row-for-row the same re-ranked top-k as the oracle-proven fold
+    variant at two SFs."""
+    from auron_spark.pipeline.similarity import (
+        sim_ivfpq_trained,
+        sim_ivfpq_trained_arrow,
+    )
+    from tests.conftest import SF_DIR
+
+    for sf in (SF_DIR, SF_SMOKE):
+        fold = sorted(
+            tuple(r) for r in sim_ivfpq_trained(spark, sf).collect()
+        )
+        arrow = sorted(
+            tuple(r) for r in sim_ivfpq_trained_arrow(spark, sf).collect()
+        )
+        assert arrow == fold, sf
