@@ -1281,3 +1281,42 @@ def test_ivfpq_arrow_matches_fold(spark):
             tuple(r) for r in sim_ivfpq_trained_arrow(spark, sf).collect()
         )
         assert arrow == fold, sf
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_kernel_twins_match_on_random_corpora(spark, tmp_path, seed):
+    """The Arrow kernel twins equal their fold twins on ARBITRARY corpora,
+    not just the driver fixtures: a seeded random embeddings table (skewed
+    cluster sizes, planted exact duplicates, a zero-tail vector to probe
+    the norm edge) is written to a temp dir and both variants of knn and
+    SemDeDup run over it."""
+    import numpy as np
+
+    from auron_spark.pipeline.similarity import (
+        sim_knn_bruteforce,
+        sim_knn_bruteforce_arrow,
+        sim_semantic_dedup,
+        sim_semantic_dedup_arrow,
+    )
+
+    rng = np.random.default_rng(424200 + seed)
+    n = 120
+    cent = rng.normal(size=(6, 64))
+    cl = rng.integers(0, 6, size=n)
+    mat = cent[cl] + 1.5 * rng.normal(size=(n, 64))
+    mat[n - 1, 8:] = 0.0  # sparse tail vector: exercises small-norm path
+    for i in range(19, n, 40):
+        mat[i] = mat[i - 1]  # planted exact duplicates
+    sf = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in mat[i]], int(cl[i])) for i in range(n)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{sf}/embeddings.parquet")
+
+    for fold_fn, arrow_fn, kw in (
+        (sim_knn_bruteforce, sim_knn_bruteforce_arrow, {}),
+        (sim_semantic_dedup, sim_semantic_dedup_arrow, {"k": 5}),
+    ):
+        fold = sorted(tuple(r) for r in fold_fn(spark, sf, **kw).collect())
+        arrow = sorted(tuple(r) for r in arrow_fn(spark, sf, **kw).collect())
+        assert arrow == fold, (fold_fn.__name__, seed)
