@@ -164,11 +164,16 @@ def sim_knn_bruteforce_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the query matrix is QUERY_BUDGET-capped (driver holds at
     most 1000 x 64 doubles — model-state-sized, like the k-means codebook
     collect), the corpus is never materialized, and batch size is Arrow's
-    (spark.sql.execution.arrow.maxRecordsPerBatch).  Top-k ties: numpy
-    and the fold can disagree in the last ulp of a cosine; the 6-dp round
-    happens BEFORE the final rank in neither path (both rank on raw
-    doubles), so the equality test is an empirical bit-level statement
-    about this kernel on the fixtures — which is exactly what it pins."""
+    (spark.sql.execution.arrow.maxRecordsPerBatch).  Exact cosine TIES
+    (bitwise-duplicate vectors) are preserved through batch pruning — a
+    batch keeps every row tied with its k-th best, and the global window
+    applies the fold's (cos desc, neighbor_id asc) rule — and zero-norm
+    vectors fail loudly, matching the fold's ANSI divide-by-zero (both
+    gated by test_kernel_twins_degenerate_inputs).  What remains
+    empirical is last-ulp cosine DIFFERENCES between BLAS and the
+    sequential fold on near-tied distinct vectors; both paths rank on
+    raw doubles, so the equality tests pin that bit-level agreement on
+    the fixtures and on seeded random corpora."""
     import numpy as np
     import pandas as pd
 
@@ -183,6 +188,10 @@ def sim_knn_bruteforce_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
     qmat = np.array([list(r.embedding) for r in qrows], dtype=np.float64)
     qnorm = np.linalg.norm(qmat, axis=1)
+    if not qnorm.all():
+        raise ValueError(
+            f"zero-norm query embedding(s): vec_id {qids[qnorm == 0][:5]}"
+        )
     bq = spark.sparkContext.broadcast((qids, qmat, qnorm))
 
     def _batches(it):
@@ -192,16 +201,30 @@ def sim_knn_bruteforce_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             cmat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             cnorm = np.linalg.norm(cmat, axis=1)
+            if not cnorm.all():
+                # Same domain contract as the fold twin: under ANSI mode its
+                # cosine division THROWS on a zero-norm vector (DuckDB's
+                # oracle does too) — fail loudly, never emit silent NaN.
+                bad = pdf["vec_id"].to_numpy()[cnorm == 0]
+                raise ValueError(f"zero-norm embedding(s): vec_id {bad[:5]}")
             cos = (cmat @ b_q.T) / np.outer(cnorm, b_qn)
             nids = pdf["vec_id"].to_numpy()
             cos[np.equal.outer(nids, b_qids)] = -np.inf
             k = min(TOP_K, cos.shape[0])
-            idx = np.argpartition(-cos, k - 1, axis=0)[:k]
+            part = np.argpartition(-cos, k - 1, axis=0)[:k]
+            # Keep EVERY row tied with the k-th best (>=, not argpartition's
+            # arbitrary tie pick): the fold twin breaks cosine ties by
+            # neighbor_id in the global window, so a batch must never drop
+            # a boundary-tied candidate — the window applies the exact rule.
+            kth = np.take_along_axis(cos, part, axis=0).min(0)
+            rows, cols = np.nonzero(cos >= kth[None, :])
+            keep = ~np.isneginf(cos[rows, cols])  # drop self-match sentinels
+            rows, cols = rows[keep], cols[keep]
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(b_qids, k),
-                    "neighbor_id": nids[idx].T.ravel(),
-                    "cos": np.take_along_axis(cos, idx, axis=0).T.ravel(),
+                    "query_id": b_qids[cols],
+                    "neighbor_id": nids[rows],
+                    "cos": cos[rows, cols],
                 }
             )
 
@@ -2589,6 +2612,12 @@ def sim_semantic_dedup_arrow(
         ids = ids[order]
         mat = np.array(pdf["e"].tolist(), dtype=np.float64)[order]
         nrm = pdf["nrm"].to_numpy()[order]
+        if not nrm.all():
+            # Same domain contract as the fold twin: its cosine division
+            # THROWS under ANSI mode on a zero-norm vector — fail loudly.
+            raise ValueError(
+                f"zero-norm embedding(s): vec_id {ids[nrm == 0][:5]}"
+            )
         gram = (mat @ mat.T) / np.outer(nrm, nrm)
         iu = np.triu_indices(len(ids), k=1)  # row < col => id[row] < id[col]
         hit = gram[iu] >= SEMDEDUP_COS

@@ -79,7 +79,9 @@ _TRAINERS = {
     "sim_kmeans_lloyd",
     "sim_knn_ivf_trained",
     "sim_ivfpq_trained",
+    "sim_ivfpq_trained_arrow",
     "sim_semantic_dedup",
+    "sim_semantic_dedup_arrow",
     "dedup_canonical_selection",
 }
 # Light relational shapes: the round-over-round comparable set.
@@ -308,6 +310,7 @@ def _run_group(group: str, sf_dir: str, second: str) -> dict:
     from auron_spark.tables import Tables  # noqa: F401 (registry import)
 
     all_specs = load_all()
+    k_scaled: int | None = None
     if group == "text_scale":
         specs = {n: all_specs[n] for n in _TEXT_SCALE_QUERIES}
     elif group == "vector_scale":
@@ -316,7 +319,8 @@ def _run_group(group: str, sf_dir: str, second: str) -> dict:
         from auron_spark.pipeline import similarity as _sim
 
         n_vecs = int(os.environ.get("SPARK_GRAFT_VECTOR_VECS", "32768"))
-        sk = max(_sim.KM_K, n_vecs // 256)
+        # Single source of truth for the knob; main() reports this value.
+        k_scaled = sk = max(_sim.KM_K, n_vecs // 256)
         specs = {n: all_specs[n] for n in _VECTOR_SCALE_QUERIES}
         for n in _VECTOR_SCALE_KSCALED:
             fn = getattr(_sim, n)
@@ -390,6 +394,7 @@ def _run_group(group: str, sf_dir: str, second: str) -> dict:
         "cold": cold,
         "sf2": warm2,
         "index_build": index_build,
+        "k_scaled": k_scaled,
     }
 
 
@@ -481,7 +486,7 @@ def main() -> None:
         subtotals["vector_scale"] = round(sum(res["warm"].values()), 3)
         vector_scale = {
             "n_vecs": vec_vecs,
-            "k_scaled": max(8, vec_vecs // 256),
+            "k_scaled": res["k_scaled"],
             "corpus_build_sec": vbuilt["build_sec"],
             "queries_warm": res["warm"],
             "warm_runs": res["warm_runs"],

@@ -1273,14 +1273,14 @@ def test_ivfpq_arrow_matches_fold(spark):
     )
     from tests.conftest import SF_DIR
 
-    for sf in (SF_DIR, SF_SMOKE):
+    for sf, k in ((SF_DIR, 8), (SF_SMOKE, 8), (SF_DIR, 16)):
         fold = sorted(
-            tuple(r) for r in sim_ivfpq_trained(spark, sf).collect()
+            tuple(r) for r in sim_ivfpq_trained(spark, sf, k).collect()
         )
         arrow = sorted(
-            tuple(r) for r in sim_ivfpq_trained_arrow(spark, sf).collect()
+            tuple(r) for r in sim_ivfpq_trained_arrow(spark, sf, k).collect()
         )
-        assert arrow == fold, sf
+        assert arrow == fold, (sf, k)
 
 
 @pytest.mark.parametrize("seed", range(3))
@@ -1320,3 +1320,76 @@ def test_kernel_twins_match_on_random_corpora(spark, tmp_path, seed):
         fold = sorted(tuple(r) for r in fold_fn(spark, sf, **kw).collect())
         arrow = sorted(tuple(r) for r in arrow_fn(spark, sf, **kw).collect())
         assert arrow == fold, (fold_fn.__name__, seed)
+
+
+def test_kernel_twins_degenerate_inputs(spark, tmp_path):
+    """Adversarial twin-equality cases from the round-10 review: (a) a
+    tiny corpus (fewer rows than TOP_K) must not leak the arrow kernel's
+    self-match sentinel rows; (b) bitwise-duplicate vectors guarantee
+    exact cosine TIES at the top-k boundary, which per-batch pruning must
+    not break (the fold tie-breaks by neighbor_id in the global window);
+    (c) a zero-norm embedding is OUTSIDE both variants' domain — the fold
+    throws ANSI DIVIDE_BY_ZERO, so the arrow kernels must fail loudly
+    too, never emit silent NaN."""
+    import numpy as np
+
+    from auron_spark.pipeline.similarity import (
+        sim_knn_bruteforce,
+        sim_knn_bruteforce_arrow,
+        sim_semantic_dedup,
+        sim_semantic_dedup_arrow,
+    )
+
+    # (a) tiny corpus: 4 vectors, one query (vec_id 0)
+    tiny = str(tmp_path / "tiny")
+    rng = np.random.default_rng(7)
+    m = rng.normal(size=(4, 64))
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in m[i]], 0) for i in range(4)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{tiny}/embeddings.parquet")
+    fold = sorted(tuple(r) for r in sim_knn_bruteforce(spark, tiny).collect())
+    arrow = sorted(
+        tuple(r) for r in sim_knn_bruteforce_arrow(spark, tiny).collect()
+    )
+    assert arrow == fold
+    assert all(q != n for q, n, _ in arrow)  # no self rows leaked
+
+    # (b) ties saturating the top-k boundary: 8 bitwise copies of ONE
+    # vector (all pairwise cos exactly 1.0) — per-batch pruning must keep
+    # the boundary ties so the global window can apply the id tie-break.
+    deg = str(tmp_path / "deg")
+    base = rng.normal(size=64)
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in base], 0) for i in range(8)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{deg}/embeddings.parquet")
+    for fold_fn, arrow_fn, kw in (
+        (sim_knn_bruteforce, sim_knn_bruteforce_arrow, {}),
+        (sim_semantic_dedup, sim_semantic_dedup_arrow, {"k": 3}),
+    ):
+        fold = sorted(tuple(r) for r in fold_fn(spark, deg, **kw).collect())
+        arrow = sorted(tuple(r) for r in arrow_fn(spark, deg, **kw).collect())
+        assert arrow == fold, fold_fn.__name__
+
+    # (c) zero-norm vector: every variant rejects it loudly
+    zer = str(tmp_path / "zer")
+    # 3 identical vectors + the zero vector: identical init centroids force
+    # every vector (incl. the zero one) into ONE cluster, so the fold's
+    # pair stage deterministically reaches the throwing division.
+    rows = [(int(i), [float(x) for x in base], 0) for i in range(3)]
+    rows.append((3, [0.0] * 64, 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{zer}/embeddings.parquet")
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    for fn, kw in (
+        (sim_knn_bruteforce, {}),
+        (sim_knn_bruteforce_arrow, {}),
+        (sim_semantic_dedup, {"k": 1}),  # one cluster: the pair stage
+        (sim_semantic_dedup_arrow, {"k": 1}),  # must reach the zero vector
+    ):
+        with pytest.raises((PySparkException, Py4JJavaError, ValueError)):
+            fn(spark, zer, **kw).collect()
