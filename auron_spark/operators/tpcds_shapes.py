@@ -3,7 +3,7 @@
 The reference's gating correctness corpus is TPC-DS (``dev/auron-it/
 local-run-tpcds.sh``, ``.github/workflows/tpcds-reusable.yml:70-83``), while
 this repo's relational battery grew from TPC-H shapes.  This module closes
-that test-strategy asymmetry with ten TPC-DS-style query SHAPES — the
+that test-strategy asymmetry with eleven TPC-DS-style query SHAPES — the
 grouping-sets-heavy rollup reports, multi-channel unions, year-over-year
 window deltas and rollup-then-rank patterns that distinguish DS from H —
 expressed over the driver fixtures.
@@ -66,7 +66,7 @@ SELECT lochierarchy, n_name, segment,
        ROUND(net, 2) AS net_revenue,
        CAST(RANK() OVER (
            PARTITION BY lochierarchy,
-                        CASE WHEN g_seg = 1 THEN n_name END
+                        CASE WHEN g_seg = 0 THEN n_name END
            ORDER BY net DESC, n_name NULLS FIRST, segment NULLS FIRST
        ) AS BIGINT) AS rank_within_parent
 FROM s
@@ -393,12 +393,28 @@ wb AS (
     SELECT d, CAST(SUM(rev_d) OVER (ORDER BY d
                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_b
     FROM b
+),
+joined AS (
+    SELECT COALESCE(wa.d, wb.d) AS d, cum_a, cum_b
+    FROM wa FULL JOIN wb ON wa.d = wb.d
+),
+carried AS (
+    -- Q51's carry-forward trick: cumulative revenue is nondecreasing, so
+    -- MAX OVER the date axis fills each channel's gaps with its last-seen
+    -- cumulative instead of NULL — this is what makes the FULL JOIN's
+    -- one-sided rows meaningful (and keeps the join genuinely FULL: the
+    -- lead filter below runs on the carried values, after the window, so
+    -- it cannot null-reject the join output).
+    SELECT d,
+           MAX(cum_a) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum_a,
+           MAX(cum_b) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum_b
+    FROM joined
 )
-SELECT COALESCE(wa.d, wb.d) AS d,
+SELECT d,
        ROUND(cum_a, 2) AS cum_building,
        ROUND(cum_b, 2) AS cum_machinery
-FROM wa FULL JOIN wb ON wa.d = wb.d
-WHERE cum_a > cum_b
+FROM carried
+WHERE cum_a > COALESCE(cum_b, 0.0)
 ORDER BY d
 """
 
@@ -407,8 +423,12 @@ _sql_query(
     _CUM_SHARE,
     ("tpcds-shape", "window", "full-outer"),
     """TPC-DS Q51 shape: two channels' cumulative daily revenue FULL
-    OUTER joined on the date axis, keeping the days one channel leads —
-    running-total-versus-running-total comparison.
+    OUTER joined on the date axis, each channel's gaps filled by Q51's
+    MAX-OVER carry-forward (cumulatives are nondecreasing), keeping the
+    days one channel leads — running-total-versus-running-total
+    comparison whose lead filter runs on the CARRIED values after the
+    window, so the FULL JOIN survives in the plan (CI-gated) instead of
+    degenerating to inner via null rejection.
 
     Scale shape: both cumulative windows run on bounded calendar-grain
     aggregates (<= 366 rows/year after the daily rollup), the same

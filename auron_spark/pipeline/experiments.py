@@ -1116,8 +1116,12 @@ def eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(28,9) so the cross-group sum is order-insensitive (the
     retrieval_eval_map_mrr contract).
 
-    Scale shape: one groupBy to score grain, then windows over the
-    bounded 2-dp score domain — identical posture to eval_roc_auc."""
+    Scale shape: one groupBy to score grain, then the DESC-ordered
+    cumulatives run through `distributed_running_sums` (ordered on the
+    negated score) — NO single-partition window at any cardinality,
+    the same posture as eval_roc_auc, not merely analogous to it."""
+    from auron_spark.operators.window import distributed_running_sums
+
     t = Tables(spark, sf_dir)
     vg = t.events.groupBy("value").agg(
         F.sum(
@@ -1125,13 +1129,12 @@ def eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("np_v"),
         F.count("*").alias("n_v"),
     )
-    w = Window.orderBy(F.desc("value")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = vg.select(
+    cum = distributed_running_sums(
+        vg.withColumn("neg_v", -F.col("value")), ["neg_v"], ["np_v", "n_v"]
+    ).select(
         "np_v",
-        F.sum("np_v").over(w).alias("cum_tp"),
-        F.sum("n_v").over(w).alias("cum_n"),
+        F.col("cum_np_v").alias("cum_tp"),
+        F.col("cum_n_v").alias("cum_n"),
     )
     tot = vg.agg(
         F.sum("np_v").cast("bigint").alias("p"),
@@ -1210,9 +1213,13 @@ def eval_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     so decile assignment needs no per-row global NTILE — only integer
     cumulatives at the bounded score grain.
 
-    Scale shape: one score-grain aggregate; the decile regroup touches
+    Scale shape: one score-grain aggregate; the DESC cumulatives run
+    through `distributed_running_sums` on the negated score (no
+    single-partition window); the decile regroup touches
     |distinct scores| rows.  The per-row global-NTILE formulation this
     replaces is the classic single-partition scale killer."""
+    from auron_spark.operators.window import distributed_running_sums
+
     t = Tables(spark, sf_dir)
     vg = t.events.groupBy("value").agg(
         F.sum(
@@ -1220,12 +1227,11 @@ def eval_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("np_v"),
         F.count("*").alias("n_v"),
     )
-    w = Window.orderBy(F.desc("value")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = vg.select(
-        F.sum("np_v").over(w).alias("cum_tp"),
-        F.sum("n_v").over(w).alias("cum_n"),
+    cum = distributed_running_sums(
+        vg.withColumn("neg_v", -F.col("value")), ["neg_v"], ["np_v", "n_v"]
+    ).select(
+        F.col("cum_np_v").alias("cum_tp"),
+        F.col("cum_n_v").alias("cum_n"),
     )
     tot = vg.agg(
         F.sum("np_v").cast("bigint").alias("p"),

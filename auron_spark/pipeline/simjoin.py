@@ -323,8 +323,18 @@ def _simhash64_pairs_oracle() -> str:
 )
 def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All document pairs within SimHash hamming distance 3, found by
-    banded blocking — the exact near-dup pair enumeration that makes the
-    rows-only `dedup_simhash` family driver-provable end to end.
+    banded blocking, with an exact DuckDB oracle.  NOTE on family
+    lineage: through round 9 this query shared the tf-weighted 32-bit
+    construction of the rows-only `dedup_simhash_md5`, making that
+    family driver-provable by proxy; the round-10 zipf-corpus finding
+    (tf-weighted fingerprints collapse under a head-heavy vocabulary —
+    103.5M candidate pairs at 65k docs) forced THIS query onto a
+    distinct-token 64-bit construction, so the proxy claim no longer
+    holds.  What this query now proves end to end is the banded-blocking
+    ALGORITHM (pigeonhole candidates + popcount verify, the shared
+    mechanism of the whole simhash family); the rows-only fingerprint
+    variants keep their own property tests, and their tf-weighted
+    construction retains the documented zipf caveat.
 
     Losslessness: the 64-bit fingerprint splits into 4 disjoint 16-bit
     bands; hamming <= 3 can corrupt at most 3 of them, so at least one

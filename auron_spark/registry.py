@@ -323,10 +323,14 @@ def _window_key(reg: dict[str, QuerySpec], reg_rank: dict[str, int]):
 
     def key(name: str) -> tuple[int, int, int]:
         rounds = [r for r, s in _ARTIFACT_PROVEN.items() if name in s]
-        if name in r8_first:
-            # Plan-critical r8 names re-prove even over an older artifact:
+        if name in r8_first and not any(r > 8 for r in rounds):
+            # Plan-critical r8 names re-prove even over an OLDER artifact:
             # e.g. stream_late_data_cutoff's r5 row predates its r7
             # distributed rewrite, so the old proof no longer covers it.
+            # A NEWER artifact (round > 8) retires the override — once the
+            # round-10 window proves these names, they fall through to the
+            # ordinary ascending-artifact backfill like everything else
+            # (otherwise they would pin 12 slots every future round).
             return (1, 0, r8_first[name])
         if not rounds:
             if name not in _R8_WINDOW:

@@ -84,8 +84,11 @@ _TRAINERS = {
     "sim_semantic_dedup_arrow",
     "dedup_canonical_selection",
 }
-# Light relational shapes: the round-over-round comparable set.
-_RELATIONAL_PREFIXES = ("window_", "skew_", "agg_", "join_", "sort_")
+# Light relational shapes: the round-over-round comparable set.  "ds_"
+# joined in round 10 — the TPC-DS flagships are pure relational
+# join+rollup+window shapes and belong in the relational subtotal, not
+# in pipeline's (which their weight would otherwise distort).
+_RELATIONAL_PREFIXES = ("window_", "skew_", "agg_", "join_", "sort_", "ds_")
 _TPCH_RE = __import__("re").compile(r"^q\d+_")
 # Name-prefix exceptions: heavyweight pipeline ops whose names collide with
 # the relational prefixes — keeping them out of `relational` preserves the

@@ -80,16 +80,29 @@ def test_driver_window_spans_all_families():
     rows_only = {n for n, s in specs.items() if s.oracle is None}
     wasted = set(window) & rows_only
     assert not wasted, f"window wastes slots on rows-only queries: {wasted}"
-    # backfill slots hold only the weakest evidence: presumed-r8 names or
-    # documented plan-critical re-proofs — never a name whose newest proof
-    # is an in-tree artifact (those re-prove last, by ascending round)
+    # backfill slots hold the weakest evidence FIRST: a name whose newest
+    # proof is an in-tree artifact may enter only after every presumed-r8
+    # name (no artifact at all) is inside the window
     backfill = [n for n in window if n not in never_proven]
-    ok_backfill = registry._R8_WINDOW | set(registry._R8_REPROVE_FIRST)
-    bad = [n for n in backfill if n not in ok_backfill]
-    assert not bad, f"window wastes slots on artifact-proven queries: {bad}"
-    # plan-critical names lead the backfill band, in declared order
-    declared = [n for n in registry._R8_REPROVE_FIRST if n in specs]
-    assert backfill[: len(declared)] == declared
+    weakest = (registry._R8_WINDOW | set(registry._R8_REPROVE_FIRST)) - {
+        n
+        for n in specs
+        if any(n in s and r > 8 for r, s in registry._ARTIFACT_PROVEN.items())
+    }
+    artifact_backed_in_window = [n for n in backfill if n not in weakest]
+    weakest_outside = sorted(weakest & set(specs) - set(window))
+    if artifact_backed_in_window:
+        assert not weakest_outside, (
+            f"window holds artifact-proven {artifact_backed_in_window} while "
+            f"weaker candidates wait outside: {weakest_outside}"
+        )
+    # plan-critical names lead the backfill band, in declared order — but a
+    # round that registers enough never-proven queries may leave fewer than
+    # len(declared) backfill slots, so compare only the prefix that exists
+    declared = [
+        n for n in registry._R8_REPROVE_FIRST if n in specs and n in weakest
+    ]
+    assert backfill[: len(declared)] == declared[: len(backfill)]
     # every plan-critical name must actually exist in the registry (typo guard)
     unknown = set(registry._R8_REPROVE_FIRST) - set(specs)
     assert not unknown, f"_R8_REPROVE_FIRST names not in registry: {unknown}"

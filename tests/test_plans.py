@@ -1822,6 +1822,38 @@ def test_ds_topk_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in plan, plan
 
 
+def test_ds_cumulative_share_keeps_full_outer(spark):
+    """ds_cumulative_channel_share's lead filter runs on the MAX-OVER
+    carried values AFTER the window, so the FULL OUTER join on the date
+    axis must SURVIVE in the plan — the round-10 review found the
+    original formulation (WHERE cum_a > cum_b directly on the join
+    output) was null-rejecting, letting the optimizer silently degrade
+    the battery's one full-outer shape to an inner join."""
+    plan = _plan(spark, "ds_cumulative_channel_share")
+    assert "FullOuter" in plan, plan
+
+
+def test_ds_margin_rank_partitions_by_parent(spark):
+    """ds_rollup_margin_rank's rank must partition detail rows BY THEIR
+    PARENT nation (TPC-DS Q36's CASE WHEN grouping = 0 THEN parent key) —
+    the review found the CASE inverted (g_seg = 1), which collapsed every
+    detail row into one global rank partition.  Gate on the semantics:
+    each nation's best detail segment ranks 1, so there must be exactly
+    as many rank-1 detail rows as nations."""
+    from auron_spark.registry import load_all
+    from tests.conftest import SF_DIR
+
+    rows = load_all()["ds_rollup_margin_rank"].build(spark, SF_DIR).collect()
+    detail = [r for r in rows if r.lochierarchy == 0]
+    nations = {r.n_name for r in detail}
+    rank1 = [r for r in detail if r.rank_within_parent == 1]
+    assert len(rank1) == len(nations) > 1, (len(rank1), len(nations))
+    # and the subtotal level ranks nations AGAINST EACH OTHER: exactly one
+    # rank-1 row among the nation subtotals, not one per nation
+    subtot = [r for r in rows if r.lochierarchy == 1]
+    assert sum(1 for r in subtot if r.rank_within_parent == 1) == 1
+
+
 def test_ds_channel_union_single_pass(spark):
     """ds_channel_union_rollup's three channel legs partition the priority
     domain of ONE table; the plan must stay a plan-level union of pushed-
