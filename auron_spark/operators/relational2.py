@@ -2757,7 +2757,7 @@ def dq_column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, n_events,
            CAST(g.global_max - max_epoch AS BIGINT) AS staleness_sec,
            CAST(max_epoch - min_epoch AS BIGINT) AS span_sec,
-           ROUND(n_events * 3600.0 / (max_epoch - min_epoch), 6)
+           ROUND(n_events * 3600.0 / NULLIF(max_epoch - min_epoch, 0), 6)
                AS events_per_hour
     FROM per_type CROSS JOIN g
     ORDER BY event_type
@@ -2771,7 +2771,13 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     per upstream feed.
 
     Exactness contract: epochs are integer seconds; the only double is the
-    final rate division.
+    final rate division.  Spark's unix_timestamp(ts) agrees with DuckDB's
+    timezone-naive epoch(ts) ONLY under a UTC-pinned session — which
+    `session.get_spark` sets (`spark.sql.session.timeZone=UTC`,
+    session.py:31) and every driver artifact since r1 confirms for the
+    driver's session too (ADVICE r10).  An event type whose timestamps are
+    all identical has zero span: both engines emit NULL rate via the
+    NULLIF guard instead of diverging (Spark ANSI throws, DuckDB errors).
 
     Scale shape: one per-type aggregate (5 rows) + a broadcast 1-row
     global max — the fact is scanned once."""
@@ -2795,7 +2801,9 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("span_sec"),
             F.round(
                 F.col("n_events") * 3600.0
-                / (F.col("max_epoch") - F.col("min_epoch")),
+                / F.nullif(
+                    F.col("max_epoch") - F.col("min_epoch"), F.lit(0)
+                ),
                 6,
             ).alias("events_per_hour"),
         )

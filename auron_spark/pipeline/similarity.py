@@ -185,6 +185,13 @@ def sim_knn_bruteforce_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()  # QUERY_BUDGET-capped: <= 1000 x 64 doubles of model state
     )
+    if not qrows:
+        # Empty query set: the fold twin's join over zero query rows yields
+        # an empty result, while norm(0-length 1-D array, axis=1) would
+        # raise AxisError — match the fold's behavior (ADVICE r10).
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double"
+        )
     qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
     qmat = np.array([list(r.embedding) for r in qrows], dtype=np.float64)
     qnorm = np.linalg.norm(qmat, axis=1)
@@ -1837,6 +1844,13 @@ def sim_ivfpq_trained_arrow(
         spark, emb, k
     )
     cent_rows = cent.collect()  # k x 64 doubles of model state
+    if not cent_rows:
+        # Empty corpus trains zero centroids; the fold twin's joins over the
+        # empty codes frame yield an empty result, while reshaping 0-length
+        # 1-D arrays below would raise — match the fold (ADVICE r10).
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, l2_dist double, rk long"
+        )
     order = np.argsort([r.cid for r in cent_rows])
     cids = np.array([cent_rows[i].cid for i in order], dtype=np.int32)
     cmat = np.array([cent_rows[i].cv for i in order], dtype=np.float64)

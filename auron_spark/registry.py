@@ -125,6 +125,35 @@ _R8_WINDOW: frozenset[str] = frozenset({
     "fn_string_pad_case",
 })
 
+# Green driver rows from CORRECTNESS_r10.json — the whole round-10 window
+# hash-matched 50/50 (the fourth consecutive perfect driver window).  This
+# was the first DERIVED window: 38 never-proven r9/r10 additions plus the 12
+# plan-critical presumed-r8 re-proofs (`_R8_REPROVE_FIRST`), so landing it
+# retires the plan-critical override (see `_window_key`).
+_R10_PROVEN: frozenset[str] = frozenset({
+    "agg_approx_top_k", "sql_group_order_by_all",
+    "sql_parameterized_identifier", "dq_snapshot_reconcile",
+    "market_basket_triples", "dq_schema_drift", "orders_ship_latency_sla",
+    "orders_backlog_aging", "dq_column_entropy_profile", "dq_freshness_lag",
+    "stats_theil_sen_trend", "events_seasonal_anomaly",
+    "timeseries_binary_segmentation", "ds_rollup_margin_rank",
+    "ds_channel_union_rollup", "ds_yoy_brand_delta", "ds_rollup_topk_brand",
+    "ds_cross_period_customers", "ds_monthly_moving_avg",
+    "ds_grouping_sets_mix", "ds_demand_variability",
+    "ds_monthly_deviation_rank", "ds_cumulative_channel_share",
+    "ds_segment_revenue_quartiles", "pipeline_mixture_epoch_plan",
+    "dedup_editdistance_knn", "graph_modularity_score", "eval_ks_two_sample",
+    "eval_permutation_test", "eval_pr_auc", "eval_cumulative_gains",
+    "feature_best_split_stump", "sim_centroid_stability",
+    "sim_nprobe_recall_sweep", "retrieval_bm25_serve",
+    "retrieval_query_expansion_rm3", "text_heaps_law_fit",
+    "text_rake_keywords", "stream_late_data_cutoff", "dedup_bloom_prefilter",
+    "join_bucketed_colocated", "scan_dpp_partitioned",
+    "join_set_similarity_prefix", "join_edit_distance_qgram",
+    "dedup_simhash_hamming_pairs", "scan_csv_typed", "scan_json_lines",
+    "scan_xml_rowtag", "scan_incremental_new_files", "scan_zone_map_skipping",
+})
+
 # Green driver rows from CORRECTNESS_r09.json — the whole round-9 window
 # hash-matched 50/50 (the third consecutive perfect driver window).
 _R9_PROVEN: frozenset[str] = frozenset({
@@ -296,46 +325,25 @@ _ARTIFACT_PROVEN: dict[int, frozenset[str]] = {
     6: _R6_PROVEN,
     7: _R7_PROVEN,
     9: _R9_PROVEN,
+    10: _R10_PROVEN,
 }
 
 _PROVEN: frozenset[str] = frozenset().union(*_ARTIFACT_PROVEN.values()) | _R8_WINDOW
 
-# Within the presumed-r8 backfill band, re-prove the PLAN-CRITICAL names
-# first (VERDICT r9 ask #1): the distributed late-data rewrite, the runtime-
-# pruning / layout gates, the exact-similarity-join trio and the scan-format
-# trio — these carry the scale-posture claims, so their evidence matters
-# most.  Everything else in the band follows in registration order.
-_R8_REPROVE_FIRST: tuple[str, ...] = (
-    "stream_late_data_cutoff", "dedup_bloom_prefilter",
-    "join_bucketed_colocated", "scan_dpp_partitioned",
-    "join_set_similarity_prefix", "join_edit_distance_qgram",
-    "dedup_simhash_hamming_pairs", "scan_csv_typed", "scan_json_lines",
-    "scan_xml_rowtag", "scan_incremental_new_files", "scan_zone_map_skipping",
-)
-
-
 def _window_key(reg: dict[str, QuerySpec], reg_rank: dict[str, int]):
     """Sort key implementing the mechanical window policy (see module
-    comment at `_WINDOW_SIZE`): (0) never proven, (1) presumed-r8 only
-    (plan-critical names first), (2) artifact-backed by ascending
-    newest-artifact round."""
-    r8_first = {n: i for i, n in enumerate(_R8_REPROVE_FIRST)}
+    comment at `_WINDOW_SIZE`): (0) never proven, (1) presumed-r8 only,
+    (2) artifact-backed by ascending newest-artifact round.  (The round-10
+    plan-critical re-prove override retired when its 12 names landed in
+    `_R10_PROVEN` — every remaining presumed-r8 name sorts by registration
+    order.)"""
 
     def key(name: str) -> tuple[int, int, int]:
         rounds = [r for r, s in _ARTIFACT_PROVEN.items() if name in s]
-        if name in r8_first and not any(r > 8 for r in rounds):
-            # Plan-critical r8 names re-prove even over an OLDER artifact:
-            # e.g. stream_late_data_cutoff's r5 row predates its r7
-            # distributed rewrite, so the old proof no longer covers it.
-            # A NEWER artifact (round > 8) retires the override — once the
-            # round-10 window proves these names, they fall through to the
-            # ordinary ascending-artifact backfill like everything else
-            # (otherwise they would pin 12 slots every future round).
-            return (1, 0, r8_first[name])
         if not rounds:
             if name not in _R8_WINDOW:
                 return (0, 0, reg_rank[name])
-            return (1, 0, len(r8_first) + reg_rank[name])
+            return (1, 0, reg_rank[name])
         return (2, max(rounds), reg_rank[name])
 
     return key

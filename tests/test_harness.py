@@ -42,9 +42,9 @@ def test_driver_window_spans_all_families():
     """The driver checks a 50-query prefix of the registry.  Since round 10
     the window is DERIVED, not hand-rotated (VERDICT r9 stretch #8): never-
     proven oracle queries first (registration order), then re-prove backfill
-    — presumed-r8 names (artifact-less round-8 window, plan-critical first
-    via `_R8_REPROVE_FIRST`), then oldest artifact-backed proofs.  This test
-    pins the policy invariants so the rotation can never be mis-transcribed.
+    — presumed-r8 names (artifact-less round-8 window), then oldest
+    artifact-backed proofs.  This test pins the policy invariants so the
+    rotation can never be mis-transcribed.
     Rows-only queries are permanently excluded from window slots: the
     driver can only record `no_oracle` for them (round 5 burned 2 slots
     that way)."""
@@ -84,10 +84,10 @@ def test_driver_window_spans_all_families():
     # proof is an in-tree artifact may enter only after every presumed-r8
     # name (no artifact at all) is inside the window
     backfill = [n for n in window if n not in never_proven]
-    weakest = (registry._R8_WINDOW | set(registry._R8_REPROVE_FIRST)) - {
+    weakest = registry._R8_WINDOW - {
         n
         for n in specs
-        if any(n in s and r > 8 for r, s in registry._ARTIFACT_PROVEN.items())
+        if any(n in s for s in registry._ARTIFACT_PROVEN.values())
     }
     artifact_backed_in_window = [n for n in backfill if n not in weakest]
     weakest_outside = sorted(weakest & set(specs) - set(window))
@@ -96,16 +96,6 @@ def test_driver_window_spans_all_families():
             f"window holds artifact-proven {artifact_backed_in_window} while "
             f"weaker candidates wait outside: {weakest_outside}"
         )
-    # plan-critical names lead the backfill band, in declared order — but a
-    # round that registers enough never-proven queries may leave fewer than
-    # len(declared) backfill slots, so compare only the prefix that exists
-    declared = [
-        n for n in registry._R8_REPROVE_FIRST if n in specs and n in weakest
-    ]
-    assert backfill[: len(declared)] == declared[: len(backfill)]
-    # every plan-critical name must actually exist in the registry (typo guard)
-    unknown = set(registry._R8_REPROVE_FIRST) - set(specs)
-    assert not unknown, f"_R8_REPROVE_FIRST names not in registry: {unknown}"
 
 
 def test_shingles_short_documents(spark):

@@ -1863,3 +1863,340 @@ def test_ds_channel_union_single_pass(spark):
     for line in plan.splitlines():
         if "Scan parquet" in line:
             assert "orders.parquet" in line, line
+
+
+# --- TPC-DS battery: semantic invariants (ADVICE r10) ------------------------
+#
+# Every ds_* query runs ONE shared SQL text on both engines, so the DuckDB
+# oracle proves engine parity only — a logic bug yields the same wrong answer
+# twice (the round-10 review found exactly two such bugs).  These tests gate
+# INTENT: each query's result is cross-checked against an INDEPENDENTLY
+# WORDED DataFrame aggregate over the same fixtures, or against an internal
+# consistency law the report must satisfy (subtotals reconcile to grand
+# totals, ranks are dense per partition, cumulative series are monotone).
+
+
+def _ds_rows(spark, name):
+    return SPECS[name].build(spark, SF_DIR).collect()
+
+
+def test_ds_channel_union_reconciles_to_orders(spark):
+    """The three channel legs PARTITION orders by priority, so the rollup's
+    grand-total row must equal an independently-worded full-table aggregate,
+    and the channel subtotals must sum to it exactly."""
+    import pyspark.sql.functions as F
+
+    from auron_spark.exprs import dec2
+    from auron_spark.tables import Tables
+
+    rows = _ds_rows(spark, "ds_channel_union_rollup")
+    ind = (
+        Tables(spark, SF_DIR)
+        .orders.agg(
+            F.count("*").alias("n"),
+            F.sum(dec2("o_totalprice")).cast("double").alias("rev"),
+        )
+        .collect()[0]
+    )
+    grand = [r for r in rows if r.g_channel == 1 and r.g_yr == 1]
+    assert len(grand) == 1
+    assert grand[0].n_orders == ind.n
+    assert grand[0].revenue == ind.rev
+    chan = [r for r in rows if r.g_channel == 0 and r.g_yr == 1]
+    assert {r.channel for r in chan} == {"priority", "standard", "economy"}
+    assert sum(r.n_orders for r in chan) == ind.n
+    # year detail rows reconcile within each channel
+    for c in chan:
+        detail = [
+            r for r in rows
+            if r.g_yr == 0 and r.g_channel == 0 and r.channel == c.channel
+        ]
+        assert sum(r.n_orders for r in detail) == c.n_orders
+
+
+def test_ds_yoy_delta_matches_independent_agg(spark):
+    """Each (brand, yr) revenue equals an independently-worded DataFrame
+    aggregate, prev_revenue is the SAME series shifted by one year, and
+    yoy_delta is their difference."""
+    import pyspark.sql.functions as F
+
+    from auron_spark.exprs import disc_price
+    from auron_spark.tables import Tables
+
+    t = Tables(spark, SF_DIR)
+    ind = {
+        (r.p_brand, r.yr): r.rev
+        for r in (
+            t.lineitem.join(t.part, F.col("p_partkey") == F.col("l_partkey"))
+            .filter(F.year("l_shipdate").between(1996, 1999))
+            .groupBy("p_brand", F.year("l_shipdate").cast("bigint").alias("yr"))
+            .agg(F.round(F.sum(disc_price()).cast("double"), 2).alias("rev"))
+            .collect()
+        )
+    }
+    rows = _ds_rows(spark, "ds_yoy_brand_delta")
+    assert rows, "empty yoy report"
+    for r in rows:
+        assert r.revenue == ind[(r.p_brand, r.yr)], r
+        assert r.prev_revenue == ind[(r.p_brand, r.yr - 1)], r
+        # yoy_delta is rounded from the UNROUNDED difference, so it may sit
+        # one cent off the difference of the two rounded revenues
+        assert abs(r.yoy_delta - round(r.revenue - r.prev_revenue, 2)) <= 0.011
+
+
+def test_ds_topk_ranks_dense_and_grand_total_exact(spark):
+    """Per (g_brand, g_type) level: at most 5 survivors, ranks start at 1
+    and are dense up to ties; the grand-total level has exactly one row
+    whose sales equal an independently-worded SUM over lineitem⋈part."""
+    import pyspark.sql.functions as F
+
+    from auron_spark.exprs import dec2
+    from auron_spark.tables import Tables
+
+    rows = _ds_rows(spark, "ds_rollup_topk_brand")
+    by_level: dict[tuple, list] = {}
+    for r in rows:
+        by_level.setdefault((r.g_brand, r.g_type), []).append(r)
+    assert set(by_level) == {(0, 0), (0, 1), (1, 1)}
+    for level, rs in by_level.items():
+        rks = sorted(r.rk for r in rs)
+        assert rks[0] == 1 and rks[-1] <= 5 and len(rs) <= 5, level
+        # dense up to ties: every rank value <= its index position + 1
+        assert all(rk <= i + 1 for i, rk in enumerate(rks)), level
+    t = Tables(spark, SF_DIR)
+    total = (
+        t.lineitem.join(t.part, F.col("p_partkey") == F.col("l_partkey"))
+        .agg(F.round(F.sum(dec2("l_extendedprice")).cast("double"), 2)
+             .alias("s"))
+        .collect()[0]
+        .s
+    )
+    grand = by_level[(1, 1)]
+    assert len(grand) == 1 and grand[0].sales == total
+    # detail rank-1 row(s) carry the maximum independently-computed
+    # (brand, type) sales
+    best = (
+        t.lineitem.join(t.part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.sum(dec2("l_extendedprice")).cast("double").alias("s"))
+        .agg(F.round(F.max("s"), 2).alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert max(r.sales for r in by_level[(0, 0)]) == best
+
+
+def test_ds_cross_period_matches_independent_semi_join(spark):
+    """Segment counts equal an independently-worded plan: per-customer
+    distinct order years, kept iff {1996,1997,1998} ⊆ years — no INTERSECT
+    involved."""
+    import pyspark.sql.functions as F
+
+    from auron_spark.tables import Tables
+
+    t = Tables(spark, SF_DIR)
+    active = (
+        t.orders.filter(F.year("o_orderdate").isin(1996, 1997, 1998))
+        .groupBy("o_custkey")
+        .agg(F.countDistinct(F.year("o_orderdate")).alias("ny"))
+        .filter(F.col("ny") == 3)
+    )
+    ind = {
+        r.c_mktsegment: r.n
+        for r in t.customer.join(
+            active, F.col("o_custkey") == F.col("c_custkey")
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    rows = _ds_rows(spark, "ds_cross_period_customers")
+    assert {r.segment: r.n_customers for r in rows} == ind
+    assert sum(ind.values()) > 0
+
+
+def test_ds_moving_avg_is_true_centered_mean(spark):
+    """For every interior month of a brand, moving_avg equals the mean of
+    the (prev, cur, next) revenues FROM THE OUTPUT ITSELF (the frame is
+    over the report's own series), edges average 2 rows, and ratio is
+    rev/mavg."""
+    rows = _ds_rows(spark, "ds_monthly_moving_avg")
+    by_brand: dict[str, list] = {}
+    for r in rows:
+        by_brand.setdefault(r.p_brand, []).append(r)
+    checked = 0
+    for series in by_brand.values():
+        series.sort(key=lambda r: r.mon)
+        for i, r in enumerate(series):
+            lo, hi = max(0, i - 1), min(len(series), i + 2)
+            frame = [series[j].revenue for j in range(lo, hi)]
+            assert abs(r.moving_avg - round(sum(frame) / len(frame), 2)) \
+                <= 0.011, r
+            if r.moving_avg:
+                assert abs(r.ratio - round(r.revenue / r.moving_avg, 6)) \
+                    <= 1e-4, r
+            checked += 1
+    assert checked >= 100
+
+
+def test_ds_grouping_sets_marginals_reconcile(spark):
+    """All four grouping-set levels describe the SAME join result: the
+    full-cross level, each single-dimension marginal, and the grand total
+    must all sum n_orders to one independently-worded join count."""
+    import pyspark.sql.functions as F
+
+    from auron_spark.tables import Tables
+
+    t = Tables(spark, SF_DIR)
+    ind = (
+        t.orders.join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .count()
+    )
+    rows = _ds_rows(spark, "ds_grouping_sets_mix")
+    levels = {
+        (0, 0): 0, (0, 1): 0, (1, 0): 0, (1, 1): 0,
+    }
+    for r in rows:
+        levels[(r.g_seg, r.g_pri)] += r.n_orders
+    assert all(v == ind for v in levels.values()), (levels, ind)
+
+
+def test_ds_demand_variability_matches_numpy(spark):
+    """Per-brand mean/variance/CV recomputed independently (numpy over the
+    raw per-row quantities, textbook two-pass formula — no power sums)
+    agree with the report to its own rounding."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from auron_spark.tables import Tables
+
+    t = Tables(spark, SF_DIR)
+    raw: dict[str, list] = {}
+    for r in (
+        t.lineitem.join(t.part, F.col("p_partkey") == F.col("l_partkey"))
+        .select("p_brand", "l_quantity")
+        .collect()
+    ):
+        raw.setdefault(r.p_brand, []).append(float(r.l_quantity))
+    rows = _ds_rows(spark, "ds_demand_variability")
+    assert rows
+    seen = set()
+    for r in rows:
+        q = np.array(raw[r.p_brand])
+        assert r.n == len(q) >= 20
+        assert abs(r.mean_qty - q.mean()) < 1e-6, r
+        assert abs(r.var_qty - q.var(ddof=1)) < 1e-5, r
+        assert abs(r.cv - q.std(ddof=1) / q.mean()) < 1e-6, r
+        seen.add(r.p_brand)
+    # the n >= 20 filter kept exactly the qualifying brands
+    assert seen == {b for b, q in raw.items() if len(q) >= 20}
+
+
+def test_ds_monthly_deviation_band_is_correct_filter(spark):
+    """The deviation report keeps EXACTLY the months outside the ±30% band
+    around the brand-year monthly mean, judged against an independently-
+    worded aggregate of ALL months (not just the surviving ones)."""
+    import pyspark.sql.functions as F
+
+    from auron_spark.exprs import disc_price
+    from auron_spark.tables import Tables
+
+    t = Tables(spark, SF_DIR)
+    monthly = [
+        ((r.p_brand, r.yr, r.mo), r.rev)
+        for r in (
+            t.lineitem.join(t.part, F.col("p_partkey") == F.col("l_partkey"))
+            .filter(F.year("l_shipdate").between(1996, 1998))
+            .groupBy(
+                "p_brand",
+                F.year("l_shipdate").cast("bigint").alias("yr"),
+                F.month("l_shipdate").cast("bigint").alias("mo"),
+            )
+            .agg(F.sum(disc_price()).cast("double").alias("rev"))
+            .collect()
+        )
+    ]
+    by_by: dict[tuple, dict] = {}
+    for (b, y, m), rev in monthly:
+        by_by.setdefault((b, y), {})[m] = rev
+    expect = set()
+    for (b, y), months in by_by.items():
+        avg = sum(months.values()) / len(months)
+        for m, rev in months.items():
+            if abs(rev - avg) > 0.3 * avg:
+                expect.add((b, y, m))
+    got = {(r.p_brand, r.yr, r.mo) for r in
+           _ds_rows(spark, "ds_monthly_deviation_rank")}
+    assert got == expect and len(got) > 0
+
+
+def test_ds_cumulative_share_monotone_and_bounded(spark):
+    """Both carried cumulative series are nondecreasing over the report's
+    date axis, every surviving row satisfies the lead predicate, and the
+    final BUILDING cumulative never exceeds the independently-computed
+    segment-year total (it EQUALS it iff the last lead-day is the year's
+    last active day)."""
+    import pyspark.sql.functions as F
+
+    from auron_spark.exprs import dec2
+    from auron_spark.tables import Tables
+
+    rows = sorted(_ds_rows(spark, "ds_cumulative_channel_share"),
+                  key=lambda r: r.d)
+    assert rows
+    prev_a, prev_b = float("-inf"), float("-inf")
+    for r in rows:
+        assert r.cum_building > (r.cum_machinery or 0.0), r
+        assert r.cum_building >= prev_a
+        prev_a = r.cum_building
+        if r.cum_machinery is not None:
+            assert r.cum_machinery >= prev_b
+            prev_b = r.cum_machinery
+    t = Tables(spark, SF_DIR)
+    total_building = (
+        t.orders.join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.year("o_orderdate") == 1997)
+        )
+        .agg(F.round(F.sum(dec2("o_totalprice")).cast("double"), 2)
+             .alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert rows[-1].cum_building <= total_building + 0.01
+
+
+def test_ds_quartiles_balanced_and_reconcile(spark):
+    """NTILE(4) law: within each segment the four quartile sizes differ by
+    at most 1 and sum to the segment's independently-counted ordering
+    customers; quartile revenues sum to the segment's total."""
+    import pyspark.sql.functions as F
+
+    from auron_spark.exprs import dec2
+    from auron_spark.tables import Tables
+
+    t = Tables(spark, SF_DIR)
+    ind = {
+        r.c_mktsegment: (r.n, r.rev)
+        for r in (
+            t.orders.join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(
+                F.countDistinct("c_custkey").alias("n"),
+                F.sum(dec2("o_totalprice")).cast("double").alias("rev"),
+            )
+            .collect()
+        )
+    }
+    rows = _ds_rows(spark, "ds_segment_revenue_quartiles")
+    by_seg: dict[str, list] = {}
+    for r in rows:
+        by_seg.setdefault(r.segment, []).append(r)
+    assert set(by_seg) == set(ind)
+    for seg, rs in by_seg.items():
+        assert sorted(r.quartile for r in rs) == [1, 2, 3, 4]
+        sizes = [r.n_customers for r in rs]
+        assert max(sizes) - min(sizes) <= 1, (seg, sizes)
+        assert sum(sizes) == ind[seg][0]
+        assert abs(sum(r.revenue for r in rs) - ind[seg][1]) < 1e-6

@@ -1218,6 +1218,46 @@ def test_kmeans_k_knob_oracle_exact(spark, oracle, k):
         assert_matches_oracle(fn(spark, SF_DIR, k), oracle, sql, f"{name}@k={k}")
 
 
+def _assert_twin_rows_equal(arrow, fold, ctx):
+    """Exact row-for-row equality FIRST; on failure, diagnose whether the
+    mismatch is a last-ulp numeric flip (every differing float within 1e-9
+    of its partner, same row keys) — i.e. a BLAS/numpy version change
+    perturbing a near-tied cosine/argmin — or a structural kernel
+    regression (different keys / large deltas).  The twins' correctness
+    pin stays EXACT; this only makes the failure mode actionable
+    (ADVICE r10)."""
+    if arrow == fold:
+        return
+    detail = "row-count mismatch"
+    if len(arrow) == len(fold):
+        max_delta, structural = 0.0, False
+        for ra, rf in zip(arrow, fold):
+            if len(ra) != len(rf):
+                structural = True
+                break
+            for a, b in zip(ra, rf):
+                if a == b:
+                    continue
+                if isinstance(a, float) and isinstance(b, float):
+                    max_delta = max(max_delta, abs(a - b))
+                else:
+                    structural = True
+        if structural:
+            detail = "STRUCTURAL: non-float fields differ (keys/ranks)"
+        elif max_delta <= 1e-9:
+            detail = (
+                f"last-ulp numeric drift only (max |delta| = {max_delta:.3e}"
+                " <= 1e-9): likely a BLAS/numpy version change flipping a"
+                " near-tie, not a kernel logic regression"
+            )
+        else:
+            detail = f"numeric drift beyond ulp tolerance: max {max_delta:.3e}"
+    raise AssertionError(
+        f"arrow twin != fold twin at {ctx}: {detail}; "
+        f"{len(arrow)} arrow rows vs {len(fold)} fold rows"
+    )
+
+
 def test_arrow_knn_matches_fold(spark):
     """`sim_knn_bruteforce_arrow` (numpy-matmul kernel over mapInPandas)
     returns row-for-row the same top-k as the oracle-proven fold path at
@@ -1237,7 +1277,7 @@ def test_arrow_knn_matches_fold(spark):
             tuple(r)
             for r in specs["sim_knn_bruteforce_arrow"].build(spark, sf).collect()
         )
-        assert arrow == fold, sf
+        _assert_twin_rows_equal(arrow, fold, sf)
 
 
 def test_semdedup_arrow_matches_fold(spark):
@@ -1259,7 +1299,7 @@ def test_semdedup_arrow_matches_fold(spark):
         arrow = sorted(
             tuple(r) for r in sim_semantic_dedup_arrow(spark, sf, k).collect()
         )
-        assert arrow == fold, (sf, k)
+        _assert_twin_rows_equal(arrow, fold, (sf, k))
 
 
 def test_ivfpq_arrow_matches_fold(spark):
@@ -1280,7 +1320,7 @@ def test_ivfpq_arrow_matches_fold(spark):
         arrow = sorted(
             tuple(r) for r in sim_ivfpq_trained_arrow(spark, sf, k).collect()
         )
-        assert arrow == fold, (sf, k)
+        _assert_twin_rows_equal(arrow, fold, (sf, k))
 
 
 @pytest.mark.parametrize("seed", range(3))
@@ -1319,7 +1359,7 @@ def test_kernel_twins_match_on_random_corpora(spark, tmp_path, seed):
     ):
         fold = sorted(tuple(r) for r in fold_fn(spark, sf, **kw).collect())
         arrow = sorted(tuple(r) for r in arrow_fn(spark, sf, **kw).collect())
-        assert arrow == fold, (fold_fn.__name__, seed)
+        _assert_twin_rows_equal(arrow, fold, (fold_fn.__name__, seed))
 
 
 def test_kernel_twins_degenerate_inputs(spark, tmp_path):
@@ -1393,3 +1433,82 @@ def test_kernel_twins_degenerate_inputs(spark, tmp_path):
     ):
         with pytest.raises((PySparkException, Py4JJavaError, ValueError)):
             fn(spark, zer, **kw).collect()
+
+    # (d) EMPTY QUERY SET (ADVICE r10): no vec_id satisfies the query
+    # predicate (vec_id % QUERY_MOD == 0 and < QUERY_CAP) — the fold's
+    # join over zero query rows returns empty; the arrow kernel must too
+    # (its qmat would be a 0-length 1-D array, norm(axis=1) raises).
+    noq = str(tmp_path / "noq")
+    m2 = rng.normal(size=(6, 64))
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in m2[i - 1]], 0) for i in range(1, 7)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{noq}/embeddings.parquet")
+    fold = sim_knn_bruteforce(spark, noq).collect()
+    arrow_df = sim_knn_bruteforce_arrow(spark, noq)
+    arrow = arrow_df.collect()
+    assert fold == [] and arrow == []
+    assert [f.name for f in arrow_df.schema.fields] == [
+        "query_id", "neighbor_id", "cos_sim",
+    ]
+
+    # (e) EMPTY CORPUS (ADVICE r10): zero centroids train, so the IVF-PQ
+    # arrow kernel must return the fold's empty frame instead of raising
+    # on 0-length model arrays.
+    from auron_spark.pipeline.similarity import (
+        sim_ivfpq_trained,
+        sim_ivfpq_trained_arrow,
+    )
+
+    emp = str(tmp_path / "emp")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{emp}/embeddings.parquet")
+    fold_df = sim_ivfpq_trained(spark, emp)
+    arrow_df = sim_ivfpq_trained_arrow(spark, emp)
+    assert fold_df.collect() == [] and arrow_df.collect() == []
+    assert [f.name for f in arrow_df.schema.fields] == [
+        f.name for f in fold_df.schema.fields
+    ]
+
+
+def test_freshness_lag_zero_span_yields_null_rate(spark, tmp_path):
+    """An event type whose timestamps are ALL identical has zero span: the
+    NULLIF guard (ADVICE r10) must yield a NULL arrival rate in BOTH
+    engines instead of Spark's ANSI DIVIDE_BY_ZERO / DuckDB's error."""
+    import datetime
+
+    import duckdb
+
+    from auron_spark.operators.relational2 import dq_freshness_lag
+    from auron_spark.registry import load_all
+
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 10, "ping", 1.0, "{}"),
+        (2, t0, 11, "ping", 2.0, "{}"),  # zero span for "ping"
+        (3, t0, 12, "click", 1.0, "{}"),
+        (4, t0 + datetime.timedelta(hours=2), 13, "click", 2.0, "{}"),
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    sf = str(tmp_path / "zspan")
+    spark.createDataFrame(rows, schema).write.parquet(f"{sf}/events.parquet")
+
+    got = {
+        r.event_type: (r.span_sec, r.events_per_hour)
+        for r in dq_freshness_lag(spark, sf).collect()
+    }
+    assert got["ping"] == (0, None)
+    assert got["click"] == (7200, 1.0)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS "
+        f"SELECT * FROM read_parquet('{sf}/events.parquet/*.parquet')"
+    )
+    oracle_rows = con.execute(load_all()["dq_freshness_lag"].oracle).fetchall()
+    con.close()
+    assert {r[0]: (r[3], r[4]) for r in oracle_rows} == got
