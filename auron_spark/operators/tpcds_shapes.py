@@ -3,9 +3,10 @@
 The reference's gating correctness corpus is TPC-DS (``dev/auron-it/
 local-run-tpcds.sh``, ``.github/workflows/tpcds-reusable.yml:70-83``), while
 this repo's relational battery grew from TPC-H shapes.  This module closes
-that test-strategy asymmetry with eleven TPC-DS-style query SHAPES — the
+that test-strategy asymmetry with thirteen TPC-DS-style query SHAPES — the
 grouping-sets-heavy rollup reports, multi-channel unions, year-over-year
-window deltas and rollup-then-rank patterns that distinguish DS from H —
+window deltas, rollup-then-rank patterns, the Q64 fact-to-fact self-join
+and the Q23 nested-subquery best-customers cut that distinguish DS from H —
 expressed over the driver fixtures.
 
 Every query here is ONE SQL text executed by BOTH engines (the Spark builder
@@ -434,6 +435,105 @@ _sql_query(
     aggregates (<= 366 rows/year after the daily rollup), the same
     bounded-global-window posture as the timeseries family; the raw fact
     never sees a single-partition exchange.""",
+)
+
+
+_REPEAT_PURCHASE = f"""
+WITH y1 AS (
+    SELECT o_custkey AS cust, l_partkey AS pk,
+           SUM({sql_dec2('l_quantity')}) AS qty1,
+           SUM({SQL_DISC_PRICE}) AS rev1
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY cust, pk
+),
+y2 AS (
+    SELECT o_custkey AS cust, l_partkey AS pk,
+           SUM({sql_dec2('l_quantity')}) AS qty2,
+           SUM({SQL_DISC_PRICE}) AS rev2
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY cust, pk
+)
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_repeat_pairs,
+       CAST(COUNT(DISTINCT y1.cust) AS BIGINT) AS n_repeat_customers,
+       CAST(SUM(qty1) AS DOUBLE) AS qty_y1996,
+       CAST(SUM(qty2) AS DOUBLE) AS qty_y1997,
+       CAST(SUM(rev2) AS DOUBLE) - CAST(SUM(rev1) AS DOUBLE) AS rev_delta
+FROM y1
+JOIN y2   ON y1.cust = y2.cust AND y1.pk = y2.pk
+JOIN part ON p_partkey = y1.pk
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+_sql_query(
+    "ds_repeat_purchase_pairs",
+    _REPEAT_PURCHASE,
+    ("tpcds-shape", "fact-fact-join", "self-join"),
+    """TPC-DS Q64 shape: the FACT-TO-FACT self-join across two periods —
+    (customer, part) purchase aggregates for 1996 equi-joined to the same
+    composite key's 1997 aggregates, reporting repeat-purchase volume and
+    the revenue delta per brand.  The battery's other joins are all
+    fact⋈dim or date-axis; this one shuffles two fact-grain relations
+    against each other, Q64's distinctive physical shape.
+
+    Scale shape: both legs collapse to (cust, part) grain BEFORE the join
+    (map-side partial aggregates), the join is key-partitioned hash/SMJ —
+    neither side broadcasts at real scale — and the part dim broadcasts
+    into the post-join rollup.  The COUNT(DISTINCT cust) rides the same
+    brand-keyed final aggregate.""",
+)
+
+
+_BEST_CUSTOMERS = f"""
+WITH cust_sales AS (
+    SELECT o_custkey, CAST(SUM({sql_dec2('o_totalprice')}) AS DOUBLE)
+               AS csales
+    FROM orders
+    GROUP BY o_custkey
+),
+freq_parts AS (
+    SELECT l_partkey
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY l_partkey
+    HAVING COUNT(DISTINCT CAST(o_orderdate AS DATE)) >= 4
+),
+best AS (
+    SELECT o_custkey
+    FROM cust_sales
+    WHERE csales > 0.5 * (SELECT MAX(csales) FROM cust_sales)
+)
+SELECT CAST(month(o_orderdate) AS BIGINT) AS mo,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE year(o_orderdate) = 1997
+  AND l_partkey IN (SELECT l_partkey FROM freq_parts)
+  AND o_custkey IN (SELECT o_custkey FROM best)
+GROUP BY mo
+ORDER BY mo
+"""
+
+_sql_query(
+    "ds_best_customer_sales",
+    _BEST_CUSTOMERS,
+    ("tpcds-shape", "subquery", "semi-join", "scalar-subquery"),
+    """TPC-DS Q23 shape: monthly sales of FREQUENTLY-SOLD parts to BEST
+    customers — both qualifying sets defined by nested subqueries over
+    aggregates (a HAVING on a distinct-date count; a threshold against a
+    scalar MAX-of-aggregates subquery), then applied as IN-predicates on
+    the period fact scan.
+
+    Scale shape: cust_sales aggregates once and feeds both the scalar MAX
+    (one broadcast row) and the threshold filter; freq_parts is a
+    part-keyed aggregate; both IN-predicates plan as semi-joins against
+    the 1997 fact slice (pushed-down date filter).  The csales threshold
+    compares DOUBLE against DOUBLE derived from exact DECIMAL sums, so
+    both engines cut the same boundary.""",
 )
 
 

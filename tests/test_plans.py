@@ -1152,6 +1152,7 @@ def test_degree_distribution_banded_candidates(spark):
         "customer_rfm_segments_scale",
         "pareto_revenue_share_scale",
         "funnel_time_to_convert_scale",
+        "customer_segment_migration_scale",
     ],
 )
 def test_scale_ntile_no_single_partition_window(spark, name):
@@ -1189,6 +1190,7 @@ def test_scale_ntile_matches_exact_twin(spark):
         ("customer_rfm_segments_scale", "customer_rfm_segments"),
         ("pareto_revenue_share_scale", "pareto_revenue_share"),
         ("funnel_time_to_convert_scale", "funnel_time_to_convert"),
+        ("customer_segment_migration_scale", "customer_segment_migration"),
     ]:
         got = normalize(SPECS[scale].build(spark, SF_DIR).toPandas())
         want = normalize(SPECS[exact].build(spark, SF_DIR).toPandas())
@@ -1793,7 +1795,8 @@ _DS_NAMES = [
     "ds_rollup_topk_brand", "ds_cross_period_customers",
     "ds_monthly_moving_avg", "ds_grouping_sets_mix", "ds_demand_variability",
     "ds_monthly_deviation_rank", "ds_cumulative_channel_share",
-    "ds_segment_revenue_quartiles",
+    "ds_segment_revenue_quartiles", "ds_repeat_purchase_pairs",
+    "ds_best_customer_sales",
 ]
 
 
@@ -2200,3 +2203,108 @@ def test_ds_quartiles_balanced_and_reconcile(spark):
         assert max(sizes) - min(sizes) <= 1, (seg, sizes)
         assert sum(sizes) == ind[seg][0]
         assert abs(sum(r.revenue for r in rs) - ind[seg][1]) < 1e-6
+
+
+def test_ds_repeat_purchase_is_shuffle_fact_fact_join(spark):
+    """ds_repeat_purchase_pairs's Q64-shape contract: the two period legs
+    collapse to (cust, part) grain BEFORE the self-join (two pre-join
+    HashAggregates), and that join is a key-partitioned shuffle join —
+    never a cartesian/BNLJ.  (At fixture scale AQE may still broadcast
+    one side; the gate accepts any EQUI join but the aggregate-before-
+    join ordering is structural.)"""
+    plan = _plan(spark, "ds_repeat_purchase_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert plan.count("HashAggregate") >= 4  # 2 legs x partial/final
+
+
+def test_ds_repeat_purchase_matches_independent_build(spark):
+    """Brand-level repeat-purchase counts equal an independently-worded
+    DataFrame plan (per-year (cust,part) sets intersected in Python —
+    no SQL join involved)."""
+    import pyspark.sql.functions as F
+
+    from auron_spark.tables import Tables
+
+    t = Tables(spark, SF_DIR)
+    fact = t.lineitem.join(
+        t.orders, F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    pairs = {}
+    for yr in (1996, 1997):
+        pairs[yr] = {
+            (r.o_custkey, r.l_partkey)
+            for r in fact.filter(F.year("o_orderdate") == yr)
+            .select("o_custkey", "l_partkey")
+            .distinct()
+            .collect()
+        }
+    repeat = pairs[1996] & pairs[1997]
+    brand = {
+        r.l_partkey: r.p_brand
+        for r in t.part.select(
+            F.col("p_partkey").alias("l_partkey"), "p_brand"
+        ).collect()
+    }
+    expect_pairs: dict[str, int] = {}
+    expect_custs: dict[str, set] = {}
+    for cust, pk in repeat:
+        b = brand[pk]
+        expect_pairs[b] = expect_pairs.get(b, 0) + 1
+        expect_custs.setdefault(b, set()).add(cust)
+    rows = _ds_rows(spark, "ds_repeat_purchase_pairs")
+    assert {r.p_brand: r.n_repeat_pairs for r in rows} == expect_pairs
+    assert {r.p_brand: r.n_repeat_customers for r in rows} == {
+        b: len(s) for b, s in expect_custs.items()
+    }
+    assert sum(expect_pairs.values()) > 0
+
+
+def test_ds_best_customers_matches_independent_build(spark):
+    """The Q23 report equals an independently-worded composition: best
+    customers / frequent parts computed as DataFrame aggregates and
+    applied as Python-set membership on the 1997 fact rows."""
+    import pyspark.sql.functions as F
+
+    from auron_spark.exprs import dec2, disc_price
+    from auron_spark.tables import Tables
+
+    t = Tables(spark, SF_DIR)
+    csales = (
+        t.orders.groupBy("o_custkey")
+        .agg(F.sum(dec2("o_totalprice")).cast("double").alias("c"))
+        .collect()
+    )
+    cmax = max(r.c for r in csales)
+    best = {r.o_custkey for r in csales if r.c > 0.5 * cmax}
+    fact = t.lineitem.join(
+        t.orders, F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    freq = {
+        r.l_partkey
+        for r in fact.groupBy("l_partkey")
+        .agg(F.countDistinct(F.to_date("o_orderdate")).alias("nd"))
+        .filter(F.col("nd") >= 4)
+        .collect()
+    }
+    per_mo: dict[int, list] = {}
+    for r in (
+        fact.filter(F.year("o_orderdate") == 1997)
+        .select(
+            F.month("o_orderdate").alias("mo"),
+            "o_custkey",
+            "l_partkey",
+            disc_price().cast("double").alias("rev"),
+        )
+        .collect()
+    ):
+        if r.o_custkey in best and r.l_partkey in freq:
+            per_mo.setdefault(r.mo, []).append(r.rev)
+    rows = _ds_rows(spark, "ds_best_customer_sales")
+    assert {r.mo: r.n_lineitems for r in rows} == {
+        m: len(v) for m, v in per_mo.items()
+    }
+    for r in rows:
+        assert abs(r.revenue - sum(per_mo[r.mo])) < 1e-4, r
+    assert len(rows) > 0
