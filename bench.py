@@ -132,6 +132,7 @@ _VECTOR_SCALE_QUERIES = (
 )
 _VECTOR_SCALE_KSCALED = (
     "sim_kmeans_lloyd",
+    "sim_kmeans_lloyd_arrow",
     "sim_knn_ivf_trained",
     "sim_ivfpq_trained",
     "sim_ivfpq_trained_arrow",
@@ -354,10 +355,10 @@ def _run_group(group: str, sf_dir: str, second: str) -> dict:
     warm2: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
         cold[name] = run(spec, sf_dir)
-        # Scale legs are throughput probes: one warm pass (the two-pass
-        # variance bracket lives on the round-comparable headline series).
-        n_warm = 1 if group.endswith("_scale") else 2
-        warm_runs[name] = [run(spec, sf_dir) for _ in range(n_warm)]
+        # Two warm passes EVERYWHERE (VERDICT r10 ask #3): the scale legs
+        # are now a round-over-round series like the headline set, so they
+        # carry the same two-pass variance bracket.
+        warm_runs[name] = [run(spec, sf_dir) for _ in range(2)]
     if second and os.path.isdir(second) and second != sf_dir:
         for name, spec in sorted(specs.items()):
             warm2[name] = run(spec, second)

@@ -944,6 +944,78 @@ def test_random_grouping_sets(spark, duck2, seed):
     assert got == want, f"seed={seed}\n{sql}"
 
 
+def _gen_rollup_rank_sql(seed: int) -> str:
+    """Sixth chain shape (VERDICT r10 ask #7): rollup/grouping-sets ×
+    rank-within-parent × rollup-level filter — the TPC-DS Q36/Q67 family
+    where the round-10 review found two hand-written bugs (an inverted
+    grouping CASE and a null-rejecting filter) that the fixed-point
+    oracles could not catch.  Randomizes the grouping construct, the rank
+    function, the grouping-marker partition CASE (correct orientation by
+    construction — the fuzzer asserts the VALUE, so an engine that
+    mis-evaluates GROUPING() inside a window partition key diverges), the
+    rank direction and the post-window level/rank filter."""
+    import random
+
+    rng = random.Random(11_000_000 + seed)
+    k1, k2 = rng.sample(
+        ["l_returnflag", "l_linestatus", "l_linenumber", "l_suppkey"], k=2
+    )
+    construct = rng.choice(["ROLLUP", "SETS"])
+    if construct == "SETS":
+        grp = f"GROUPING SETS (({k1}, {k2}), ({k1}), ())"
+    else:
+        grp = f"ROLLUP({k1}, {k2})"
+    col = rng.choice(["l_extendedprice", "l_quantity"])
+    lo = rng.randint(0, 30)
+    rank_fn = rng.choice(["RANK()", "DENSE_RANK()", "ROW_NUMBER()"])
+    direction = rng.choice(["ASC", "DESC"])
+    # partition detail rows by their PARENT key (NULL at subtotal levels),
+    # the exact CASE shape the r10 review found inverted in hand-written SQL
+    part = "lochierarchy, CASE WHEN g2 = 0 THEN CAST(k1v AS STRING) END"
+    lvl_filter = rng.choice(
+        ["rk <= %d" % rng.randint(1, 4),
+         "lochierarchy = %d" % rng.randint(0, 2),
+         "rk <= %d AND lochierarchy <= 1" % rng.randint(2, 5)]
+    )
+    return f"""
+    WITH s AS (
+        SELECT {k1} AS k1v, {k2} AS k2v,
+               CAST(GROUPING({k1}) AS INT) + CAST(GROUPING({k2}) AS INT)
+                   AS lochierarchy,
+               CAST(GROUPING({k2}) AS INT) AS g2,
+               SUM(CAST({col} AS DECIMAL(18,2))) AS s_dec
+        FROM {{t}}
+        WHERE l_quantity >= {lo}
+        GROUP BY {grp}
+    ),
+    r AS (
+        SELECT k1v, k2v, lochierarchy, g2,
+               CAST(s_dec AS DOUBLE) AS s,
+               CAST({rank_fn} OVER (
+                   PARTITION BY {part}
+                   ORDER BY s_dec {direction},
+                            CAST(k1v AS STRING) NULLS FIRST,
+                            CAST(k2v AS STRING) NULLS FIRST
+               ) AS BIGINT) AS rk
+        FROM s
+    )
+    SELECT k1v, k2v, lochierarchy, s, rk
+    FROM r
+    WHERE {lvl_filter}
+    ORDER BY lochierarchy DESC, rk,
+             CAST(k1v AS STRING) NULLS FIRST, CAST(k2v AS STRING) NULLS FIRST
+    """
+
+
+@pytest.mark.parametrize("seed", range(18))
+def test_random_rollup_rank_chains(spark, duck2, seed):
+    sql = _gen_rollup_rank_sql(seed)
+    table(spark, SF_SMOKE, "lineitem").createOrReplaceTempView("li_rrank")
+    got = normalize(spark.sql(sql.format(t="li_rrank")).toPandas())
+    want = normalize(duck2.execute(sql.format(t="lineitem")).df())
+    assert got == want, f"seed={seed}\n{sql}"
+
+
 def _gen_time_window_sql(seed: int) -> str:
     """Seventh chain shape (VERDICT r9 ask #4): time-bucketed aggregation
     over events composed with running/lag windows and a ROLLUP on top —
@@ -1302,6 +1374,27 @@ def test_semdedup_arrow_matches_fold(spark):
         _assert_twin_rows_equal(arrow, fold, (sf, k))
 
 
+def test_lloyd_arrow_matches_fold(spark):
+    """`sim_kmeans_lloyd_arrow` (BLAS assignment kernel feeding the SHARED
+    `_lloyd_update` decimal-exact mean) returns row-for-row the same
+    trained codebook as the oracle-proven fold trainer at two SFs and at
+    a scaled k (the bench leg's knob)."""
+    from auron_spark.pipeline.similarity import (
+        sim_kmeans_lloyd,
+        sim_kmeans_lloyd_arrow,
+    )
+    from tests.conftest import SF_DIR
+
+    for sf, k in ((SF_DIR, 8), (SF_SMOKE, 8), (SF_DIR, 16)):
+        fold = sorted(
+            tuple(r) for r in sim_kmeans_lloyd(spark, sf, k).collect()
+        )
+        arrow = sorted(
+            tuple(r) for r in sim_kmeans_lloyd_arrow(spark, sf, k).collect()
+        )
+        _assert_twin_rows_equal(arrow, fold, (sf, k))
+
+
 def test_ivfpq_arrow_matches_fold(spark):
     """`sim_ivfpq_trained_arrow` (numpy encode kernel over mapInPandas,
     sharing the fold variant's training frames and serve stage) returns
@@ -1333,6 +1426,8 @@ def test_kernel_twins_match_on_random_corpora(spark, tmp_path, seed):
     import numpy as np
 
     from auron_spark.pipeline.similarity import (
+        sim_kmeans_lloyd,
+        sim_kmeans_lloyd_arrow,
         sim_knn_bruteforce,
         sim_knn_bruteforce_arrow,
         sim_semantic_dedup,
@@ -1356,6 +1451,7 @@ def test_kernel_twins_match_on_random_corpora(spark, tmp_path, seed):
     for fold_fn, arrow_fn, kw in (
         (sim_knn_bruteforce, sim_knn_bruteforce_arrow, {}),
         (sim_semantic_dedup, sim_semantic_dedup_arrow, {"k": 5}),
+        (sim_kmeans_lloyd, sim_kmeans_lloyd_arrow, {"k": 5}),
     ):
         fold = sorted(tuple(r) for r in fold_fn(spark, sf, **kw).collect())
         arrow = sorted(tuple(r) for r in arrow_fn(spark, sf, **kw).collect())
@@ -1470,6 +1566,27 @@ def test_kernel_twins_degenerate_inputs(spark, tmp_path):
     assert [f.name for f in arrow_df.schema.fields] == [
         f.name for f in fold_df.schema.fields
     ]
+
+    # (f) the Lloyd twins on the same degenerate inputs: fewer vectors
+    # than k (init trains len(corpus) centroids), all-duplicate vectors
+    # (one cluster absorbs everything, the rest carry their init
+    # centroid at n = 0), and the empty corpus.
+    from auron_spark.pipeline.similarity import (
+        sim_kmeans_lloyd,
+        sim_kmeans_lloyd_arrow,
+    )
+
+    for sf_deg in (tiny, deg):
+        fold = sorted(
+            tuple(r) for r in sim_kmeans_lloyd(spark, sf_deg, 8).collect()
+        )
+        arrow = sorted(
+            tuple(r)
+            for r in sim_kmeans_lloyd_arrow(spark, sf_deg, 8).collect()
+        )
+        _assert_twin_rows_equal(arrow, fold, ("lloyd", sf_deg))
+    assert sim_kmeans_lloyd(spark, emp).collect() == []
+    assert sim_kmeans_lloyd_arrow(spark, emp).collect() == []
 
 
 def test_freshness_lag_zero_span_yields_null_rate(spark, tmp_path):
