@@ -231,9 +231,10 @@ def join_edit_distance_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash64(t: Tables) -> DataFrame:
+def _simhash64(docs: DataFrame) -> DataFrame:
     """(doc_id, hi, lo) — a 64-bit SimHash carried as two md5-derived
-    32-bit halves, built from the doc's DISTINCT tokens.
+    32-bit halves, built from the doc's DISTINCT tokens.  ``docs`` is any
+    (doc_id, text) frame — the fixture table or a derived corpus.
 
     Round-10 rewrite (the text-scale bench caught the old shape): the
     original 32-bit tf-weighted fingerprint collapses under a zipf token
@@ -245,8 +246,7 @@ def _simhash64(t: Tables) -> DataFrame:
     tail dominates) and 64 bits give bands enough entropy: same corpus,
     max bucket 20, 249k candidates — 415× fewer."""
     toks = (
-        t.parallel("documents", "doc_id")
-        .select(
+        docs.select(
             "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
         )
         .distinct()
@@ -280,7 +280,9 @@ def _simhash64(t: Tables) -> DataFrame:
     return sums.select("doc_id", _assemble("a", "hi"), _assemble("b", "lo"))
 
 
-def _simhash64_pairs_oracle() -> str:
+def _simhash64_pairs_oracle(
+    docs_cte: str = "", docs_from: str = "documents"
+) -> str:
     sum_cols = ",\n               ".join(
         f"SUM(CASE WHEN (h{src} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS {dst}{b}"
         for src, dst in ((1, "a"), (2, "b"))
@@ -295,9 +297,9 @@ def _simhash64_pairs_oracle() -> str:
         for b in range(32)
     )
     return f"""
-    WITH toks AS (
+    WITH {docs_cte}toks AS (
         SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS tok
-        FROM documents
+        FROM {docs_from}
     ),
     hashed AS (
         SELECT doc_id,
@@ -352,7 +354,16 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     zipf-vocab scale corpus this is 249k candidates against the old
     8-bit-band tf-weighted layout's 103.5M."""
     t = Tables(spark, sf_dir)
-    sh = _simhash64(t).localCheckpoint()
+    return _simhash_banded_pairs(
+        t.parallel("documents", "doc_id").select("doc_id", "text")
+    )
+
+
+def _simhash_banded_pairs(docs: DataFrame) -> DataFrame:
+    """Banded-blocking hamming-<=3 pair join over any (doc_id, text) frame
+    — the shared engine of `dedup_simhash_hamming_pairs` (fixture corpus)
+    and `dedup_simhash_pairs_scaled` (10x derived corpus)."""
+    sh = _simhash64(docs).localCheckpoint()
     bands = sh.select(
         "doc_id",
         "hi",
@@ -392,3 +403,68 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")
     )
+
+
+_SCALED_DOCS_CTE = """docs AS (
+        SELECT doc_id + i * 1000000 AS doc_id,
+               CASE WHEN i = 0 OR doc_id % 40 = 39 THEN text
+                    ELSE text || ' rep' || CAST(i AS VARCHAR) || '_' ||
+                         CAST(doc_id % 17 AS VARCHAR) END AS text
+        FROM documents CROSS JOIN range(0, 10) t(i)
+    ),
+    """
+
+
+@query(
+    "dedup_simhash_pairs_scaled",
+    oracle=_simhash64_pairs_oracle(
+        docs_cte=_SCALED_DOCS_CTE, docs_from="docs"
+    ),
+    tags=("pipeline", "dedup", "simhash", "hamming", "scale-proof"),
+)
+def dedup_simhash_pairs_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_simhash_hamming_pairs` ORACLE-CHECKED ABOVE THE FIXTURE
+    (VERDICT r10 stretch #8): the banded join runs over a deterministic
+    10x expansion of the documents table — 5,000 docs at every SF — so
+    the blocking algorithm's losslessness is driver-proven at a corpus
+    size where banding actually prunes (the fixture's 500 docs barely
+    fill the 65,536 buckets per band; the round-10 simhash skew bug was
+    invisible there).  Expansion: replica 0 is the original; replicas
+    1-9 append a replica-unique token (' rep{i}_{doc_id%17}'), which
+    perturbs a distinct-token fingerprint by at most one token — docs
+    with skewed bit-sums keep their replicas within hamming 3 (planted
+    near-dups), balanced docs drift out; every 40th doc's replicas stay
+    EXACT duplicates (hamming 0 cliques, the bench corpus's planted-dup
+    design).  Both engines derive the corpus from the same fixture rows,
+    so the quadratic DuckDB oracle verifies the banding row-for-row at
+    10x the driver corpus.
+
+    Scale shape: identical to the fixture query — the expansion is a
+    broadcast 10-row cross join evaluated map-side before tokenization;
+    fingerprints stay one 8-byte row per derived doc."""
+    t = Tables(spark, sf_dir)
+    reps = spark.range(10).select(F.col("id").cast("int").alias("i"))
+    docs = (
+        t.parallel("documents", "doc_id")
+        .select("doc_id", "text")
+        .crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("i").cast("long") * 1000000)
+            .alias("doc_id"),
+            F.when(
+                (F.col("i") == 0) | (F.col("doc_id") % 40 == 39),
+                F.col("text"),
+            )
+            .otherwise(
+                F.concat(
+                    F.col("text"),
+                    F.lit(" rep"),
+                    F.col("i").cast("string"),
+                    F.lit("_"),
+                    (F.col("doc_id") % 17).cast("string"),
+                )
+            )
+            .alias("text"),
+        )
+    )
+    return _simhash_banded_pairs(docs)
