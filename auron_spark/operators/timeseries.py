@@ -1345,3 +1345,219 @@ def timeseries_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("dev").cast("double").alias("cusum_dev"),
     )
     return out1.unionAll(out2).orderBy("level", "segment")
+
+
+@query(
+    "stats_kendall_trend",
+    oracle="""
+    WITH s AS (
+        SELECT n_name,
+               EXTRACT(year FROM o_orderdate) * 12
+               + EXTRACT(month FROM o_orderdate) AS mi,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS rev
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        GROUP BY n_name, mi
+    ),
+    pairs AS (
+        SELECT a.n_name,
+               CAST(sign(b.rev - a.rev) AS BIGINT) AS sg
+        FROM s a JOIN s b ON b.n_name = a.n_name AND b.mi > a.mi
+    ),
+    agg AS (
+        SELECT n_name, COUNT(*) AS n_pairs, SUM(sg) AS s_stat
+        FROM pairs GROUP BY n_name
+    ),
+    months AS (SELECT n_name, COUNT(*) AS n_months FROM s GROUP BY n_name)
+    SELECT a.n_name AS nation,
+           CAST(m.n_months AS BIGINT) AS n_months,
+           CAST(a.s_stat AS BIGINT) AS s_stat,
+           ROUND(CAST(a.s_stat AS DOUBLE) / a.n_pairs, 6) AS kendall_tau
+    FROM agg a JOIN months m ON m.n_name = a.n_name
+    ORDER BY nation
+    """,
+    tags=("timeseries", "robust-stats", "trend-test"),
+)
+def stats_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per nation: S = sum of sign(rev_j - rev_i)
+    over all month pairs i < j of the monthly-revenue series, and
+    Kendall's tau-a = S / C(n, 2) — the nonparametric is-it-monotone
+    companion to `stats_theil_sen_trend`'s how-steep (the two are the
+    standard pairing: MK decides significance, Theil-Sen estimates the
+    slope).
+
+    Scale shape: identical to Theil-Sen — one fact scan collapses to the
+    calendar-bounded (nation, month) grain (checkpointed once), the pair
+    fan-out is quadratic only in the bounded series length and co-located
+    by the nation equi-join, and the result is one tiny aggregate.
+
+    Exactness: sign() of exact-decimal-derived doubles is deterministic
+    in both engines; S and the pair count are integers; tau is one double
+    division rounded at 6dp."""
+    t = Tables(spark, sf_dir)
+    s = (
+        t.orders.join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mi"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+        .localCheckpoint(eager=False)
+    )
+    b = s.select(
+        F.col("n_name").alias("nb"),
+        F.col("mi").alias("mi_b"),
+        F.col("rev").alias("rev_b"),
+    )
+    agg = (
+        s.join(
+            b, (F.col("nb") == F.col("n_name")) & (F.col("mi_b") > F.col("mi"))
+        )
+        .select(
+            "n_name",
+            F.signum(F.col("rev_b") - F.col("rev")).cast("bigint").alias("sg"),
+        )
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_pairs"), F.sum("sg").alias("s_stat"))
+    )
+    months = s.groupBy("n_name").agg(F.count("*").alias("n_months"))
+    return (
+        agg.join(months, "n_name")
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n_months").cast("bigint").alias("n_months"),
+            F.col("s_stat").cast("bigint").alias("s_stat"),
+            F.round(
+                F.col("s_stat").cast("double") / F.col("n_pairs"), 6
+            ).alias("kendall_tau"),
+        )
+        .orderBy("nation")
+    )
+
+
+@query(
+    "stats_spearman_corr",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c_mktsegment AS segment, o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS spend
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        GROUP BY segment, o_custkey
+    ),
+    ranked AS (
+        SELECT segment,
+               CAST(RANK() OVER (PARTITION BY segment ORDER BY freq)
+                    + (COUNT(*) OVER (PARTITION BY segment, freq) - 1) / 2.0
+                    AS DECIMAL(18,1)) AS rx,
+               CAST(RANK() OVER (PARTITION BY segment ORDER BY spend)
+                    + (COUNT(*) OVER (PARTITION BY segment, spend) - 1) / 2.0
+                    AS DECIMAL(18,1)) AS ry
+        FROM per_cust
+    ),
+    sums AS (
+        SELECT segment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(rx) AS DOUBLE) AS sx,
+               CAST(SUM(ry) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(rx * rx AS DECIMAL(38,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(ry * ry AS DECIMAL(38,2))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(rx * ry AS DECIMAL(38,2))) AS DOUBLE) AS sxy
+        FROM ranked GROUP BY segment
+    )
+    SELECT segment, n AS n_customers,
+           ROUND((n * sxy - sx * sy)
+                 / NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0.0),
+                 6) AS rho_spearman
+    FROM sums
+    ORDER BY segment
+    """,
+    tags=("stats", "correlation", "rank", "window"),
+)
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between order frequency and total spend
+    per customer, WITHIN each market segment: fractional average ranks
+    (min-rank + (ties-1)/2, the textbook tie treatment) and Pearson's
+    formula over the ranks — the monotone-association companion to the
+    existing Pearson `agg_corr_covar`.
+
+    Scale shape: one orders aggregate to customer grain, rank windows
+    PARTITIONED BY SEGMENT (parallel, never a single-partition exchange —
+    a truly global Spearman would route through distributed_ntile's
+    range-exchange rank like the _scale twins), and a 5-row power-sum
+    aggregate.
+
+    Exactness: average ranks are exact halves carried as DECIMAL(18,1);
+    rank products are exact DECIMAL(38,2) sums cast to double only in the
+    final formula; a constant-rank side degenerates to NULL via NULLIF in
+    both engines."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    per_cust = (
+        t.orders.join(
+            F.broadcast(t.customer.select("c_custkey", "c_mktsegment")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            F.count("*").cast("bigint").alias("freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("spend"),
+        )
+    )
+
+    def avg_rank(col: str):
+        return (
+            F.rank().over(Window.partitionBy("segment").orderBy(col))
+            + (
+                F.count("*").over(Window.partitionBy("segment", col)) - 1
+            )
+            / 2.0
+        ).cast("decimal(18,1)")
+
+    ranked = per_cust.select(
+        "segment", avg_rank("freq").alias("rx"), avg_rank("spend").alias("ry")
+    )
+    sums = ranked.groupBy("segment").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("rx").cast("double").alias("sx"),
+        F.sum("ry").cast("double").alias("sy"),
+        F.sum((F.col("rx") * F.col("rx")).cast("decimal(38,2)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("ry") * F.col("ry")).cast("decimal(38,2)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("rx") * F.col("ry")).cast("decimal(38,2)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    denom = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select(
+        "segment",
+        F.col("n").alias("n_customers"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.nullif(denom, F.lit(0.0)),
+            6,
+        ).alias("rho_spearman"),
+    ).orderBy("segment")
