@@ -77,6 +77,7 @@ if _REPO not in sys.path:
 # pollutes anything sharing their JVM.  Run last, in their own session.
 _TRAINERS = {
     "sim_kmeans_lloyd",
+    "sim_kmeans_lloyd_arrow",
     "sim_knn_ivf_trained",
     "sim_ivfpq_trained",
     "sim_ivfpq_trained_arrow",
