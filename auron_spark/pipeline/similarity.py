@@ -1135,7 +1135,15 @@ def sim_kmeans_lloyd(
         F.transform("embedding", lambda v: v.cast("double")).alias("e"),
     )
     cent, last_mean = _lloyd(spark, emb, k)
-    # emit the trained codebook per-dim, carrying empty clusters at n = 0
+    return _emit_codebook(spark, cent, last_mean)
+
+
+def _emit_codebook(
+    spark: SparkSession, cent: DataFrame, last_mean: DataFrame
+) -> DataFrame:
+    """Trained codebook as per-dim rows, carrying empty clusters at n = 0
+    — SHARED by both Lloyd trainers so the twins' emission can never
+    diverge (only the assignment kernel differs)."""
     dims = spark.range(EMB_DIM).select(F.col("id").cast("int").alias("dim"))
     return (
         cent.crossJoin(F.broadcast(dims))
@@ -1184,20 +1192,7 @@ def sim_kmeans_lloyd_arrow(
         F.transform("embedding", lambda v: v.cast("double")).alias("e"),
     )
     cent, last_mean = _lloyd_arrow(spark, emb, k)
-    dims = spark.range(EMB_DIM).select(F.col("id").cast("int").alias("dim"))
-    return (
-        cent.crossJoin(F.broadcast(dims))
-        .join(F.broadcast(last_mean), ["cid", "dim"], "left")
-        .select(
-            "cid",
-            "dim",
-            F.coalesce("c", F.element_at("cv", F.col("dim") + 1)).alias(
-                "centroid"
-            ),
-            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
-        )
-        .orderBy("cid", "dim")
-    )
+    return _emit_codebook(spark, cent, last_mean)
 
 
 def _sqdist(e: Column, cv: Column) -> Column:

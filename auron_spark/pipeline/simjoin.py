@@ -405,11 +405,17 @@ def _simhash_banded_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
+# Base-column references are QUALIFIED (documents.doc_id): the derived
+# column reuses the name doc_id, and the correct binding must not depend on
+# the engine's column-vs-lateral-alias precedence (the Spark builder mutates
+# the BASE doc_id, so the oracle must provably do the same).
 _SCALED_DOCS_CTE = """docs AS (
-        SELECT doc_id + i * 1000000 AS doc_id,
-               CASE WHEN i = 0 OR doc_id % 40 = 39 THEN text
-                    ELSE text || ' rep' || CAST(i AS VARCHAR) || '_' ||
-                         CAST(doc_id % 17 AS VARCHAR) END AS text
+        SELECT documents.doc_id + i * 1000000 AS doc_id,
+               CASE WHEN i = 0 OR documents.doc_id % 40 = 39
+                    THEN documents.text
+                    ELSE documents.text || ' rep' || CAST(i AS VARCHAR)
+                         || '_' || CAST(documents.doc_id % 17 AS VARCHAR)
+               END AS text
         FROM documents CROSS JOIN range(0, 10) t(i)
     ),
     """

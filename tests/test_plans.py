@@ -1941,16 +1941,21 @@ def test_ds_yoy_delta_matches_independent_agg(spark):
     assert rows, "empty yoy report"
     for r in rows:
         assert r.revenue == ind[(r.p_brand, r.yr)], r
-        assert r.prev_revenue == ind[(r.p_brand, r.yr - 1)], r
+        # LAG gives the previous EXISTING year for the brand (not
+        # necessarily yr-1 — a brand may skip a year in some fixture)
+        prev_years = [y for b, y in ind if b == r.p_brand and y < r.yr]
+        assert prev_years, r
+        assert r.prev_revenue == ind[(r.p_brand, max(prev_years))], r
         # yoy_delta is rounded from the UNROUNDED difference, so it may sit
         # one cent off the difference of the two rounded revenues
         assert abs(r.yoy_delta - round(r.revenue - r.prev_revenue, 2)) <= 0.011
 
 
 def test_ds_topk_ranks_dense_and_grand_total_exact(spark):
-    """Per (g_brand, g_type) level: at most 5 survivors, ranks start at 1
-    and are dense up to ties; the grand-total level has exactly one row
-    whose sales equal an independently-worded SUM over lineitem⋈part."""
+    """Per (g_brand, g_type) level: ranks start at 1, stay <= 5 and are
+    dense up to ties (RANK ties at the 5-boundary may legitimately keep
+    more than 5 rows); the grand-total level has exactly one row whose
+    sales equal an independently-worded SUM over lineitem⋈part."""
     import pyspark.sql.functions as F
 
     from auron_spark.exprs import dec2
@@ -1963,7 +1968,7 @@ def test_ds_topk_ranks_dense_and_grand_total_exact(spark):
     assert set(by_level) == {(0, 0), (0, 1), (1, 1)}
     for level, rs in by_level.items():
         rks = sorted(r.rk for r in rs)
-        assert rks[0] == 1 and rks[-1] <= 5 and len(rs) <= 5, level
+        assert rks[0] == 1 and rks[-1] <= 5, level
         # dense up to ties: every rank value <= its index position + 1
         assert all(rk <= i + 1 for i, rk in enumerate(rks)), level
     t = Tables(spark, SF_DIR)
