@@ -2469,3 +2469,82 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "dedup_url_canonical",
+    oracle="""
+    WITH urls AS (
+        -- deterministic synthetic URLs (the fixture has no URL column):
+        -- mixed-case host from the doc's source, a path bucket, and a
+        -- doc_id-dependent suffix in {tracking query, fragment, trailing
+        -- slash, none} — the four variants canonicalization must unify
+        SELECT doc_id,
+               'https://WWW.' || source || '.Example.COM/p/'
+               || CAST(doc_id % 10 AS VARCHAR)
+               || CASE doc_id % 4
+                      WHEN 0 THEN '?utm_source=feed'
+                      WHEN 1 THEN '#section-2'
+                      WHEN 2 THEN '/'
+                      ELSE '' END AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(lower(url), '[?#].*$', ''),
+                   '/$', '') AS curl
+        FROM urls
+    )
+    SELECT curl AS canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+    FROM canon
+    GROUP BY curl
+    HAVING COUNT(*) > 1
+    ORDER BY canonical_url
+    """,
+    tags=("pipeline", "dedup", "url", "canonicalization"),
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the cheapest and first dedup pass of
+    every web-scale corpus pipeline (before any content hashing): lowercase
+    the URL, strip tracking query strings and fragments, strip the trailing
+    slash, then group by the canonical form and keep the smallest doc_id
+    per cluster.  The fixture carries no URL column, so both engines
+    synthesize the SAME deterministic URLs from (source, doc_id) — four
+    surface variants per canonical form — and the report lists every
+    canonical URL that actually deduplicates, with its keeper and drop
+    count.
+
+    Scale shape: canonicalization is a map-side string expression (two
+    end-anchored regexp_replace + lower — identical single-match semantics
+    in both engines); the only shuffle is the canonical-key groupBy, which
+    moves one short string per doc.  At 100 TB this is the exact-dedup
+    posture: the key shuffles, the document body never does."""
+    t = Tables(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM/p/"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=feed"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("#section-2"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("/"))
+        .otherwise(F.lit("")),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(F.lower(url), r"[?#].*$", ""), r"/$", ""
+    )
+    return (
+        t.documents.select("doc_id", curl.alias("curl"))
+        .groupBy(F.col("curl").alias("canonical_url"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keeper_doc"),
+            (F.count("*") - 1).cast("bigint").alias("n_dropped"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("canonical_url")
+    )

@@ -443,3 +443,100 @@ def feature_best_split_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("gparent", 6).alias("gini_parent"),
         F.round("gain", 6).alias("gini_gain"),
     )
+
+
+@query(
+    "feature_winsorize_robust_scale",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c_mktsegment AS segment, o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS spend
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        GROUP BY segment, o_custkey
+    ),
+    q AS (
+        SELECT segment,
+               quantile_cont(spend, 0.05) AS p05,
+               quantile_cont(spend, 0.50) AS p50,
+               quantile_cont(spend, 0.25) AS q1,
+               quantile_cont(spend, 0.75) AS q3,
+               quantile_cont(spend, 0.95) AS p95
+        FROM per_cust GROUP BY segment
+    )
+    SELECT p.segment, p.o_custkey,
+           ROUND(p.spend, 2) AS spend,
+           ROUND(CASE WHEN p.spend < q.p05 THEN q.p05
+                      WHEN p.spend > q.p95 THEN q.p95
+                      ELSE p.spend END, 6) AS spend_winsorized,
+           ROUND((p.spend - q.p50) / NULLIF(q.q3 - q.q1, 0.0), 6)
+               AS robust_z
+    FROM per_cust p JOIN q ON q.segment = p.segment
+    WHERE p.o_custkey % 100 = 0
+    ORDER BY p.segment, p.o_custkey
+    """,
+    tags=("feature", "scaling", "winsorize", "robust-stats"),
+)
+def feature_winsorize_robust_scale(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Winsorized + robust-scaled customer-spend feature per segment:
+    values clamped to the segment's [P5, P95] band and centered as
+    (x - median) / IQR — the outlier-insensitive normalization a feature
+    pipeline applies before models that assume bounded inputs (the
+    robust sibling of z-scoring; `dq_iqr_outliers` flags what this op
+    clamps).
+
+    Scale shape: one orders aggregate to customer grain; the five
+    per-segment quantiles are a 5-row broadcast model frame (the
+    feature-encoding contract of this module); the clamp/scale applies
+    map-side.  Exact quantiles sort within 5 segment groups —
+    approx_percentile boundaries are the documented 100 TB swap, same as
+    dq_iqr_outliers.  Output sampled at o_custkey % 100 = 0 (bounded
+    report grain).
+
+    Exactness: spend is a decimal-exact sum as double; Spark
+    percentile() == DuckDB quantile_cont (the established interpolation
+    contract); a constant segment degenerates to NULL via NULLIF on the
+    zero IQR in both engines."""
+    t = Tables(spark, sf_dir)
+    per_cust = (
+        t.orders.join(
+            F.broadcast(t.customer.select("c_custkey", "c_mktsegment")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("spend")
+        )
+    )
+    q = per_cust.groupBy("segment").agg(
+        F.expr("percentile(spend, 0.05)").alias("p05"),
+        F.expr("percentile(spend, 0.50)").alias("p50"),
+        F.expr("percentile(spend, 0.25)").alias("q1"),
+        F.expr("percentile(spend, 0.75)").alias("q3"),
+        F.expr("percentile(spend, 0.95)").alias("p95"),
+    )
+    wins = (
+        F.when(F.col("spend") < F.col("p05"), F.col("p05"))
+        .when(F.col("spend") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("spend"))
+    )
+    return (
+        per_cust.join(F.broadcast(q), "segment")
+        .filter(F.col("o_custkey") % 100 == 0)
+        .select(
+            "segment",
+            "o_custkey",
+            F.round("spend", 2).alias("spend"),
+            F.round(wins, 6).alias("spend_winsorized"),
+            F.round(
+                (F.col("spend") - F.col("p50"))
+                / F.nullif(F.col("q3") - F.col("q1"), F.lit(0.0)),
+                6,
+            ).alias("robust_z"),
+        )
+        .orderBy("segment", "o_custkey")
+    )
