@@ -2548,3 +2548,70 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .orderBy("canonical_url")
     )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM w
+        )
+    ),
+    first_seen AS (
+        SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1.0 ELSE 0 END)
+                 / COUNT(*), 6) AS novelty
+    FROM sh s JOIN first_seen f ON f.shingle = s.shingle
+    WHERE s.doc_id % 5 = 0
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+    tags=("pipeline", "text", "novelty", "curation"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty under doc_id ingestion order: the share
+    of a doc's distinct 3-shingles whose GLOBAL first occurrence is that
+    doc — the diversity/redundancy signal a curation pipeline uses to
+    down-weight documents that only repeat earlier content (near-dup
+    scoring's cheap streaming cousin; 1.0 = all-new, 0.0 = fully seen).
+
+    Scale shape: the first-occurrence table is one shingle-keyed MIN
+    aggregate (the running-distinct device of `window_running_distinct`,
+    applied corpus-wide); the novelty join is shingle-keyed equi, and the
+    report is a doc-grain aggregate sampled at doc_id % 5 = 0.  No stage
+    is quadratic; the shuffles carry (shingle, doc_id) pairs."""
+    t = Tables(spark, sf_dir)
+    sh = _doc_shingles(t).localCheckpoint(eager=False)
+    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first_seen, "shingle")
+        .filter(F.col("doc_id") % 5 == 0)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("first_doc") == F.col("doc_id"), 1.0
+                    ).otherwise(0.0)
+                )
+                / F.count("*"),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
