@@ -2615,3 +2615,102 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle=_sql_signature_cte()
+    + """
+    , pairs AS (
+        SELECT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r ON l.band = r.band AND l.doc_id < r.doc_id
+        GROUP BY a, b
+    ),
+    e0 AS (
+        SELECT a AS u, b AS v FROM pairs
+        UNION ALL
+        SELECT b AS u, a AS v FROM pairs
+    ),
+    deg AS (SELECT u, COUNT(*) AS d FROM e0 GROUP BY u),
+    ends AS (
+        SELECT du.d AS x, dv.d AS y
+        FROM e0 JOIN deg du ON du.u = e0.u JOIN deg dv ON dv.u = e0.v
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM ends
+    )
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_vertices,
+           ROUND(CAST(sx AS DOUBLE) / n, 6) AS mean_end_degree,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / NULLIF(sqrt((CAST(n AS DOUBLE) * sxx
+                                - CAST(sx AS DOUBLE) * sx)
+                               * (CAST(n AS DOUBLE) * syy
+                                  - CAST(sy AS DOUBLE) * sy)), 0.0),
+                 6) AS assortativity
+    FROM s
+    """,
+    tags=("pipeline", "graph", "assortativity", "degree"),
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the LSH near-duplicate graph: the Pearson
+    correlation of endpoint degrees over (double-counted) directed edges
+    — Newman's r, the standard 'do hubs connect to hubs?' summary.  A
+    strongly positive r on a near-dup graph means duplicate clusters are
+    dense cliques (hub-hub); negative r flags star-shaped templates (one
+    boilerplate doc near-dup to many unrelated ones) — a different
+    cleanup strategy in a curation pipeline.
+
+    Scale shape: degrees are one vertex-grain aggregate; endpoint degrees
+    join in by vertex key (two equi-joins); the correlation is a 6-term
+    integer power-sum fold in ONE scalar aggregate — the `agg_corr_covar`
+    contract applied to graph structure.  No global ordering anywhere.
+
+    Exactness: degrees and all power sums are integers (bit-exact in both
+    engines); the only doubles are the final formula's divisions; a
+    regular graph (zero degree variance) yields NULL via NULLIF."""
+    pairs = lsh_candidate_pairs(
+        minhash_signature(_doc_shingles(Tables(spark, sf_dir), dedup=False))
+    ).localCheckpoint()
+    e0 = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = e0.groupBy("u").agg(F.count("*").alias("d"))
+    ends = (
+        e0.join(deg.select(F.col("u"), F.col("d").alias("x")), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("d").alias("y")), "v"
+        )
+        .select("x", "y")
+    )
+    s = ends.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    n_vert = deg.agg(F.count("*").cast("bigint").alias("n_vertices"))
+    nd = F.col("n").cast("double")
+    denom = F.sqrt(
+        (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return s.crossJoin(F.broadcast(n_vert)).select(
+        (F.col("n") / 2).cast("bigint").alias("n_edges"),
+        "n_vertices",
+        F.round(F.col("sx").cast("double") / F.col("n"), 6).alias(
+            "mean_end_degree"
+        ),
+        F.round(
+            (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / F.nullif(denom, F.lit(0.0)),
+            6,
+        ).alias("assortativity"),
+    )
