@@ -2482,7 +2482,10 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                'https://WWW.' || source || '.Example.COM/p/'
                || CAST(doc_id % 10 AS VARCHAR)
-               || CASE doc_id % 4
+               -- variant selector floor((doc_id % 40) / 10) is COPRIME with
+               -- the %10 path bucket, so every canonical cluster of >= 4
+               -- docs exercises all four variants against each other
+               || CASE CAST(floor((doc_id % 40) / 10) AS BIGINT)
                       WHEN 0 THEN '?utm_source=feed'
                       WHEN 1 THEN '#section-2'
                       WHEN 2 THEN '/'
@@ -2529,9 +2532,12 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source"),
         F.lit(".Example.COM/p/"),
         (F.col("doc_id") % 10).cast("string"),
-        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=feed"))
-        .when(F.col("doc_id") % 4 == 1, F.lit("#section-2"))
-        .when(F.col("doc_id") % 4 == 2, F.lit("/"))
+        F.when(
+            F.floor((F.col("doc_id") % 40) / 10) == 0,
+            F.lit("?utm_source=feed"),
+        )
+        .when(F.floor((F.col("doc_id") % 40) / 10) == 1, F.lit("#section-2"))
+        .when(F.floor((F.col("doc_id") % 40) / 10) == 2, F.lit("/"))
         .otherwise(F.lit("")),
     )
     curl = F.regexp_replace(

@@ -511,6 +511,10 @@ def feature_winsorize_robust_scale(
             .cast("double")
             .alias("spend")
         )
+        # reused by TWO consumers (quantile frame + the scaled projection):
+        # without materialization the orders⋈customer aggregate compiles
+        # twice (the round-9 single-subtree rule)
+        .localCheckpoint(eager=False)
     )
     q = per_cust.groupBy("segment").agg(
         F.expr("percentile(spend, 0.05)").alias("p05"),
