@@ -75,11 +75,14 @@ _LOADED = False
 # (VERDICT r9 stretch #8) so the rotation can never be mis-transcribed:
 #   1. never-proven oracle-bearing queries, in registration order (every
 #      late-round addition automatically leads the next round's window);
-#   2. backfill: names whose ONLY proof is the artifact-less round-8 window
-#      (presumed proven, no in-tree CORRECTNESS_r08.json — weakest evidence
-#      first), in registration order;
+#   2. names whose builder/oracle semantics changed AFTER their newest
+#      artifact (`_MODIFIED_SINCE_PROOF`) — the artifact no longer proves
+#      the current code, so they re-enter before any plain backfill;
 #   3. then artifact-backed names by OLDEST newest-artifact round (their
 #      surviving rows predate later fixture regens), registration order.
+# (The round-8 "presumed proven" category retired in round 12: every name
+# from the artifact-less round-8 window re-proved in the round-11 driver
+# artifact, so all evidence is now artifact-backed.)
 # Rows-only queries (oracle=None) are permanently excluded from window slots:
 # the driver can only ever return `no_oracle` for them (r5 burned 2 slots
 # this way), so they sort dead-last in `_ordered` by construction.
@@ -89,40 +92,41 @@ _WINDOW_SIZE = 50
 # introspection by tests/test_harness.py and COVERAGE tooling.
 _DRIVER_WINDOW: tuple[str, ...] = ()
 
-# The full round-8 driver window (the 20 late-r7 names + the r8 additions +
-# 4 oldest-proof backfills).  The driver ran it, but the round-8
-# CORRECTNESS_r08.json artifact never landed in-tree (no round-8 judge
-# commit exists), so these are PRESUMED proven: every name was green in
-# selfcheck + pytest at two scale factors when the window was declared.  If
-# a later artifact shows failures, move those names back into the live
-# window.  Treated as proven for ordering so backfill slots go to the
-# genuinely oldest evidence instead of re-burning 50 slots.
-_R8_WINDOW: frozenset[str] = frozenset({
-    "agg_bool_count_if", "gen_stack", "join_lateral_topk", "dq_psi_drift",
-    "orders_seasonality_index", "events_inter_arrival_stats",
-    "sample_poisson_bootstrap", "pack_shelf_contexts",
-    "dedup_bloom_prefilter", "graph_label_propagation",
-    "dedup_minhash_bbit", "eval_calibration_bins", "eval_threshold_sweep",
-    "eval_langid_confusion", "mm_binaryfile_scan", "sim_knn_ivf_serve",
-    "sim_semantic_dedup_serve", "text_pmi_collocations",
-    "scan_dpp_partitioned", "scan_incremental_new_files",
-    "stream_late_data_cutoff",
-    "join_set_similarity_prefix", "join_edit_distance_qgram",
-    "dedup_simhash_hamming_pairs",
-    "agg_countmin_frequency", "dq_benford_digits", "eval_ab_srm_check",
-    "feature_hashing_trick",
-    "sim_knn_srp_lsh",
-    "window_time_range_frame", "stream_sliding_distinct",
-    "scan_csv_typed", "scan_json_lines",
-    "events_pattern_regex", "sql_recursive_date_spine", "eval_bootstrap_ci",
-    "scan_zone_map_skipping",
-    "scan_xml_rowtag",
-    "eval_mannwhitney_u", "eval_ks_test",
-    "agg_grouping_id", "join_bucketed_colocated",
-    "fn_collation_lcase", "agg_listagg_native",
-    "eval_survival_km", "eval_survival_logrank",
-    "fn_decimal_arith", "fn_decimal_agg_overflow_guard", "fn_string_basic",
-    "fn_string_pad_case",
+# Names whose builder AND oracle were rewritten after their newest driver
+# artifact landed, so that artifact no longer witnesses the current code
+# (ADVICE r11 #1: a post-proof semantics change must re-enter the window
+# instead of sorting to the lowest re-prove priority).  Remove a name here
+# once a new artifact round re-proves it.
+_MODIFIED_SINCE_PROOF: frozenset[str] = frozenset({
+    # r11 added a NULLIF zero-span guard to both builder and oracle after
+    # the r10 artifact proved the unguarded text (fixture rows unchanged).
+    "dq_freshness_lag",
+})
+
+# Green driver rows from CORRECTNESS_r11.json — the whole round-11 window
+# hash-matched 50/50 (the fifth consecutive perfect driver window).  This
+# window contained every name whose only prior proof was the artifact-less
+# round-8 window, so landing it retires the "presumed proven" category:
+# all evidence is now artifact-backed.
+_R11_PROVEN: frozenset[str] = frozenset({
+    "agg_bool_count_if", "agg_countmin_frequency", "agg_grouping_id",
+    "agg_listagg_native", "customer_segment_migration_scale",
+    "dedup_minhash_bbit", "dedup_simhash_pairs_scaled", "dedup_url_canonical",
+    "dq_benford_digits", "dq_psi_drift", "ds_best_customer_sales",
+    "ds_repeat_purchase_pairs", "eval_ab_srm_check", "eval_bootstrap_ci",
+    "eval_calibration_bins", "eval_ks_test", "eval_langid_confusion",
+    "eval_mannwhitney_u", "eval_survival_km", "eval_survival_logrank",
+    "eval_threshold_sweep", "events_inter_arrival_stats",
+    "events_pattern_regex", "feature_hashing_trick",
+    "feature_winsorize_robust_scale", "fn_collation_lcase", "fn_datetime",
+    "fn_decimal_agg_overflow_guard", "fn_decimal_arith", "fn_hash_crypto",
+    "fn_string_basic", "fn_string_pad_case", "gen_stack",
+    "graph_degree_assortativity", "graph_label_propagation",
+    "join_lateral_topk", "mm_binaryfile_scan", "orders_seasonality_index",
+    "pack_shelf_contexts", "sample_poisson_bootstrap", "sim_knn_ivf_serve",
+    "sim_knn_srp_lsh", "sim_semantic_dedup_serve", "sql_recursive_date_spine",
+    "stats_kendall_trend", "stats_spearman_corr", "stream_sliding_distinct",
+    "text_ngram_novelty", "text_pmi_collocations", "window_time_range_frame",
 })
 
 # Green driver rows from CORRECTNESS_r10.json — the whole round-10 window
@@ -315,8 +319,8 @@ _R1_PROVEN: frozenset[str] = frozenset({
 
 
 # Rounds with an in-tree driver artifact (CORRECTNESS_r0N.json committed).
-# Round 8's artifact never landed, so `_R8_WINDOW` is NOT in this map — its
-# names are "presumed proven" and get first claim on re-prove backfill slots.
+# Round 8's artifact never landed; every name from that window re-proved in
+# round 11, so the map now covers all evidence.
 _ARTIFACT_PROVEN: dict[int, frozenset[str]] = {
     1: _R1_PROVEN,
     2: _R2_PROVEN,
@@ -326,23 +330,22 @@ _ARTIFACT_PROVEN: dict[int, frozenset[str]] = {
     7: _R7_PROVEN,
     9: _R9_PROVEN,
     10: _R10_PROVEN,
+    11: _R11_PROVEN,
 }
 
-_PROVEN: frozenset[str] = frozenset().union(*_ARTIFACT_PROVEN.values()) | _R8_WINDOW
+_PROVEN: frozenset[str] = frozenset().union(*_ARTIFACT_PROVEN.values())
 
 def _window_key(reg: dict[str, QuerySpec], reg_rank: dict[str, int]):
     """Sort key implementing the mechanical window policy (see module
-    comment at `_WINDOW_SIZE`): (0) never proven, (1) presumed-r8 only,
-    (2) artifact-backed by ascending newest-artifact round.  (The round-10
-    plan-critical re-prove override retired when its 12 names landed in
-    `_R10_PROVEN` — every remaining presumed-r8 name sorts by registration
-    order.)"""
+    comment at `_WINDOW_SIZE`): (0) never proven, (1) rewritten after the
+    newest artifact (`_MODIFIED_SINCE_PROOF`), (2) artifact-backed by
+    ascending newest-artifact round."""
 
     def key(name: str) -> tuple[int, int, int]:
         rounds = [r for r, s in _ARTIFACT_PROVEN.items() if name in s]
         if not rounds:
-            if name not in _R8_WINDOW:
-                return (0, 0, reg_rank[name])
+            return (0, 0, reg_rank[name])
+        if name in _MODIFIED_SINCE_PROOF:
             return (1, 0, reg_rank[name])
         return (2, max(rounds), reg_rank[name])
 

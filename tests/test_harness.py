@@ -42,9 +42,9 @@ def test_driver_window_spans_all_families():
     """The driver checks a 50-query prefix of the registry.  Since round 10
     the window is DERIVED, not hand-rotated (VERDICT r9 stretch #8): never-
     proven oracle queries first (registration order), then re-prove backfill
-    — presumed-r8 names (artifact-less round-8 window), then oldest
-    artifact-backed proofs.  This test pins the policy invariants so the
-    rotation can never be mis-transcribed.
+    — names rewritten after their newest artifact (modified-since-proof),
+    then oldest artifact-backed proofs.  This test pins the policy
+    invariants so the rotation can never be mis-transcribed.
     Rows-only queries are permanently excluded from window slots: the
     driver can only record `no_oracle` for them (round 5 burned 2 slots
     that way)."""
@@ -80,21 +80,41 @@ def test_driver_window_spans_all_families():
     rows_only = {n for n, s in specs.items() if s.oracle is None}
     wasted = set(window) & rows_only
     assert not wasted, f"window wastes slots on rows-only queries: {wasted}"
-    # backfill slots hold the weakest evidence FIRST: a name whose newest
-    # proof is an in-tree artifact may enter only after every presumed-r8
-    # name (no artifact at all) is inside the window
+    # backfill slots hold the weakest evidence FIRST: a name whose artifact
+    # still witnesses its current code may enter only after every
+    # modified-since-proof name (stale artifact) is inside the window
     backfill = [n for n in window if n not in never_proven]
-    weakest = registry._R8_WINDOW - {
-        n
-        for n in specs
-        if any(n in s for s in registry._ARTIFACT_PROVEN.values())
+    stale = registry._MODIFIED_SINCE_PROOF & {
+        n for n, s in specs.items() if s.oracle is not None
     }
-    artifact_backed_in_window = [n for n in backfill if n not in weakest]
-    weakest_outside = sorted(weakest & set(specs) - set(window))
-    if artifact_backed_in_window:
-        assert not weakest_outside, (
-            f"window holds artifact-proven {artifact_backed_in_window} while "
-            f"weaker candidates wait outside: {weakest_outside}"
+    fresh_backfill_in_window = [n for n in backfill if n not in stale]
+    stale_outside = sorted(stale - set(window))
+    if fresh_backfill_in_window:
+        assert not stale_outside, (
+            f"window holds artifact-proven {fresh_backfill_in_window} while "
+            f"stale-proof candidates wait outside: {stale_outside}"
+        )
+    # every modified-since-proof name must actually be artifact-backed
+    # (otherwise it belongs in the never-proven category, not here)
+    assert registry._MODIFIED_SINCE_PROOF <= registry._PROVEN
+    # backfill within the fresh tail is oldest-newest-artifact first
+    newest = {
+        n: max(r for r, s in registry._ARTIFACT_PROVEN.items() if n in s)
+        for n in registry._PROVEN
+    }
+    fresh_rounds = [newest[n] for n in fresh_backfill_in_window]
+    outside_fresh = [
+        newest[n]
+        for n, s in specs.items()
+        if s.oracle is not None
+        and n in registry._PROVEN
+        and n not in stale
+        and n not in set(window)
+    ]
+    if fresh_rounds and outside_fresh:
+        assert max(fresh_rounds) <= min(outside_fresh), (
+            "window backfills a newer-artifact name while an older-artifact "
+            "name waits outside"
         )
 
 
