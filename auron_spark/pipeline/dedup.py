@@ -2062,7 +2062,14 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     e0 = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
-    deg = e0.groupBy("u").agg(F.count("*").alias("d"))
+    # deg feeds both endpoint joins; single-subtree rule: cut the lineage
+    # so the degree aggregate compiles and runs once (lazy — pairs is
+    # already pinned, this only dedups the plan subtree).
+    deg = (
+        e0.groupBy("u")
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=False)
+    )
     w1 = e0.select(F.col("u").alias("u"), F.col("v").alias("mid"))
     w2 = e0.select(F.col("u").alias("mid"), F.col("v").alias("w"))
     wedges = (
@@ -2686,7 +2693,15 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e0 = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
-    deg = e0.groupBy("u").agg(F.count("*").alias("d"))
+    # deg feeds three consumers (both endpoint joins + the vertex count);
+    # single-subtree rule: cut the lineage so the degree aggregate runs
+    # once instead of once per consumer (ADVICE r11 #3).  Lazy — pairs is
+    # already pinned, so this only dedups the plan subtree.
+    deg = (
+        e0.groupBy("u")
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=False)
+    )
     ends = (
         e0.join(deg.select(F.col("u"), F.col("d").alias("x")), "u")
         .join(

@@ -1350,6 +1350,12 @@ def _lloyd_arrow(spark: SparkSession, emb: DataFrame, k: int = KM_K):
             _assign, "cid int, e array<double>"
         )
         cent, last_mean = _lloyd_update(cent, assigned)
+        # _lloyd_update eagerly localCheckpoints the mean, so the
+        # assignment job has run and nothing pending references this
+        # round's model state; without this, one k×64-double broadcast
+        # per iteration accumulates on executors for the session lifetime
+        # (ADVICE r11 #2 — visible at the bench scale leg's k∝corpus).
+        bstate.destroy()
     return cent, last_mean
 
 
