@@ -573,3 +573,69 @@ _sql_query(
     (operators/window.py) replaces the partitioned window — this query
     keeps the per-segment form, which is the DS report's own grain.""",
 )
+
+
+_TOPK_HIERARCHY = f"""
+WITH base AS (
+    SELECT p_type, p_brand,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           {SQL_DISC_PRICE} AS net
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN part   ON p_partkey = l_partkey
+),
+s AS (
+    SELECT p_type, p_brand, yr,
+           CAST(GROUPING(p_type) AS INT) + CAST(GROUPING(p_brand) AS INT)
+               + CAST(GROUPING(yr) AS INT) AS lochierarchy,
+           CAST(GROUPING(p_brand) AS INT) AS g_brand,
+           CAST(GROUPING(yr) AS INT) AS g_yr,
+           SUM(net) AS sales_dec
+    FROM base
+    GROUP BY ROLLUP(p_type, p_brand, yr)
+),
+r AS (
+    SELECT p_type, p_brand, yr, lochierarchy,
+           -- round in DECIMAL space (engines agree bit-for-bit), not on
+           -- the double: ROUND(double, 2) diverges on exact .xx50 sums
+           CAST(ROUND(sales_dec, 2) AS DOUBLE) AS sales,
+           CAST(RANK() OVER (
+               PARTITION BY lochierarchy,
+                            CASE WHEN g_brand = 0 THEN p_type END,
+                            CASE WHEN g_yr = 0 THEN p_brand END
+               ORDER BY sales_dec DESC,
+                        p_type NULLS FIRST, p_brand NULLS FIRST,
+                        yr NULLS FIRST
+           ) AS BIGINT) AS rank_within_parent
+    FROM s
+)
+SELECT p_type, p_brand, yr, lochierarchy,
+       sales AS sumsales, rank_within_parent
+FROM r
+WHERE rank_within_parent <= 5
+ORDER BY lochierarchy DESC, rank_within_parent,
+         p_type NULLS FIRST, p_brand NULLS FIRST, yr NULLS FIRST
+"""
+
+_sql_query(
+    "ds_rollup_topk_hierarchy",
+    _TOPK_HIERARCHY,
+    ("tpcds-shape", "rollup", "grouping", "window", "topk"),
+    """TPC-DS Q67 shape — the full rollup x rank-within-parent x post-window
+    rank-filter CHAIN (the deterministic flagship of the round-11 fuzzer
+    family, VERDICT r11 ask #6): revenue rolled up over the THREE-level
+    (p_type, p_brand, yr) hierarchy, each row ranked against its siblings
+    under the SAME parent (the grouping-marker CASE keys NULL out exactly
+    the columns each level grouped away), keeping the top 5 per parent.
+    Q67's distinctive piece vs Q36 (`ds_rollup_margin_rank`) is the
+    post-window rank cutoff: the filter runs AFTER the rank over the
+    rollup output, so subtotal rows compete in their own stratum and the
+    engine must not push the predicate below the window.
+
+    Scale shape: one fact-grain aggregation (Spark computes the 4 rollup
+    levels with a single Expand + hash aggregate, partial before the
+    shuffle); the rank window partitions by (level, parent) — thousands
+    of independent partitions at scale, never a single-partition
+    exchange; the rank filter is a WindowGroupLimit-eligible top-k.""",
+    bench=True,
+)

@@ -1796,7 +1796,7 @@ _DS_NAMES = [
     "ds_monthly_moving_avg", "ds_grouping_sets_mix", "ds_demand_variability",
     "ds_monthly_deviation_rank", "ds_cumulative_channel_share",
     "ds_segment_revenue_quartiles", "ds_repeat_purchase_pairs",
-    "ds_best_customer_sales",
+    "ds_best_customer_sales", "ds_rollup_topk_hierarchy",
 ]
 
 
@@ -2313,3 +2313,87 @@ def test_ds_best_customers_matches_independent_build(spark):
     for r in rows:
         assert abs(r.revenue - sum(per_mo[r.mo])) < 1e-4, r
     assert len(rows) > 0
+
+
+def test_ds_topk_hierarchy_prunes_map_side(spark):
+    """ds_rollup_topk_hierarchy's rank cutoff must reach BOTH WindowGroupLimit
+    phases — Partial BEFORE the (level, parent) shuffle and Final after — so
+    at scale each map task forwards at most k+ties rows per parent instead of
+    the whole rollup output; the rollup itself must stay one Expand."""
+    plan = _plan(spark, "ds_rollup_topk_hierarchy")
+    assert plan.count("Expand") == 1, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert ", 5, Partial" in plan and ", 5, Final" in plan, plan
+
+
+def test_ds_topk_hierarchy_rank_laws_and_reconcile(spark):
+    """Independently-worded gates for the Q67 chain (rollup x rank-within-
+    parent x post-window rank filter):
+
+    - parent partitions rebuilt from the OUTPUT rows obey the rank law:
+      ranks are exactly 1..m (the full tie-break makes RANK collision-free)
+      with m <= 5, and sales never increase as rank grows;
+    - the filter genuinely cuts every stratum: level 2 keeps 5 of the 6
+      p_type subtotals, level 1 keeps exactly 5 brands per surviving type;
+    - the grand-total row equals an independently-built DataFrame aggregate,
+      and each type's rank-1 brand subtotal equals that type's true maximum
+      (type, brand) revenue computed without rollup or windows."""
+    import pyspark.sql.functions as F
+
+    from auron_spark.exprs import dec2, disc_price
+    from auron_spark.tables import Tables
+
+    rows = _ds_rows(spark, "ds_rollup_topk_hierarchy")
+    assert {r.lochierarchy for r in rows} == {0, 1, 2, 3}
+
+    def parent(r):
+        if r.lochierarchy == 0:
+            return (0, r.p_type, r.p_brand)
+        if r.lochierarchy == 1:
+            return (1, r.p_type, None)
+        return (r.lochierarchy, None, None)
+
+    parts: dict[tuple, list] = {}
+    for r in rows:
+        parts.setdefault(parent(r), []).append(r)
+    for key, rs in parts.items():
+        rs.sort(key=lambda r: r.rank_within_parent)
+        assert [r.rank_within_parent for r in rs] == list(
+            range(1, len(rs) + 1)
+        ), key
+        assert len(rs) <= 5, key
+        sales = [r.sumsales for r in rs]
+        assert sales == sorted(sales, reverse=True), key
+
+    t = Tables(spark, SF_DIR)
+    fact = (
+        t.lineitem.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t.part, F.col("p_partkey") == F.col("l_partkey"))
+        .select("p_type", "p_brand", disc_price().alias("net"))
+    )
+    n_types = t.part.select("p_type").distinct().count()
+    lvl2 = [r for r in rows if r.lochierarchy == 2]
+    assert n_types == 6 and len(lvl2) == 5  # the cutoff drops one type
+    lvl1 = [r for r in rows if r.lochierarchy == 1]
+    per_type: dict[str, int] = {}
+    for r in lvl1:
+        per_type[r.p_type] = per_type.get(r.p_type, 0) + 1
+    assert set(per_type.values()) == {5}  # 5 of 25 brands kept per type
+
+    grand = [r for r in rows if r.lochierarchy == 3]
+    total = fact.agg(
+        F.round(F.sum("net"), 2).cast("double").alias("s")
+    ).collect()[0].s
+    assert len(grand) == 1 and grand[0].sumsales == total
+
+    best_by_type = {
+        r.p_type: r.m
+        for r in fact.groupBy("p_type", "p_brand")
+        .agg(F.sum("net").alias("s"))
+        .groupBy("p_type")
+        .agg(F.round(F.max("s"), 2).cast("double").alias("m"))
+        .collect()
+    }
+    for r in lvl1:
+        if r.rank_within_parent == 1:
+            assert r.sumsales == best_by_type[r.p_type], r
