@@ -1831,11 +1831,66 @@ def sim_ivfpq_trained(
     )
 
 
+def _ivfpq_res_arrow(
+    spark: SparkSession, emb: DataFrame, cent: DataFrame
+) -> DataFrame:
+    """(vec_id, label, cid, r) — corpus coarse assignment + residual as an
+    Arrow kernel: per batch, distances to all k centroids via the
+    ||e||² − 2eCᵀ + ||C||² expansion, residual as one matrix subtract
+    against the winning centroid rows.  Tie-break parity with the fold's
+    array_min(struct(d, cid)): the centroid matrix is cid-sorted and numpy
+    argmin returns the first minimum.  The residual is x − c elementwise
+    IEEE double — bit-identical to the fold's zip_with given the same cid.
+    Model state is one broadcast of the k×64 codebook (the collect every
+    trainer already does); everything else is map-side, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = cent.collect()  # k x 64 doubles of model state
+    if not cent_rows:
+        # Empty corpus trains zero centroids (cent is empty iff emb is);
+        # return the fold twin's empty frame shape (ADVICE r10 pattern).
+        return spark.createDataFrame(
+            [], "vec_id long, label int, cid int, r array<double>"
+        )
+    order = np.argsort([r.cid for r in cent_rows])
+    cids = np.array([cent_rows[i].cid for i in order], dtype=np.int32)
+    cmat = np.array([cent_rows[i].cv for i in order], dtype=np.float64)
+    bstate = spark.sparkContext.broadcast((cids, cmat))
+
+    def _assign(it):
+        b_cids, b_c = bstate.value
+        c_sq = (b_c**2).sum(1)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf["e"].tolist(), dtype=np.float64)
+            d = (
+                (mat**2).sum(1)[:, None]
+                - 2.0 * (mat @ b_c.T)
+                + c_sq[None, :]
+            )
+            idx = d.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "label": pdf["label"].to_numpy(),
+                    "cid": b_cids[idx],
+                    "r": list(mat - b_c[idx]),
+                }
+            )
+
+    return emb.select("vec_id", "label", "e").mapInPandas(
+        _assign, "vec_id long, label int, cid int, r array<double>"
+    )
+
+
 def _ivfpq_train_frames(
     spark: SparkSession,
     emb: DataFrame,
     k: int = KM_K,
     lloyd=None,
+    assign_kernel: bool = False,
 ):
     """Training half of IVF-PQ (shared by the end-to-end query and the
     persisted-index builder): Lloyd coarse quantizer, residual PQ codebook,
@@ -1845,7 +1900,13 @@ def _ivfpq_train_frames(
     ``lloyd`` selects the coarse-quantizer trainer: the oracle-exact fold
     `_lloyd` (default) or the Arrow-kernel `_lloyd_arrow` (equality-pinned
     twin — `sim_ivfpq_trained_arrow` passes it so BOTH trainer hot loops
-    run vectorized)."""
+    run vectorized).  ``assign_kernel`` swaps the CORPUS residual
+    assignment (the one remaining per-vector k-argmin fold after the
+    round-11 Lloyd kernel — profiled at 2.3 s of the 8 s warm training at
+    32k/k=128, VERDICT r11 ask #5) for the same numpy matmul argmin the
+    Lloyd kernel runs; the residual subtraction is elementwise IEEE
+    double in both paths, so given bit-agreeing assignments the codeword
+    means downstream are identical plans over identical rows."""
     cent, _ = (lloyd or _lloyd)(spark, emb.select("vec_id", "e"), k)
     cents_row = cent.agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
     cmap_row = cent.agg(
@@ -1858,21 +1919,24 @@ def _ivfpq_train_frames(
         ),
     )
     with_state = emb.join(F.broadcast(cents_row)).join(F.broadcast(cmap_row))
-    # corpus: nearest-list assignment (map-side argmin) then residual
-    res = with_state.select(
-        "vec_id",
-        "label",
-        F.array_min(dist_structs)["cid"].alias("cid"),
-        "e",
-        "cmap",
-    ).select(
-        "vec_id",
-        "label",
-        "cid",
-        F.zip_with(
-            "e", F.element_at("cmap", F.col("cid")), lambda x, c: x - c
-        ).alias("r"),
-    )
+    if assign_kernel:
+        res = _ivfpq_res_arrow(spark, emb, cent)
+    else:
+        # corpus: nearest-list assignment (map-side argmin) then residual
+        res = with_state.select(
+            "vec_id",
+            "label",
+            F.array_min(dist_structs)["cid"].alias("cid"),
+            "e",
+            "cmap",
+        ).select(
+            "vec_id",
+            "label",
+            "cid",
+            F.zip_with(
+                "e", F.element_at("cmap", F.col("cid")), lambda x, c: x - c
+            ).alias("r"),
+        )
     # deterministic PQ codebook over residual subvectors
     rcent = (
         res.select("label", F.posexplode("r").alias("pos0", "v"))
@@ -1946,9 +2010,12 @@ def sim_ivfpq_trained_arrow(
     twin of `sim_ivfpq_trained`.  Training runs the SAME `_ivfpq_train_frames`
     program with the Arrow Lloyd assignment kernel (`_lloyd_arrow`,
     round 11: training dominated the end-to-end after the encode swap —
-    Amdahl) feeding the shared decimal-exact PQ codeword means; the fold
-    `codes` plan is simply never executed, and the serve stage (LUT, ADC
-    join, exact re-rank) is the SAME DataFrame program.  Also swapped
+    Amdahl) AND the Arrow corpus-residual assignment (`_ivfpq_res_arrow`,
+    round 12: the last per-vector k-argmin fold in the training path,
+    2.3 s of the 8 s warm training at 32k/k=128) feeding the shared
+    decimal-exact PQ codeword means; the fold `codes` plan is simply never
+    executed, and the serve stage (LUT, ADC join, exact re-rank) is the
+    SAME DataFrame program.  Also swapped
     since round 10 is the per-vector encode hot loop —
     coarse-list argmin, residual, and 8 per-sub code argmins — which runs
     as ONE `mapInPandas` pass: per Arrow batch, distances to all k
@@ -1974,7 +2041,7 @@ def sim_ivfpq_trained_arrow(
         F.transform("embedding", lambda v: v.cast("double")).alias("e"),
     )
     cent, cents_row, cmap_row, rcarr, _codes_fold = _ivfpq_train_frames(
-        spark, emb, k, lloyd=_lloyd_arrow
+        spark, emb, k, lloyd=_lloyd_arrow, assign_kernel=True
     )
     cent_rows = cent.collect()  # k x 64 doubles of model state
     if not cent_rows:
