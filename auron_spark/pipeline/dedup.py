@@ -133,10 +133,16 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     )
 
 
-def _sql_signature_cte(recursive: bool = False) -> str:
+def _sql_signature_cte(
+    recursive: bool = False,
+    docs_cte: str = "",
+    docs_from: str = "documents",
+) -> str:
     """DuckDB CTEs computing the identical signature/bands.  ``recursive``
     emits WITH RECURSIVE so a downstream CTE in the same chain may
-    self-reference (the connected-components closure)."""
+    self-reference (the connected-components closure).  ``docs_cte`` /
+    ``docs_from`` let a derived corpus (the 10x scale proofs in
+    pipeline/simjoin.py) replace the fixture table."""
     mh_cols = ",\n               ".join(
         f"MIN(({a} * x + {b}) % {_MH_P}) AS mh{s}"
         for s, (a, b) in enumerate(_MH_AB)
@@ -147,10 +153,11 @@ def _sql_signature_cte(recursive: bool = False) -> str:
         for b in range(N_BANDS)
     )
     return f"""
-    WITH {"RECURSIVE " if recursive else ""}sh AS (
+    WITH {"RECURSIVE " if recursive else ""}{docs_cte}sh AS (
         SELECT DISTINCT doc_id, shingle FROM (
             SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle
-            FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+                  FROM {docs_from})
         )
     ),
     sig AS (
