@@ -313,3 +313,40 @@ def test_no_decimal_typed_oracle_columns(oracle):
         if decs:
             offenders[name] = decs
     assert not offenders, offenders
+
+
+def test_partest_plan_covers_whole_suite():
+    """The parallel runner's worker plan must collect exactly the full
+    suite: the three oracle shards partition the sorted registry, and the
+    non-oracle workers list every other test file exactly once."""
+    from pathlib import Path
+
+    import partest
+    from auron_spark.registry import load_all
+
+    names = sorted(load_all())
+    shards = []
+    files: list[str] = []
+    for _label, args, extra in partest._WORKERS:
+        if "SPARK_GRAFT_ORACLE_SHARD" in extra:
+            i, n = (int(x) for x in extra["SPARK_GRAFT_ORACLE_SHARD"].split("/"))
+            shards.append((i, n))
+            assert args == ["tests/test_oracle_all.py"]
+        else:
+            files.extend(args)
+    ns = {n for _i, n in shards}
+    assert len(ns) == 1 and sorted(i for i, _n in shards) == list(
+        range(ns.pop())
+    )
+    covered = set()
+    for i, n in shards:
+        covered.update(q for j, q in enumerate(names) if j % n == i)
+    assert covered == set(names)
+    suite_files = {
+        f"tests/{p.name}"
+        for p in Path(__file__).parent.glob("test_*.py")
+        if p.name != "test_oracle_all.py"
+    }
+    assert sorted(files) == sorted(suite_files), (
+        set(files) ^ suite_files
+    )

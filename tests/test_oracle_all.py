@@ -1,7 +1,14 @@
 """Differential test: every registered query vs its DuckDB oracle at sf0.01 —
-the local mirror of the driver's CORRECTNESS gate."""
+the local mirror of the driver's CORRECTNESS gate.
+
+``SPARK_GRAFT_ORACLE_SHARD=i/n`` restricts collection to every n-th query
+(round-robin over the sorted names) so ``partest.py`` can split this
+battery — by far the suite's longest serial leg — across concurrent
+worker processes.  Unset (the default, and CI) collects everything."""
 
 from __future__ import annotations
+
+import os
 
 import pytest
 
@@ -14,8 +21,14 @@ from tests.conftest import (
 
 SPECS = load_all()
 
+_NAMES = sorted(SPECS)
+_SHARD = os.environ.get("SPARK_GRAFT_ORACLE_SHARD")
+if _SHARD:
+    _i, _n = (int(x) for x in _SHARD.split("/"))
+    _NAMES = [q for j, q in enumerate(_NAMES) if j % _n == _i]
 
-@pytest.mark.parametrize("name", sorted(SPECS))
+
+@pytest.mark.parametrize("name", _NAMES)
 def test_query_vs_oracle(name, spark, oracle):
     spec = SPECS[name]
     assert_oracle_scale_consistent(spec, SF_DIR)
