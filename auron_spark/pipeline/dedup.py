@@ -2742,3 +2742,139 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+@query(
+    "dedup_record_linkage_fs",
+    oracle="""
+    WITH n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM part),
+    u AS (
+        SELECT
+            (SELECT CAST(SUM(c * c) AS DOUBLE)
+             FROM (SELECT COUNT(*) AS c FROM part GROUP BY p_brand))
+                / (n * n) AS u_brand,
+            (SELECT CAST(SUM(c * c) AS DOUBLE)
+             FROM (SELECT COUNT(*) AS c FROM part GROUP BY p_type))
+                / (n * n) AS u_type,
+            (SELECT CAST(SUM(c * c) AS DOUBLE)
+             FROM (SELECT COUNT(*) AS c FROM part GROUP BY p_size))
+                / (n * n) AS u_size
+        FROM n
+    ),
+    cand AS (
+        SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
+               CAST(a.p_brand = b.p_brand AS INT) AS agree_brand,
+               CAST(a.p_type = b.p_type AS INT) AS agree_type,
+               CAST(a.p_size = b.p_size AS INT) AS agree_size
+        FROM part a JOIN part b
+          ON a.p_name = b.p_name AND a.p_partkey < b.p_partkey
+    ),
+    scored AS (
+        SELECT pk_a, pk_b, agree_brand, agree_type, agree_size,
+               (CASE WHEN agree_brand = 1 THEN 0.9 / u_brand
+                     ELSE 0.1 / (1.0 - u_brand) END)
+             * (CASE WHEN agree_type = 1 THEN 0.9 / u_type
+                     ELSE 0.1 / (1.0 - u_type) END)
+             * (CASE WHEN agree_size = 1 THEN 0.9 / u_size
+                     ELSE 0.1 / (1.0 - u_size) END) AS lr
+        FROM cand CROSS JOIN u
+    )
+    SELECT pk_a, pk_b, agree_brand, agree_type, agree_size,
+           ROUND(lr, 6) AS score
+    FROM scored
+    WHERE lr >= 10.0
+    ORDER BY pk_a, pk_b
+    """,
+    tags=("pipeline", "dedup", "record-linkage", "fellegi-sunter"),
+)
+def dedup_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage over the parts catalog:
+    name-blocked candidate pairs scored by the product of per-field
+    likelihood ratios — agree on field f contributes m_f/u_f, disagree
+    (1-m_f)/(1-u_f) — with the u-probabilities (chance agreement between
+    UNRELATED records) estimated from the data itself as each field's
+    value-collision probability sum((n_v/N)^2).  m_f is the classic 0.9
+    prior.  Pairs with LR >= 10 are emitted with their agreement
+    pattern — the canonical entity-resolution scoring rule (Fellegi &
+    Sunter, JASA 1969) the dedup family's fuzzy-name and edit-distance
+    joins feed into.
+
+    Exactness: u values are ratios of exact integer aggregates; the score
+    is a fixed-order chain of IEEE divisions/multiplications (no
+    transcendentals — the LR product form, not the log-weight sum, so
+    both engines compute bit-identical doubles), rounded at the edge.
+
+    Scale shape: field-frequency profiles are three tiny aggregates
+    folded into ONE broadcast row; blocking is a key-partitioned
+    self-equi-join on the blocking key (never all-pairs); scoring is
+    map-side over the broadcast u-row.  At 100 TB the blocking key is the
+    knob (phonetic/qgram keys for higher recall) and the same plan holds:
+    block-join shuffle + broadcast model."""
+    t = Tables(spark, sf_dir)
+    part = t.part
+    n = part.agg(F.count("*").cast("double").alias("n"))
+
+    def _usq(col: str, alias: str) -> DataFrame:
+        return (
+            part.groupBy(col)
+            .agg(F.count("*").alias("c"))
+            .agg(F.sum(F.col("c") * F.col("c")).cast("double").alias(alias))
+        )
+
+    u = (
+        _usq("p_brand", "sq_brand")
+        .crossJoin(F.broadcast(_usq("p_type", "sq_type")))
+        .crossJoin(F.broadcast(_usq("p_size", "sq_size")))
+        .crossJoin(F.broadcast(n))
+        .select(
+            (F.col("sq_brand") / (F.col("n") * F.col("n"))).alias("u_brand"),
+            (F.col("sq_type") / (F.col("n") * F.col("n"))).alias("u_type"),
+            (F.col("sq_size") / (F.col("n") * F.col("n"))).alias("u_size"),
+        )
+    )
+    a = part.select(
+        F.col("p_partkey").alias("pk_a"),
+        F.col("p_name").alias("name"),
+        F.col("p_brand").alias("brand_a"),
+        F.col("p_type").alias("type_a"),
+        F.col("p_size").alias("size_a"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("pk_b"),
+        F.col("p_name").alias("name"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("p_type").alias("type_b"),
+        F.col("p_size").alias("size_b"),
+    )
+    cand = (
+        a.join(b, "name")
+        .filter(F.col("pk_a") < F.col("pk_b"))
+        .select(
+            "pk_a",
+            "pk_b",
+            (F.col("brand_a") == F.col("brand_b")).cast("int").alias("agree_brand"),
+            (F.col("type_a") == F.col("type_b")).cast("int").alias("agree_type"),
+            (F.col("size_a") == F.col("size_b")).cast("int").alias("agree_size"),
+        )
+    )
+
+    def _factor(agree: str, ucol: str) -> Column:
+        return F.when(
+            F.col(agree) == 1, F.lit(0.9) / F.col(ucol)
+        ).otherwise(F.lit(0.1) / (F.lit(1.0) - F.col(ucol)))
+
+    lr = (
+        _factor("agree_brand", "u_brand")
+        * _factor("agree_type", "u_type")
+        * _factor("agree_size", "u_size")
+    )
+    return (
+        cand.crossJoin(F.broadcast(u))
+        .withColumn("lr", lr)
+        .filter(F.col("lr") >= 10.0)
+        .select(
+            "pk_a", "pk_b", "agree_brand", "agree_type", "agree_size",
+            F.round("lr", 6).alias("score"),
+        )
+        .orderBy("pk_a", "pk_b")
+    )
