@@ -33,6 +33,7 @@ from auron_spark.pipeline.dedup import (
     _SQL_SHINGLES,
     _doc_shingles,
     _sql_signature_cte,
+    connected_components,
     lsh_candidate_pairs,
     minhash_signature,
     shingles,
@@ -597,3 +598,76 @@ def dedup_minhash_lsh_pairs_scaled(
             .select("doc_id", F.explode(shingles()).alias("shingle"))
         )
     ).orderBy("a", "b")
+
+
+@query(
+    "dedup_connected_components_scaled",
+    oracle=_sql_signature_cte(
+        recursive=True, docs_cte=_SCALED_DOCS_CTE, docs_from="docs"
+    )
+    + """
+    , pairs AS (
+        SELECT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r ON l.band = r.band AND l.doc_id < r.doc_id
+        GROUP BY a, b
+    ),
+    edges AS (
+        SELECT a AS u, b AS v FROM pairs
+        UNION ALL
+        SELECT b AS u, a AS v FROM pairs
+    ),
+    reach (src, dst) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst
+    )
+    SELECT d.doc_id,
+           LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS canonical_id
+    FROM docs d LEFT JOIN reach r ON r.src = d.doc_id
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+    tags=(
+        "pipeline", "dedup", "connected-components", "iterative",
+        "scale-proof",
+    ),
+)
+def dedup_connected_components_scaled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`dedup_connected_components` ORACLE-CHECKED ABOVE THE FIXTURE — the
+    ITERATIVE member of the 10x derived-corpus program (simhash, prefix
+    and minhash banding are the prior three): min-label propagation with
+    pointer jumping runs over the LSH candidate graph of the 5,000-doc
+    derived corpus and must equal the exact recursive-CTE transitive
+    closure row-for-row.  The replica construction makes the component
+    structure qualitatively different from the fixture's: every base doc
+    whose replicas band together forms a 10-to-11-member clique (fixture
+    components are mostly pairs), exact-dup cliques chain THROUGH their
+    base originals, and loaded band buckets produce high-degree hub nodes
+    — so convergence-under-topology, the property a fixed round budget
+    could silently violate, is what the oracle actually pins (the
+    RuntimeError guard in `connected_components` turns a non-converged
+    fixpoint into a loud failure, never a wrong answer).
+
+    Scale shape: identical to the fixture query — per-round work is two
+    candidate-graph-sized equi-joins + a groupBy, O(log n) rounds, labels
+    localCheckpointed per round; the 10x expansion is the same broadcast
+    fan-out as every scale proof, map-side before shingling."""
+    t = Tables(spark, sf_dir)
+    docs = _scaled_docs_10x(spark, t)
+    pairs = lsh_candidate_pairs(
+        minhash_signature(
+            docs.select(
+                "doc_id", F.split(F.lower(F.col("text")), " ").alias("w")
+            ).select("doc_id", F.explode(shingles()).alias("shingle"))
+        )
+    ).localCheckpoint(eager=False)
+    edges = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .union(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .persist()
+    )
+    labels = connected_components(docs.select("doc_id"), edges)
+    edges.unpersist()
+    return labels.orderBy("doc_id")
