@@ -639,3 +639,50 @@ _sql_query(
     exchange; the rank filter is a WindowGroupLimit-eligible top-k.""",
     bench=True,
 )
+
+
+_TIME_BANDS = """
+SELECT CAST(COUNT(*) FILTER (WHERE CAST(hour(ts) AS BIGINT) BETWEEN 8
+                               AND 9 AND event_type IN ('view', 'click'))
+            AS BIGINT) AS h8_9,
+       CAST(COUNT(*) FILTER (WHERE CAST(hour(ts) AS BIGINT) BETWEEN 10
+                               AND 11 AND event_type IN ('view', 'click'))
+            AS BIGINT) AS h10_11,
+       CAST(COUNT(*) FILTER (WHERE CAST(hour(ts) AS BIGINT) BETWEEN 12
+                               AND 13 AND event_type IN ('view', 'click'))
+            AS BIGINT) AS h12_13,
+       CAST(COUNT(*) FILTER (WHERE CAST(hour(ts) AS BIGINT) BETWEEN 14
+                               AND 15 AND event_type IN ('view', 'click'))
+            AS BIGINT) AS h14_15,
+       CAST(COUNT(*) FILTER (WHERE CAST(hour(ts) AS BIGINT) BETWEEN 16
+                               AND 17 AND event_type = 'purchase')
+            AS BIGINT) AS h16_17,
+       CAST(COUNT(*) FILTER (WHERE CAST(hour(ts) AS BIGINT) BETWEEN 18
+                               AND 19 AND event_type = 'purchase')
+            AS BIGINT) AS h18_19,
+       CAST(COUNT(*) FILTER (WHERE CAST(hour(ts) AS BIGINT) BETWEEN 20
+                               AND 21 AND event_type = 'signup')
+            AS BIGINT) AS h20_21,
+       CAST(COUNT(*) FILTER (WHERE CAST(hour(ts) AS BIGINT) BETWEEN 22
+                               AND 23 AND event_type = 'signup')
+            AS BIGINT) AS h22_23
+FROM events
+"""
+
+_sql_query(
+    "ds_time_band_counts",
+    _TIME_BANDS,
+    ("tpcds-shape", "multi-filter", "single-scan"),
+    """TPC-DS Q88 shape: eight independently-filtered time-of-day band
+    counts (each with its own band-specific predicate mix) as ONE 1-row
+    report.  Q88's literal SQL is eight scalar subqueries CROSS JOINed —
+    eight scans of the fact; the distributed-correct formulation is a
+    single pass with conditional (FILTER) aggregates, which is what both
+    engines run here.
+
+    Scale shape: one events scan, eight map-side conditional counters
+    folded in the same partial/final aggregate — constant aggregate state
+    regardless of corpus size, no join, no shuffle beyond the final 1-row
+    merge.  Plan-gated to exactly one scan (the anti-pattern this shape
+    exists to catch is the 8-subquery rewrite reading the fact 8 times).""",
+)

@@ -2434,3 +2434,13 @@ def test_perplexity_buckets_window_partitioned_by_source(spark):
     win_lines = [l for l in plan.splitlines() if "Window" in l and "ntile" in l]
     assert win_lines and all("source" in l for l in win_lines), plan
     assert "CartesianProduct" not in plan
+
+
+def test_time_band_counts_single_scan(spark):
+    """ds_time_band_counts (Q88 shape) folds 8 band counts into ONE events
+    pass: exactly one scan, no join (the literal-SQL anti-pattern is 8
+    cross-joined scalar subqueries = 8 scans)."""
+    plan = _plan(spark, "ds_time_band_counts")
+    scans = [l for l in plan.splitlines() if "Scan parquet" in l]
+    assert len(scans) == 1, plan
+    assert "Join" not in plan, plan
