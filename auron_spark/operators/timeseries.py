@@ -1561,3 +1561,104 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rho_spearman"),
     ).orderBy("segment")
+
+
+@query(
+    "timeseries_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS y
+        FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    tr AS (
+        SELECT day, y,
+               CAST(SUM(CAST(y AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS trend
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    dt AS (
+        SELECT day, y, trend, isodow(day) - 1 AS dow,
+               y - trend AS detr
+        FROM tr
+    ),
+    seas AS (
+        SELECT dow,
+               CAST(SUM(CAST(ROUND(detr, 6) AS DECIMAL(18,6)))
+                    AS DOUBLE) / COUNT(*) AS seasonal
+        FROM dt GROUP BY dow
+    )
+    SELECT d.day, d.y,
+           ROUND(d.trend, 6) AS trend,
+           ROUND(s.seasonal, 6) AS seasonal,
+           ROUND(d.detr - s.seasonal, 6) AS residual
+    FROM dt d JOIN seas s ON s.dow = d.dow
+    ORDER BY d.day
+    """,
+    tags=("timeseries", "decomposition", "seasonality"),
+)
+def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily revenue
+    series: trend = centered 7-day moving average (edge days average the
+    available window), weekly seasonal = per-day-of-week mean of the
+    detrended series, residual = the rest — the anomaly-detection /
+    forecasting preprocessing step, composed entirely from windows and
+    aggregates (the moving-average STL-lite; a loess STL is an iterative
+    refinement of exactly this shape).
+
+    Exactness: daily totals and the moving-average numerator are exact
+    DECIMAL sums; the per-dow seasonal means sum 6-dp-rounded DECIMAL
+    detrended values (order-free); day-of-week is weekday()/isodow()-1
+    (Monday=0, identical in both engines).
+
+    Scale shape: the fact scan reduces map-side to calendar grain (30
+    rows here, <= 366/year always), so the single-partition centered
+    window is the documented bounded-calendar-grain posture of this
+    family (`timeseries_ewma_window`); the dow join is a broadcast of a
+    7-row model frame.  Per-entity decomposition would partition all
+    three windows by the entity key — independent series, no global
+    stage."""
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.events.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "y",
+        (
+            F.sum(F.col("y").cast("decimal(18,2)")).over(w).cast("double")
+            / F.count("*").over(w)
+        ).alias("trend"),
+    )
+    dt = tr.select(
+        "day",
+        "y",
+        "trend",
+        F.weekday("day").alias("dow"),
+        (F.col("y") - F.col("trend")).alias("detr"),
+    ).localCheckpoint(eager=False)
+    seas = dt.groupBy("dow").agg(
+        (
+            F.sum(F.round(F.col("detr"), 6).cast("decimal(18,6)"))
+            .cast("double")
+            / F.count("*")
+        ).alias("seasonal")
+    )
+    return (
+        dt.join(F.broadcast(seas), "dow")
+        .select(
+            "day",
+            "y",
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round(F.col("detr") - F.col("seasonal"), 6).alias("residual"),
+        )
+        .orderBy("day")
+    )

@@ -481,6 +481,7 @@ _SQL_LOGREG_FINAL = f"""
     {_SQL_LOGREG_FINAL}
     """,
     tags=("pipeline", "features", "regression", "classification"),
+    bench=True,
 )
 def feature_logreg_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Logistic regression (return-flag=R ~ quantity + discount) fit by TWO
