@@ -17,7 +17,7 @@ single fact scan touches corpus-sized data.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from auron_spark.registry import query
@@ -1060,4 +1060,176 @@ def eval_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_cc"),
         )
         .orderBy("lang")
+    )
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry preference-strength fitting (MM algorithm) — the pairwise
+# preference / reward-model primitive: every user's per-type value totals
+# stage 10 duels, the corpus reduces to a k x k win matrix, and two
+# minorization-maximization steps fit the strengths.  Division-only
+# arithmetic (no transcendental), so with the ROUND->DECIMAL summation
+# contract both engines agree bit-exactly.
+
+_BT_ROUND9 = "CAST(SUM(CAST(ROUND({t}, 9) AS DECIMAL(28,9))) AS DOUBLE)"
+_BT_ROUND9_WIN = "CAST(SUM(CAST(ROUND({t}, 9) AS DECIMAL(28,9))) OVER () AS DOUBLE)"
+
+
+@query(
+    "eval_bradley_terry",
+    oracle=f"""
+    WITH ut AS (
+        SELECT user_id, event_type,
+               SUM(CAST(value AS DECIMAL(12,2))) AS v
+        FROM events GROUP BY user_id, event_type
+    ),
+    duels AS (
+        SELECT a.event_type AS i, b.event_type AS j,
+               COUNT(*) AS n,
+               SUM(CASE WHEN a.v > b.v THEN 1 ELSE 0 END) AS w
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        WHERE a.v <> b.v
+        GROUP BY a.event_type, b.event_type
+    ),
+    edges AS (
+        SELECT i, j, n, w FROM duels
+        UNION ALL
+        SELECT j AS i, i AS j, n, n - w AS w FROM duels
+    ),
+    it1 AS (
+        SELECT i, CAST(SUM(w) AS BIGINT) AS wins,
+               CAST(SUM(n) AS BIGINT) AS matches,
+               CAST(SUM(w) AS DOUBLE)
+               / (CAST(SUM(n) AS DOUBLE) / 2.0) AS raw
+        FROM edges GROUP BY i
+    ),
+    pi1 AS (
+        SELECT i, wins, matches,
+               raw / {_BT_ROUND9_WIN.format(t="raw")} AS pi
+        FROM it1
+    ),
+    d2 AS (
+        SELECT e.i,
+               {_BT_ROUND9.format(t="CAST(e.n AS DOUBLE) / (a.pi + b.pi)")}
+                   AS d
+        FROM edges e
+        JOIN pi1 a ON a.i = e.i
+        JOIN pi1 b ON b.i = e.j
+        GROUP BY e.i
+    ),
+    it2 AS (
+        SELECT p.i, p.wins, p.matches,
+               CAST(p.wins AS DOUBLE) / d.d AS raw
+        FROM pi1 p JOIN d2 d ON d.i = p.i
+    )
+    SELECT i AS event_type, matches AS n_matches, wins,
+           ROUND(raw / {_BT_ROUND9_WIN.format(t="raw")}, 6) AS pi,
+           CAST(ROW_NUMBER() OVER (ORDER BY raw DESC, i)
+                AS BIGINT) AS rnk
+    FROM it2
+    ORDER BY rnk
+    """,
+    tags=("pipeline", "evaluation", "preference", "ranking"),
+)
+def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference strengths over the five event types, fit
+    with TWO minorization-maximization steps from uniform strengths — the
+    pairwise-preference primitive under reward models and ranking
+    aggregation.  Each user's per-type value totals stage the duels (10
+    per user, ties dropped), so the corpus collapses to a k x k win
+    matrix in one user-co-located self-join + aggregate; every MM step is
+    then arithmetic on the k-row frame: pi_i <- W_i / sum_j n_ij /
+    (pi_i + pi_j), renormalized to sum 1.
+
+    Exactness: division-only (no transcendental); the k-row sums ride the
+    ROUND(.,9) -> DECIMAL order-free contract, and normalizers are
+    unpartitioned window sums over the k-row frame (single-subtree, no
+    crossJoin).  Cross-checked against a numpy MM prototype.
+
+    Scale shape: the user x type aggregate and the duel self-join are
+    both keyed on user_id (co-located, no skew — every user stages at
+    most C(k,2) duels); the win matrix is k^2 partial-agg state; MM
+    iterations touch only k-row frames, so fitting to convergence never
+    rescans the corpus."""
+    t = Tables(spark, sf_dir)
+    ut = t.events.groupBy("user_id", "event_type").agg(
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("v")
+    )
+    a, b = ut.alias("a"), ut.alias("b")
+    duels = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .where(F.col("a.v") != F.col("b.v"))
+        .groupBy(
+            F.col("a.event_type").alias("i"),
+            F.col("b.event_type").alias("j"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("a.v") > F.col("b.v"), 1).otherwise(0)
+            ).alias("w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    edges = duels.union(
+        duels.selectExpr("j AS i", "i AS j", "n", "n - w AS w")
+    )
+    it1 = edges.groupBy("i").agg(
+        F.expr("CAST(SUM(w) AS BIGINT)").alias("wins"),
+        F.expr("CAST(SUM(n) AS BIGINT)").alias("matches"),
+        F.expr(
+            "CAST(SUM(w) AS DOUBLE) / (CAST(SUM(n) AS DOUBLE) / 2.0)"
+        ).alias("raw"),
+    )
+    w_all = Window.partitionBy()
+    norm = lambda: (  # noqa: E731
+        F.sum(F.round(F.col("raw"), 9).cast("decimal(28,9)"))
+        .over(w_all)
+        .cast("double")
+    )
+    pi1 = it1.select(
+        "i", "wins", "matches", (F.col("raw") / norm()).alias("pi")
+    ).localCheckpoint(eager=False)
+    e = edges.alias("e")
+    d2 = (
+        e.join(pi1.select("i", "pi").alias("pa"), F.col("e.i") == F.col("pa.i"))
+        .join(pi1.select("i", "pi").alias("pb"), F.col("e.j") == F.col("pb.i"))
+        .groupBy(F.col("e.i").alias("i"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("e.n").cast("double")
+                    / (F.col("pa.pi") + F.col("pb.pi")),
+                    9,
+                ).cast("decimal(28,9)")
+            )
+            .cast("double")
+            .alias("d")
+        )
+    )
+    it2 = pi1.join(d2, "i").select(
+        "i",
+        "wins",
+        "matches",
+        (F.col("wins").cast("double") / F.col("d")).alias("raw"),
+    )
+    # Rank by raw (the normalizer is a positive constant, so raw and pi
+    # order identically — and a window inside a window's ORDER BY is not
+    # portable SQL).
+    return (
+        it2.select(
+            F.col("i").alias("event_type"),
+            F.col("matches").alias("n_matches"),
+            "wins",
+            F.round(F.col("raw") / norm(), 6).alias("pi"),
+            F.row_number()
+            .over(Window.orderBy(F.col("raw").desc(), "i"))
+            .cast("bigint")
+            .alias("rnk"),
+        )
+        .orderBy("rnk")
     )
