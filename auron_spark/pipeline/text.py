@@ -2110,9 +2110,11 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     'head', the cleanest third of each source) — the standard corpus
     stratification step before sampling more heavily from the head.  The
     per-doc entropy stage is intentionally a verbatim twin of the proven
-    `text_bigram_perplexity` (kept self-contained so that query's plan
-    golden stays byte-stable); bucket means sum the 6-dp entropies as exact
-    DECIMAL, so every output cell is summation-order-free.
+    `text_bigram_perplexity` (kept self-contained so the driver-proven
+    query is untouched — a shared-helper refactor would re-stage its plan
+    and stale the artifact proof per the `_MODIFIED_SINCE_PROOF` policy);
+    bucket means sum the 6-dp entropies as exact DECIMAL, so every output
+    cell is summation-order-free.
 
     Scale shape: the LM scoring is the proven perplexity plan (model-table
     shuffles + vocabulary-scale equi-joins); the NTILE runs per-source

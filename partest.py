@@ -3,9 +3,13 @@
 its own SparkSession and DuckDB connection.
 
 pytest-xdist is not in this frozen environment, so the split is explicit:
-the 420+-query oracle battery — the suite's longest serial leg — shards
+the 430+-query oracle battery — the suite's longest serial leg — shards
 round-robin via ``SPARK_GRAFT_ORACLE_SHARD=i/n`` (tests/test_oracle_all.py),
-and the remaining files group into workers balanced by measured wall.
+the plans and fuzzer files shard the same way via the generic
+``SPARK_GRAFT_TEST_SHARD=i/n`` collection filter (tests/conftest.py), and
+the remaining files group into workers balanced by measured wall.
+Coverage-exactness of the whole plan is itself a harness test
+(``test_partest_plan_covers_whole_suite``).
 Concurrency safety relies on contracts the suite already carries: artifact
 builds publish with one atomic rename (`artifacts.ensure_artifact`), the
 bucketed-join query writes external tables into per-call tempdirs, and the
@@ -14,8 +18,12 @@ min-of-three/3x margin and runs inside the plans worker alongside
 plan-shape asserts that are the real gate.
 
 Each worker runs ``local[N]`` with N = cpu_count // workers (floor 4) so
-the box is shared instead of 6x oversubscribed.  Exit code is non-zero if
-any worker fails; per-worker tails print on failure.
+the box is shared instead of 10x oversubscribed.  Exit code is non-zero if
+any worker fails; per-worker tails print on failure.  Measured on the
+32-core box: 6 workers = 935 s wall, the round-12 10-worker rebalance =
+679 s (serial suite ~20 min) — per-test cost is driver-side-dominated
+(Catalyst/py4j/DuckDB), so test-level parallelism wins until the box
+saturates.
 """
 
 from __future__ import annotations
@@ -28,19 +36,30 @@ from pathlib import Path
 
 _REPO = str(Path(__file__).resolve().parent)
 
-# Worker plan: (label, pytest args, extra env).  The oracle battery is
-# three shards; the rest split by measured wall at round 12 (plans ~5 min,
-# fuzzers ~4 min, misc ~4 min, oracle ~3 min/shard at 8 cpus).
+# Worker plan: (label, pytest args, extra env).  Round-12 rebalance: the
+# 6-worker split left a ~15 min critical path (each of oracle x3 / plans /
+# fuzzers / misc ran 14-16 min); the generic SPARK_GRAFT_TEST_SHARD device
+# (tests/conftest.py) now also halves the plans and fuzzers files, and the
+# oracle battery runs four shards.  Per-test cost is dominated by
+# driver-side work (Catalyst analysis, py4j, DuckDB), not executor compute,
+# so more workers at fewer cores each wins until the box saturates.
 _WORKERS: list[tuple[str, list[str], dict[str, str]]] = [
-    ("oracle-0", ["tests/test_oracle_all.py"], {"SPARK_GRAFT_ORACLE_SHARD": "0/3"}),
-    ("oracle-1", ["tests/test_oracle_all.py"], {"SPARK_GRAFT_ORACLE_SHARD": "1/3"}),
-    ("oracle-2", ["tests/test_oracle_all.py"], {"SPARK_GRAFT_ORACLE_SHARD": "2/3"}),
-    ("plans", ["tests/test_plans.py", "tests/test_plan_stability.py"], {}),
-    ("fuzzers", ["tests/test_property_random.py"], {}),
+    ("oracle-0", ["tests/test_oracle_all.py"], {"SPARK_GRAFT_ORACLE_SHARD": "0/4"}),
+    ("oracle-1", ["tests/test_oracle_all.py"], {"SPARK_GRAFT_ORACLE_SHARD": "1/4"}),
+    ("oracle-2", ["tests/test_oracle_all.py"], {"SPARK_GRAFT_ORACLE_SHARD": "2/4"}),
+    ("oracle-3", ["tests/test_oracle_all.py"], {"SPARK_GRAFT_ORACLE_SHARD": "3/4"}),
+    ("plans-0", ["tests/test_plans.py", "tests/test_plan_stability.py"],
+     {"SPARK_GRAFT_TEST_SHARD": "0/2"}),
+    ("plans-1", ["tests/test_plans.py", "tests/test_plan_stability.py"],
+     {"SPARK_GRAFT_TEST_SHARD": "1/2"}),
+    ("fuzzers-0", ["tests/test_property_random.py"],
+     {"SPARK_GRAFT_TEST_SHARD": "0/2"}),
+    ("fuzzers-1", ["tests/test_property_random.py"],
+     {"SPARK_GRAFT_TEST_SHARD": "1/2"}),
+    ("functions", ["tests/test_functions.py"], {}),
     (
         "misc",
         [
-            "tests/test_functions.py",
             "tests/test_sources.py",
             "tests/test_streaming.py",
             "tests/test_harness.py",

@@ -132,3 +132,17 @@ def assert_matches_oracle(spark_df, con, sql: str, name: str = "") -> None:
             if len(mismatches) >= 5:
                 break
     assert not mismatches, f"{name}: value mismatches (row, got, want): {mismatches}"
+
+
+def pytest_collection_modifyitems(config, items):
+    """Generic worker sharding (the oracle battery's round-robin device,
+    lifted to ANY test file): ``SPARK_GRAFT_TEST_SHARD=i/n`` keeps every
+    test whose position in the collected order is congruent to i mod n.
+    Position-based (not hash-based) so the n shards partition the file
+    EXACTLY and parametrized heavy tails spread round-robin.  Unset (the
+    default, and CI) collects everything."""
+    shard = os.environ.get("SPARK_GRAFT_TEST_SHARD")
+    if not shard:
+        return
+    i, n = (int(x) for x in shard.split("/"))
+    items[:] = [it for j, it in enumerate(items) if j % n == i]

@@ -317,8 +317,11 @@ def test_no_decimal_typed_oracle_columns(oracle):
 
 def test_partest_plan_covers_whole_suite():
     """The parallel runner's worker plan must collect exactly the full
-    suite: the three oracle shards partition the sorted registry, and the
-    non-oracle workers list every other test file exactly once."""
+    suite: the oracle shards partition the sorted registry, and every
+    other test file is covered by exactly one worker group — either an
+    unsharded worker listing it once, or a SPARK_GRAFT_TEST_SHARD family
+    whose i/n specs partition the file's collection exactly (all residues
+    0..n-1 present once; conftest keeps item j on shard j % n)."""
     from pathlib import Path
 
     import partest
@@ -326,14 +329,17 @@ def test_partest_plan_covers_whole_suite():
 
     names = sorted(load_all())
     shards = []
-    files: list[str] = []
+    groups: dict[tuple[str, ...], list[tuple[int, int] | None]] = {}
     for _label, args, extra in partest._WORKERS:
         if "SPARK_GRAFT_ORACLE_SHARD" in extra:
             i, n = (int(x) for x in extra["SPARK_GRAFT_ORACLE_SHARD"].split("/"))
             shards.append((i, n))
             assert args == ["tests/test_oracle_all.py"]
         else:
-            files.extend(args)
+            spec = extra.get("SPARK_GRAFT_TEST_SHARD")
+            groups.setdefault(tuple(args), []).append(
+                tuple(int(x) for x in spec.split("/")) if spec else None
+            )
     ns = {n for _i, n in shards}
     assert len(ns) == 1 and sorted(i for i, _n in shards) == list(
         range(ns.pop())
@@ -342,6 +348,21 @@ def test_partest_plan_covers_whole_suite():
     for i, n in shards:
         covered.update(q for j, q in enumerate(names) if j % n == i)
     assert covered == set(names)
+    files: list[str] = []
+    for args, specs in groups.items():
+        if specs == [None]:
+            files.extend(args)
+            continue
+        # A sharded family: every spec is i/n with one shared n and all
+        # residues present exactly once — together they collect the whole
+        # file group exactly once.
+        assert None not in specs, (args, specs)
+        fam_ns = {n for _i, n in specs}
+        assert len(fam_ns) == 1, (args, specs)
+        assert sorted(i for i, _n in specs) == list(range(fam_ns.pop())), (
+            args, specs,
+        )
+        files.extend(args)
     suite_files = {
         f"tests/{p.name}"
         for p in Path(__file__).parent.glob("test_*.py")

@@ -360,26 +360,39 @@ def test_python_stream_source_equals_batch(spark):
     from auron_spark.sources import pyds
 
     pyds.register(spark)
-    q = (
-        spark.readStream.format("synthdocs")
-        .option("n_docs", "40")
-        .option("batch_size", "16")
-        .load()
-        .writeStream.format("memory")
-        .queryName("pyds_stream_out")
-        .trigger(processingTime="1 second")
-        .start()
-    )
-    try:
-        for _ in range(60):
-            if spark.sql("SELECT COUNT(*) n FROM pyds_stream_out").collect()[0].n >= 40:
-                break
-            time.sleep(1)
-    finally:
-        q.stop()
-    streamed = sorted(
-        tuple(r) for r in spark.sql("SELECT * FROM pyds_stream_out").collect()
-    )
+
+    def run_stream(attempt: int) -> list:
+        name = f"pyds_stream_out_{attempt}"
+        q = (
+            spark.readStream.format("synthdocs")
+            .option("n_docs", "40")
+            .option("batch_size", "16")
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            for _ in range(60):
+                if spark.sql(f"SELECT COUNT(*) n FROM {name}").collect()[0].n >= 40:
+                    break
+                time.sleep(1)
+        finally:
+            q.stop()
+        return sorted(
+            tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+
+    # Retry ONCE on the empty-sink infra signature: under heavy box load
+    # (partest's 10 concurrent JVMs) the Python streaming-source worker can
+    # fail its connect-back handshake, killing the query before the first
+    # micro-batch — the sink is then EMPTY, which is distinguishable from
+    # every data bug this test exists to catch (wrong/partial/duplicated
+    # rows still fail the equality below).
+    streamed = run_stream(0)
+    if not streamed:
+        streamed = run_stream(1)
     batch = sorted(
         tuple(r)
         for r in spark.read.format("synthdocs").option("n_docs", "40").load().collect()
