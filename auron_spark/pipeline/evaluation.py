@@ -1233,3 +1233,73 @@ def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+_RATER_C_SQL = (
+    "CASE WHEN len(list_distinct(string_split(lower(text), ' '))) >= 25 "
+    "THEN 1 ELSE 0 END"
+)
+
+
+@query(
+    "eval_krippendorff_alpha",
+    oracle=f"""
+    WITH units AS (
+        SELECT lang,
+               {_RATER_A_SQL} + {_RATER_B_SQL} + {_RATER_C_SQL} AS o
+        FROM documents
+    ),
+    s AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_units,
+               CAST(3 * COUNT(*) AS BIGINT) AS n_ratings,
+               CAST(SUM(o) AS BIGINT) AS ones,
+               CAST(SUM(o * (3 - o)) AS BIGINT) AS disg
+        FROM units GROUP BY lang
+    )
+    SELECT lang, n_units, n_ratings, ones,
+           ROUND(1.0 - CAST((n_ratings - 1) * disg AS DOUBLE)
+                       / (2.0 * ones * (n_ratings - ones)), 6) AS alpha
+    FROM s
+    ORDER BY lang
+    """,
+    tags=("pipeline", "evaluation", "agreement"),
+)
+def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha per language for THREE deterministic binary
+    document raters (the kappa pair plus a distinct-word-count rule) —
+    the multi-rater generalization of `eval_cohens_kappa`, and the
+    agreement coefficient that remains defined under unequal rater counts
+    and missing ratings.  For complete binary data the coincidence-matrix
+    definition collapses to the closed form alpha = 1 - (n-1)·D /
+    (2·P·(n-P)) with n total ratings, P total positives and D =
+    sum_u o_u(m-o_u) the within-unit disagreement mass (verified against
+    a brute-force coincidence-matrix construction in the prototype; the
+    marginals n_c equal the raw value counts exactly).
+
+    Scale shape: one documents scan reduces map-side to FOUR integers per
+    language (units, positives, disagreement, ratings) — constant
+    aggregate state; alpha is integer-ratio arithmetic on the 5-row
+    frame, bit-exact with no transcendental."""
+    t = Tables(spark, sf_dir)
+    ra, rb = _raters()
+    rc = F.when(
+        F.size(F.array_distinct(F.split(F.lower(F.col("text")), " "))) >= 25,
+        1,
+    ).otherwise(0)
+    units = t.parallel("documents", "doc_id").select(
+        "lang", (ra + rb + rc).alias("o")
+    )
+    s = units.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_units"),
+        (3 * F.count("*")).cast("bigint").alias("n_ratings"),
+        F.sum("o").cast("bigint").alias("ones"),
+        F.sum(F.col("o") * (3 - F.col("o"))).cast("bigint").alias("disg"),
+    )
+    alpha = 1.0 - ((F.col("n_ratings") - 1) * F.col("disg")).cast(
+        "double"
+    ) / (2.0 * F.col("ones") * (F.col("n_ratings") - F.col("ones")))
+    return s.select(
+        "lang", "n_units", "n_ratings", "ones",
+        F.round(alpha, 6).alias("alpha"),
+    ).orderBy("lang")
