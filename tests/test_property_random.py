@@ -1629,3 +1629,179 @@ def test_freshness_lag_zero_span_yields_null_rate(spark, tmp_path):
     oracle_rows = con.execute(load_all()["dq_freshness_lag"].oracle).fetchall()
     con.close()
     assert {r[0]: (r[3], r[4]) for r in oracle_rows} == got
+
+
+# --- GLM / preference family: independent numpy twins -------------------------
+
+
+def test_logreg_newton_matches_numpy_irls(spark):
+    """feature_logreg_newton's aggregate-expressed Newton steps must equal
+    a direct numpy IRLS run on the same contingency grain (pulled via
+    DuckDB, solved with np.linalg.solve) — an independent third
+    implementation next to the shared-expression DuckDB oracle."""
+    import duckdb
+    import numpy as np
+
+    from auron_spark.registry import load_all
+
+    got = (
+        load_all()["feature_logreg_newton"].build(spark, SF_SMOKE).collect()[0]
+    )
+    con = duckdb.connect()
+    g = con.execute(
+        f"""
+        SELECT CAST(l_quantity AS INT) x1,
+               CAST(l_discount AS DECIMAL(4,2)) x2,
+               COUNT(*) n,
+               COUNT(*) FILTER (WHERE l_returnflag = 'R') k
+        FROM read_parquet('{SF_SMOKE}/lineitem.parquet') GROUP BY 1, 2
+        """
+    ).fetchnumpy()
+    X = np.stack(
+        [np.ones(len(g["n"])), g["x1"].astype(float),
+         np.array([float(v) for v in g["x2"]])], 1
+    )
+    n, k = g["n"].astype(float), g["k"].astype(float)
+    beta = np.zeros(3)
+    grad = None
+    for _ in range(2):
+        p = 1.0 / (1.0 + np.exp(-(X @ beta)))
+        w = n * p * (1 - p)
+        grad = X.T @ (k - n * p)
+        beta = beta + np.linalg.solve((X * w[:, None]).T @ X, grad)
+    assert got.n_rows == int(n.sum())
+    assert abs(got.intercept - beta[0]) < 1e-5, (got, beta)
+    # outputs are 6-dp rounded, so 5e-7 of quantization is expected
+    assert abs(got.b_quantity - beta[1]) < 1e-6
+    assert abs(got.b_discount - beta[2]) < 1e-5
+    assert abs(got.grad_norm - float(np.linalg.norm(grad))) < 1e-3
+
+
+def test_bradley_terry_matches_numpy_mm(spark):
+    """eval_bradley_terry's two MM steps must equal a direct numpy MM on
+    the same win matrix; the fitted order must also be consistent with
+    raw win counts on this fixture (sanity: MM never inverts a dominance
+    this one-sided)."""
+    import duckdb
+    import numpy as np
+
+    from auron_spark.registry import load_all
+
+    got = {
+        r.event_type: r
+        for r in load_all()["eval_bradley_terry"].build(spark, SF_SMOKE).collect()
+    }
+    con = duckdb.connect()
+    m = con.execute(
+        f"""
+        WITH ut AS (
+            SELECT user_id, event_type,
+                   SUM(CAST(value AS DECIMAL(12,2))) AS v
+            FROM read_parquet('{SF_SMOKE}/events.parquet')
+            GROUP BY 1, 2
+        )
+        SELECT a.event_type i, b.event_type j, COUNT(*) n,
+               SUM(CASE WHEN a.v > b.v THEN 1 ELSE 0 END) w
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        WHERE a.v <> b.v GROUP BY 1, 2
+        """
+    ).fetchall()
+    types = sorted({r[0] for r in m} | {r[1] for r in m})
+    idx = {t: x for x, t in enumerate(types)}
+    K = len(types)
+    N = np.zeros((K, K))
+    W = np.zeros((K, K))
+    for i, j, n, w in m:
+        N[idx[i], idx[j]] = N[idx[j], idx[i]] = n
+        W[idx[i], idx[j]] = w
+        W[idx[j], idx[i]] = n - w
+    pi = np.ones(K)
+    for _ in range(2):
+        D = np.array(
+            [
+                sum(N[i, j] / (pi[i] + pi[j]) for j in range(K) if j != i)
+                for i in range(K)
+            ]
+        )
+        pi = W.sum(1) / D
+        pi = pi / pi.sum()
+    for t in types:
+        assert abs(got[t].pi - pi[idx[t]]) < 1e-5, (t, got[t].pi, pi[idx[t]])
+        assert got[t].wins == int(W[idx[t]].sum())
+    # rank consistency: strict ordering by fitted pi matches the output rnk
+    by_pi = sorted(types, key=lambda t: (-pi[idx[t]], t))
+    assert [got[t].rnk for t in by_pi] == list(range(1, K + 1))
+
+
+# --- Multi-band conditional aggregates (the Q88 family) ----------------------
+
+_BAND_PREDS = [
+    "l_quantity BETWEEN {lo} AND {hi}",
+    "l_discount >= 0.0{d}",
+    "l_shipdate < DATE '199{y}-01-01'",
+    "l_returnflag = '{rf}'",
+    "l_tax <= 0.0{d}",
+]
+
+
+def _gen_multiband_sql(seed: int) -> str:
+    """One-scan multi-band conditional aggregation (the TPC-DS Q88 shape
+    `ds_time_band_counts` pins deterministically): N random band
+    predicates as FILTER aggregates over one scan, optionally grouped,
+    plus a cross-band derived ratio — the family where a wrong FILTER
+    placement or a per-band rescan silently diverges."""
+    import random
+
+    rng = random.Random(seed)
+    nbands = rng.randint(3, 6)
+    bands = []
+    for _ in range(nbands):
+        tmpl = rng.choice(_BAND_PREDS)
+        lo = rng.randint(1, 30)
+        bands.append(
+            tmpl.format(
+                lo=lo,
+                hi=lo + rng.randint(0, 20),
+                d=rng.randint(1, 8),
+                y=rng.randint(2, 8),
+                rf=rng.choice(["A", "N", "R"]),
+            )
+        )
+    cols = []
+    for i, p in enumerate(bands):
+        if rng.random() < 0.5:
+            cols.append(
+                f"CAST(COUNT(*) FILTER (WHERE {p}) AS BIGINT) AS b{i}"
+            )
+        else:
+            cols.append(
+                f"CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,2))) "
+                f"FILTER (WHERE {p}), 0) AS DOUBLE) AS b{i}"
+            )
+    key = rng.choice(["", "l_returnflag", "l_linestatus", "l_linenumber"])
+    sel = (f"{key}, " if key else "") + ",\n           ".join(cols)
+    ratio = (
+        "ROUND(CAST(b0 AS DOUBLE) / NULLIF(CAST(b0 AS DOUBLE) "
+        "+ CAST(b1 AS DOUBLE), 0), 6) AS share01"
+    )
+    grp = f"GROUP BY {key}" if key else ""
+    order = f"ORDER BY {key} NULLS FIRST" if key else ""
+    return f"""
+    WITH cells AS (
+        SELECT {sel}
+        FROM {{li}}
+        {grp}
+    )
+    SELECT *, {ratio} FROM cells
+    {order}
+    """
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_random_multiband_aggregates(spark, duck2, seed):
+    sql = _gen_multiband_sql(seed)
+    table(spark, SF_SMOKE, "lineitem").createOrReplaceTempView("li_mb")
+    got = normalize(spark.sql(sql.format(li="li_mb")).toPandas())
+    want = normalize(duck2.execute(sql.format(li="lineitem")).df())
+    assert got == want, f"seed={seed}\n{sql}"
