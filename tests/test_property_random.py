@@ -1805,3 +1805,42 @@ def test_random_multiband_aggregates(spark, duck2, seed):
     got = normalize(spark.sql(sql.format(li="li_mb")).toPandas())
     want = normalize(duck2.execute(sql.format(li="lineitem")).df())
     assert got == want, f"seed={seed}\n{sql}"
+
+
+def test_poisson_glm_matches_numpy_irls(spark):
+    """feature_poisson_glm's aggregate-expressed Newton steps must equal a
+    direct numpy IRLS (log link, log-mean init) on the same calendar
+    grain, including the deviance."""
+    import duckdb
+    import numpy as np
+
+    from auron_spark.registry import load_all
+
+    got = load_all()["feature_poisson_glm"].build(spark, SF_SMOKE).collect()[0]
+    con = duckdb.connect()
+    g = con.execute(
+        f"""
+        SELECT CAST(ts AS DATE) d, COUNT(*) y,
+               CASE WHEN isodow(CAST(ts AS DATE)) >= 6 THEN 1 ELSE 0 END wk
+        FROM read_parquet('{SF_SMOKE}/events.parquet')
+        GROUP BY 1, 3 ORDER BY 1
+        """
+    ).fetchall()
+    y = np.array([r[1] for r in g], float)
+    wk = np.array([r[2] for r in g], float)
+    idx = np.arange(len(y), dtype=float)
+    X = np.stack([np.ones_like(y), wk, idx - idx.mean()], 1)
+    beta = np.array([np.log(y.mean()), 0.0, 0.0])
+    grad = None
+    for _ in range(2):
+        mu = np.exp(X @ beta)
+        grad = X.T @ (y - mu)
+        beta = beta + np.linalg.solve((X * mu[:, None]).T @ X, grad)
+    mu = np.exp(X @ beta)
+    dev = float(2 * np.sum(y * np.log(y / mu) - (y - mu)))
+    assert got.n_days == len(y)
+    assert abs(got.intercept - beta[0]) < 1e-5, (got, beta)
+    assert abs(got.b_weekend - beta[1]) < 1e-5
+    assert abs(got.b_trend - beta[2]) < 1e-6
+    assert abs(got.grad_norm - float(np.linalg.norm(grad))) < 1e-3
+    assert abs(got.deviance - dev) < 1e-3
