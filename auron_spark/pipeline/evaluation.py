@@ -1303,3 +1303,132 @@ def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "n_units", "n_ratings", "ones",
         F.round(alpha, 6).alias("alpha"),
     ).orderBy("lang")
+
+
+_DL_R9 = "CAST(ROUND({t}, 9) AS DECIMAL(28,9))"
+
+
+@query(
+    "eval_auc_delong_ci",
+    oracle=f"""
+    WITH scored AS (
+        SELECT {_SQL_SCORE} AS s,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    ranked AS (
+        SELECT y,
+               RANK() OVER (ORDER BY s)
+               + (COUNT(*) OVER (PARTITION BY s) - 1) / 2.0 AS mr_all,
+               RANK() OVER (PARTITION BY y ORDER BY s)
+               + (COUNT(*) OVER (PARTITION BY y, s) - 1) / 2.0 AS mr_cls,
+               SUM(y) OVER () AS n1,
+               COUNT(*) OVER () - SUM(y) OVER () AS n0
+        FROM scored
+    ),
+    placed AS (
+        SELECT y,
+               CASE WHEN y = 1 THEN (mr_all - mr_cls) / n0
+                    ELSE 1.0 - (mr_all - mr_cls) / n1 END AS v
+        FROM ranked
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) FILTER (WHERE y = 1) AS BIGINT) AS n1,
+               CAST(COUNT(*) FILTER (WHERE y = 0) AS BIGINT) AS n0,
+               CAST(SUM({_DL_R9.format(t="v")}) FILTER (WHERE y = 1)
+                    AS DOUBLE) AS sv1,
+               CAST(SUM({_DL_R9.format(t="v * v")}) FILTER (WHERE y = 1)
+                    AS DOUBLE) AS sq1,
+               CAST(SUM({_DL_R9.format(t="v")}) FILTER (WHERE y = 0)
+                    AS DOUBLE) AS sv0,
+               CAST(SUM({_DL_R9.format(t="v * v")}) FILTER (WHERE y = 0)
+                    AS DOUBLE) AS sq0
+        FROM placed
+    )
+    SELECT n1 AS n_pos, n0 AS n_neg,
+           ROUND(sv1 / n1, 6) AS auc,
+           ROUND(sqrt((sq1 - sv1 * sv1 / n1) / (n1 - 1) / n1
+                      + (sq0 - sv0 * sv0 / n0) / (n0 - 1) / n0), 6)
+               AS se_delong,
+           ROUND(sv1 / n1
+                 - 1.96 * sqrt((sq1 - sv1 * sv1 / n1) / (n1 - 1) / n1
+                               + (sq0 - sv0 * sv0 / n0) / (n0 - 1) / n0),
+                 6) AS ci_lo,
+           ROUND(sv1 / n1
+                 + 1.96 * sqrt((sq1 - sv1 * sv1 / n1) / (n1 - 1) / n1
+                               + (sq0 - sv0 * sv0 / n0) / (n0 - 1) / n0),
+                 6) AS ci_hi
+    FROM agg
+    """,
+    tags=("pipeline", "evaluation", "auc", "confidence-interval"),
+)
+def eval_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC with DeLong standard error and 95% CI — the statistically
+    honest version of `eval_roc_auc` (a point estimate without its
+    sampling error is uninterpretable when comparing models).  Uses the
+    fast midrank formulation: each positive's placement value V10 =
+    (combined midrank - within-class midrank)/n0, symmetrically V01 for
+    negatives; AUC = mean(V10), Var = S10/n1 + S01/n0 with each class's
+    sample variance expanded onto 9-dp-rounded DECIMAL power sums
+    (order-free; mean(V10) = mean(V01) = AUC, verified in the numpy
+    prototype).  Tie-safe by construction (midranks).
+
+    Scale shape: midranks are rank + tie-count windows; the global
+    ORDER BY s window is the bounded-eval-set posture (scored EVAL sets,
+    not corpora — same stance as the timeseries calendar grain); at
+    corpus scale the distributed two-pass rank device
+    (`customer_segment_migration_scale`) replaces it with identical
+    semantics.  The variance reduction is one conditional aggregate."""
+    ev = Tables(spark, sf_dir).events
+    scored = ev.select(
+        _score().alias("s"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    w_all = Window.partitionBy()
+    ranked = scored.select(
+        "y",
+        (
+            F.rank().over(Window.orderBy("s"))
+            + (F.count("*").over(Window.partitionBy("s")) - 1) / 2.0
+        ).alias("mr_all"),
+        (
+            F.rank().over(Window.partitionBy("y").orderBy("s"))
+            + (F.count("*").over(Window.partitionBy("y", "s")) - 1) / 2.0
+        ).alias("mr_cls"),
+        F.sum("y").over(w_all).alias("n1"),
+        (F.count("*").over(w_all) - F.sum("y").over(w_all)).alias("n0"),
+    )
+    placed = ranked.select(
+        "y",
+        F.when(
+            F.col("y") == 1,
+            (F.col("mr_all") - F.col("mr_cls")) / F.col("n0"),
+        )
+        .otherwise(
+            1.0 - (F.col("mr_all") - F.col("mr_cls")) / F.col("n1")
+        )
+        .alias("v"),
+    )
+    r9 = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
+    y1, y0 = F.col("y") == 1, F.col("y") == 0
+    agg = placed.agg(
+        F.count(F.when(y1, 1)).cast("bigint").alias("n1"),
+        F.count(F.when(y0, 1)).cast("bigint").alias("n0"),
+        F.sum(F.when(y1, r9(F.col("v")))).cast("double").alias("sv1"),
+        F.sum(F.when(y1, r9(F.col("v") * F.col("v")))).cast("double").alias("sq1"),
+        F.sum(F.when(y0, r9(F.col("v")))).cast("double").alias("sv0"),
+        F.sum(F.when(y0, r9(F.col("v") * F.col("v")))).cast("double").alias("sq0"),
+    )
+    n1, n0 = F.col("n1"), F.col("n0")
+    var = (F.col("sq1") - F.col("sv1") * F.col("sv1") / n1) / (n1 - 1) / n1 + (
+        F.col("sq0") - F.col("sv0") * F.col("sv0") / n0
+    ) / (n0 - 1) / n0
+    auc = F.col("sv1") / n1
+    return agg.select(
+        n1.alias("n_pos"),
+        n0.alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+        F.round(F.sqrt(var), 6).alias("se_delong"),
+        F.round(auc - 1.96 * F.sqrt(var), 6).alias("ci_lo"),
+        F.round(auc + 1.96 * F.sqrt(var), 6).alias("ci_hi"),
+    )

@@ -1844,3 +1844,49 @@ def test_poisson_glm_matches_numpy_irls(spark):
     assert abs(got.b_trend - beta[2]) < 1e-6
     assert abs(got.grad_norm - float(np.linalg.norm(grad))) < 1e-3
     assert abs(got.deviance - dev) < 1e-3
+
+
+def test_auc_delong_matches_numpy(spark):
+    """eval_auc_delong_ci must equal a direct numpy midrank DeLong
+    implementation (independent third code path)."""
+    import duckdb
+    import numpy as np
+
+    from auron_spark.registry import load_all
+
+    got = load_all()["eval_auc_delong_ci"].build(spark, SF_SMOKE).collect()[0]
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT 1.0/(1.0+exp(-(value-50.0)/20.0)) s,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END y
+        FROM read_parquet('{SF_SMOKE}/events.parquet')
+        """
+    ).fetchnumpy()
+    s, y = rows["s"], rows["y"]
+
+    def midranks(x):
+        order = np.argsort(x, kind="stable")
+        xs = x[order]
+        r = np.empty(len(x))
+        i = 0
+        while i < len(x):
+            j = i
+            while j < len(x) and xs[j] == xs[i]:
+                j += 1
+            r[order[i:j]] = (i + j + 1) / 2.0
+            i = j
+        return r
+
+    pos, neg = s[y == 1], s[y == 0]
+    n1, n0 = len(pos), len(neg)
+    allr = midranks(np.concatenate([pos, neg]))
+    v10 = (allr[:n1] - midranks(pos)) / n0
+    v01 = 1 - (allr[n1:] - midranks(neg)) / n1
+    auc = v10.mean()
+    se = float(np.sqrt(v10.var(ddof=1) / n1 + v01.var(ddof=1) / n0))
+    assert got.n_pos == n1 and got.n_neg == n0
+    assert abs(got.auc - auc) < 1e-6
+    assert abs(got.se_delong - se) < 1e-6
+    assert abs(got.ci_lo - (auc - 1.96 * se)) < 2e-6
+    assert abs(got.ci_hi - (auc + 1.96 * se)) < 2e-6
