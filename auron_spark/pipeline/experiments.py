@@ -1262,3 +1262,79 @@ def eval_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lift"),
     ).orderBy("decile")
+
+
+_TOST_DELTA = 1.0  # equivalence margin on the value scale (fixture ~[0,100])
+_Z_05 = 1.645  # one-sided 5% normal critical value (df in the thousands)
+
+
+@query(
+    "eval_tost_equivalence",
+    oracle=f"""
+    WITH ps AS (
+        SELECT {_sql_pow("purchase", "p")},
+               {_sql_pow("click", "c")}
+        FROM events
+    ),
+    d AS (
+        SELECT CAST(n_p AS BIGINT) AS n_a, CAST(n_c AS BIGINT) AS n_b,
+               s1_p / n_p - s1_c / n_c AS diff,
+               sqrt((s2_p - s1_p * s1_p / n_p) / (n_p - 1) / n_p
+                    + (s2_c - s1_c * s1_c / n_c) / (n_c - 1) / n_c) AS se
+        FROM ps
+    )
+    SELECT n_a, n_b,
+           ROUND(diff, 6) AS diff,
+           ROUND(se, 6) AS se,
+           ROUND((diff + {_TOST_DELTA}) / se, 6) AS t_lower,
+           ROUND((diff - {_TOST_DELTA}) / se, 6) AS t_upper,
+           CAST((diff + {_TOST_DELTA}) / se >= {_Z_05}
+                AND (diff - {_TOST_DELTA}) / se <= -{_Z_05} AS INT)
+               AS equivalent_05
+    FROM d
+    """,
+    tags=("pipeline", "evaluation", "ab-test", "equivalence"),
+)
+def eval_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (two one-sided tests) between the purchase
+    and click value means at margin ±1.0 value units: the NON-INFERIORITY
+    question a model swap or infra migration actually asks — "is the
+    difference provably INSIDE the margin?" — which a nonsignificant
+    Welch t cannot answer (absence of evidence is not equivalence).
+    Equivalence at 5% requires BOTH one-sided rejections:
+    (diff+delta)/se >= z and (diff-delta)/se <= -z (the fixture's arms
+    differ by ~2.6, so the verdict is correctly 0 here).
+
+    Exactness and scale shape are `eval_welch_ttest`'s: one conditional-
+    aggregation pass to exact DECIMAL power sums, then shared double
+    arithmetic on a 1-row frame."""
+    ev = Tables(spark, sf_dir).events
+    ps = ev.agg(*_pow_sums("purchase"), *_pow_sums("click"))
+    n_a, s1_a, s2_a = F.col("n_p"), F.col("s1_p"), F.col("s2_p")
+    n_b, s1_b, s2_b = F.col("n_c"), F.col("s1_c"), F.col("s2_c")
+    diff = s1_a / n_a - s1_b / n_b
+    se = F.sqrt(
+        (s2_a - s1_a * s1_a / n_a) / (n_a - 1) / n_a
+        + (s2_b - s1_b * s1_b / n_b) / (n_b - 1) / n_b
+    )
+    d = ps.select(
+        n_a.cast("bigint").alias("n_a"),
+        n_b.cast("bigint").alias("n_b"),
+        diff.alias("diff_raw"),
+        se.alias("se_raw"),
+    )
+    dr, ser = F.col("diff_raw"), F.col("se_raw")
+    return d.select(
+        "n_a",
+        "n_b",
+        F.round(dr, 6).alias("diff"),
+        F.round(ser, 6).alias("se"),
+        F.round((dr + _TOST_DELTA) / ser, 6).alias("t_lower"),
+        F.round((dr - _TOST_DELTA) / ser, 6).alias("t_upper"),
+        (
+            ((dr + _TOST_DELTA) / ser >= _Z_05)
+            & ((dr - _TOST_DELTA) / ser <= -_Z_05)
+        )
+        .cast("int")
+        .alias("equivalent_05"),
+    )
