@@ -2054,12 +2054,14 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rk")
 
 
-@query(
-    "text_perplexity_buckets",
-    oracle="""
-    WITH toks AS (
+# Shared bigram-LM cross-entropy stage (with source carried) over an
+# arbitrary docs relation — the per-doc scorer `text_perplexity_buckets`
+# and `pipeline_quality_training_set` both chain; a verbatim twin of the
+# driver-proven `text_bigram_perplexity`, parameterized only by the input
+# relation (the proven query itself stays untouched).
+_SQL_ENTROPY_STAGES = """toks AS (
         SELECT doc_id, source, string_split(lower(text), ' ') AS w
-        FROM documents
+        FROM {docs}
     ),
     vocab AS (
         SELECT COUNT(DISTINCT t.word) AS v FROM (
@@ -2084,47 +2086,14 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN c1 ON c1.w1 = bg.w1
         CROSS JOIN vocab v
         GROUP BY bg.doc_id, bg.source
-    ),
-    tiled AS (
-        SELECT source, h,
-               ntile(3) OVER (PARTITION BY source ORDER BY h, doc_id) AS t
-        FROM h
-    )
-    SELECT source,
-           CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
-                  ELSE 'tail' END AS bucket,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(CAST(SUM(CAST(h AS DECIMAL(18,6))) AS DOUBLE)
-                 / COUNT(*), 6) AS mean_entropy,
-           MIN(h) AS min_entropy,
-           MAX(h) AS max_entropy
-    FROM tiled
-    GROUP BY source, t
-    ORDER BY source, bucket
-    """,
-    tags=("pipeline", "text", "quality", "perplexity", "ccnet"),
-)
-def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style head/middle/tail bucketing: per-source NTILE(3) over the
-    bigram-LM cross-entropy of `text_bigram_perplexity` (lower entropy =
-    'head', the cleanest third of each source) — the standard corpus
-    stratification step before sampling more heavily from the head.  The
-    per-doc entropy stage is intentionally a verbatim twin of the proven
-    `text_bigram_perplexity` (kept self-contained so the driver-proven
-    query is untouched — a shared-helper refactor would re-stage its plan
-    and stale the artifact proof per the `_MODIFIED_SINCE_PROOF` policy);
-    bucket means sum the 6-dp entropies as exact DECIMAL, so every output
-    cell is summation-order-free.
+    )"""
 
-    Scale shape: the LM scoring is the proven perplexity plan (model-table
-    shuffles + vocabulary-scale equi-joins); the NTILE runs per-source
-    (partitioned window, no global sort), and the final rollup is a
-    source x 3 aggregate.  At 100 TB the per-source tiles come from the
-    distributed-NTILE device (`window.py` integer-DIV twin) instead of a
-    single window pass; semantics are identical."""
-    t = Tables(spark, sf_dir)
+
+def _entropy_by_doc(docs: DataFrame) -> DataFrame:
+    """Spark twin of `_SQL_ENTROPY_STAGES`: (doc_id, source, h) over an
+    arbitrary (doc_id, source, text) relation."""
     w = F.split(F.lower(F.col("text")), " ")
-    toks = t.documents.select("doc_id", "source", w.alias("w"))
+    toks = docs.select("doc_id", "source", w.alias("w"))
     vocab = toks.select(F.explode("w").alias("word")).agg(
         F.count_distinct("word").alias("v")
     )
@@ -2149,7 +2118,7 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     term = F.round(
         F.log2((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v"))), 9
     ).cast("decimal(28,9)")
-    h = (
+    return (
         bg.join(c2, ["w1", "w2"])
         .join(c1, "w1")
         .join(F.broadcast(vocab))
@@ -2158,6 +2127,51 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum(term).cast("double") / F.count("*"), 6).alias("h")
         )
     )
+
+
+@query(
+    "text_perplexity_buckets",
+    oracle=f"""
+    WITH {_SQL_ENTROPY_STAGES.format(docs="documents")},
+    tiled AS (
+        SELECT source, h,
+               ntile(3) OVER (PARTITION BY source ORDER BY h, doc_id) AS t
+        FROM h
+    )
+    SELECT source,
+           CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CAST(h AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_entropy,
+           MIN(h) AS min_entropy,
+           MAX(h) AS max_entropy
+    FROM tiled
+    GROUP BY source, t
+    ORDER BY source, bucket
+    """,
+    tags=("pipeline", "text", "quality", "perplexity", "ccnet"),
+)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing: per-source NTILE(3) over the
+    bigram-LM cross-entropy of `text_bigram_perplexity` (lower entropy =
+    'head', the cleanest third of each source) — the standard corpus
+    stratification step before sampling more heavily from the head.  The
+    per-doc entropy stage is `_entropy_by_doc` / `_SQL_ENTROPY_STAGES` —
+    a verbatim twin of the proven `text_bigram_perplexity` shared with
+    `pipeline_quality_training_set` (the driver-proven original stays
+    untouched so its artifact proof holds per `_MODIFIED_SINCE_PROOF`);
+    bucket means sum the 6-dp entropies as exact DECIMAL, so every output
+    cell is summation-order-free.
+
+    Scale shape: the LM scoring is the proven perplexity plan (model-table
+    shuffles + vocabulary-scale equi-joins); the NTILE runs per-source
+    (partitioned window, no global sort), and the final rollup is a
+    source x 3 aggregate.  At 100 TB the per-source tiles come from the
+    distributed-NTILE device (`window.py` integer-DIV twin) instead of a
+    single window pass; semantics are identical."""
+    t = Tables(spark, sf_dir)
+    h = _entropy_by_doc(t.documents.select("doc_id", "source", "text"))
     from pyspark.sql import Window
 
     tile = F.ntile(3).over(
@@ -2190,4 +2204,98 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_entropy",
         )
         .orderBy("source", "bucket")
+    )
+
+
+@query(
+    "pipeline_quality_training_set",
+    oracle=f"""
+    WITH kept AS (
+        SELECT doc_id, source, text FROM (
+            SELECT doc_id, source, text,
+                   MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon
+            FROM documents
+        ) WHERE doc_id = canon
+    ),
+    {_SQL_ENTROPY_STAGES.format(docs="kept")},
+    tiled AS (
+        SELECT doc_id, source, h,
+               ntile(3) OVER (PARTITION BY source ORDER BY h, doc_id) AS t
+        FROM h
+    ),
+    final AS (
+        SELECT ti.source, ti.h,
+               len(string_split(lower(k.text), ' ')) AS n_tok
+        FROM tiled ti JOIN kept k ON k.doc_id = ti.doc_id
+        WHERE ti.t <= 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(CAST(h AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_entropy
+    FROM final
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("pipeline", "composition", "dedup", "quality", "ccnet"),
+)
+def pipeline_quality_training_set(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Second flagship composition (next to `pipeline_curation_end_to_end`):
+    the CCNet-ordered training-set build chaining this round's operators —
+    (1) exact dedup (md5 canonical-min keeps one copy per text), (2) the
+    bigram-LM scored ON the deduped corpus (dedup-then-LM is the CCNet
+    order: duplicated boilerplate must not distort the model), (3)
+    per-source head+middle NTILE cut dropping the noisiest third, (4) the
+    per-source training-set report: docs kept, token budget, mean
+    entropy.  One query = the data a sampler consumes.
+
+    Scale shape: each stage keeps its proven posture — digest-window dedup
+    shuffles 16-byte hashes, the LM stages are the proven perplexity
+    plan over the kept relation, the NTILE partitions by source, and the
+    final rollup is source-grain.  Nothing quadratic, nothing global but
+    the vocab scalar."""
+    t = Tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    kept = (
+        t.parallel("documents", "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "text",
+            F.min("doc_id")
+            .over(Window.partitionBy(F.md5("text")))
+            .alias("canon"),
+        )
+        .where(F.col("doc_id") == F.col("canon"))
+        .select("doc_id", "source", "text")
+        .localCheckpoint(eager=False)
+    )
+    h = _entropy_by_doc(kept)
+    tile = F.ntile(3).over(Window.partitionBy("source").orderBy("h", "doc_id"))
+    tiled = h.select("doc_id", "source", "h", tile.alias("t"))
+    final = (
+        tiled.where(F.col("t") <= 2)
+        .join(kept.select("doc_id", "text"), "doc_id")
+        .select(
+            "source",
+            "h",
+            F.size(F.split(F.lower(F.col("text")), " ")).alias("n_tok"),
+        )
+    )
+    return (
+        final.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.sum(F.col("h").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_entropy"),
+        )
+        .orderBy("source")
     )
