@@ -1662,3 +1662,130 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("day")
     )
+
+
+@query(
+    "timeseries_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(12,2))) AS yd
+        FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(yd) AS DOUBLE) / COUNT(*) AS m,
+               sqrt((CAST(SUM(CAST(yd * yd AS DECIMAL(28,4))) AS DOUBLE)
+                     - CAST(SUM(yd) AS DOUBLE) * SUM(yd) / COUNT(*))
+                    / COUNT(*)) AS sd
+        FROM daily
+    ),
+    cs AS (
+        SELECT day, yd,
+               CAST(SUM(yd) OVER (ORDER BY day) AS DOUBLE)
+               - ROW_NUMBER() OVER (ORDER BY day) * s.m AS c,
+               s.n, s.m, s.sd
+        FROM daily, stats s
+    ),
+    cp AS (
+        SELECT day AS cp_day, abs(c) AS cmax, n, m, sd
+        FROM cs ORDER BY abs(c) DESC, day LIMIT 1
+    )
+    SELECT cp.n AS n_days, cp.cp_day,
+           ROUND(cp.cmax, 6) AS cusum_max,
+           ROUND(cp.cmax / (cp.sd * sqrt(cp.n)), 6) AS stat,
+           ROUND(CAST(SUM(CASE WHEN d.day <= cp.cp_day THEN yd END)
+                      AS DOUBLE)
+                 / COUNT(CASE WHEN d.day <= cp.cp_day THEN 1 END), 6)
+               AS mean_before,
+           ROUND(CAST(SUM(CASE WHEN d.day > cp.cp_day THEN yd END)
+                      AS DOUBLE)
+                 / COUNT(CASE WHEN d.day > cp.cp_day THEN 1 END), 6)
+               AS mean_after
+    FROM daily d, cp
+    GROUP BY cp.n, cp.cp_day, cp.cmax, cp.sd
+    """,
+    tags=("timeseries", "changepoint", "anomaly"),
+)
+def timeseries_changepoint_cusum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CUSUM changepoint detection on the daily revenue series: the
+    cumulative sum of deviations from the global mean peaks AT the
+    changepoint (the classic single-changepoint estimator), reported
+    with the normalized statistic max|CUSUM| / (sd * sqrt(n)) — >1.36
+    rejects "no change" at ~5% (the Kolmogorov bound) — and the
+    before/after means as the effect readout.
+
+    Exactness: daily totals and the running numerator are exact DECIMAL
+    sums (the running window is sequential in day order — identical
+    addend order both engines); sd and the argmax tie-break (earliest
+    day) are shared expression trees.
+
+    Scale shape: corpus reduces map-side to calendar grain; the running
+    CUSUM is the family's bounded single-partition calendar window
+    (<= 366 rows/year), the argmax a LIMIT 1 over it, and the
+    before/after means one conditional aggregate against the broadcast
+    1-row changepoint frame.  Per-entity changepoints partition every
+    window by the entity key."""
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("yd")
+    ).localCheckpoint(eager=False)
+    stats = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.sum("yd").cast("double") / F.count("*")).alias("m"),
+        F.sqrt(
+            (
+                F.sum((F.col("yd") * F.col("yd")).cast("decimal(28,4)"))
+                .cast("double")
+                - F.sum("yd").cast("double") * F.sum("yd") / F.count("*")
+            )
+            / F.count("*")
+        ).alias("sd"),
+    )
+    w_day = Window.orderBy("day")
+    cs = daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        (
+            F.sum("yd").over(w_day).cast("double")
+            - F.row_number().over(w_day) * F.col("m")
+        ).alias("c"),
+        "n",
+        "m",
+        "sd",
+    )
+    cp = (
+        cs.select(
+            F.col("day").alias("cp_day"), F.abs("c").alias("cmax"),
+            "n", "m", "sd",
+        )
+        .orderBy(F.col("cmax").desc(), "cp_day")
+        .limit(1)
+    )
+    before = F.col("day") <= F.col("cp_day")
+    return (
+        daily.crossJoin(F.broadcast(cp))
+        .groupBy("n", "cp_day", "cmax", "sd")
+        .agg(
+            F.round(
+                F.sum(F.when(before, F.col("yd"))).cast("double")
+                / F.count(F.when(before, 1)),
+                6,
+            ).alias("mean_before"),
+            F.round(
+                F.sum(F.when(~before, F.col("yd"))).cast("double")
+                / F.count(F.when(~before, 1)),
+                6,
+            ).alias("mean_after"),
+        )
+        .select(
+            F.col("n").alias("n_days"),
+            "cp_day",
+            F.round("cmax", 6).alias("cusum_max"),
+            F.round(F.col("cmax") / (F.col("sd") * F.sqrt(F.col("n"))), 6)
+            .alias("stat"),
+            "mean_before",
+            "mean_after",
+        )
+    )

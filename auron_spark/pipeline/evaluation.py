@@ -1432,3 +1432,86 @@ def eval_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(auc - 1.96 * F.sqrt(var), 6).alias("ci_lo"),
         F.round(auc + 1.96 * F.sqrt(var), 6).alias("ci_hi"),
     )
+
+
+@query(
+    "eval_cronbach_alpha",
+    oracle=f"""
+    WITH units AS (
+        SELECT lang,
+               {_RATER_A_SQL} AS ra, {_RATER_B_SQL} AS rb, {_RATER_C_SQL} AS rc
+        FROM documents
+    ),
+    s AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(ra) AS BIGINT) AS s_a,
+               CAST(SUM(rb) AS BIGINT) AS s_b,
+               CAST(SUM(rc) AS BIGINT) AS s_c,
+               CAST(SUM(ra + rb + rc) AS BIGINT) AS st,
+               CAST(SUM((ra + rb + rc) * (ra + rb + rc)) AS BIGINT) AS stt
+        FROM units GROUP BY lang
+    )
+    SELECT lang, n,
+           ROUND((CAST(s_a AS DOUBLE) * (n - s_a)
+                  + CAST(s_b AS DOUBLE) * (n - s_b)
+                  + CAST(s_c AS DOUBLE) * (n - s_c)) / (CAST(n AS DOUBLE) * n),
+                 6) AS sum_item_var,
+           ROUND((stt - CAST(st AS DOUBLE) * st / n) / n, 6) AS total_var,
+           ROUND(1.5 * (1.0
+                 - (CAST(s_a AS DOUBLE) * (n - s_a)
+                    + CAST(s_b AS DOUBLE) * (n - s_b)
+                    + CAST(s_c AS DOUBLE) * (n - s_c)) / (CAST(n AS DOUBLE) * n)
+                   / ((stt - CAST(st AS DOUBLE) * st / n) / n)), 6) AS alpha
+    FROM s
+    ORDER BY lang
+    """,
+    tags=("pipeline", "evaluation", "agreement", "reliability"),
+)
+def eval_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha (KR-20 on binary items) per language over the
+    same three document raters as `eval_krippendorff_alpha` — internal
+    CONSISTENCY rather than chance-corrected agreement: do the three
+    rules measure one underlying "quality" trait?  alpha = k/(k-1) *
+    (1 - sum(item variances)/variance(total score)) with k=3 and
+    population variances p(1-p) per item; everything reduces to seven
+    integers per language (n, three item sums, total-score sum and sum
+    of squares), so the statistic is exact integer-ratio arithmetic.
+
+    Scale shape: one scan, map-side constant-state reduction per
+    language, arithmetic on the 5-row frame — the agreement-family
+    posture."""
+    t = Tables(spark, sf_dir)
+    ra, rb = _raters()
+    rc = F.when(
+        F.size(F.array_distinct(F.split(F.lower(F.col("text")), " "))) >= 25,
+        1,
+    ).otherwise(0)
+    units = t.parallel("documents", "doc_id").select(
+        "lang", ra.alias("ra"), rb.alias("rb"), rc.alias("rc")
+    )
+    tot = F.col("ra") + F.col("rb") + F.col("rc")
+    s = units.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("ra").cast("bigint").alias("s_a"),
+        F.sum("rb").cast("bigint").alias("s_b"),
+        F.sum("rc").cast("bigint").alias("s_c"),
+        F.sum(tot).cast("bigint").alias("st"),
+        F.sum(tot * tot).cast("bigint").alias("stt"),
+    )
+    n = F.col("n")
+    item_var = (
+        F.col("s_a").cast("double") * (n - F.col("s_a"))
+        + F.col("s_b").cast("double") * (n - F.col("s_b"))
+        + F.col("s_c").cast("double") * (n - F.col("s_c"))
+    ) / (n.cast("double") * n)
+    tot_var = (
+        F.col("stt") - F.col("st").cast("double") * F.col("st") / n
+    ) / n
+    return s.select(
+        "lang",
+        "n",
+        F.round(item_var, 6).alias("sum_item_var"),
+        F.round(tot_var, 6).alias("total_var"),
+        F.round(1.5 * (1.0 - item_var / tot_var), 6).alias("alpha"),
+    ).orderBy("lang")
