@@ -2444,3 +2444,14 @@ def test_time_band_counts_single_scan(spark):
     scans = [l for l in plan.splitlines() if "Scan parquet" in l]
     assert len(scans) == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_changepoint_per_type_windows_partitioned(spark):
+    """timeseries_changepoint_per_type's scale claim: every window
+    partitions by event_type — NO single-partition exchange anywhere in
+    the plan (the single-series twin documents this as the per-entity
+    posture; here it is the plan)."""
+    plan = _plan(spark, "timeseries_changepoint_per_type")
+    assert "Exchange SinglePartition" not in plan, plan
+    win_lines = [l for l in plan.splitlines() if "Window" in l]
+    assert win_lines and all("event_type" in l for l in win_lines), plan
