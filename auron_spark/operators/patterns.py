@@ -302,3 +302,57 @@ def sql_parameterized_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "orders", "cutoff": "1997-01-01"},
     )
+
+
+@query(
+    "sql_scalar_udf",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(
+                    CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1.0 - CAST(l_discount AS DECIMAL(4,2)))
+                    * (1.0 + CAST(l_tax AS DECIMAL(4,2))), 2)
+                AS DECIMAL(18,2))) AS DOUBLE) AS charged
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("sql", "surface", "sql-udf"),
+)
+def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language scalar UDF (SPARK-46246, Spark 4's CREATE FUNCTION
+    ... RETURNS ... RETURN <expr>): the charged-amount business rule is
+    DECLARED once as a catalog function and reused by name — unlike a
+    Python UDF this stays entirely inside Catalyst (the body is inlined
+    into the plan, codegen and pushdown apply), which is the right way
+    to package scalar business logic at 100 TB.  The oracle is the
+    inlined expression — what's under test is that the engine's SQL-UDF
+    registration/inlining machinery produces exactly the declared
+    semantics.
+
+    Exactness: the body rounds to DECIMAL(18,2) per row, so the sum is
+    order-free; one scan, flag-grain aggregate."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION charged_amount(
+            price DOUBLE, disc DOUBLE, tax DOUBLE
+        ) RETURNS DECIMAL(18,2)
+        RETURN CAST(round(
+            CAST(price AS DECIMAL(18,2))
+            * (1.0 - CAST(disc AS DECIMAL(4,2)))
+            * (1.0 + CAST(tax AS DECIMAL(4,2))), 2) AS DECIMAL(18,2))
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(charged_amount(l_extendedprice, l_discount, l_tax))
+                    AS DOUBLE) AS charged
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )

@@ -2455,3 +2455,13 @@ def test_changepoint_per_type_windows_partitioned(spark):
     assert "Exchange SinglePartition" not in plan, plan
     win_lines = [l for l in plan.splitlines() if "Window" in l]
     assert win_lines and all("event_type" in l for l in win_lines), plan
+
+
+def test_sql_udf_inlines_into_codegen(spark):
+    """sql_scalar_udf's SQL-language function must INLINE into the plan
+    (no Python evaluation node — the body becomes Catalyst expressions,
+    keeping codegen and pushdown) — the property that makes SQL UDFs the
+    right packaging for scalar business logic at scale."""
+    plan = _plan(spark, "sql_scalar_udf")
+    assert "EvalPython" not in plan, plan
+    assert "HashAggregate" in plan
