@@ -351,3 +351,94 @@ def scan_zone_map_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- schema evolution: mergeSchema over drifted file generations ------------
+
+
+def schema_evo_dir(sf_dir: str) -> str:
+    return _artifact_dir("schemaevo", sf_dir)
+
+
+def build_schema_evo_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Write two parquet GENERATIONS of the orders feed into one
+    directory: generation 1 (pre-1995 orders) carries (o_orderkey,
+    o_orderdate, o_totalprice); generation 2 (1995+) adds the
+    o_orderpriority column — the additive schema drift every long-lived
+    feed accumulates.  Idempotent + concurrency-safe via
+    `ensure_artifact`."""
+
+    def _build(into: str) -> None:
+        o = Tables(spark, sf_dir).orders
+        (
+            o.where(F.year("o_orderdate") < 1995)
+            .select("o_orderkey", "o_orderdate", "o_totalprice")
+            .coalesce(2)
+            .write.mode("overwrite")
+            .parquet(f"{into}/gen1")
+        )
+        (
+            o.where(F.year("o_orderdate") >= 1995)
+            .select(
+                "o_orderkey", "o_orderdate", "o_totalprice",
+                "o_orderpriority",
+            )
+            .coalesce(2)
+            .write.mode("overwrite")
+            .parquet(f"{into}/gen2")
+        )
+
+    return ensure_artifact(
+        schema_evo_dir(sf_dir), "_SCHEMA_EVO_COMPLETE", _build
+    )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(CASE WHEN year(o_orderdate) >= 1995
+                           THEN o_orderpriority END) AS BIGINT)
+               AS n_with_priority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders
+    GROUP BY year(o_orderdate)
+    ORDER BY yr
+    """,
+    tags=("scan", "schema-evolution", "mergeSchema"),
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: two parquet generations of the same feed —
+    the later one adds o_orderpriority — read as ONE relation with
+    ``mergeSchema=true``; rows from the old generation surface NULL for
+    the added column (checked: n_with_priority counts exactly the 1995+
+    rows).  This is the additive-drift contract every lakehouse feed
+    relies on (the reference delegates it to parquet schema merging in
+    its scan; here it is driver-proven against the unsplit fixture).
+
+    Scale shape: schema reconciliation happens at file-footer level (per
+    file, driver-side metadata only); the data path stays a plain
+    columnar scan per generation — no shuffle, no rewrite of old files,
+    which is the point: additive evolution is FREE at 100 TB, unlike a
+    backfill."""
+    d = build_schema_evo_layout(spark, sf_dir)
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    return (
+        merged.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("yr")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.count("o_orderpriority").cast("bigint").alias("n_with_priority"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("yr")
+    )
