@@ -956,3 +956,88 @@ def pipeline_mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("planned_tokens"),
     ).orderBy("source")
+
+
+_NEYMAN_BUDGET = 100  # total sample budget allocated across strata
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH s AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_h,
+               sqrt((CAST(SUM(n_chars * n_chars) AS DOUBLE)
+                     - CAST(SUM(n_chars) AS DOUBLE) * SUM(n_chars)
+                       / COUNT(*)) / COUNT(*)) AS sd_h
+        FROM documents GROUP BY source
+    ),
+    t AS (
+        SELECT source, n_h, sd_h,
+               CAST(SUM(CAST(ROUND(n_h * sd_h, 9) AS DECIMAL(28,9)))
+                    OVER () AS DOUBLE) AS z,
+               CAST(SUM(n_h) OVER () AS DOUBLE) AS n_tot
+        FROM s
+    )
+    SELECT source, n_h,
+           ROUND(sd_h, 6) AS sd_chars,
+           ROUND({_NEYMAN_BUDGET} * n_h / n_tot, 6) AS alloc_proportional,
+           ROUND({_NEYMAN_BUDGET} * n_h * sd_h / z, 6) AS alloc_neyman
+    FROM t
+    ORDER BY source
+    """,
+    tags=("pipeline", "sampling", "stratified", "design"),
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling DESIGN: for a fixed eval budget, the optimal
+    (Neyman) per-stratum allocation n_h ∝ N_h·σ_h against the naive
+    proportional n_h ∝ N_h — high-variance sources earn more than their
+    headcount share, which is how an eval set gets minimum-variance mean
+    estimates for the same labeling budget.  Per-source σ of n_chars
+    comes from exact integer power sums; the normalizer is an order-free
+    decimal window sum.  The actual draw then rides the existing
+    deterministic samplers (`sample_stratified_per_group` takes these
+    counts as its per-stratum quota).
+
+    Scale shape: one scan to per-stratum power sums (constant state),
+    arithmetic on the 20-row strata frame — a design computation whose
+    cost is independent of corpus size."""
+    t = Tables(spark, sf_dir)
+    s = t.parallel("documents", "doc_id").groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_h"),
+        F.sqrt(
+            (
+                F.sum(F.col("n_chars") * F.col("n_chars")).cast("double")
+                - F.sum("n_chars").cast("double")
+                * F.sum("n_chars")
+                / F.count("*")
+            )
+            / F.count("*")
+        ).alias("sd_h"),
+    )
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    tt = s.select(
+        "source",
+        "n_h",
+        "sd_h",
+        F.sum(
+            F.round(F.col("n_h") * F.col("sd_h"), 9).cast("decimal(28,9)")
+        )
+        .over(w_all)
+        .cast("double")
+        .alias("z"),
+        F.sum("n_h").over(w_all).cast("double").alias("n_tot"),
+    )
+    return tt.select(
+        "source",
+        "n_h",
+        F.round("sd_h", 6).alias("sd_chars"),
+        F.round(_NEYMAN_BUDGET * F.col("n_h") / F.col("n_tot"), 6).alias(
+            "alloc_proportional"
+        ),
+        F.round(
+            _NEYMAN_BUDGET * F.col("n_h") * F.col("sd_h") / F.col("z"), 6
+        ).alias("alloc_neyman"),
+    ).orderBy("source")
