@@ -1690,3 +1690,79 @@ def feature_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brier_platt",
         )
     )
+
+
+@query(
+    "eval_expected_calibration_error",
+    oracle=f"""
+    WITH scored AS (
+        SELECT {_SQL_SCORE} AS p,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    binned AS (
+        SELECT LEAST(CAST(floor(p * 10) AS INT), 9) AS bin, p, y
+        FROM scored
+    ),
+    bins AS (
+        SELECT bin, COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(p, 9) AS DECIMAL(28,9))) AS DOUBLE)
+                   / COUNT(*) AS conf,
+               CAST(SUM(y) AS DOUBLE) / COUNT(*) AS acc
+        FROM binned GROUP BY bin
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           ROUND(CAST(SUM(CAST(ROUND(n * abs(acc - conf), 9)
+                               AS DECIMAL(38,9))) AS DOUBLE)
+                 / SUM(n), 6) AS ece,
+           ROUND(MAX(abs(acc - conf)), 6) AS mce
+    FROM bins
+    """,
+    tags=("pipeline", "evaluation", "calibration"),
+)
+def eval_expected_calibration_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Expected Calibration Error — the single number the reliability
+    diagram (`eval_calibration_bins`) summarizes to: the bin-count-
+    weighted mean |accuracy - confidence| over 10 equal-width bins, plus
+    MCE (the worst bin) — the metric pair every calibration paper
+    reports, and the before/after readout for `feature_platt_scaling`.
+
+    Exactness: per-bin confidence sums ride the ROUND->DECIMAL contract
+    (tightening `eval_calibration_bins`' plain double sums); accuracy is
+    an exact integer ratio; the final weighted sum is again decimal.
+
+    Scale shape: one scan, 10-bin map-side reduction, arithmetic on the
+    bin frame."""
+    ev = Tables(spark, sf_dir).events
+    binned = ev.select(
+        _score().alias("p"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    ).select(
+        F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("bin"),
+        "p",
+        "y",
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.round(F.col("p"), 9).cast("decimal(28,9)")).cast("double")
+            / F.count("*")
+        ).alias("conf"),
+        (F.sum("y").cast("double") / F.count("*")).alias("acc"),
+    )
+    gap = F.abs(F.col("acc") - F.col("conf"))
+    return bins.agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_bins"),
+        F.round(
+            F.sum(
+                F.round(F.col("n") * gap, 9).cast("decimal(38,9)")
+            ).cast("double")
+            / F.sum("n"),
+            6,
+        ).alias("ece"),
+        F.round(F.max(gap), 6).alias("mce"),
+    )
