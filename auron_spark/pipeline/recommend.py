@@ -308,3 +308,140 @@ def rec_user_item_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey", F.desc(F.round("score", 9)), "partkey")
     )
+
+
+_ALS_LAMBDA = 0.1
+_ALS_R9 = "CAST(ROUND({t}, 9) AS DECIMAL(28,9))"
+
+
+@query(
+    "rec_als_user_step",
+    oracle=f"""
+    WITH r AS (
+        SELECT user_id, event_type,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+               / COUNT(*) / 100.0 AS r
+        FROM events GROUP BY user_id, event_type
+    ),
+    q AS (
+        SELECT DISTINCT event_type,
+               (CAST(('0x' || substr(md5(event_type), 1, 4)) AS BIGINT)
+                % 1000) / 1000.0 AS q1,
+               (CAST(('0x' || substr(md5(event_type), 5, 4)) AS BIGINT)
+                % 1000) / 1000.0 AS q2
+        FROM r
+    ),
+    j AS (
+        SELECT r.user_id, r.r, q.q1, q.q2
+        FROM r JOIN q ON q.event_type = r.event_type
+    ),
+    s AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM({_ALS_R9.format(t="q1 * q1")}) AS DOUBLE) AS s00,
+               CAST(SUM({_ALS_R9.format(t="q1 * q2")}) AS DOUBLE) AS s01,
+               CAST(SUM({_ALS_R9.format(t="q2 * q2")}) AS DOUBLE) AS s11,
+               CAST(SUM({_ALS_R9.format(t="q1 * r")}) AS DOUBLE) AS b0,
+               CAST(SUM({_ALS_R9.format(t="q2 * r")}) AS DOUBLE) AS b1
+        FROM j GROUP BY user_id
+    ),
+    p AS (
+        SELECT user_id, n_items,
+               ((s11 + {_ALS_LAMBDA}) * b0 - s01 * b1)
+               / ((s00 + {_ALS_LAMBDA}) * (s11 + {_ALS_LAMBDA})
+                  - s01 * s01) AS p1,
+               ((s00 + {_ALS_LAMBDA}) * b1 - s01 * b0)
+               / ((s00 + {_ALS_LAMBDA}) * (s11 + {_ALS_LAMBDA})
+                  - s01 * s01) AS p2
+        FROM s
+    )
+    SELECT CAST(COUNT(DISTINCT j.user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_ratings,
+           ROUND(sqrt(CAST(SUM({_ALS_R9.format(
+               t="(j.r - (p.p1 * j.q1 + p.p2 * j.q2))"
+                 " * (j.r - (p.p1 * j.q1 + p.p2 * j.q2))")})
+               AS DOUBLE) / COUNT(*)), 6) AS rmse_after,
+           ROUND(CAST(SUM({_ALS_R9.format(t="p.p1")}) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_p1,
+           ROUND(CAST(SUM({_ALS_R9.format(t="p.p2")}) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_p2
+    FROM j JOIN p ON p.user_id = j.user_id
+    """,
+    tags=("pipeline", "recommendation", "als", "factorization"),
+)
+def rec_als_user_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact ALS user-step — the distributed matrix-factorization
+    training primitive: with the rank-2 item factors FIXED (deterministic
+    md5-derived vectors standing in for the previous iteration's
+    broadcast), every user's factors solve an independent closed-form
+    ridge (Q_u^T Q_u + lambda I)^{-1} Q_u^T r_u — per-user 2x2 adjugate
+    arithmetic over grouped sufficient statistics, which is EXACTLY how
+    production ALS scales: the item matrix broadcasts, the user solves
+    are embarrassingly parallel at user grain, and one aggregate per
+    half-step is the only shuffle.  Reports the post-step global RMSE
+    and mean factors (rating-weighted over the join, both engines
+    identical).
+
+    Exactness: ratings are rational (decimal sum / count / 100), factors
+    rational (md5-derived integers / 1000) — NO transcendental anywhere;
+    per-user and global sums ride the ROUND(.,9) -> DECIMAL order-free
+    contract; the solve is a shared rational expression tree.
+
+    Scale shape: ratings aggregate at (user, item) grain; the factor
+    join is a broadcast (items << users); the per-user reduction ships
+    five doubles + a count per user; the solve and residuals are
+    map-side.  The item half-step is the same shape transposed."""
+    t = Tables(spark, sf_dir)
+    r = t.events.groupBy("user_id", "event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+            / F.count("*")
+            / 100.0
+        ).alias("r")
+    )
+    # conv(hex, 16, 10) is the Spark spelling of DuckDB's '0x' cast — the
+    # same md5-nibble integers in both engines (the `_arm` device in
+    # pipeline/experiments.py).
+    q = r.select("event_type").distinct().selectExpr(
+        "event_type",
+        "(CAST(conv(substr(md5(event_type), 1, 4), 16, 10) AS BIGINT)"
+        " % 1000) / 1000.0 AS q1",
+        "(CAST(conv(substr(md5(event_type), 5, 4), 16, 10) AS BIGINT)"
+        " % 1000) / 1000.0 AS q2",
+    )
+    j = r.join(F.broadcast(q), "event_type").select(
+        "user_id", "r", "q1", "q2"
+    ).localCheckpoint(eager=False)
+    r9 = lambda e: F.expr(_ALS_R9.format(t=e))  # noqa: E731
+    s = j.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.sum(r9("q1 * q1")).cast("double").alias("s00"),
+        F.sum(r9("q1 * q2")).cast("double").alias("s01"),
+        F.sum(r9("q2 * q2")).cast("double").alias("s11"),
+        F.sum(r9("q1 * r")).cast("double").alias("b0"),
+        F.sum(r9("q2 * r")).cast("double").alias("b1"),
+    )
+    lam = _ALS_LAMBDA
+    det = f"((s00 + {lam}) * (s11 + {lam}) - s01 * s01)"
+    p = s.selectExpr(
+        "user_id",
+        f"((s11 + {lam}) * b0 - s01 * b1) / {det} AS p1",
+        f"((s00 + {lam}) * b1 - s01 * b0) / {det} AS p2",
+    )
+    e = "(r - (p1 * q1 + p2 * q2)) * (r - (p1 * q1 + p2 * q2))"
+    return (
+        j.join(p, "user_id")
+        .agg(
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+            F.count("*").cast("bigint").alias("n_ratings"),
+            F.round(
+                F.sqrt(F.sum(r9(e)).cast("double") / F.count("*")), 6
+            ).alias("rmse_after"),
+            F.round(
+                F.sum(r9("p1")).cast("double") / F.count("*"), 6
+            ).alias("mean_p1"),
+            F.round(
+                F.sum(r9("p2")).cast("double") / F.count("*"), 6
+            ).alias("mean_p2"),
+        )
+    )
