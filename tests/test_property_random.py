@@ -1890,3 +1890,44 @@ def test_auc_delong_matches_numpy(spark):
     assert abs(got.se_delong - se) < 1e-6
     assert abs(got.ci_lo - (auc - 1.96 * se)) < 2e-6
     assert abs(got.ci_hi - (auc + 1.96 * se)) < 2e-6
+
+
+def test_platt_scaling_matches_numpy_irls(spark):
+    """feature_platt_scaling's three aggregate-expressed Newton steps must
+    equal a direct numpy IRLS on the same rounded-score grain, including
+    both Brier scores."""
+    import duckdb
+    import numpy as np
+
+    from auron_spark.registry import load_all
+
+    got = load_all()["feature_platt_scaling"].build(spark, SF_SMOKE).collect()[0]
+    con = duckdb.connect()
+    g = con.execute(
+        f"""
+        SELECT ROUND(1.0/(1.0+exp(-(value-50.0)/20.0)), 3) x,
+               COUNT(*) n,
+               SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) k
+        FROM read_parquet('{SF_SMOKE}/events.parquet') GROUP BY 1
+        """
+    ).fetchnumpy()
+    x = g["x"].astype(float)
+    n = g["n"].astype(float)
+    k = g["k"].astype(float)
+    X = np.stack([np.ones_like(x), x], 1)
+    beta = np.zeros(2)
+    grad = None
+    for _ in range(3):
+        p = 1.0 / (1.0 + np.exp(-(X @ beta)))
+        w = n * p * (1 - p)
+        grad = X.T @ (k - n * p)
+        beta = beta + np.linalg.solve((X * w[:, None]).T @ X, grad)
+    p = 1.0 / (1.0 + np.exp(-(X @ beta)))
+    brier_platt = float(np.sum(n * p * p - 2 * p * k + k) / n.sum())
+    brier_raw = float(np.sum(n * x * x - 2 * x * k + k) / n.sum())
+    assert got.n_rows == int(n.sum())
+    assert abs(got.intercept - beta[0]) < 1e-5
+    assert abs(got.slope - beta[1]) < 1e-5
+    assert abs(got.grad_norm - float(np.linalg.norm(grad))) < 1e-3
+    assert abs(got.brier_raw - brier_raw) < 1e-6
+    assert abs(got.brier_platt - brier_platt) < 1e-6
