@@ -1766,3 +1766,138 @@ def eval_expected_calibration_error(
         ).alias("ece"),
         F.round(F.max(gap), 6).alias("mce"),
     )
+
+
+@query(
+    "eval_auc_delong_ci_scale",
+    oracle=f"""
+    WITH scored AS (
+        SELECT {_SQL_SCORE} AS s,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    ranked AS (
+        SELECT y,
+               RANK() OVER (ORDER BY s)
+               + (COUNT(*) OVER (PARTITION BY s) - 1) / 2.0 AS mr_all,
+               RANK() OVER (PARTITION BY y ORDER BY s)
+               + (COUNT(*) OVER (PARTITION BY y, s) - 1) / 2.0 AS mr_cls,
+               SUM(y) OVER () AS n1,
+               COUNT(*) OVER () - SUM(y) OVER () AS n0
+        FROM scored
+    ),
+    placed AS (
+        SELECT y,
+               CASE WHEN y = 1 THEN (mr_all - mr_cls) / n0
+                    ELSE 1.0 - (mr_all - mr_cls) / n1 END AS v
+        FROM ranked
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) FILTER (WHERE y = 1) AS BIGINT) AS n1,
+               CAST(COUNT(*) FILTER (WHERE y = 0) AS BIGINT) AS n0,
+               CAST(SUM({_DL_R9.format(t="v")}) FILTER (WHERE y = 1)
+                    AS DOUBLE) AS sv1,
+               CAST(SUM({_DL_R9.format(t="v * v")}) FILTER (WHERE y = 1)
+                    AS DOUBLE) AS sq1,
+               CAST(SUM({_DL_R9.format(t="v")}) FILTER (WHERE y = 0)
+                    AS DOUBLE) AS sv0,
+               CAST(SUM({_DL_R9.format(t="v * v")}) FILTER (WHERE y = 0)
+                    AS DOUBLE) AS sq0
+        FROM placed
+    )
+    SELECT n1 AS n_pos, n0 AS n_neg,
+           ROUND(sv1 / n1, 6) AS auc,
+           ROUND(sqrt((sq1 - sv1 * sv1 / n1) / (n1 - 1) / n1
+                      + (sq0 - sv0 * sv0 / n0) / (n0 - 1) / n0), 6)
+               AS se_delong,
+           ROUND(sv1 / n1
+                 - 1.96 * sqrt((sq1 - sv1 * sv1 / n1) / (n1 - 1) / n1
+                               + (sq0 - sv0 * sv0 / n0) / (n0 - 1) / n0),
+                 6) AS ci_lo,
+           ROUND(sv1 / n1
+                 + 1.96 * sqrt((sq1 - sv1 * sv1 / n1) / (n1 - 1) / n1
+                               + (sq0 - sv0 * sv0 / n0) / (n0 - 1) / n0),
+                 6) AS ci_hi
+    FROM agg
+    """,
+    tags=("pipeline", "evaluation", "auc", "confidence-interval",
+          "scale-safe"),
+)
+def eval_auc_delong_ci_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`eval_auc_delong_ci` with NO single-partition window (VERDICT r12
+    ask #3 — the last corpus-shaped global window without a registered
+    distributed twin).  Two observations make it distributable:
+
+    1. Midranks depend only on the score VALUE: every row with score s
+       shares mr_all(s) = rows_before(s) + (cnt(s)+1)/2 and likewise
+       mr_cls per class, so the whole rank computation collapses to the
+       distinct-score grain — (s, cnt_all, cnt_pos, cnt_neg).
+    2. rows_before(s) is a global prefix sum, which is exactly
+       `distributed_running_sums` (range repartition, parallel per-
+       partition windows, broadcast per-partition offsets).
+
+    Placement values and the DeLong variance then become score-grain
+    arithmetic with each ROUND(v,9) DECIMAL term weighted by its exact
+    tie count — bit-identical to the per-row original (same oracle text)
+    because every tied row contributes the identical rounded decimal.
+
+    Scale shape: one score-grain aggregate (|distinct scores| <= n rows),
+    one 32-way range exchange + a 32-long offsets collect, then map-side
+    arithmetic and one scalar reduction; zero `Exchange SinglePartition`
+    except the final scalar aggregate (plan-gated)."""
+    from auron_spark.operators.window import distributed_running_sums
+
+    ev = Tables(spark, sf_dir).events
+    scored = ev.select(
+        _score().alias("s"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    g = scored.groupBy("s").agg(
+        F.count("*").cast("long").alias("cnt_all"),
+        F.sum("y").cast("long").alias("cnt_pos"),
+        (F.count("*") - F.sum("y")).cast("long").alias("cnt_neg"),
+    )
+    cum = distributed_running_sums(
+        g, [F.asc("s")], ["cnt_all", "cnt_pos", "cnt_neg"]
+    )
+    tot = g.agg(
+        F.sum("cnt_pos").cast("long").alias("n1_t"),
+        F.sum("cnt_neg").cast("long").alias("n0_t"),
+    )
+    x = cum.join(F.broadcast(tot))
+    mr_all = F.col("cum_cnt_all") - F.col("cnt_all") + (F.col("cnt_all") + 1) / 2.0
+    mr_pos = F.col("cum_cnt_pos") - F.col("cnt_pos") + (F.col("cnt_pos") + 1) / 2.0
+    mr_neg = F.col("cum_cnt_neg") - F.col("cnt_neg") + (F.col("cnt_neg") + 1) / 2.0
+    v1 = (mr_all - mr_pos) / F.col("n0_t")
+    v0 = 1.0 - (mr_all - mr_neg) / F.col("n1_t")
+    r9 = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
+    has_pos, has_neg = F.col("cnt_pos") > 0, F.col("cnt_neg") > 0
+    agg = x.agg(
+        F.sum("cnt_pos").cast("bigint").alias("n1"),
+        F.sum("cnt_neg").cast("bigint").alias("n0"),
+        F.sum(F.when(has_pos, F.col("cnt_pos") * r9(v1)))
+        .cast("double")
+        .alias("sv1"),
+        F.sum(F.when(has_pos, F.col("cnt_pos") * r9(v1 * v1)))
+        .cast("double")
+        .alias("sq1"),
+        F.sum(F.when(has_neg, F.col("cnt_neg") * r9(v0)))
+        .cast("double")
+        .alias("sv0"),
+        F.sum(F.when(has_neg, F.col("cnt_neg") * r9(v0 * v0)))
+        .cast("double")
+        .alias("sq0"),
+    )
+    n1, n0 = F.col("n1"), F.col("n0")
+    var = (F.col("sq1") - F.col("sv1") * F.col("sv1") / n1) / (n1 - 1) / n1 + (
+        F.col("sq0") - F.col("sv0") * F.col("sv0") / n0
+    ) / (n0 - 1) / n0
+    auc = F.col("sv1") / n1
+    return agg.select(
+        n1.alias("n_pos"),
+        n0.alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+        F.round(F.sqrt(var), 6).alias("se_delong"),
+        F.round(auc - 1.96 * F.sqrt(var), 6).alias("ci_lo"),
+        F.round(auc + 1.96 * F.sqrt(var), 6).alias("ci_hi"),
+    )

@@ -445,3 +445,333 @@ def rec_als_user_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_p2"),
         )
     )
+
+
+# --- round 13: item half-step + full alternating round (VERDICT r12 #2) ---
+#
+# Shared SQL fragments for the DuckDB oracles below.  The user half-step
+# (`rec_als_user_step`, artifact-proven r12) is left byte-identical; these
+# constants restate its CTE chain so the alternating round can extend it
+# without touching the proven text.
+
+_ALS_RATINGS_SQL = """
+    r AS (
+        SELECT user_id, event_type,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+               / COUNT(*) / 100.0 AS r
+        FROM events GROUP BY user_id, event_type
+    )"""
+
+_ALS_Q0_SQL = """
+    q AS (
+        SELECT DISTINCT event_type,
+               (CAST(('0x' || substr(md5(event_type), 1, 4)) AS BIGINT)
+                % 1000) / 1000.0 AS q1,
+               (CAST(('0x' || substr(md5(event_type), 5, 4)) AS BIGINT)
+                % 1000) / 1000.0 AS q2
+        FROM r
+    )"""
+
+_ALS_P0_SQL = """
+    pu AS (
+        SELECT DISTINCT user_id,
+               (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+                AS BIGINT) % 1000) / 1000.0 AS p1,
+               (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 5, 4))
+                AS BIGINT) % 1000) / 1000.0 AS p2
+        FROM r
+    )"""
+
+_ALS_DET = (
+    f"((s00 + {_ALS_LAMBDA}) * (s11 + {_ALS_LAMBDA}) - s01 * s01)"
+)
+
+
+def _als_ratings(t: Tables) -> DataFrame:
+    """(user_id, event_type, r) rating matrix — rational mean value."""
+    return t.events.groupBy("user_id", "event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+            / F.count("*")
+            / 100.0
+        ).alias("r")
+    )
+
+
+def _md5_factors(df: DataFrame, key_expr: str, a: str, b: str) -> DataFrame:
+    """Deterministic md5-nibble rank-2 factors for a key column —
+    conv(hex,16,10) is the Spark spelling of DuckDB's '0x' cast (the
+    `_arm` device in pipeline/experiments.py)."""
+    return df.selectExpr(
+        "*",
+        f"(CAST(conv(substr(md5({key_expr}), 1, 4), 16, 10) AS BIGINT)"
+        f" % 1000) / 1000.0 AS {a}",
+        f"(CAST(conv(substr(md5({key_expr}), 5, 4), 16, 10) AS BIGINT)"
+        f" % 1000) / 1000.0 AS {b}",
+    )
+
+
+def _ridge_solve(
+    grouped: DataFrame, key: str, f1: str, f2: str, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """Closed-form rank-2 ridge from grouped sufficient statistics
+    (s00,s01,s11,b0,b1) — 2x2 adjugate arithmetic, map-side."""
+    lam = _ALS_LAMBDA
+    det = f"((s00 + {lam}) * (s11 + {lam}) - s01 * s01)"
+    return grouped.selectExpr(
+        key,
+        *keep,
+        f"((s11 + {lam}) * b0 - s01 * b1) / {det} AS {f1}",
+        f"((s00 + {lam}) * b1 - s01 * b0) / {det} AS {f2}",
+    )
+
+
+def _als_sums(
+    j: DataFrame, key: str, f1: str, f2: str
+) -> DataFrame:
+    """Per-key Gram/gradient sufficient statistics over the ratings join —
+    the ONLY shuffle of a half-step: five ROUND(.,9)->DECIMAL order-free
+    doubles plus a count per key."""
+    r9 = lambda e: F.expr(_ALS_R9.format(t=e))  # noqa: E731
+    return j.groupBy(key).agg(
+        F.count("*").cast("bigint").alias("n_obs"),
+        F.sum(r9(f"{f1} * {f1}")).cast("double").alias("s00"),
+        F.sum(r9(f"{f1} * {f2}")).cast("double").alias("s01"),
+        F.sum(r9(f"{f2} * {f2}")).cast("double").alias("s11"),
+        F.sum(r9(f"{f1} * r")).cast("double").alias("b0"),
+        F.sum(r9(f"{f2} * r")).cast("double").alias("b1"),
+    )
+
+
+@query(
+    "rec_als_item_step",
+    oracle=f"""
+    WITH {_ALS_RATINGS_SQL},
+    {_ALS_P0_SQL},
+    j AS (
+        SELECT r.event_type, r.r, pu.p1, pu.p2
+        FROM r JOIN pu ON pu.user_id = r.user_id
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_obs,
+               CAST(SUM({_ALS_R9.format(t="p1 * p1")}) AS DOUBLE) AS s00,
+               CAST(SUM({_ALS_R9.format(t="p1 * p2")}) AS DOUBLE) AS s01,
+               CAST(SUM({_ALS_R9.format(t="p2 * p2")}) AS DOUBLE) AS s11,
+               CAST(SUM({_ALS_R9.format(t="p1 * r")}) AS DOUBLE) AS b0,
+               CAST(SUM({_ALS_R9.format(t="p2 * r")}) AS DOUBLE) AS b1
+        FROM j GROUP BY event_type
+    ),
+    qn AS (
+        SELECT event_type, n_obs,
+               ((s11 + {_ALS_LAMBDA}) * b0 - s01 * b1) / {_ALS_DET} AS q1,
+               ((s00 + {_ALS_LAMBDA}) * b1 - s01 * b0) / {_ALS_DET} AS q2
+        FROM s
+    )
+    SELECT j.event_type,
+           CAST(qn.n_obs AS BIGINT) AS n_users,
+           ROUND(qn.q1, 6) AS q1_new,
+           ROUND(qn.q2, 6) AS q2_new,
+           ROUND(sqrt(CAST(SUM({_ALS_R9.format(
+               t="(j.r - (j.p1 * qn.q1 + j.p2 * qn.q2))"
+                 " * (j.r - (j.p1 * qn.q1 + j.p2 * qn.q2))")})
+               AS DOUBLE) / COUNT(*)), 6) AS rmse_item
+    FROM j JOIN qn ON qn.event_type = j.event_type
+    GROUP BY j.event_type, qn.n_obs, qn.q1, qn.q2
+    ORDER BY j.event_type
+    """,
+    tags=("pipeline", "recommendation", "als", "factorization"),
+)
+def rec_als_item_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ALS ITEM half-step — `rec_als_user_step` transposed, closing
+    the docstring promise its r12 row left open: with the user factors
+    FIXED (deterministic md5-derived vectors standing in for the previous
+    iteration's solve), every item's factors solve an independent
+    closed-form ridge (P_i^T P_i + lambda I)^{-1} P_i^T r_i.  Reports the
+    new per-item factors and per-item RMSE.
+
+    Scale shape — the TRANSPOSED posture matters: at 100 TB the item
+    matrix broadcasts but the user matrix does NOT (millions of rows), so
+    the user-factor attach is an equi-join co-partitioned on user_id (the
+    ratings' native grain — no extra shuffle), and the per-item reduction
+    ships five doubles + a count per item.  Exactness: same rational
+    ROUND(.,9)->DECIMAL order-free device as the user step."""
+    t = Tables(spark, sf_dir)
+    r = _als_ratings(t)
+    pu = _md5_factors(
+        r.select("user_id").distinct(), "CAST(user_id AS STRING)", "p1", "p2"
+    )
+    # User-grain equi-join: ratings are already keyed by user_id, so this
+    # co-partitions without a broadcast (users are the BIG side at scale).
+    j = r.join(pu, "user_id").select(
+        "event_type", "r", "p1", "p2"
+    ).localCheckpoint(eager=False)
+    qn = _ridge_solve(
+        _als_sums(j, "event_type", "p1", "p2"),
+        "event_type", "q1", "q2", keep=("n_obs",),
+    )
+    r9 = lambda e: F.expr(_ALS_R9.format(t=e))  # noqa: E731
+    e = "(r - (p1 * q1 + p2 * q2)) * (r - (p1 * q1 + p2 * q2))"
+    return (
+        j.join(F.broadcast(qn), "event_type")
+        .groupBy("event_type", "n_obs", "q1", "q2")
+        .agg(
+            F.round(
+                F.sqrt(F.sum(r9(e)).cast("double") / F.count("*")), 6
+            ).alias("rmse_item"),
+        )
+        .select(
+            "event_type",
+            F.col("n_obs").cast("bigint").alias("n_users"),
+            F.round("q1", 6).alias("q1_new"),
+            F.round("q2", 6).alias("q2_new"),
+            "rmse_item",
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "rec_als_alternating_round",
+    oracle=f"""
+    WITH {_ALS_RATINGS_SQL},
+    {_ALS_Q0_SQL},
+    j AS (
+        SELECT r.user_id, r.event_type, r.r, q.q1, q.q2
+        FROM r JOIN q ON q.event_type = r.event_type
+    ),
+    su AS (
+        SELECT user_id,
+               CAST(SUM({_ALS_R9.format(t="q1 * q1")}) AS DOUBLE) AS s00,
+               CAST(SUM({_ALS_R9.format(t="q1 * q2")}) AS DOUBLE) AS s01,
+               CAST(SUM({_ALS_R9.format(t="q2 * q2")}) AS DOUBLE) AS s11,
+               CAST(SUM({_ALS_R9.format(t="q1 * r")}) AS DOUBLE) AS b0,
+               CAST(SUM({_ALS_R9.format(t="q2 * r")}) AS DOUBLE) AS b1
+        FROM j GROUP BY user_id
+    ),
+    p AS (
+        SELECT user_id,
+               ((s11 + {_ALS_LAMBDA}) * b0 - s01 * b1) / {_ALS_DET} AS p1,
+               ((s00 + {_ALS_LAMBDA}) * b1 - s01 * b0) / {_ALS_DET} AS p2
+        FROM su
+    ),
+    j2 AS (
+        SELECT j.user_id, j.event_type, j.r, j.q1, j.q2, p.p1, p.p2
+        FROM j JOIN p ON p.user_id = j.user_id
+    ),
+    si AS (
+        SELECT event_type,
+               CAST(SUM({_ALS_R9.format(t="p1 * p1")}) AS DOUBLE) AS s00,
+               CAST(SUM({_ALS_R9.format(t="p1 * p2")}) AS DOUBLE) AS s01,
+               CAST(SUM({_ALS_R9.format(t="p2 * p2")}) AS DOUBLE) AS s11,
+               CAST(SUM({_ALS_R9.format(t="p1 * r")}) AS DOUBLE) AS b0,
+               CAST(SUM({_ALS_R9.format(t="p2 * r")}) AS DOUBLE) AS b1
+        FROM j2 GROUP BY event_type
+    ),
+    qn AS (
+        SELECT event_type,
+               ((s11 + {_ALS_LAMBDA}) * b0 - s01 * b1) / {_ALS_DET} AS q1n,
+               ((s00 + {_ALS_LAMBDA}) * b1 - s01 * b0) / {_ALS_DET} AS q2n
+        FROM si
+    ),
+    j3 AS (
+        SELECT j2.*, qn.q1n, qn.q2n
+        FROM j2 JOIN qn ON qn.event_type = j2.event_type
+    ),
+    np AS (SELECT CAST(SUM({_ALS_R9.format(t="p1 * p1 + p2 * p2")})
+                  AS DOUBLE) AS v FROM p),
+    nq0 AS (SELECT CAST(SUM({_ALS_R9.format(t="q1 * q1 + q2 * q2")})
+                   AS DOUBLE) AS v FROM q),
+    nq1 AS (SELECT CAST(SUM({_ALS_R9.format(t="q1n * q1n + q2n * q2n")})
+                   AS DOUBLE) AS v FROM qn),
+    se AS (
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_items,
+               CAST(COUNT(*) AS BIGINT) AS n_ratings,
+               CAST(SUM({_ALS_R9.format(
+                   t="(r - (p1 * q1 + p2 * q2))"
+                     " * (r - (p1 * q1 + p2 * q2))")}) AS DOUBLE) AS se_u,
+               CAST(SUM({_ALS_R9.format(
+                   t="(r - (p1 * q1n + p2 * q2n))"
+                     " * (r - (p1 * q1n + p2 * q2n))")}) AS DOUBLE) AS se_i
+        FROM j3
+    )
+    SELECT se.n_users, se.n_items, se.n_ratings,
+           ROUND(sqrt(se.se_u / se.n_ratings), 6) AS rmse_user_step,
+           ROUND(sqrt(se.se_i / se.n_ratings), 6) AS rmse_item_step,
+           ROUND(se.se_u + {_ALS_LAMBDA} * (np.v + nq0.v), 6)
+               AS obj_user_step,
+           ROUND(se.se_i + {_ALS_LAMBDA} * (np.v + nq1.v), 6)
+               AS obj_item_step
+    FROM se CROSS JOIN np CROSS JOIN nq0 CROSS JOIN nq1
+    """,
+    tags=("pipeline", "recommendation", "als", "factorization"),
+)
+def rec_als_alternating_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One FULL ALS alternating round — user half-step then item
+    half-step chained on live intermediate factors, which is what makes
+    it ALS and not arithmetic: starting from the deterministic md5 item
+    factors Q0, solve every user's closed-form ridge (P1), then with P1
+    fixed solve every item's ridge (Q1), and report RMSE and the
+    regularized objective J = SE + lambda*(|P|^2 + |Q|^2) after EACH
+    half-step.  Because the item step exactly minimizes J over Q with P1
+    fixed, obj_item_step <= obj_user_step is a THEOREM (pinned in
+    tests/test_property_random.py along with the fixture's RMSE
+    non-increase).
+
+    Scale shape: two shuffles per round, each a sufficient-statistics
+    reduction (five doubles + count per entity); item factors broadcast
+    both times (items << users); the user-factor attach rides the
+    ratings' native user_id partitioning.  Exactness: every sum is
+    ROUND(.,9)->DECIMAL order-free; solves are shared rational
+    expression trees on exact-decimal-derived doubles."""
+    t = Tables(spark, sf_dir)
+    r = _als_ratings(t)
+    q0 = _md5_factors(
+        r.select("event_type").distinct(), "event_type", "q1", "q2"
+    )
+    j = r.join(F.broadcast(q0), "event_type").localCheckpoint(eager=False)
+    p = _ridge_solve(_als_sums(j, "user_id", "q1", "q2"), "user_id", "p1", "p2")
+    j2 = j.join(p, "user_id").localCheckpoint(eager=False)
+    qn = _ridge_solve(
+        _als_sums(j2, "event_type", "p1", "p2"), "event_type", "q1n", "q2n"
+    )
+    j3 = j2.join(F.broadcast(qn), "event_type")
+    r9 = lambda e: F.expr(_ALS_R9.format(t=e))  # noqa: E731
+    np_ = p.agg(F.sum(r9("p1 * p1 + p2 * p2")).cast("double").alias("np_v"))
+    nq0 = q0.agg(F.sum(r9("q1 * q1 + q2 * q2")).cast("double").alias("nq0_v"))
+    nq1 = qn.agg(
+        F.sum(r9("q1n * q1n + q2n * q2n")).cast("double").alias("nq1_v")
+    )
+    eu = "(r - (p1 * q1 + p2 * q2)) * (r - (p1 * q1 + p2 * q2))"
+    ei = "(r - (p1 * q1n + p2 * q2n)) * (r - (p1 * q1n + p2 * q2n))"
+    se = j3.agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.count_distinct("event_type").cast("bigint").alias("n_items"),
+        F.count("*").cast("bigint").alias("n_ratings"),
+        F.sum(r9(eu)).cast("double").alias("se_u"),
+        F.sum(r9(ei)).cast("double").alias("se_i"),
+    )
+    lam = _ALS_LAMBDA
+    return (
+        se.join(F.broadcast(np_))
+        .join(F.broadcast(nq0))
+        .join(F.broadcast(nq1))
+        .select(
+            "n_users",
+            "n_items",
+            "n_ratings",
+            F.round(F.sqrt(F.col("se_u") / F.col("n_ratings")), 6).alias(
+                "rmse_user_step"
+            ),
+            F.round(F.sqrt(F.col("se_i") / F.col("n_ratings")), 6).alias(
+                "rmse_item_step"
+            ),
+            F.round(
+                F.col("se_u") + lam * (F.col("np_v") + F.col("nq0_v")), 6
+            ).alias("obj_user_step"),
+            F.round(
+                F.col("se_i") + lam * (F.col("np_v") + F.col("nq1_v")), 6
+            ).alias("obj_item_step"),
+        )
+    )

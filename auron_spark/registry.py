@@ -98,9 +98,37 @@ _DRIVER_WINDOW: tuple[str, ...] = ()
 # instead of sorting to the lowest re-prove priority).  Remove a name here
 # once a new artifact round re-proves it.
 _MODIFIED_SINCE_PROOF: frozenset[str] = frozenset({
-    # r11 added a NULLIF zero-span guard to both builder and oracle after
-    # the r10 artifact proved the unguarded text (fixture rows unchanged).
-    "dq_freshness_lag",
+    # (empty) — dq_freshness_lag re-entered the round-12 window and its
+    # CORRECTNESS_r12.json row re-proves the NULLIF-guarded text, so the
+    # r11 entry retired.  Add names here whenever builder+oracle semantics
+    # change after their newest artifact.
+})
+
+# Green driver rows from CORRECTNESS_r12.json — the whole round-12 window
+# hash-matched 50/50 (the sixth consecutive perfect driver window): the 26
+# round-12 additions, the `dq_freshness_lag` modified-since-proof re-entry,
+# and 23 oldest-artifact (r1) backfills.  Landing it makes every
+# oracle-bearing registered query artifact-proven (436/436).
+_R12_PROVEN: frozenset[str] = frozenset({
+    "agg_corr_covar", "agg_listagg_ordered", "agg_median_percentile",
+    "agg_mode_deterministic", "agg_stats_moments",
+    "dedup_connected_components_scaled", "dedup_minhash_lsh_pairs_scaled",
+    "dedup_record_linkage_fs", "dq_freshness_lag", "ds_rollup_topk_hierarchy",
+    "ds_time_band_counts", "eval_auc_delong_ci", "eval_bradley_terry",
+    "eval_cohens_kappa", "eval_cronbach_alpha",
+    "eval_expected_calibration_error", "eval_krippendorff_alpha",
+    "eval_mcnemar_test", "eval_tost_equivalence", "feature_logreg_newton",
+    "feature_platt_scaling", "feature_poisson_glm", "fn_array_ops",
+    "fn_array_set_ops", "fn_binary_map_tail", "fn_bitwise", "fn_conditional",
+    "fn_datetime_tail", "fn_higher_order", "fn_interval", "fn_map_builders",
+    "fn_null_handling", "fn_reference_tail", "fn_struct_map",
+    "fn_to_json_roundtrip", "fn_try_arithmetic",
+    "join_set_similarity_prefix_scaled", "pipeline_quality_training_set",
+    "rec_als_user_step", "sample_neyman_allocation", "scan_schema_evolution",
+    "sql_scalar_udf", "text_perplexity_buckets", "timeseries_changepoint_cusum",
+    "timeseries_changepoint_per_type", "timeseries_seasonal_decompose",
+    "udf_apply_in_pandas_grouped_map", "udf_pandas_grouped_agg",
+    "udf_pandas_scalar", "udf_python_row",
 })
 
 # Green driver rows from CORRECTNESS_r11.json — the whole round-11 window
@@ -331,6 +359,7 @@ _ARTIFACT_PROVEN: dict[int, frozenset[str]] = {
     9: _R9_PROVEN,
     10: _R10_PROVEN,
     11: _R11_PROVEN,
+    12: _R12_PROVEN,
 }
 
 _PROVEN: frozenset[str] = frozenset().union(*_ARTIFACT_PROVEN.values())

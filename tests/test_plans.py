@@ -1153,6 +1153,10 @@ def test_degree_distribution_banded_candidates(spark):
         "pareto_revenue_share_scale",
         "funnel_time_to_convert_scale",
         "customer_segment_migration_scale",
+        # round 13: the DeLong AUC variance through the same device —
+        # midranks collapse to the distinct-score grain, prefix sums via
+        # distributed_running_sums (VERDICT r12 ask #3).
+        "eval_auc_delong_ci_scale",
     ],
 )
 def test_scale_ntile_no_single_partition_window(spark, name):
@@ -1191,6 +1195,7 @@ def test_scale_ntile_matches_exact_twin(spark):
         ("pareto_revenue_share_scale", "pareto_revenue_share"),
         ("funnel_time_to_convert_scale", "funnel_time_to_convert"),
         ("customer_segment_migration_scale", "customer_segment_migration"),
+        ("eval_auc_delong_ci_scale", "eval_auc_delong_ci"),
     ]:
         got = normalize(SPECS[scale].build(spark, SF_DIR).toPandas())
         want = normalize(SPECS[exact].build(spark, SF_DIR).toPandas())
