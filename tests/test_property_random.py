@@ -2005,3 +2005,60 @@ def test_als_alternating_round_monotone(spark, sf_dir):
     assert row.n_ratings == n
     assert abs(row.rmse_user_step - np.sqrt(se_u / n)) < 1e-5, row
     assert abs(row.rmse_item_step - np.sqrt(se_i / n)) < 1e-5, row
+
+
+def test_ece_after_platt_matches_numpy(spark):
+    """eval_ece_after_platt: the numpy IRLS twin of the Platt fit,
+    extended with the 10-bin ECE device on both the raw and recalibrated
+    grain probabilities — and the headline claim itself: Platt must
+    strictly reduce ECE on the fixture."""
+    import duckdb
+    import numpy as np
+
+    from auron_spark.registry import load_all
+
+    got = load_all()["eval_ece_after_platt"].build(spark, SF_SMOKE).collect()[0]
+    assert got.ece_after < got.ece_before, got
+    con = duckdb.connect()
+    g = con.execute(
+        f"""
+        SELECT ROUND(1.0/(1.0+exp(-(value-50.0)/20.0)), 3) x,
+               COUNT(*) n,
+               SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) k
+        FROM read_parquet('{SF_SMOKE}/events.parquet') GROUP BY 1
+        """
+    ).fetchnumpy()
+    x = g["x"].astype(float)
+    n = g["n"].astype(float)
+    k = g["k"].astype(float)
+    X = np.stack([np.ones_like(x), x], 1)
+    beta = np.zeros(2)
+    for _ in range(3):
+        p = 1.0 / (1.0 + np.exp(-(X @ beta)))
+        w = n * p * (1 - p)
+        beta = beta + np.linalg.solve(
+            (X * w[:, None]).T @ X, X.T @ (k - n * p)
+        )
+    pc = 1.0 / (1.0 + np.exp(-(X @ beta)))
+
+    def ece(p):
+        bins = np.minimum((p * 10).astype(int), 9)
+        tot, s = 0.0, 0.0
+        worst = 0.0
+        for b in np.unique(bins):
+            m = bins == b
+            nb = n[m].sum()
+            gap = abs(k[m].sum() / nb - (n[m] * p[m]).sum() / nb)
+            s += nb * gap
+            tot += nb
+            worst = max(worst, gap)
+        return s / tot, worst
+
+    eb, mb = ece(x)
+    ea, ma = ece(pc)
+    assert abs(got.intercept - beta[0]) < 1e-5
+    assert abs(got.slope - beta[1]) < 1e-5
+    assert abs(got.ece_before - eb) < 1e-5
+    assert abs(got.mce_before - mb) < 1e-5
+    assert abs(got.ece_after - ea) < 1e-5
+    assert abs(got.mce_after - ma) < 1e-5

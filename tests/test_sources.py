@@ -465,3 +465,55 @@ def test_avro_gated(spark):
         read_avro(spark, "/tmp/never-read")
     with pytest.raises(NotImplementedError, match="spark-avro"):
         write_avro(spark.range(1), "/tmp/never-written")
+
+
+def test_merge_schema_rejects_type_widening(spark, tmpdir):
+    """Pinned negative: parquet `mergeSchema` hard-rejects an int/bigint
+    conflict across generations (CANNOT_MERGE_SCHEMAS) — the reason
+    `scan_schema_evolution_widening` reads through an EXPLICIT target
+    schema instead.  If a Spark upgrade starts merging widened types,
+    this fires and the read contract can simplify."""
+    import pyspark.sql.functions as F
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    base = f"{tmpdir}/widen"
+    spark.range(5).select(
+        F.col("id").cast("int").alias("k")
+    ).write.parquet(f"{base}/gen1")
+    spark.range(5, 10).select(
+        F.col("id").cast("bigint").alias("k")
+    ).write.parquet(f"{base}/gen2")
+    with pytest.raises(Exception) as ei:
+        spark.read.option("mergeSchema", "true").option(
+            "recursiveFileLookup", "true"
+        ).parquet(base)
+    assert "CANNOT_MERGE_SCHEMAS" in str(ei.value), ei.value
+    # the explicit-schema read of the SAME files succeeds and widens
+    got = sorted(
+        r.k
+        for r in spark.read.schema("k BIGINT")
+        .option("recursiveFileLookup", "true")
+        .parquet(base)
+        .collect()
+    )
+    assert got == list(range(10))
+
+
+def test_explicit_schema_rejects_int_to_string(spark, tmpdir):
+    """Pinned negative: the vectorized reader's widening stops at numeric
+    promotions — an INT32 parquet column read through a STRING target
+    fails per file (PARQUET_COLUMN_DATA_TYPE_MISMATCH), it does not
+    silently stringify."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    base = f"{tmpdir}/nostring"
+    spark.range(5).select(
+        F.col("id").cast("int").alias("k")
+    ).write.parquet(base)
+    with pytest.raises(Exception) as ei:
+        spark.read.schema("k STRING").parquet(base).collect()
+    assert "PARQUET_COLUMN_DATA_TYPE_MISMATCH" in str(ei.value) or (
+        "Data type mismatches" in str(ei.value)
+    ), str(ei.value)[:500]
