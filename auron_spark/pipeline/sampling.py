@@ -1007,7 +1007,14 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_h"),
         F.sqrt(
             (
-                F.sum(F.col("n_chars") * F.col("n_chars")).cast("double")
+                # Wide-DECIMAL power sum (ADVICE r12 #1): Spark's SUM over
+                # long is non-ANSI modular and can silently wrap at corpus
+                # scale, while the DuckDB oracle promotes SUM(BIGINT) to
+                # exact HUGEINT — cast the squared term into DECIMAL first,
+                # the posture the adjacent power-sum queries already use.
+                F.sum(
+                    (F.col("n_chars") * F.col("n_chars")).cast("decimal(28,0)")
+                ).cast("double")
                 - F.sum("n_chars").cast("double")
                 * F.sum("n_chars")
                 / F.count("*")

@@ -98,10 +98,10 @@ _DRIVER_WINDOW: tuple[str, ...] = ()
 # instead of sorting to the lowest re-prove priority).  Remove a name here
 # once a new artifact round re-proves it.
 _MODIFIED_SINCE_PROOF: frozenset[str] = frozenset({
-    # (empty) — dq_freshness_lag re-entered the round-12 window and its
-    # CORRECTNESS_r12.json row re-proves the NULLIF-guarded text, so the
-    # r11 entry retired.  Add names here whenever builder+oracle semantics
-    # change after their newest artifact.
+    # r13 cast the squared power-sum term into DECIMAL(28,0) before the
+    # Spark-side SUM (ADVICE r12 #1 overflow guard) after the r12 artifact
+    # proved the raw-long text (fixture rows unchanged).
+    "sample_neyman_allocation",
 })
 
 # Green driver rows from CORRECTNESS_r12.json — the whole round-12 window

@@ -137,12 +137,17 @@ def assert_matches_oracle(spark_df, con, sql: str, name: str = "") -> None:
 def pytest_collection_modifyitems(config, items):
     """Generic worker sharding (the oracle battery's round-robin device,
     lifted to ANY test file): ``SPARK_GRAFT_TEST_SHARD=i/n`` keeps every
-    test whose position in the collected order is congruent to i mod n.
-    Position-based (not hash-based) so the n shards partition the file
-    EXACTLY and parametrized heavy tails spread round-robin.  Unset (the
-    default, and CI) collects everything."""
+    test whose index in the SORTED-nodeid order is congruent to i mod n.
+    Sharding on the sorted-nodeid index (ADVICE r12 #2) rather than raw
+    collection position makes the partition independent of plugin/env
+    collection-order differences between a family's workers — any two
+    workers that collect the same nodeid SET partition it exactly, and
+    parametrized heavy tails still spread round-robin (parameters of one
+    test sort adjacently).  Unset (the default, and CI) collects
+    everything."""
     shard = os.environ.get("SPARK_GRAFT_TEST_SHARD")
     if not shard:
         return
     i, n = (int(x) for x in shard.split("/"))
-    items[:] = [it for j, it in enumerate(items) if j % n == i]
+    rank = {nid: j for j, nid in enumerate(sorted(it.nodeid for it in items))}
+    items[:] = [it for it in items if rank[it.nodeid] % n == i]

@@ -321,7 +321,10 @@ def test_partest_plan_covers_whole_suite():
     other test file is covered by exactly one worker group — either an
     unsharded worker listing it once, or a SPARK_GRAFT_TEST_SHARD family
     whose i/n specs partition the file's collection exactly (all residues
-    0..n-1 present once; conftest keeps item j on shard j % n)."""
+    0..n-1 present once; conftest keeps the item whose sorted-nodeid
+    index is j on shard j % n, so any workers collecting the same nodeid
+    SET partition it exactly regardless of collection order — ADVICE
+    r12 #2)."""
     from pathlib import Path
 
     import partest

@@ -1828,8 +1828,13 @@ def test_poisson_glm_matches_numpy_irls(spark):
     ).fetchall()
     y = np.array([r[1] for r in g], float)
     wk = np.array([r[2] for r in g], float)
-    idx = np.arange(len(y), dtype=float)
-    X = np.stack([np.ones_like(y), wk, idx - idx.mean()], 1)
+    # Trend from the ACTUAL dates (ADVICE r12 #4): the query defines it as
+    # date_diff from the minimum date, so a calendar gap in a future
+    # fixture must not make the twin diverge (np.arange only matches on a
+    # gap-free calendar).
+    dates = [r[0] for r in g]
+    dd = np.array([(d - dates[0]).days for d in dates], float)
+    X = np.stack([np.ones_like(y), wk, dd - dd.mean()], 1)
     beta = np.array([np.log(y.mean()), 0.0, 0.0])
     grad = None
     for _ in range(2):

@@ -361,6 +361,8 @@ def test_python_stream_source_equals_batch(spark):
 
     pyds.register(spark)
 
+    last_exc: list = []
+
     def run_stream(attempt: int) -> list:
         name = f"pyds_stream_out_{attempt}"
         q = (
@@ -379,6 +381,7 @@ def test_python_stream_source_equals_batch(spark):
                     break
                 time.sleep(1)
         finally:
+            last_exc[:] = [q.exception()]
             q.stop()
         return sorted(
             tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()
@@ -392,6 +395,18 @@ def test_python_stream_source_equals_batch(spark):
     # rows still fail the equality below).
     streamed = run_stream(0)
     if not streamed:
+        # Make the absorbed first failure visible in CI history (ADVICE
+        # r12 #3): a RECURRING empty-sink signature would point at a real
+        # emptiness bug rather than the handshake flake this retry exists
+        # for, and silence would halve its detection probability.
+        import warnings
+
+        warnings.warn(
+            "synthdocs stream sink empty on first attempt; retrying once "
+            "(empty-first-micro-batch signature — see retry rationale "
+            f"above); query exception: {last_exc[0] if last_exc else None}",
+            stacklevel=1,
+        )
         streamed = run_stream(1)
     batch = sorted(
         tuple(r)
