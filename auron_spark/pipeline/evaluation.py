@@ -2086,3 +2086,259 @@ def eval_ece_after_platt(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ROUND(b1, 6) AS slope",
         )
     )
+
+
+# Nominal multi-category raters for the Krippendorff generalization:
+# three deterministic size-class judges (chars / words / distinct words)
+# that correlate but disagree at the boundaries — 4 categories S/M/L/XL.
+_KN_CAT_A = (
+    "CASE WHEN n_chars < 150 THEN 'S' WHEN n_chars < 300 THEN 'M' "
+    "WHEN n_chars < 450 THEN 'L' ELSE 'XL' END"
+)
+_KN_CAT_B_SQL = (
+    "CASE WHEN len(string_split(text, ' ')) < 27 THEN 'S' "
+    "WHEN len(string_split(text, ' ')) < 54 THEN 'M' "
+    "WHEN len(string_split(text, ' ')) < 81 THEN 'L' ELSE 'XL' END"
+)
+_KN_CAT_B_SPARK = (
+    "CASE WHEN size(split(text, ' ')) < 27 THEN 'S' "
+    "WHEN size(split(text, ' ')) < 54 THEN 'M' "
+    "WHEN size(split(text, ' ')) < 81 THEN 'L' ELSE 'XL' END"
+)
+_KN_CAT_C_SQL = (
+    "CASE WHEN len(list_distinct(string_split(lower(text), ' '))) < 14 "
+    "THEN 'S' "
+    "WHEN len(list_distinct(string_split(lower(text), ' '))) < 22 THEN 'M' "
+    "WHEN len(list_distinct(string_split(lower(text), ' '))) < 28 THEN 'L' "
+    "ELSE 'XL' END"
+)
+_KN_CAT_C_SPARK = (
+    "CASE WHEN size(array_distinct(split(lower(text), ' '))) < 14 THEN 'S' "
+    "WHEN size(array_distinct(split(lower(text), ' '))) < 22 THEN 'M' "
+    "WHEN size(array_distinct(split(lower(text), ' '))) < 28 THEN 'L' "
+    "ELSE 'XL' END"
+)
+
+
+@query(
+    "eval_krippendorff_nominal",
+    oracle=f"""
+    WITH u AS (
+        SELECT lang,
+               {_KN_CAT_A} AS ca,
+               {_KN_CAT_B_SQL} AS cb,
+               {_KN_CAT_C_SQL} AS cc
+        FROM documents
+    ),
+    s AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_units,
+               CAST(SUM(CASE WHEN ca <> cb THEN 1 ELSE 0 END
+                        + CASE WHEN ca <> cc THEN 1 ELSE 0 END
+                        + CASE WHEN cb <> cc THEN 1 ELSE 0 END) AS BIGINT)
+                   AS disg
+        FROM u GROUP BY lang
+    ),
+    m AS (
+        SELECT lang, cat, CAST(COUNT(*) AS BIGINT) AS n_c
+        FROM (
+            SELECT lang, ca AS cat FROM u
+            UNION ALL SELECT lang, cb FROM u
+            UNION ALL SELECT lang, cc FROM u
+        ) GROUP BY lang, cat
+    ),
+    g AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_categories,
+               CAST(SUM(n_c) AS BIGINT) AS n_ratings,
+               CAST(SUM(n_c * n_c) AS BIGINT) AS sum_sq
+        FROM m GROUP BY lang
+    )
+    SELECT s.lang, s.n_units, g.n_ratings, g.n_categories, s.disg,
+           ROUND(1.0 - CAST((g.n_ratings - 1) * s.disg AS DOUBLE)
+                       / (g.n_ratings * g.n_ratings - g.sum_sq), 6)
+               AS alpha
+    FROM s JOIN g ON g.lang = s.lang
+    ORDER BY s.lang
+    """,
+    tags=("pipeline", "evaluation", "agreement"),
+)
+def eval_krippendorff_nominal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha for NOMINAL multi-category data (VERDICT r12
+    stretch #7) — the binary closed form of `eval_krippendorff_alpha`
+    generalized to three deterministic 4-category size-class raters.
+    For complete data with m raters the coincidence-matrix definition
+    reduces to two integer reductions:
+
+        alpha = 1 - (n-1) * sum_u d_u / (n^2 - sum_c n_c^2)
+
+    where d_u = #{disagreeing rater pairs in unit u} (each pair divided
+    by m-1 = 2 cancels against the symmetric-coincidence factor 2), n is
+    total ratings and n_c the per-category marginal — with binary
+    categories this is EXACTLY the proven closed form (n^2 - sum_sq =
+    2·P·(n-P)), so the binary query is the special case.  Verified
+    against a brute-force coincidence-matrix construction over >= 3
+    observed categories in tests/test_property_random.py.
+
+    Scale shape: one documents scan reduces map-side to (a) two integers
+    per language and (b) one count per (language, category) — constant
+    aggregate state at c <= 4 categories; alpha is exact integer-ratio
+    arithmetic on the joined 5-row frame."""
+    t = Tables(spark, sf_dir)
+    u = (
+        t.parallel("documents", "doc_id")
+        .selectExpr(
+            "lang",
+            f"{_KN_CAT_A} AS ca",
+            f"{_KN_CAT_B_SPARK} AS cb",
+            f"{_KN_CAT_C_SPARK} AS cc",
+        )
+        .localCheckpoint(eager=False)
+    )
+    s = u.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_units"),
+        F.sum(
+            (F.col("ca") != F.col("cb")).cast("int")
+            + (F.col("ca") != F.col("cc")).cast("int")
+            + (F.col("cb") != F.col("cc")).cast("int")
+        )
+        .cast("bigint")
+        .alias("disg"),
+    )
+    m = (
+        u.select("lang", F.explode(F.array("ca", "cb", "cc")).alias("cat"))
+        .groupBy("lang", "cat")
+        .agg(F.count("*").cast("bigint").alias("n_c"))
+    )
+    g = m.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_categories"),
+        F.sum("n_c").cast("bigint").alias("n_ratings"),
+        F.sum(F.col("n_c") * F.col("n_c")).cast("bigint").alias("sum_sq"),
+    )
+    n = F.col("n_ratings")
+    alpha = 1.0 - ((n - 1) * F.col("disg")).cast("double") / (
+        n * n - F.col("sum_sq")
+    )
+    return (
+        s.join(g, "lang")
+        .select(
+            "lang", "n_units", "n_ratings", "n_categories", "disg",
+            F.round(alpha, 6).alias("alpha"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "eval_fleiss_kappa",
+    oracle=f"""
+    WITH u AS (
+        SELECT lang,
+               {_KN_CAT_A} AS ca,
+               {_KN_CAT_B_SQL} AS cb,
+               {_KN_CAT_C_SQL} AS cc
+        FROM documents
+    ),
+    s AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_units,
+               CAST(SUM(CASE WHEN ca <> cb THEN 1 ELSE 0 END
+                        + CASE WHEN ca <> cc THEN 1 ELSE 0 END
+                        + CASE WHEN cb <> cc THEN 1 ELSE 0 END) AS BIGINT)
+                   AS disg
+        FROM u GROUP BY lang
+    ),
+    m AS (
+        SELECT lang, cat, CAST(COUNT(*) AS BIGINT) AS n_c
+        FROM (
+            SELECT lang, ca AS cat FROM u
+            UNION ALL SELECT lang, cb FROM u
+            UNION ALL SELECT lang, cc FROM u
+        ) GROUP BY lang, cat
+    ),
+    g AS (
+        SELECT lang,
+               CAST(SUM(n_c) AS BIGINT) AS n_ratings,
+               CAST(SUM(n_c * n_c) AS BIGINT) AS sum_sq
+        FROM m GROUP BY lang
+    )
+    SELECT s.lang, s.n_units,
+           ROUND(1.0 - CAST(s.disg AS DOUBLE) / (3.0 * s.n_units), 6)
+               AS p_bar,
+           ROUND(CAST(g.sum_sq AS DOUBLE)
+                 / (CAST(g.n_ratings AS DOUBLE) * g.n_ratings), 6) AS p_e,
+           ROUND(((1.0 - CAST(s.disg AS DOUBLE) / (3.0 * s.n_units))
+                  - CAST(g.sum_sq AS DOUBLE)
+                    / (CAST(g.n_ratings AS DOUBLE) * g.n_ratings))
+                 / (1.0 - CAST(g.sum_sq AS DOUBLE)
+                    / (CAST(g.n_ratings AS DOUBLE) * g.n_ratings)), 6)
+               AS kappa
+    FROM s JOIN g ON g.lang = s.lang
+    ORDER BY s.lang
+    """,
+    tags=("pipeline", "evaluation", "agreement"),
+)
+def eval_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa per language over the SAME three nominal 4-category
+    size-class raters as `eval_krippendorff_nominal` — the fixed-panel
+    chance-corrected agreement (expected agreement from the marginal
+    category distribution, vs alpha's disagreement-mass formulation; the
+    two disagree exactly when the panel is small or marginals are
+    skewed, which is why both get reported).  With m=3 raters per unit
+    the per-unit agreement collapses onto the SAME two reductions the
+    alpha query uses: sum_c n_uc^2 = 9 - 2*d_u gives
+    P_bar = 1 - sum_u d_u / (3N), and P_e = sum_c (n_c/3N)^2 =
+    sum_sq/(3N)^2; kappa = (P_bar - P_e)/(1 - P_e).
+
+    Exactness: both terms are exact integer ratios (disg, sum_sq, N are
+    integers); the final expression is one shared double tree.  Verified
+    against a direct per-unit P_u construction in the test twin.
+
+    Scale shape: identical to the alpha query — one scan to two integers
+    per language plus one count per (language, category); kappa is
+    arithmetic on the joined 5-row frame."""
+    t = Tables(spark, sf_dir)
+    u = (
+        t.parallel("documents", "doc_id")
+        .selectExpr(
+            "lang",
+            f"{_KN_CAT_A} AS ca",
+            f"{_KN_CAT_B_SPARK} AS cb",
+            f"{_KN_CAT_C_SPARK} AS cc",
+        )
+        .localCheckpoint(eager=False)
+    )
+    s = u.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_units"),
+        F.sum(
+            (F.col("ca") != F.col("cb")).cast("int")
+            + (F.col("ca") != F.col("cc")).cast("int")
+            + (F.col("cb") != F.col("cc")).cast("int")
+        )
+        .cast("bigint")
+        .alias("disg"),
+    )
+    m = (
+        u.select("lang", F.explode(F.array("ca", "cb", "cc")).alias("cat"))
+        .groupBy("lang", "cat")
+        .agg(F.count("*").cast("bigint").alias("n_c"))
+    )
+    g = m.groupBy("lang").agg(
+        F.sum("n_c").cast("bigint").alias("n_ratings"),
+        F.sum(F.col("n_c") * F.col("n_c")).cast("bigint").alias("sum_sq"),
+    )
+    p_bar = 1.0 - F.col("disg").cast("double") / (3.0 * F.col("n_units"))
+    p_e = F.col("sum_sq").cast("double") / (
+        F.col("n_ratings").cast("double") * F.col("n_ratings")
+    )
+    return (
+        s.join(g, "lang")
+        .select(
+            "lang",
+            "n_units",
+            F.round(p_bar, 6).alias("p_bar"),
+            F.round(p_e, 6).alias("p_e"),
+            F.round((p_bar - p_e) / (1.0 - p_e), 6).alias("kappa"),
+        )
+        .orderBy("lang")
+    )

@@ -775,3 +775,142 @@ def rec_als_alternating_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("obj_item_step"),
         )
     )
+
+
+_ALS_IMPL_ALPHA = 10  # implicit-feedback confidence: c = 1 + alpha * r
+
+
+@query(
+    "rec_als_implicit_step",
+    oracle=f"""
+    WITH {_ALS_RATINGS_SQL},
+    {_ALS_Q0_SQL},
+    gram AS (
+        SELECT CAST(SUM({_ALS_R9.format(t="q1 * q1")}) AS DOUBLE) AS g00,
+               CAST(SUM({_ALS_R9.format(t="q1 * q2")}) AS DOUBLE) AS g01,
+               CAST(SUM({_ALS_R9.format(t="q2 * q2")}) AS DOUBLE) AS g11
+        FROM q
+    ),
+    j AS (
+        SELECT r.user_id, r.r, q.q1, q.q2
+        FROM r JOIN q ON q.event_type = r.event_type
+    ),
+    s AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_obs,
+               CAST(SUM({_ALS_R9.format(
+                   t=f"{_ALS_IMPL_ALPHA} * r * q1 * q1")}) AS DOUBLE) AS c00,
+               CAST(SUM({_ALS_R9.format(
+                   t=f"{_ALS_IMPL_ALPHA} * r * q1 * q2")}) AS DOUBLE) AS c01,
+               CAST(SUM({_ALS_R9.format(
+                   t=f"{_ALS_IMPL_ALPHA} * r * q2 * q2")}) AS DOUBLE) AS c11,
+               CAST(SUM({_ALS_R9.format(
+                   t=f"(1 + {_ALS_IMPL_ALPHA} * r) * q1")}) AS DOUBLE) AS b0,
+               CAST(SUM({_ALS_R9.format(
+                   t=f"(1 + {_ALS_IMPL_ALPHA} * r) * q2")}) AS DOUBLE) AS b1
+        FROM j GROUP BY user_id
+    ),
+    a AS (
+        SELECT user_id, n_obs,
+               g.g00 + c00 + {_ALS_LAMBDA} AS s00,
+               g.g01 + c01 AS s01,
+               g.g11 + c11 + {_ALS_LAMBDA} AS s11,
+               b0, b1
+        FROM s CROSS JOIN gram g
+    ),
+    p AS (
+        SELECT user_id, n_obs,
+               (s11 * b0 - s01 * b1) / (s00 * s11 - s01 * s01) AS p1,
+               (s00 * b1 - s01 * b0) / (s00 * s11 - s01 * s01) AS p2
+        FROM a
+    )
+    SELECT CAST(COUNT(DISTINCT j.user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_obs_pairs,
+           ROUND(CAST(SUM({_ALS_R9.format(t="p.p1")}) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_p1,
+           ROUND(CAST(SUM({_ALS_R9.format(t="p.p2")}) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_p2,
+           ROUND(CAST(SUM({_ALS_R9.format(
+               t="p.p1 * j.q1 + p.p2 * j.q2")}) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_pref_obs
+    FROM j JOIN p ON p.user_id = j.user_id
+    """,
+    tags=("pipeline", "recommendation", "als", "implicit-feedback"),
+)
+def rec_als_implicit_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact IMPLICIT-feedback ALS user-step (Hu-Koren-Volinsky):
+    every observed interaction becomes preference p=1 with confidence
+    c = 1 + alpha*r, every UNOBSERVED (user, item) pair is a p=0
+    observation with confidence 1 — naively a users x catalog dense
+    problem.  The trick that makes it tractable at scale, implemented
+    here exactly: A_u = Q^T Q + Q_obs^T (C_u - I) Q_obs + lambda*I,
+    where Q^T Q is ONE catalog-grain Gram (a k x k aggregate over the
+    item table, broadcast to every user) and the correction term touches
+    only the user's OBSERVED rows — per-user cost is O(observed), never
+    O(catalog).  b_u = Q_obs^T C_u p similarly touches observed rows
+    only.  Reports mean fitted factors and the mean predicted preference
+    on observed pairs (should pull toward 1).
+
+    Exactness: r, q and alpha*r are rational; every sum rides the
+    ROUND(.,9)->DECIMAL order-free contract; the 2x2 solve is a shared
+    rational expression tree — oracle bit-exact, no transcendental.
+
+    Scale shape: the Gram is a 1-row broadcast; the per-user reduction
+    ships five doubles + a count; solves are map-side.  This is how
+    production implicit ALS (Spark MLlib's own implementation included)
+    scales to billions of interactions."""
+    t = Tables(spark, sf_dir)
+    r = _als_ratings(t)
+    q0 = _md5_factors(
+        r.select("event_type").distinct(), "event_type", "q1", "q2"
+    )
+    r9 = lambda e: F.expr(_ALS_R9.format(t=e))  # noqa: E731
+    gram = q0.agg(
+        F.sum(r9("q1 * q1")).cast("double").alias("g00"),
+        F.sum(r9("q1 * q2")).cast("double").alias("g01"),
+        F.sum(r9("q2 * q2")).cast("double").alias("g11"),
+    )
+    j = r.join(F.broadcast(q0), "event_type").select(
+        "user_id", "r", "q1", "q2"
+    ).localCheckpoint(eager=False)
+    al = _ALS_IMPL_ALPHA
+    s = j.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_obs"),
+        F.sum(r9(f"{al} * r * q1 * q1")).cast("double").alias("c00"),
+        F.sum(r9(f"{al} * r * q1 * q2")).cast("double").alias("c01"),
+        F.sum(r9(f"{al} * r * q2 * q2")).cast("double").alias("c11"),
+        F.sum(r9(f"(1 + {al} * r) * q1")).cast("double").alias("b0"),
+        F.sum(r9(f"(1 + {al} * r) * q2")).cast("double").alias("b1"),
+    )
+    lam = _ALS_LAMBDA
+    a = s.join(F.broadcast(gram)).selectExpr(
+        "user_id",
+        "n_obs",
+        f"g00 + c00 + {lam} AS s00",
+        "g01 + c01 AS s01",
+        f"g11 + c11 + {lam} AS s11",
+        "b0",
+        "b1",
+    )
+    p = a.selectExpr(
+        "user_id",
+        "(s11 * b0 - s01 * b1) / (s00 * s11 - s01 * s01) AS p1",
+        "(s00 * b1 - s01 * b0) / (s00 * s11 - s01 * s01) AS p2",
+    )
+    return (
+        j.join(p, "user_id")
+        .agg(
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+            F.count("*").cast("bigint").alias("n_obs_pairs"),
+            F.round(
+                F.sum(r9("p1")).cast("double") / F.count("*"), 6
+            ).alias("mean_p1"),
+            F.round(
+                F.sum(r9("p2")).cast("double") / F.count("*"), 6
+            ).alias("mean_p2"),
+            F.round(
+                F.sum(r9("p1 * q1 + p2 * q2")).cast("double") / F.count("*"),
+                6,
+            ).alias("mean_pref_obs"),
+        )
+    )

@@ -127,10 +127,18 @@ _TEXT_SCALE_QUERIES = (
 # knob their docstrings advertise); registered-query semantics (k = KM_K)
 # are untouched.
 _VECTOR_SCALE_QUERIES = (
-    "sim_knn_bruteforce",
     "sim_knn_bruteforce_arrow",
     "dedup_embedding_cosine",
 )
+# The quadratic F.aggregate FOLD twin is GC-bound at 32k vectors and runs
+# warm-slower-than-cold when it shares a JVM with the trainers (r12
+# session-pollution diagnosis; VERDICT r12 ask #6b).  Stabilization
+# decision: it measures in its OWN child JVM (fresh session, nothing
+# before it), while the Arrow serving kernel stays the in-series row —
+# the fold exists as the oracle-provable twin, not the serve path.  Its
+# numbers still merge into the vector_scale section/subtotal so the
+# round-over-round series keeps its membership.
+_VECTOR_FOLD_QUERIES = ("sim_knn_bruteforce",)
 _VECTOR_SCALE_KSCALED = (
     "sim_kmeans_lloyd",
     "sim_kmeans_lloyd_arrow",
@@ -310,6 +318,14 @@ def _build_vector_corpus(dest: str, n_vecs: int) -> dict:
 
 def _run_group(group: str, sf_dir: str, second: str) -> dict:
     """Child mode: run one group's queries in this process's own JVM."""
+    # Size the bench JVM heap to its 32 concurrent tasks (round-13 text_scale
+    # diagnosis): at the session default 8g, 32 string-heavy tasks GC-thrash —
+    # the leg read 30.8-38.0 s with uniform inflation and huge run-to-run
+    # variance, while the identical leg at 24g reads 24.8 s with every
+    # component inside the r11/r12 brackets.  This is the local mirror of
+    # sizing executor memory to concurrent task state at 100 TB; tests keep
+    # the 8g default (their per-query data is fixture-small).
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     from auron_spark.registry import bench_queries, load_all
     from auron_spark.session import get_spark
     from auron_spark.tables import Tables  # noqa: F401 (registry import)
@@ -318,6 +334,8 @@ def _run_group(group: str, sf_dir: str, second: str) -> dict:
     k_scaled: int | None = None
     if group == "text_scale":
         specs = {n: all_specs[n] for n in _TEXT_SCALE_QUERIES}
+    elif group == "vector_fold":
+        specs = {n: all_specs[n] for n in _VECTOR_FOLD_QUERIES}
     elif group == "vector_scale":
         from types import SimpleNamespace
 
@@ -487,12 +505,18 @@ def main() -> None:
     if vec_vecs > 0:
         vcorpus = f"{_SHARD_ROOT}/veccorpus_{vec_vecs}"
         vbuilt = _child(["--veccorpus", vcorpus, str(vec_vecs)])
+        # The quadratic fold twin first, alone in a fresh JVM (see
+        # _VECTOR_FOLD_QUERIES), then the in-series group.
+        fold = _child(["--group", "vector_fold", vcorpus, ""])
         res = _child(["--group", "vector_scale", vcorpus, ""])
+        for key in ("warm", "warm_runs", "cold"):
+            res[key].update(fold[key])
         subtotals["vector_scale"] = round(sum(res["warm"].values()), 3)
         vector_scale = {
             "n_vecs": vec_vecs,
             "k_scaled": res["k_scaled"],
             "corpus_build_sec": vbuilt["build_sec"],
+            "fold_isolated": sorted(_VECTOR_FOLD_QUERIES),
             "queries_warm": res["warm"],
             "warm_runs": res["warm_runs"],
             "queries_cold": res["cold"],

@@ -92,16 +92,35 @@ def main() -> int:
                 log,
             )
         )
+    # Record each worker's own wall (poll, don't serialize on wait order) —
+    # the committed partest_walls.json feeds the rebalance harness test
+    # (VERDICT r12 stretch #8): a future addition that silently rebuilds a
+    # long critical path fails that test instead of hiding in total wall.
+    walls: dict[str, float] = {}
+    pending = {label: proc for label, proc, _log in procs}
+    while pending:
+        for label in list(pending):
+            if pending[label].poll() is not None:
+                walls[label] = round(time.perf_counter() - t0, 1)
+                del pending[label]
+        if pending:
+            time.sleep(1.0)
     rc = 0
     for label, proc, log in procs:
         code = proc.wait()
         log.close()
         tail = (logdir / f"{label}.log").read_text().strip().splitlines()
         summary = tail[-1] if tail else "(no output)"
-        print(f"[{label}] rc={code} {summary}")
+        print(f"[{label}] rc={code} wall={walls[label]}s {summary}")
         if code != 0:
             rc = 1
             print("\n".join(tail[-30:]))
+    if rc == 0:
+        import json
+
+        (Path(_REPO) / "partest_walls.json").write_text(
+            json.dumps(walls, indent=1, sort_keys=True) + "\n"
+        )
     print(f"total wall: {time.perf_counter() - t0:.1f}s rc={rc}")
     return rc
 

@@ -374,3 +374,30 @@ def test_partest_plan_covers_whole_suite():
     assert sorted(files) == sorted(suite_files), (
         set(files) ^ suite_files
     )
+
+
+def test_partest_plan_is_balanced_by_recorded_wall():
+    """VERDICT r12 stretch #8: the 10-worker plan is hand-balanced, so a
+    future test addition can silently rebuild a long critical path.  The
+    committed partest_walls.json records each worker's measured wall from
+    the last green full run; no worker may exceed 1.5x the median —
+    when this fires, rebalance the _WORKERS plan (or re-run partest to
+    refresh a stale record) rather than widening the bound."""
+    import json
+    from pathlib import Path
+
+    import partest
+
+    p = Path(partest._REPO) / "partest_walls.json"
+    assert p.exists(), "run `python partest.py` once to record worker walls"
+    walls = json.loads(p.read_text())
+    assert set(walls) == {label for label, _a, _e in partest._WORKERS}, (
+        "worker plan changed since the recorded run — re-run partest.py"
+    )
+    vals = sorted(walls.values())
+    median = vals[len(vals) // 2]
+    worst = max(walls, key=walls.get)
+    assert walls[worst] <= 1.5 * median, (
+        f"critical path rebuilt: {worst}={walls[worst]}s vs median "
+        f"{median}s — rebalance partest._WORKERS"
+    )

@@ -2067,3 +2067,190 @@ def test_ece_after_platt_matches_numpy(spark):
     assert abs(got.mce_before - mb) < 1e-5
     assert abs(got.ece_after - ea) < 1e-5
     assert abs(got.mce_after - ma) < 1e-5
+
+
+def test_krippendorff_nominal_matches_bruteforce_coincidence(spark):
+    """eval_krippendorff_nominal's two-reduction closed form must equal
+    the TEXTBOOK coincidence-matrix construction (build o_ck = sum_u
+    n_uc(n_uk - delta_ck)/(m_u - 1), then alpha = 1 - D_o/D_e with
+    D_e = sum_{c!=k} n_c n_k/(n-1)) computed per language in plain
+    python over the same deterministic rater labels — and the fixture
+    must actually exercise >= 3 observed categories somewhere, or the
+    generalization claim is vacuous."""
+    import duckdb
+
+    from auron_spark.registry import load_all
+
+    got = {
+        r.lang: r
+        for r in load_all()["eval_krippendorff_nominal"]
+        .build(spark, SF_SMOKE)
+        .collect()
+    }
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT lang,
+               CASE WHEN n_chars < 150 THEN 'S' WHEN n_chars < 300 THEN 'M'
+                    WHEN n_chars < 450 THEN 'L' ELSE 'XL' END,
+               CASE WHEN len(string_split(text, ' ')) < 27 THEN 'S'
+                    WHEN len(string_split(text, ' ')) < 54 THEN 'M'
+                    WHEN len(string_split(text, ' ')) < 81 THEN 'L'
+                    ELSE 'XL' END,
+               CASE WHEN len(list_distinct(string_split(lower(text), ' ')))
+                         < 14 THEN 'S'
+                    WHEN len(list_distinct(string_split(lower(text), ' ')))
+                         < 22 THEN 'M'
+                    WHEN len(list_distinct(string_split(lower(text), ' ')))
+                         < 28 THEN 'L'
+                    ELSE 'XL' END
+        FROM read_parquet('{SF_SMOKE}/documents.parquet')
+        """
+    ).fetchall()
+    by_lang: dict[str, list[tuple[str, str, str]]] = {}
+    for lang, a, b, c in rows:
+        by_lang.setdefault(lang, []).append((a, b, c))
+    saw_3plus = False
+    for lang, units in by_lang.items():
+        cats = sorted({c for u in units for c in u})
+        saw_3plus = saw_3plus or len(cats) >= 3
+        m = 3
+        # coincidence matrix
+        o = {(c, k): 0.0 for c in cats for k in cats}
+        for u in units:
+            counts = {c: u.count(c) for c in set(u)}
+            for c in counts:
+                for k in counts:
+                    pairs = counts[c] * (counts[k] - (1 if c == k else 0))
+                    o[(c, k)] += pairs / (m - 1)
+        n_c = {c: sum(o[(c, k)] for k in cats) for c in cats}
+        n = sum(n_c.values())
+        d_o = sum(o[(c, k)] for c in cats for k in cats if c != k)
+        d_e = sum(
+            n_c[c] * n_c[k] for c in cats for k in cats if c != k
+        ) / (n - 1)
+        alpha = 1.0 - d_o / d_e
+        assert got[lang].n_units == len(units)
+        assert got[lang].n_ratings == int(n)
+        assert got[lang].n_categories == len(cats)
+        assert abs(got[lang].alpha - alpha) < 1e-6, (lang, got[lang], alpha)
+    assert saw_3plus, "fixture never exercised >= 3 categories"
+
+
+def test_als_implicit_step_matches_numpy_hkv(spark):
+    """rec_als_implicit_step must equal the DENSE Hu-Koren-Volinsky
+    formulation computed in numpy: for each user solve
+    (Q^T C_u Q + lambda I) p = Q^T C_u pref with the FULL catalog (p=0 /
+    c=1 for unobserved items) — the query's Gram-correction shortcut and
+    the dense solve are algebraically identical, which is the whole
+    point of the trick."""
+    import duckdb
+    import numpy as np
+
+    from auron_spark.registry import load_all
+
+    got = load_all()["rec_als_implicit_step"].build(spark, SF_SMOKE).collect()[0]
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH r AS (
+            SELECT user_id, event_type,
+                   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                   / COUNT(*) / 100.0 AS r
+            FROM read_parquet('{SF_SMOKE}/events.parquet')
+            GROUP BY user_id, event_type
+        )
+        SELECT user_id, event_type, r,
+               (CAST(('0x' || substr(md5(event_type), 1, 4)) AS BIGINT)
+                % 1000) / 1000.0 AS q1,
+               (CAST(('0x' || substr(md5(event_type), 5, 4)) AS BIGINT)
+                % 1000) / 1000.0 AS q2
+        FROM r
+        """
+    ).fetchall()
+    users = sorted({r[0] for r in rows})
+    items = sorted({r[1] for r in rows})
+    ui = {u: i for i, u in enumerate(users)}
+    ii = {t: i for i, t in enumerate(items)}
+    alpha, lam = 10.0, 0.1
+    Q = np.zeros((len(items), 2))
+    R = np.zeros((len(users), len(items)))
+    obs = np.zeros_like(R, dtype=bool)
+    for u, t, r, q1, q2 in rows:
+        Q[ii[t]] = (q1, q2)
+        R[ui[u], ii[t]] = r
+        obs[ui[u], ii[t]] = True
+    P = np.zeros((len(users), 2))
+    for u in range(len(users)):
+        C = np.diag(1.0 + alpha * R[u])          # c=1 where unobserved
+        pref = obs[u].astype(float)              # p=1 observed, 0 else
+        A = Q.T @ C @ Q + lam * np.eye(2)
+        b = Q.T @ (np.diag(C) * pref)
+        P[u] = np.linalg.solve(A, b)
+    # rating-weighted means over observed pairs, like the query
+    us, its = np.where(obs)
+    prefs = np.einsum("ij,ij->i", P[us], Q[its])
+    assert got.n_users == len(users)
+    assert got.n_obs_pairs == len(us)
+    assert abs(got.mean_p1 - P[us, 0].mean()) < 1e-5, got
+    assert abs(got.mean_p2 - P[us, 1].mean()) < 1e-5, got
+    assert abs(got.mean_pref_obs - prefs.mean()) < 1e-5, got
+
+
+def test_fleiss_kappa_matches_bruteforce(spark):
+    """eval_fleiss_kappa's reduction identities (sum_c n_uc^2 = 9 - 2 d_u;
+    P_e from squared marginals) must equal the TEXTBOOK per-unit
+    construction: P_u = (sum_c n_uc^2 - m)/(m(m-1)) averaged over units,
+    P_e = sum_c p_c^2, kappa = (P_bar - P_e)/(1 - P_e)."""
+    import duckdb
+
+    from auron_spark.registry import load_all
+
+    got = {
+        r.lang: r
+        for r in load_all()["eval_fleiss_kappa"].build(spark, SF_SMOKE).collect()
+    }
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT lang,
+               CASE WHEN n_chars < 150 THEN 'S' WHEN n_chars < 300 THEN 'M'
+                    WHEN n_chars < 450 THEN 'L' ELSE 'XL' END,
+               CASE WHEN len(string_split(text, ' ')) < 27 THEN 'S'
+                    WHEN len(string_split(text, ' ')) < 54 THEN 'M'
+                    WHEN len(string_split(text, ' ')) < 81 THEN 'L'
+                    ELSE 'XL' END,
+               CASE WHEN len(list_distinct(string_split(lower(text), ' ')))
+                         < 14 THEN 'S'
+                    WHEN len(list_distinct(string_split(lower(text), ' ')))
+                         < 22 THEN 'M'
+                    WHEN len(list_distinct(string_split(lower(text), ' ')))
+                         < 28 THEN 'L'
+                    ELSE 'XL' END
+        FROM read_parquet('{SF_SMOKE}/documents.parquet')
+        """
+    ).fetchall()
+    by_lang: dict[str, list[tuple[str, str, str]]] = {}
+    for lang, a, b, c in rows:
+        by_lang.setdefault(lang, []).append((a, b, c))
+    m = 3
+    for lang, units in by_lang.items():
+        n_units = len(units)
+        p_us = []
+        marg: dict[str, int] = {}
+        for labels in units:
+            counts: dict[str, int] = {}
+            for c in labels:
+                counts[c] = counts.get(c, 0) + 1
+                marg[c] = marg.get(c, 0) + 1
+            p_us.append(
+                (sum(v * v for v in counts.values()) - m) / (m * (m - 1))
+            )
+        p_bar = sum(p_us) / n_units
+        total = sum(marg.values())
+        p_e = sum((v / total) ** 2 for v in marg.values())
+        kappa = (p_bar - p_e) / (1.0 - p_e)
+        assert got[lang].n_units == n_units
+        assert abs(got[lang].p_bar - p_bar) < 1e-6, (lang, got[lang], p_bar)
+        assert abs(got[lang].p_e - p_e) < 1e-6
+        assert abs(got[lang].kappa - kappa) < 1e-6, (lang, got[lang], kappa)
