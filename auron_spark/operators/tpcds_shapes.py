@@ -686,3 +686,43 @@ _sql_query(
     merge.  Plan-gated to exactly one scan (the anti-pattern this shape
     exists to catch is the 8-subquery rewrite reading the fact 8 times).""",
 )
+
+
+_FREQUENT_BUYER = """
+WITH oc AS (
+    SELECT l_orderkey, COUNT(DISTINCT l_partkey) AS n_items
+    FROM lineitem GROUP BY l_orderkey
+),
+band AS (
+    SELECT o_custkey
+    FROM orders JOIN oc ON oc.l_orderkey = o_orderkey
+    WHERE n_items BETWEEN 5 AND 7
+),
+freq AS (
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_band_orders
+    FROM band GROUP BY o_custkey
+    HAVING COUNT(*) >= 2
+)
+SELECT c_custkey, c_name, n_band_orders
+FROM freq JOIN customer ON c_custkey = o_custkey
+ORDER BY n_band_orders DESC, c_custkey
+LIMIT 50
+"""
+
+_sql_query(
+    "ds_frequent_buyer_band",
+    _FREQUENT_BUYER,
+    ("tpcds-shape", "having-band", "join-back"),
+    """TPC-DS Q34/Q73 shape: basket-size banding then frequent-buyer
+    cut — per-order item counts filtered into a band, re-aggregated to
+    customer grain with a HAVING floor, then joined BACK to the
+    dimension for the report.  The aggregate→HAVING→dimension-join-back
+    ladder is the DS pattern this battery lacked (Q67/Q88/Q64/Q23 cover
+    rollup-rank, multi-band, self-join and nested-subquery).
+
+    Scale shape: the order-grain count is a co-located lineitem
+    aggregate; the band filter collapses rows before the customer-grain
+    reduce; the dimension join-back broadcasts customer (dim side) at
+    fixture scale and stays an equi-join at any scale; the final top-50
+    is TakeOrderedAndProject on a full deterministic key.""",
+)

@@ -716,3 +716,147 @@ def feature_poisson_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ROUND(dev, 6) AS deviance",
         )
     )
+
+
+# Fit-quality readout for the Bernoulli GLM: grouped log-likelihood of the
+# fitted model (transcendental contract: per-grain ROUND(.,9)->DECIMAL) and
+# the closed-form null log-likelihood from the global (K, N) pair.
+_LOGREG_LL_TERM = (
+    f"kd * ln({_LOGREG_P2}) + (nd - kd) * ln(1.0 - {_LOGREG_P2})"
+)
+_SQL_LOGREG_LL = (
+    f"CAST(SUM(CAST(ROUND({_LOGREG_LL_TERM}, 9) AS DECIMAL(38,9))) "
+    "AS DOUBLE)"
+)
+_SQL_LL_NULL = (
+    "(ktot * ln(ktot / ntot) + (ntot - ktot) * ln(1.0 - ktot / ntot))"
+)
+
+
+@query(
+    "feature_logreg_fit_quality",
+    oracle=f"""
+    WITH g AS (
+        SELECT CAST(l_quantity AS INT) AS x1,
+               CAST(l_discount AS DECIMAL(4,2)) AS x2,
+               COUNT(*) AS n,
+               COUNT(*) FILTER (WHERE l_returnflag = 'R') AS k
+        FROM lineitem GROUP BY 1, 2
+    ),
+    gd AS (SELECT {_LOGREG_GRAIN_COLS} FROM g),
+    s1 AS (
+        SELECT CAST(SUM(nd) AS DOUBLE) AS n_rows,
+           {_SQL_LOGREG_SUMS_1}
+        FROM gd
+    ),
+    b1 AS (
+        SELECT n_rows,
+               {_LOGREG_DELTAS['d0']} AS b0,
+               {_LOGREG_DELTAS['d1']} AS b1,
+               {_LOGREG_DELTAS['d2']} AS b2
+        FROM s1
+    ),
+    s2 AS (
+        SELECT n_rows, b0, b1, b2,
+           {_SQL_LOGREG_SUMS_2}
+        FROM gd, b1
+        GROUP BY n_rows, b0, b1, b2
+    ),
+    m2 AS (
+        SELECT n_rows,
+               b0 + {_LOGREG_DELTAS['d0']} AS b0,
+               b1 + {_LOGREG_DELTAS['d1']} AS b1,
+               b2 + {_LOGREG_DELTAS['d2']} AS b2
+        FROM s2
+    ),
+    ll AS (
+        SELECT n_rows, {_SQL_LOGREG_LL} AS ll_m
+        FROM gd, m2
+        GROUP BY n_rows, b0, b1, b2
+    ),
+    nullm AS (
+        SELECT CAST(SUM(kd) AS DOUBLE) AS ktot,
+               CAST(SUM(nd) AS DOUBLE) AS ntot
+        FROM gd
+    )
+    SELECT CAST(ll.n_rows AS BIGINT) AS n_rows,
+           ROUND({_SQL_LL_NULL}, 6) AS ll_null,
+           ROUND(ll.ll_m, 6) AS ll_model,
+           ROUND(2.0 * (ll.ll_m - {_SQL_LL_NULL}), 6) AS lr_stat,
+           ROUND(1.0 - ll.ll_m / {_SQL_LL_NULL}, 6) AS mcfadden_r2
+    FROM ll, nullm
+    """,
+    tags=("pipeline", "features", "regression", "goodness-of-fit"),
+)
+def feature_logreg_fit_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit-quality readout for `feature_logreg_newton` (the model-audit
+    half a GLM trainer needs next to its coefficients): grouped Bernoulli
+    log-likelihood of the 2-step model, the closed-form null
+    log-likelihood (intercept-only model: p0 = K/N, so ll_0 =
+    K ln p0 + (N-K) ln(1-p0) needs NO grain sum), the likelihood-ratio
+    statistic 2*(ll_model - ll_null) (asymptotically chi^2_2 under the
+    null — the 'is this model better than the base rate' test), and
+    McFadden's pseudo-R^2 = 1 - ll_model/ll_null.
+
+    Exactness: the Newton chain reuses the proven logreg template
+    strings verbatim; the model log-likelihood rides the transcendental
+    contract (per-grain ROUND(.,9)->DECIMAL, order-free); the null term
+    is a two-number closed form.  Sigmoid output is never exactly 0/1,
+    so the logs are total.  Numpy twin in the fuzzer file.
+
+    Scale shape: same as the trainer — one corpus collapse to the <=561
+    contingency cells, then model-frame arithmetic; the audit adds ONE
+    grain aggregate, not a corpus pass."""
+    t = Tables(spark, sf_dir)
+    g = (
+        t.lineitem.groupBy(
+            F.col("l_quantity").cast("int").alias("x1"),
+            F.col("l_discount").cast("decimal(4,2)").alias("x2"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("k"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    gd = g.selectExpr(*[c.strip() for c in _LOGREG_GRAIN_COLS.split(",")])
+    s1 = gd.agg(
+        F.expr("CAST(SUM(nd) AS DOUBLE)").alias("n_rows"),
+        *[F.expr(sql).alias(n) for n, sql in _logreg_sums("0.5").items()],
+    )
+    b1 = s1.selectExpr(
+        "n_rows",
+        f"{_LOGREG_DELTAS['d0']} AS b0",
+        f"{_LOGREG_DELTAS['d1']} AS b1",
+        f"{_LOGREG_DELTAS['d2']} AS b2",
+    )
+    s2 = (
+        gd.crossJoin(F.broadcast(b1))
+        .groupBy("n_rows", "b0", "b1", "b2")
+        .agg(*[
+            F.expr(sql).alias(n)
+            for n, sql in _logreg_sums(_LOGREG_P2).items()
+        ])
+    )
+    m2 = s2.selectExpr(
+        "n_rows",
+        f"b0 + {_LOGREG_DELTAS['d0']} AS b0",
+        f"b1 + {_LOGREG_DELTAS['d1']} AS b1",
+        f"b2 + {_LOGREG_DELTAS['d2']} AS b2",
+    )
+    ll = (
+        gd.crossJoin(F.broadcast(m2))
+        .groupBy("n_rows", "b0", "b1", "b2")
+        .agg(F.expr(_SQL_LOGREG_LL).alias("ll_m"))
+    )
+    nullm = gd.agg(
+        F.expr("CAST(SUM(kd) AS DOUBLE)").alias("ktot"),
+        F.expr("CAST(SUM(nd) AS DOUBLE)").alias("ntot"),
+    )
+    return ll.join(F.broadcast(nullm)).selectExpr(
+        "CAST(n_rows AS BIGINT) AS n_rows",
+        f"ROUND({_SQL_LL_NULL}, 6) AS ll_null",
+        "ROUND(ll_m, 6) AS ll_model",
+        f"ROUND(2.0 * (ll_m - {_SQL_LL_NULL}), 6) AS lr_stat",
+        f"ROUND(1.0 - ll_m / {_SQL_LL_NULL}, 6) AS mcfadden_r2",
+    )

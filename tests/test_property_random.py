@@ -2254,3 +2254,93 @@ def test_fleiss_kappa_matches_bruteforce(spark):
         assert abs(got[lang].p_bar - p_bar) < 1e-6, (lang, got[lang], p_bar)
         assert abs(got[lang].p_e - p_e) < 1e-6
         assert abs(got[lang].kappa - kappa) < 1e-6, (lang, got[lang], kappa)
+
+
+def test_kendall_tau_b_matches_numpy_pairs(spark):
+    """stats_kendall_tau_b's cell-grain pair counting must equal direct
+    O(n^2) pair enumeration over the per-user values in numpy (the
+    definitionally-obvious third code path)."""
+    import duckdb
+    import numpy as np
+
+    from auron_spark.registry import load_all
+
+    got = load_all()["stats_kendall_tau_b"].build(spark, SF_SMOKE).collect()[0]
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT CAST(COUNT(*) AS BIGINT),
+               CAST(floor(SUM(CAST(value AS DECIMAL(12,2))) / 10) AS BIGINT)
+        FROM read_parquet('{SF_SMOKE}/events.parquet') GROUP BY user_id
+        """
+    ).fetchall()
+    x = np.array([r[0] for r in rows], dtype=np.int64)
+    y = np.array([r[1] for r in rows], dtype=np.int64)
+    n = len(x)
+    dx = np.sign(x[:, None] - x[None, :])
+    dy = np.sign(y[:, None] - y[None, :])
+    prod = dx * dy
+    iu = np.triu_indices(n, 1)
+    conc = int((prod[iu] > 0).sum())
+    disc = int((prod[iu] < 0).sum())
+    n0 = n * (n - 1) // 2
+    n1 = sum(
+        t * (t - 1) // 2 for t in np.unique(x, return_counts=True)[1]
+    )
+    n2 = sum(
+        t * (t - 1) // 2 for t in np.unique(y, return_counts=True)[1]
+    )
+    tau = (conc - disc) / np.sqrt(float(n0 - n1) * (n0 - n2))
+    assert got.n_users == n
+    assert got.conc == conc and got.disc == disc
+    assert got.ties_x == n1 and got.ties_y == n2
+    assert abs(got.tau_b - tau) < 1e-6, (got, tau)
+
+
+def test_logreg_fit_quality_matches_numpy(spark):
+    """feature_logreg_fit_quality: numpy IRLS on the same contingency
+    grain must reproduce ll_model, the closed-form ll_null, the LR
+    statistic and McFadden's R^2 — and the fitted model must beat the
+    base rate (lr_stat > 0) or the whole readout is vacuous."""
+    import duckdb
+    import numpy as np
+
+    from auron_spark.registry import load_all
+
+    got = (
+        load_all()["feature_logreg_fit_quality"]
+        .build(spark, SF_SMOKE)
+        .collect()[0]
+    )
+    con = duckdb.connect()
+    g = con.execute(
+        f"""
+        SELECT CAST(l_quantity AS INT) x1,
+               CAST(CAST(l_discount AS DECIMAL(4,2)) AS DOUBLE) x2,
+               COUNT(*) n,
+               COUNT(*) FILTER (WHERE l_returnflag = 'R') k
+        FROM read_parquet('{SF_SMOKE}/lineitem.parquet') GROUP BY 1, 2
+        """
+    ).fetchnumpy()
+    x1 = g["x1"].astype(float)
+    x2 = g["x2"].astype(float)
+    n = g["n"].astype(float)
+    k = g["k"].astype(float)
+    X = np.stack([np.ones_like(x1), x1, x2], 1)
+    beta = np.zeros(3)
+    for _ in range(2):
+        p = 1.0 / (1.0 + np.exp(-(X @ beta)))
+        w = n * p * (1 - p)
+        beta = beta + np.linalg.solve(
+            (X * w[:, None]).T @ X, X.T @ (k - n * p)
+        )
+    p = 1.0 / (1.0 + np.exp(-(X @ beta)))
+    ll_m = float(np.sum(k * np.log(p) + (n - k) * np.log(1 - p)))
+    p0 = k.sum() / n.sum()
+    ll_0 = float(k.sum() * np.log(p0) + (n.sum() - k.sum()) * np.log(1 - p0))
+    assert got.n_rows == int(n.sum())
+    assert abs(got.ll_model - ll_m) < 1e-4, (got, ll_m)
+    assert abs(got.ll_null - ll_0) < 1e-4
+    assert abs(got.lr_stat - 2 * (ll_m - ll_0)) < 1e-3
+    assert abs(got.mcfadden_r2 - (1 - ll_m / ll_0)) < 1e-6
+    assert got.lr_stat > 0, got
