@@ -2342,3 +2342,163 @@ def eval_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# Ordinal ranks for the size classes (S<M<L<XL) — the interval-metric
+# alpha weights disagreements by squared rank distance.
+_KN_RANK_A = (
+    "CASE WHEN n_chars < 150 THEN 1 WHEN n_chars < 300 THEN 2 "
+    "WHEN n_chars < 450 THEN 3 ELSE 4 END"
+)
+_KN_RANK_B_SQL = (
+    "CASE WHEN len(string_split(text, ' ')) < 27 THEN 1 "
+    "WHEN len(string_split(text, ' ')) < 54 THEN 2 "
+    "WHEN len(string_split(text, ' ')) < 81 THEN 3 ELSE 4 END"
+)
+_KN_RANK_B_SPARK = (
+    "CASE WHEN size(split(text, ' ')) < 27 THEN 1 "
+    "WHEN size(split(text, ' ')) < 54 THEN 2 "
+    "WHEN size(split(text, ' ')) < 81 THEN 3 ELSE 4 END"
+)
+_KN_RANK_C_SQL = (
+    "CASE WHEN len(list_distinct(string_split(lower(text), ' '))) < 14 "
+    "THEN 1 "
+    "WHEN len(list_distinct(string_split(lower(text), ' '))) < 22 THEN 2 "
+    "WHEN len(list_distinct(string_split(lower(text), ' '))) < 28 THEN 3 "
+    "ELSE 4 END"
+)
+_KN_RANK_C_SPARK = (
+    "CASE WHEN size(array_distinct(split(lower(text), ' '))) < 14 THEN 1 "
+    "WHEN size(array_distinct(split(lower(text), ' '))) < 22 THEN 2 "
+    "WHEN size(array_distinct(split(lower(text), ' '))) < 28 THEN 3 "
+    "ELSE 4 END"
+)
+
+
+@query(
+    "eval_krippendorff_interval",
+    oracle=f"""
+    WITH u AS (
+        SELECT lang,
+               {_KN_RANK_A} AS ra,
+               {_KN_RANK_B_SQL} AS rb,
+               {_KN_RANK_C_SQL} AS rc
+        FROM documents
+    ),
+    s AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_units,
+               CAST(SUM((ra - rb) * (ra - rb) + (ra - rc) * (ra - rc)
+                        + (rb - rc) * (rb - rc)) AS BIGINT) AS d2
+        FROM u GROUP BY lang
+    ),
+    m AS (
+        SELECT lang, cat, CAST(COUNT(*) AS BIGINT) AS n_c
+        FROM (
+            SELECT lang, ra AS cat FROM u
+            UNION ALL SELECT lang, rb FROM u
+            UNION ALL SELECT lang, rc FROM u
+        ) GROUP BY lang, cat
+    ),
+    g AS (
+        SELECT lang, CAST(SUM(n_c) AS BIGINT) AS n_ratings FROM m
+        GROUP BY lang
+    ),
+    de AS (
+        SELECT a.lang,
+               CAST(SUM(a.n_c * b.n_c * (a.cat - b.cat) * (a.cat - b.cat))
+                    AS BIGINT) AS de_pairs
+        FROM m a JOIN m b ON a.lang = b.lang AND a.cat < b.cat
+        GROUP BY a.lang
+    )
+    SELECT s.lang, s.n_units, s.d2, de.de_pairs,
+           ROUND(1.0 - CAST((g.n_ratings - 1) AS DOUBLE) * s.d2
+                       / (2.0 * de.de_pairs), 6) AS alpha
+    FROM s
+    JOIN g ON g.lang = s.lang
+    JOIN de ON de.lang = s.lang
+    ORDER BY s.lang
+    """,
+    tags=("pipeline", "evaluation", "agreement"),
+)
+def eval_krippendorff_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha with the INTERVAL metric over the ordinal
+    size-class ranks (S<M<L<XL mapped to 1..4) — completing the
+    metric-alpha family (binary r12, nominal r13 stretch): near-miss
+    disagreements (M vs L) now cost less than extreme ones (S vs XL),
+    which is the honest coefficient for graded rating scales.  For
+    complete data, alpha = 1 - (n-1) * sum_u d2_u / ((m-1) *
+    sum_{{c<k}} n_c n_k (c-k)^2) with d2_u the unit's pairwise squared
+    rank disagreement — the NOMINAL closed form is the special case
+    where every squared distance is 1.
+
+    Exactness: d2_u, the marginal cells and the expected-disagreement
+    pair sum are all exact integers (the pair sum is a <=4x4 cell
+    self-join per language); only the final ratio is double.  Verified
+    against a brute-force weighted-coincidence construction in the twin
+    test.
+
+    Scale shape: identical to the nominal query — one scan to two
+    integers per language plus one count per (language, rank); the
+    expected term is arithmetic on the bounded cell frame."""
+    t = Tables(spark, sf_dir)
+    u = (
+        t.parallel("documents", "doc_id")
+        .selectExpr(
+            "lang",
+            f"{_KN_RANK_A} AS ra",
+            f"{_KN_RANK_B_SPARK} AS rb",
+            f"{_KN_RANK_C_SPARK} AS rc",
+        )
+        .localCheckpoint(eager=False)
+    )
+    d2 = (
+        (F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))
+        + (F.col("ra") - F.col("rc")) * (F.col("ra") - F.col("rc"))
+        + (F.col("rb") - F.col("rc")) * (F.col("rb") - F.col("rc"))
+    )
+    s = u.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_units"),
+        F.sum(d2).cast("bigint").alias("d2"),
+    )
+    m = (
+        u.select("lang", F.explode(F.array("ra", "rb", "rc")).alias("cat"))
+        .groupBy("lang", "cat")
+        .agg(F.count("*").cast("bigint").alias("n_c"))
+        .localCheckpoint(eager=False)
+    )
+    g = m.groupBy("lang").agg(
+        F.sum("n_c").cast("bigint").alias("n_ratings")
+    )
+    a = m.select(
+        F.col("lang").alias("la"), F.col("cat").alias("ca"),
+        F.col("n_c").alias("na"),
+    )
+    b = m.select(
+        F.col("lang").alias("lb"), F.col("cat").alias("cb"),
+        F.col("n_c").alias("nb"),
+    )
+    de = (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("ca") < F.col("cb")))
+        .groupBy(F.col("la").alias("lang"))
+        .agg(
+            F.sum(
+                F.col("na") * F.col("nb")
+                * (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))
+            )
+            .cast("bigint")
+            .alias("de_pairs")
+        )
+    )
+    alpha = 1.0 - (F.col("n_ratings") - 1).cast("double") * F.col("d2") / (
+        2.0 * F.col("de_pairs")
+    )
+    return (
+        s.join(g, "lang")
+        .join(de, "lang")
+        .select(
+            "lang", "n_units", "d2", "de_pairs",
+            F.round(alpha, 6).alias("alpha"),
+        )
+        .orderBy("lang")
+    )

@@ -671,3 +671,149 @@ def dedup_connected_components_scaled(
     labels = connected_components(docs.select("doc_id"), edges)
     edges.unpersist()
     return labels.orderBy("doc_id")
+
+
+# 10x derived-NAMES corpus for the edit-distance family (the fourth exact
+# similarity family through the scale-proof device; VERDICT r12 closed the
+# other three + CC).  Base = a BOUNDED slice of part names (p_partkey <=
+# 2000, every 5th) so the quadratic oracle stays tractable at EVERY SF;
+# replicas plant accepts and rejects on both sides of the [1,2] band:
+#   i=1 substitute first char (d=1), i=2 delete last (d=1), i=3 append
+#   (d=1), i=4 substitute first two (d=2) — in-band vs the base and
+#   mostly in-band vs each other; i=5..9 append ' uniqN' (d>=5 vs base —
+#   rejects) while differing from EACH OTHER by one digit (d=1 accepts
+#   inside the tail family).  The oracle is the unpruned quadratic.
+_SCALED_NAMES_CTE = """names AS (
+        SELECT DISTINCT CASE
+            WHEN i = 0 THEN s
+            WHEN i = 1 THEN 'x' || substr(s, 2)
+            WHEN i = 2 THEN substr(s, 1, length(s) - 1)
+            WHEN i = 3 THEN s || 'q'
+            WHEN i = 4 THEN 'xy' || substr(s, 3)
+            ELSE s || ' uniq' || CAST(i AS VARCHAR)
+        END AS p_name
+        FROM (SELECT DISTINCT p_name AS s FROM part
+              WHERE p_partkey <= 2000 AND p_partkey % 5 = 0)
+        CROSS JOIN range(0, 10) t(i)
+    )
+    """
+
+
+def _scaled_names_10x(spark: SparkSession, t: Tables) -> DataFrame:
+    """Spark twin of `_SCALED_NAMES_CTE` — broadcast 10-row fan-out over
+    the bounded base-name slice, perturbations evaluated map-side."""
+    base = (
+        t.part.where(
+            (F.col("p_partkey") <= 2000) & (F.col("p_partkey") % 5 == 0)
+        )
+        .select(F.col("p_name").alias("s"))
+        .distinct()
+    )
+    reps = spark.range(10).select(F.col("id").cast("int").alias("i"))
+    return (
+        base.crossJoin(F.broadcast(reps))
+        .selectExpr(
+            """CASE
+                WHEN i = 0 THEN s
+                WHEN i = 1 THEN 'x' || substr(s, 2)
+                WHEN i = 2 THEN substr(s, 1, length(s) - 1)
+                WHEN i = 3 THEN s || 'q'
+                WHEN i = 4 THEN 'xy' || substr(s, 3)
+                ELSE s || ' uniq' || CAST(i AS STRING)
+            END AS p_name"""
+        )
+        .distinct()
+    )
+
+
+def _qgram_edit_pairs(names: DataFrame) -> DataFrame:
+    """The `join_edit_distance_qgram` candidate+verify plan over any
+    (p_name) frame: non-positional 2-gram equi-join with length-band
+    pruning, short-name broadcast sweep, exact levenshtein on candidates
+    only (same theorem and shape as the proven fixture query)."""
+    grams = names.select(
+        "p_name",
+        F.length("p_name").alias("len"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(p_name) - 1), "
+                "i -> substring(p_name, i, 2))"
+            )
+        ).alias("bg"),
+    ).dropDuplicates(["p_name", "bg"])
+    ga = grams.select(
+        F.col("p_name").alias("name_a"), F.col("len").alias("la"), "bg"
+    )
+    gb = grams.select(
+        F.col("p_name").alias("name_b"), F.col("len").alias("lb"), "bg"
+    )
+    cand = (
+        ga.join(gb, "bg")
+        .filter(
+            (F.col("name_a") < F.col("name_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= 2)
+        )
+        .select("name_a", "name_b")
+    )
+    short = names.filter(F.length("p_name") <= 5)
+    extra = (
+        F.broadcast(short.select(F.col("p_name").alias("name_s")))
+        .join(
+            names.select(
+                F.col("p_name").alias("name_o"),
+                F.length("p_name").alias("lo"),
+            ),
+            F.abs(F.length("name_s") - F.col("lo")) <= 2,
+        )
+        .filter(F.col("name_s") != F.col("name_o"))
+        .select(
+            F.least("name_s", "name_o").alias("name_a"),
+            F.greatest("name_s", "name_o").alias("name_b"),
+        )
+    )
+    cand = cand.unionByName(extra).dropDuplicates(["name_a", "name_b"])
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        cand.select("name_a", "name_b", dist.alias("dist"))
+        .filter(F.col("dist").between(1, 2))
+        .orderBy("name_a", "name_b")
+    )
+
+
+@query(
+    "join_edit_distance_qgram_scaled",
+    oracle=f"""
+    WITH {_SCALED_NAMES_CTE}
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM names a JOIN names b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+    ORDER BY name_a, name_b
+    """,
+    tags=("pipeline", "fuzzy-join", "edit-distance", "qgram",
+          "scale-proof"),
+)
+def join_edit_distance_qgram_scaled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`join_edit_distance_qgram` ORACLE-CHECKED ABOVE THE FIXTURE — the
+    FOURTH exact similarity family through the 10x derived-corpus device
+    (simhash r11, prefix-Jaccard and minhash-LSH r12, connected
+    components r12): the q-gram + length pruning runs over a 10x derived
+    NAME corpus with perturbations planted on BOTH sides of the [1,2]
+    edit band (single-char substitute/delete/append and a two-char
+    substitute in-band; ' uniqN' tails out-of-band vs their base but
+    distance 1 from each other), and must equal the UNPRUNED quadratic
+    levenshtein oracle row-for-row.  At the fixture's organic names the
+    band is sparse; the planted families force the pruning to decide
+    accept AND reject within dense replica cliques — the blind-spot
+    class the scale-proof program exists to cover.
+
+    The base slice is BOUNDED (p_partkey <= 2000, every 5th) so the
+    quadratic oracle stays tractable at every SF — the proof's value is
+    the planted structure and the ~10x density, not unbounded growth.
+
+    Scale shape: identical to the fixture query — the fan-out is a
+    broadcast 10-row cross join; the bigram equi-join is the only
+    corpus-sized shuffle; verify pays |candidates|."""
+    return _qgram_edit_pairs(_scaled_names_10x(spark, Tables(spark, sf_dir)))

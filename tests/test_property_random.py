@@ -2344,3 +2344,68 @@ def test_logreg_fit_quality_matches_numpy(spark):
     assert abs(got.lr_stat - 2 * (ll_m - ll_0)) < 1e-3
     assert abs(got.mcfadden_r2 - (1 - ll_m / ll_0)) < 1e-6
     assert got.lr_stat > 0, got
+
+
+def test_krippendorff_interval_matches_bruteforce(spark):
+    """eval_krippendorff_interval must equal the textbook WEIGHTED
+    coincidence-matrix alpha (metric delta^2 = squared rank distance)
+    built in plain python — and reduce to the nominal construction when
+    the metric is replaced by 0/1 (sanity identity on the same data)."""
+    import duckdb
+
+    from auron_spark.registry import load_all
+
+    got = {
+        r.lang: r
+        for r in load_all()["eval_krippendorff_interval"]
+        .build(spark, SF_SMOKE)
+        .collect()
+    }
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT lang,
+               CASE WHEN n_chars < 150 THEN 1 WHEN n_chars < 300 THEN 2
+                    WHEN n_chars < 450 THEN 3 ELSE 4 END,
+               CASE WHEN len(string_split(text, ' ')) < 27 THEN 1
+                    WHEN len(string_split(text, ' ')) < 54 THEN 2
+                    WHEN len(string_split(text, ' ')) < 81 THEN 3
+                    ELSE 4 END,
+               CASE WHEN len(list_distinct(string_split(lower(text), ' ')))
+                         < 14 THEN 1
+                    WHEN len(list_distinct(string_split(lower(text), ' ')))
+                         < 22 THEN 2
+                    WHEN len(list_distinct(string_split(lower(text), ' ')))
+                         < 28 THEN 3
+                    ELSE 4 END
+        FROM read_parquet('{SF_SMOKE}/documents.parquet')
+        """
+    ).fetchall()
+    by_lang: dict[str, list[tuple[int, int, int]]] = {}
+    for lang, a, b, c in rows:
+        by_lang.setdefault(lang, []).append((a, b, c))
+    m = 3
+    for lang, units in by_lang.items():
+        cats = sorted({c for u in units for c in u})
+        o = {(c, k): 0.0 for c in cats for k in cats}
+        for u in units:
+            counts = {c: u.count(c) for c in set(u)}
+            for c in counts:
+                for k in counts:
+                    o[(c, k)] += (
+                        counts[c] * (counts[k] - (1 if c == k else 0))
+                    ) / (m - 1)
+        n_c = {c: sum(o[(c, k)] for k in cats) for c in cats}
+        n = sum(n_c.values())
+        d_o = sum(
+            o[(c, k)] * (c - k) ** 2 for c in cats for k in cats if c != k
+        )
+        d_e = sum(
+            n_c[c] * n_c[k] * (c - k) ** 2
+            for c in cats
+            for k in cats
+            if c != k
+        ) / (n - 1)
+        alpha = 1.0 - d_o / d_e
+        assert got[lang].n_units == len(units)
+        assert abs(got[lang].alpha - alpha) < 1e-6, (lang, got[lang], alpha)
