@@ -706,6 +706,7 @@ def rec_als_item_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM se CROSS JOIN np CROSS JOIN nq0 CROSS JOIN nq1
     """,
     tags=("pipeline", "recommendation", "als", "factorization"),
+    bench=True,  # the iterative-trainer representative of the ALS family
 )
 def rec_als_alternating_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One FULL ALS alternating round — user half-step then item

@@ -2470,3 +2470,39 @@ def test_sql_udf_inlines_into_codegen(spark):
     plan = _plan(spark, "sql_scalar_udf")
     assert "EvalPython" not in plan, plan
     assert "HashAggregate" in plan
+
+
+def test_als_round_factor_joins_broadcast(spark):
+    """rec_als_alternating_round: the item-factor attaches and the 1-row
+    norm/model frames must all enter as broadcasts — no shuffle ever
+    carries a factor matrix (items are the small side by construction,
+    norms are scalars), and nothing degrades to a CartesianProduct."""
+    plan = _plan(spark, "rec_als_alternating_round")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_als_implicit_gram_is_broadcast(spark):
+    """rec_als_implicit_step: the catalog-grain Gram (the HKV trick's
+    whole point) must reach the per-user frame as a broadcast 1-row
+    join, never a shuffle or cartesian."""
+    plan = _plan(spark, "rec_als_implicit_step")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_qgram_scaled_candidates_equi_join(spark):
+    """join_edit_distance_qgram_scaled: the candidate generation must be
+    a REAL equi-join on the bigram key (the pruning theorem's carrier) —
+    the only nested-loop allowed is the bounded short-name broadcast
+    sweep, and levenshtein must not appear below the candidate join
+    (verify pays |candidates|, never |names|^2)."""
+    plan = _plan(spark, "join_edit_distance_qgram_scaled")
+    assert "CartesianProduct" not in plan, plan
+    assert "bg" in plan, plan
+    joins = [
+        l for l in plan.splitlines()
+        if ("SortMergeJoin" in l or "ShuffledHashJoin" in l
+            or "BroadcastHashJoin" in l)
+    ]
+    assert any("bg" in l for l in joins), plan
