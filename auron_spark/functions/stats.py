@@ -692,8 +692,10 @@ pairs AS (
 SELECT tot.n AS n_users, tot.n_cells, pairs.conc, pairs.disc,
        tx.n1 AS ties_x, ty.n2 AS ties_y,
        ROUND((pairs.conc - pairs.disc)
-             / sqrt((CAST(tot.n AS DOUBLE) * (tot.n - 1) / 2 - tx.n1)
-                    * (CAST(tot.n AS DOUBLE) * (tot.n - 1) / 2 - ty.n2)),
+             / NULLIF(
+                 sqrt((CAST(tot.n AS DOUBLE) * (tot.n - 1) / 2 - tx.n1)
+                      * (CAST(tot.n AS DOUBLE) * (tot.n - 1) / 2 - ty.n2)),
+                 0.0),
              6) AS tau_b
 FROM tot, tx, ty, pairs
 """

@@ -2156,7 +2156,7 @@ _KN_CAT_C_SPARK = (
     )
     SELECT s.lang, s.n_units, g.n_ratings, g.n_categories, s.disg,
            ROUND(1.0 - CAST((g.n_ratings - 1) * s.disg AS DOUBLE)
-                       / (g.n_ratings * g.n_ratings - g.sum_sq), 6)
+                       / NULLIF(g.n_ratings * g.n_ratings - g.sum_sq, 0), 6)
                AS alpha
     FROM s JOIN g ON g.lang = s.lang
     ORDER BY s.lang
@@ -2216,8 +2216,12 @@ def eval_krippendorff_nominal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_c") * F.col("n_c")).cast("bigint").alias("sum_sq"),
     )
     n = F.col("n_ratings")
-    alpha = 1.0 - ((n - 1) * F.col("disg")).cast("double") / (
-        n * n - F.col("sum_sq")
+    # NULLIF degenerate-stratum guard: a language where every rating is
+    # one category has zero expected disagreement (n^2 = sum_sq) — alpha
+    # is undefined there, and both engines surface NULL instead of a
+    # division error (same guard in the oracle text).
+    alpha = 1.0 - ((n - 1) * F.col("disg")).cast("double") / F.nullif(
+        (n * n - F.col("sum_sq")).cast("double"), F.lit(0.0)
     )
     return (
         s.join(g, "lang")
@@ -2270,8 +2274,8 @@ def eval_krippendorff_nominal(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(((1.0 - CAST(s.disg AS DOUBLE) / (3.0 * s.n_units))
                   - CAST(g.sum_sq AS DOUBLE)
                     / (CAST(g.n_ratings AS DOUBLE) * g.n_ratings))
-                 / (1.0 - CAST(g.sum_sq AS DOUBLE)
-                    / (CAST(g.n_ratings AS DOUBLE) * g.n_ratings)), 6)
+                 / NULLIF(1.0 - CAST(g.sum_sq AS DOUBLE)
+                    / (CAST(g.n_ratings AS DOUBLE) * g.n_ratings), 0.0), 6)
                AS kappa
     FROM s JOIN g ON g.lang = s.lang
     ORDER BY s.lang
@@ -2338,7 +2342,12 @@ def eval_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_units",
             F.round(p_bar, 6).alias("p_bar"),
             F.round(p_e, 6).alias("p_e"),
-            F.round((p_bar - p_e) / (1.0 - p_e), 6).alias("kappa"),
+            # NULLIF degenerate guard: single-category marginals make
+            # P_e exactly 1 (sum_sq = n^2, the ratio is FP-exact) and
+            # kappa undefined — both engines surface NULL.
+            F.round(
+                (p_bar - p_e) / F.nullif(1.0 - p_e, F.lit(0.0)), 6
+            ).alias("kappa"),
         )
         .orderBy("lang")
     )
@@ -2413,10 +2422,10 @@ _KN_RANK_C_SPARK = (
     )
     SELECT s.lang, s.n_units, s.d2, de.de_pairs,
            ROUND(1.0 - CAST((g.n_ratings - 1) AS DOUBLE) * s.d2
-                       / (2.0 * de.de_pairs), 6) AS alpha
+                       / NULLIF(2.0 * de.de_pairs, 0.0), 6) AS alpha
     FROM s
     JOIN g ON g.lang = s.lang
-    JOIN de ON de.lang = s.lang
+    LEFT JOIN de ON de.lang = s.lang
     ORDER BY s.lang
     """,
     tags=("pipeline", "evaluation", "agreement"),
@@ -2490,12 +2499,15 @@ def eval_krippendorff_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("de_pairs")
         )
     )
-    alpha = 1.0 - (F.col("n_ratings") - 1).cast("double") * F.col("d2") / (
-        2.0 * F.col("de_pairs")
-    )
+    # NULLIF + LEFT JOIN degenerate guard: a single-rank language has no
+    # cell pair at all (de row absent) and zero expected disagreement —
+    # the row survives with NULL de_pairs/alpha in both engines.
+    alpha = 1.0 - (F.col("n_ratings") - 1).cast("double") * F.col(
+        "d2"
+    ) / F.nullif(2.0 * F.col("de_pairs"), F.lit(0.0))
     return (
         s.join(g, "lang")
-        .join(de, "lang")
+        .join(de, "lang", "left")
         .select(
             "lang", "n_units", "d2", "de_pairs",
             F.round(alpha, 6).alias("alpha"),

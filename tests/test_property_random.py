@@ -2409,3 +2409,132 @@ def test_krippendorff_interval_matches_bruteforce(spark):
         alpha = 1.0 - d_o / d_e
         assert got[lang].n_units == len(units)
         assert abs(got[lang].alpha - alpha) < 1e-6, (lang, got[lang], alpha)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 4), st.integers(1, 4), st.integers(1, 4)
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+@settings(max_examples=120, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_agreement_closed_forms_identity(units):
+    """The algebra behind eval_krippendorff_nominal/_interval and
+    eval_fleiss_kappa, fuzzed over RANDOM rating tables including
+    degenerate ones (unanimous strata, single-category marginals):
+    each query's two-reduction closed form must equal the textbook
+    coincidence/per-unit construction, and exactly when the textbook
+    denominator is zero the closed form must be undefined too (the
+    NULLIF guard's contract)."""
+    m = 3
+    cats = sorted({c for u in units for c in u})
+    n_units = len(units)
+    n = m * n_units
+    disg = sum(
+        (a != b) + (a != c) + (b != c) for a, b, c in units
+    )
+    d2 = sum(
+        (a - b) ** 2 + (a - c) ** 2 + (b - c) ** 2 for a, b, c in units
+    )
+    marg = {c: 0 for c in cats}
+    for u in units:
+        for c in u:
+            marg[c] += 1
+    sum_sq = sum(v * v for v in marg.values())
+    # textbook coincidence matrix
+    o = {(c, k): 0.0 for c in cats for k in cats}
+    for u in units:
+        counts = {c: u.count(c) for c in set(u)}
+        for c in counts:
+            for k in counts:
+                o[(c, k)] += (
+                    counts[c] * (counts[k] - (1 if c == k else 0))
+                ) / (m - 1)
+    n_c = {c: sum(o[(c, k)] for k in cats) for c in cats}
+    nn = sum(n_c.values())
+
+    def textbook_alpha(metric):
+        d_o = sum(
+            o[(c, k)] * metric(c, k) for c in cats for k in cats if c != k
+        )
+        d_e = sum(
+            n_c[c] * n_c[k] * metric(c, k)
+            for c in cats
+            for k in cats
+            if c != k
+        ) / (nn - 1)
+        return None if d_e == 0 else 1.0 - d_o / d_e
+
+    # nominal: closed form 1 - (n-1) disg / (n^2 - sum_sq)
+    denom_nom = n * n - sum_sq
+    closed_nom = (
+        None if denom_nom == 0 else 1.0 - (n - 1) * disg / denom_nom
+    )
+    want_nom = textbook_alpha(lambda c, k: 1.0)
+    assert (closed_nom is None) == (want_nom is None)
+    if want_nom is not None:
+        assert abs(closed_nom - want_nom) < 1e-9
+    # interval: closed form 1 - (n-1) d2 / (2 * sum_{c<k} n_c n_k (c-k)^2)
+    de_pairs = sum(
+        marg[c] * marg[k] * (c - k) ** 2
+        for i, c in enumerate(cats)
+        for k in cats[i + 1:]
+    )
+    closed_int = (
+        None if de_pairs == 0 else 1.0 - (n - 1) * d2 / (2.0 * de_pairs)
+    )
+    want_int = textbook_alpha(lambda c, k: (c - k) ** 2)
+    assert (closed_int is None) == (want_int is None)
+    if want_int is not None:
+        assert abs(closed_int - want_int) < 1e-9
+    # fleiss: P_bar from disg identity, P_e from squared marginals
+    p_bar = 1.0 - disg / (3.0 * n_units)
+    p_bar_direct = sum(
+        (sum(v * v for v in {c: u.count(c) for c in set(u)}.values()) - m)
+        / (m * (m - 1))
+        for u in units
+    ) / n_units
+    assert abs(p_bar - p_bar_direct) < 1e-9
+    p_e = sum_sq / (n * n)
+    kappa = None if p_e == 1.0 else (p_bar - p_e) / (1.0 - p_e)
+    if kappa is not None and all(v == 0 or v == n for v in marg.values()):
+        # single-category marginals must have been caught by p_e == 1
+        raise AssertionError("degenerate marginals not caught")
+
+
+def test_agreement_degenerate_stratum_nulls(spark, tmp_path):
+    """End-to-end NULLIF-guard proof: a degenerate corpus where every
+    rater puts every document in the same single category (unanimous,
+    single-category marginals) must yield NULL alpha/kappa in BOTH
+    engines — not a division error and not an engine-divergent inf."""
+    import duckdb
+
+    from auron_spark.registry import load_all
+
+    docs = spark.createDataFrame(
+        [(i, "tiny text", "xx", "s", 9) for i in range(6)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "degenerate")
+    docs.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    specs = load_all()
+    for name, col in [
+        ("eval_krippendorff_nominal", "alpha"),
+        ("eval_krippendorff_interval", "alpha"),
+        ("eval_fleiss_kappa", "kappa"),
+    ]:
+        got = specs[name].build(spark, d).collect()
+        want = con.execute(specs[name].oracle).fetchall()
+        assert len(got) == len(want) == 1, (name, got, want)
+        assert got[0][col] is None, (name, got)
+        # oracle row: last column is the statistic in every one of these
+        assert want[0][-1] is None, (name, want)
