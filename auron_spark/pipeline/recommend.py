@@ -915,3 +915,199 @@ def rec_als_implicit_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_pref_obs"),
         )
     )
+
+
+_ALS_ROUNDS = 3
+
+
+def _als_convergence_sql(rounds: int = _ALS_ROUNDS) -> str:
+    """Generate the DuckDB oracle for `rec_als_convergence`: the one-round
+    CTE chain of `rec_als_alternating_round` unrolled `rounds` times, all
+    from the same shared expression templates."""
+    r9 = _ALS_R9.format
+    lam = _ALS_LAMBDA
+
+    def usums(src: str, q: str) -> str:
+        return f"""(
+        SELECT user_id,
+               CAST(SUM({r9(t=f"{q}1 * {q}1")}) AS DOUBLE) AS s00,
+               CAST(SUM({r9(t=f"{q}1 * {q}2")}) AS DOUBLE) AS s01,
+               CAST(SUM({r9(t=f"{q}2 * {q}2")}) AS DOUBLE) AS s11,
+               CAST(SUM({r9(t=f"{q}1 * r")}) AS DOUBLE) AS b0,
+               CAST(SUM({r9(t=f"{q}2 * r")}) AS DOUBLE) AS b1
+        FROM {src} GROUP BY user_id
+    )"""
+
+    def isums(src: str, p: str) -> str:
+        return f"""(
+        SELECT event_type,
+               CAST(SUM({r9(t=f"{p}1 * {p}1")}) AS DOUBLE) AS s00,
+               CAST(SUM({r9(t=f"{p}1 * {p}2")}) AS DOUBLE) AS s01,
+               CAST(SUM({r9(t=f"{p}2 * {p}2")}) AS DOUBLE) AS s11,
+               CAST(SUM({r9(t=f"{p}1 * r")}) AS DOUBLE) AS b0,
+               CAST(SUM({r9(t=f"{p}2 * r")}) AS DOUBLE) AS b1
+        FROM {src} GROUP BY event_type
+    )"""
+
+    def solve(key: str, f1: str, f2: str, src: str) -> str:
+        return f"""(
+        SELECT {key},
+               ((s11 + {lam}) * b0 - s01 * b1) / {_ALS_DET} AS {f1},
+               ((s00 + {lam}) * b1 - s01 * b0) / {_ALS_DET} AS {f2}
+        FROM {src}
+    )"""
+
+    parts = [f"WITH {_ALS_RATINGS_SQL},", _ALS_Q0_SQL.strip() + ","]
+    # q is q0 with factor cols (q1, q2); per round k we create pk / qk.
+    rows = []
+    prev_q, prev_qc = "q", "q"  # CTE name, column prefix is q1/q2 always
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"ju{k} AS (SELECT r.user_id, r.event_type, r.r, "
+            f"{prev_q}.q1, {prev_q}.q2 FROM r JOIN {prev_q} "
+            f"ON {prev_q}.event_type = r.event_type),"
+        )
+        parts.append(f"su{k} AS {usums(f'ju{k}', 'q')},")
+        parts.append(f"p{k} AS {solve('user_id', 'p1', 'p2', f'su{k}')},")
+        parts.append(
+            f"ji{k} AS (SELECT r.user_id, r.event_type, r.r, "
+            f"p{k}.p1, p{k}.p2 FROM r JOIN p{k} "
+            f"ON p{k}.user_id = r.user_id),"
+        )
+        parts.append(f"si{k} AS {isums(f'ji{k}', 'p')},")
+        parts.append(f"q{k} AS {solve('event_type', 'q1', 'q2', f'si{k}')},")
+        # norms
+        parts.append(
+            f"np{k} AS (SELECT CAST(SUM({r9(t='p1 * p1 + p2 * p2')}) "
+            f"AS DOUBLE) AS v FROM p{k}),"
+        )
+        parts.append(
+            f"nq{k} AS (SELECT CAST(SUM({r9(t='q1 * q1 + q2 * q2')}) "
+            f"AS DOUBLE) AS v FROM q{k}),"
+        )
+        if k == 1:
+            parts.append(
+                f"nq0 AS (SELECT CAST(SUM({r9(t='q1 * q1 + q2 * q2')}) "
+                "AS DOUBLE) AS v FROM q),"
+            )
+        # squared errors: user step vs prev_q, item step vs qk
+        eu = (
+            "(j.r - (pk.p1 * j.q1 + pk.p2 * j.q2))"
+            " * (j.r - (pk.p1 * j.q1 + pk.p2 * j.q2))"
+        )
+        parts.append(
+            f"seu{k} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ratings, "
+            f"CAST(SUM({r9(t=eu)}) AS DOUBLE) AS se "
+            f"FROM ju{k} j JOIN p{k} pk ON pk.user_id = j.user_id),"
+        )
+        ei = (
+            "(j.r - (j.p1 * qk.q1 + j.p2 * qk.q2))"
+            " * (j.r - (j.p1 * qk.q1 + j.p2 * qk.q2))"
+        )
+        parts.append(
+            f"sei{k} AS (SELECT CAST(SUM({r9(t=ei)}) AS DOUBLE) AS se "
+            f"FROM ji{k} j JOIN q{k} qk ON qk.event_type = j.event_type),"
+        )
+        prev_nq = "nq0" if k == 1 else f"nq{k - 1}"
+        rows.append(
+            f"SELECT {k} AS round,\n"
+            f"  ROUND(sqrt(seu{k}.se / seu{k}.n_ratings), 6)"
+            " AS rmse_user_step,\n"
+            f"  ROUND(sqrt(sei{k}.se / seu{k}.n_ratings), 6)"
+            " AS rmse_item_step,\n"
+            f"  ROUND(seu{k}.se + {lam} * (np{k}.v + {prev_nq}.v), 6)"
+            " AS obj_user_step,\n"
+            f"  ROUND(sei{k}.se + {lam} * (np{k}.v + nq{k}.v), 6)"
+            " AS obj_item_step\n"
+            f"FROM seu{k}, sei{k}, np{k}, nq{k}, {prev_nq}"
+        )
+        prev_q = f"q{k}"
+    body = "\n    ".join(parts).rstrip(",")
+    # strip the trailing comma of the final CTE
+    if body.endswith(","):
+        body = body[:-1]
+    union = "\n    UNION ALL\n    ".join(rows)
+    return f"{body}\n    {union}\n    ORDER BY round"
+
+
+@query(
+    "rec_als_convergence",
+    oracle=_als_convergence_sql(),
+    tags=("pipeline", "recommendation", "als", "factorization",
+          "iterative"),
+)
+def rec_als_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE full ALS alternating rounds with the objective trajectory —
+    the registered form of the family's 'iterating to convergence never
+    rescans the corpus' claim: per round, RMSE and the regularized
+    objective J = SE + lambda*(|P|^2+|Q|^2) after the user and after the
+    item half-step.  Every one of the six half-steps exactly minimizes J
+    over its factor block, so the SIX-value objective sequence is
+    non-increasing BY THEOREM (pinned in tests/test_property_random.py
+    together with a numpy replay of the full trajectory).
+
+    Exactness: the chain composes the proven one-round devices — every
+    aggregate rides ROUND(.,9)->DECIMAL, every solve is a shared
+    rational expression tree, so even after six chained solves the 6-dp
+    outputs agree bit-exactly across engines.
+
+    Scale shape: two sufficient-statistics shuffles per round (five
+    doubles + count per entity), item factors broadcast, user factors
+    attach on the ratings' native user_id grain; each round's rating
+    join frames are localCheckpointed so lineage stays flat instead of
+    exponential."""
+    t = Tables(spark, sf_dir)
+    r = _als_ratings(t).localCheckpoint(eager=False)
+    q_prev = _md5_factors(
+        r.select("event_type").distinct(), "event_type", "q1", "q2"
+    )
+    r9 = lambda e: F.expr(_ALS_R9.format(t=e))  # noqa: E731
+    lam = _ALS_LAMBDA
+    norm = lambda df, a, b: df.agg(  # noqa: E731
+        F.sum(r9(f"{a} * {a} + {b} * {b}")).cast("double").alias("v")
+    )
+    nq_prev = norm(q_prev, "q1", "q2")
+    out = []
+    for k in range(1, _ALS_ROUNDS + 1):
+        ju = r.join(F.broadcast(q_prev), "event_type").localCheckpoint(
+            eager=False
+        )
+        p = _ridge_solve(_als_sums(ju, "user_id", "q1", "q2"),
+                         "user_id", "p1", "p2").localCheckpoint(eager=False)
+        ji = r.join(p, "user_id").localCheckpoint(eager=False)
+        qn = _ridge_solve(_als_sums(ji, "event_type", "p1", "p2"),
+                          "event_type", "q1", "q2").localCheckpoint(
+            eager=False
+        )
+        eu = (
+            "(r - (p1 * q1 + p2 * q2)) * (r - (p1 * q1 + p2 * q2))"
+        )
+        seu = ju.join(p, "user_id").agg(
+            F.count("*").cast("bigint").alias("n_ratings"),
+            F.sum(r9(eu)).cast("double").alias("se_u"),
+        )
+        sei = ji.join(F.broadcast(qn), "event_type").agg(
+            F.sum(r9(eu)).cast("double").alias("se_i"),
+        )
+        np_ = norm(p, "p1", "p2")
+        nq = norm(qn, "q1", "q2")
+        row = (
+            seu.join(F.broadcast(sei))
+            .join(F.broadcast(np_.selectExpr("v AS np_v")))
+            .join(F.broadcast(nq.selectExpr("v AS nq_v")))
+            .join(F.broadcast(nq_prev.selectExpr("v AS nq_prev_v")))
+            .selectExpr(
+                f"{k} AS round",
+                "ROUND(sqrt(se_u / n_ratings), 6) AS rmse_user_step",
+                "ROUND(sqrt(se_i / n_ratings), 6) AS rmse_item_step",
+                f"ROUND(se_u + {lam} * (np_v + nq_prev_v), 6)"
+                " AS obj_user_step",
+                f"ROUND(se_i + {lam} * (np_v + nq_v), 6) AS obj_item_step",
+            )
+        )
+        out.append(row)
+        q_prev, nq_prev = qn, nq
+    res = out[0]
+    for row in out[1:]:
+        res = res.unionByName(row)
+    return res.orderBy("round")

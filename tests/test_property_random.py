@@ -2538,3 +2538,77 @@ def test_agreement_degenerate_stratum_nulls(spark, tmp_path):
         assert got[0][col] is None, (name, got)
         # oracle row: last column is the statistic in every one of these
         assert want[0][-1] is None, (name, want)
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMOKE, "/root/testdata/sf0.01"])
+def test_als_convergence_trajectory_monotone(spark, sf_dir):
+    """rec_als_convergence: the SIX-value objective sequence (user/item
+    half-steps x 3 rounds) must be non-increasing — each half-step
+    exactly minimizes J over its block, so any increase is an
+    implementation bug, not data; and a numpy replay of the full
+    three-round alternation must reproduce every RMSE."""
+    import duckdb
+    import numpy as np
+
+    from auron_spark.registry import load_all
+
+    rows = (
+        load_all()["rec_als_convergence"]
+        .build(spark, sf_dir)
+        .orderBy("round")
+        .collect()
+    )
+    assert [r.round for r in rows] == [1, 2, 3]
+    seq = []
+    for r in rows:
+        seq += [r.obj_user_step, r.obj_item_step]
+    for a, b in zip(seq, seq[1:]):
+        assert b <= a + 1e-9, seq
+    # numpy replay
+    con = duckdb.connect()
+    raw = con.execute(
+        f"""
+        WITH r AS (
+            SELECT user_id, event_type,
+                   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                   / COUNT(*) / 100.0 AS r
+            FROM read_parquet('{sf_dir}/events.parquet')
+            GROUP BY user_id, event_type
+        )
+        SELECT user_id, event_type, r,
+               (CAST(('0x' || substr(md5(event_type), 1, 4)) AS BIGINT)
+                % 1000) / 1000.0 AS q1,
+               (CAST(('0x' || substr(md5(event_type), 5, 4)) AS BIGINT)
+                % 1000) / 1000.0 AS q2
+        FROM r
+        """
+    ).fetchall()
+    users = sorted({x[0] for x in raw})
+    items = sorted({x[1] for x in raw})
+    ui = {u: i for i, u in enumerate(users)}
+    ii = {t: i for i, t in enumerate(items)}
+    lam = 0.1
+    Q = np.zeros((len(items), 2))
+    obs = []
+    for u, t, r, q1, q2 in raw:
+        Q[ii[t]] = (q1, q2)
+        obs.append((ui[u], ii[t], r))
+    n = len(obs)
+    for k, row in enumerate(rows, start=1):
+        P = np.zeros((len(users), 2))
+        for uidx in range(len(users)):
+            mine = [(i, r) for (u, i, r) in obs if u == uidx]
+            A = sum(np.outer(Q[i], Q[i]) for i, _ in mine) + lam * np.eye(2)
+            b = sum(r * Q[i] for i, r in mine)
+            P[uidx] = np.linalg.solve(A, b)
+        se_u = sum((r - P[u] @ Q[i]) ** 2 for u, i, r in obs)
+        Qn = np.zeros_like(Q)
+        for iidx in range(len(items)):
+            mine = [(u, r) for (u, i, r) in obs if i == iidx]
+            A = sum(np.outer(P[u], P[u]) for u, _ in mine) + lam * np.eye(2)
+            b = sum(r * P[u] for u, r in mine)
+            Qn[iidx] = np.linalg.solve(A, b)
+        se_i = sum((r - P[u] @ Qn[i]) ** 2 for u, i, r in obs)
+        assert abs(row.rmse_user_step - np.sqrt(se_u / n)) < 1e-4, (k, row)
+        assert abs(row.rmse_item_step - np.sqrt(se_i / n)) < 1e-4, (k, row)
+        Q = Qn
