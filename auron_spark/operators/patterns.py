@@ -356,3 +356,63 @@ def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag
         """
     )
+
+
+@query(
+    "sql_table_udf",
+    oracle="""
+    WITH top_cust AS (
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer WHERE c_nationkey = 5
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 5
+    ),
+    top_cust2 AS (
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer WHERE c_nationkey = 9
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 5
+    )
+    SELECT CAST(5 AS INT) AS nation_key, c_custkey, c_name,
+           ROUND(c_acctbal, 2) AS acctbal
+    FROM top_cust
+    UNION ALL
+    SELECT CAST(9 AS INT), c_custkey, c_name, ROUND(c_acctbal, 2)
+    FROM top_cust2
+    ORDER BY nation_key, acctbal DESC, c_custkey
+    """,
+    tags=("sql", "surface", "sql-udf", "table-function"),
+)
+def sql_table_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language TABLE function (Spark 4's CREATE FUNCTION ...
+    RETURNS TABLE ... RETURN <query>) — the table-valued sibling of
+    `sql_scalar_udf`: a parameterized top-k-customers-per-nation report
+    is DECLARED once as a catalog function and invoked per argument in
+    the FROM clause.  Like the scalar form it inlines into Catalyst (the
+    executed plan is plain Filter -> TakeOrderedAndProject over the
+    scan, with the predicate pushed — plan-gated: no Python eval node,
+    pushdown intact), which is the right packaging for parameterized
+    relational snippets at 100 TB; the reference has no equivalent
+    surface (its UDF story is JNI-wrapped scalar expressions).
+
+    Exactness: deterministic top-k (balance DESC, key tiebreak), 2-dp
+    rounding; the oracle is the inlined query text per argument."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION nation_top_customers(nkey INT)
+        RETURNS TABLE (c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE)
+        RETURN SELECT c_custkey, c_name, c_acctbal
+               FROM {tbl} WHERE c_nationkey = nkey
+               ORDER BY c_acctbal DESC, c_custkey LIMIT 5
+        """.replace("{tbl}", "customer")
+    )
+    return spark.sql(
+        """
+        SELECT CAST(5 AS INT) AS nation_key, c_custkey, c_name,
+               ROUND(c_acctbal, 2) AS acctbal
+        FROM nation_top_customers(5)
+        UNION ALL
+        SELECT CAST(9 AS INT), c_custkey, c_name, ROUND(c_acctbal, 2)
+        FROM nation_top_customers(9)
+        ORDER BY nation_key, acctbal DESC, c_custkey
+        """
+    )

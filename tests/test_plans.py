@@ -2506,3 +2506,14 @@ def test_qgram_scaled_candidates_equi_join(spark):
             or "BroadcastHashJoin" in l)
     ]
     assert any("bg" in l for l in joins), plan
+
+
+def test_sql_table_udf_inlines_into_catalyst(spark):
+    """sql_table_udf: the SQL table function must inline — no Python
+    eval node anywhere, and the per-invocation top-k must compile to
+    TakeOrderedAndProject over a pushed-filter scan (the function body's
+    WHERE reaches the parquet scan)."""
+    plan = _plan(spark, "sql_table_udf")
+    assert "EvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "PushedFilters" in plan or "Filter" in plan, plan
