@@ -733,3 +733,64 @@ def stats_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_TAU_B_SQL)
+
+
+@query(
+    "agg_median_distributed_scale",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
+    FROM lineitem
+    """,
+    tags=("agg", "stats", "percentile", "scale-safe"),
+)
+def agg_median_distributed_scale(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT global median with NO single-partition sort — the scale
+    twin `agg_median_percentile`'s docstring promises ('exact percentile
+    sorts within groups; approx_percentile is the scale path') now has
+    an exact third option: the k-th order statistic through the
+    distributed-rank device.  The corpus collapses to the distinct-VALUE
+    grain (v, count), `distributed_running_sums` assigns global
+    cumulative counts (range repartition + parallel per-partition
+    windows + 32 broadcast offsets), and the median is the value(s)
+    whose cumulative interval covers rank (n+1)/2 — for even n the two
+    covering rows average, which is exactly quantile_cont(0.5)'s
+    interpolation (the 0.5-quantile fraction is always 0 or 1/2).
+
+    Exactness: ranks and counts are integers; the value grain is
+    2-decimal doubles so the final average is exact.
+
+    Scale shape: one value-grain reduce (bounded by price cardinality,
+    not row count), one 32-way range exchange, then a <=2-row filter +
+    scalar aggregate; zero `Exchange SinglePartition` outside scalar
+    aggregates (plan-gated with the ntile family)."""
+    from auron_spark.operators.window import distributed_running_sums
+
+    t = Tables(spark, sf_dir)
+    g = (
+        t.lineitem.select(F.col("l_extendedprice").alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    cum = distributed_running_sums(g, [F.asc("v")], ["cnt"])
+    tot = g.agg(F.sum("cnt").cast("long").alias("n"))
+    x = cum.join(F.broadcast(tot))
+    k1 = F.expr("(n + 1) DIV 2")
+    k2 = F.expr("(n + 2) DIV 2")
+    lo, hi = F.col("cum_cnt") - F.col("cnt"), F.col("cum_cnt")
+    covers1 = (lo < k1) & (hi >= k1)
+    covers2 = (lo < k2) & (hi >= k2)
+    sel = x.filter(covers1 | covers2)
+    return sel.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.round(
+            (
+                F.max(F.when(covers1, F.col("v")))
+                + F.max(F.when(covers2, F.col("v")))
+            )
+            / 2.0,
+            6,
+        ).alias("median_price"),
+    )

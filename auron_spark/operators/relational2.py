@@ -2885,3 +2885,102 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "dq_sequence_gaps_scale",
+    oracle="""
+    WITH k AS (
+        SELECT DISTINCT o_orderkey AS k FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    ),
+    adj AS (
+        SELECT lag(k) OVER (ORDER BY k) AS k_prev, k FROM k
+    ),
+    gaps AS (
+        SELECT k_prev + 1 AS gap_start, k - 1 AS gap_end,
+               k - k_prev - 1 AS gap_len
+        FROM adj WHERE k_prev IS NOT NULL AND k - k_prev > 1
+    ),
+    summary AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(MAX(k) - MIN(k) + 1 - COUNT(*) AS BIGINT)
+                   AS missing_total
+        FROM k
+    )
+    SELECT g.gap_start, g.gap_end, CAST(g.gap_len AS BIGINT) AS gap_len,
+           s.n_keys, s.missing_total
+    FROM gaps g CROSS JOIN summary s
+    ORDER BY gap_len DESC, gap_start LIMIT 5
+    """,
+    tags=("dq", "sequence", "gaps", "scale-safe"),
+)
+def dq_sequence_gaps_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyspace-gap audit with NO single-partition window — the top-5
+    largest id gaps in a sparse key subsequence (URGENT orders), plus
+    the subset's total missing-key mass.  The naive plan is a global
+    `lag(k) OVER (ORDER BY k)`; the distributed device here is ADJACENT-
+    DIFFERENCE WITH BOUNDARY HANDOFF, the third member of the
+    range-partition family (ntile: bucket closed form; running sums:
+    broadcast offsets): range-repartition on the key, lag WITHIN each
+    partition (parallel windows), then stitch the 32 partition seams by
+    collecting each partition's (min, max) — constant-size model state —
+    and unioning the driver-built seam pairs back in.  Every adjacent
+    key pair is seen exactly once: interior pairs by the partitioned
+    lag, seam pairs by the handoff.
+
+    Exactness: keys and gaps are integers; the top-5 cut orders on
+    (gap_len DESC, gap_start) — a total order since gap_start is unique.
+
+    Scale shape: one subset scan, one 32-way range exchange, a 32-row
+    collect, and a TakeOrderedAndProject head; zero single-partition
+    windows (plan-gated)."""
+    t = Tables(spark, sf_dir)
+    keys = (
+        t.orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    parts = (
+        keys.repartitionByRange(32, F.asc("k"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("_pid").orderBy("k")
+    interior = parts.select(F.lag("k").over(w).alias("k_prev"), "k").where(
+        F.col("k_prev").isNotNull()
+    )
+    # Seam handoff: each partition's extrema are constant-size model
+    # state (32 rows); adjacent partitions' (max, next min) pairs are the
+    # key pairs the partitioned lag cannot see.
+    bounds = sorted(
+        (r["_pid"], r["mn"], r["mx"])
+        for r in parts.groupBy("_pid")
+        .agg(F.min("k").alias("mn"), F.max("k").alias("mx"))
+        .collect()
+    )
+    seams = [
+        (int(prev_mx), int(next_mn))
+        for (_, _, prev_mx), (_, next_mn, _) in zip(bounds, bounds[1:])
+    ]
+    if seams:
+        seam_df = spark.createDataFrame(seams, "k_prev long, k long")
+        adj = interior.unionByName(seam_df)
+    else:
+        adj = interior
+    gaps = adj.where(F.col("k") - F.col("k_prev") > 1).select(
+        (F.col("k_prev") + 1).alias("gap_start"),
+        (F.col("k") - 1).alias("gap_end"),
+        (F.col("k") - F.col("k_prev") - 1).cast("bigint").alias("gap_len"),
+    )
+    summary = keys.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        (F.max("k") - F.min("k") + 1 - F.count("*"))
+        .cast("bigint")
+        .alias("missing_total"),
+    )
+    return (
+        gaps.join(F.broadcast(summary))
+        .orderBy(F.desc("gap_len"), "gap_start")
+        .limit(5)
+    )

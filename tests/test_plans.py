@@ -1157,6 +1157,9 @@ def test_degree_distribution_banded_candidates(spark):
         # midranks collapse to the distinct-score grain, prefix sums via
         # distributed_running_sums (VERDICT r12 ask #3).
         "eval_auc_delong_ci_scale",
+        # round 13: exact global median as a covered-rank lookup over
+        # value-grain distributed prefix counts.
+        "agg_median_distributed_scale",
     ],
 )
 def test_scale_ntile_no_single_partition_window(spark, name):
@@ -2517,3 +2520,15 @@ def test_sql_table_udf_inlines_into_catalyst(spark):
     assert "EvalPython" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "PushedFilters" in plan or "Filter" in plan, plan
+
+
+def test_sequence_gaps_no_single_partition_window(spark):
+    """dq_sequence_gaps_scale: the adjacent-difference must run in
+    per-partition (_pid) windows with the seam handoff — never a global
+    single-partition lag; the top-5 head must be TakeOrderedAndProject,
+    not a global sort."""
+    plan = _plan(spark, "dq_sequence_gaps_scale")
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "_pid" in line, line
+    assert "TakeOrderedAndProject" in plan, plan

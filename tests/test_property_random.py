@@ -2612,3 +2612,64 @@ def test_als_convergence_trajectory_monotone(spark, sf_dir):
         assert abs(row.rmse_user_step - np.sqrt(se_u / n)) < 1e-4, (k, row)
         assert abs(row.rmse_item_step - np.sqrt(se_i / n)) < 1e-4, (k, row)
         Q = Qn
+
+
+def test_sequence_gaps_seam_handoff_equals_global_lag(spark):
+    """dq_sequence_gaps_scale's boundary handoff must reproduce the
+    naive global-lag gap set EXACTLY (every adjacent pair seen once:
+    interior pairs by the partitioned lag, seam pairs by the collected
+    extrema) — checked on the FULL gap relation, not just the top-5
+    head, at both fixtures."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from auron_spark.tables import table
+
+    for sf in (SF_SMOKE, "/root/testdata/sf0.01"):
+        keys = (
+            table(spark, sf, "orders")
+            .where("o_orderpriority = '1-URGENT'")
+            .selectExpr("o_orderkey AS k")
+            .distinct()
+        )
+        naive = (
+            keys.select(
+                F.lag("k").over(Window.orderBy("k")).alias("k_prev"), "k"
+            )
+            .where("k_prev IS NOT NULL AND k - k_prev > 1")
+            .selectExpr("k_prev + 1 AS s", "k - 1 AS e")
+        )
+        want = sorted((r.s, r.e) for r in naive.collect())
+        # rebuild the distributed gap relation (the query's head is top-5;
+        # the handoff claim is about the full relation)
+        parts = (
+            keys.repartitionByRange(32, F.asc("k"))
+            .withColumn("_pid", F.expr("spark_partition_id()"))
+            .localCheckpoint()
+        )
+        w = Window.partitionBy("_pid").orderBy("k")
+        interior = parts.select(
+            F.lag("k").over(w).alias("k_prev"), "k"
+        ).where("k_prev IS NOT NULL")
+        bounds = sorted(
+            (r["_pid"], r["mn"], r["mx"])
+            for r in parts.groupBy("_pid")
+            .agg(F.min("k").alias("mn"), F.max("k").alias("mx"))
+            .collect()
+        )
+        seams = [
+            (int(pmx), int(nmn))
+            for (_, _, pmx), (_, nmn, _) in zip(bounds, bounds[1:])
+        ]
+        adj = interior
+        if seams:
+            adj = interior.unionByName(
+                spark.createDataFrame(seams, "k_prev long, k long")
+            )
+        got = sorted(
+            (r.s, r.e)
+            for r in adj.where("k - k_prev > 1")
+            .selectExpr("k_prev + 1 AS s", "k - 1 AS e")
+            .collect()
+        )
+        assert got == want, (sf, len(got), len(want))
