@@ -2514,3 +2514,107 @@ def eval_krippendorff_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_BD_R9 = "CAST(ROUND({t}, 9) AS DECIMAL(38,9))"
+
+
+@query(
+    "eval_brier_decomposition",
+    oracle=f"""
+    WITH gd AS (
+        SELECT CAST(x AS DOUBLE) AS xd,
+               CAST(COUNT(*) AS DOUBLE) AS nd,
+               CAST(SUM(y) AS DOUBLE) AS kd
+        FROM (
+            SELECT CAST(ROUND({_SQL_SCORE}, 3) AS DECIMAL(4,3)) AS x,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+            FROM events
+        )
+        GROUP BY x
+    ),
+    tot AS (
+        SELECT CAST(SUM(nd) AS DOUBLE) AS n, CAST(SUM(kd) AS DOUBLE) AS k
+        FROM gd
+    ),
+    terms AS (
+        SELECT CAST(SUM({_BD_R9.format(
+                   t="nd * xd * xd - 2 * xd * kd + kd")}) AS DOUBLE)
+                   AS brier_num,
+               CAST(SUM({_BD_R9.format(
+                   t="nd * (xd - kd / nd) * (xd - kd / nd)")}) AS DOUBLE)
+                   AS rel_num,
+               CAST(SUM({_BD_R9.format(
+                   t="nd * (kd / nd - t.k / t.n) * (kd / nd - t.k / t.n)")})
+                   AS DOUBLE) AS res_num
+        FROM gd, tot t
+        GROUP BY t.n, t.k
+    )
+    SELECT CAST(t.n AS BIGINT) AS n_rows,
+           ROUND(terms.brier_num / t.n, 6) AS brier,
+           ROUND(terms.rel_num / t.n, 6) AS reliability,
+           ROUND(terms.res_num / t.n, 6) AS resolution,
+           ROUND(t.k / t.n * (1.0 - t.k / t.n), 6) AS uncertainty
+    FROM terms, tot t
+    """,
+    tags=("pipeline", "evaluation", "calibration"),
+)
+def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score at the FORECAST grain:
+    Brier = reliability - resolution + uncertainty, with bins = distinct
+    rounded scores — the grain where forecasts within a bin are constant,
+    so the three-term identity is EXACT (equal-width binning leaves
+    within-bin variance/covariance residuals; the common dashboards
+    quietly drop them).  Reliability is the calibration penalty ECE
+    squares, resolution rewards forecasts that separate the base rate,
+    uncertainty is the label's own variance — the full answer to 'is
+    this score good because it is calibrated or because it is sharp?'.
+
+    Exactness: one score-grain reduction; every term rides the
+    ROUND(.,9)->DECIMAL order-free contract; base-rate and readout are
+    arithmetic on a 1-row frame.  The identity (brier == rel - res +
+    unc) and a numpy replay are pinned in the twin test.
+
+    Scale shape: one corpus scan to the <=1001-row grain, one grain
+    aggregate, 1-row arithmetic — the Platt-family posture."""
+    t = Tables(spark, sf_dir)
+    gd = (
+        t.events.select(
+            F.round(_score(), 3).cast("decimal(4,3)").alias("x"),
+            (F.col("event_type") == "purchase").cast("int").alias("y"),
+        )
+        .groupBy("x")
+        .agg(
+            F.count("*").cast("double").alias("nd"),
+            F.sum("y").cast("double").alias("kd"),
+        )
+        .selectExpr("CAST(x AS DOUBLE) AS xd", "nd", "kd")
+        .localCheckpoint(eager=False)
+    )
+    tot = gd.agg(
+        F.expr("CAST(SUM(nd) AS DOUBLE)").alias("n"),
+        F.expr("CAST(SUM(kd) AS DOUBLE)").alias("k"),
+    )
+    r9 = lambda e: F.expr(_BD_R9.format(t=e))  # noqa: E731
+    terms = (
+        gd.crossJoin(F.broadcast(tot))
+        .groupBy("n", "k")
+        .agg(
+            F.sum(r9("nd * xd * xd - 2 * xd * kd + kd"))
+            .cast("double")
+            .alias("brier_num"),
+            F.sum(r9("nd * (xd - kd / nd) * (xd - kd / nd)"))
+            .cast("double")
+            .alias("rel_num"),
+            F.sum(r9("nd * (kd / nd - k / n) * (kd / nd - k / n)"))
+            .cast("double")
+            .alias("res_num"),
+        )
+    )
+    return terms.selectExpr(
+        "CAST(n AS BIGINT) AS n_rows",
+        "ROUND(brier_num / n, 6) AS brier",
+        "ROUND(rel_num / n, 6) AS reliability",
+        "ROUND(res_num / n, 6) AS resolution",
+        "ROUND(k / n * (1.0 - k / n), 6) AS uncertainty",
+    )

@@ -2673,3 +2673,46 @@ def test_sequence_gaps_seam_handoff_equals_global_lag(spark):
             .collect()
         )
         assert got == want, (sf, len(got), len(want))
+
+
+def test_brier_decomposition_identity_and_numpy(spark):
+    """eval_brier_decomposition: at the forecast grain the Murphy
+    identity is exact — brier == reliability - resolution + uncertainty
+    (to rounding) — and a direct numpy computation of all four terms
+    must agree."""
+    import duckdb
+    import numpy as np
+
+    from auron_spark.registry import load_all
+
+    got = (
+        load_all()["eval_brier_decomposition"]
+        .build(spark, SF_SMOKE)
+        .collect()[0]
+    )
+    assert abs(
+        got.brier - (got.reliability - got.resolution + got.uncertainty)
+    ) < 3e-6, got
+    con = duckdb.connect()
+    g = con.execute(
+        f"""
+        SELECT ROUND(1.0/(1.0+exp(-(value-50.0)/20.0)), 3) x,
+               COUNT(*) n,
+               SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) k
+        FROM read_parquet('{SF_SMOKE}/events.parquet') GROUP BY 1
+        """
+    ).fetchnumpy()
+    x = g["x"].astype(float)
+    n = g["n"].astype(float)
+    k = g["k"].astype(float)
+    N, K = n.sum(), k.sum()
+    brier = float(np.sum(n * x * x - 2 * x * k + k) / N)
+    rel = float(np.sum(n * (x - k / n) ** 2) / N)
+    res = float(np.sum(n * (k / n - K / N) ** 2) / N)
+    unc = K / N * (1 - K / N)
+    assert got.n_rows == int(N)
+    assert abs(got.brier - brier) < 1e-6
+    assert abs(got.reliability - rel) < 1e-6
+    assert abs(got.resolution - res) < 1e-6
+    assert abs(got.uncertainty - unc) < 1e-6
+    assert abs(brier - (rel - res + unc)) < 1e-12
