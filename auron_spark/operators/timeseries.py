@@ -1901,3 +1901,82 @@ def timeseries_changepoint_per_type(
         )
         .orderBy("event_type")
     )
+
+
+# Holt's linear-trend double exponential smoothing as ONE shared
+# recursive-CTE text: the level/trend recurrence is inherently
+# sequential (a non-associative fold), so it runs at the BOUNDED
+# calendar grain via WITH RECURSIVE — both engines execute the identical
+# text, so the chained double arithmetic agrees bit-for-bit (the
+# recursion fixes the accumulation order; no decimal contract needed).
+_HOLT_ALPHA, _HOLT_BETA = 0.3, 0.2
+_HOLT_SQL = f"""
+WITH RECURSIVE idx AS (
+    SELECT d, y, CAST(ROW_NUMBER() OVER (ORDER BY d) AS INT) AS i
+    FROM (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS y
+        FROM events GROUP BY CAST(ts AS DATE)
+    )
+),
+holt AS (
+    SELECT CAST(2 AS INT) AS i,
+           CAST({_HOLT_ALPHA} * (SELECT y FROM idx WHERE i = 2)
+             + {1 - _HOLT_ALPHA} * ((SELECT y FROM idx WHERE i = 1)
+                      + ((SELECT y FROM idx WHERE i = 2)
+                         - (SELECT y FROM idx WHERE i = 1)))
+                AS DOUBLE) AS level,
+           CAST((SELECT y FROM idx WHERE i = 2)
+                - (SELECT y FROM idx WHERE i = 1) AS DOUBLE) AS trend,
+           CAST(0.0 AS DOUBLE) AS sse
+    UNION ALL
+    SELECT h.i + 1,
+           {_HOLT_ALPHA} * x.y
+             + {1 - _HOLT_ALPHA} * (h.level + h.trend),
+           {_HOLT_BETA} * (({_HOLT_ALPHA} * x.y
+                            + {1 - _HOLT_ALPHA} * (h.level + h.trend))
+                           - h.level)
+             + {1 - _HOLT_BETA} * h.trend,
+           h.sse + (x.y - (h.level + h.trend))
+                 * (x.y - (h.level + h.trend))
+    FROM holt h JOIN idx x ON x.i = h.i + 1
+)
+SELECT CAST(i AS BIGINT) AS n_days,
+       ROUND(level, 6) AS level,
+       ROUND(trend, 6) AS trend,
+       ROUND(sqrt(sse / NULLIF(i - 2, 0)), 6) AS rmse_onestep,
+       ROUND(level + 7 * trend, 6) AS forecast_day7
+FROM holt ORDER BY i DESC LIMIT 1
+"""
+
+
+@query(
+    "timeseries_holt_linear",
+    oracle=_HOLT_SQL,
+    tags=("timeseries", "forecast", "smoothing", "recursive"),
+)
+def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing (alpha=0.3,
+    beta=0.2) over the daily event count, with the one-step-ahead RMSE
+    and the 7-day-ahead forecast — the trend-aware upgrade of
+    `timeseries_ewma_window` and the classic short-horizon demand
+    forecaster.  The recurrence l_t = a*y_t + (1-a)(l+b), b_t =
+    B(l_t - l) + (1-B)b is a NON-ASSOCIATIVE fold, so unlike the
+    window/EWMA family it cannot be a parallel prefix; the honest
+    expression is WITH RECURSIVE over the day index — one recursion
+    step per calendar day.
+
+    Exactness: one shared SQL text; the recursion fixes the
+    accumulation order, so the chained double arithmetic is
+    bit-identical across engines with no decimal contract needed.
+
+    Scale shape: the corpus reduces map-side to the calendar grain
+    (<= 366 rows/year — the timeseries family's documented bounded-grain
+    posture) BEFORE the sequential part; the recursion then costs one
+    tiny self-join per day, independent of corpus size.  Spark's
+    recursion depth limit (100 levels default) bounds the series length
+    per fit — longer horizons chunk by year, the same way the family's
+    other calendar-grain ops shard."""
+    from auron_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_HOLT_SQL)

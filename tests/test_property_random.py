@@ -2716,3 +2716,43 @@ def test_brier_decomposition_identity_and_numpy(spark):
     assert abs(got.resolution - res) < 1e-6
     assert abs(got.uncertainty - unc) < 1e-6
     assert abs(brier - (rel - res + unc)) < 1e-12
+
+
+def test_holt_linear_matches_numpy_recurrence(spark):
+    """timeseries_holt_linear: the recursive-CTE fold must equal a plain
+    sequential numpy implementation of Holt's recurrence, including the
+    one-step RMSE and the 7-day forecast."""
+    import duckdb
+    import numpy as np
+
+    from auron_spark.registry import load_all
+
+    got = load_all()["timeseries_holt_linear"].build(spark, SF_SMOKE).collect()[0]
+    con = duckdb.connect()
+    y = np.array(
+        [
+            r[0]
+            for r in con.execute(
+                f"""
+                SELECT CAST(COUNT(*) AS DOUBLE)
+                FROM read_parquet('{SF_SMOKE}/events.parquet')
+                GROUP BY CAST(ts AS DATE) ORDER BY CAST(ts AS DATE)
+                """
+            ).fetchall()
+        ]
+    )
+    a, b = 0.3, 0.2
+    level, trend = y[0], y[1] - y[0]
+    level = a * y[1] + (1 - a) * (level + trend)  # the anchor row (i=2)
+    sse = 0.0
+    for t in range(2, len(y)):
+        pred = level + trend
+        sse += (y[t] - pred) ** 2
+        new_level = a * y[t] + (1 - a) * pred
+        trend = b * (new_level - level) + (1 - b) * trend
+        level = new_level
+    assert got.n_days == len(y)
+    assert abs(got.level - level) < 1e-6, (got, level)
+    assert abs(got.trend - trend) < 1e-6
+    assert abs(got.rmse_onestep - np.sqrt(sse / (len(y) - 2))) < 1e-6
+    assert abs(got.forecast_day7 - (level + 7 * trend)) < 1e-5
