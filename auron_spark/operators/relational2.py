@@ -2935,39 +2935,19 @@ def dq_sequence_gaps_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one subset scan, one 32-way range exchange, a 32-row
     collect, and a TakeOrderedAndProject head; zero single-partition
     windows (plan-gated)."""
+    from auron_spark.operators.window import distributed_adjacent_pairs
+
     t = Tables(spark, sf_dir)
+    # Checkpoint the key subset ONCE: the pair device and the summary
+    # aggregate both read it, so the orders scan runs once (review r13
+    # #6 — the pre-review draft re-scanned orders for the summary).
     keys = (
         t.orders.where(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_orderkey").alias("k"))
         .distinct()
-    )
-    parts = (
-        keys.repartitionByRange(32, F.asc("k"))
-        .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint()
     )
-    w = Window.partitionBy("_pid").orderBy("k")
-    interior = parts.select(F.lag("k").over(w).alias("k_prev"), "k").where(
-        F.col("k_prev").isNotNull()
-    )
-    # Seam handoff: each partition's extrema are constant-size model
-    # state (32 rows); adjacent partitions' (max, next min) pairs are the
-    # key pairs the partitioned lag cannot see.
-    bounds = sorted(
-        (r["_pid"], r["mn"], r["mx"])
-        for r in parts.groupBy("_pid")
-        .agg(F.min("k").alias("mn"), F.max("k").alias("mx"))
-        .collect()
-    )
-    seams = [
-        (int(prev_mx), int(next_mn))
-        for (_, _, prev_mx), (_, next_mn, _) in zip(bounds, bounds[1:])
-    ]
-    if seams:
-        seam_df = spark.createDataFrame(seams, "k_prev long, k long")
-        adj = interior.unionByName(seam_df)
-    else:
-        adj = interior
+    adj = distributed_adjacent_pairs(keys, "k")
     gaps = adj.where(F.col("k") - F.col("k_prev") > 1).select(
         (F.col("k_prev") + 1).alias("gap_start"),
         (F.col("k") - 1).alias("gap_end"),

@@ -671,3 +671,55 @@ def distributed_running_sums(
             ).cast("long"),
         )
     return out.drop("_pid")
+
+
+def distributed_adjacent_pairs(
+    df: DataFrame,
+    key_col: str,
+    num_parts: int = 32,
+) -> DataFrame:
+    """Every ADJACENT pair (k_prev, k) of a sorted key column with NO
+    single-partition window — the third member of the range-partition
+    device family (`distributed_ntile`: bucket closed form;
+    `distributed_running_sums`: broadcast prefix offsets; here: BOUNDARY
+    HANDOFF):
+
+    1. range-repartition on the key (contiguous sorted partition ranges);
+    2. ``lag`` WITHIN each partition (parallel ``_pid`` windows) sees
+       every interior pair;
+    3. each partition's (min, max) — ``num_parts`` rows of constant-size
+       model state — collects to the driver, and adjacent partitions'
+       (max, next min) seam pairs union back in.
+
+    Every adjacent pair is produced exactly once: interior pairs by the
+    partitioned lag, seam pairs by the handoff.  ``df`` must be unique on
+    ``key_col`` (dedupe first); rows with NULL keys are the caller's
+    problem.  Used by `dq_sequence_gaps_scale` and equality-tested
+    against the naive global lag on the full pair relation."""
+    spark = df.sparkSession
+    parts = (
+        df.select(key_col)
+        .repartitionByRange(num_parts, F.asc(key_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("_pid").orderBy(key_col)
+    interior = parts.select(
+        F.lag(key_col).over(w).alias("k_prev"),
+        F.col(key_col).alias("k"),
+    ).where(F.col("k_prev").isNotNull())
+    bounds = sorted(
+        (r["_pid"], r["mn"], r["mx"])
+        for r in parts.groupBy("_pid")
+        .agg(F.min(key_col).alias("mn"), F.max(key_col).alias("mx"))
+        .collect()
+    )
+    seams = [
+        (int(prev_mx), int(next_mn))
+        for (_, _, prev_mx), (_, next_mn, _) in zip(bounds, bounds[1:])
+    ]
+    if seams:
+        return interior.unionByName(
+            spark.createDataFrame(seams, "k_prev long, k long")
+        )
+    return interior

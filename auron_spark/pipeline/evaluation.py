@@ -1870,21 +1870,30 @@ def eval_auc_delong_ci_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     mr_neg = F.col("cum_cnt_neg") - F.col("cnt_neg") + (F.col("cnt_neg") + 1) / 2.0
     v1 = (mr_all - mr_pos) / F.col("n0_t")
     v0 = 1.0 - (mr_all - mr_neg) / F.col("n1_t")
-    r9 = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
+    # Tie-weighted rounded terms at FULL scale 9: decimal(19,9) x
+    # decimal(12,0) -> decimal(32,9) (no precision overflow, so Spark
+    # cannot demote the scale — a plain long x decimal(28,9) product is
+    # silently reduced to scale 6, breaking the per-row-rounding
+    # equivalence with the oracle).  v is in [0,1] so 19,9 is ample;
+    # 12,0 holds tie counts past 10^11 rows per score.
+    r9w = lambda v, cnt: (  # noqa: E731
+        F.round(v, 9).cast("decimal(19,9)")
+        * F.col(cnt).cast("decimal(12,0)")
+    )
     has_pos, has_neg = F.col("cnt_pos") > 0, F.col("cnt_neg") > 0
     agg = x.agg(
         F.sum("cnt_pos").cast("bigint").alias("n1"),
         F.sum("cnt_neg").cast("bigint").alias("n0"),
-        F.sum(F.when(has_pos, F.col("cnt_pos") * r9(v1)))
+        F.sum(F.when(has_pos, r9w(v1, "cnt_pos")))
         .cast("double")
         .alias("sv1"),
-        F.sum(F.when(has_pos, F.col("cnt_pos") * r9(v1 * v1)))
+        F.sum(F.when(has_pos, r9w(v1 * v1, "cnt_pos")))
         .cast("double")
         .alias("sq1"),
-        F.sum(F.when(has_neg, F.col("cnt_neg") * r9(v0)))
+        F.sum(F.when(has_neg, r9w(v0, "cnt_neg")))
         .cast("double")
         .alias("sv0"),
-        F.sum(F.when(has_neg, F.col("cnt_neg") * r9(v0 * v0)))
+        F.sum(F.when(has_neg, r9w(v0 * v0, "cnt_neg")))
         .cast("double")
         .alias("sq0"),
     )
@@ -2120,6 +2129,42 @@ _KN_CAT_C_SPARK = (
 )
 
 
+def _kn_units(t: Tables, a: str, b: str, c: str) -> DataFrame:
+    """(lang, ca, cb, cc) rater-label frame shared by the nominal alpha,
+    Fleiss kappa and (with rank expressions) interval alpha builders —
+    one documents scan, checkpointed because two reductions read it."""
+    return (
+        t.parallel("documents", "doc_id")
+        .selectExpr("lang", f"{a} AS ca", f"{b} AS cb", f"{c} AS cc")
+        .localCheckpoint(eager=False)
+    )
+
+
+def _kn_cells(u: DataFrame) -> DataFrame:
+    """(lang, cat, n_c) marginal rating counts from a rater-label frame —
+    the shared second reduction of the agreement family."""
+    return (
+        u.select("lang", F.explode(F.array("ca", "cb", "cc")).alias("cat"))
+        .groupBy("lang", "cat")
+        .agg(F.count("*").cast("bigint").alias("n_c"))
+    )
+
+
+def _kn_pair_disagreement(u: DataFrame) -> DataFrame:
+    """(lang, n_units, disg) — disagreeing rater-pair count per unit,
+    summed per language; the nominal alpha and Fleiss kappa share it."""
+    return u.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_units"),
+        F.sum(
+            (F.col("ca") != F.col("cb")).cast("int")
+            + (F.col("ca") != F.col("cc")).cast("int")
+            + (F.col("cb") != F.col("cc")).cast("int")
+        )
+        .cast("bigint")
+        .alias("disg"),
+    )
+
+
 @query(
     "eval_krippendorff_nominal",
     oracle=f"""
@@ -2185,32 +2230,9 @@ def eval_krippendorff_nominal(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate state at c <= 4 categories; alpha is exact integer-ratio
     arithmetic on the joined 5-row frame."""
     t = Tables(spark, sf_dir)
-    u = (
-        t.parallel("documents", "doc_id")
-        .selectExpr(
-            "lang",
-            f"{_KN_CAT_A} AS ca",
-            f"{_KN_CAT_B_SPARK} AS cb",
-            f"{_KN_CAT_C_SPARK} AS cc",
-        )
-        .localCheckpoint(eager=False)
-    )
-    s = u.groupBy("lang").agg(
-        F.count("*").cast("bigint").alias("n_units"),
-        F.sum(
-            (F.col("ca") != F.col("cb")).cast("int")
-            + (F.col("ca") != F.col("cc")).cast("int")
-            + (F.col("cb") != F.col("cc")).cast("int")
-        )
-        .cast("bigint")
-        .alias("disg"),
-    )
-    m = (
-        u.select("lang", F.explode(F.array("ca", "cb", "cc")).alias("cat"))
-        .groupBy("lang", "cat")
-        .agg(F.count("*").cast("bigint").alias("n_c"))
-    )
-    g = m.groupBy("lang").agg(
+    u = _kn_units(t, _KN_CAT_A, _KN_CAT_B_SPARK, _KN_CAT_C_SPARK)
+    s = _kn_pair_disagreement(u)
+    g = _kn_cells(u).groupBy("lang").agg(
         F.count("*").cast("bigint").alias("n_categories"),
         F.sum("n_c").cast("bigint").alias("n_ratings"),
         F.sum(F.col("n_c") * F.col("n_c")).cast("bigint").alias("sum_sq"),
@@ -2302,32 +2324,9 @@ def eval_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     per language plus one count per (language, category); kappa is
     arithmetic on the joined 5-row frame."""
     t = Tables(spark, sf_dir)
-    u = (
-        t.parallel("documents", "doc_id")
-        .selectExpr(
-            "lang",
-            f"{_KN_CAT_A} AS ca",
-            f"{_KN_CAT_B_SPARK} AS cb",
-            f"{_KN_CAT_C_SPARK} AS cc",
-        )
-        .localCheckpoint(eager=False)
-    )
-    s = u.groupBy("lang").agg(
-        F.count("*").cast("bigint").alias("n_units"),
-        F.sum(
-            (F.col("ca") != F.col("cb")).cast("int")
-            + (F.col("ca") != F.col("cc")).cast("int")
-            + (F.col("cb") != F.col("cc")).cast("int")
-        )
-        .cast("bigint")
-        .alias("disg"),
-    )
-    m = (
-        u.select("lang", F.explode(F.array("ca", "cb", "cc")).alias("cat"))
-        .groupBy("lang", "cat")
-        .agg(F.count("*").cast("bigint").alias("n_c"))
-    )
-    g = m.groupBy("lang").agg(
+    u = _kn_units(t, _KN_CAT_A, _KN_CAT_B_SPARK, _KN_CAT_C_SPARK)
+    s = _kn_pair_disagreement(u)
+    g = _kn_cells(u).groupBy("lang").agg(
         F.sum("n_c").cast("bigint").alias("n_ratings"),
         F.sum(F.col("n_c") * F.col("n_c")).cast("bigint").alias("sum_sq"),
     )
@@ -2451,31 +2450,19 @@ def eval_krippendorff_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers per language plus one count per (language, rank); the
     expected term is arithmetic on the bounded cell frame."""
     t = Tables(spark, sf_dir)
-    u = (
-        t.parallel("documents", "doc_id")
-        .selectExpr(
-            "lang",
-            f"{_KN_RANK_A} AS ra",
-            f"{_KN_RANK_B_SPARK} AS rb",
-            f"{_KN_RANK_C_SPARK} AS rc",
-        )
-        .localCheckpoint(eager=False)
-    )
+    # shared unit/cell reductions (cols keep the family's ca/cb/cc names;
+    # the values here are ordinal RANKS 1..4 rather than letter labels)
+    u = _kn_units(t, _KN_RANK_A, _KN_RANK_B_SPARK, _KN_RANK_C_SPARK)
     d2 = (
-        (F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))
-        + (F.col("ra") - F.col("rc")) * (F.col("ra") - F.col("rc"))
-        + (F.col("rb") - F.col("rc")) * (F.col("rb") - F.col("rc"))
+        (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))
+        + (F.col("ca") - F.col("cc")) * (F.col("ca") - F.col("cc"))
+        + (F.col("cb") - F.col("cc")) * (F.col("cb") - F.col("cc"))
     )
     s = u.groupBy("lang").agg(
         F.count("*").cast("bigint").alias("n_units"),
         F.sum(d2).cast("bigint").alias("d2"),
     )
-    m = (
-        u.select("lang", F.explode(F.array("ra", "rb", "rc")).alias("cat"))
-        .groupBy("lang", "cat")
-        .agg(F.count("*").cast("bigint").alias("n_c"))
-        .localCheckpoint(eager=False)
-    )
+    m = _kn_cells(u).localCheckpoint(eager=False)
     g = m.groupBy("lang").agg(
         F.sum("n_c").cast("bigint").alias("n_ratings")
     )

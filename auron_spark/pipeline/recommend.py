@@ -1082,7 +1082,14 @@ def rec_als_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         eu = (
             "(r - (p1 * q1 + p2 * q2)) * (r - (p1 * q1 + p2 * q2))"
         )
-        seu = ju.join(p, "user_id").agg(
+        # se_u from ji (already user-joined) + broadcast q_prev — joining
+        # ju with p would re-shuffle two corpus-sized frames per round for
+        # the identical rows (review r13 #3); items broadcast, order-free
+        # decimal sums make the two formulations bit-equal.
+        seu = ji.join(
+            F.broadcast(q_prev.select("event_type", "q1", "q2")),
+            "event_type",
+        ).agg(
             F.count("*").cast("bigint").alias("n_ratings"),
             F.sum(r9(eu)).cast("double").alias("se_u"),
         )

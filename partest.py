@@ -105,6 +105,16 @@ def main() -> int:
                 del pending[label]
         if pending:
             time.sleep(1.0)
+    # Walls are measurements, not correctness — record them UNCONDITIONALLY
+    # so a stale committed record self-heals: if the file were gated on
+    # rc == 0, the balance test (which runs INSIDE the misc worker and
+    # fails exactly when the record is stale) would deadlock the refresh
+    # its own assertion message prescribes.
+    import json
+
+    (Path(_REPO) / "partest_walls.json").write_text(
+        json.dumps(walls, indent=1, sort_keys=True) + "\n"
+    )
     rc = 0
     for label, proc, log in procs:
         code = proc.wait()
@@ -115,12 +125,6 @@ def main() -> int:
         if code != 0:
             rc = 1
             print("\n".join(tail[-30:]))
-    if rc == 0:
-        import json
-
-        (Path(_REPO) / "partest_walls.json").write_text(
-            json.dumps(walls, indent=1, sort_keys=True) + "\n"
-        )
     print(f"total wall: {time.perf_counter() - t0:.1f}s rc={rc}")
     return rc
 

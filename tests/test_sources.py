@@ -475,7 +475,6 @@ def test_merge_schema_rejects_type_widening(spark, tmpdir):
     this fires and the read contract can simplify."""
     import pyspark.sql.functions as F
     import pytest
-    from py4j.protocol import Py4JJavaError
 
     base = f"{tmpdir}/widen"
     spark.range(5).select(
