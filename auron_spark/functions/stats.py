@@ -794,3 +794,96 @@ def agg_median_distributed_scale(
             6,
         ).alias("median_price"),
     )
+
+
+_DQ_QS = (0.25, 0.5, 0.75, 0.9)
+
+
+@query(
+    "agg_quantiles_distributed_scale",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90
+    FROM lineitem
+    """,
+    tags=("agg", "stats", "percentile", "scale-safe"),
+)
+def agg_quantiles_distributed_scale(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT global continuous quantiles (p25/p50/p75/p90) with NO
+    single-partition sort — the general form of
+    `agg_median_distributed_scale`'s covered-rank device: for quantile q
+    the SQL-standard interpolation sits at h = (n-1)q + 1, so the answer
+    is v_lo + (h - lo) * (v_hi - v_lo) where lo = floor(h) and hi =
+    lo + 1 are ROW RANKS.  The corpus collapses to the distinct-value
+    grain, `distributed_running_sums` assigns global cumulative counts,
+    each quantile's two covering ranks are picked by a cumulative-
+    interval filter (<= 8 rows total), and the interpolation is map-side
+    arithmetic with the broadcast n.
+
+    Exactness: ranks and counts are integers; h's fractional part is
+    exact on small integer ratios; values are 2-decimal doubles —
+    matching quantile_cont bit-for-bit.
+
+    Scale shape: one value-grain reduce, one 32-way range exchange, a
+    <=8-row filter + 1-row arithmetic; zero `Exchange SinglePartition`
+    outside scalar aggregates (plan-gated with the ntile family)."""
+    from auron_spark.operators.window import distributed_running_sums
+
+    t = Tables(spark, sf_dir)
+    g = (
+        t.lineitem.select(F.col("l_extendedprice").alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    cum = distributed_running_sums(g, [F.asc("v")], ["cnt"])
+    tot = g.agg(F.sum("cnt").cast("long").alias("n"))
+    x = cum.join(F.broadcast(tot))
+    lo, hi = F.col("cum_cnt") - F.col("cnt"), F.col("cum_cnt")
+
+    def h(q: float):
+        # h = (n-1)q + 1 as an exact expression; lo_rank = floor(h)
+        return (F.col("n") - 1) * F.lit(q) + 1.0
+
+    def covers(rank_expr):
+        return (lo < rank_expr) & (hi >= rank_expr)
+
+    conds = []
+    for q in _DQ_QS:
+        lo_rank = F.floor(h(q)).cast("long")
+        conds.append(covers(lo_rank) | covers(lo_rank + 1))
+    sel = x.filter(conds[0] | conds[1] | conds[2] | conds[3])
+    # The interpolation needs each quantile's v_lo and v_hi TOGETHER, so
+    # aggregate the covering values first, then compute map-side on the
+    # 1-row frame.
+    agg_cols = [F.max("n").cast("bigint").alias("n")]
+    for q, name in zip(_DQ_QS, ("p25", "p50", "p75", "p90")):
+        lo_rank = F.floor(h(q)).cast("long")
+        agg_cols.append(
+            F.max(F.when(covers(lo_rank), F.col("v"))).alias(f"vlo_{name}")
+        )
+        agg_cols.append(
+            F.max(F.when(covers(lo_rank + 1), F.col("v"))).alias(
+                f"vhi_{name}"
+            )
+        )
+    one = sel.agg(*agg_cols)
+    outs = [F.col("n")]
+    for q, name in zip(_DQ_QS, ("p25", "p50", "p75", "p90")):
+        hq = (F.col("n") - 1) * F.lit(q) + 1.0
+        frac = hq - F.floor(hq).cast("double")
+        v_lo, v_hi = F.col(f"vlo_{name}"), F.col(f"vhi_{name}")
+        # when h is integral the hi rank equals lo rank's successor but
+        # frac = 0, so the v_hi term vanishes; COALESCE guards the exact
+        # n*q boundary where lo+1 may exceed n (q=1 edge — not used here
+        # but kept total).
+        outs.append(
+            F.round(
+                v_lo + frac * (F.coalesce(v_hi, v_lo) - v_lo), 6
+            ).alias(name)
+        )
+    return one.select(*outs)

@@ -1158,8 +1158,10 @@ def test_degree_distribution_banded_candidates(spark):
         # distributed_running_sums (VERDICT r12 ask #3).
         "eval_auc_delong_ci_scale",
         # round 13: exact global median as a covered-rank lookup over
-        # value-grain distributed prefix counts.
+        # value-grain distributed prefix counts, and the generalized
+        # multi-quantile interpolating form.
         "agg_median_distributed_scale",
+        "agg_quantiles_distributed_scale",
     ],
 )
 def test_scale_ntile_no_single_partition_window(spark, name):
