@@ -2605,3 +2605,127 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(res_num / n, 6) AS resolution",
         "ROUND(k / n * (1.0 - k / n), 6) AS uncertainty",
     )
+
+
+_WSR_PAIR_SQL = """
+        SELECT user_id,
+               CAST(SUM(CASE WHEN day(ts) <= 15
+                             THEN CAST(value AS DECIMAL(12,2)) END)
+                    AS DOUBLE)
+                 / NULLIF(COUNT(CASE WHEN day(ts) <= 15 THEN 1 END), 0)
+                 AS v_before,
+               CAST(SUM(CASE WHEN day(ts) > 15
+                             THEN CAST(value AS DECIMAL(12,2)) END)
+                    AS DOUBLE)
+                 / NULLIF(COUNT(CASE WHEN day(ts) > 15 THEN 1 END), 0)
+                 AS v_after
+        FROM events GROUP BY user_id
+"""
+
+
+@query(
+    "eval_wilcoxon_signed_rank",
+    oracle=f"""
+    WITH pairs AS ({_WSR_PAIR_SQL}),
+    d AS (
+        SELECT v_after - v_before AS d FROM pairs
+        WHERE v_before IS NOT NULL AND v_after IS NOT NULL
+          AND v_after <> v_before
+    ),
+    vg AS (
+        SELECT abs(d) AS v, CAST(COUNT(*) AS BIGINT) AS n_v,
+               CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS npos_v
+        FROM d GROUP BY abs(d)
+    ),
+    cum AS (
+        SELECT v, n_v, npos_v,
+               SUM(n_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - n_v
+                   AS cum_before
+        FROM vg
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_v) AS BIGINT) AS n,
+               SUM(CAST(n_v AS DOUBLE) * n_v * n_v - n_v) AS tie_term
+        FROM vg
+    ),
+    wp AS (
+        SELECT SUM(npos_v * (cum_before + (n_v + 1) / 2.0)) AS w_plus
+        FROM cum
+    )
+    SELECT n,
+           ROUND(w_plus, 1) AS w_plus,
+           ROUND(n * (n + 1) / 4.0, 1) AS mu,
+           ROUND((w_plus - n * (n + 1) / 4.0)
+                 / sqrt(n * (n + 1.0) * (2 * n + 1) / 24.0
+                        - tie_term / 48.0), 6) AS z
+    FROM wp CROSS JOIN tot
+    """,
+    tags=("pipeline", "evaluation", "ab-test", "nonparametric", "paired"),
+)
+def eval_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test — the PAIRED sibling of
+    `eval_mannwhitney_u` (which compares independent samples): did each
+    user's mean event value shift between the first and second half of
+    the month?  Zero differences drop (standard), |d| ranks with
+    midranks, W+ sums the positive-difference ranks, and z uses the
+    tie-corrected normal approximation sigma^2 = n(n+1)(2n+1)/24 -
+    sum(t^3 - t)/48.
+
+    Exactness: per-user half-means are exact decimal sums over counts
+    (shared expression strings); the |d| value grain makes every
+    midrank term an exact integer-or-half; W+/mu exact doubles; z one
+    shared expression, 6-dp.
+
+    Scale shape: the corpus collapses to user grain, then to the |d|
+    value grain; the ONLY global ordering runs at that grain through
+    `distributed_running_sums` (the Mann-Whitney posture) — zero
+    single-partition windows at any cardinality."""
+    from auron_spark.operators.window import distributed_running_sums
+
+    t = Tables(spark, sf_dir)
+    dec = lambda p: F.sum(  # noqa: E731
+        F.when(p, F.col("value").cast("decimal(12,2)"))
+    ).cast("double")
+    cnt = lambda p: F.count(F.when(p, F.lit(1)))  # noqa: E731
+    first = F.dayofmonth("ts") <= 15
+    pairs = t.events.groupBy("user_id").agg(
+        (dec(first) / F.nullif(cnt(first), F.lit(0))).alias("v_before"),
+        (dec(~first) / F.nullif(cnt(~first), F.lit(0))).alias("v_after"),
+    )
+    d = pairs.where(
+        "v_before IS NOT NULL AND v_after IS NOT NULL"
+        " AND v_after <> v_before"
+    ).selectExpr("v_after - v_before AS d")
+    vg = d.groupBy(F.abs("d").alias("v")).agg(
+        F.count("*").cast("long").alias("n_v"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("npos_v"),
+    )
+    cum = distributed_running_sums(vg, [F.asc("v")], ["n_v"]).withColumn(
+        "cum_before", F.col("cum_n_v") - F.col("n_v")
+    )
+    tot = vg.agg(
+        F.sum("n_v").cast("bigint").alias("n"),
+        F.sum(
+            F.col("n_v").cast("double") * F.col("n_v") * F.col("n_v")
+            - F.col("n_v")
+        ).alias("tie_term"),
+    )
+    wp = cum.agg(
+        F.sum(
+            F.col("npos_v") * (F.col("cum_before") + (F.col("n_v") + 1) / 2.0)
+        ).alias("w_plus")
+    )
+    n = F.col("n")
+    mu = n * (n + 1) / 4.0
+    sigma = F.sqrt(
+        n * (n + 1.0) * (2 * n + 1) / 24.0 - F.col("tie_term") / 48.0
+    )
+    return wp.join(F.broadcast(tot)).select(
+        "n",
+        F.round("w_plus", 1).alias("w_plus"),
+        F.round(mu, 1).alias("mu"),
+        F.round((F.col("w_plus") - mu) / sigma, 6).alias("z"),
+    )

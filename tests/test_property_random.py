@@ -2736,3 +2736,58 @@ def test_holt_linear_matches_numpy_recurrence(spark):
     assert abs(got.trend - trend) < 1e-6
     assert abs(got.rmse_onestep - np.sqrt(sse / (len(y) - 2))) < 1e-6
     assert abs(got.forecast_day7 - (level + 7 * trend)) < 1e-5
+
+
+def test_wilcoxon_signed_rank_matches_scipy_free_numpy(spark):
+    """eval_wilcoxon_signed_rank must equal a direct numpy midrank
+    implementation of the signed-rank statistic (W+, mu, tie-corrected
+    z) on the same per-user half-month pairs."""
+    import duckdb
+    import numpy as np
+
+    from auron_spark.registry import load_all
+
+    got = (
+        load_all()["eval_wilcoxon_signed_rank"]
+        .build(spark, SF_SMOKE)
+        .collect()[0]
+    )
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT CAST(SUM(CASE WHEN day(ts) <= 15
+                             THEN CAST(value AS DECIMAL(12,2)) END)
+                    AS DOUBLE)
+                 / NULLIF(COUNT(CASE WHEN day(ts) <= 15 THEN 1 END), 0),
+               CAST(SUM(CASE WHEN day(ts) > 15
+                             THEN CAST(value AS DECIMAL(12,2)) END)
+                    AS DOUBLE)
+                 / NULLIF(COUNT(CASE WHEN day(ts) > 15 THEN 1 END), 0)
+        FROM read_parquet('{SF_SMOKE}/events.parquet') GROUP BY user_id
+        """
+    ).fetchall()
+    d = np.array(
+        [a - b for b, a in rows if b is not None and a is not None and a != b]
+    )
+    absd = np.abs(d)
+    order = np.argsort(absd, kind="stable")
+    ranks = np.empty(len(d))
+    i = 0
+    s = absd[order]
+    while i < len(d):
+        j = i
+        while j < len(d) and s[j] == s[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        i = j
+    w_plus = float(ranks[d > 0].sum())
+    n = len(d)
+    mu = n * (n + 1) / 4.0
+    _, t = np.unique(absd, return_counts=True)
+    sigma = np.sqrt(
+        n * (n + 1) * (2 * n + 1) / 24.0 - float((t**3 - t).sum()) / 48.0
+    )
+    assert got.n == n
+    assert abs(got.w_plus - w_plus) < 1e-6, (got, w_plus)
+    assert abs(got.mu - mu) < 1e-6
+    assert abs(got.z - (w_plus - mu) / sigma) < 1e-6
