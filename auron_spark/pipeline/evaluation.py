@@ -2729,3 +2729,135 @@ def eval_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mu, 1).alias("mu"),
         F.round((F.col("w_plus") - mu) / sigma, 6).alias("z"),
     )
+
+
+def _friedman_rank(j: str, a: str, b: str) -> str:
+    """Midrank of v{j} among the user's three condition values — pure
+    CASE arithmetic, shared by both engines."""
+    return (
+        f"1.0 + (CASE WHEN v{j} > v{a} THEN 1 ELSE 0 END"
+        f" + CASE WHEN v{j} > v{b} THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN v{j} = v{a} THEN 1 ELSE 0 END"
+        f" + CASE WHEN v{j} = v{b} THEN 1 ELSE 0 END) / 2.0"
+    )
+
+
+_FRIEDMAN_THIRD_SQL = """
+        SELECT user_id,
+               CAST(SUM(CASE WHEN day(ts) <= 10
+                             THEN CAST(value AS DECIMAL(12,2)) END)
+                    AS DOUBLE)
+                 / NULLIF(COUNT(CASE WHEN day(ts) <= 10 THEN 1 END), 0)
+                 AS v1,
+               CAST(SUM(CASE WHEN day(ts) BETWEEN 11 AND 20
+                             THEN CAST(value AS DECIMAL(12,2)) END)
+                    AS DOUBLE)
+                 / NULLIF(COUNT(CASE WHEN day(ts) BETWEEN 11 AND 20
+                                     THEN 1 END), 0) AS v2,
+               CAST(SUM(CASE WHEN day(ts) > 20
+                             THEN CAST(value AS DECIMAL(12,2)) END)
+                    AS DOUBLE)
+                 / NULLIF(COUNT(CASE WHEN day(ts) > 20 THEN 1 END), 0)
+                 AS v3
+        FROM events GROUP BY user_id
+"""
+
+
+@query(
+    "eval_friedman_test",
+    oracle=f"""
+    WITH thirds AS ({_FRIEDMAN_THIRD_SQL}),
+    t AS (
+        SELECT v1, v2, v3 FROM thirds
+        WHERE v1 IS NOT NULL AND v2 IS NOT NULL AND v3 IS NOT NULL
+    ),
+    r AS (
+        SELECT {_friedman_rank('1', '2', '3')} AS r1,
+               {_friedman_rank('2', '1', '3')} AS r2,
+               {_friedman_rank('3', '1', '2')} AS r3
+        FROM t
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(r1) AS rs1, SUM(r2) AS rs2, SUM(r3) AS rs3,
+               SUM(r1 * r1 + r2 * r2 + r3 * r3) AS a
+        FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(ROUND(rs1, 1) AS DOUBLE) AS rank_sum_1,
+           CAST(ROUND(rs2, 1) AS DOUBLE) AS rank_sum_2,
+           CAST(ROUND(rs3, 1) AS DOUBLE) AS rank_sum_3,
+           ROUND(2.0 * (rs1 * rs1 + rs2 * rs2 + rs3 * rs3
+                        - 12.0 * n * n)
+                 / NULLIF(a - 12.0 * n, 0.0), 6) AS chi2,
+           CAST(2 AS BIGINT) AS df
+    FROM s
+    """,
+    tags=("pipeline", "evaluation", "ab-test", "nonparametric", "paired"),
+)
+def eval_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test — the k-sample PAIRED completion of the
+    nonparametric family (Mann-Whitney: 2 independent samples; Wilcoxon
+    signed-rank: 2 paired; here k=3 paired conditions): did each user's
+    mean event value differ across the three thirds of the month?
+    Within-user midranks are pure CASE arithmetic over the user's three
+    values (k is a constant, so ranking is MAP-SIDE — no window of any
+    kind), and the tie-corrected statistic chi2 = (k-1)(sum R_j^2 -
+    n^2 k(k+1)^2/4) / (A - n k(k+1)^2/4) with A = sum r_ij^2 reduces to
+    the classic 12/(nk(k+1)) form when ties are absent.
+
+    Exactness: half-month means are exact decimal ratios; midranks are
+    integer-or-half; rank sums and A exact doubles; chi2 one shared
+    expression with a NULLIF guard for the all-ties degenerate corpus.
+
+    Scale shape: ONE corpus scan to user grain, map-side rank
+    arithmetic, one scalar reduction — the strongest posture in the
+    family (even the value-grain prefix device is unnecessary)."""
+    t = Tables(spark, sf_dir)
+    dec = lambda p: F.sum(  # noqa: E731
+        F.when(p, F.col("value").cast("decimal(12,2)"))
+    ).cast("double")
+    cnt = lambda p: F.count(F.when(p, F.lit(1)))  # noqa: E731
+    d = F.dayofmonth("ts")
+    c1, c2, c3 = d <= 10, (d >= 11) & (d <= 20), d > 20
+    thirds = t.events.groupBy("user_id").agg(
+        (dec(c1) / F.nullif(cnt(c1), F.lit(0))).alias("v1"),
+        (dec(c2) / F.nullif(cnt(c2), F.lit(0))).alias("v2"),
+        (dec(c3) / F.nullif(cnt(c3), F.lit(0))).alias("v3"),
+    )
+    r = thirds.where(
+        "v1 IS NOT NULL AND v2 IS NOT NULL AND v3 IS NOT NULL"
+    ).selectExpr(
+        f"{_friedman_rank('1', '2', '3')} AS r1",
+        f"{_friedman_rank('2', '1', '3')} AS r2",
+        f"{_friedman_rank('3', '1', '2')} AS r3",
+    )
+    s = r.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("r1").alias("rs1"),
+        F.sum("r2").alias("rs2"),
+        F.sum("r3").alias("rs3"),
+        F.sum(
+            F.col("r1") * F.col("r1")
+            + F.col("r2") * F.col("r2")
+            + F.col("r3") * F.col("r3")
+        ).alias("a"),
+    )
+    chi2 = (
+        2.0
+        * (
+            F.col("rs1") * F.col("rs1")
+            + F.col("rs2") * F.col("rs2")
+            + F.col("rs3") * F.col("rs3")
+            - 12.0 * F.col("n") * F.col("n")
+        )
+        / F.nullif(F.col("a") - 12.0 * F.col("n"), F.lit(0.0))
+    )
+    return s.select(
+        "n",
+        F.round("rs1", 1).cast("double").alias("rank_sum_1"),
+        F.round("rs2", 1).cast("double").alias("rank_sum_2"),
+        F.round("rs3", 1).cast("double").alias("rank_sum_3"),
+        F.round(chi2, 6).cast("double").alias("chi2"),
+        F.lit(2).cast("bigint").alias("df"),
+    )

@@ -2791,3 +2791,63 @@ def test_wilcoxon_signed_rank_matches_scipy_free_numpy(spark):
     assert abs(got.w_plus - w_plus) < 1e-6, (got, w_plus)
     assert abs(got.mu - mu) < 1e-6
     assert abs(got.z - (w_plus - mu) / sigma) < 1e-6
+
+
+def test_friedman_matches_numpy_midranks(spark):
+    """eval_friedman_test: the CASE-arithmetic midranks and the
+    tie-corrected statistic must equal a direct numpy construction
+    (per-user scipy-style rankdata over the three condition means)."""
+    import duckdb
+    import numpy as np
+
+    from auron_spark.registry import load_all
+
+    got = load_all()["eval_friedman_test"].build(spark, SF_SMOKE).collect()[0]
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT CAST(SUM(CASE WHEN day(ts) <= 10
+                             THEN CAST(value AS DECIMAL(12,2)) END)
+                    AS DOUBLE)
+                 / NULLIF(COUNT(CASE WHEN day(ts) <= 10 THEN 1 END), 0),
+               CAST(SUM(CASE WHEN day(ts) BETWEEN 11 AND 20
+                             THEN CAST(value AS DECIMAL(12,2)) END)
+                    AS DOUBLE)
+                 / NULLIF(COUNT(CASE WHEN day(ts) BETWEEN 11 AND 20
+                                     THEN 1 END), 0),
+               CAST(SUM(CASE WHEN day(ts) > 20
+                             THEN CAST(value AS DECIMAL(12,2)) END)
+                    AS DOUBLE)
+                 / NULLIF(COUNT(CASE WHEN day(ts) > 20 THEN 1 END), 0)
+        FROM read_parquet('{SF_SMOKE}/events.parquet') GROUP BY user_id
+        """
+    ).fetchall()
+    vals = np.array([r for r in rows if all(v is not None for v in r)])
+    n, k = vals.shape
+
+    def rankrow(v):
+        order = np.argsort(v, kind="stable")
+        r = np.empty(k)
+        i = 0
+        s = v[order]
+        while i < k:
+            j = i
+            while j < k and s[j] == s[i]:
+                j += 1
+            r[order[i:j]] = (i + j + 1) / 2.0
+            i = j
+        return r
+
+    R = np.apply_along_axis(rankrow, 1, vals)
+    rs = R.sum(0)
+    A = float((R**2).sum())
+    C = n * k * (k + 1) ** 2 / 4.0
+    chi2 = (
+        (k - 1) * (float((rs**2).sum()) - n * n * k * (k + 1) ** 2 / 4.0)
+        / (A - C)
+    )
+    assert got.n == n
+    assert abs(got.rank_sum_1 - rs[0]) < 1e-6
+    assert abs(got.rank_sum_2 - rs[1]) < 1e-6
+    assert abs(got.rank_sum_3 - rs[2]) < 1e-6
+    assert abs(got.chi2 - chi2) < 1e-5, (got.chi2, chi2)
