@@ -2861,3 +2861,92 @@ def eval_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).cast("double").alias("chi2"),
         F.lit(2).cast("bigint").alias("df"),
     )
+
+
+@query(
+    "eval_cochran_q",
+    oracle=f"""
+    WITH u AS (
+        SELECT lang,
+               {_RATER_A_SQL} AS ra,
+               {_RATER_B_SQL} AS rb,
+               {_RATER_C_SQL} AS rc
+        FROM documents
+    ),
+    s AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_units,
+               CAST(SUM(ra) AS BIGINT) AS c1,
+               CAST(SUM(rb) AS BIGINT) AS c2,
+               CAST(SUM(rc) AS BIGINT) AS c3,
+               CAST(SUM(ra + rb + rc) AS BIGINT) AS r_tot,
+               CAST(SUM((ra + rb + rc) * (ra + rb + rc)) AS BIGINT)
+                   AS r_sq
+        FROM u GROUP BY lang
+    )
+    SELECT lang, n_units, c1, c2, c3,
+           ROUND(CAST(3 * 2 AS DOUBLE)
+                 * ((CAST(c1 AS DOUBLE) - r_tot / 3.0)
+                    * (CAST(c1 AS DOUBLE) - r_tot / 3.0)
+                    + (CAST(c2 AS DOUBLE) - r_tot / 3.0)
+                    * (CAST(c2 AS DOUBLE) - r_tot / 3.0)
+                    + (CAST(c3 AS DOUBLE) - r_tot / 3.0)
+                    * (CAST(c3 AS DOUBLE) - r_tot / 3.0))
+                 / NULLIF(3.0 * r_tot - r_sq, 0.0), 6) AS q_stat,
+           CAST(2 AS BIGINT) AS df
+    FROM s
+    ORDER BY lang
+    """,
+    tags=("pipeline", "evaluation", "agreement", "nonparametric",
+          "paired"),
+)
+def eval_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q per language over the three binary document raters —
+    the k-sample generalization of `eval_mcnemar_test` (its k=2 special
+    case) and the binary companion of `eval_friedman_test`: do the
+    three pass/fail rules flag the SAME proportion of documents, or is
+    one systematically stricter?  Q = k(k-1) * sum_j (C_j - R/k)^2 /
+    (k*R - sum_i R_i^2) with C_j the per-rater pass totals and R_i the
+    per-document pass count — asymptotically chi^2 with k-1 df.
+
+    Exactness: everything reduces to six integers per language (unit
+    count, three column totals, row-total sum and sum of squares — the
+    SAME sufficient statistics as `eval_cronbach_alpha`); Q is one
+    shared double expression with a NULLIF guard for the degenerate
+    all-pass/all-fail corpus.
+
+    Scale shape: one scan, map-side constant-state reduction per
+    language, arithmetic on the 5-row frame — the agreement-family
+    posture; no window, no join."""
+    t = Tables(spark, sf_dir)
+    ra, rb = _raters()
+    rc = F.when(
+        F.size(F.array_distinct(F.split(F.lower(F.col("text")), " "))) >= 25,
+        1,
+    ).otherwise(0)
+    tot = ra + rb + rc
+    s = t.parallel("documents", "doc_id").select(
+        "lang", ra.alias("ra"), rb.alias("rb"), rc.alias("rc"),
+        tot.alias("rt"),
+    ).groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_units"),
+        F.sum("ra").cast("bigint").alias("c1"),
+        F.sum("rb").cast("bigint").alias("c2"),
+        F.sum("rc").cast("bigint").alias("c3"),
+        F.sum("rt").cast("bigint").alias("r_tot"),
+        F.sum(F.col("rt") * F.col("rt")).cast("bigint").alias("r_sq"),
+    )
+    mean = F.col("r_tot") / 3.0
+    dev = lambda c: (  # noqa: E731
+        (F.col(c).cast("double") - mean) * (F.col(c).cast("double") - mean)
+    )
+    q = (
+        6.0
+        * (dev("c1") + dev("c2") + dev("c3"))
+        / F.nullif(3.0 * F.col("r_tot") - F.col("r_sq"), F.lit(0.0))
+    )
+    return s.select(
+        "lang", "n_units", "c1", "c2", "c3",
+        F.round(q, 6).alias("q_stat"),
+        F.lit(2).cast("bigint").alias("df"),
+    ).orderBy("lang")

@@ -2851,3 +2851,62 @@ def test_friedman_matches_numpy_midranks(spark):
     assert abs(got.rank_sum_2 - rs[1]) < 1e-6
     assert abs(got.rank_sum_3 - rs[2]) < 1e-6
     assert abs(got.chi2 - chi2) < 1e-5, (got.chi2, chi2)
+
+
+def test_cochran_q_matches_bruteforce(spark):
+    """eval_cochran_q: the six-integer reduction must equal the textbook
+    Q computed directly over the per-document rating matrix, and the
+    k=2 restriction of the same formula must reproduce McNemar's
+    (b-c)^2/(b+c) on the first two raters (the documented special
+    case)."""
+    import duckdb
+
+    from auron_spark.registry import load_all
+
+    got = {
+        r.lang: r
+        for r in load_all()["eval_cochran_q"].build(spark, SF_SMOKE).collect()
+    }
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT lang,
+               CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END,
+               CASE WHEN len(string_split(text, ' ')) >= 55
+                    THEN 1 ELSE 0 END,
+               CASE WHEN len(list_distinct(string_split(lower(text), ' ')))
+                         >= 25 THEN 1 ELSE 0 END
+        FROM read_parquet('{SF_SMOKE}/documents.parquet')
+        """
+    ).fetchall()
+    by_lang: dict[str, list[tuple[int, int, int]]] = {}
+    for lang, a, b, c in rows:
+        by_lang.setdefault(lang, []).append((a, b, c))
+    k = 3
+    for lang, units in by_lang.items():
+        cols = [sum(u[j] for u in units) for j in range(k)]
+        r_tot = sum(sum(u) for u in units)
+        r_sq = sum(sum(u) ** 2 for u in units)
+        denom = k * r_tot - r_sq
+        q = (
+            k * (k - 1) * sum((c - r_tot / k) ** 2 for c in cols) / denom
+            if denom
+            else None
+        )
+        assert got[lang].n_units == len(units)
+        assert [got[lang].c1, got[lang].c2, got[lang].c3] == cols
+        if q is None:
+            assert got[lang].q_stat is None
+        else:
+            assert abs(got[lang].q_stat - q) < 1e-6, (lang, got[lang], q)
+        # k=2 restriction == McNemar on raters (a, b): Q2 = (b-c)^2/(b+c)
+        b10 = sum(1 for u in units if u[0] == 1 and u[1] == 0)
+        b01 = sum(1 for u in units if u[0] == 0 and u[1] == 1)
+        if b10 + b01:
+            c2 = [cols[0], cols[1]]
+            rt2 = sum(u[0] + u[1] for u in units)
+            rs2 = sum((u[0] + u[1]) ** 2 for u in units)
+            q2 = 2 * 1 * sum((c - rt2 / 2) ** 2 for c in c2) / (
+                2 * rt2 - rs2
+            )
+            assert abs(q2 - (b10 - b01) ** 2 / (b10 + b01)) < 1e-9
