@@ -2950,3 +2950,84 @@ def eval_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(q, 6).alias("q_stat"),
         F.lit(2).cast("bigint").alias("df"),
     ).orderBy("lang")
+
+
+@query(
+    "eval_page_trend_test",
+    oracle=f"""
+    WITH thirds AS ({_FRIEDMAN_THIRD_SQL}),
+    t AS (
+        SELECT v1, v2, v3 FROM thirds
+        WHERE v1 IS NOT NULL AND v2 IS NOT NULL AND v3 IS NOT NULL
+    ),
+    r AS (
+        SELECT {_friedman_rank('1', '2', '3')} AS r1,
+               {_friedman_rank('2', '1', '3')} AS r2,
+               {_friedman_rank('3', '1', '2')} AS r3
+        FROM t
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(1 * r1 + 2 * r2 + 3 * r3) AS l_stat
+        FROM r
+    )
+    SELECT n,
+           CAST(ROUND(l_stat, 1) AS DOUBLE) AS l_stat,
+           CAST(ROUND(n * 3 * 16 / 4.0, 1) AS DOUBLE) AS mu,
+           ROUND((l_stat - n * 3 * 16 / 4.0)
+                 / NULLIF(sqrt(n * 9.0 * 4 * 8 / 144.0), 0.0), 6) AS z
+    FROM s
+    """,
+    tags=("pipeline", "evaluation", "nonparametric", "paired", "trend"),
+)
+def eval_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L test for ORDERED alternatives over the same per-user
+    month-third ranks as `eval_friedman_test`: Friedman asks 'do the
+    three periods differ at all?', Page asks the sharper monotone
+    question 'does each user's value TREND across the month?' —
+    L = sum_j j*R_j weights later periods' ranks more, with
+    mu = n*k*(k+1)^2/4 and sigma^2 = n*k^2*(k+1)(k^2-1)/144 for the
+    normal approximation (k=3: mu = 12n, sigma^2 = n*288/144 = 2n).
+
+    Exactness: the rank expressions are the shared Friedman CASE
+    arithmetic (integer-or-half); L and mu exact doubles; z one shared
+    expression with a NULLIF guard for n = 0.
+
+    Scale shape: identical to Friedman — one scan to user grain,
+    map-side ranks, one scalar reduction; no window, no join."""
+    t = Tables(spark, sf_dir)
+    dec = lambda p: F.sum(  # noqa: E731
+        F.when(p, F.col("value").cast("decimal(12,2)"))
+    ).cast("double")
+    cnt = lambda p: F.count(F.when(p, F.lit(1)))  # noqa: E731
+    d = F.dayofmonth("ts")
+    c1, c2, c3 = d <= 10, (d >= 11) & (d <= 20), d > 20
+    thirds = t.events.groupBy("user_id").agg(
+        (dec(c1) / F.nullif(cnt(c1), F.lit(0))).alias("v1"),
+        (dec(c2) / F.nullif(cnt(c2), F.lit(0))).alias("v2"),
+        (dec(c3) / F.nullif(cnt(c3), F.lit(0))).alias("v3"),
+    )
+    r = thirds.where(
+        "v1 IS NOT NULL AND v2 IS NOT NULL AND v3 IS NOT NULL"
+    ).selectExpr(
+        f"{_friedman_rank('1', '2', '3')} AS r1",
+        f"{_friedman_rank('2', '1', '3')} AS r2",
+        f"{_friedman_rank('3', '1', '2')} AS r3",
+    )
+    s = r.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(
+            1 * F.col("r1") + 2 * F.col("r2") + 3 * F.col("r3")
+        ).alias("l_stat"),
+    )
+    n = F.col("n")
+    mu = n * 12.0
+    sigma = F.sqrt(n * 2.0)
+    return s.select(
+        "n",
+        F.round("l_stat", 1).cast("double").alias("l_stat"),
+        F.round(mu, 1).cast("double").alias("mu"),
+        F.round(
+            (F.col("l_stat") - mu) / F.nullif(sigma, F.lit(0.0)), 6
+        ).alias("z"),
+    )

@@ -2910,3 +2910,58 @@ def test_cochran_q_matches_bruteforce(spark):
                 2 * rt2 - rs2
             )
             assert abs(q2 - (b10 - b01) ** 2 / (b10 + b01)) < 1e-9
+
+
+def test_page_trend_matches_numpy(spark):
+    """eval_page_trend_test: L, mu and z must match a direct numpy
+    computation over the same per-user month-third midranks (reusing the
+    Friedman rank construction)."""
+    import duckdb
+    import numpy as np
+
+    from auron_spark.registry import load_all
+
+    got = load_all()["eval_page_trend_test"].build(spark, SF_SMOKE).collect()[0]
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT CAST(SUM(CASE WHEN day(ts) <= 10
+                             THEN CAST(value AS DECIMAL(12,2)) END)
+                    AS DOUBLE)
+                 / NULLIF(COUNT(CASE WHEN day(ts) <= 10 THEN 1 END), 0),
+               CAST(SUM(CASE WHEN day(ts) BETWEEN 11 AND 20
+                             THEN CAST(value AS DECIMAL(12,2)) END)
+                    AS DOUBLE)
+                 / NULLIF(COUNT(CASE WHEN day(ts) BETWEEN 11 AND 20
+                                     THEN 1 END), 0),
+               CAST(SUM(CASE WHEN day(ts) > 20
+                             THEN CAST(value AS DECIMAL(12,2)) END)
+                    AS DOUBLE)
+                 / NULLIF(COUNT(CASE WHEN day(ts) > 20 THEN 1 END), 0)
+        FROM read_parquet('{SF_SMOKE}/events.parquet') GROUP BY user_id
+        """
+    ).fetchall()
+    vals = np.array([r for r in rows if all(v is not None for v in r)])
+    n, k = vals.shape
+
+    def rankrow(v):
+        order = np.argsort(v, kind="stable")
+        r = np.empty(k)
+        i = 0
+        s = v[order]
+        while i < k:
+            j = i
+            while j < k and s[j] == s[i]:
+                j += 1
+            r[order[i:j]] = (i + j + 1) / 2.0
+            i = j
+        return r
+
+    R = np.apply_along_axis(rankrow, 1, vals)
+    L = float((R * np.array([1.0, 2.0, 3.0])).sum())
+    mu = n * k * (k + 1) ** 2 / 4.0
+    sigma = np.sqrt(n * k**2 * (k + 1) * (k**2 - 1) / 144.0)
+    assert got.n == n
+    assert abs(got.l_stat - L) < 1e-6
+    assert abs(got.mu - mu) < 1e-6
+    assert abs(got.z - (L - mu) / sigma) < 1e-6
