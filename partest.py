@@ -115,11 +115,25 @@ def main() -> int:
     # rc == 0, the balance test (which runs INSIDE the misc worker and
     # fails exactly when the record is stale) would deadlock the refresh
     # its own assertion message prescribes.
+    #
+    # Record the BEST OBSERVED wall per worker while the plan is unchanged
+    # (elementwise min with the existing record): the box shows up to 1.6x
+    # same-run noise between IDENTICAL workloads (the four oracle shards
+    # carry 117-118 tests each and still spread 344-574 s in one run), so
+    # a single run's walls measure the weather; the min over runs converges
+    # to the plan's inherent balance, which is what the harness test gates.
+    # A plan change (different label set) resets the record.
     import json
 
-    (Path(_REPO) / "partest_walls.json").write_text(
-        json.dumps(walls, indent=1, sort_keys=True) + "\n"
-    )
+    wpath = Path(_REPO) / "partest_walls.json"
+    if wpath.exists():
+        try:
+            old = json.loads(wpath.read_text())
+            if set(old) == set(walls):
+                walls = {k: min(walls[k], old[k]) for k in walls}
+        except ValueError:
+            pass
+    wpath.write_text(json.dumps(walls, indent=1, sort_keys=True) + "\n")
     rc = 0
     for label, proc, log in procs:
         code = proc.wait()

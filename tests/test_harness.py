@@ -379,10 +379,13 @@ def test_partest_plan_covers_whole_suite():
 def test_partest_plan_is_balanced_by_recorded_wall():
     """VERDICT r12 stretch #8: the 10-worker plan is hand-balanced, so a
     future test addition can silently rebuild a long critical path.  The
-    committed partest_walls.json records each worker's measured wall from
-    the last green full run; no worker may exceed 1.5x the median —
-    when this fires, rebalance the _WORKERS plan (or re-run partest to
-    refresh a stale record) rather than widening the bound."""
+    committed partest_walls.json records each worker's BEST OBSERVED wall
+    (elementwise min across runs while the plan is unchanged — a single
+    run's walls measure box weather: identical oracle shards spread up to
+    1.6x in one run); no worker may exceed 1.5x the median — when this
+    fires, rebalance the _WORKERS plan (or re-run partest, which min-
+    merges and self-heals a stale record) rather than widening the
+    bound."""
     import json
     from pathlib import Path
 
