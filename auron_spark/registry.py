@@ -98,10 +98,35 @@ _DRIVER_WINDOW: tuple[str, ...] = ()
 # instead of sorting to the lowest re-prove priority).  Remove a name here
 # once a new artifact round re-proves it.
 _MODIFIED_SINCE_PROOF: frozenset[str] = frozenset({
-    # r13 cast the squared power-sum term into DECIMAL(28,0) before the
-    # Spark-side SUM (ADVICE r12 #1 overflow guard) after the r12 artifact
-    # proved the raw-long text (fixture rows unchanged).
-    "sample_neyman_allocation",
+    # (empty as of round 14: `sample_neyman_allocation`'s r13 row proves the
+    # overflow-cast text — the fix landed in commit 0209376 BEFORE the r13
+    # driver window ran, so the artifact witnesses the current code.)
+})
+
+# Green driver rows from CORRECTNESS_r13.json — the whole round-13 window
+# hash-matched 50/50 (the seventh consecutive perfect driver window): the 24
+# round-13 additions, the `sample_neyman_allocation` modified-since-proof
+# re-entry (now proven POST-overflow-fix), and 25 oldest-artifact backfills.
+# Landing it makes every oracle-bearing registered query artifact-proven.
+_R13_PROVEN: frozenset[str] = frozenset({
+    "agg_collect", "agg_cube", "agg_distinct_filter", "agg_global",
+    "agg_grouping_sets", "agg_median_distributed_scale", "agg_minmax_by",
+    "agg_quantiles_distributed_scale", "agg_rollup", "agg_sort_aggregate",
+    "dq_sequence_gaps_scale", "ds_frequent_buyer_band",
+    "eval_auc_delong_ci_scale", "eval_brier_decomposition",
+    "eval_cochran_q", "eval_ece_after_platt", "eval_fleiss_kappa",
+    "eval_friedman_test", "eval_krippendorff_interval",
+    "eval_krippendorff_nominal", "eval_page_trend_test",
+    "eval_wilcoxon_signed_rank", "feature_logreg_fit_quality", "fn_cast",
+    "fn_math", "gen_explode", "gen_posexplode", "join_broadcast",
+    "join_edit_distance_qgram_scaled", "join_existence", "join_full_outer",
+    "join_inner_shuffle_hash", "join_inner_smj", "join_left_anti",
+    "join_left_outer", "join_left_semi", "join_null_aware_anti",
+    "join_right_outer", "rec_als_alternating_round", "rec_als_convergence",
+    "rec_als_implicit_step", "rec_als_item_step",
+    "sample_neyman_allocation", "scan_schema_evolution_widening",
+    "sql_table_udf", "stats_kendall_tau_b", "timeseries_holt_linear",
+    "udf_arrow_python", "udf_map_in_arrow", "udf_map_in_pandas",
 })
 
 # Green driver rows from CORRECTNESS_r12.json — the whole round-12 window
@@ -360,6 +385,7 @@ _ARTIFACT_PROVEN: dict[int, frozenset[str]] = {
     10: _R10_PROVEN,
     11: _R11_PROVEN,
     12: _R12_PROVEN,
+    13: _R13_PROVEN,
 }
 
 _PROVEN: frozenset[str] = frozenset().union(*_ARTIFACT_PROVEN.values())
