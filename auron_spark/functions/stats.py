@@ -775,7 +775,11 @@ def agg_median_distributed_scale(
         .agg(F.count("*").cast("long").alias("cnt"))
     )
     cum = distributed_running_sums(g, [F.asc("v")], ["cnt"])
-    tot = g.agg(F.sum("cnt").cast("long").alias("n"))
+    # n = the LAST inclusive running count — read from `cum`, whose lineage
+    # is the localCheckpoint inside distributed_running_sums, so the total
+    # costs a scalar agg over the pinned value grain instead of a second
+    # lineitem scan through g (ADVICE r13 #3).
+    tot = cum.agg(F.max("cum_cnt").cast("long").alias("n"))
     x = cum.join(F.broadcast(tot))
     k1 = F.expr("(n + 1) DIV 2")
     k2 = F.expr("(n + 2) DIV 2")
@@ -841,7 +845,9 @@ def agg_quantiles_distributed_scale(
         .agg(F.count("*").cast("long").alias("cnt"))
     )
     cum = distributed_running_sums(g, [F.asc("v")], ["cnt"])
-    tot = g.agg(F.sum("cnt").cast("long").alias("n"))
+    # n from the pinned cum frame, not a second pass over g (ADVICE r13 #3
+    # — see agg_median_distributed_scale).
+    tot = cum.agg(F.max("cum_cnt").cast("long").alias("n"))
     x = cum.join(F.broadcast(tot))
     lo, hi = F.col("cum_cnt") - F.col("cnt"), F.col("cum_cnt")
 

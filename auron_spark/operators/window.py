@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from auron_spark.registry import query
 from auron_spark.tables import Tables
@@ -715,11 +716,21 @@ def distributed_adjacent_pairs(
         .collect()
     )
     seams = [
-        (int(prev_mx), int(next_mn))
+        (prev_mx, next_mn)
         for (_, _, prev_mx), (_, next_mn, _) in zip(bounds, bounds[1:])
     ]
     if seams:
+        # The seam frame's schema derives from the caller's key dtype
+        # (ADVICE r13 #4): hardcoding `long` crashed non-integral keys and
+        # silently mismatched narrower integrals in the union.
+        key_type = df.schema[key_col].dataType
+        seam_schema = T.StructType(
+            [
+                T.StructField("k_prev", key_type, False),
+                T.StructField("k", key_type, False),
+            ]
+        )
         return interior.unionByName(
-            spark.createDataFrame(seams, "k_prev long, k long")
+            spark.createDataFrame(seams, seam_schema)
         )
     return interior

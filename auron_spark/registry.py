@@ -98,9 +98,16 @@ _DRIVER_WINDOW: tuple[str, ...] = ()
 # instead of sorting to the lowest re-prove priority).  Remove a name here
 # once a new artifact round re-proves it.
 _MODIFIED_SINCE_PROOF: frozenset[str] = frozenset({
-    # (empty as of round 14: `sample_neyman_allocation`'s r13 row proves the
-    # overflow-cast text — the fix landed in commit 0209376 BEFORE the r13
-    # driver window ran, so the artifact witnesses the current code.)
+    # r14 derives the total n from the checkpointed cum frame instead of a
+    # second pass over the un-checkpointed value grain (ADVICE r13 #3) —
+    # same value, different plan, after the r13 artifact proved the
+    # two-scan text.
+    "agg_median_distributed_scale",
+    "agg_quantiles_distributed_scale",
+    # r14 derives the seam-row schema from the key dtype in
+    # distributed_adjacent_pairs (ADVICE r13 #4), a device this query's
+    # proven plan flows through.
+    "dq_sequence_gaps_scale",
 })
 
 # Green driver rows from CORRECTNESS_r13.json — the whole round-13 window

@@ -116,33 +116,63 @@ def main() -> int:
     # fails exactly when the record is stale) would deadlock the refresh
     # its own assertion message prescribes.
     #
-    # Record the BEST OBSERVED wall per worker while the plan is unchanged
-    # (elementwise min with the existing record): the box shows up to 1.6x
-    # same-run noise between IDENTICAL workloads (the four oracle shards
-    # carry 117-118 tests each and still spread 344-574 s in one run), so
-    # a single run's walls measure the weather; the min over runs converges
-    # to the plan's inherent balance, which is what the harness test gates.
-    # A plan change (different label set) resets the record.
+    # Record schema (ADVICE r13 #1): {"best": {...}, "latest": {...},
+    # "counts": {...}}.  `best` is the elementwise min across runs — the
+    # box shows up to 1.6x same-run noise between IDENTICAL workloads (the
+    # four oracle shards carry 117-118 tests each and still spread
+    # 344-574 s in one run), so a single run's walls measure the weather
+    # and the min converges to the plan's inherent balance, which is what
+    # the harness test gates.  But a frozen min can never fire on a future
+    # slowdown, so the min RESETS per worker whenever that worker's
+    # collected-test count changes (a new test rebuilding a critical path
+    # produces a fresh wall instead of being discarded), and the whole
+    # record resets on a plan change (different label set).  `latest` is
+    # this run verbatim, for trend reading.
     import json
+    import re
 
+    counts: dict[str, int] = {}
+    summaries: dict[str, str] = {}
+    for label, _proc, _log in procs:
+        tail = (logdir / f"{label}.log").read_text().strip().splitlines()
+        summaries[label] = tail[-1] if tail else "(no output)"
+        ran = sum(
+            int(n)
+            for n, word in re.findall(
+                r"(\d+) (passed|failed|skipped|xfailed|xpassed|error)",
+                summaries[label],
+            )
+        )
+        counts[label] = ran
+
+    best = dict(walls)
     wpath = Path(_REPO) / "partest_walls.json"
     if wpath.exists():
         try:
             old = json.loads(wpath.read_text())
-            if set(old) == set(walls):
-                walls = {k: min(walls[k], old[k]) for k in walls}
+            old_best = old.get("best", old)  # pre-r14 records were flat
+            old_counts = old.get("counts", {})
+            if set(old_best) == set(walls):
+                best = {
+                    k: min(walls[k], old_best[k])
+                    if old_counts.get(k) in (None, counts[k])
+                    else walls[k]  # workload changed: stale min discarded
+                    for k in walls
+                }
         except ValueError:
             pass
-    wpath.write_text(json.dumps(walls, indent=1, sort_keys=True) + "\n")
+    record = {"best": best, "latest": walls, "counts": counts}
+    wpath.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
     rc = 0
     for label, proc, log in procs:
         code = proc.wait()
         log.close()
-        tail = (logdir / f"{label}.log").read_text().strip().splitlines()
-        summary = tail[-1] if tail else "(no output)"
-        print(f"[{label}] rc={code} wall={walls[label]}s {summary}")
+        # Print THIS run's measured wall (ADVICE r13 #2), not the merged
+        # historical best the JSON records.
+        print(f"[{label}] rc={code} wall={walls[label]}s {summaries[label]}")
         if code != 0:
             rc = 1
+            tail = (logdir / f"{label}.log").read_text().strip().splitlines()
             print("\n".join(tail[-30:]))
     print(f"total wall: {time.perf_counter() - t0:.1f}s rc={rc}")
     return rc

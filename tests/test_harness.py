@@ -393,7 +393,12 @@ def test_partest_plan_is_balanced_by_recorded_wall():
 
     p = Path(partest._REPO) / "partest_walls.json"
     assert p.exists(), "run `python partest.py` once to record worker walls"
-    walls = json.loads(p.read_text())
+    record = json.loads(p.read_text())
+    # Record schema since r14 (ADVICE r13 #1): {best, latest, counts} —
+    # `best` resets per worker when its collected-test count changes, so a
+    # future test addition that rebuilds a critical path produces a fresh
+    # (large) wall here instead of being discarded by the min-merge.
+    walls = record.get("best", record)
     assert set(walls) == {label for label, _a, _e in partest._WORKERS}, (
         "worker plan changed since the recorded run — re-run partest.py"
     )

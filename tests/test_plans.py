@@ -10,6 +10,8 @@ and catastrophic at 100 TB.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from auron_spark.registry import load_all
@@ -1294,9 +1296,14 @@ def test_window_group_limit_prunes_heaviest_skew_key(spark):
     # this SF, so a single background-task hiccup is the same order as the
     # measurement); 3x margin keeps the gate a pruning-regression tripwire,
     # not a microbenchmark — the plan-shape asserts above are the real gate.
-    assert min(t_on1, t_on2, t_on3) <= min(t_off1, t_off2, t_off3) * 3.0, (
-        t_on1, t_on2, t_on3, t_off1, t_off2, t_off3,
-    )
+    # Under partest (SPARK_GRAFT_TEST_SHARD set) 10 concurrent JVMs share
+    # the box and sub-second walls measure scheduler weather, not pruning:
+    # the suite's ONLY timing assert was its only flake (VERDICT r13 #1),
+    # so the wall comparison runs in serial/isolated sessions only.
+    if os.environ.get("SPARK_GRAFT_TEST_SHARD") is None:
+        assert min(t_on1, t_on2, t_on3) <= min(t_off1, t_off2, t_off3) * 3.0, (
+            t_on1, t_on2, t_on3, t_off1, t_off2, t_off3,
+        )
 
 
 def test_feature_encodings_broadcast_model(spark):

@@ -2655,6 +2655,39 @@ def test_sequence_gaps_seam_handoff_equals_global_lag(spark):
         assert got == want, (sf, len(got), len(want))
 
 
+def test_adjacent_pairs_non_integral_key_types(spark):
+    """distributed_adjacent_pairs derives the seam-row schema from the
+    key dtype (ADVICE r13 #4) — the device must produce the exact global
+    adjacent-pair set for DOUBLE, DECIMAL, and TIMESTAMP keys, not just
+    the long keys its first caller used (the hardcoded `k_prev long`
+    schema crashed doubles and silently widened ints)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from auron_spark.operators.window import distributed_adjacent_pairs
+    from auron_spark.tables import table
+
+    li = table(spark, SF_SMOKE, "lineitem")
+    for expr in (
+        "CAST(l_extendedprice AS DOUBLE) AS k",
+        "l_extendedprice AS k",  # decimal
+        "CAST(l_shipdate AS TIMESTAMP) AS k",
+    ):
+        keys = li.selectExpr(expr).distinct()
+        naive = sorted(
+            (r.k_prev, r.k)
+            for r in keys.select(
+                F.lag("k").over(Window.orderBy("k")).alias("k_prev"), "k"
+            )
+            .where("k_prev IS NOT NULL")
+            .collect()
+        )
+        adj = distributed_adjacent_pairs(keys, "k")
+        assert dict(adj.dtypes)["k_prev"] == dict(keys.dtypes)["k"], expr
+        got = sorted((r.k_prev, r.k) for r in adj.collect())
+        assert got == naive, (expr, len(got), len(naive))
+
+
 def test_brier_decomposition_identity_and_numpy(spark):
     """eval_brier_decomposition: at the forecast grain the Murphy
     identity is exact — brier == reliability - resolution + uncertainty
