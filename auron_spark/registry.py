@@ -108,6 +108,9 @@ _MODIFIED_SINCE_PROOF: frozenset[str] = frozenset({
     # distributed_adjacent_pairs (ADVICE r13 #4), a device this query's
     # proven plan flows through.
     "dq_sequence_gaps_scale",
+    # r14 sizes the recursion cap from the observed calendar span
+    # (VERDICT r13 wrong #4) — same text, new run path (run_holt).
+    "timeseries_holt_linear",
 })
 
 # Green driver rows from CORRECTNESS_r13.json — the whole round-13 window
