@@ -726,3 +726,73 @@ _sql_query(
     fixture scale and stays an equi-join at any scale; the final top-50
     is TakeOrderedAndProject on a full deterministic key.""",
 )
+
+
+_FREQ_ITEMS_BEST_CUST = f"""
+WITH freq_items AS (
+    SELECT l_partkey AS item
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY l_partkey, CAST(year(o_orderdate) AS BIGINT)
+    HAVING COUNT(*) > 8
+),
+cust_sales AS (
+    SELECT o_custkey AS cust,
+           CAST(SUM({sql_dec2('l_quantity')}
+                    * {sql_dec2('l_extendedprice')}) AS DOUBLE) AS csales
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY o_custkey
+),
+best_customers AS (
+    SELECT cust FROM cust_sales
+    WHERE csales > 0.7 * (SELECT MAX(csales) FROM cust_sales)
+)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_sales,
+       ROUND(CAST(SUM(amt) AS DOUBLE), 2) AS sales
+FROM (
+    SELECT 'priority' AS channel, {SQL_DISC_PRICE} AS amt,
+           l_partkey, o_custkey, o_orderdate
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    UNION ALL
+    SELECT 'standard' AS channel, {SQL_DISC_PRICE} AS amt,
+           l_partkey, o_custkey, o_orderdate
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+) s
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+  AND l_partkey IN (SELECT item FROM freq_items)
+  AND o_custkey IN (SELECT cust FROM best_customers)
+GROUP BY channel
+ORDER BY channel
+"""
+
+_sql_query(
+    "ds_frequent_items_best_customers",
+    _FREQ_ITEMS_BEST_CUST,
+    ("tpcds-shape", "multi-cte", "semi-join", "subquery"),
+    """TPC-DS Q23 shape — the baseline chart's worst query (BASELINE.md:
+    q23a ~320 s vanilla vs ~97 s Auron): a frequent-items CTE (items
+    bought >8x within a year, the two-level GROUP/HAVING), a
+    best-customers CTE whose HAVING references a scalar aggregate over
+    the SAME customer-sales CTE (csales > 0.7 * MAX(csales) — the
+    multi-CTE-reuse part), both feeding IN semi-joins into a
+    cross-channel UNION sum over one month-window of the fact.
+
+    Dialect contract: csales compares in DOUBLE — the decimal SUM is
+    exact in both engines and the one cast keeps the 0.7*max product
+    inside IEEE semantics instead of tripping Spark's decimal-precision
+    cap (allowPrecisionLoss rounding at precision 38 would diverge from
+    DuckDB at the band boundary).
+
+    Scale shape: freq_items and best_customers collapse to key-lists
+    orders of magnitude under the fact and reach the channel union as
+    BROADCAST semi-joins; cust_sales is one fact-grain reduce whose
+    scalar-MAX reference reuses the same aggregate via subquery reuse
+    (plan-gated); the channel UNION's two branches push their disjoint
+    priority filters and the month window into the scans.  No global
+    sort, no cartesian; the final report is 2 rows.
+    Reference frame: dev/auron-it TPC-DS battery (q23a/q23b).""",
+    bench=True,  # the baseline chart's named worst-case plan family
+)

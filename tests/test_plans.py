@@ -2541,3 +2541,18 @@ def test_sequence_gaps_no_single_partition_window(spark):
         if "Window [" in line:
             assert "_pid" in line, line
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_frequent_items_best_customers_reuses_cte_exchanges(spark):
+    """ds_frequent_items_best_customers (TPC-DS Q23 shape): cust_sales is
+    referenced by BOTH the best-customers filter and its scalar-MAX
+    subquery, and the channel union's two branches share the fact
+    exchange and both key-list broadcasts — the multi-CTE reuse must
+    surface as ReusedExchange nodes, the key lists must reach the fact
+    as semi-joins, and there is no cartesian anywhere."""
+    plan = _plan(spark, "ds_frequent_items_best_customers", final=True)
+    assert plan.count("ReusedExchange") >= 3, plan
+    assert plan.count("LeftSemi") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    # the month window and the disjoint priority bands push to the scans
+    assert "1997-01-01" in plan, plan
