@@ -2556,3 +2556,16 @@ def test_frequent_items_best_customers_reuses_cte_exchanges(spark):
     assert "CartesianProduct" not in plan, plan
     # the month window and the disjoint priority bands push to the scans
     assert "1997-01-01" in plan, plan
+
+
+def test_als_rank_k_broadcast_and_jvm_solve(spark):
+    """rec_als_rank_k: the item-factor attach must broadcast (items <<
+    users), the Gram/gradient reduction must combine map-side
+    (partial_sum), and the unrolled LDL^T solve must stay JVM-side —
+    no Python eval node, no cartesian, no sort-merge join of the
+    factor attach."""
+    plan = _plan(spark, "rec_als_rank_k")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_sum" in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

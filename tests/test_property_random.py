@@ -3049,3 +3049,69 @@ def test_page_trend_matches_numpy(spark):
     assert abs(got.l_stat - L) < 1e-6
     assert abs(got.mu - mu) < 1e-6
     assert abs(got.z - (L - mu) / sigma) < 1e-6
+
+
+def test_als_rank_k_k2_matches_adjugate_and_numpy(spark):
+    """rec_als_rank_k: (a) the k=2 specialization of the LDL^T device
+    must reproduce the PROVEN 2x2-adjugate `rec_als_user_step` outputs
+    (same md5 nibble layout, same lambda, different but exact solve
+    algebra); (b) at the registered k=8 the per-user solves must match
+    numpy's LAPACK on the same Gram/gradient statistics."""
+    import duckdb
+    import numpy as np
+
+    from auron_spark.pipeline.recommend import (
+        _ALS_K,
+        _ALS_LAMBDA,
+        _rank_k_user_step,
+    )
+    from auron_spark.registry import load_all
+
+    got2 = _rank_k_user_step(spark, SF_SMOKE, 2).collect()[0]
+    ref = load_all()["rec_als_user_step"].build(spark, SF_SMOKE).collect()[0]
+    assert got2.n_users == ref.n_users
+    assert got2.n_ratings == ref.n_ratings
+    assert abs(got2.rmse_after - ref.rmse_after) <= 1e-6
+    assert abs(got2.mean_p0 - ref.mean_p1) <= 1e-6
+    assert abs(got2.mean_p1 - ref.mean_p2) <= 1e-6
+
+    k = _ALS_K
+    got = load_all()["rec_als_rank_k"].build(spark, SF_SMOKE).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet')"
+    )
+    rows = con.execute(
+        """
+        WITH r AS (
+            SELECT user_id, event_type,
+                   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                   / COUNT(*) / 100.0 AS r
+            FROM events GROUP BY user_id, event_type
+        )
+        SELECT user_id, md5(event_type), r FROM r
+        """
+    ).fetchall()
+    by_user: dict = {}
+    for uid, h, r in rows:
+        q = np.array(
+            [(int(h[4 * f : 4 * f + 4], 16) % 1000) / 1000.0
+             for f in range(k)]
+        )
+        by_user.setdefault(uid, []).append((q, r))
+    preds, facs = [], []
+    for uid, obs in by_user.items():
+        Q = np.array([q for q, _ in obs])
+        rv = np.array([r for _, r in obs])
+        p = np.linalg.solve(
+            Q.T @ Q + _ALS_LAMBDA * np.eye(k), Q.T @ rv
+        )
+        facs.append((p, len(obs)))
+        preds.extend(rv - Q @ p)
+    n = len(preds)
+    assert got.n_ratings == n
+    assert abs(got.rmse_after - np.sqrt(np.mean(np.array(preds) ** 2))) < 1e-5
+    for f in range(k):
+        mean_f = sum(p[f] * cnt for p, cnt in facs) / n
+        assert abs(got[3 + f] - mean_f) < 1e-5, (f, got[3 + f], mean_f)
