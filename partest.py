@@ -68,6 +68,7 @@ _WORKERS: list[tuple[str, list[str], dict[str, str]]] = [
             "tests/test_sources.py",
             "tests/test_streaming.py",
             "tests/test_harness.py",
+            "tests/test_spill_pressure.py",
         ],
         {},
     ),
