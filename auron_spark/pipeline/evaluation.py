@@ -2503,6 +2503,136 @@ def eval_krippendorff_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Ratio-metric delta, integer-scaled: delta(c,k) = ((c-k)/(c+k))^2 over
+# ranks 1..4 has denominators (c+k)^2 in {9,16,25,36,49}; multiplying by
+# their LCM 176400 = 2^4*3^2*5^2*7^2 makes EVERY pairwise delta an exact
+# integer (e.g. (1,2) -> 19600), so both the observed and the expected
+# disagreement are exact BIGINT sums (order-free) and the scale factor
+# cancels in the final ratio.  The double division is exact too: the
+# numerator is < 2^21 and the quotient is integral.
+_KN_RATIO_SCALE = 176400
+
+
+def _kn_ratio_delta(x: str, y: str) -> str:
+    return (
+        f"CAST({_KN_RATIO_SCALE} * ({x} - {y}) * ({x} - {y})"
+        f" / (({x} + {y}) * ({x} + {y})) AS BIGINT)"
+    )
+
+
+@query(
+    "eval_krippendorff_ratio",
+    oracle=f"""
+    WITH u AS (
+        SELECT lang,
+               {_KN_RANK_A} AS ra,
+               {_KN_RANK_B_SQL} AS rb,
+               {_KN_RANK_C_SQL} AS rc
+        FROM documents
+    ),
+    s AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_units,
+               CAST(SUM({_kn_ratio_delta('ra', 'rb')}
+                        + {_kn_ratio_delta('ra', 'rc')}
+                        + {_kn_ratio_delta('rb', 'rc')}) AS BIGINT) AS d2r
+        FROM u GROUP BY lang
+    ),
+    m AS (
+        SELECT lang, cat, CAST(COUNT(*) AS BIGINT) AS n_c
+        FROM (
+            SELECT lang, ra AS cat FROM u
+            UNION ALL SELECT lang, rb FROM u
+            UNION ALL SELECT lang, rc FROM u
+        ) GROUP BY lang, cat
+    ),
+    g AS (
+        SELECT lang, CAST(SUM(n_c) AS BIGINT) AS n_ratings FROM m
+        GROUP BY lang
+    ),
+    de AS (
+        SELECT a.lang,
+               CAST(SUM(a.n_c * b.n_c * {_kn_ratio_delta('a.cat', 'b.cat')})
+                    AS BIGINT) AS de_pairs_r
+        FROM m a JOIN m b ON a.lang = b.lang AND a.cat < b.cat
+        GROUP BY a.lang
+    )
+    SELECT s.lang, s.n_units, s.d2r, de.de_pairs_r,
+           ROUND(1.0 - CAST((g.n_ratings - 1) AS DOUBLE) * s.d2r
+                       / NULLIF(2.0 * de.de_pairs_r, 0.0), 6) AS alpha
+    FROM s
+    JOIN g ON g.lang = s.lang
+    LEFT JOIN de ON de.lang = s.lang
+    ORDER BY s.lang
+    """,
+    tags=("pipeline", "evaluation", "agreement"),
+)
+def eval_krippendorff_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha with the RATIO metric over the size-class
+    ranks — completing the metric family (binary r12, nominal/interval
+    r13, VERDICT r13 stretch #9): delta(c,k) = ((c-k)/(c+k))^2, the
+    honest coefficient for ratio-scale judgments where disagreeing
+    between 1 and 2 (a 2x gap) matters more than between 3 and 4.
+
+    Exactness: the metric is integer-scaled by 176400 (the LCM of every
+    (c+k)^2 denominator over ranks 1..4 — see `_KN_RATIO_SCALE`), so the
+    observed and expected disagreements are exact BIGINT sums and the
+    scale cancels in the final ratio; only that last division is double.
+    Verified against the textbook weighted-coincidence construction in
+    the twin test.
+
+    Scale shape: identical to the nominal/interval queries — one scan to
+    two integers per language plus one count per (language, rank); the
+    expected term is arithmetic on the bounded <=4x4 cell frame."""
+    t = Tables(spark, sf_dir)
+    u = _kn_units(t, _KN_RANK_A, _KN_RANK_B_SPARK, _KN_RANK_C_SPARK)
+    d2r = (
+        F.expr(_kn_ratio_delta("ca", "cb"))
+        + F.expr(_kn_ratio_delta("ca", "cc"))
+        + F.expr(_kn_ratio_delta("cb", "cc"))
+    )
+    s = u.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_units"),
+        F.sum(d2r).cast("bigint").alias("d2r"),
+    )
+    m = _kn_cells(u).localCheckpoint(eager=False)
+    g = m.groupBy("lang").agg(
+        F.sum("n_c").cast("bigint").alias("n_ratings")
+    )
+    a = m.select(
+        F.col("lang").alias("la"), F.col("cat").alias("ca"),
+        F.col("n_c").alias("na"),
+    )
+    b = m.select(
+        F.col("lang").alias("lb"), F.col("cat").alias("cb"),
+        F.col("n_c").alias("nb"),
+    )
+    de = (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("ca") < F.col("cb")))
+        .groupBy(F.col("la").alias("lang"))
+        .agg(
+            F.sum(
+                F.col("na") * F.col("nb")
+                * F.expr(_kn_ratio_delta("ca", "cb"))
+            )
+            .cast("bigint")
+            .alias("de_pairs_r")
+        )
+    )
+    alpha = 1.0 - (F.col("n_ratings") - 1).cast("double") * F.col(
+        "d2r"
+    ) / F.nullif(2.0 * F.col("de_pairs_r"), F.lit(0.0))
+    return (
+        s.join(g, "lang")
+        .join(de, "lang", "left")
+        .select(
+            "lang", "n_units", "d2r", "de_pairs_r",
+            F.round(alpha, 6).alias("alpha"),
+        )
+        .orderBy("lang")
+    )
+
+
 _BD_R9 = "CAST(ROUND({t}, 9) AS DECIMAL(38,9))"
 
 

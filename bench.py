@@ -7,7 +7,7 @@ the driver's tail-capture window and parsed as null):
 - several leading JSON lines carry the bulky sections (`{"section": "cold",
   ...}`, `{"section": "sf2", ...}`, `{"section": "groups", ...}`,
   `{"section": "shards", ...}`, `{"section": "variance", ...}`,
-  `{"section": "index_build", ...}`);
+  `{"section": "index_build", ...}`, `{"section": "adjudication", ...}`);
 - the LAST printed line is the compact headline
   `{"metric", "value", "unit", "queries", "sf"}` — always complete inside a
   tail-capture window, so the driver can parse it.
@@ -57,6 +57,19 @@ live in their own section and group subtotal, never in the headline series.
 Methodology: the headline `value` / `queries` numbers are warm times: at
 100 TB the one-shot compile costs amortize to zero, so warm is the number
 that scales.
+
+Self-adjudication (VERDICT r13 ask #5): the box shows up to 2x same-day
+variance with byte-stable plans, concentrated in single group JVMs (the
+r13 record's trainers group read 79.4 s vs isolated brackets of 36.5-37.4
+s, polluting the round headline).  `bench_brackets.json` commits each
+group's BEST OBSERVED warm subtotal (min-merged across runs while the
+group's query set is unchanged — the partest_walls.json device).  When a
+group's subtotal exceeds 1.5x its bracket, the harness
+automatically re-runs that group in a fresh child JVM, takes the
+per-query min of the two passes for the headline (the existing min-warm
+protocol, one more sample), and records BOTH subtotals in an
+`adjudication` section — so a noise spike can neither hide nor silently
+pollute the round-over-round series.
 """
 
 from __future__ import annotations
@@ -148,6 +161,60 @@ _VECTOR_SCALE_KSCALED = (
     "sim_semantic_dedup",
     "sim_semantic_dedup_arrow",
 )
+
+
+_BRACKETS_PATH = f"{_REPO}/bench_brackets.json"
+_ADJUDICATE_FACTOR = 1.5
+
+
+def _load_brackets(scale_key: dict) -> dict:
+    """Load the committed bracket record, DISCARDING it when the run's
+    scale knobs (sf dir, text/vector corpus sizes) differ — subtotals at
+    another SF would spuriously trip (or never trip) every trigger."""
+    try:
+        rec = json.loads(Path(_BRACKETS_PATH).read_text())
+    except (OSError, ValueError):
+        return {"_scale": scale_key}
+    if rec.get("_scale") != scale_key:
+        return {"_scale": scale_key}
+    return rec
+
+
+def _adjudicate(group: str, res: dict, brackets: dict,
+                rerun) -> tuple[dict, dict | None]:
+    """If this group's warm subtotal exceeds the committed best-observed
+    bracket by _ADJUDICATE_FACTOR (same query set), re-run the group in
+    a fresh child JVM and per-query-min the two passes; always min-merge
+    the adopted subtotal back into the bracket record (reset when the
+    query set changes)."""
+    names = sorted(res["warm"])
+    subtotal = round(sum(res["warm"].values()), 3)
+    rec = brackets.get(group)
+    verdict = None
+    if (
+        rec
+        and rec.get("queries") == names
+        and subtotal > _ADJUDICATE_FACTOR * rec["best_subtotal"]
+    ):
+        first_subtotal = subtotal
+        second = rerun()
+        re_subtotal = round(sum(second["warm"].values()), 3)
+        for n in names:
+            res["warm"][n] = min(res["warm"][n], second["warm"][n])
+            res["warm_runs"][n] = res["warm_runs"][n] + second["warm_runs"][n]
+        subtotal = round(sum(res["warm"].values()), 3)
+        verdict = {
+            "group": group,
+            "first_subtotal": first_subtotal,
+            "rerun_subtotal": re_subtotal,
+            "adopted_subtotal": subtotal,
+            "bracket": rec["best_subtotal"],
+        }
+    best = subtotal
+    if rec and rec.get("queries") == names:
+        best = min(best, rec["best_subtotal"])
+    brackets[group] = {"best_subtotal": best, "queries": names}
+    return res, verdict
 
 
 def _group_of(name: str) -> str:
@@ -469,8 +536,20 @@ def main() -> None:
     warm2: dict[str, float] = {}
     subtotals: dict[str, float] = {}
     index_build: dict[str, float] = {}
+    brackets = _load_brackets({
+        "sf_dir": sf_dir,
+        "text_docs": int(os.environ.get("SPARK_GRAFT_TEXT_DOCS", "65536")),
+        "vector_vecs": int(os.environ.get("SPARK_GRAFT_VECTOR_VECS", "32768")),
+    })
+    adjudications: list[dict] = []
     for group in ("relational", "pipeline", "trainers"):
         res = _child(["--group", group, run_dir, second_dir])
+        res, verdict = _adjudicate(
+            group, res, brackets,
+            lambda g=group: _child(["--group", g, run_dir, second_dir]),
+        )
+        if verdict:
+            adjudications.append(verdict)
         warm.update(res["warm"])
         warm_runs.update(res["warm_runs"])
         cold.update(res["cold"])
@@ -488,6 +567,12 @@ def main() -> None:
         built = _child(["--textcorpus", corpus, str(text_docs)])
         res = _child(["--group", "text_scale", corpus, ""])
         index_build.update(res.get("index_build", {}))
+        res, verdict = _adjudicate(
+            "text_scale", res, brackets,
+            lambda: _child(["--group", "text_scale", corpus, ""]),
+        )
+        if verdict:
+            adjudications.append(verdict)
         subtotals["text_scale"] = round(sum(res["warm"].values()), 3)
         text_scale = {
             "n_docs": text_docs,
@@ -511,6 +596,19 @@ def main() -> None:
         res = _child(["--group", "vector_scale", vcorpus, ""])
         for key in ("warm", "warm_runs", "cold"):
             res[key].update(fold[key])
+
+        def _rerun_vector() -> dict:
+            f2 = _child(["--group", "vector_fold", vcorpus, ""])
+            r2 = _child(["--group", "vector_scale", vcorpus, ""])
+            for key in ("warm", "warm_runs", "cold"):
+                r2[key].update(f2[key])
+            return r2
+
+        res, verdict = _adjudicate(
+            "vector_scale", res, brackets, _rerun_vector
+        )
+        if verdict:
+            adjudications.append(verdict)
         subtotals["vector_scale"] = round(sum(res["warm"].values()), 3)
         vector_scale = {
             "n_vecs": vec_vecs,
@@ -541,6 +639,13 @@ def main() -> None:
         print(json.dumps({"section": "vector_scale", **vector_scale}))
     if index_build:
         print(json.dumps({"section": "index_build", **index_build}))
+    # Persist min-merged brackets, then report this run's adjudications —
+    # an empty list is itself the record that no group tripped its bracket.
+    Path(_BRACKETS_PATH).write_text(
+        json.dumps(brackets, indent=1, sort_keys=True) + "\n"
+    )
+    print(json.dumps({"section": "adjudication", "factor": _ADJUDICATE_FACTOR,
+                      "reruns": adjudications}))
     print(json.dumps({"section": "groups", "warm_subtotals": subtotals}))
     print(json.dumps({
         "metric": "headline_queries_total_wall",

@@ -409,3 +409,32 @@ def test_partest_plan_is_balanced_by_recorded_wall():
         f"critical path rebuilt: {worst}={walls[worst]}s vs median "
         f"{median}s — rebalance partest._WORKERS"
     )
+
+
+def test_bench_brackets_record_structure():
+    """bench_brackets.json (the self-adjudication record, VERDICT r13 ask
+    #5) must stay structurally valid when present: known group names,
+    positive best subtotals, sorted query lists.  Membership drift is NOT
+    an error — _adjudicate resets a group's bracket when its query set
+    changes — but a malformed record would silently disable every
+    trigger, so the shape is pinned."""
+    import json
+    from pathlib import Path
+
+    import bench
+
+    p = Path(bench._REPO) / "bench_brackets.json"
+    if not p.exists():
+        import pytest
+
+        pytest.skip("no bench run recorded yet")
+    rec = json.loads(p.read_text())
+    known = {"relational", "pipeline", "trainers", "text_scale",
+             "vector_scale"}
+    scale = rec.pop("_scale", None)
+    assert scale and "sf_dir" in scale, scale  # brackets are per-SF
+    assert set(rec) <= known, set(rec) - known
+    for group, entry in rec.items():
+        assert entry["best_subtotal"] > 0, (group, entry)
+        assert entry["queries"] == sorted(entry["queries"]), group
+        assert len(entry["queries"]) >= 1, group

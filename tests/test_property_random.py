@@ -3115,3 +3115,72 @@ def test_als_rank_k_k2_matches_adjugate_and_numpy(spark):
     for f in range(k):
         mean_f = sum(p[f] * cnt for p, cnt in facs) / n
         assert abs(got[3 + f] - mean_f) < 1e-5, (f, got[3 + f], mean_f)
+
+
+def test_krippendorff_ratio_matches_bruteforce(spark):
+    """eval_krippendorff_ratio must equal the textbook WEIGHTED
+    coincidence-matrix alpha with the ratio metric delta(c,k) =
+    ((c-k)/(c+k))^2 built in plain python, confirming the 176400
+    integer-scaling device cancels exactly."""
+    import duckdb
+
+    from auron_spark.registry import load_all
+
+    got = {
+        r.lang: r
+        for r in load_all()["eval_krippendorff_ratio"]
+        .build(spark, SF_SMOKE)
+        .collect()
+    }
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT lang,
+               CASE WHEN n_chars < 150 THEN 1 WHEN n_chars < 300 THEN 2
+                    WHEN n_chars < 450 THEN 3 ELSE 4 END,
+               CASE WHEN len(string_split(text, ' ')) < 27 THEN 1
+                    WHEN len(string_split(text, ' ')) < 54 THEN 2
+                    WHEN len(string_split(text, ' ')) < 81 THEN 3
+                    ELSE 4 END,
+               CASE WHEN len(list_distinct(string_split(lower(text), ' ')))
+                         < 14 THEN 1
+                    WHEN len(list_distinct(string_split(lower(text), ' ')))
+                         < 22 THEN 2
+                    WHEN len(list_distinct(string_split(lower(text), ' ')))
+                         < 28 THEN 3
+                    ELSE 4 END
+        FROM read_parquet('{SF_SMOKE}/documents.parquet')
+        """
+    ).fetchall()
+    by_lang: dict[str, list[tuple[int, int, int]]] = {}
+    for lang, a, b, c in rows:
+        by_lang.setdefault(lang, []).append((a, b, c))
+    m = 3
+
+    def delta(c, k):
+        return ((c - k) / (c + k)) ** 2
+
+    for lang, units in by_lang.items():
+        cats = sorted({c for u in units for c in u})
+        o = {(c, k): 0.0 for c in cats for k in cats}
+        for u in units:
+            counts = {c: u.count(c) for c in set(u)}
+            for c in counts:
+                for k in counts:
+                    o[(c, k)] += (
+                        counts[c] * (counts[k] - (1 if c == k else 0))
+                    ) / (m - 1)
+        n_c = {c: sum(o[(c, k)] for k in cats) for c in cats}
+        n = sum(n_c.values())
+        d_o = sum(
+            o[(c, k)] * delta(c, k) for c in cats for k in cats if c != k
+        )
+        d_e = sum(
+            n_c[c] * n_c[k] * delta(c, k)
+            for c in cats
+            for k in cats
+            if c != k
+        ) / (n - 1)
+        alpha = 1.0 - d_o / d_e
+        assert got[lang].n_units == len(units)
+        assert abs(got[lang].alpha - alpha) < 1e-6, (lang, got[lang], alpha)

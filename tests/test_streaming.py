@@ -588,3 +588,79 @@ def test_stream_upsert_sink_merges_microbatches(spark):
         batch.select("event_id", "event_type", "value").toPandas()
     )
     assert got == want
+
+
+@pytest.mark.slow
+def test_stream_scale_10x_watermark_state(spark):
+    """Streaming joins the 10x derived-corpus scale-proof program
+    (VERDICT r13 stretch #8): the events fixture replicates 10x with
+    deterministic id shifts — replicas 0-8 get disjoint event_ids,
+    replica 9 DUPLICATES replica 0's ids (a planted 10% duplicate
+    signal) — while every replica keeps the SAME event-time calendar,
+    so the windowed state is 10x the fixture's.  The corpus streams as
+    8 files with maxFilesPerTrigger=2 (4 micro-batches: watermark and
+    aggregation state must carry across batch boundaries), and BOTH the
+    tumbling windowed aggregate and dropDuplicatesWithinWatermark must
+    match their batch twins on the identical derived frame."""
+    import os
+    import tempfile
+
+    from auron_spark.streaming.ops import tumbling_counts
+    from auron_spark.tables import normalize_events_ts
+
+    base = table(spark, SF_SMOKE, "events")
+    n_base = base.count()
+    offset = base.agg(F.max("event_id")).collect()[0][0] + 1
+    derived = (
+        base.select(
+            "event_id", "ts", "user_id", "event_type", "value",
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("rep"),
+        )
+        .withColumn(
+            "event_id",
+            F.when(F.col("rep") == 9, F.col("event_id")).otherwise(
+                F.col("event_id") + F.col("rep") * F.lit(offset)
+            ),
+        )
+        .drop("rep")
+    )
+    d = tempfile.mkdtemp(prefix="auron-stream10x-")
+    derived.repartition(8).write.parquet(f"{d}/events10x")
+    files = [f for f in os.listdir(f"{d}/events10x") if f.endswith(".parquet")]
+    assert len(files) == 8
+    batch = spark.read.parquet(f"{d}/events10x")
+    assert batch.count() == 10 * n_base
+
+    def stream():
+        return normalize_events_ts(
+            spark.readStream.schema(batch.schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "2")
+            .load(f"{d}/events10x")
+        )
+
+    _run_stream(
+        tumbling_counts(stream().withWatermark("ts", "1 hour")),
+        "tumbling10x_out",
+    )
+    got = normalize(spark.sql("SELECT * FROM tumbling10x_out").toPandas())
+    want = normalize(tumbling_counts(batch).toPandas())
+    assert got == want
+
+    # The dedup watermark must cover the fixture's whole 30-day calendar:
+    # the 4 micro-batches arrive in file order, not event-time order, so a
+    # short delay would legitimately DROP later batches' older rows as
+    # late data (observed: 4758 survivors at "1 hour") — the state-scale
+    # claim needs every row retained, only true duplicates removed.
+    deduped = (
+        stream()
+        .withWatermark("ts", "1000 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy()
+        .agg(F.count("*").alias("n"))
+    )
+    _run_stream(deduped, "dedup10x_out")
+    got_n = spark.sql("SELECT n FROM dedup10x_out").collect()[0]["n"]
+    # replicas 0-8 carry disjoint ids; replica 9's rows are exact id dups
+    assert got_n == 9 * n_base
+    assert got_n == batch.select("event_id").distinct().count()
