@@ -796,3 +796,150 @@ _sql_query(
     Reference frame: dev/auron-it TPC-DS battery (q23a/q23b).""",
     bench=True,  # the baseline chart's named worst-case plan family
 )
+
+
+_CUMULATIVE_CROSSOVER = """
+WITH web AS (
+    SELECT l_partkey AS item, CAST(o_orderdate AS DATE) AS d,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS amt
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND l_partkey % 50 = 7
+    GROUP BY l_partkey, CAST(o_orderdate AS DATE)
+),
+store AS (
+    SELECT l_partkey AS item, CAST(o_orderdate AS DATE) AS d,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS amt
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      AND l_partkey % 50 = 7
+    GROUP BY l_partkey, CAST(o_orderdate AS DATE)
+),
+wcum AS (
+    SELECT item, d, SUM(amt) OVER (PARTITION BY item ORDER BY d) AS cum_web
+    FROM web
+),
+scum AS (
+    SELECT item, d, SUM(amt) OVER (PARTITION BY item ORDER BY d) AS cum_store
+    FROM store
+),
+j AS (
+    SELECT COALESCE(w.item, s.item) AS item,
+           COALESCE(w.d, s.d) AS d,
+           w.cum_web, s.cum_store
+    FROM wcum w FULL OUTER JOIN scum s
+      ON w.item = s.item AND w.d = s.d
+),
+filled AS (
+    SELECT item, d,
+           MAX(cum_web) OVER (PARTITION BY item ORDER BY d) AS web_fill,
+           MAX(cum_store) OVER (PARTITION BY item ORDER BY d) AS store_fill
+    FROM j
+)
+SELECT item, CAST(COUNT(*) AS BIGINT) AS n_days_ahead,
+       ROUND(CAST(MAX(web_fill - store_fill) AS DOUBLE), 2) AS max_lead
+FROM filled
+WHERE web_fill > COALESCE(store_fill, 0)
+GROUP BY item
+ORDER BY max_lead DESC, item
+LIMIT 20
+"""
+
+_sql_query(
+    "ds_cumulative_crossover",
+    _CUMULATIVE_CROSSOVER,
+    ("tpcds-shape", "window", "full-outer", "cumulative"),
+    """TPC-DS Q51 shape: per-item cumulative sales in two channels
+    (priority bands standing in for web/store), FULL OUTER joined on
+    (item, day) — each channel sells on different days, so the join is
+    genuinely outer — then a running-MAX forward fill over the joined
+    calendar (Q51's "max so far" device, = LOCF on a cumulative) and the
+    crossover report: days where the web cumulative leads the store
+    cumulative, with the maximum lead.  Composes windows-over-joins in
+    the one order the battery lacked (window BEFORE the join, fill
+    AFTER it).
+
+    Exactness: cumulative and fill windows run over DECIMAL (order-
+    insensitive sums, exact running max); the lead difference casts to
+    DOUBLE only at the rounded edge; ties in the final order break on
+    the item key.
+
+    Scale shape: every window partitions by item (never global); the
+    channel aggregates reduce at (item, day) grain BEFORE the windows;
+    the full-outer join is an equi-join on the same key both windows
+    partition by, so one exchange serves aggregate + window + join per
+    channel; the item filter pushes to both scans; top-20 is
+    TakeOrderedAndProject.  Reference frame: dev/auron-it TPC-DS
+    battery (q51).""",
+)
+
+
+_CROSS_CHANNEL_INTERSECT = """
+WITH pr AS (
+    SELECT l_partkey AS item, CAST(l_extendedprice AS DECIMAL(18,2)) AS amt,
+           CAST(year(o_orderdate) AS BIGINT) AS yr
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+),
+st AS (
+    SELECT l_partkey AS item, CAST(l_extendedprice AS DECIMAL(18,2)) AS amt,
+           CAST(year(o_orderdate) AS BIGINT) AS yr
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderpriority IN ('3-MEDIUM')
+),
+ml AS (
+    SELECT l_partkey AS item, CAST(l_extendedprice AS DECIMAL(18,2)) AS amt,
+           CAST(year(o_orderdate) AS BIGINT) AS yr
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+),
+cross_items AS (
+    SELECT item FROM pr WHERE yr = 1997
+    INTERSECT SELECT item FROM st WHERE yr = 1997
+    INTERSECT SELECT item FROM ml WHERE yr = 1997
+),
+all_sales AS (
+    SELECT 'priority' AS channel, item, amt FROM pr WHERE yr = 1997
+    UNION ALL SELECT 'standard', item, amt FROM st WHERE yr = 1997
+    UNION ALL SELECT 'mail', item, amt FROM ml WHERE yr = 1997
+),
+avg_item_sales AS (
+    SELECT CAST(SUM(s) AS DOUBLE) / COUNT(*) AS threshold FROM (
+        SELECT SUM(amt) AS s FROM all_sales GROUP BY channel, item
+    )
+)
+SELECT channel, item,
+       CAST(COUNT(*) AS BIGINT) AS n_sales,
+       ROUND(CAST(SUM(amt) AS DOUBLE), 2) AS sales
+FROM all_sales
+WHERE item IN (SELECT item FROM cross_items)
+GROUP BY channel, item
+HAVING CAST(SUM(amt) AS DOUBLE) > 2.0 * (SELECT threshold FROM avg_item_sales)
+ORDER BY sales DESC, channel, item
+LIMIT 30
+"""
+
+_sql_query(
+    "ds_cross_channel_intersect",
+    _CROSS_CHANNEL_INTERSECT,
+    ("tpcds-shape", "intersect", "subquery", "having"),
+    """TPC-DS Q14 shape: cross_items = the item set sold in ALL THREE
+    channels of a year (a two-level INTERSECT — the DS set-operation
+    pattern the battery lacked inside a larger plan), an average-sales
+    scalar subquery computed over the cross-channel union, and the final
+    per-(channel, item) report semi-joined to cross_items with a
+    HAVING threshold referencing the scalar average.
+
+    Exactness: all money sums stay DECIMAL through the aggregates; the
+    threshold is a decimal-sum / count division (one double op,
+    IEEE-identical in both engines) — an AVG over per-item doubles would
+    be summation-order-sensitive and could flip boundary rows.  The
+    top-30 orders on the full (sales, channel, item) key.
+
+    Scale shape: INTERSECT distributes as distinct + equi-joins on the
+    item key; the three channel frames push disjoint priority filters
+    and the year predicate to their scans; cross_items collapses to an
+    item key-list that reaches the union as a semi-join; the report
+    aggregate is partial/final at (channel, item) grain.  Reference
+    frame: dev/auron-it TPC-DS battery (q14a).""",
+)

@@ -2569,3 +2569,33 @@ def test_als_rank_k_broadcast_and_jvm_solve(spark):
     assert "partial_sum" in plan, plan
     assert "EvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_cumulative_crossover_partitioned_windows_only(spark):
+    """ds_cumulative_crossover (TPC-DS Q51 shape): all four windows
+    (two cumulatives, two forward fills) must partition by item — never
+    a global ordered window — the channel full-outer join must be an
+    equi-join (SMJ/SHJ, no BNLJ/cartesian), and the top-20 must be
+    TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, "ds_cumulative_crossover")
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "item" in line, line
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_cross_channel_intersect_semi_joins(spark):
+    """ds_cross_channel_intersect (TPC-DS Q14 shape): the INTERSECT must
+    compile to distinct + LeftSemi equi-joins (never a cartesian or
+    nested-loop), the cross_items key-list must reach the union as a
+    semi-join, the disjoint priority filters must push to the scans, and
+    the top-30 must be TakeOrderedAndProject."""
+    plan = _plan(spark, "ds_cross_channel_intersect", final=True)
+    assert plan.count("LeftSemi") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "1-URGENT" in plan, plan
