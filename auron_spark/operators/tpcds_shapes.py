@@ -943,3 +943,61 @@ _sql_query(
     aggregate is partial/final at (channel, item) grain.  Reference
     frame: dev/auron-it TPC-DS battery (q14a).""",
 )
+
+
+_RETURN_RATIO_RANKS = """
+WITH base AS (
+    SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'express'
+                WHEN o_orderpriority = '3-MEDIUM' THEN 'standard'
+                ELSE 'economy' END AS channel,
+           l_partkey AS item,
+           CASE WHEN l_returnflag = 'R' THEN l_quantity
+                ELSE CAST(0 AS DECIMAL(12,2)) END AS ret_qty,
+           l_quantity AS qty
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+),
+per_item AS (
+    SELECT channel, item,
+           CAST(SUM(ret_qty) AS DOUBLE) AS ret_q,
+           CAST(SUM(qty) AS DOUBLE) AS tot_q,
+           CAST(COUNT(*) AS BIGINT) AS n_sales
+    FROM base GROUP BY channel, item
+    HAVING COUNT(*) >= 5
+),
+ranked AS (
+    SELECT channel, item, n_sales,
+           ROUND(ret_q / tot_q, 6) AS return_ratio,
+           CAST(RANK() OVER (
+               PARTITION BY channel
+               ORDER BY ret_q / tot_q DESC, item
+           ) AS BIGINT) AS rnk
+    FROM per_item
+)
+SELECT channel, item, n_sales, return_ratio, rnk
+FROM ranked WHERE rnk <= 10
+ORDER BY channel, rnk, item
+"""
+
+_sql_query(
+    "ds_return_ratio_ranks",
+    _RETURN_RATIO_RANKS,
+    ("tpcds-shape", "window-rank", "returns"),
+    """TPC-DS Q49 shape: worst-return items per channel — the returned
+    quantity ratio per (channel, item) with a support floor, RANKed
+    within each channel, top-10 per channel reported across all
+    channels.  Q49's distinctive parts are the returns-over-sales ratio
+    metric (l_returnflag standing in for the returns fact) and the
+    rank-then-union-across-channels report.
+
+    Exactness: both sums stay DECIMAL to the per-item grain, cast to
+    DOUBLE once; the ratio division and its rank ordering are then
+    IEEE-identical in both engines, with the item key breaking ties.
+
+    Scale shape: one fact join, one (channel, item) partial/final
+    reduce, a channel-partitioned rank that prunes through
+    WindowGroupLimit (plan-gated) before the final sort — never a
+    global window.  Reference frame: dev/auron-it TPC-DS battery
+    (q49).""",
+)

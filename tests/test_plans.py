@@ -2599,3 +2599,17 @@ def test_cross_channel_intersect_semi_joins(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "1-URGENT" in plan, plan
+
+
+def test_return_ratio_ranks_window_group_limit(spark):
+    """ds_return_ratio_ranks (TPC-DS Q49 shape): the rank<=10 filter
+    must prune through WindowGroupLimit below the channel-partitioned
+    window (never a global window), and the date filter must push to
+    the orders scan."""
+    plan = _plan(spark, "ds_return_ratio_ranks")
+    assert "WindowGroupLimit" in plan, plan
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "channel" in line, line
+    assert "1996-01-01" in plan, plan
+    assert "CartesianProduct" not in plan, plan
