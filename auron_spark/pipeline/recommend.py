@@ -1321,3 +1321,153 @@ def rec_als_rank_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     and residuals map-side.  Plan-gated: broadcast factor attach,
     partial/final Gram aggregate, zero Python eval nodes."""
     return _rank_k_user_step(spark, sf_dir, _ALS_K)
+
+
+def _rk_norm(prefix: str, k: int) -> str:
+    return " + ".join(f"{prefix}{f} * {prefix}{f}" for f in range(k))
+
+
+def _rank_k_round_oracle(k: int) -> str:
+    lam = _ALS_LAMBDA
+    dot0 = _rk_dot("p_", "q_", k)
+    dotn = _rk_dot("p_", "qn_", k)
+    return f"""
+    WITH {_ALS_RATINGS_SQL},
+    q AS (
+        SELECT DISTINCT event_type,
+               {', '.join(_rk_factor_exprs('event_type', k, 'q_', True))}
+        FROM r
+    ),
+    j AS (
+        SELECT r.user_id, r.event_type, r.r,
+               {', '.join(f'q.q_{f}' for f in range(k))}
+        FROM r JOIN q ON q.event_type = r.event_type
+    ),
+    su AS (
+        SELECT user_id, {', '.join(_rk_stat_exprs(k, 'q_', True))}
+        FROM j GROUP BY user_id
+    ),
+    p AS (
+        SELECT user_id, {', '.join(f'p_{f}' for f in range(k))}
+        FROM {_rk_nest_layers('su', _rk_ldlt_layers(k, lam, 'p_'))}
+    ),
+    j2 AS (
+        SELECT j.*, {', '.join(f'p.p_{f}' for f in range(k))}
+        FROM j JOIN p ON p.user_id = j.user_id
+    ),
+    si AS (
+        SELECT event_type, {', '.join(_rk_stat_exprs(k, 'p_', True))}
+        FROM j2 GROUP BY event_type
+    ),
+    qn AS (
+        SELECT event_type, {', '.join(f'qn_{f}' for f in range(k))}
+        FROM {_rk_nest_layers('si', _rk_ldlt_layers(k, lam, 'qn_'))}
+    ),
+    j3 AS (
+        SELECT j2.*, {', '.join(f'qn.qn_{f}' for f in range(k))}
+        FROM j2 JOIN qn ON qn.event_type = j2.event_type
+    ),
+    np AS (SELECT CAST(SUM({_ALS_R9.format(t=_rk_norm('p_', k))})
+                  AS DOUBLE) AS v FROM p),
+    nq0 AS (SELECT CAST(SUM({_ALS_R9.format(t=_rk_norm('q_', k))})
+                   AS DOUBLE) AS v FROM q),
+    nq1 AS (SELECT CAST(SUM({_ALS_R9.format(t=_rk_norm('qn_', k))})
+                   AS DOUBLE) AS v FROM qn),
+    se AS (
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_items,
+               CAST(COUNT(*) AS BIGINT) AS n_ratings,
+               CAST(SUM({_ALS_R9.format(
+                   t=f'(r - ({dot0})) * (r - ({dot0}))')}) AS DOUBLE)
+                   AS se_u,
+               CAST(SUM({_ALS_R9.format(
+                   t=f'(r - ({dotn})) * (r - ({dotn}))')}) AS DOUBLE)
+                   AS se_i
+        FROM j3
+    )
+    SELECT se.n_users, se.n_items, se.n_ratings,
+           ROUND(sqrt(se.se_u / se.n_ratings), 6) AS rmse_user_step,
+           ROUND(sqrt(se.se_i / se.n_ratings), 6) AS rmse_item_step,
+           ROUND(se.se_u + {lam} * (np.v + nq0.v), 6) AS obj_user_step,
+           ROUND(se.se_i + {lam} * (np.v + nq1.v), 6) AS obj_item_step
+    FROM se CROSS JOIN np CROSS JOIN nq0 CROSS JOIN nq1
+    """
+
+
+def _rank_k_round(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    lam = _ALS_LAMBDA
+    r9 = lambda e: F.expr(_ALS_R9.format(t=e))  # noqa: E731
+    t = Tables(spark, sf_dir)
+    r = _als_ratings(t)
+    q0 = r.select("event_type").distinct().selectExpr(
+        "event_type", *_rk_factor_exprs("event_type", k, "q_", False)
+    )
+    j = r.join(F.broadcast(q0), "event_type").localCheckpoint(eager=False)
+    su = j.groupBy("user_id").agg(
+        *[F.expr(e) for e in _rk_stat_exprs(k, "q_", False)]
+    )
+    p = su
+    for lay in _rk_ldlt_layers(k, lam, "p_"):
+        p = p.selectExpr("*", *lay)
+    p = p.select("user_id", *[f"p_{f}" for f in range(k)])
+    j2 = j.join(p, "user_id").localCheckpoint(eager=False)
+    si = j2.groupBy("event_type").agg(
+        *[F.expr(e) for e in _rk_stat_exprs(k, "p_", False)]
+    )
+    qn = si
+    for lay in _rk_ldlt_layers(k, lam, "qn_"):
+        qn = qn.selectExpr("*", *lay)
+    qn = qn.select("event_type", *[f"qn_{f}" for f in range(k)])
+    j3 = j2.join(F.broadcast(qn), "event_type")
+    np_ = p.agg(F.sum(r9(_rk_norm("p_", k))).cast("double").alias("np_v"))
+    nq0 = q0.agg(F.sum(r9(_rk_norm("q_", k))).cast("double").alias("nq0_v"))
+    nq1 = qn.agg(F.sum(r9(_rk_norm("qn_", k))).cast("double").alias("nq1_v"))
+    dot0, dotn = _rk_dot("p_", "q_", k), _rk_dot("p_", "qn_", k)
+    se = j3.agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.count_distinct("event_type").cast("bigint").alias("n_items"),
+        F.count("*").cast("bigint").alias("n_ratings"),
+        F.sum(r9(f"(r - ({dot0})) * (r - ({dot0}))")).cast("double")
+        .alias("se_u"),
+        F.sum(r9(f"(r - ({dotn})) * (r - ({dotn}))")).cast("double")
+        .alias("se_i"),
+    )
+    return (
+        se.join(F.broadcast(np_))
+        .join(F.broadcast(nq0))
+        .join(F.broadcast(nq1))
+        .selectExpr(
+            "n_users", "n_items", "n_ratings",
+            "ROUND(sqrt(se_u / n_ratings), 6) AS rmse_user_step",
+            "ROUND(sqrt(se_i / n_ratings), 6) AS rmse_item_step",
+            f"ROUND(se_u + {lam} * (np_v + nq0_v), 6) AS obj_user_step",
+            f"ROUND(se_i + {lam} * (np_v + nq1_v), 6) AS obj_item_step",
+        )
+    )
+
+
+@query(
+    "rec_als_rank_k_round",
+    oracle=_rank_k_round_oracle(_ALS_K),
+    tags=("pipeline", "recommendation", "als", "factorization", "rank-k"),
+)
+def rec_als_rank_k_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One FULL ALS alternating round at PRODUCTION RANK (k=8,
+    k-parametric) — `rec_als_alternating_round` lifted from the 2x2
+    adjugate to the k x k LDL^T device: user solves from the broadcast
+    md5 item factors Q0, item solves from the live P1, RMSE and the
+    regularized objective J = SE + lambda*(|P|^2 + |Q|^2) after each
+    half-step.  The item step exactly minimizes J over Q with P1 fixed,
+    so obj_item_step <= obj_user_step stays a THEOREM at every rank
+    (pinned in tests alongside the k=2 equality to the proven round).
+
+    Exactness: both solve chains are the shared layered rational text
+    (no sqrt), every sum rides ROUND(.,9)->DECIMAL — bit-identical
+    across engines through TWO chained k=8 solves.
+
+    Scale shape: unchanged from k=2 — two sufficient-statistics
+    shuffles (now k(k+1)/2 + k + 1 values per entity), item factors
+    broadcast both times, user factors ride the ratings' native
+    user_id grain, rating joins localCheckpointed so lineage stays
+    flat."""
+    return _rank_k_round(spark, sf_dir, _ALS_K)

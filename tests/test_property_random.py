@@ -3184,3 +3184,32 @@ def test_krippendorff_ratio_matches_bruteforce(spark):
         alpha = 1.0 - d_o / d_e
         assert got[lang].n_units == len(units)
         assert abs(got[lang].alpha - alpha) < 1e-6, (lang, got[lang], alpha)
+
+
+def test_als_rank_k_round_monotone_and_k2_pin(spark):
+    """rec_als_rank_k_round: (a) the objective must be non-increasing
+    across the item half-step at k=8 (exact-minimizer THEOREM, rank-
+    independent); (b) the k=2 specialization must reproduce the PROVEN
+    `rec_als_alternating_round` report (adjugate vs LDL^T — same math,
+    different exact algebra)."""
+    from auron_spark.pipeline.recommend import _rank_k_round
+    from auron_spark.registry import load_all
+
+    got8 = (
+        load_all()["rec_als_rank_k_round"].build(spark, SF_SMOKE).collect()[0]
+    )
+    assert got8.obj_item_step <= got8.obj_user_step + 1e-6, got8
+    assert got8.rmse_item_step <= got8.rmse_user_step + 1e-6, got8
+
+    got2 = _rank_k_round(spark, SF_SMOKE, 2).collect()[0]
+    ref = (
+        load_all()["rec_als_alternating_round"]
+        .build(spark, SF_SMOKE)
+        .collect()[0]
+    )
+    assert (got2.n_users, got2.n_items, got2.n_ratings) == (
+        ref.n_users, ref.n_items, ref.n_ratings,
+    )
+    for col in ("rmse_user_step", "rmse_item_step",
+                "obj_user_step", "obj_item_step"):
+        assert abs(got2[col] - ref[col]) <= 2e-5, (col, got2[col], ref[col])
