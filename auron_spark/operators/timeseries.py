@@ -1972,10 +1972,19 @@ def run_holt(spark: SparkSession, table: str = "events") -> DataFrame:
     n_days = spark.sql(
         f"SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n FROM {table}"
     ).collect()[0]["n"]
-    spark.conf.set(
-        "spark.sql.cteRecursionLevelLimit", str(max(100, int(n_days) + 16))
-    )
-    return spark.sql(_holt_sql(table))
+    key = "spark.sql.cteRecursionLevelLimit"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(max(100, int(n_days) + 16)))
+    try:
+        # The limit is read at EXECUTION, not plan time, so the recursion
+        # must materialize before the conf restores — localCheckpoint on
+        # the <=1-row report is free and keeps the raised limit scoped to
+        # this call instead of leaking into the shared session, where it
+        # would defeat the stock cap's runaway-recursion guard for every
+        # later query (review r14 #5).
+        return spark.sql(_holt_sql(table)).localCheckpoint()
+    finally:
+        spark.conf.set(key, prev)
 
 
 @query(

@@ -837,7 +837,8 @@ filled AS (
     FROM j
 )
 SELECT item, CAST(COUNT(*) AS BIGINT) AS n_days_ahead,
-       ROUND(CAST(MAX(web_fill - store_fill) AS DOUBLE), 2) AS max_lead
+       ROUND(CAST(MAX(web_fill - COALESCE(store_fill, 0)) AS DOUBLE), 2)
+           AS max_lead
 FROM filled
 WHERE web_fill > COALESCE(store_fill, 0)
 GROUP BY item
@@ -857,7 +858,10 @@ _sql_query(
     crossover report: days where the web cumulative leads the store
     cumulative, with the maximum lead.  Composes windows-over-joins in
     the one order the battery lacked (window BEFORE the join, fill
-    AFTER it).
+    AFTER it).  A store channel that has not started yet counts as 0 in
+    the lead (review r14 #2: the un-coalesced difference silently
+    dropped pre-first-store-sale days from MAX and could emit NULL
+    leads into the DESC order).
 
     Exactness: cumulative and fill windows run over DECIMAL (order-
     insensitive sums, exact running max); the lead difference casts to

@@ -1143,7 +1143,19 @@ def _rk_pairs(k: int) -> list[tuple[int, int]]:
 def _rk_factor_exprs(key_expr: str, k: int, prefix: str,
                      duck: bool) -> list[str]:
     """Deterministic md5-nibble rank-k factors — 4 hex chars per dimension.
-    `duck` picks the engine spelling of hex->int ('0x' cast vs conv)."""
+    `duck` picks the engine spelling of hex->int ('0x' cast vs conv).
+
+    One md5 digest supplies exactly 8 four-nibble factors; past that the
+    substr is empty and the engines DIVERGE silently (Spark conv('')
+    yields NULL, DuckDB '0x' cast throws), so higher ranks must chain a
+    second digest — fail loudly instead (review r14 #3).  The
+    sufficient-statistics + LDL^T solve device itself is rank-agnostic;
+    only this deterministic FIXTURE factor source is capped."""
+    if not 1 <= k <= 8:
+        raise ValueError(
+            f"md5 fixture factors support k in [1, 8], got k={k}; chain "
+            "md5(key || 'salt') digests for higher ranks"
+        )
     out = []
     for f in range(k):
         sub = f"substr(md5({key_expr}), {1 + 4 * f}, 4)"

@@ -383,8 +383,12 @@ def _build_vector_corpus(dest: str, n_vecs: int) -> dict:
             "build_sec": round(time.perf_counter() - t0, 3)}
 
 
-def _run_group(group: str, sf_dir: str, second: str) -> dict:
-    """Child mode: run one group's queries in this process's own JVM."""
+def _run_group(group: str, sf_dir: str, second: str,
+               rerun: bool = False) -> dict:
+    """Child mode: run one group's queries in this process's own JVM.
+    ``rerun`` marks an adjudication re-measurement: only the warm numbers
+    are adopted by `_adjudicate`, so the sf2 leg and the index builds —
+    which the caller would discard — are skipped (review r14 #4)."""
     # Size the bench JVM heap to its 32 concurrent tasks (round-13 text_scale
     # diagnosis): at the session default 8g, 32 string-heavy tasks GC-thrash —
     # the leg read 30.8-38.0 s with uniform inflation and huge run-to-run
@@ -445,12 +449,12 @@ def _run_group(group: str, sf_dir: str, second: str) -> dict:
         # are now a round-over-round series like the headline set, so they
         # carry the same two-pass variance bracket.
         warm_runs[name] = [run(spec, sf_dir) for _ in range(2)]
-    if second and os.path.isdir(second) and second != sf_dir:
+    if not rerun and second and os.path.isdir(second) and second != sf_dir:
         for name, spec in sorted(specs.items()):
             warm2[name] = run(spec, second)
 
     index_build: dict[str, float] = {}
-    if group == "trainers":
+    if group == "trainers" and not rerun:
         from auron_spark.pipeline.retrieval import build_bm25_index
         from auron_spark.pipeline.similarity import build_ivfpq_index
 
@@ -466,7 +470,7 @@ def _run_group(group: str, sf_dir: str, second: str) -> dict:
         build_bm25_index(spark, sf_dir, force=True, out_dir=scratch)
         index_build["bm25_sec"] = round(time.perf_counter() - t0, 3)
         shutil.rmtree(scratch, ignore_errors=True)
-    if group == "text_scale":
+    if group == "text_scale" and not rerun:
         # The scale corpus is where the BM25 build cost is actually visible
         # (the driver fixture is 500 docs at every SF).
         from auron_spark.pipeline.retrieval import build_bm25_index
@@ -497,7 +501,10 @@ def main() -> None:
 
     if len(sys.argv) > 1 and sys.argv[1] == "--group":
         # Child: print this group's result as the last line and exit.
-        print(json.dumps(_run_group(sys.argv[2], sys.argv[3], sys.argv[4])))
+        print(json.dumps(_run_group(
+            sys.argv[2], sys.argv[3], sys.argv[4],
+            rerun=len(sys.argv) > 5 and sys.argv[5] == "rerun",
+        )))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--shard":
         print(json.dumps(_build_shards(sys.argv[2:])))
@@ -546,7 +553,7 @@ def main() -> None:
         res = _child(["--group", group, run_dir, second_dir])
         res, verdict = _adjudicate(
             group, res, brackets,
-            lambda g=group: _child(["--group", g, run_dir, second_dir]),
+            lambda g=group: _child(["--group", g, run_dir, "", "rerun"]),
         )
         if verdict:
             adjudications.append(verdict)
@@ -569,7 +576,7 @@ def main() -> None:
         index_build.update(res.get("index_build", {}))
         res, verdict = _adjudicate(
             "text_scale", res, brackets,
-            lambda: _child(["--group", "text_scale", corpus, ""]),
+            lambda: _child(["--group", "text_scale", corpus, "", "rerun"]),
         )
         if verdict:
             adjudications.append(verdict)
@@ -598,8 +605,8 @@ def main() -> None:
             res[key].update(fold[key])
 
         def _rerun_vector() -> dict:
-            f2 = _child(["--group", "vector_fold", vcorpus, ""])
-            r2 = _child(["--group", "vector_scale", vcorpus, ""])
+            f2 = _child(["--group", "vector_fold", vcorpus, "", "rerun"])
+            r2 = _child(["--group", "vector_scale", vcorpus, "", "rerun"])
             for key in ("warm", "warm_runs", "cold"):
                 r2[key].update(f2[key])
             return r2

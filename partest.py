@@ -154,10 +154,16 @@ def main() -> int:
             old_best = old.get("best", old)  # pre-r14 records were flat
             old_counts = old.get("counts", {})
             if set(old_best) == set(walls):
+                # Merge ONLY when the recorded count proves the workload is
+                # unchanged — an unknown old count (pre-r14 flat record, or
+                # a hand-edited file) must reset, not merge: treating None
+                # as "unchanged" would min-merge walls measured under a
+                # different test plan, which is exactly the stale-floor
+                # failure the count reset exists to prevent (review r14 #1).
                 best = {
                     k: min(walls[k], old_best[k])
-                    if old_counts.get(k) in (None, counts[k])
-                    else walls[k]  # workload changed: stale min discarded
+                    if old_counts.get(k) == counts[k]
+                    else walls[k]  # workload changed/unknown: reset
                     for k in walls
                 }
         except ValueError:

@@ -1266,6 +1266,10 @@ def test_window_group_limit_prunes_heaviest_skew_key(spark):
 
     key = "spark.sql.optimizer.windowGroupLimitThreshold"
     default = spark.conf.get(key)
+    # Under partest (SPARK_GRAFT_TEST_SHARD set) the wall comparison below
+    # is skipped, so don't pay for its six timed runs either — one run per
+    # plan mode feeds the plan-shape and row-equality asserts.
+    timed = os.environ.get("SPARK_GRAFT_TEST_SHARD") is None
 
     def run():
         df = topk()
@@ -1280,12 +1284,12 @@ def test_window_group_limit_prunes_heaviest_skew_key(spark):
 
     try:
         plan_on, rows_on, t_on1 = run()
-        _, _, t_on2 = run()  # warm
-        _, _, t_on3 = run()
+        t_on2 = run()[2] if timed else t_on1  # warm
+        t_on3 = run()[2] if timed else t_on1
         spark.conf.set(key, "-1")
         plan_off, rows_off, t_off1 = run()
-        _, _, t_off2 = run()  # warm
-        _, _, t_off3 = run()
+        t_off2 = run()[2] if timed else t_off1  # warm
+        t_off3 = run()[2] if timed else t_off1
     finally:
         spark.conf.set(key, default)
 
@@ -1300,7 +1304,7 @@ def test_window_group_limit_prunes_heaviest_skew_key(spark):
     # the box and sub-second walls measure scheduler weather, not pruning:
     # the suite's ONLY timing assert was its only flake (VERDICT r13 #1),
     # so the wall comparison runs in serial/isolated sessions only.
-    if os.environ.get("SPARK_GRAFT_TEST_SHARD") is None:
+    if timed:
         assert min(t_on1, t_on2, t_on3) <= min(t_off1, t_off2, t_off3) * 3.0, (
             t_on1, t_on2, t_on3, t_off1, t_off2, t_off3,
         )

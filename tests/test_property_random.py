@@ -2795,8 +2795,12 @@ def test_holt_linear_survives_120_day_calendar(spark):
     spark.createDataFrame(rows, "ts timestamp").createOrReplaceTempView(
         "holt_days_120"
     )
+    key = "spark.sql.cteRecursionLevelLimit"
+    before = spark.conf.get(key)
     got = run_holt(spark, "holt_days_120").collect()[0]
-    assert int(spark.conf.get("spark.sql.cteRecursionLevelLimit")) >= 136
+    # the raised limit is scoped to the call (materialize-then-restore) —
+    # the shared session keeps its runaway-recursion guard
+    assert spark.conf.get(key) == before
     con = duckdb.connect()
     con.execute(
         "CREATE TABLE holt_days_120 AS SELECT "
