@@ -1005,3 +1005,66 @@ _sql_query(
     global window.  Reference frame: dev/auron-it TPC-DS battery
     (q49).""",
 )
+
+
+_RETURNS_EXCLUDED_RATIO = """
+WITH returns_fact AS (
+    SELECT l_orderkey AS r_orderkey, l_linenumber AS r_linenumber
+    FROM lineitem WHERE l_returnflag = 'R'
+),
+clean AS (
+    SELECT o_custkey AS cust, CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 'pr' ELSE 'st' END AS ch,
+           CAST(l_extendedprice AS DECIMAL(18,2)) AS amt,
+           l_quantity AS qty
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    LEFT JOIN returns_fact
+      ON r_orderkey = l_orderkey AND r_linenumber = l_linenumber
+    WHERE r_orderkey IS NULL
+),
+pr AS (
+    SELECT cust, yr, SUM(qty) AS q, SUM(amt) AS a
+    FROM clean WHERE ch = 'pr' GROUP BY cust, yr
+),
+st AS (
+    SELECT cust, yr, SUM(qty) AS q, SUM(amt) AS a
+    FROM clean WHERE ch = 'st' GROUP BY cust, yr
+)
+SELECT pr.cust, pr.yr,
+       CAST(pr.q AS DOUBLE) AS pr_qty,
+       CAST(st.q AS DOUBLE) AS st_qty,
+       ROUND(CAST(pr.q AS DOUBLE) / CAST(st.q AS DOUBLE), 6) AS qty_ratio,
+       ROUND(CAST(pr.a AS DOUBLE), 2) AS pr_amt
+FROM pr JOIN st ON st.cust = pr.cust AND st.yr = pr.yr
+WHERE CAST(st.q AS DOUBLE) >= 50
+ORDER BY qty_ratio DESC, pr.cust, pr.yr
+LIMIT 25
+"""
+
+_sql_query(
+    "ds_returns_excluded_ratio",
+    _RETURNS_EXCLUDED_RATIO,
+    ("tpcds-shape", "fact-to-fact", "null-filtered-left-join"),
+    """TPC-DS Q78 shape: returns-EXCLUDED sales — a fact-to-fact LEFT
+    JOIN from the sales grain onto a derived returns fact keyed by
+    (order, line), kept only where the returns side is NULL (Q78's
+    signature ws_order_number IS NULL device — the null-filtered outer
+    join spelling of anti-join between two fact-grain inputs), then the
+    per-(customer, year) cross-channel quantity ratio with a support
+    floor.
+
+    Exactness: quantity/amount sums stay DECIMAL to the (customer,
+    year) grain; the ratio is one double division of exact-derived
+    values; the top-25 orders on the full (ratio, cust, yr) key.
+
+    Scale shape: the returns fact derives from the same scan with the
+    flag filter pushed down; the exclusion join is an equi-join on the
+    (order, line) key pair — at fact scale it shuffles both sides on
+    the same key once (or anti-rewrites where the optimizer proves it);
+    channel aggregates are partial/final at customer-year grain and
+    their final join is an equi-join on that grain.  No cartesian, no
+    global window, top-25 is TakeOrderedAndProject.  Reference frame:
+    dev/auron-it TPC-DS battery (q78).""",
+)

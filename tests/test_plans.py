@@ -2617,3 +2617,18 @@ def test_return_ratio_ranks_window_group_limit(spark):
             assert "channel" in line, line
     assert "1996-01-01" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_returns_excluded_ratio_join_shapes(spark):
+    """ds_returns_excluded_ratio (TPC-DS Q78 shape): the returns
+    exclusion must be an equi-join on the (order, line) key pair —
+    either the literal null-filtered LEFT JOIN or the optimizer's
+    anti-join rewrite, never a cartesian/BNLJ — with the returnflag
+    filter pushed to the returns-fact scan, and the top-25 as
+    TakeOrderedAndProject."""
+    plan = _plan(spark, "ds_returns_excluded_ratio")
+    assert "LeftAnti" in plan or "LeftOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "R" in plan and "l_returnflag" in plan, plan
