@@ -1483,3 +1483,149 @@ def rec_als_rank_k_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id grain, rating joins localCheckpointed so lineage stays
     flat."""
     return _rank_k_round(spark, sf_dir, _ALS_K)
+
+
+def _rk_implicit_stat_exprs(k: int) -> list[str]:
+    """Per-user HKV correction statistics: c_i_j = SUM(alpha*r * q_i*q_j)
+    (the confidence-weighted Gram correction — only OBSERVED pairs) and
+    b_i = SUM((1 + alpha*r) * q_i), on the order-free decimal contract."""
+    a = _ALS_IMPL_ALPHA
+    out = [
+        f"CAST(SUM({_ALS_R9.format(t=f'{a} * r * q_{i} * q_{j}')})"
+        f" AS DOUBLE) AS c_{i}_{j}"
+        for i, j in _rk_pairs(k)
+    ]
+    out += [
+        f"CAST(SUM({_ALS_R9.format(t=f'(1 + {a} * r) * q_{i}')})"
+        f" AS DOUBLE) AS b_{i}"
+        for i in range(k)
+    ]
+    return out
+
+
+def _rk_gram_exprs(k: int) -> list[str]:
+    """Global item-factor Gram (the HKV 'everything is a zero' term):
+    g_i_j = SUM(q_i * q_j) over the DISTINCT item factors."""
+    return [
+        f"CAST(SUM({_ALS_R9.format(t=f'q_{i} * q_{j}')}) AS DOUBLE)"
+        f" AS g_{i}_{j}"
+        for i, j in _rk_pairs(k)
+    ]
+
+
+def _rank_k_implicit_oracle(k: int) -> str:
+    dot = _rk_dot("j.p_", "j.q_", k)
+    sums = ", ".join(
+        f"g_{i}_{j} + c_{i}_{j} AS s_{i}_{j}" for i, j in _rk_pairs(k)
+    )
+    return f"""
+    WITH {_ALS_RATINGS_SQL},
+    q AS (
+        SELECT DISTINCT event_type,
+               {', '.join(_rk_factor_exprs('event_type', k, 'q_', True))}
+        FROM r
+    ),
+    gram AS (SELECT {', '.join(_rk_gram_exprs(k))} FROM q),
+    jq AS (
+        SELECT r.user_id, r.r, {', '.join(f'q.q_{f}' for f in range(k))}
+        FROM r JOIN q ON q.event_type = r.event_type
+    ),
+    s AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_obs,
+               {', '.join(_rk_implicit_stat_exprs(k))}
+        FROM jq GROUP BY user_id
+    ),
+    a AS (
+        SELECT user_id, n_obs, {sums},
+               {', '.join(f'b_{i}' for i in range(k))}
+        FROM s CROSS JOIN gram
+    ),
+    p AS (
+        SELECT user_id, {', '.join(f'p_{f}' for f in range(k))}
+        FROM {_rk_nest_layers('a', _rk_ldlt_layers(k, _ALS_LAMBDA, 'p_'))}
+    ),
+    j AS (
+        SELECT jq.*, {', '.join(f'p.p_{f}' for f in range(k))}
+        FROM jq JOIN p ON p.user_id = jq.user_id
+    )
+    SELECT CAST(COUNT(DISTINCT j.user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_obs_pairs,
+           ROUND(CAST(SUM({_ALS_R9.format(t=f'{dot}')}) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_pref_obs,
+           {', '.join(
+               f"ROUND(CAST(SUM({_ALS_R9.format(t=f'j.p_{f}')}) AS DOUBLE)"
+               f" / COUNT(*), 6) AS mean_p{f}" for f in range(k))}
+    FROM j
+    """
+
+
+def _rank_k_implicit_step(
+    spark: SparkSession, sf_dir: str, k: int
+) -> DataFrame:
+    r9 = lambda e: F.expr(_ALS_R9.format(t=e))  # noqa: E731
+    t = Tables(spark, sf_dir)
+    r = _als_ratings(t)
+    q = r.select("event_type").distinct().selectExpr(
+        "event_type", *_rk_factor_exprs("event_type", k, "q_", False)
+    ).localCheckpoint(eager=False)
+    gram = q.agg(*[F.expr(e) for e in _rk_gram_exprs(k)])
+    jq = r.join(F.broadcast(q), "event_type").select(
+        "user_id", "r", *[f"q_{f}" for f in range(k)]
+    ).localCheckpoint(eager=False)
+    s = jq.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_obs"),
+        *[F.expr(e) for e in _rk_implicit_stat_exprs(k)],
+    )
+    a = s.join(F.broadcast(gram)).selectExpr(
+        "user_id",
+        "n_obs",
+        *[f"g_{i}_{j} + c_{i}_{j} AS s_{i}_{j}" for i, j in _rk_pairs(k)],
+        *[f"b_{i}" for i in range(k)],
+    )
+    p = a
+    for lay in _rk_ldlt_layers(k, _ALS_LAMBDA, "p_"):
+        p = p.selectExpr("*", *lay)
+    p = p.select("user_id", *[f"p_{f}" for f in range(k)])
+    dot = _rk_dot("p_", "q_", k)
+    return jq.join(p, "user_id").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.count("*").cast("bigint").alias("n_obs_pairs"),
+        F.round(
+            F.sum(r9(dot)).cast("double") / F.count("*"), 6
+        ).alias("mean_pref_obs"),
+        *[
+            F.round(
+                F.sum(r9(f"p_{f}")).cast("double") / F.count("*"), 6
+            ).alias(f"mean_p{f}")
+            for f in range(k)
+        ],
+    )
+
+
+@query(
+    "rec_als_rank_k_implicit",
+    oracle=_rank_k_implicit_oracle(_ALS_K),
+    tags=("pipeline", "recommendation", "als", "implicit-feedback",
+          "rank-k"),
+)
+def rec_als_rank_k_implicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IMPLICIT-feedback (Hu-Koren-Volinsky) ALS user-step at
+    PRODUCTION RANK (k=8, k-parametric) — completing the rank-k trilogy
+    (user step, alternating round, implicit step): every observed
+    interaction is preference 1 with confidence 1 + alpha*r, every
+    unobserved pair preference 0 with confidence 1, and the naive
+    users x catalog dense system collapses through the HKV identity
+    A_u = Q^T Q + Q_u^T diag(alpha*r) Q_u + lambda I — the GLOBAL k x k
+    Gram (one broadcast row, the 'all the zeros' term) plus a
+    per-user correction over OBSERVED pairs only, so the step is
+    O(observed), never O(users x items).  The solve is the same layered
+    LDL^T rational text as the explicit rank-k step.
+
+    Exactness: Gram, corrections and gradients all ride
+    ROUND(.,9)->DECIMAL; the k=2 specialization is equality-pinned to
+    the proven `rec_als_implicit_step` 2x2 adjugate in tests.
+
+    Scale shape: one sufficient-statistics shuffle of k(k+1)/2 + k + 1
+    values per user; the Gram is a single broadcast row (k x k doubles);
+    item factors broadcast; solve and preference residuals map-side."""
+    return _rank_k_implicit_step(spark, sf_dir, _ALS_K)

@@ -3217,3 +3217,79 @@ def test_als_rank_k_round_monotone_and_k2_pin(spark):
     for col in ("rmse_user_step", "rmse_item_step",
                 "obj_user_step", "obj_item_step"):
         assert abs(got2[col] - ref[col]) <= 2e-5, (col, got2[col], ref[col])
+
+
+def test_als_rank_k_implicit_k2_pin_and_numpy(spark):
+    """rec_als_rank_k_implicit: (a) the k=2 specialization must
+    reproduce the PROVEN `rec_als_implicit_step` report (adjugate vs
+    layered LDL^T on the same HKV system); (b) at k=8 the per-user HKV
+    solves must match numpy LAPACK on A_u = Q^T Q + Q_u^T C Q_u + lam I."""
+    import duckdb
+    import numpy as np
+
+    from auron_spark.pipeline.recommend import (
+        _ALS_IMPL_ALPHA,
+        _ALS_K,
+        _ALS_LAMBDA,
+        _rank_k_implicit_step,
+    )
+    from auron_spark.registry import load_all
+
+    got2 = _rank_k_implicit_step(spark, SF_SMOKE, 2).collect()[0]
+    ref = (
+        load_all()["rec_als_implicit_step"].build(spark, SF_SMOKE).collect()[0]
+    )
+    assert got2.n_users == ref.n_users
+    assert got2.n_obs_pairs == ref.n_obs_pairs
+    assert abs(got2.mean_pref_obs - ref.mean_pref_obs) <= 1e-6
+    assert abs(got2.mean_p0 - ref.mean_p1) <= 1e-6
+    assert abs(got2.mean_p1 - ref.mean_p2) <= 1e-6
+
+    k = _ALS_K
+    got = (
+        load_all()["rec_als_rank_k_implicit"].build(spark, SF_SMOKE)
+        .collect()[0]
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet')"
+    )
+    rows = con.execute(
+        """
+        WITH r AS (
+            SELECT user_id, event_type,
+                   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                   / COUNT(*) / 100.0 AS r
+            FROM events GROUP BY user_id, event_type
+        )
+        SELECT user_id, md5(event_type), r FROM r
+        """
+    ).fetchall()
+    items = {}
+    by_user: dict = {}
+    for uid, h, r in rows:
+        q = np.array(
+            [(int(h[4 * f: 4 * f + 4], 16) % 1000) / 1000.0
+             for f in range(k)]
+        )
+        items[h] = q
+        by_user.setdefault(uid, []).append((q, r))
+    Q = np.array(list(items.values()))
+    G = Q.T @ Q
+    prefs, facs, n = [], [], 0
+    for uid, obs in by_user.items():
+        Qu = np.array([q for q, _ in obs])
+        rv = np.array([r for _, r in obs])
+        A = G + Qu.T @ np.diag(_ALS_IMPL_ALPHA * rv) @ Qu \
+            + _ALS_LAMBDA * np.eye(k)
+        b = Qu.T @ (1 + _ALS_IMPL_ALPHA * rv)
+        p = np.linalg.solve(A, b)
+        facs.append((p, len(obs)))
+        prefs.extend(Qu @ p)
+        n += len(obs)
+    assert got.n_obs_pairs == n
+    assert abs(got.mean_pref_obs - np.mean(prefs)) < 1e-5
+    for f in range(k):
+        mean_f = sum(p[f] * cnt for p, cnt in facs) / n
+        assert abs(got[3 + f] - mean_f) < 1e-5, (f, got[3 + f], mean_f)
