@@ -3293,3 +3293,48 @@ def test_als_rank_k_implicit_k2_pin_and_numpy(spark):
     for f in range(k):
         mean_f = sum(p[f] * cnt for p, cnt in facs) / n
         assert abs(got[3 + f] - mean_f) < 1e-5, (f, got[3 + f], mean_f)
+
+
+def test_rk_ldlt_solver_random_spd_systems(spark):
+    """The layered LDL^T device (`_rk_ldlt_layers`) is the round-14 ALS
+    family's load-bearing solver — fuzz it directly: 40 random SPD ridge
+    systems per rank k in {1,2,3,5,8} (seeded numpy Grams from random
+    Q matrices, so S = Q^T Q is PSD and S + lam I is PD), solved in ONE
+    Spark frame through the layered selectExpr text, must match
+    numpy.linalg.solve row for row."""
+    import numpy as np
+
+    from auron_spark.pipeline.recommend import (
+        _ALS_LAMBDA,
+        _rk_ldlt_layers,
+        _rk_pairs,
+    )
+
+    rng = np.random.default_rng(20260816)
+    for k in (1, 2, 3, 5, 8):
+        rows, want = [], []
+        for i in range(40):
+            Q = rng.normal(size=(rng.integers(k, 3 * k + 2), k))
+            S = Q.T @ Q
+            b = rng.normal(size=k)
+            want.append(
+                np.linalg.solve(S + _ALS_LAMBDA * np.eye(k), b)
+            )
+            row = {"sys_id": i}
+            row.update({
+                f"s_{a}_{c}": float(S[a, c]) for a, c in _rk_pairs(k)
+            })
+            row.update({f"b_{f}": float(b[f]) for f in range(k)})
+            rows.append(row)
+        df = spark.createDataFrame(rows)
+        for lay in _rk_ldlt_layers(k, _ALS_LAMBDA, "x_"):
+            df = df.selectExpr("*", *lay)
+        got = {
+            r["sys_id"]: [r[f"x_{f}"] for f in range(k)]
+            for r in df.select(
+                "sys_id", *[f"x_{f}" for f in range(k)]
+            ).collect()
+        }
+        for i, w in enumerate(want):
+            g = np.array(got[i])
+            assert np.allclose(g, w, rtol=1e-8, atol=1e-9), (k, i, g, w)
