@@ -544,3 +544,192 @@ def feature_winsorize_robust_scale(
         )
         .orderBy("segment", "o_custkey")
     )
+
+
+# --- round 14: distributed PCA via power iteration --------------------
+
+_PCA_R9 = "CAST(ROUND({t}, 9) AS DECIMAL(28,9))"
+_PCA_ITERS = 8
+
+
+def _pca_oracle() -> str:
+    r9 = _PCA_R9.format
+    its = []
+    prev = "v0"
+    for t in range(1, _PCA_ITERS + 1):
+        its.append(f"""
+    w{t} AS MATERIALIZED (
+        SELECT cov.i, CAST(SUM({r9(t=f'cov.c * {prev}.v')}) AS DOUBLE) AS w
+        FROM cov JOIN {prev} ON {prev}.i = cov.j GROUP BY cov.i
+    ),
+    v{t} AS MATERIALIZED (
+        SELECT i, w / sqrt((SELECT CAST(SUM({r9(t='w * w')}) AS DOUBLE)
+                            FROM w{t})) AS v
+        FROM w{t}
+    )""")
+        prev = f"v{t}"
+    return f"""
+    WITH u AS MATERIALIZED (
+        SELECT vec_id, pos AS i, CAST(v AS DOUBLE) AS x
+        FROM (SELECT vec_id, unnest(embedding) AS v,
+                     unnest(range(1, len(embedding) + 1)) AS pos
+              FROM embeddings)
+    ),
+    nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS DOUBLE) AS n FROM u),
+    m AS (
+        SELECT i, CAST(SUM({r9(t='x')}) AS DOUBLE)
+                  / (SELECT n FROM nn) AS mu
+        FROM u GROUP BY i
+    ),
+    s AS MATERIALIZED (
+        SELECT a.i AS i, b.i AS j,
+               CAST(SUM({r9(t='a.x * b.x')}) AS DOUBLE) AS sxx
+        FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY a.i, b.i
+    ),
+    cells AS MATERIALIZED (
+        SELECT s.i, s.j,
+               s.sxx / (SELECT n FROM nn) - ma.mu * mb.mu AS c
+        FROM s JOIN m ma ON ma.i = s.i JOIN m mb ON mb.i = s.j
+    ),
+    cov AS MATERIALIZED (
+        SELECT i, j, c FROM cells
+        UNION ALL SELECT j AS i, i AS j, c FROM cells WHERE i < j
+    ),
+    v0 AS (SELECT i, 0.125 AS v FROM m),
+    {','.join(its)},
+    lam AS (
+        SELECT CAST(SUM({r9(t=f'cov.c * va.v * vb.v')}) AS DOUBLE) AS l1
+        FROM cov
+        JOIN {prev} va ON va.i = cov.i
+        JOIN {prev} vb ON vb.i = cov.j
+    ),
+    tr AS (SELECT CAST(SUM({r9(t='c')}) AS DOUBLE) AS t
+           FROM cov WHERE i = j)
+    SELECT CAST({prev}.i AS BIGINT) AS dim,
+           ROUND({prev}.v, 6) AS loading,
+           ROUND(lam.l1, 6) AS lambda1,
+           ROUND(lam.l1 / tr.t, 6) AS var_explained
+    FROM {prev} CROSS JOIN lam CROSS JOIN tr
+    ORDER BY abs({prev}.v) DESC, {prev}.i
+    LIMIT 8
+    """
+
+
+@query(
+    "feature_pca_power_iteration",
+    oracle=_pca_oracle(),
+    tags=("pipeline", "features", "pca", "iterative", "embedding"),
+)
+def feature_pca_power_iteration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distributed PCA leading component via POWER ITERATION over the
+    embedding corpus — the classic spectral preprocessing step
+    (whitening, Matryoshka-style dominant-direction analysis, ABTT
+    'all-but-the-top' debiasing all start here): the corpus reduces
+    ONCE to the 64x64 covariance (an exact sufficient-statistics
+    Gram — second moments minus outer product of means), then 8 power
+    iterations v <- normalize(C v) run on the BOUNDED 4096-cell frame,
+    and the report is the top-8 |loading| dimensions with the Rayleigh
+    eigenvalue and its variance share.
+
+    Exactness: component products ride ROUND(.,9)->DECIMAL (order-free
+    across the corpus reduce AND the 64-term matvec sums); float32
+    components cast to double exactly; sqrt/divide are IEEE-identical
+    on identical inputs, so 8 chained normalizations stay bit-equal in
+    both engines.  Power iteration from the uniform seed is fully
+    deterministic — no RNG, no sign ambiguity.
+
+    Scale shape: ONE corpus-sized stage (the per-vector component
+    self-join expands 64x65/2 cells per vector and reduces map-side —
+    the standard X^T X pattern; at 100 TB this is the only pass over
+    the data), then every iteration is a join+groupBy on 64-row /
+    4096-row bounded model frames — iterating never rescans the
+    corpus (localCheckpoint flattens the per-iteration lineage).
+    Reference frame: beyond the reference's surface (no ML layer);
+    numpy ALGORITHM twin (same 8 iterations) + a spectrum sanity bound
+    (Rayleigh <= lambda_max) in tests — the fixture's 128 planted
+    clusters make the spectrum near-isotropic, so 8 iterations are a
+    deterministic report, not an eigh-converged eigenpair."""
+    t = Tables(spark, sf_dir)
+    r9 = lambda e: F.expr(_PCA_R9.format(t=e))  # noqa: E731
+    u = (
+        t.parallel("embeddings", "vec_id")
+        .select(
+            "vec_id", F.posexplode("embedding").alias("pos", "v")
+        )
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).alias("i"),
+            F.col("v").cast("double").alias("x"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    n = u.select("vec_id").distinct().count()
+    m = u.groupBy("i").agg(
+        (F.sum(r9("x")).cast("double") / F.lit(float(n))).alias("mu")
+    )
+    a = u.select(F.col("vec_id"), F.col("i").alias("ia"), F.col("x").alias("xa"))
+    b = u.select(F.col("vec_id"), F.col("i").alias("ib"), F.col("x").alias("xb"))
+    s = (
+        a.join(b, ["vec_id"])
+        .where(F.col("ia") <= F.col("ib"))
+        .groupBy(F.col("ia").alias("i"), F.col("ib").alias("j"))
+        .agg(F.sum(r9("xa * xb")).cast("double").alias("sxx"))
+    )
+    ma = m.select(F.col("i").alias("mi"), F.col("mu").alias("mua"))
+    mb = m.select(F.col("i").alias("mj"), F.col("mu").alias("mub"))
+    cells = (
+        s.join(ma, s.i == ma.mi)
+        .join(mb, s.j == mb.mj)
+        .select(
+            "i", "j",
+            (F.col("sxx") / F.lit(float(n))
+             - F.col("mua") * F.col("mub")).alias("c"),
+        )
+    )
+    cov = cells.unionByName(
+        cells.where(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "c"
+        )
+    ).localCheckpoint(eager=False)
+    v = m.select("i", F.lit(0.125).alias("v"))
+    for _ in range(_PCA_ITERS):
+        w = (
+            cov.join(v.select(F.col("i").alias("j"), "v"), "j")
+            .groupBy("i")
+            .agg(F.sum(r9("c * v")).cast("double").alias("w"))
+        )
+        norm = w.agg(
+            F.sqrt(F.sum(r9("w * w")).cast("double")).alias("nrm")
+        )
+        v = (
+            w.join(F.broadcast(norm))
+            .select("i", (F.col("w") / F.col("nrm")).alias("v"))
+            .localCheckpoint(eager=False)
+        )
+    va = v.select(F.col("i").alias("ia2"), F.col("v").alias("vva"))
+    vb = v.select(F.col("i").alias("jb2"), F.col("v").alias("vvb"))
+    lam = (
+        cov.join(va, cov.i == va.ia2)
+        .join(vb, cov.j == vb.jb2)
+        .agg(
+            F.sum(r9("c * vva * vvb")).cast("double").alias("l1")
+        )
+    )
+    tr = cov.where(F.col("i") == F.col("j")).agg(
+        F.sum(r9("c")).cast("double").alias("tr")
+    )
+    return (
+        v.join(F.broadcast(lam))
+        .join(F.broadcast(tr))
+        .select(
+            F.col("i").cast("bigint").alias("dim"),
+            F.round("v", 6).alias("loading"),
+            F.round("l1", 6).alias("lambda1"),
+            F.round(F.col("l1") / F.col("tr"), 6).alias("var_explained"),
+        )
+        .orderBy(F.abs(F.col("loading")).desc(), "dim")
+        .limit(8)
+    )

@@ -2632,3 +2632,15 @@ def test_returns_excluded_ratio_join_shapes(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "R" in plan and "l_returnflag" in plan, plan
+
+
+def test_pca_power_iteration_never_rescans_corpus(spark):
+    """feature_pca_power_iteration: the final plan must contain ZERO
+    file scans — the corpus reduces once into the checkpointed
+    component/covariance frames and all 8 iterations run on bounded
+    ExistingRDD model state (the iterate-without-rescan contract the
+    trainer family carries)."""
+    plan = _plan(spark, "feature_pca_power_iteration")
+    assert "FileScan" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan, plan
