@@ -56,6 +56,15 @@ def charge() -> Column:
 # ----------------------------------------------------------------- SQL side
 
 
+# The order-free double-sum contract shared by the ALS / DeLong / PCA
+# families: round each addend to 9 dp, sum as DECIMAL (associative and
+# order-insensitive), cast back to DOUBLE at the edge.  DECIMAL(28,9)
+# leaves 19 integer digits of headroom; keep any multiplication BY A LONG
+# outside the decimal (the known Spark scale-demotion pitfall).  One
+# definition — per-module copies drifted three ways before r14.
+R9_DECIMAL = "CAST(ROUND({t}, 9) AS DECIMAL(28,9))"
+
+
 def sql_dec2(col: str) -> str:
     return f"CAST({col} AS DECIMAL(18,2))"
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from auron_spark.exprs import R9_DECIMAL
 from auron_spark.registry import query
 from auron_spark.tables import Tables
 
@@ -1305,7 +1306,7 @@ def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
-_DL_R9 = "CAST(ROUND({t}, 9) AS DECIMAL(28,9))"
+_DL_R9 = R9_DECIMAL  # shared contract (exprs.py)
 
 
 @query(

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from auron_spark.exprs import R9_DECIMAL
 from auron_spark.registry import query
 from auron_spark.tables import Tables
 
@@ -548,7 +549,7 @@ def feature_winsorize_robust_scale(
 
 # --- round 14: distributed PCA via power iteration --------------------
 
-_PCA_R9 = "CAST(ROUND({t}, 9) AS DECIMAL(28,9))"
+_PCA_R9 = R9_DECIMAL  # shared contract (exprs.py)
 _PCA_ITERS = 8
 
 
@@ -644,7 +645,9 @@ def feature_pca_power_iteration(
     Scale shape: ONE corpus-sized stage (the per-vector component
     self-join expands 64x65/2 cells per vector and reduces map-side —
     the standard X^T X pattern; at 100 TB this is the only pass over
-    the data), then every iteration is a join+groupBy on 64-row /
+    the data, beside a metadata-cheap lazy row count that broadcasts as
+    the oracle's `nn` CTE does), then every iteration is a
+    join+groupBy on 64-row /
     4096-row bounded model frames — iterating never rescans the
     corpus (localCheckpoint flattens the per-iteration lineage).
     Reference frame: beyond the reference's surface (no ML layer);
@@ -666,9 +669,21 @@ def feature_pca_power_iteration(
         )
         .localCheckpoint(eager=False)
     )
-    n = u.select("vec_id").distinct().count()
-    m = u.groupBy("i").agg(
-        (F.sum(r9("x")).cast("double") / F.lit(float(n))).alias("mu")
+    # n as a LAZY broadcast 1-row frame (the oracle's `nn` CTE): counting
+    # distinct over the 64x-exploded frame would be a second corpus-scale
+    # shuffle, and an eager .count() would run a job on every build/explain
+    # (review r14 wave-2 #3).  vec_id is unique, so the plain table count
+    # (metadata-cheap on parquet) is the vector count.
+    nn = (
+        t.parallel("embeddings", "vec_id")
+        .groupBy()
+        .agg(F.count("*").cast("double").alias("nv"))
+    )
+    m = (
+        u.groupBy("i")
+        .agg(F.sum(r9("x")).cast("double").alias("sx"))
+        .join(F.broadcast(nn))
+        .select("i", (F.col("sx") / F.col("nv")).alias("mu"))
     )
     a = u.select(F.col("vec_id"), F.col("i").alias("ia"), F.col("x").alias("xa"))
     b = u.select(F.col("vec_id"), F.col("i").alias("ib"), F.col("x").alias("xb"))
@@ -683,9 +698,10 @@ def feature_pca_power_iteration(
     cells = (
         s.join(ma, s.i == ma.mi)
         .join(mb, s.j == mb.mj)
+        .join(F.broadcast(nn))
         .select(
             "i", "j",
-            (F.col("sxx") / F.lit(float(n))
+            (F.col("sxx") / F.col("nv")
              - F.col("mua") * F.col("mub")).alias("c"),
         )
     )
@@ -726,10 +742,15 @@ def feature_pca_power_iteration(
         .join(F.broadcast(tr))
         .select(
             F.col("i").cast("bigint").alias("dim"),
+            F.col("v"),
             F.round("v", 6).alias("loading"),
             F.round("l1", 6).alias("lambda1"),
             F.round(F.col("l1") / F.col("tr"), 6).alias("var_explained"),
         )
-        .orderBy(F.abs(F.col("loading")).desc(), "dim")
+        # order on the RAW loading like the oracle's abs(v) — ordering on
+        # the rounded column would tie-break 1e-6-close dims differently
+        # across engines (review r14 wave-2 #1)
+        .orderBy(F.abs(F.col("v")).desc(), "dim")
         .limit(8)
+        .drop("v")
     )

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from auron_spark.exprs import R9_DECIMAL
 from auron_spark.registry import query
 from auron_spark.tables import Tables
 
@@ -311,7 +312,7 @@ def rec_user_item_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ALS_LAMBDA = 0.1
-_ALS_R9 = "CAST(ROUND({t}, 9) AS DECIMAL(28,9))"
+_ALS_R9 = R9_DECIMAL  # shared contract (exprs.py)
 
 
 @query(

@@ -2631,7 +2631,9 @@ def test_returns_excluded_ratio_join_shapes(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
-    assert "R" in plan and "l_returnflag" in plan, plan
+    # the returnflag = 'R' predicate must reach a scan's pushed filters —
+    # bare substring checks ('R' / column name) match any plan vacuously
+    assert "EqualTo(l_returnflag,R)" in plan, plan
 
 
 def test_pca_power_iteration_never_rescans_corpus(spark):
