@@ -1068,3 +1068,71 @@ _sql_query(
     global window, top-25 is TakeOrderedAndProject.  Reference frame:
     dev/auron-it TPC-DS battery (q78).""",
 )
+
+
+_YOY_RATIO_CUSTOMERS = """
+WITH year_total AS (
+    SELECT c_custkey AS cust, c_name,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 'priority' ELSE 'standard' END AS channel,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY c_custkey, c_name, CAST(year(o_orderdate) AS BIGINT),
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'priority' ELSE 'standard' END
+)
+SELECT s1.cust, s1.c_name,
+       ROUND(CAST(w2.total AS DOUBLE) / CAST(w1.total AS DOUBLE), 6)
+           AS web_growth,
+       ROUND(CAST(s2.total AS DOUBLE) / CAST(s1.total AS DOUBLE), 6)
+           AS store_growth
+FROM year_total s1
+JOIN year_total s2 ON s2.cust = s1.cust
+JOIN year_total w1 ON w1.cust = s1.cust
+JOIN year_total w2 ON w2.cust = s1.cust
+WHERE s1.channel = 'priority' AND s1.yr = 1996
+  AND s2.channel = 'priority' AND s2.yr = 1997
+  AND w1.channel = 'standard' AND w1.yr = 1996
+  AND w2.channel = 'standard' AND w2.yr = 1997
+  AND s1.total > 0 AND w1.total > 0
+  AND CAST(w2.total AS DOUBLE) / CAST(w1.total AS DOUBLE)
+      > CAST(s2.total AS DOUBLE) / CAST(s1.total AS DOUBLE)
+ORDER BY web_growth DESC, s1.cust
+LIMIT 40
+"""
+
+_sql_query(
+    "ds_yoy_ratio_customers",
+    _YOY_RATIO_CUSTOMERS,
+    ("tpcds-shape", "multi-cte", "self-join", "yoy-ratio"),
+    """TPC-DS Q4/Q11 shape (VERDICT r14 ask #3): ONE per-customer-
+    per-year-per-channel sales CTE referenced FOUR times — the two-year
+    self-join across two channels with the year-over-year growth-ratio
+    filter (web growth must beat store growth), Q11's signature
+    first-year positivity guards standing in for its CASE null
+    handling (inner joins make all four legs present).
+
+    Dialect contract: the growth ratios compare in DOUBLE — each
+    `total` is an exact DECIMAL sum in both engines, one cast keeps the
+    ratio inside IEEE semantics (the Q23 contract; a decimal division
+    would hit Spark's allowPrecisionLoss rounding at the band
+    boundary).  The report orders on the ROUNDED ratio with the
+    customer key breaking ties, so ordering is engine-identical.
+
+    Scale shape: Spark inlines deterministic multi-ref CTEs, so the
+    plan carries four aggregate subtrees — each with its OWN
+    (year, channel) quarter of the predicate space pushed below the
+    aggregate, i.e. the four probes together read one two-year
+    logical pass of the fact, partition-prunable by date at a
+    production layout (the alternative pair-CTE nesting was measured
+    WORSE: inlining multiplies per level, 7 scans vs 4).  What is
+    genuinely shared gets reused: the customer dim broadcast feeds
+    all four probes as ReusedExchange >= 3 (plan-gated:
+    `test_yoy_ratio_reuses_dim_exchange`), the two-year window pushes
+    to every orders scan, and the four-way self-join keys on the
+    customer grain.  Reference frame: dev/auron-it TPC-DS battery
+    (q4/q11).""",
+)

@@ -98,19 +98,38 @@ _DRIVER_WINDOW: tuple[str, ...] = ()
 # instead of sorting to the lowest re-prove priority).  Remove a name here
 # once a new artifact round re-proves it.
 _MODIFIED_SINCE_PROOF: frozenset[str] = frozenset({
-    # r14 derives the total n from the checkpointed cum frame instead of a
-    # second pass over the un-checkpointed value grain (ADVICE r13 #3) —
-    # same value, different plan, after the r13 artifact proved the
-    # two-scan text.
-    "agg_median_distributed_scale",
-    "agg_quantiles_distributed_scale",
-    # r14 derives the seam-row schema from the key dtype in
-    # distributed_adjacent_pairs (ADVICE r13 #4), a device this query's
-    # proven plan flows through.
-    "dq_sequence_gaps_scale",
-    # r14 sizes the recursion cap from the observed calendar span
-    # (VERDICT r13 wrong #4) — same text, new run path (run_holt).
-    "timeseries_holt_linear",
+    # r15 replaces the covariance build's vec_id self-join with a row-local
+    # upper-triangle pair expansion (VERDICT r14 wrong #1) — same value,
+    # different plan, after the r14 artifact proved the self-join text.
+    "feature_pca_power_iteration",
+})
+
+# Green driver rows from CORRECTNESS_r14.json — the whole round-14 window
+# hash-matched 50/50 (the eighth consecutive perfect driver window): the 10
+# round-14 additions, the four `_MODIFIED_SINCE_PROOF` re-entries (their
+# rewritten plans now artifact-proven), and 36 oldest-artifact backfills.
+_R14_PROVEN: frozenset[str] = frozenset({
+    "agg_median_distributed_scale", "agg_quantiles_distributed_scale",
+    "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_lsh_pairs",
+    "dedup_minhash_signature", "dedup_ngram_jaccard",
+    "distinct_dropduplicates", "dq_sequence_gaps_scale",
+    "ds_cross_channel_intersect", "ds_cumulative_crossover",
+    "ds_frequent_items_best_customers", "ds_return_ratio_ranks",
+    "ds_returns_excluded_ratio", "eval_krippendorff_ratio",
+    "exchange_range_partition", "exchange_repartition",
+    "feature_pca_power_iteration", "gen_explode_outer", "gen_inline",
+    "gen_python_udtf", "join_cross", "join_nonequi_inner", "limit_offset",
+    "pipeline_end_to_end", "q10_returned_items",
+    "q18_large_volume_customer", "q1_pricing_summary",
+    "q21_waiting_supplier", "q2_min_cost_supplier",
+    "q3_shipping_priority", "q4_order_priority_exists",
+    "q5_local_supplier_volume", "q7_volume_shipping", "q8_market_share",
+    "q9_product_type_profit", "rec_als_rank_k", "rec_als_rank_k_implicit",
+    "rec_als_rank_k_round", "scan_projection_pushdown", "set_except",
+    "set_intersect", "set_union_all", "sim_knn_ivf",
+    "sort_nulls_ordering", "take_ordered_topk", "text_chunk_windows",
+    "timeseries_holt_linear", "udaf_partial_merge_stats",
+    "unpivot_part_metrics",
 })
 
 # Green driver rows from CORRECTNESS_r13.json — the whole round-13 window
@@ -396,6 +415,7 @@ _ARTIFACT_PROVEN: dict[int, frozenset[str]] = {
     11: _R11_PROVEN,
     12: _R12_PROVEN,
     13: _R13_PROVEN,
+    14: _R14_PROVEN,
 }
 
 _PROVEN: frozenset[str] = frozenset().union(*_ARTIFACT_PROVEN.values())

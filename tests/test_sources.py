@@ -516,3 +516,15 @@ def test_explicit_schema_rejects_int_to_string(spark, tmpdir):
     assert "PARQUET_COLUMN_DATA_TYPE_MISMATCH" in str(ei.value) or (
         "Data type mismatches" in str(ei.value)
     ), str(ei.value)[:500]
+
+
+def test_embeddings_vec_id_unique_fixture_invariant(spark):
+    """Fixture invariant the PCA family's n-divisor rests on (ADVICE r14
+    #3): `_pca_covariance` counts embeddings ROWS (metadata-cheap) where
+    the oracle counts DISTINCT vec_id — equivalent only while vec_id is
+    unique.  Pin the invariant so a future fixture regen with duplicate
+    rows fails HERE instead of silently skewing every covariance cell."""
+    emb = table(spark, SF_DIR, "embeddings")
+    total = emb.count()
+    distinct = emb.select("vec_id").distinct().count()
+    assert total == distinct, (total, distinct)
