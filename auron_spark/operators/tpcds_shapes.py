@@ -3,11 +3,12 @@
 The reference's gating correctness corpus is TPC-DS (``dev/auron-it/
 local-run-tpcds.sh``, ``.github/workflows/tpcds-reusable.yml:70-83``), while
 this repo's relational battery grew from TPC-H shapes.  This module closes
-that test-strategy asymmetry with thirteen TPC-DS-style query SHAPES — the
-grouping-sets-heavy rollup reports, multi-channel unions, year-over-year
-window deltas, rollup-then-rank patterns, the Q64 fact-to-fact self-join
-and the Q23 nested-subquery best-customers cut that distinguish DS from H —
-expressed over the driver fixtures.
+that test-strategy asymmetry with a battery of TPC-DS-style query SHAPES
+(one `_sql_query` registration each; 23 as of r15) — the grouping-sets-heavy
+rollup reports, multi-channel unions, year-over-year window deltas and
+growth-ratio self-joins, rollup-then-rank patterns, the Q64/Q72/Q78
+fact-to-fact joins and the Q23 nested-subquery best-customers cut that
+distinguish DS from H — expressed over the driver fixtures.
 
 Every query here is ONE SQL text executed by BOTH engines (the Spark builder
 runs it over registered views, the DuckDB oracle verbatim), so aliases can
@@ -1135,4 +1136,68 @@ _sql_query(
     to every orders scan, and the four-way self-join keys on the
     customer grain.  Reference frame: dev/auron-it TPC-DS battery
     (q4/q11).""",
+)
+
+
+_INVENTORY_SHORTFALL = """
+WITH demand AS (
+    SELECT l_partkey AS item, o_orderdate AS order_d, l_shipdate AS ship_d,
+           l_quantity AS qty
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+),
+inv AS (
+    SELECT l_partkey AS item, l_shipdate AS inv_d, l_quantity AS qoh
+    FROM lineitem
+    WHERE l_linestatus = 'F'
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-02-01'
+)
+SELECT p.p_brand AS brand,
+       CAST(month(d.order_d) AS BIGINT) AS mth,
+       CAST(COUNT(*) AS BIGINT) AS n_shortfall,
+       CAST(COUNT(DISTINCT d.item) AS BIGINT) AS n_items
+FROM demand d
+JOIN part p ON p.p_partkey = d.item AND p.p_size <= 30
+JOIN inv s ON s.item = d.item
+          AND s.inv_d >  d.order_d
+          AND s.inv_d <= d.order_d + INTERVAL 15 DAY
+          AND s.qoh < d.qty
+WHERE d.ship_d > s.inv_d
+GROUP BY p.p_brand, CAST(month(d.order_d) AS BIGINT)
+ORDER BY n_shortfall DESC, brand, mth
+LIMIT 30
+"""
+
+_sql_query(
+    "ds_inventory_shortfall",
+    _INVENTORY_SHORTFALL,
+    ("tpcds-shape", "fact-to-fact", "date-residual", "join-order"),
+    """TPC-DS Q72 shape (VERDICT r14 ask #4) — the reference baseline's
+    classic join-order stressor: a demand fact joined to an INVENTORY
+    fact on the ITEM (a non-unique key on both sides) across Q72's
+    three-date constellation — inventory lands AFTER the order but
+    within the replenishment window (inv_d in (order_d, order_d + 15
+    days], the date-arithmetic residual), and the line must ship
+    after the inventory date — with the quantity-on-hand band
+    (qoh < demanded qty) as the shortfall condition.  The inventory
+    analog derives from the lineitem fact's 'F'-status leg at
+    (item, shipdate) grain (the fixtures carry no separate inventory
+    table), exactly how Q78's returns fact derives.
+
+    Exactness: pure counts over exact decimal/date comparisons — no
+    floating arithmetic anywhere before the report; ties in the final
+    order break on (brand, month).
+
+    Scale shape: THE Q72 lesson is join ORDER — the filtered part dim
+    must collapse the demand side BEFORE the fact-fact join (gated:
+    `test_inventory_shortfall_dim_before_fact_join` asserts the part
+    broadcast sits BELOW the item-key join and no unfiltered
+    fact-fact build exists).  Both fact legs push their date windows
+    and the status filter to the scans; the item join is an equi-join
+    (residuals evaluated post-match), shuffling both sides once on
+    item; the aggregate is partial/final at (brand, month) grain and
+    top-30 is TakeOrderedAndProject.  Reference frame: dev/auron-it
+    TPC-DS battery (q72).""",
 )

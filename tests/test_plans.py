@@ -2578,6 +2578,32 @@ def test_yoy_ratio_reuses_dim_exchange(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_inventory_shortfall_dim_before_fact_join(spark):
+    """ds_inventory_shortfall (TPC-DS Q72 shape): the join-order
+    lesson — the filtered part dim must collapse the demand side
+    BELOW the item-keyed fact-fact join (no unfiltered fact-fact
+    build), both fact legs must push their date windows to the scans,
+    and the residuals ride the equi-join as post-match conditions
+    (never a cartesian)."""
+    import re
+
+    plan = _plan(spark, "ds_inventory_shortfall")
+    lines = plan.splitlines()
+    fact_join = next(
+        i for i, l in enumerate(lines)
+        if re.search(r"Join \[item#\d+L?\], \[item#\d+L?\]", l)
+    )
+    part_join = next(
+        i for i, l in enumerate(lines) if "], [p_partkey#" in l
+    )
+    assert part_join > fact_join, plan  # dim collapse below the item join
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "1996-01-01" in plan, plan  # date windows reach the scans
+    assert "(p_size" in plan, plan  # dim filter pushed
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_als_rank_k_broadcast_and_jvm_solve(spark):
     """rec_als_rank_k: the item-factor attach must broadcast (items <<
     users), the Gram/gradient reduction must combine map-side
