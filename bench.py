@@ -62,14 +62,18 @@ Self-adjudication (VERDICT r13 ask #5): the box shows up to 2x same-day
 variance with byte-stable plans, concentrated in single group JVMs (the
 r13 record's trainers group read 79.4 s vs isolated brackets of 36.5-37.4
 s, polluting the round headline).  `bench_brackets.json` commits each
-group's BEST OBSERVED warm subtotal (min-merged across runs while the
-group's query set is unchanged — the partest_walls.json device).  When a
-group's subtotal exceeds 1.5x its bracket, the harness
-automatically re-runs that group in a fresh child JVM, takes the
-per-query min of the two passes for the headline (the existing min-warm
-protocol, one more sample), and records BOTH subtotals in an
-`adjudication` section — so a noise spike can neither hide nor silently
-pollute the round-over-round series.
+group's BEST OBSERVED warm subtotal AND per-query bests (min-merged
+across runs while the group's query set is unchanged — the
+partest_walls.json device).  When a group's subtotal exceeds 1.5x its
+bracket, OR any single query exceeds 2.5x its per-query best (VERDICT
+r14 wrong #4: r14's sim_knn_ivf_serve spiked 2.69x on a byte-stable
+plan while its group stayed at 1.25x — invisible to the group
+trigger), the harness automatically re-runs that group in a fresh
+child JVM, takes the per-query min of the two passes for the headline
+(the existing min-warm protocol, one more sample), and records BOTH
+subtotals plus the spiking queries in an `adjudication` section — so a
+noise spike can neither hide nor silently pollute the round-over-round
+series.
 """
 
 from __future__ import annotations
@@ -165,6 +169,15 @@ _VECTOR_SCALE_KSCALED = (
 
 _BRACKETS_PATH = f"{_REPO}/bench_brackets.json"
 _ADJUDICATE_FACTOR = 1.5
+# Per-query trigger (VERDICT r14 wrong #4): a single-query spike can sail
+# under the GROUP trigger when the rest of its group reads fast (r14's
+# sim_knn_ivf_serve ran 2.69x its best while the pipeline subtotal stayed
+# at 1.25x).  Any query exceeding this factor times its committed best
+# also forces the isolated rerun.  Looser than the group factor because
+# single-query wall times are noisier than 8-22-query subtotals; floored
+# so sub-100ms queries can't trip on scheduler jitter.
+_PER_QUERY_FACTOR = 2.5
+_PER_QUERY_FLOOR_SEC = 0.25
 
 
 def _load_brackets(scale_key: dict) -> dict:
@@ -183,20 +196,30 @@ def _load_brackets(scale_key: dict) -> dict:
 def _adjudicate(group: str, res: dict, brackets: dict,
                 rerun) -> tuple[dict, dict | None]:
     """If this group's warm subtotal exceeds the committed best-observed
-    bracket by _ADJUDICATE_FACTOR (same query set), re-run the group in
-    a fresh child JVM and per-query-min the two passes; always min-merge
-    the adopted subtotal back into the bracket record (reset when the
-    query set changes)."""
+    bracket by _ADJUDICATE_FACTOR, OR any single query exceeds
+    _PER_QUERY_FACTOR times its committed per-query best (VERDICT r14
+    wrong #4 — the group trigger is blind to one-query spikes), re-run
+    the group in a fresh child JVM and per-query-min the two passes;
+    always min-merge the adopted subtotal AND per-query bests back into
+    the bracket record (reset when the query set changes)."""
     names = sorted(res["warm"])
     subtotal = round(sum(res["warm"].values()), 3)
     rec = brackets.get(group)
     verdict = None
-    if (
-        rec
-        and rec.get("queries") == names
-        and subtotal > _ADJUDICATE_FACTOR * rec["best_subtotal"]
+    same_set = bool(rec) and rec.get("queries") == names
+    best_q = rec.get("best_queries", {}) if same_set else {}
+    spiked = sorted(
+        n for n in names
+        if n in best_q
+        and res["warm"][n] > max(
+            _PER_QUERY_FACTOR * best_q[n], _PER_QUERY_FLOOR_SEC
+        )
+    )
+    if same_set and (
+        subtotal > _ADJUDICATE_FACTOR * rec["best_subtotal"] or spiked
     ):
         first_subtotal = subtotal
+        first_spiked = {n: res["warm"][n] for n in spiked}
         second = rerun()
         re_subtotal = round(sum(second["warm"].values()), 3)
         for n in names:
@@ -205,15 +228,30 @@ def _adjudicate(group: str, res: dict, brackets: dict,
         subtotal = round(sum(res["warm"].values()), 3)
         verdict = {
             "group": group,
+            "trigger": "per_query" if (
+                first_subtotal <= _ADJUDICATE_FACTOR * rec["best_subtotal"]
+            ) else "subtotal",
+            "per_query_spikes": {
+                n: {"first": first_spiked[n], "adopted": res["warm"][n],
+                    "bracket": best_q[n]}
+                for n in spiked
+            },
             "first_subtotal": first_subtotal,
             "rerun_subtotal": re_subtotal,
             "adopted_subtotal": subtotal,
             "bracket": rec["best_subtotal"],
         }
     best = subtotal
-    if rec and rec.get("queries") == names:
+    if same_set:
         best = min(best, rec["best_subtotal"])
-    brackets[group] = {"best_subtotal": best, "queries": names}
+    brackets[group] = {
+        "best_subtotal": best,
+        "queries": names,
+        "best_queries": {
+            n: round(min(res["warm"][n], best_q.get(n, res["warm"][n])), 3)
+            for n in names
+        },
+    }
     return res, verdict
 
 
@@ -652,6 +690,7 @@ def main() -> None:
         json.dumps(brackets, indent=1, sort_keys=True) + "\n"
     )
     print(json.dumps({"section": "adjudication", "factor": _ADJUDICATE_FACTOR,
+                      "per_query_factor": _PER_QUERY_FACTOR,
                       "reruns": adjudications}))
     print(json.dumps({"section": "groups", "warm_subtotals": subtotals}))
     print(json.dumps({

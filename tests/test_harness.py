@@ -438,3 +438,64 @@ def test_bench_brackets_record_structure():
         assert entry["best_subtotal"] > 0, (group, entry)
         assert entry["queries"] == sorted(entry["queries"]), group
         assert len(entry["queries"]) >= 1, group
+        # Per-query bests (VERDICT r14 wrong #4): optional until the first
+        # r15 bench run writes them, then keyed exactly by the query set.
+        if "best_queries" in entry:
+            assert set(entry["best_queries"]) == set(entry["queries"]), group
+            assert all(v > 0 for v in entry["best_queries"].values()), group
+
+
+def test_bench_adjudicate_per_query_trigger():
+    """_adjudicate must trip on a SINGLE-query spike even when the group
+    subtotal stays under the 1.5x group trigger (VERDICT r14 wrong #4 —
+    the r14 sim_knn_ivf_serve 2.69x spike sailed under it), must adopt
+    the per-query min of both passes, and must min-merge per-query bests
+    into the bracket record; a same-shape run with NO spike must not
+    re-run."""
+    import bench
+
+    def mk(warm):
+        return {"warm": dict(warm), "warm_runs": {n: [v] for n, v in warm.items()}}
+
+    brackets = {
+        "pipeline": {
+            "best_subtotal": 10.0,
+            "queries": ["a", "b", "c"],
+            "best_queries": {"a": 1.0, "b": 2.0, "c": 7.0},
+        }
+    }
+    # b spikes 3x its best; subtotal 12.0 < 1.5 * 10.0 — group trigger blind.
+    res = mk({"a": 1.0, "b": 6.0, "c": 5.0})
+    calls = []
+
+    def rerun():
+        calls.append(1)
+        return mk({"a": 1.1, "b": 2.1, "c": 6.0})
+
+    res, verdict = bench._adjudicate("pipeline", res, brackets, rerun)
+    assert calls, "per-query spike did not trigger a rerun"
+    assert verdict["trigger"] == "per_query", verdict
+    assert "b" in verdict["per_query_spikes"], verdict
+    assert res["warm"]["b"] == 2.1  # adopted the min of both passes
+    merged = brackets["pipeline"]["best_queries"]
+    assert merged == {"a": 1.0, "b": 2.0, "c": 5.0}, merged  # min-merged
+    assert brackets["pipeline"]["best_subtotal"] == 8.1  # 1.0+2.1+5.0
+
+    # No spike, subtotal inside the bracket: no rerun, bests still merge.
+    calls.clear()
+    res2, verdict2 = bench._adjudicate(
+        "pipeline", mk({"a": 0.9, "b": 2.2, "c": 5.5}), brackets, rerun
+    )
+    assert not calls and verdict2 is None
+    assert brackets["pipeline"]["best_queries"]["a"] == 0.9
+
+    # Tiny queries can't trip on jitter: 3x of a 0.05s best is under the
+    # 0.25s absolute floor.
+    brackets["tiny"] = {
+        "best_subtotal": 0.1,
+        "queries": ["t"],
+        "best_queries": {"t": 0.05},
+    }
+    calls.clear()
+    _, v3 = bench._adjudicate("tiny", mk({"t": 0.14}), brackets, rerun)
+    assert not calls and v3 is None
