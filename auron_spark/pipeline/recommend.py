@@ -1147,19 +1147,24 @@ def _rk_factor_exprs(key_expr: str, k: int, prefix: str,
     `duck` picks the engine spelling of hex->int ('0x' cast vs conv).
 
     One md5 digest supplies exactly 8 four-nibble factors; past that the
-    substr is empty and the engines DIVERGE silently (Spark conv('')
-    yields NULL, DuckDB '0x' cast throws), so higher ranks must chain a
-    second digest — fail loudly instead (review r14 #3).  The
-    sufficient-statistics + LDL^T solve device itself is rank-agnostic;
-    only this deterministic FIXTURE factor source is capped."""
-    if not 1 <= k <= 8:
+    substr would be empty and the engines DIVERGE silently (Spark
+    conv('') yields NULL, DuckDB '0x' cast throws), so ranks past 8 CHAIN
+    salted digests — factor f reads digest f//8, which is md5(key) for
+    the first eight and md5(key || ':<d>') after (VERDICT r14 ask #6;
+    dimensions <= 8 keep their exact r13/r14-proven text).  `||` and md5
+    spell identically in both engines, so the chained factors stay
+    engine-identical.  The sufficient-statistics + LDL^T solve device
+    itself is rank-agnostic; the 64 cap (8 digests) is arbitrary fixture
+    hygiene, not a device limit."""
+    if not 1 <= k <= 64:
         raise ValueError(
-            f"md5 fixture factors support k in [1, 8], got k={k}; chain "
-            "md5(key || 'salt') digests for higher ranks"
+            f"md5 fixture factors support k in [1, 64], got k={k}"
         )
     out = []
     for f in range(k):
-        sub = f"substr(md5({key_expr}), {1 + 4 * f}, 4)"
+        d, within = divmod(f, 8)
+        src = key_expr if d == 0 else f"({key_expr}) || ':{d}'"
+        sub = f"substr(md5({src}), {1 + 4 * within}, 4)"
         n = (f"CAST(('0x' || {sub}) AS BIGINT)" if duck
              else f"CAST(conv({sub}, 16, 10) AS BIGINT)")
         out.append(f"({n} % 1000) / 1000.0 AS {prefix}{f}")
@@ -1334,6 +1339,38 @@ def rec_als_rank_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     and residuals map-side.  Plan-gated: broadcast factor attach,
     partial/final Gram aggregate, zero Python eval nodes."""
     return _rank_k_user_step(spark, sf_dir, _ALS_K)
+
+
+_ALS_K16 = 16  # two chained md5 digests (VERDICT r14 ask #6)
+
+
+@query(
+    "rec_als_rank16_chained",
+    oracle=_rank_k_oracle(_ALS_K16),
+    tags=("pipeline", "recommendation", "als", "factorization", "rank-k"),
+)
+def rec_als_rank16_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ALS user-step at k=16 via CHAINED md5 digests (VERDICT r14
+    ask #6): the single-digest fixture source caps at 8 four-nibble
+    factors, so dimensions 8-15 read a second salted digest
+    md5(event_type || ':1') — proving the sufficient-statistics +
+    layered LDL^T device at a production rank beyond what one digest
+    can seed.  Dimensions 0-7 keep the exact factor text the
+    r13/r14-proven k=8 queries use, so any divergence isolates to the
+    chaining.
+
+    The k=16 solve is 136 Gram sums + 16 gradients per user and ~48
+    stacked projection layers — the layered emission is what keeps
+    analysis LINEAR in k where chained lateral aliases are exponential
+    in both engines (the rec_als_rank_k lesson); the solve stays
+    whole-stage-codegen JVM expressions (same EvalPython-free plan
+    gate as k=8: `test_als_rank16_chained_jvm_solve`).
+
+    Scale shape: identical to k=8 — item factors broadcast, ONE
+    sufficient-statistics shuffle of k(k+1)/2 + k + 1 = 153 doubles
+    per user (still orders under the ratings), solve and residuals
+    map-side."""
+    return _rank_k_user_step(spark, sf_dir, _ALS_K16)
 
 
 def _rk_norm(prefix: str, k: int) -> str:

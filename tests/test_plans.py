@@ -2578,6 +2578,18 @@ def test_yoy_ratio_reuses_dim_exchange(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_als_rank16_chained_jvm_solve(spark):
+    """rec_als_rank16_chained: the k=16 chained-digest variant must keep
+    the k=8 contract — broadcast factor attach, map-side partial Gram,
+    and the ~48-layer LDL^T solve entirely in JVM expressions (no
+    Python eval node, no cartesian)."""
+    plan = _plan(spark, "rec_als_rank16_chained")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_sum" in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_inventory_shortfall_dim_before_fact_join(spark):
     """ds_inventory_shortfall (TPC-DS Q72 shape): the join-order
     lesson — the filtered part dim must collapse the demand side

@@ -3298,10 +3298,11 @@ def test_als_rank_k_implicit_k2_pin_and_numpy(spark):
 def test_rk_ldlt_solver_random_spd_systems(spark):
     """The layered LDL^T device (`_rk_ldlt_layers`) is the round-14 ALS
     family's load-bearing solver — fuzz it directly: 40 random SPD ridge
-    systems per rank k in {1,2,3,5,8} (seeded numpy Grams from random
-    Q matrices, so S = Q^T Q is PSD and S + lam I is PD), solved in ONE
-    Spark frame through the layered selectExpr text, must match
-    numpy.linalg.solve row for row."""
+    systems per rank k in {1,2,3,5,8} plus 10 at the r15 chained-digest
+    production rank k=16 (seeded numpy Grams from random Q matrices, so
+    S = Q^T Q is PSD and S + lam I is PD), solved in ONE Spark frame
+    through the layered selectExpr text, must match numpy.linalg.solve
+    row for row."""
     import numpy as np
 
     from auron_spark.pipeline.recommend import (
@@ -3311,9 +3312,9 @@ def test_rk_ldlt_solver_random_spd_systems(spark):
     )
 
     rng = np.random.default_rng(20260816)
-    for k in (1, 2, 3, 5, 8):
+    for k in (1, 2, 3, 5, 8, 16):
         rows, want = [], []
-        for i in range(40):
+        for i in range(40 if k <= 8 else 10):
             Q = rng.normal(size=(rng.integers(k, 3 * k + 2), k))
             S = Q.T @ Q
             b = rng.normal(size=k)
