@@ -52,12 +52,33 @@ SPILL_QUERIES = (
     "window_time_range_frame",
 )
 
+# Iterative-trainer leg (VERDICT r14 ask #8): a multi-round Lloyd training
+# loop under the same force-spill confs PLUS threshold broadcasts disabled
+# (autoBroadcastJoinThreshold=-1), so every non-hinted join the trainer's
+# aggregation state flows through plans as a spilling SMJ instead of a
+# broadcast — proving the per-round partial/final codebook aggregates and
+# the assignment join survive the spill merge across iterations.  Runs in
+# its OWN child JVM: the broadcast kill would change the five operator
+# legs' plans.
+TRAINER_SPILL_QUERIES = ("sim_kmeans_lloyd",)
+# The trainer's exchanges carry map-side-reduced partials by design (the
+# k x 64 codebook state), so the 2000-element thresholds the operator legs
+# use never trip at fixture scale — push them down to 200 so the
+# corpus-side shuffles (the initial spread, the SMJ legs the broadcast
+# kill creates) genuinely cross the spill path.
+_TRAINER_EXTRA_CONFS = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.shuffle.spill.numElementsForceSpillThreshold": "200",
+    "spark.sql.sortMergeJoinExec.buffer.spill.threshold": "200",
+}
+
 _CHILD = r"""
 import json, sys, urllib.request
 from pyspark.sql import SparkSession
 
 sf_dir, names = sys.argv[1], sys.argv[2].split(",")
-spark = (
+extra = json.loads(sys.argv[3]) if len(sys.argv) > 3 else {}
+builder = (
     SparkSession.builder.master("local[4]")
     .appName("spill-pressure")
     .config("spark.driver.memory", "1500m")
@@ -68,8 +89,10 @@ spark = (
     .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1")
     .config("spark.ui.enabled", "true")
     .config("spark.ui.port", "0")
-    .getOrCreate()
 )
+for k, v in extra.items():
+    builder = builder.config(k, v)
+spark = builder.getOrCreate()
 from auron_spark.registry import load_all
 
 specs = load_all()
@@ -91,12 +114,12 @@ print("SPILL_JSON:" + json.dumps(out))
 """
 
 
-@pytest.fixture(scope="module")
-def spill_run():
+def _run_spill_child(names: tuple[str, ...], extra_confs: dict) -> dict:
     env = dict(os.environ)
     env.pop("SPARK_GRAFT_CPUS", None)
     proc = subprocess.run(
-        [sys.executable, "-c", _CHILD, SF_DIR, ",".join(SPILL_QUERIES)],
+        [sys.executable, "-c", _CHILD, SF_DIR, ",".join(names),
+         json.dumps(extra_confs)],
         cwd=str(Path(__file__).resolve().parent.parent),
         env=env,
         capture_output=True,
@@ -107,6 +130,16 @@ def spill_run():
     line = [l for l in proc.stdout.splitlines() if l.startswith("SPILL_JSON:")]
     assert line, proc.stdout[-3000:]
     return json.loads(line[-1][len("SPILL_JSON:"):])
+
+
+@pytest.fixture(scope="module")
+def spill_run():
+    return _run_spill_child(SPILL_QUERIES, {})
+
+
+@pytest.fixture(scope="module")
+def trainer_spill_run():
+    return _run_spill_child(TRAINER_SPILL_QUERIES, _TRAINER_EXTRA_CONFS)
 
 
 def test_spill_actually_occurred(spill_run):
@@ -131,3 +164,27 @@ def test_spill_pressure_answers_survive(spark, spill_run, name):
         name, spill_run[name]["rows"], len(rows),
     )
     assert spill_run[name]["sha"] == sha, name
+
+
+def test_trainer_spill_actually_occurred(trainer_spill_run):
+    """The trainer leg must really spill too — the broadcast kill turns
+    the non-hinted joins into spilling SMJs and the per-round aggregates
+    hit the force-spill thresholds across iterations."""
+    spill = trainer_spill_run["_spill"]
+    assert spill["disk_bytes"] > 0 or spill["memory_bytes"] > 0, spill
+
+
+@pytest.mark.parametrize("name", TRAINER_SPILL_QUERIES)
+def test_trainer_spill_answers_survive(spark, trainer_spill_run, name):
+    """The iterative trainer's full row set under forced spills AND
+    disabled threshold broadcasts must hash-equal the normal-session
+    answer — the training loop's codebook state survives spill merges
+    in every round (VERDICT r14 ask #8)."""
+    rows = sorted(
+        repr(tuple(r)) for r in load_all()[name].build(spark, SF_DIR).collect()
+    )
+    sha = hashlib.sha256("\n".join(rows).encode()).hexdigest()
+    assert trainer_spill_run[name]["rows"] == len(rows), (
+        name, trainer_spill_run[name]["rows"], len(rows),
+    )
+    assert trainer_spill_run[name]["sha"] == sha, name
