@@ -1959,6 +1959,14 @@ FROM holt ORDER BY i DESC LIMIT 1
 
 _HOLT_SQL = _holt_sql()
 
+# run_holt raises the session-global recursion cap for the duration of its
+# materialization; two concurrent callers on the SAME SparkSession could
+# interleave set/restore and clobber each other's value (ADVICE r14 #1) —
+# serialize the set/run/restore window.  Cross-session callers are
+# unaffected (confs are per-session); in-process concurrency is the only
+# hazard a lock can close.
+_HOLT_CONF_LOCK = __import__("threading").Lock()
+
 
 def run_holt(spark: SparkSession, table: str = "events") -> DataFrame:
     """Size ``spark.sql.cteRecursionLevelLimit`` from the OBSERVED
@@ -1973,18 +1981,20 @@ def run_holt(spark: SparkSession, table: str = "events") -> DataFrame:
         f"SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n FROM {table}"
     ).collect()[0]["n"]
     key = "spark.sql.cteRecursionLevelLimit"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, str(max(100, int(n_days) + 16)))
-    try:
-        # The limit is read at EXECUTION, not plan time, so the recursion
-        # must materialize before the conf restores — localCheckpoint on
-        # the <=1-row report is free and keeps the raised limit scoped to
-        # this call instead of leaking into the shared session, where it
-        # would defeat the stock cap's runaway-recursion guard for every
-        # later query (review r14 #5).
-        return spark.sql(_holt_sql(table)).localCheckpoint()
-    finally:
-        spark.conf.set(key, prev)
+    with _HOLT_CONF_LOCK:
+        prev = spark.conf.get(key)
+        spark.conf.set(key, str(max(100, int(n_days) + 16)))
+        try:
+            # The limit is read at EXECUTION, not plan time, so the
+            # recursion must materialize before the conf restores —
+            # localCheckpoint on the <=1-row report is free and keeps the
+            # raised limit scoped to this call instead of leaking into the
+            # shared session, where it would defeat the stock cap's
+            # runaway-recursion guard for every later query (review r14
+            # #5).
+            return spark.sql(_holt_sql(table)).localCheckpoint()
+        finally:
+            spark.conf.set(key, prev)
 
 
 @query(

@@ -147,6 +147,7 @@ def main() -> int:
         counts[label] = ran
 
     best = dict(walls)
+    record_counts = dict(counts)
     wpath = Path(_REPO) / "partest_walls.json"
     if wpath.exists():
         try:
@@ -160,15 +161,22 @@ def main() -> int:
                 # as "unchanged" would min-merge walls measured under a
                 # different test plan, which is exactly the stale-floor
                 # failure the count reset exists to prevent (review r14 #1).
-                best = {
-                    k: min(walls[k], old_best[k])
-                    if old_counts.get(k) == counts[k]
-                    else walls[k]  # workload changed/unknown: reset
-                    for k in walls
-                }
+                for k in walls:
+                    if counts[k] == 0 and old_counts.get(k, 0) > 0:
+                        # The worker died before pytest printed a summary
+                        # line (count regex parsed nothing): its short wall
+                        # is an abort, not a measurement — keep the prior
+                        # best/count so the bogus floor never commits;
+                        # `latest` still records the aborted run verbatim
+                        # (ADVICE r14 #2).
+                        best[k] = old_best[k]
+                        record_counts[k] = old_counts[k]
+                    elif old_counts.get(k) == counts[k]:
+                        best[k] = min(walls[k], old_best[k])
+                    # else: workload changed/unknown — reset to this run.
         except ValueError:
             pass
-    record = {"best": best, "latest": walls, "counts": counts}
+    record = {"best": best, "latest": walls, "counts": record_counts}
     wpath.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
     rc = 0
     for label, proc, log in procs:
