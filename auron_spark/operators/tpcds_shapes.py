@@ -4,7 +4,7 @@ The reference's gating correctness corpus is TPC-DS (``dev/auron-it/
 local-run-tpcds.sh``, ``.github/workflows/tpcds-reusable.yml:70-83``), while
 this repo's relational battery grew from TPC-H shapes.  This module closes
 that test-strategy asymmetry with a battery of TPC-DS-style query SHAPES
-(one `_sql_query` registration each; 23 as of r15) — the grouping-sets-heavy
+(one `_sql_query` registration each; 25 as of r15) — the grouping-sets-heavy
 rollup reports, multi-channel unions, year-over-year window deltas and
 growth-ratio self-joins, rollup-then-rank patterns, the Q64/Q72/Q78
 fact-to-fact joins and the Q23 nested-subquery best-customers cut that
@@ -1200,4 +1200,100 @@ _sql_query(
     item; the aggregate is partial/final at (brand, month) grain and
     top-30 is TakeOrderedAndProject.  Reference frame: dev/auron-it
     TPC-DS battery (q72).""",
+)
+
+
+_MULTI_SUPPLIER_UNRETURNED = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem a JOIN lineitem b
+                ON b.l_orderkey = a.l_orderkey
+               AND b.l_suppkey <> a.l_suppkey
+              WHERE a.l_orderkey = o_orderkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem r
+                  WHERE r.l_orderkey = o_orderkey
+                    AND r.l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+_sql_query(
+    "ds_multi_supplier_unreturned",
+    _MULTI_SUPPLIER_UNRETURNED,
+    ("tpcds-shape", "exists", "not-exists", "fact-self-join"),
+    """TPC-DS Q95 shape: orders fulfilled from MULTIPLE suppliers and
+    never returned — an EXISTS whose subquery is itself a fact SELF-JOIN
+    (two lineitem instances disagreeing on supplier for the same order:
+    Q95's ws1/ws2 distinct-warehouse device), chained with a NOT EXISTS
+    against the returns leg, both correlated on the order key.  The one
+    DS subquery topology the battery lacked: every other EXISTS gate
+    correlates a plain filtered scan, not a self-joined fact.
+
+    Exactness: pure counts plus one exact decimal sum rounded at the
+    edge; priority keys order the 5-row report.
+
+    Scale shape: Catalyst decorrelates both subqueries into semi/anti
+    joins on the order key (plan-gated: LeftSemi + LeftAnti, no
+    cartesian); the self-join inside the semi input is an equi-join on
+    l_orderkey co-partitioned with the probe; the six-month window
+    pushes to the orders scan.  Reference frame: dev/auron-it TPC-DS
+    battery (q95/q16).""",
+)
+
+
+_INVENTORY_CV_PAIRS = """
+WITH g AS (
+    SELECT l_partkey % 200 AS item_grp,
+           CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS mi,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s1,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))
+               * CAST(l_quantity AS DECIMAL(18,2))) AS s2
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_partkey % 200, CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)
+),
+cv AS (
+    SELECT item_grp, mi, n,
+           CAST(s1 AS DOUBLE) / n AS mean_q,
+           sqrt((n * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                / (n * (n - 1.0))) AS sd
+    FROM g WHERE n >= 3
+)
+SELECT a.item_grp, a.mi AS mi1, b.mi AS mi2, a.n AS n1, b.n AS n2,
+       ROUND(a.sd / a.mean_q, 6) AS cov1,
+       ROUND(b.sd / b.mean_q, 6) AS cov2
+FROM cv a JOIN cv b ON b.item_grp = a.item_grp AND b.mi = a.mi + 1
+WHERE a.sd / a.mean_q > 0.55 AND b.sd / b.mean_q > 0.55
+ORDER BY a.item_grp, mi1
+"""
+
+_sql_query(
+    "ds_inventory_cv_pairs",
+    _INVENTORY_CV_PAIRS,
+    ("tpcds-shape", "statistics", "consecutive-period", "self-join"),
+    """TPC-DS Q39 shape: demand-variability pairs — the coefficient of
+    variation (stdev/mean) of quantities per (item-group, month), kept
+    where volatility exceeds the band in TWO CONSECUTIVE months (Q39's
+    inv1/inv2 consecutive-moy self-join on the variance-filtered
+    inventory grain).  The battery's other stats shapes aggregate once;
+    this one JOINS two statistics rows month-over-month.
+
+    Exactness: the variance derives from exact DECIMAL power sums
+    (n*S2 - S1^2)/(n*(n-1)) — never an engine-native stddev, whose
+    accumulation order differs between engines; identical expression
+    text makes sqrt/divide IEEE-equal; the report orders on the
+    (item_grp, month) key.
+
+    Scale shape: one fact scan reduces to the bounded
+    (item-group, month) grain behind a single partial/final aggregate;
+    the consecutive-month pairing is an equi-join on the grain the
+    aggregate already partitioned; the year window pushes to the scan.
+    Reference frame: dev/auron-it TPC-DS battery (q39).""",
 )

@@ -2616,6 +2616,35 @@ def test_inventory_shortfall_dim_before_fact_join(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_multi_supplier_unreturned_decorrelates(spark):
+    """ds_multi_supplier_unreturned (TPC-DS Q95 shape): the EXISTS over
+    the fact self-join must decorrelate to a semi join and the NOT
+    EXISTS returns gate to an anti join — never a per-row subquery or a
+    cartesian — with the six-month window pushed to the orders scan and
+    the returnflag filter pushed to the returns leg."""
+    plan = _plan(spark, "ds_multi_supplier_unreturned")
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "1996-01-01" in plan, plan
+    assert "EqualTo(l_returnflag,R)" in plan, plan
+
+
+def test_inventory_cv_pairs_single_fact_reduce(spark):
+    """ds_inventory_cv_pairs (TPC-DS Q39 shape): the variance statistics
+    must reduce the fact ONCE behind a partial/final aggregate (the
+    consecutive-month pairing then joins two rows of the same bounded
+    grain), with the year window pushed to the scan and no engine-native
+    stddev anywhere (the exact power-sum contract)."""
+    plan = _plan(spark, "ds_inventory_cv_pairs")
+    assert "partial_sum" in plan, plan
+    assert plan.count("FileScan parquet") <= 2, plan  # one logical reduce
+    assert "stddev" not in plan.lower(), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "1996-01-01" in plan, plan
+
+
 def test_als_rank_k_broadcast_and_jvm_solve(spark):
     """rec_als_rank_k: the item-factor attach must broadcast (items <<
     users), the Gram/gradient reduction must combine map-side
