@@ -957,3 +957,111 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "item")
         .limit(10)
     )
+
+
+_AMS_K, _AMS_GROUPS = 16, 4
+_AMS_EVEN = "('0','2','4','6','8','a','c','e')"
+
+
+@query(
+    "agg_ams_f2_sketch",
+    oracle=f"""
+    WITH h AS (
+        SELECT r.j,
+               CASE WHEN substr(md5(CAST(r.j AS VARCHAR) || ':' ||
+                                 CAST(l_partkey AS VARCHAR)), 1, 1)
+                    IN {_AMS_EVEN}
+                    THEN 1 ELSE -1 END AS sg
+        FROM lineitem CROSS JOIN range(0, {_AMS_K}) r(j)
+    ),
+    sk AS (SELECT j, CAST(SUM(sg) AS BIGINT) AS s FROM h GROUP BY j),
+    grp AS (
+        SELECT j % {_AMS_GROUPS} AS g,
+               CAST(SUM(s * s) AS DOUBLE) / {_AMS_K // _AMS_GROUPS}.0
+                   AS mean_est
+        FROM sk GROUP BY j % {_AMS_GROUPS}
+    ),
+    med AS (SELECT median(mean_est) AS f2_ams FROM grp),
+    exact AS (
+        SELECT CAST(SUM(c * c) AS BIGINT) AS f2_exact,
+               CAST(COUNT(*) AS BIGINT) AS n_keys
+        FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_partkey)
+    ),
+    nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem)
+    SELECT nr.n_rows, exact.n_keys, exact.f2_exact,
+           ROUND(med.f2_ams, 6) AS f2_ams,
+           ROUND((med.f2_ams - exact.f2_exact) / exact.f2_exact, 6)
+               AS rel_err
+    FROM med CROSS JOIN exact CROSS JOIN nr
+    """,
+    tags=("agg", "approx", "sketch", "ams-f2", "accuracy-bound"),
+)
+def agg_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS F2 second-moment sketch (Alon-Matias-Szegedy '96, the tug-of-
+    war sketch) over the l_partkey frequency vector — the SIXTH sketch
+    family (HLL / theta / KLL / CMS / Misra-Gries / AMS) and, like CMS,
+    fully DETERMINISTIC end to end: the +-1 hashes derive from the
+    parity of md5's first hex digit on the shared '<j>:<key>' string, so
+    both engines build the IDENTICAL 16 integer sketch counters and the
+    driver hash-matches the estimate itself, not just a bound boolean.
+    Median-of-means: 16 sketches in 4 groups — each group mean is an
+    unbiased F2 estimate, the median tames outlier groups.
+
+    Exactness: every sketch counter is an exact BIGINT sum of +-1 (the
+    order-free integer algebra no decimal contract even needs); squares
+    and group sums stay integer; the ONLY doubles are the final /4.0,
+    the 4-row median (quantile_cont midpoint on identical doubles) and
+    the relative error — all on identical inputs in both engines.
+
+    Scale shape: the sketch is ONE partial/final aggregate with
+    CONSTANT state (16 counters per task, mergeable by addition — the
+    same PARTIAL/FINAL lifecycle as the CMS/UDAF entries; the explode
+    is map-side, never shuffled at row grain).  The exact twin (per-key
+    counts, sum of squares) is the fixture-scale proof harness, exactly
+    like `agg_countmin_frequency`'s — at 100 TB only the 16-counter
+    aggregate runs, where the exact F2 would shuffle every key."""
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.select("l_partkey")
+    sign = (
+        f"CASE WHEN substr(md5(CAST(j AS STRING) || ':' || "
+        f"CAST(l_partkey AS STRING)), 1, 1) IN {_AMS_EVEN} "
+        f"THEN 1 ELSE -1 END"
+    )
+    sk = (
+        li.select(
+            F.explode(F.sequence(F.lit(0), F.lit(_AMS_K - 1))).alias("j"),
+            "l_partkey",
+        )
+        .select("j", F.expr(sign).alias("sg"))
+        .groupBy("j")
+        .agg(F.sum("sg").cast("bigint").alias("s"))
+    )
+    grp = sk.groupBy((F.col("j") % _AMS_GROUPS).alias("g")).agg(
+        (
+            F.sum(F.col("s") * F.col("s")).cast("double")
+            / float(_AMS_K // _AMS_GROUPS)
+        ).alias("mean_est")
+    )
+    med = grp.agg(F.expr("median(mean_est)").alias("f2_ams"))
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2_exact"),
+            F.count("*").cast("bigint").alias("n_keys"),
+        )
+    )
+    nr = li.agg(F.count("*").cast("bigint").alias("n_rows"))
+    return (
+        med.join(F.broadcast(exact))
+        .join(F.broadcast(nr))
+        .select(
+            "n_rows",
+            "n_keys",
+            "f2_exact",
+            F.round("f2_ams", 6).alias("f2_ams"),
+            F.round(
+                (F.col("f2_ams") - F.col("f2_exact")) / F.col("f2_exact"), 6
+            ).alias("rel_err"),
+        )
+    )
