@@ -982,3 +982,150 @@ def feature_pca_top_m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), outs).orderBy(
         "component", "dim"
     )
+
+
+_JL_M = 16  # target dimension; sqrt(16) = 4 keeps the scaling EXACT
+_JL_EVEN = "('0','2','4','6','8','a','c','e')"
+
+
+def _jl_sign(k: str, i: str) -> str:
+    """+-1 from the parity of md5's first hex digit on '<k>:<i>' — the
+    deterministic JL sign matrix entry, identical text in both engines."""
+    return (
+        f"CASE WHEN substr(md5(CAST({k} AS STRING) || ':' || "
+        f"CAST({i} AS STRING)), 1, 1) IN {_JL_EVEN} "
+        f"THEN 1.0 ELSE -1.0 END"
+    )
+
+
+def _jl_oracle() -> str:
+    sign = (
+        f"CASE WHEN substr(md5(CAST(k AS VARCHAR) || ':' || "
+        f"CAST(i AS VARCHAR)), 1, 1) IN {_JL_EVEN} "
+        f"THEN 1.0 ELSE -1.0 END"
+    )
+    return f"""
+    WITH sample AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0
+    ),
+    proj AS (
+        SELECT vec_id, embedding,
+               list_transform(range(0, {_JL_M}), k ->
+                   list_sum(list_transform(range(1, 65), i ->
+                       ({sign}) * CAST(embedding[i] AS DOUBLE))) / 4.0)
+                   AS y
+        FROM sample
+    ),
+    pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               list_sum(list_transform(range(1, {_JL_M} + 1), k ->
+                   (a.y[k] - b.y[k]) * (a.y[k] - b.y[k]))) AS num,
+               list_sum(list_transform(range(1, 65), i ->
+                   (CAST(a.embedding[i] AS DOUBLE)
+                    - CAST(b.embedding[i] AS DOUBLE))
+                   * (CAST(a.embedding[i] AS DOUBLE)
+                      - CAST(b.embedding[i] AS DOUBLE)))) AS den
+        FROM proj a JOIN proj b ON b.vec_id > a.vec_id
+    ),
+    r AS (SELECT num / den AS ratio FROM pairs WHERE den > 0)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sample) AS n_vectors,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(SUM(CAST(ROUND(ratio, 9) AS DECIMAL(28,9)))
+                      AS DOUBLE) / COUNT(*), 6) AS mean_ratio,
+           ROUND(MIN(ratio), 6) AS min_ratio,
+           ROUND(MAX(ratio), 6) AS max_ratio,
+           ROUND(CAST(SUM(CASE WHEN abs(ratio - 1.0) < 0.5
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS frac_within_half
+    FROM r
+    """
+
+
+@query(
+    "feature_jl_projection",
+    oracle=_jl_oracle(),
+    tags=("pipeline", "features", "embedding", "dimensionality-reduction"),
+)
+def feature_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (Achlioptas 2003 +-1
+    variant) of the 64-dim embeddings to {_JL_M} dims, with the JL lemma
+    itself as the report: squared-distance distortion ratios
+    ||Px - Py||^2 / ||x - y||^2 over all sampled-vector pairs (mean,
+    min, max, and the fraction inside the +-50% band — the lemma says
+    the mean concentrates at 1).  The sign matrix derives from md5
+    first-hex-digit parity on '<k>:<i>', so both engines project with
+    the IDENTICAL matrix and the driver hash-matches the distortions.
+
+    Exactness: each projected coordinate is an index-ordered fold of
+    +-x_i (both engines fold left in index order — the proven
+    sim_pca_top_m list_sum/aggregate contract) divided by the EXACT
+    sqrt(16) = 4; distance folds are index-ordered too; the only
+    order-sensitive reduce (the mean) rides the ROUND(.,9) DECIMAL
+    contract.
+
+    Scale shape: the projection is ENTIRELY map-side — one higher-order
+    expression per row, no explode, no shuffle, no Python (at 100 TB
+    you would precompute the 16x64 matrix once instead of hashing per
+    row; the plan shape is the same broadcast-free narrow map).  The
+    pairwise distortion report is the fixture-scale proof harness over
+    the vec_id % 20 sample, the same twin pattern as the sketch
+    families."""
+    t = Tables(spark, sf_dir)
+    sample = t.embeddings.where(F.col("vec_id") % 20 == 0).select(
+        "vec_id", "embedding"
+    )
+    proj_expr = (
+        f"transform(sequence(0, {_JL_M - 1}), k -> "
+        f"aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE), (acc, i) -> "
+        f"acc + ({_jl_sign('k', 'i')}) * CAST(embedding[i - 1] AS DOUBLE)"
+        f") / 4.0)"
+    )
+    proj = sample.select(
+        "vec_id", "embedding", F.expr(proj_expr).alias("y")
+    ).localCheckpoint(eager=False)
+    b = proj.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("emb_b"),
+        F.col("y").alias("yb"),
+    )
+    num = (
+        f"aggregate(sequence(0, {_JL_M - 1}), CAST(0.0 AS DOUBLE), "
+        f"(acc, k) -> acc + (y[k] - yb[k]) * (y[k] - yb[k]))"
+    )
+    den = (
+        "aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), (acc, i) -> "
+        "acc + (CAST(embedding[i] AS DOUBLE) - CAST(emb_b[i] AS DOUBLE))"
+        " * (CAST(embedding[i] AS DOUBLE) - CAST(emb_b[i] AS DOUBLE)))"
+    )
+    pairs = (
+        proj.join(b, F.col("vb") > F.col("vec_id"))
+        .select(F.expr(num).alias("num"), F.expr(den).alias("den"))
+        .where(F.col("den") > 0)
+        .select((F.col("num") / F.col("den")).alias("ratio"))
+    )
+    nv = sample.agg(F.count("*").cast("bigint").alias("n_vectors"))
+    return (
+        pairs.agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum(F.expr("CAST(ROUND(ratio, 9) AS DECIMAL(28,9))"))
+                .cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_ratio"),
+            F.round(F.min("ratio"), 6).alias("min_ratio"),
+            F.round(F.max("ratio"), 6).alias("max_ratio"),
+            F.round(
+                F.sum(
+                    F.when(F.abs(F.col("ratio") - 1.0) < 0.5, 1).otherwise(0)
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("frac_within_half"),
+        )
+        .join(F.broadcast(nv))
+        .select(
+            "n_vectors", "n_pairs", "mean_ratio", "min_ratio", "max_ratio",
+            "frac_within_half",
+        )
+    )
