@@ -3162,3 +3162,141 @@ def eval_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_stat") - mu) / F.nullif(sigma, F.lit(0.0)), 6
         ).alias("z"),
     )
+
+
+_CONF_ALPHA = 0.1  # target 90% coverage
+
+
+@query(
+    "eval_conformal_coverage",
+    oracle=f"""
+    WITH mdl AS (
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (WHERE o_orderkey % 2 = 0) AS DOUBLE)
+               / COUNT(*) FILTER (WHERE o_orderkey % 2 = 0) AS mu
+        FROM orders GROUP BY o_orderpriority
+    ),
+    resid AS (
+        SELECT o.o_orderpriority, o.o_orderkey % 2 = 0 AS is_cal,
+               abs(CAST(o.o_totalprice AS DOUBLE) - m.mu) AS r
+        FROM orders o JOIN mdl m USING (o_orderpriority)
+    ),
+    cal AS (
+        SELECT o_orderpriority, r,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY r, o_orderpriority) AS rk,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n_cal
+        FROM resid WHERE is_cal
+    ),
+    qhat AS (
+        SELECT o_orderpriority, n_cal,
+               CAST(CEIL((1.0 - {_CONF_ALPHA}) * (n_cal + 1)) AS BIGINT)
+                   AS k,
+               r AS q
+        FROM cal
+        WHERE rk = CAST(CEIL((1.0 - {_CONF_ALPHA}) * (n_cal + 1)) AS BIGINT)
+    ),
+    tst AS (
+        SELECT t.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN t.r <= q.q THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_covered
+        FROM resid t JOIN qhat q USING (o_orderpriority)
+        WHERE NOT t.is_cal
+        GROUP BY t.o_orderpriority
+    )
+    SELECT q.o_orderpriority,
+           CAST(q.n_cal AS BIGINT) AS n_cal, q.k, tst.n_test,
+           ROUND(q.q, 6) AS qhat,
+           ROUND(CAST(tst.n_covered AS DOUBLE) / tst.n_test, 6)
+               AS coverage
+    FROM qhat q JOIN tst USING (o_orderpriority)
+    ORDER BY q.o_orderpriority
+    """,
+    tags=("pipeline", "evaluation", "conformal", "calibration"),
+)
+def eval_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals with GROUP-CONDITIONAL
+    (Mondrian) calibration (Vovk et al.; Angelopoulos-Bates 2021) — the
+    distribution-free uncertainty wrapper an LLM-pipeline puts around
+    any scorer: per priority class, the even-orderkey half calibrates
+    (residuals |price - class mean| against the calibration-half mean
+    as the 'model'), qhat is the EXACT ceil((1-alpha)(n+1))-th order
+    statistic of calibration residuals, and the odd half reports
+    empirical coverage of mu +- qhat — the finite-sample >= 1-alpha
+    guarantee, group-conditional because each class calibrates alone.
+
+    Exactness: the class means are exact decimal sums as doubles;
+    residuals are |double - double| on identical inputs; qhat is an
+    ORDER STATISTIC (no interpolation — rank via row_number with a
+    deterministic tie order), so both engines pick the identical row;
+    coverage is an integer ratio.
+
+    Scale shape: one aggregate to class grain (broadcast model), one
+    residual map, the order statistic via a class-partitioned window
+    (never global — classes partition; a single-class corpus would
+    route through the distributed-rank devices), one coverage
+    aggregate.  The fact shuffles once on the class key."""
+    t = Tables(spark, sf_dir)
+    o = t.orders
+    is_cal = F.col("o_orderkey") % 2 == 0
+    mdl = o.groupBy("o_orderpriority").agg(
+        (
+            F.sum(
+                F.when(
+                    is_cal, F.col("o_totalprice").cast("decimal(18,2)")
+                )
+            ).cast("double")
+            / F.sum(F.when(is_cal, 1).otherwise(0))
+        ).alias("mu")
+    )
+    resid = o.join(F.broadcast(mdl), "o_orderpriority").select(
+        "o_orderpriority",
+        is_cal.alias("is_cal"),
+        F.abs(
+            F.col("o_totalprice").cast("double") - F.col("mu")
+        ).alias("r"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "r", "o_orderpriority"
+    )
+    cal = (
+        resid.where("is_cal")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "n_cal", F.count("*").over(Window.partitionBy("o_orderpriority"))
+        )
+    )
+    k = F.ceil((1.0 - _CONF_ALPHA) * (F.col("n_cal") + 1)).cast("bigint")
+    qhat = cal.where(F.col("rk") == k).select(
+        "o_orderpriority",
+        F.col("n_cal").cast("bigint").alias("n_cal"),
+        k.alias("k"),
+        F.col("r").alias("q"),
+    )
+    tst = (
+        resid.where(~F.col("is_cal"))
+        .join(F.broadcast(qhat), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.sum(F.when(F.col("r") <= F.col("q"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        qhat.join(tst, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_cal",
+            "k",
+            "n_test",
+            F.round("q", 6).alias("qhat"),
+            F.round(
+                F.col("n_covered").cast("double") / F.col("n_test"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("o_orderpriority")
+    )
