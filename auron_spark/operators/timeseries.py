@@ -17,6 +17,8 @@ a cross-engine arg-max contract).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2135,7 +2137,7 @@ _HOLT_SQL = _holt_sql()
 # serialize the set/run/restore window.  Cross-session callers are
 # unaffected (confs are per-session); in-process concurrency is the only
 # hazard a lock can close.
-_HOLT_CONF_LOCK = __import__("threading").Lock()
+_HOLT_CONF_LOCK = threading.Lock()
 
 
 def run_holt(spark: SparkSession, table: str = "events") -> DataFrame:

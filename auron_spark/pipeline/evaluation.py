@@ -3251,12 +3251,20 @@ def eval_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.when(is_cal, 1).otherwise(0))
         ).alias("mu")
     )
-    resid = o.join(F.broadcast(mdl), "o_orderpriority").select(
-        "o_orderpriority",
-        is_cal.alias("is_cal"),
-        F.abs(
-            F.col("o_totalprice").cast("double") - F.col("mu")
-        ).alias("r"),
+    resid = (
+        o.join(F.broadcast(mdl), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            is_cal.alias("is_cal"),
+            F.abs(
+                F.col("o_totalprice").cast("double") - F.col("mu")
+            ).alias("r"),
+        )
+        # resid feeds BOTH the calibration window and the test-side
+        # coverage aggregate: without the cut the orders scan + model
+        # broadcast re-plan under each branch (r15 review #2 — the
+        # 'fact shuffles once' claim needs the reuse to be literal).
+        .localCheckpoint(eager=False)
     )
     w = Window.partitionBy("o_orderpriority").orderBy(
         "r", "o_orderpriority"
@@ -3269,11 +3277,18 @@ def eval_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     k = F.ceil((1.0 - _CONF_ALPHA) * (F.col("n_cal") + 1)).cast("bigint")
-    qhat = cal.where(F.col("rk") == k).select(
-        "o_orderpriority",
-        F.col("n_cal").cast("bigint").alias("n_cal"),
-        k.alias("k"),
-        F.col("r").alias("q"),
+    qhat = (
+        cal.where(F.col("rk") == k)
+        .select(
+            "o_orderpriority",
+            F.col("n_cal").cast("bigint").alias("n_cal"),
+            k.alias("k"),
+            F.col("r").alias("q"),
+        )
+        # qhat (a |classes|-row model frame) feeds the test-side join AND
+        # the final report join — cut once so the rank window subtree is
+        # not evaluated twice (r15 review #2).
+        .localCheckpoint(eager=False)
     )
     tst = (
         resid.where(~F.col("is_cal"))

@@ -162,13 +162,20 @@ def main() -> int:
                 # different test plan, which is exactly the stale-floor
                 # failure the count reset exists to prevent (review r14 #1).
                 for k in walls:
-                    if counts[k] == 0 and old_counts.get(k, 0) > 0:
+                    if (
+                        counts[k] == 0
+                        and old_counts.get(k, 0) > 0
+                        and "no tests ran" not in summaries[k]
+                    ):
                         # The worker died before pytest printed a summary
-                        # line (count regex parsed nothing): its short wall
-                        # is an abort, not a measurement — keep the prior
-                        # best/count so the bogus floor never commits;
-                        # `latest` still records the aborted run verbatim
-                        # (ADVICE r14 #2).
+                        # line (count regex parsed nothing AND pytest's own
+                        # "no tests ran" marker is absent — a group that
+                        # legitimately collected zero tests prints it and
+                        # resets below): its short wall is an abort, not a
+                        # measurement — keep the prior best/count so the
+                        # bogus floor never commits; `latest` still records
+                        # the aborted run verbatim (ADVICE r14 #2, abort vs
+                        # emptied-group distinction per the r15 review).
                         best[k] = old_best[k]
                         record_counts[k] = old_counts[k]
                     elif old_counts.get(k) == counts[k]:

@@ -614,8 +614,41 @@ def _derive_events_10x(spark):
     return derived, n_base
 
 
+@pytest.fixture(scope="module")
+def events10x_corpus(spark):
+    """The 10x derived corpus written ONCE per module as 8 parquet files
+    (the largest artifact in this suite — r15 review #3: the two scale
+    tests previously each materialized their own copy), removed at
+    teardown (mkdtemp + rmtree, not tmp_path: must never accumulate
+    across runs, ADVICE r14 #4).  Yields (corpus_path, n_base)."""
+    import os
+    import shutil
+    import tempfile
+
+    derived, n_base = _derive_events_10x(spark)
+    d = tempfile.mkdtemp(prefix="auron-stream10x-")
+    derived.repartition(8).write.parquet(f"{d}/events10x")
+    files = [
+        f for f in os.listdir(f"{d}/events10x") if f.endswith(".parquet")
+    ]
+    assert len(files) == 8
+    yield f"{d}/events10x", n_base
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _stream_corpus(spark, path, schema):
+    from auron_spark.tables import normalize_events_ts
+
+    return normalize_events_ts(
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "2")
+        .load(path)
+    )
+
+
 @pytest.mark.slow
-def test_stream_scale_10x_watermark_state(spark):
+def test_stream_scale_10x_watermark_state(spark, events10x_corpus):
     """Streaming joins the 10x derived-corpus scale-proof program
     (VERDICT r13 stretch #8): the events fixture replicates 10x with
     deterministic id shifts — replicas 0-8 get disjoint event_ids,
@@ -626,67 +659,46 @@ def test_stream_scale_10x_watermark_state(spark):
     aggregation state must carry across batch boundaries), and BOTH the
     tumbling windowed aggregate and dropDuplicatesWithinWatermark must
     match their batch twins on the identical derived frame."""
-    import os
-    import shutil
-    import tempfile
-
     from auron_spark.streaming.ops import tumbling_counts
-    from auron_spark.tables import normalize_events_ts
 
-    derived, n_base = _derive_events_10x(spark)
-    # mkdtemp + rmtree instead of tmp_path: the 10x corpus is ~10x the
-    # events fixture and must not accumulate across runs (ADVICE r14 #4).
-    d = tempfile.mkdtemp(prefix="auron-stream10x-")
-    try:
-        derived.repartition(8).write.parquet(f"{d}/events10x")
-        files = [
-            f for f in os.listdir(f"{d}/events10x") if f.endswith(".parquet")
-        ]
-        assert len(files) == 8
-        batch = spark.read.parquet(f"{d}/events10x")
-        assert batch.count() == 10 * n_base
+    path, n_base = events10x_corpus
+    batch = spark.read.parquet(path)
+    assert batch.count() == 10 * n_base
 
-        def stream():
-            return normalize_events_ts(
-                spark.readStream.schema(batch.schema)
-                .format("parquet")
-                .option("maxFilesPerTrigger", "2")
-                .load(f"{d}/events10x")
-            )
+    _run_stream(
+        tumbling_counts(
+            _stream_corpus(spark, path, batch.schema)
+            .withWatermark("ts", "1 hour")
+        ),
+        "tumbling10x_out",
+    )
+    got = normalize(spark.sql("SELECT * FROM tumbling10x_out").toPandas())
+    want = normalize(tumbling_counts(batch).toPandas())
+    assert got == want
 
-        _run_stream(
-            tumbling_counts(stream().withWatermark("ts", "1 hour")),
-            "tumbling10x_out",
-        )
-        got = normalize(spark.sql("SELECT * FROM tumbling10x_out").toPandas())
-        want = normalize(tumbling_counts(batch).toPandas())
-        assert got == want
-
-        # The dedup watermark must cover the fixture's whole 30-day
-        # calendar: the 4 micro-batches arrive in file order, not
-        # event-time order, so a short delay would legitimately DROP later
-        # batches' older rows as late data (observed: 4758 survivors at
-        # "1 hour") — the state-scale claim needs every row retained, only
-        # true duplicates removed.
-        deduped = (
-            stream()
-            .withWatermark("ts", "1000 hours")
-            .dropDuplicatesWithinWatermark(["event_id"])
-            .groupBy()
-            .agg(F.count("*").alias("n"))
-        )
-        _run_stream(deduped, "dedup10x_out")
-        got_n = spark.sql("SELECT n FROM dedup10x_out").collect()[0]["n"]
-        # replicas 0-8 carry disjoint ids; replica 9's rows are exact id
-        # duplicates
-        assert got_n == 9 * n_base
-        assert got_n == batch.select("event_id").distinct().count()
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+    # The dedup watermark must cover the fixture's whole 30-day
+    # calendar: the 4 micro-batches arrive in file order, not
+    # event-time order, so a short delay would legitimately DROP later
+    # batches' older rows as late data (observed: 4758 survivors at
+    # "1 hour") — the state-scale claim needs every row retained, only
+    # true duplicates removed.
+    deduped = (
+        _stream_corpus(spark, path, batch.schema)
+        .withWatermark("ts", "1000 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy()
+        .agg(F.count("*").alias("n"))
+    )
+    _run_stream(deduped, "dedup10x_out")
+    got_n = spark.sql("SELECT n FROM dedup10x_out").collect()[0]["n"]
+    # replicas 0-8 carry disjoint ids; replica 9's rows are exact id
+    # duplicates
+    assert got_n == 9 * n_base
+    assert got_n == batch.select("event_id").distinct().count()
 
 
 @pytest.mark.slow
-def test_stream_scale_10x_interval_join(spark):
+def test_stream_scale_10x_interval_join(spark, events10x_corpus):
     """Stream-stream interval join at 10x (VERDICT r14 stretch #9): both
     sides of the purchase<-clicks-in-30-minutes join stream from the 10x
     derived corpus in 4 micro-batches, so join state builds on BOTH
@@ -697,81 +709,61 @@ def test_stream_scale_10x_interval_join(spark):
     event-time order, so a short delay would legitimately evict state
     and drop cross-batch matches — the state-scale claim needs every
     pair found."""
-    import os
-    import shutil
-    import tempfile
+    path, _ = events10x_corpus
+    batch = spark.read.parquet(path)
 
-    from auron_spark.tables import normalize_events_ts
-
-    derived, _ = _derive_events_10x(spark)
-    d = tempfile.mkdtemp(prefix="auron-streamssj10x-")
-    try:
-        derived.repartition(8).write.parquet(f"{d}/events10x")
-        files = [
-            f for f in os.listdir(f"{d}/events10x") if f.endswith(".parquet")
-        ]
-        assert len(files) == 8
-        batch = spark.read.parquet(f"{d}/events10x")
-
-        def side(event_type, cols):
-            return (
-                normalize_events_ts(
-                    spark.readStream.schema(batch.schema)
-                    .format("parquet")
-                    .option("maxFilesPerTrigger", "2")
-                    .load(f"{d}/events10x")
-                )
-                .filter(F.col("event_type") == event_type)
-                .select(*cols)
-            )
-
-        purchases = side(
-            "purchase",
-            [
-                F.col("event_id").alias("p_id"),
-                F.col("user_id").alias("p_user"),
-                F.col("ts").alias("p_ts"),
-            ],
-        ).withWatermark("p_ts", "1000 hours")
-        clicks = side(
-            "click",
-            [F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")],
-        ).withWatermark("c_ts", "1000 hours")
-        cond = (
-            (F.col("p_user") == F.col("c_user"))
-            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
-            & (F.col("c_ts") < F.col("p_ts"))
+    def side(event_type, cols):
+        return (
+            _stream_corpus(spark, path, batch.schema)
+            .filter(F.col("event_type") == event_type)
+            .select(*cols)
         )
-        q = (
-            purchases.join(clicks, cond, "inner")
-            .writeStream.outputMode("append")
-            .format("memory")
-            .queryName("ssj10x_out")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-        got = normalize(
-            spark.sql(
-                "SELECT p_id, p_user, COUNT(*) AS n FROM ssj10x_out "
-                "GROUP BY p_id, p_user"
-            ).toPandas()
-        )
-        bp = batch.filter(F.col("event_type") == "purchase").select(
+
+    purchases = side(
+        "purchase",
+        [
             F.col("event_id").alias("p_id"),
             F.col("user_id").alias("p_user"),
             F.col("ts").alias("p_ts"),
-        )
-        bc = batch.filter(F.col("event_type") == "click").select(
-            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
-        )
-        want = normalize(
-            bp.join(bc, cond, "inner")
-            .groupBy("p_id", "p_user")
-            .agg(F.count("*").alias("n"))
-            .toPandas()
-        )
-        assert got == want
-        assert len(spark.sql("SELECT 1 FROM ssj10x_out").collect()) > 0
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+        ],
+    ).withWatermark("p_ts", "1000 hours")
+    clicks = side(
+        "click",
+        [F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")],
+    ).withWatermark("c_ts", "1000 hours")
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts"))
+    )
+    q = (
+        purchases.join(clicks, cond, "inner")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj10x_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = normalize(
+        spark.sql(
+            "SELECT p_id, p_user, COUNT(*) AS n FROM ssj10x_out "
+            "GROUP BY p_id, p_user"
+        ).toPandas()
+    )
+    bp = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    bc = batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    want = normalize(
+        bp.join(bc, cond, "inner")
+        .groupBy("p_id", "p_user")
+        .agg(F.count("*").alias("n"))
+        .toPandas()
+    )
+    assert got == want
+    assert len(spark.sql("SELECT 1 FROM ssj10x_out").collect()) > 0
