@@ -1736,6 +1736,115 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stats_spearman_global_scale",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS freq,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT CAST(2 * RANK() OVER (ORDER BY freq)
+               + COUNT(*) OVER (PARTITION BY freq) - 1 AS BIGINT) AS rx2,
+               CAST(2 * RANK() OVER (ORDER BY spend)
+               + COUNT(*) OVER (PARTITION BY spend) - 1 AS BIGINT) AS ry2
+        FROM per_cust
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(rx2) AS DOUBLE) AS sx,
+               CAST(SUM(ry2) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(rx2 * rx2 AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(ry2 * ry2 AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(rx2 * ry2 AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+        FROM ranked
+    )
+    SELECT n AS n_customers,
+           ROUND((n * sxy - sx * sy)
+                 / NULLIF(sqrt((n * sxx - sx * sx)
+                               * (n * syy - sy * sy)), 0.0), 6)
+               AS rho_spearman
+    FROM sums
+    """,
+    tags=("stats", "correlation", "rank", "distributed-scale"),
+)
+def stats_spearman_global_scale(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GLOBAL Spearman rank correlation (order frequency vs total spend
+    across ALL customers) with NO single-partition window — the _scale
+    twin stats_spearman_corr's docstring promises: a truly global rank
+    would otherwise funnel the corpus through one task.  Ranks ride the
+    `distributed_running_sums` prefix device over the VALUE GRAIN:
+    group to (value, cnt), range-repartition on the value, prefix-sum
+    counts with per-partition windows + a 32-long offset map, and the
+    fractional average rank for every row of a value is
+    (rows below) + (cnt + 1)/2 — carried DOUBLED (2R + c - 1) so every
+    rank is an exact BIGINT (correlation is shift/scale invariant, and
+    the oracle computes the identical doubled algebra, so no float
+    rank ever exists in either engine).
+
+    Exactness: doubled ranks and their products are exact integers
+    (DECIMAL(38,0) guards the power-sum overflow); the five sums cast
+    to DOUBLE once and the rho formula is the identical IEEE text.
+
+    Scale shape: one aggregate to customer grain; per metric, a
+    value-grain reduce plus the prefix device (range exchange, _pid
+    windows, constant 32-long collect); the freq rank map is
+    vocabulary-sized (broadcast), the spend map joins back on the
+    value key; one 6-column power-sum aggregate ends it.  Plan-gated:
+    every Window partitions by _pid
+    (`test_spearman_global_no_single_partition_window`)."""
+    from auron_spark.operators.window import distributed_running_sums
+
+    t = Tables(spark, sf_dir)
+    per_cust = t.orders.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"),
+    )
+
+    def rank2_map(col: str) -> DataFrame:
+        vg = per_cust.groupBy(col).agg(F.count("*").alias("cnt"))
+        cum = distributed_running_sums(vg, [col], ["cnt"])
+        return cum.select(
+            col,
+            (
+                2 * (F.col("cum_cnt") - F.col("cnt")) + F.col("cnt") + 1
+            ).cast("bigint").alias(f"r2_{col}"),
+        )
+
+    ranked = per_cust.join(F.broadcast(rank2_map("freq")), "freq").join(
+        rank2_map("spend"), "spend"
+    )
+    sums = ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("r2_freq").cast("double").alias("sx"),
+        F.sum("r2_spend").cast("double").alias("sy"),
+        F.sum(
+            (F.col("r2_freq") * F.col("r2_freq")).cast("decimal(38,0)")
+        ).cast("double").alias("sxx"),
+        F.sum(
+            (F.col("r2_spend") * F.col("r2_spend")).cast("decimal(38,0)")
+        ).cast("double").alias("syy"),
+        F.sum(
+            (F.col("r2_freq") * F.col("r2_spend")).cast("decimal(38,0)")
+        ).cast("double").alias("sxy"),
+    )
+    denom = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select(
+        F.col("n").alias("n_customers"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.nullif(denom, F.lit(0.0)),
+            6,
+        ).alias("rho_spearman"),
+    )
+
+
+@query(
     "timeseries_seasonal_decompose",
     oracle="""
     WITH daily AS (

@@ -2616,6 +2616,19 @@ def test_inventory_shortfall_dim_before_fact_join(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_spearman_global_no_single_partition_window(spark):
+    """stats_spearman_global_scale: a truly GLOBAL rank with no
+    single-partition stage — every Window in the plan must partition by
+    the prefix device's _pid (the dq_sequence_gaps_scale contract), and
+    the freq rank map must attach as a broadcast."""
+    plan = _plan(spark, "stats_spearman_global_scale")
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "_pid" in line, line
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_multi_supplier_unreturned_decorrelates(spark):
     """ds_multi_supplier_unreturned (TPC-DS Q95 shape): the EXISTS over
     the fact self-join must decorrelate to a semi join and the NOT
