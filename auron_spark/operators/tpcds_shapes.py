@@ -1136,6 +1136,7 @@ _sql_query(
     to every orders scan, and the four-way self-join keys on the
     customer grain.  Reference frame: dev/auron-it TPC-DS battery
     (q4/q11).""",
+    bench=True,  # the r15 TPC-DS flagship: 4-probe CTE self-join family
 )
 
 
