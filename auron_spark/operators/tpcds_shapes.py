@@ -1298,3 +1298,52 @@ _sql_query(
     aggregate already partitioned; the year window pushes to the scan.
     Reference frame: dev/auron-it TPC-DS battery (q39).""",
 )
+
+
+_OR_EXISTS_SEGMENTS = """
+SELECT c_mktsegment AS segment, n_name AS nation_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM customer JOIN nation ON n_nationkey = c_nationkey
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c_custkey
+                AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o.o_orderdate <  TIMESTAMP '1997-01-01')
+  AND (EXISTS (SELECT 1 FROM orders o
+               WHERE o.o_custkey = c_custkey
+                 AND o.o_orderpriority = '1-URGENT')
+       OR EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c_custkey
+                    AND CAST(o.o_totalprice AS DOUBLE) > 250000))
+GROUP BY c_mktsegment, n_name
+ORDER BY segment, nation_name
+"""
+
+_sql_query(
+    "ds_or_exists_segments",
+    _OR_EXISTS_SEGMENTS,
+    ("tpcds-shape", "existence-join", "or-exists", "semi-join"),
+    """TPC-DS Q10/Q35 shape: customers anchored by one plain EXISTS
+    (active in the window — the store-sales anchor) AND a DISJUNCTION
+    of two further EXISTS (urgent buyer OR big-ticket buyer — Q10's
+    'exists web_sales OR exists catalog_sales' device), reported as
+    per-(segment, nation) demographic counts.  The OR is the
+    distinctive part: a disjunct EXISTS cannot decorrelate to a plain
+    semi join, so Spark plans BOTH subqueries as ExistenceJoin marker
+    columns and filters on `exists#1 OR exists#2` — the one subquery
+    topology the battery's ten EXISTS entries did not yet pin
+    (plan-gated: two ExistenceJoin nodes +
+    `test_or_exists_double_existence_join`).
+
+    Exactness: counts plus one exact decimal sum; the price disjunct
+    compares in DOUBLE per the Q23 contract; group keys order the
+    report.
+
+    Scale shape: the anchor EXISTS decorrelates to a LeftSemi on the
+    customer key; the two disjunct probes attach as existence joins on
+    the same key (one orders exchange feeds all three probes'
+    aggregates at production layout — each probe pushes its own filter
+    to the scan); the dim join broadcasts nation; one partial/final
+    aggregate at (segment, nation) grain ends it.  Reference frame:
+    dev/auron-it TPC-DS battery (q10/q35).""",
+)

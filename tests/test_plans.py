@@ -2629,6 +2629,20 @@ def test_spearman_global_no_single_partition_window(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_or_exists_double_existence_join(spark):
+    """ds_or_exists_segments (TPC-DS Q10/Q35 shape): the anchor EXISTS
+    must decorrelate to a LeftSemi and the DISJUNCT pair must plan as
+    two ExistenceJoin marker columns (an OR'd EXISTS cannot be a plain
+    semi join) filtered as exists#a OR exists#b — never a cartesian or
+    a per-row subquery."""
+    plan = _plan(spark, "ds_or_exists_segments")
+    assert plan.count("ExistenceJoin") >= 2, plan
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "1996-01-01" in plan, plan  # anchor window pushed to its scan
+
+
 def test_multi_supplier_unreturned_decorrelates(spark):
     """ds_multi_supplier_unreturned (TPC-DS Q95 shape): the EXISTS over
     the fact self-join must decorrelate to a semi join and the NOT
