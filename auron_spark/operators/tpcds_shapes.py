@@ -4,7 +4,7 @@ The reference's gating correctness corpus is TPC-DS (``dev/auron-it/
 local-run-tpcds.sh``, ``.github/workflows/tpcds-reusable.yml:70-83``), while
 this repo's relational battery grew from TPC-H shapes.  This module closes
 that test-strategy asymmetry with a battery of TPC-DS-style query SHAPES
-(one `_sql_query` registration each; 25 as of r15) — the grouping-sets-heavy
+(one `_sql_query` registration each; 27 as of r15) — the grouping-sets-heavy
 rollup reports, multi-channel unions, year-over-year window deltas and
 growth-ratio self-joins, rollup-then-rank patterns, the Q64/Q72/Q78
 fact-to-fact joins and the Q23 nested-subquery best-customers cut that
@@ -1346,4 +1346,59 @@ _sql_query(
     to the scan); the dim join broadcasts nation; one partial/final
     aggregate at (segment, nation) grain ends it.  Reference frame:
     dev/auron-it TPC-DS battery (q10/q35).""",
+)
+
+
+_EXCEPT_CHAIN_CUSTOMERS = """
+WITH store AS (
+    SELECT o_custkey AS cust,
+           CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mi
+    FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+),
+web AS (
+    SELECT o_custkey AS cust,
+           CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mi
+    FROM orders WHERE o_orderpriority = '3-MEDIUM'
+),
+mail AS (
+    SELECT o_custkey AS cust,
+           CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mi
+    FROM orders WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+),
+store_only AS (
+    SELECT * FROM store EXCEPT SELECT * FROM web EXCEPT SELECT * FROM mail
+),
+all_three AS (
+    SELECT * FROM store INTERSECT SELECT * FROM web
+    INTERSECT SELECT * FROM mail
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM store_only) AS n_store_only,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM all_three) AS n_all_three,
+       (SELECT CAST(COUNT(DISTINCT cust) AS BIGINT) FROM store_only)
+           AS n_store_only_customers
+"""
+
+_sql_query(
+    "ds_except_chain_customers",
+    _EXCEPT_CHAIN_CUSTOMERS,
+    ("tpcds-shape", "set-ops", "except-chain", "fact-grain"),
+    """TPC-DS Q87/Q38 shape: MULTI-COLUMN set algebra at FACT grain —
+    the (customer, month) tuple sets of three channels chained through
+    EXCEPT (customers active in store months that never appear in the
+    web/mail legs) and the INTERSECT triple (active in all three), the
+    one set-op topology the battery lacked: §2.7's proven set ops run
+    on small projections and ds_cross_channel_intersect intersects a
+    single key column, while Q87's EXCEPT chain deduplicates and
+    anti-joins COMPOSITE tuples at fact scale.
+
+    Exactness: pure integer tuple sets and counts — nothing floating
+    anywhere.
+
+    Scale shape: each leg is a pushed-down filter over the same fact
+    (the legs partition the priority domain, so one logical pass);
+    EXCEPT/INTERSECT plan as hash-aggregated distinct + LeftAnti /
+    LeftSemi joins on the composite key — each set op is one shuffle
+    on the tuple, no cartesian (plan-gated:
+    `test_except_chain_set_op_joins`).  Reference frame: dev/auron-it
+    TPC-DS battery (q87/q38).""",
 )

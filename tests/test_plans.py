@@ -2629,6 +2629,19 @@ def test_spearman_global_no_single_partition_window(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_except_chain_set_op_joins(spark):
+    """ds_except_chain_customers (TPC-DS Q87/Q38 shape): the EXCEPT
+    chain must plan as distinct-aggregated LeftAnti joins and the
+    INTERSECT triple as LeftSemi joins on the composite (cust, month)
+    tuple — never a cartesian/BNLJ."""
+    plan = _plan(spark, "ds_except_chain_customers")
+    assert plan.count("LeftAnti") >= 2, plan
+    assert plan.count("LeftSemi") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "HashAggregate" in plan, plan  # the set-op distinct
+
+
 def test_or_exists_double_existence_join(spark):
     """ds_or_exists_segments (TPC-DS Q10/Q35 shape): the anchor EXISTS
     must decorrelate to a LeftSemi and the DISJUNCT pair must plan as
