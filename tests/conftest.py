@@ -135,19 +135,25 @@ def assert_matches_oracle(spark_df, con, sql: str, name: str = "") -> None:
 
 
 def pytest_collection_modifyitems(config, items):
-    """Generic worker sharding (the oracle battery's round-robin device,
-    lifted to ANY test file): ``SPARK_GRAFT_TEST_SHARD=i/n`` keeps every
-    test whose index in the SORTED-nodeid order is congruent to i mod n.
-    Sharding on the sorted-nodeid index (ADVICE r12 #2) rather than raw
-    collection position makes the partition independent of plugin/env
-    collection-order differences between a family's workers — any two
-    workers that collect the same nodeid SET partition it exactly, and
-    parametrized heavy tails still spread round-robin (parameters of one
-    test sort adjacently).  Unset (the default, and CI) collects
+    """Generic worker sharding (the oracle battery's device, lifted to
+    ANY test file): ``SPARK_GRAFT_TEST_SHARD=i/n`` keeps every test whose
+    md5(nodeid) is congruent to i mod n.  HASH-STABLE dealing (r15: the
+    former sorted-index round-robin re-dealt the WHOLE deck whenever one
+    test was added, so every shard's recorded best wall in
+    partest_walls.json described a retired membership — and a count
+    collision could min-merge walls across different workloads): a
+    test's shard now depends only on its own nodeid, so insertions move
+    nothing else, the walls record stays honest per worker, and any two
+    workers that collect the same nodeid SET still partition it exactly
+    (the ADVICE r12 #2 property).  Unset (the default, and CI) collects
     everything."""
     shard = os.environ.get("SPARK_GRAFT_TEST_SHARD")
     if not shard:
         return
+    import hashlib
+
     i, n = (int(x) for x in shard.split("/"))
-    rank = {nid: j for j, nid in enumerate(sorted(it.nodeid for it in items))}
-    items[:] = [it for it in items if rank[it.nodeid] % n == i]
+    items[:] = [
+        it for it in items
+        if int(hashlib.md5(it.nodeid.encode()).hexdigest(), 16) % n == i
+    ]

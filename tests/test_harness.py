@@ -317,14 +317,16 @@ def test_no_decimal_typed_oracle_columns(oracle):
 
 def test_partest_plan_covers_whole_suite():
     """The parallel runner's worker plan must collect exactly the full
-    suite: the oracle shards partition the sorted registry, and every
-    other test file is covered by exactly one worker group — either an
-    unsharded worker listing it once, or a SPARK_GRAFT_TEST_SHARD family
-    whose i/n specs partition the file's collection exactly (all residues
-    0..n-1 present once; conftest keeps the item whose sorted-nodeid
-    index is j on shard j % n, so any workers collecting the same nodeid
-    SET partition it exactly regardless of collection order — ADVICE
-    r12 #2)."""
+    suite: the oracle shards partition the registry by md5(name) mod n
+    (hash-stable since r15 — additions never re-deal existing members),
+    and every other test file is covered by exactly one worker group —
+    either an unsharded worker listing it once, or a
+    SPARK_GRAFT_TEST_SHARD family whose i/n specs partition the file's
+    collection exactly (all residues 0..n-1 present once; conftest keeps
+    the item with md5(nodeid) % n == i, so any workers collecting the
+    same nodeid SET partition it exactly regardless of collection
+    order)."""
+    import hashlib
     from pathlib import Path
 
     import partest
@@ -349,7 +351,10 @@ def test_partest_plan_covers_whole_suite():
     )
     covered = set()
     for i, n in shards:
-        covered.update(q for j, q in enumerate(names) if j % n == i)
+        covered.update(
+            q for q in names
+            if int(hashlib.md5(q.encode()).hexdigest(), 16) % n == i
+        )
     assert covered == set(names)
     files: list[str] = []
     for args, specs in groups.items():

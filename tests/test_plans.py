@@ -584,18 +584,8 @@ def test_zorder_layout_improves_both_dim_locality(spark):
     assert max(za, zb) < lb * 0.75
 
 
-def test_no_cartesian_product_anywhere(spark):
-    """Global plan-hygiene sweep: NO registered query may plan a
-    CartesianProduct — even deliberate cross joins must ride a broadcast
-    nested loop (bounded build side).  An unnoticed cartesian is the
-    canonical 100 TB meltdown; this sweeps the whole registry so a future
-    query can't introduce one silently."""
-    offenders = []
-    for name, spec in SPECS.items():
-        plan = spec.build(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
-        if "CartesianProduct" in plan:
-            offenders.append(name)
-    assert not offenders, offenders
+# test_no_cartesian_product_anywhere moved to tests/test_sweep_global.py
+# (whole-registry sweep, its own partest worker — r15 rebalance).
 
 
 def test_weighted_sample_zero_exchange(spark):
