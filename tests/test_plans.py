@@ -2619,6 +2619,31 @@ def test_spearman_global_no_single_partition_window(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_conformal_coverage_class_partitioned(spark):
+    """eval_conformal_coverage: the order-statistic window must
+    partition by the priority class (never a global single-partition
+    rank), the class model must attach as a broadcast, and nothing
+    routes through Python."""
+    plan = _plan(spark, "eval_conformal_coverage")
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "o_orderpriority" in line, line
+    assert "BroadcastHashJoin" in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_jl_projection_map_side(spark):
+    """feature_jl_projection: the projection itself is ONE higher-order
+    expression per row — no explode (Generate), no Python eval; the
+    only joins are the sampled-pair self-join and the 1-row count
+    broadcast."""
+    plan = _plan(spark, "feature_jl_projection")
+    assert "Generate" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_except_chain_set_op_joins(spark):
     """ds_except_chain_customers (TPC-DS Q87/Q38 shape): the EXCEPT
     chain must plan as distinct-aggregated LeftAnti joins and the
