@@ -1845,6 +1845,97 @@ def stats_spearman_global_scale(
 
 
 @query(
+    "stats_gini_concentration_scale",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        FROM orders GROUP BY o_custkey
+    ),
+    vg AS (
+        SELECT CAST(spend * 100 AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM per_cust GROUP BY CAST(spend * 100 AS BIGINT)
+    ),
+    cum AS (
+        SELECT v, cnt, SUM(cnt) OVER (ORDER BY v) AS cum_cnt FROM vg
+    ),
+    t AS (
+        SELECT CAST(SUM(CAST(v AS DECIMAL(38,0))
+                        * (2 * cnt * (cum_cnt - cnt) + cnt * (cnt + 1)))
+                    AS DOUBLE) AS t2,
+               CAST(SUM(CAST(v AS DECIMAL(38,0)) * cnt) AS DOUBLE)
+                   AS s_cents,
+               CAST(SUM(cnt) AS BIGINT) AS n
+        FROM cum
+    )
+    SELECT n AS n_customers,
+           ROUND(s_cents / 100.0, 2) AS total_spend,
+           ROUND(t2 / (CAST(n AS DOUBLE) * s_cents) - (n + 1.0) / n, 6)
+               AS gini
+    FROM t
+    """,
+    tags=("stats", "concentration", "gini", "distributed-scale"),
+)
+def stats_gini_concentration_scale(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GLOBAL Gini coefficient of customer spend concentration — the
+    inequality measure every corpus-curation report wants (is 90% of
+    the data value held by 1% of sources?) — computed with NO
+    single-partition sort: the discrete Gini
+    G = 2*sum(i * x_(i)) / (n * sum x) - (n+1)/n needs the global
+    ascending rank of every value, which here rides the VALUE GRAIN +
+    `distributed_running_sums` (the Spearman/median device): for a tied
+    group of cnt copies of value v starting after cum_before smaller
+    rows, sum(i*x) over the group is
+    v * (cnt*cum_before + cnt*(cnt+1)/2) — carried DOUBLED so the
+    whole accumulation is INTEGER algebra (cents as BIGINT, sums in
+    DECIMAL(38,0)); the only doubles are the two final divisions,
+    identical text in both engines.
+
+    Scale shape: one aggregate to customer grain, one value-grain
+    reduce, the prefix device (range exchange, _pid-partitioned
+    windows, a constant 32-long offset collect), one 3-column power
+    aggregate.  Plan-gated: every Window partitions by _pid
+    (`test_gini_no_single_partition_window`)."""
+    from auron_spark.operators.window import distributed_running_sums
+
+    t = Tables(spark, sf_dir)
+    per_cust = t.orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    vg = (
+        per_cust.select(
+            (F.col("spend") * 100).cast("bigint").alias("v")
+        )
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    cum = distributed_running_sums(vg, ["v"], ["cnt"])
+    term = F.col("v").cast("decimal(38,0)") * (
+        2 * F.col("cnt") * (F.col("cum_cnt") - F.col("cnt"))
+        + F.col("cnt") * (F.col("cnt") + 1)
+    )
+    agg = cum.agg(
+        F.sum(term).cast("double").alias("t2"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("cnt"))
+        .cast("double")
+        .alias("s_cents"),
+        F.sum("cnt").cast("bigint").alias("n"),
+    )
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.round(F.col("s_cents") / 100.0, 2).alias("total_spend"),
+        F.round(
+            F.col("t2") / (F.col("n").cast("double") * F.col("s_cents"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
     "timeseries_seasonal_decompose",
     oracle="""
     WITH daily AS (

@@ -2619,6 +2619,18 @@ def test_spearman_global_no_single_partition_window(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_gini_no_single_partition_window(spark):
+    """stats_gini_concentration_scale: the global rank accumulation must
+    ride the prefix device — every Window partitions by _pid, no global
+    sort of the value grain, no Python."""
+    plan = _plan(spark, "stats_gini_concentration_scale")
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "_pid" in line, line
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_conformal_coverage_class_partitioned(spark):
     """eval_conformal_coverage: the order-statistic window must
     partition by the priority class (never a global single-partition
