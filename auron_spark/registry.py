@@ -97,12 +97,7 @@ _DRIVER_WINDOW: tuple[str, ...] = ()
 # (ADVICE r11 #1: a post-proof semantics change must re-enter the window
 # instead of sorting to the lowest re-prove priority).  Remove a name here
 # once a new artifact round re-proves it.
-_MODIFIED_SINCE_PROOF: frozenset[str] = frozenset({
-    # r15 replaces the covariance build's vec_id self-join with a row-local
-    # upper-triangle pair expansion (VERDICT r14 wrong #1) — same value,
-    # different plan, after the r14 artifact proved the self-join text.
-    "feature_pca_power_iteration",
-})
+_MODIFIED_SINCE_PROOF: frozenset[str] = frozenset()
 
 # Green driver rows from CORRECTNESS_r14.json — the whole round-14 window
 # hash-matched 50/50 (the eighth consecutive perfect driver window): the 10
@@ -400,6 +395,36 @@ _R1_PROVEN: frozenset[str] = frozenset({
 })
 
 
+# Green driver rows from CORRECTNESS_r15.json — the whole round-15 window
+# hash-matched 50/50 (the ninth consecutive perfect driver window): the 14
+# round-15 additions, the one `_MODIFIED_SINCE_PROOF` re-entry
+# (`feature_pca_power_iteration`, re-proven POST the exchange-free
+# covariance rewrite), and 35 oldest-artifact backfills.
+_R15_PROVEN: frozenset[str] = frozenset({
+    "agg_ams_f2_sketch", "stats_seasonal_kendall_slope",
+    "stats_spearman_global_scale", "stats_gini_concentration_scale",
+    "ds_yoy_ratio_customers", "ds_inventory_shortfall",
+    "ds_multi_supplier_unreturned", "ds_inventory_cv_pairs",
+    "ds_or_exists_segments", "ds_except_chain_customers",
+    "eval_conformal_coverage", "feature_pca_top_m", "feature_jl_projection",
+    "rec_als_rank16_chained", "feature_pca_power_iteration",
+    "q12_priority_shipping", "q16_supplier_part_count",
+    "q20_potential_promotion", "set_union_distinct", "q6_forecast_revenue",
+    "q11_important_stock", "q13_customer_distribution", "q14_promo_effect",
+    "q15_top_supplier_cte", "q17_small_quantity_parts",
+    "q19_disjunctive_predicates", "q22_global_sales_opportunity",
+    "dedup_simhash_md5", "contamination_ngram_overlap",
+    "dedup_connected_components", "sample_hash_fraction",
+    "split_train_val_test", "sample_stratified_per_group",
+    "shuffle_epoch_order", "sim_knn_bruteforce", "sim_centroids",
+    "sim_quantize_int8", "sim_pq_codes", "sim_pq_adc_topk", "text_lang_id",
+    "text_quality_score", "text_fingerprint", "pack_length_buckets",
+    "text_repetition_filter", "fn_mask_redact", "fn_xml_xpath",
+    "fn_csv_parse", "fn_map_higher_order", "fn_math_trig",
+    "agg_bitmap_distinct",
+})
+
+
 # Rounds with an in-tree driver artifact (CORRECTNESS_r0N.json committed).
 # Round 8's artifact never landed; every name from that window re-proved in
 # round 11, so the map now covers all evidence.
@@ -416,6 +441,7 @@ _ARTIFACT_PROVEN: dict[int, frozenset[str]] = {
     12: _R12_PROVEN,
     13: _R13_PROVEN,
     14: _R14_PROVEN,
+    15: _R15_PROVEN,
 }
 
 _PROVEN: frozenset[str] = frozenset().union(*_ARTIFACT_PROVEN.values())

@@ -291,6 +291,23 @@ def test_coverage_counts_in_sync():
     assert selfcheck.sync_counts(check_only=True) == 0
 
 
+def test_round_records_committed():
+    """VERDICT r15 wrong #1 (second consecutive dirty close): the bench's
+    bracket min-merges were left uncommitted at round close while the walls
+    were committed, so the committed record mismatched the run the round
+    reported.  Structural fix: the suite itself fails while
+    `bench_brackets.json` differs from git HEAD — a bench run must be
+    followed by a bracket commit before the round's final green partest."""
+    import selfcheck
+
+    dirty = selfcheck.dirty_round_records()
+    assert dirty == [], (
+        f"round-record files dirty vs HEAD: {dirty} — commit the bench "
+        "bracket update (round-close protocol: bench x2, then commit "
+        "brackets immediately, then the final partest)"
+    )
+
+
 def test_no_decimal_typed_oracle_columns(oracle):
     """Round-8 regression gate: DuckDB types bare numeric literals (and
     un-cast money sums) as DECIMAL, which the driver's type-sensitive
