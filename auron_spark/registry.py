@@ -97,7 +97,13 @@ _DRIVER_WINDOW: tuple[str, ...] = ()
 # (ADVICE r11 #1: a post-proof semantics change must re-enter the window
 # instead of sorting to the lowest re-prove priority).  Remove a name here
 # once a new artifact round re-proves it.
-_MODIFIED_SINCE_PROOF: frozenset[str] = frozenset()
+_MODIFIED_SINCE_PROOF: frozenset[str] = frozenset({
+    # r16 replaces the JL distortion report's corpus-proportional
+    # `vec_id % 20` sample with a constant-size md5-ordered top-k
+    # (VERDICT r15 wrong #2) — the pair stage is now O(1)-bounded at any
+    # corpus size, after the r15 artifact proved the proportional text.
+    "feature_jl_projection",
+})
 
 # Green driver rows from CORRECTNESS_r14.json — the whole round-14 window
 # hash-matched 50/50 (the eighth consecutive perfect driver window): the 10
