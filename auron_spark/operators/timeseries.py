@@ -1754,9 +1754,12 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(rx2) AS DOUBLE) AS sx,
                CAST(SUM(ry2) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(rx2 * rx2 AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(ry2 * ry2 AS DECIMAL(38,0))) AS DOUBLE) AS syy,
-               CAST(SUM(CAST(rx2 * ry2 AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+               CAST(SUM(CAST(rx2 AS DECIMAL(19,0))
+                        * CAST(rx2 AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(ry2 AS DECIMAL(19,0))
+                        * CAST(ry2 AS DECIMAL(19,0))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(rx2 AS DECIMAL(19,0))
+                        * CAST(ry2 AS DECIMAL(19,0))) AS DOUBLE) AS sxy
         FROM ranked
     )
     SELECT n AS n_customers,
@@ -1820,14 +1823,21 @@ def stats_spearman_global_scale(
         F.count("*").cast("bigint").alias("n"),
         F.sum("r2_freq").cast("double").alias("sx"),
         F.sum("r2_spend").cast("double").alias("sy"),
+        # ADVICE r15 #2: cast each doubled rank to DECIMAL BEFORE the
+        # multiply (both engines) so the PRODUCT itself is overflow-safe —
+        # rx2 ~ 2n means a BIGINT product overflows at n > ~1.5e9 rows;
+        # DECIMAL(19,0) x DECIMAL(19,0) -> DECIMAL(38,0) stays exact.
         F.sum(
-            (F.col("r2_freq") * F.col("r2_freq")).cast("decimal(38,0)")
+            F.col("r2_freq").cast("decimal(19,0)")
+            * F.col("r2_freq").cast("decimal(19,0)")
         ).cast("double").alias("sxx"),
         F.sum(
-            (F.col("r2_spend") * F.col("r2_spend")).cast("decimal(38,0)")
+            F.col("r2_spend").cast("decimal(19,0)")
+            * F.col("r2_spend").cast("decimal(19,0)")
         ).cast("double").alias("syy"),
         F.sum(
-            (F.col("r2_freq") * F.col("r2_spend")).cast("decimal(38,0)")
+            F.col("r2_freq").cast("decimal(19,0)")
+            * F.col("r2_spend").cast("decimal(19,0)")
         ).cast("double").alias("sxy"),
     )
     denom = F.sqrt(
@@ -1862,7 +1872,10 @@ def stats_spearman_global_scale(
     ),
     t AS (
         SELECT CAST(SUM(CAST(v AS DECIMAL(38,0))
-                        * (2 * cnt * (cum_cnt - cnt) + cnt * (cnt + 1)))
+                        * (2 * CAST(cnt AS DECIMAL(19,0))
+                             * CAST(cum_cnt - cnt AS DECIMAL(19,0))
+                           + CAST(cnt AS DECIMAL(19,0))
+                             * CAST(cnt + 1 AS DECIMAL(19,0))))
                     AS DOUBLE) AS t2,
                CAST(SUM(CAST(v AS DECIMAL(38,0)) * cnt) AS DOUBLE)
                    AS s_cents,
@@ -1913,9 +1926,13 @@ def stats_gini_concentration_scale(
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
     cum = distributed_running_sums(vg, ["v"], ["cnt"])
+    # Same ADVICE r15 #2 hardening as the Spearman power sums: the rank
+    # term's factors go to DECIMAL BEFORE multiplying, so the ~2*cnt*n
+    # product can never wrap int64 at distributed scale.
+    cnt_d = F.col("cnt").cast("decimal(19,0)")
     term = F.col("v").cast("decimal(38,0)") * (
-        2 * F.col("cnt") * (F.col("cum_cnt") - F.col("cnt"))
-        + F.col("cnt") * (F.col("cnt") + 1)
+        2 * cnt_d * (F.col("cum_cnt") - F.col("cnt")).cast("decimal(19,0)")
+        + cnt_d * (F.col("cnt") + 1).cast("decimal(19,0)")
     )
     agg = cum.agg(
         F.sum(term).cast("double").alias("t2"),

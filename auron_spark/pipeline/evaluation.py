@@ -3178,14 +3178,14 @@ _CONF_ALPHA = 0.1  # target 90% coverage
         FROM orders GROUP BY o_orderpriority
     ),
     resid AS (
-        SELECT o.o_orderpriority, o.o_orderkey % 2 = 0 AS is_cal,
+        SELECT o.o_orderpriority, o.o_orderkey, o.o_orderkey % 2 = 0 AS is_cal,
                abs(CAST(o.o_totalprice AS DOUBLE) - m.mu) AS r
         FROM orders o JOIN mdl m USING (o_orderpriority)
     ),
     cal AS (
         SELECT o_orderpriority, r,
                ROW_NUMBER() OVER (PARTITION BY o_orderpriority
-                                  ORDER BY r, o_orderpriority) AS rk,
+                                  ORDER BY r, o_orderkey) AS rk,
                COUNT(*) OVER (PARTITION BY o_orderpriority) AS n_cal
         FROM resid WHERE is_cal
     ),
@@ -3255,6 +3255,7 @@ def eval_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(F.broadcast(mdl), "o_orderpriority")
         .select(
             "o_orderpriority",
+            "o_orderkey",
             is_cal.alias("is_cal"),
             F.abs(
                 F.col("o_totalprice").cast("double") - F.col("mu")
@@ -3266,9 +3267,11 @@ def eval_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 'fact shuffles once' claim needs the reuse to be literal).
         .localCheckpoint(eager=False)
     )
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        "r", "o_orderpriority"
-    )
+    # ADVICE r15 #1: tie-break the order statistic on a genuinely
+    # distinguishing column (o_orderkey), not the constant partition key,
+    # so the 'deterministic tie order' claim holds even if a non-r column
+    # of the selected row is ever emitted.
+    w = Window.partitionBy("o_orderpriority").orderBy("r", "o_orderkey")
     cal = (
         resid.where("is_cal")
         .withColumn("rk", F.row_number().over(w))

@@ -103,6 +103,14 @@ _MODIFIED_SINCE_PROOF: frozenset[str] = frozenset({
     # (VERDICT r15 wrong #2) — the pair stage is now O(1)-bounded at any
     # corpus size, after the r15 artifact proved the proportional text.
     "feature_jl_projection",
+    # ADVICE r15 #1: the conformal order statistic now tie-breaks on
+    # o_orderkey (a genuinely distinguishing column) in both engines.
+    "eval_conformal_coverage",
+    # ADVICE r15 #2: the doubled-rank power-sum products go to DECIMAL
+    # BEFORE multiplying (both engines), closing the int64 wrap at
+    # n > ~1.5e9 rows; same hardening applied to the Gini rank term.
+    "stats_spearman_global_scale",
+    "stats_gini_concentration_scale",
 })
 
 # Green driver rows from CORRECTNESS_r14.json — the whole round-14 window

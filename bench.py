@@ -207,7 +207,18 @@ def _adjudicate(group: str, res: dict, brackets: dict,
     rec = brackets.get(group)
     verdict = None
     same_set = bool(rec) and rec.get("queries") == names
-    best_q = rec.get("best_queries", {}) if same_set else {}
+    # ADVICE r15 #3: a set change must not discard the per-query bests of
+    # the names still present — previously best_q reset to {} and the
+    # first run after a reset seeded the committed floor verbatim, so one
+    # noise spike inflated the 2.5x trigger threshold until later runs
+    # min-merged it down.  Only the SUBTOTAL bracket (not comparable
+    # across sets) resets; newly added names still seed from this run's
+    # min-of-warm-runs and are refined by the next pass's min-merge.
+    best_q = {
+        n: v
+        for n, v in (rec or {}).get("best_queries", {}).items()
+        if n in names
+    }
     spiked = sorted(
         n for n in names
         if n in best_q
@@ -215,9 +226,10 @@ def _adjudicate(group: str, res: dict, brackets: dict,
             _PER_QUERY_FACTOR * best_q[n], _PER_QUERY_FLOOR_SEC
         )
     )
-    if same_set and (
-        subtotal > _ADJUDICATE_FACTOR * rec["best_subtotal"] or spiked
-    ):
+    subtotal_trip = same_set and (
+        subtotal > _ADJUDICATE_FACTOR * rec["best_subtotal"]
+    )
+    if subtotal_trip or spiked:
         first_subtotal = subtotal
         first_spiked = {n: res["warm"][n] for n in spiked}
         second = rerun()
@@ -228,9 +240,7 @@ def _adjudicate(group: str, res: dict, brackets: dict,
         subtotal = round(sum(res["warm"].values()), 3)
         verdict = {
             "group": group,
-            "trigger": "per_query" if (
-                first_subtotal <= _ADJUDICATE_FACTOR * rec["best_subtotal"]
-            ) else "subtotal",
+            "trigger": "subtotal" if subtotal_trip else "per_query",
             "per_query_spikes": {
                 n: {"first": first_spiked[n], "adopted": res["warm"][n],
                     "bracket": best_q[n]}
@@ -239,7 +249,7 @@ def _adjudicate(group: str, res: dict, brackets: dict,
             "first_subtotal": first_subtotal,
             "rerun_subtotal": re_subtotal,
             "adopted_subtotal": subtotal,
-            "bracket": rec["best_subtotal"],
+            "bracket": rec["best_subtotal"] if same_set else None,
         }
     best = subtotal
     if same_set:

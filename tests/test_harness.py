@@ -521,3 +521,44 @@ def test_bench_adjudicate_per_query_trigger():
     calls.clear()
     _, v3 = bench._adjudicate("tiny", mk({"t": 0.14}), brackets, rerun)
     assert not calls and v3 is None
+
+
+def test_bench_adjudicate_set_change_keeps_intersecting_bests():
+    """ADVICE r15 #3: when a group's query set changes, the per-query
+    bests of names still present must SURVIVE (only the subtotal bracket,
+    incomparable across sets, resets) — so a noise spike in the first run
+    after a set change cannot seed an inflated committed floor, and the
+    per-query trigger still fires for the unchanged names."""
+    import bench
+
+    def mk(warm):
+        return {
+            "warm": dict(warm),
+            "warm_runs": {n: [v] for n, v in warm.items()},
+        }
+
+    brackets = {
+        "pipeline": {
+            "best_subtotal": 3.0,
+            "queries": ["a", "b"],
+            "best_queries": {"a": 1.0, "b": 2.0},
+        }
+    }
+    calls = []
+
+    def rerun():
+        calls.append(1)
+        return mk({"a": 1.0, "b": 2.1, "new": 0.5})
+
+    # Set gained "new"; a spikes 3.5x its surviving best -> rerun fires
+    # even though same_set is False (no subtotal bracket to compare).
+    res = mk({"a": 3.5, "b": 2.0, "new": 0.6})
+    res, verdict = bench._adjudicate("pipeline", res, brackets, rerun)
+    assert calls, "per-query spike after set change did not trigger"
+    assert verdict["trigger"] == "per_query", verdict
+    assert verdict["bracket"] is None  # no comparable subtotal bracket
+    assert res["warm"]["a"] == 1.0  # adopted the rerun's min
+    merged = brackets["pipeline"]["best_queries"]
+    # a/b min-merged against their surviving bests; new seeded from the run
+    assert merged == {"a": 1.0, "b": 2.0, "new": 0.5}, merged
+    assert brackets["pipeline"]["queries"] == ["a", "b", "new"]
