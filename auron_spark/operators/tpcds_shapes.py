@@ -1402,3 +1402,154 @@ _sql_query(
     `test_except_chain_set_op_joins`).  Reference frame: dev/auron-it
     TPC-DS battery (q87/q38).""",
 )
+
+
+_MOVING_AVG_NEIGHBORS = f"""
+WITH monthly AS (
+    SELECT p_brand AS brand, n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           SUM({SQL_DISC_PRICE}) AS sum_sales
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_brand LIKE 'Brand#1%'
+    GROUP BY p_brand, n_name, year(o_orderdate), month(o_orderdate)
+),
+v AS (
+    SELECT brand, nation, yr, mo, sum_sales,
+           RANK() OVER (PARTITION BY brand, nation ORDER BY yr, mo) AS rn,
+           LAG(sum_sales) OVER (PARTITION BY brand, nation
+                                ORDER BY yr, mo) AS psum,
+           LEAD(sum_sales) OVER (PARTITION BY brand, nation
+                                 ORDER BY yr, mo) AS nsum
+    FROM monthly
+),
+d AS (
+    SELECT brand, nation, yr, mo, rn, sum_sales, psum, nsum,
+           CAST(SUM(sum_sales) OVER (PARTITION BY brand, nation, yr)
+                AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY brand, nation, yr)
+               AS avg_monthly
+    FROM v
+)
+SELECT brand, nation, yr, mo, rn,
+       CAST(sum_sales AS DOUBLE) AS sum_sales,
+       ROUND(avg_monthly, 6) AS avg_monthly,
+       CAST(psum AS DOUBLE) AS prev_sales,
+       CAST(nsum AS DOUBLE) AS next_sales
+FROM d
+WHERE yr = 1995
+  AND avg_monthly > 0
+  AND abs(CAST(sum_sales AS DOUBLE) - avg_monthly) / avg_monthly > 0.1
+ORDER BY CAST(sum_sales AS DOUBLE) - avg_monthly, brand, nation, mo
+LIMIT 50
+"""
+
+_sql_query(
+    "ds_moving_avg_neighbors",
+    _MOVING_AVG_NEIGHBORS,
+    ("tpcds-shape", "window", "lag-lead", "moving-average"),
+    """TPC-DS Q47/Q57 shape: the moving-average NEIGHBOR-month window
+    constellation — per (brand, nation) monthly sales carrying, in ONE
+    pass over the monthly frame, the month's global rank (RANK over
+    yr, mo), the prior/next month's sales (LAG/LEAD over the SAME
+    ordering, crossing year boundaries: Jan-1995's psum is Dec-1994),
+    and the deviation filter against the SAME-YEAR average (a second
+    window at (brand, nation, yr) grain) — the only DS window family
+    combining rank, lag AND a same-window-average filter, which Q47
+    expresses via v1/v2 rn-offset self-joins; native LAG/LEAD makes the
+    self-joins unnecessary, which is exactly the Spark-first rewrite.
+
+    Exactness: monthly sums stay DECIMAL through both window layers
+    (order-insensitive); the year average divides exact DOUBLEs
+    (identical IEEE text both engines); money casts to DOUBLE only at
+    the rounded edge; the final order ties break on (brand, nation,
+    mo), unique at the output grain.
+
+    Scale shape: the fact reduces to (brand, nation, yr, mo) grain
+    BEFORE any window; the rank/lag/lead constellation shares ONE
+    window spec (one Window node), and the year-average window's
+    (brand, nation, yr) requirement is satisfied by the SAME
+    (brand, nation) exchange — one window exchange total, plan-gated
+    (`test_moving_avg_neighbors_one_window_exchange`); the p_brand prefix
+    filter pushes to the part scan (StringStartsWith); dims broadcast; top-50 is
+    TakeOrderedAndProject.  Reference frame: dev/auron-it TPC-DS
+    battery (q47/q57).""",
+    bench=True,  # the DS window-constellation headline row
+)
+
+
+_BEFORE_AFTER_RETURNS = f"""
+WITH returns AS (
+    SELECT l_orderkey AS r_orderkey, l_linenumber AS r_linenumber,
+           {sql_dec2('l_extendedprice')} * {sql_dec2('l_discount')} AS refund
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+),
+net AS (
+    SELECT n_name AS nation, p_brand AS brand, l_shipdate,
+           CASE WHEN r_orderkey IS NULL THEN {SQL_DISC_PRICE}
+                ELSE {SQL_DISC_PRICE} - refund END AS net_price
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    LEFT JOIN returns ON r_orderkey = l_orderkey
+                     AND r_linenumber = l_linenumber
+    WHERE l_shipdate BETWEEN DATE '1995-05-18' AND DATE '1995-07-17'
+      AND (p_brand LIKE 'Brand#2%' OR p_brand LIKE 'Brand#3%')
+),
+split AS (
+    SELECT nation, brand,
+           CAST(SUM(CASE WHEN l_shipdate < DATE '1995-06-17'
+                         THEN net_price END) AS DOUBLE) AS sales_before,
+           CAST(SUM(CASE WHEN l_shipdate >= DATE '1995-06-17'
+                         THEN net_price END) AS DOUBLE) AS sales_after
+    FROM net
+    GROUP BY nation, brand
+)
+SELECT nation, brand,
+       ROUND(sales_before, 2) AS sales_before,
+       ROUND(sales_after, 2) AS sales_after,
+       ROUND(sales_after / sales_before, 6) AS after_ratio
+FROM split
+WHERE sales_before > 0
+  AND sales_after / sales_before BETWEEN 2.0 / 3.0 AND 3.0 / 2.0
+ORDER BY nation, brand
+"""
+
+_sql_query(
+    "ds_before_after_event_split",
+    _BEFORE_AFTER_RETURNS,
+    ("tpcds-shape", "conditional-agg", "fact-to-fact", "date-pivot"),
+    """TPC-DS Q21/Q40 shape: the before/after-EVENT date-pivoted
+    conditional aggregate across a fact-to-fact join — net sales per
+    (supplier nation, brand) split around a literal event date inside a
+    +-30-day observation window (Q21/Q40's d_date BETWEEN date-30 AND
+    date+30), where the sales fact LEFT-joins a returns fact (the
+    R-flagged lines, standing in for catalog_returns) on the composite
+    (orderkey, linenumber) line identity to net out refunds
+    (Q40's cr_refunded_cash adjustment), then the Q21 ratio filter
+    keeps groups whose after/before ratio sits in [2/3, 3/2].
+    Completes the inventory/event trio with the Q72 shortfall and Q39
+    CV shapes.
+
+    Exactness: refund and revenue stay DECIMAL through the CASE and the
+    sums (a NULL-matched return keeps the full revenue; unmatched CASE
+    branches yield NULL, excluded from SUM in both engines); the split
+    sums cast to DOUBLE once, the ratio is one IEEE division, and the
+    output rounds at the edge; (nation, brand) is unique so the order
+    is total.
+
+    Scale shape: the +-30-day range and the brand-prefix/returnflag
+    predicates all push to the parquet scans (plan-gated:
+    `test_before_after_event_pushed_dates`); the returns leg prunes to
+    R-flagged lines BEFORE the join; the fact-to-fact join is an
+    equi-join on the line identity (hash/SMJ at scale — never
+    broadcast-forced, AQE may elect it at fixture SF); dims broadcast;
+    one exchange for the final (nation, brand) aggregate.  Reference
+    frame: dev/auron-it TPC-DS battery (q21/q40).""",
+)

@@ -2860,3 +2860,43 @@ def test_pca_power_iteration_never_rescans_corpus(spark):
     assert "FileScan" not in plan, plan
     assert "ExistingRDD" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_moving_avg_neighbors_one_window_exchange(spark):
+    """ds_moving_avg_neighbors (TPC-DS Q47/Q57 shape): the rank + lag +
+    lead constellation must share ONE Window node (same spec), the
+    year-average window must ride the SAME (brand, nation) exchange (its
+    finer (brand, nation, yr) clustering is satisfied by the coarser
+    hash), the top-50 must be TakeOrderedAndProject (never a global
+    sort), and the brand-prefix filter must reach the part scan."""
+    import re
+
+    plan = _plan(spark, "ds_moving_avg_neighbors")
+    assert plan.count("Window [") == 2, plan  # rank/lag/lead + year-avg
+    window_exchanges = re.findall(
+        r"Exchange hashpartitioning\(brand#\d+, nation#\d+, \d+\)", plan
+    )
+    assert len(window_exchanges) == 1, plan  # both windows, one exchange
+    assert "TakeOrderedAndProject(limit=50" in plan, plan
+    assert "StartsWith(p_brand" in plan, plan  # pushed to the part scan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_before_after_event_pushed_dates(spark):
+    """ds_before_after_event_split (TPC-DS Q21/Q40 shape): the +-30-day
+    observation window must push to the sales-side lineitem scan as date
+    bounds, the R-flag must push to the returns-side scan, the
+    fact-to-fact line-identity join must stay an equi LEFT OUTER (never
+    a cartesian), and the brand prefixes must reach the part scan."""
+    # formatted explain: toString truncates long PushedFilters lists
+    expl = _explain(spark, "ds_before_after_event_split", "formatted")
+    assert "GreaterThanOrEqual(l_shipdate" in expl, expl
+    assert "LessThanOrEqual(l_shipdate" in expl, expl
+    plan = _plan(spark, "ds_before_after_event_split")
+    assert "EqualTo(l_returnflag,R)" in plan, plan
+    assert "StartsWith(p_brand" in plan, plan
+    assert "LeftOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
