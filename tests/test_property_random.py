@@ -3389,3 +3389,56 @@ def test_pca_power_iteration_matches_numpy_eigh(spark):
     vals = np.linalg.eigvalsh(C)
     assert lam1 <= vals[-1] + 1e-9
     assert lam1 > 0.5 * vals[-1], (lam1, vals[-1])
+
+
+def test_gini_prefix_device_scale_10x(spark):
+    """VERDICT r15 ask #5: the distributed prefix-device stats have only
+    ever run at fixture SF, where the 32 range partitions are nearly
+    empty — this proves the 32-offset stitch on a 10x derived corpus
+    where partitions are genuinely full.  A deterministic 10x expansion
+    of orders (replica-shifted customers AND replica-perturbed prices,
+    so the value grain grows ~10x too) goes through the EXACT registered
+    code path (`gini_report`, shared with
+    stats_gini_concentration_scale), and the result must equal the naive
+    global twin computed with exact integer algebra over the collected
+    spends — same doubled-rank formula, one sorted pass in Python."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from auron_spark.operators.timeseries import gini_report
+    from tests.conftest import SF_DIR
+
+    o = table(spark, SF_DIR, "orders").select("o_custkey", "o_totalprice")
+    rep = spark.range(10).select(F.col("id").alias("rep"))
+    per_cust = (
+        o.crossJoin(F.broadcast(rep))
+        .groupBy(
+            (F.col("o_custkey") * 10 + F.col("rep")).alias("cust")
+        )
+        .agg(
+            F.sum(
+                (
+                    F.col("o_totalprice").cast("decimal(18,2)")
+                    + F.col("rep") * F.lit(Decimal("7.25"))
+                ).cast("decimal(18,2)")
+            ).alias("spend")
+        )
+    )
+    got = gini_report(per_cust).collect()[0]
+
+    spends = [r.spend for r in per_cust.select("spend").collect()]
+    n = len(spends)
+    # the stitch only matters when the range partitions actually fill:
+    # ~10x the fixture's customer count, thousands of distinct values
+    assert n >= 9000, n
+    assert len(set(spends)) > 5000, len(set(spends))
+    cents = sorted(int(s * 100) for s in spends)  # Decimal -> exact int
+    t2 = 2 * sum(i * v for i, v in enumerate(cents, start=1))
+    s_cents = sum(cents)
+    expected = float(t2) / (float(n) * float(s_cents)) - (n + 1.0) / n
+
+    assert got["n_customers"] == n
+    assert abs(got["total_spend"] - s_cents / 100.0) < 1e-6, got
+    # got.gini is rounded to 6 dp; allow exactly the rounding quantum
+    assert abs(got["gini"] - expected) <= 5e-7, (got["gini"], expected)
