@@ -96,18 +96,12 @@ def minhash_signature(doc_shingles: DataFrame) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
-    """Band the signature (N_BANDS bands × 2 rows) and join docs sharing any
-    band bucket.  Returns distinct (a, b) with a < b.
-
-    Consumers that read the pairs TWICE (every symmetric-edges union:
-    ``pairs ∪ reverse(pairs)``) wrap the result in a lazy
-    ``localCheckpoint`` so the whole shingle→minhash→band→join pipeline
-    runs once per execution instead of once per branch (measured
-    3.9 → 2.8 s warm for `dedup_canonical_selection` at sf0.1; the same
-    shared-relation contract as the simjoin/tfidf materializations —
-    fresh per build, no cross-run cache)."""
-    bands = sig.select(
+def band_assignments(sig: DataFrame) -> DataFrame:
+    """(doc_id, band) rows from a signature frame: N_BANDS bands x 2 rows,
+    band key = '<band#>#<mh even>#<mh odd>' — the shared banding of
+    `lsh_candidate_pairs` (inline pairing) and the persisted-index serve
+    path (`build_lsh_index` / `dedup_lsh_serve`)."""
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -123,6 +117,20 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
             )
         ).alias("band"),
     )
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Band the signature (N_BANDS bands × 2 rows) and join docs sharing any
+    band bucket.  Returns distinct (a, b) with a < b.
+
+    Consumers that read the pairs TWICE (every symmetric-edges union:
+    ``pairs ∪ reverse(pairs)``) wrap the result in a lazy
+    ``localCheckpoint`` so the whole shingle→minhash→band→join pipeline
+    runs once per execution instead of once per branch (measured
+    3.9 → 2.8 s warm for `dedup_canonical_selection` at sf0.1; the same
+    shared-relation contract as the simjoin/tfidf materializations —
+    fresh per build, no cross-run cache)."""
+    bands = band_assignments(sig)
     left = bands.select(F.col("doc_id").alias("a"), "band")
     right = bands.select(F.col("doc_id").alias("b"), "band")
     return (
@@ -2877,4 +2885,134 @@ def dedup_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("lr", 6).alias("score"),
         )
         .orderBy("pk_a", "pk_b")
+    )
+
+
+# --- persisted band-index serve path (train-once/serve-many, LSH leg) --------
+
+from auron_spark.artifacts import (  # noqa: E402
+    ORACLE_SF_DIR as _ORACLE_SF_DIR,
+    artifact_dir as _lsh_artifact_dir,
+    ensure_artifact as _lsh_ensure_artifact,
+)
+
+# Band-hash partition buckets of the persisted index.  64 keeps fixture
+# files sane; a production index would scale this with the corpus (the
+# pruning ratio is |batch bands| / N_LSH_BUCKETS per probe batch).
+N_LSH_BUCKETS = 64
+
+
+def lsh_index_dir(sf_dir: str) -> str:
+    return _lsh_artifact_dir("lsh", sf_dir)
+
+
+def _band_bucket(band: Column) -> Column:
+    """Partition bucket of a band key — murmur3 (Spark's hash, fixed seed
+    42) mod N_LSH_BUCKETS.  Spark-only: the oracle never needs it (bb is a
+    pure function of band, so joining on (bb, band) == joining on band)."""
+    return F.pmod(F.hash(band), N_LSH_BUCKETS)
+
+
+def build_lsh_index(
+    spark: SparkSession, sf_dir: str, force: bool = False,
+    out_dir: str | None = None,
+) -> str:
+    """Build and persist the MinHash/LSH band index of the STANDING corpus
+    (doc_id % 10 <> 0, the same convention as `dedup_bloom_prefilter`'s
+    incremental-admission split) as a parquet artifact:
+
+    - ``bands/bb=*/`` (doc_id, band) — partitioned by the band's hash
+      bucket, so a probe batch's band keys prune to their buckets via
+      dynamic partition pruning (the letter-partitioned-postings layout
+      applied to an LSH band index).
+
+    Idempotent + concurrency-safe via `artifacts.ensure_artifact`; the
+    signature/banding pipeline is the EXACT inline one
+    (`minhash_signature` + `band_assignments`), so the persisted index
+    is definitionally consistent with `dedup_minhash_lsh_pairs`."""
+    d = out_dir or lsh_index_dir(sf_dir)
+
+    def _build(into: str) -> None:
+        t = Tables(spark, sf_dir)
+        corpus_sh = _doc_shingles(t, dedup=False).where(
+            F.col("doc_id") % 10 != 0
+        )
+        bands = band_assignments(minhash_signature(corpus_sh))
+        (
+            bands.withColumn("bb", _band_bucket(F.col("band")))
+            .repartition(1)
+            .write.mode("overwrite")
+            .partitionBy("bb")
+            .parquet(f"{into}/bands")
+        )
+
+    return _lsh_ensure_artifact(d, "_INDEX_COMPLETE", _build, force=force)
+
+
+_LSH_ART = lsh_index_dir(_ORACLE_SF_DIR)
+
+
+@query(
+    "dedup_lsh_serve",
+    oracle=_sql_signature_cte(
+        docs_cte=(
+            "batch AS (SELECT doc_id, text FROM documents "
+            "WHERE doc_id % 10 = 0), "
+        ),
+        docs_from="batch",
+    )
+    + f""",
+    idx AS (
+        SELECT doc_id AS match_id, band
+        FROM read_parquet('{_LSH_ART}/bands/*/*.parquet',
+                          hive_partitioning = true)
+    )
+    SELECT b.doc_id AS probe_id, idx.match_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+    FROM bands b JOIN idx USING (band)
+    GROUP BY b.doc_id, idx.match_id
+    ORDER BY probe_id, match_id
+    """,
+    tags=("pipeline", "dedup", "minhash", "lsh", "serving"),
+    bench=True,  # serve-family series (near-dup admission leg)
+)
+def dedup_lsh_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate ADMISSION served from the PERSISTED band index
+    (`build_lsh_index` artifacts) — the incremental pattern production
+    dedup actually runs (VERDICT r15 ask #6): the arriving batch
+    (doc_id % 10 = 0, the `dedup_bloom_prefilter` split) computes its
+    signatures inline (shingle → minhash → band, the exact
+    `dedup_minhash_lsh_pairs` pipeline) and probes the standing corpus's
+    band→bucket index for near-dup candidates, WITHOUT re-signaturing
+    the corpus.  Output: (probe_id, match_id, n_shared_bands).
+
+    Scale shape: serve cost is probe-sized — the corpus appears ONLY as
+    the persisted index (one documents scan in the whole plan: the
+    batch's); the join carries the band's hash bucket `bb` (a partition
+    column of the index) as a leading equi-key, so the batch's band keys
+    reach the index scan as a dynamicpruning PartitionFilter and a small
+    admission batch reads |batch bands| buckets, not the index
+    (plan-gated: `test_lsh_serve_reads_index_with_partition_pruning`).
+    At 100 TB the index is the big side and the probe broadcast — the
+    same asymmetry as `retrieval_bm25_serve`/`sim_ivfpq_serve`.
+
+    Exactness: the artifact stores the identical BIGINT band keys the
+    oracle recomputes from the same md5 universal-hash family; the pair
+    count is integer."""
+    d = build_lsh_index(spark, sf_dir)
+    t = Tables(spark, sf_dir)
+    batch_sh = _doc_shingles(t, dedup=False).where(F.col("doc_id") % 10 == 0)
+    probe = band_assignments(minhash_signature(batch_sh)).withColumn(
+        "bb", _band_bucket(F.col("band"))
+    )
+    idx = spark.read.parquet(f"{d}/bands")
+    return (
+        probe.alias("p")
+        .join(idx.alias("i"), ["bb", "band"])
+        .groupBy(
+            F.col("p.doc_id").alias("probe_id"),
+            F.col("i.doc_id").alias("match_id"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared_bands"))
+        .orderBy("probe_id", "match_id")
     )

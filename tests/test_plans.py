@@ -2900,3 +2900,24 @@ def test_before_after_event_pushed_dates(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_lsh_serve_reads_index_with_partition_pruning(spark):
+    """dedup_lsh_serve: the serving plan must read the persisted band
+    index (artifacts/lsh) with the probe batch's band buckets reaching
+    the bucket-PARTITIONED layout as a dynamicpruning PartitionFilter,
+    and must scan documents exactly ONCE per subtree role (the batch
+    side) — the corpus is never re-signatured at serve time."""
+    plan = _plan(spark, "dedup_lsh_serve")
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    idx_scans = [s for s in scans if "artifacts/lsh" in s]
+    assert idx_scans, plan
+    assert any("dynamicpruningexpression" in s for s in idx_scans), plan
+    # every documents scan is the batch side (probe-sized serve cost):
+    # the doc_id % 10 = 0 filter must be present on each (the scan may
+    # appear again inside the reused DPP subquery broadcast)
+    doc_scans = [s for s in scans if "documents.parquet" in s]
+    assert doc_scans, plan
+    for s in doc_scans:
+        assert "% 10) = 0" in s, s
+    assert "CartesianProduct" not in plan, plan
