@@ -2431,3 +2431,116 @@ def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return run_holt(spark)
+
+
+@query(
+    "stats_theil_sen_global_scale",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS rev
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    d AS (
+        SELECT isodow(day) - 1 AS dow,
+               CAST(day - DATE '1992-01-01' AS BIGINT) AS x, rev
+        FROM daily
+    ),
+    pairs AS (
+        SELECT (b.rev - a.rev) / CAST(b.x - a.x AS DOUBLE) AS slope
+        FROM d a JOIN d b ON b.dow = a.dow AND b.x > a.x
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(quantile_cont(slope, 0.5), 6) AS sen_slope
+    FROM pairs
+    """,
+    tags=("timeseries", "robust-stats", "theil-sen", "distributed-scale"),
+)
+def stats_theil_sen_global_scale(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GLOBAL pooled seasonal Theil-Sen slope of the daily revenue
+    series (VERDICT r15 stretch #9) — the cross-season robust trend the
+    seasonal family lacked: pairs compare only within the same
+    day-of-week (the Hirsch-Slack within-season restriction at DAY
+    grain, so the weekly cycle cannot bias the slope), all ~400k pair
+    slopes pool into ONE median — and that median rides the covered-rank
+    device (`agg_median_distributed_scale`'s contract) instead of a
+    single-partition sort or a grouped `median()`: slopes collapse to
+    the distinct-value grain, `distributed_running_sums` assigns global
+    cumulative counts, and the two covering rows of ranks (n+1)/2 and
+    (n+2)/2 average — exactly quantile_cont(0.5).
+
+    Exactness: daily revenues are exact decimal sums as doubles; each
+    slope is one IEEE subtraction/division on identical inputs, so the
+    Spark-side value grain groups bit-identical doubles (the oracle
+    ranks rows directly); ranks and counts are integers; the final
+    average of <= 2 doubles is exact.
+
+    Scale shape: the fact collapses to the calendar-bounded day grain
+    BEFORE the pair fan-out (checkpointed once, feeding both pair sides
+    and the n_days probe), so the pair count is quadratic only in the
+    CALENDAR span (~2.4k days -> ~410k pairs at any corpus size — the
+    family's bounded-calendar-grain posture, not an O(corpus^2) stage);
+    the within-dow equi-join broadcasts the day grain; the median is
+    the prefix device (range exchange, `_pid` windows, constant offset
+    map; plan-gated: `test_theil_sen_global_no_single_partition_window`)."""
+    from auron_spark.operators.window import distributed_running_sums
+
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+        .select(
+            F.weekday("day").alias("dow"),
+            F.datediff("day", F.lit("1992-01-01")).cast("bigint").alias("x"),
+            "rev",
+        )
+        .localCheckpoint(eager=False)
+    )
+    b = daily.select(
+        F.col("dow").alias("dow_b"),
+        F.col("x").alias("x_b"),
+        F.col("rev").alias("rev_b"),
+    )
+    pairs = daily.join(
+        F.broadcast(b),
+        (F.col("dow_b") == F.col("dow")) & (F.col("x_b") > F.col("x")),
+    ).select(
+        (
+            (F.col("rev_b") - F.col("rev"))
+            / (F.col("x_b") - F.col("x")).cast("double")
+        ).alias("slope")
+    )
+    vg = pairs.groupBy("slope").agg(F.count("*").cast("long").alias("cnt"))
+    cum = distributed_running_sums(vg, [F.asc("slope")], ["cnt"])
+    tot = cum.agg(F.max("cum_cnt").cast("long").alias("n"))
+    x = cum.join(F.broadcast(tot))
+    k1 = F.expr("(n + 1) DIV 2")
+    k2 = F.expr("(n + 2) DIV 2")
+    lo, hi = F.col("cum_cnt") - F.col("cnt"), F.col("cum_cnt")
+    covers1 = (lo < k1) & (hi >= k1)
+    covers2 = (lo < k2) & (hi >= k2)
+    n_days = daily.agg(F.count("*").cast("bigint").alias("n_days"))
+    return (
+        x.filter(covers1 | covers2)
+        .agg(
+            F.max("n").cast("bigint").alias("n_pairs"),
+            F.round(
+                (
+                    F.max(F.when(covers1, F.col("slope")))
+                    + F.max(F.when(covers2, F.col("slope")))
+                )
+                / 2.0,
+                6,
+            ).alias("sen_slope"),
+        )
+        .join(F.broadcast(n_days))
+        .select("n_days", "n_pairs", "sen_slope")
+    )

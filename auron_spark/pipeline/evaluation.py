@@ -3318,3 +3318,132 @@ def eval_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "eval_conformal_global_scale",
+    oracle=f"""
+    WITH mdl AS (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (WHERE o_orderkey % 2 = 0) AS DOUBLE)
+               / COUNT(*) FILTER (WHERE o_orderkey % 2 = 0) AS mu
+        FROM orders
+    ),
+    resid AS (
+        SELECT o_orderkey % 2 = 0 AS is_cal,
+               abs(CAST(o_totalprice AS DOUBLE) - m.mu) AS r
+        FROM orders o CROSS JOIN mdl m
+    ),
+    cal AS (
+        SELECT r,
+               ROW_NUMBER() OVER (ORDER BY r) AS rk,
+               COUNT(*) OVER () AS n_cal
+        FROM resid WHERE is_cal
+    ),
+    qhat AS (
+        SELECT CAST(n_cal AS BIGINT) AS n_cal,
+               CAST(CEIL((1.0 - {_CONF_ALPHA}) * (n_cal + 1)) AS BIGINT)
+                   AS k,
+               r AS q
+        FROM cal
+        WHERE rk = CAST(CEIL((1.0 - {_CONF_ALPHA}) * (n_cal + 1)) AS BIGINT)
+    ),
+    tst AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN t.r <= q.q THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_covered
+        FROM resid t CROSS JOIN qhat q
+        WHERE NOT t.is_cal
+    )
+    SELECT q.n_cal, q.k, tst.n_test,
+           ROUND(q.q, 6) AS qhat,
+           ROUND(CAST(tst.n_covered AS DOUBLE) / tst.n_test, 6) AS coverage
+    FROM qhat q CROSS JOIN tst
+    """,
+    tags=("pipeline", "evaluation", "conformal", "distributed-scale"),
+)
+def eval_conformal_global_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SINGLE-CLASS split-conformal calibration at the distributed-rank
+    grain — the variant `eval_conformal_coverage`'s docstring promises
+    (VERDICT r15 stretch #8): with no class to partition by, the qhat
+    order statistic would otherwise funnel every calibration residual
+    through ONE window task.  Instead the k-th order statistic rides the
+    covered-rank device (`agg_median_distributed_scale`'s contract):
+    residuals collapse to the distinct-VALUE grain,
+    `distributed_running_sums` assigns global cumulative counts (range
+    exchange + `_pid` windows + the constant 32-long offset map), and
+    qhat is the unique value whose cumulative interval covers
+    k = ceil((1-alpha)(n_cal+1)).
+
+    Exactness: mu is an exact decimal sum as double; residuals are
+    |double - double| on identical IEEE inputs, so the value grain
+    groups bit-identical doubles (Spark-side only — the oracle ranks
+    rows directly); k's ceil runs on the same double text; coverage is
+    an integer ratio.
+
+    Scale shape: one 1-row model aggregate (broadcast), one residual
+    map over the fact (checkpointed once, feeding calibration AND
+    test sides), one value-grain reduce, the prefix device, a 1-row
+    covered-rank filter broadcast into the test-side count.  Zero
+    single-partition windows (plan-gated:
+    `test_conformal_global_no_single_partition_window`)."""
+    from auron_spark.operators.window import distributed_running_sums
+
+    t = Tables(spark, sf_dir)
+    o = t.orders
+    is_cal = F.col("o_orderkey") % 2 == 0
+    mdl = o.agg(
+        (
+            F.sum(
+                F.when(is_cal, F.col("o_totalprice").cast("decimal(18,2)"))
+            ).cast("double")
+            / F.sum(F.when(is_cal, 1).otherwise(0))
+        ).alias("mu")
+    )
+    resid = (
+        o.join(F.broadcast(mdl))
+        .select(
+            is_cal.alias("is_cal"),
+            F.abs(
+                F.col("o_totalprice").cast("double") - F.col("mu")
+            ).alias("r"),
+        )
+        # feeds the calibration value grain AND the test-side coverage
+        # count — cut once (the eval_conformal_coverage reuse contract)
+        .localCheckpoint(eager=False)
+    )
+    vg = (
+        resid.where("is_cal")
+        .groupBy("r")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    cum = distributed_running_sums(vg, [F.asc("r")], ["cnt"])
+    tot = cum.agg(F.max("cum_cnt").cast("long").alias("n_cal"))
+    x = cum.join(F.broadcast(tot))
+    k = F.ceil((1.0 - _CONF_ALPHA) * (F.col("n_cal") + 1)).cast("long")
+    covers = (F.col("cum_cnt") - F.col("cnt") < k) & (F.col("cum_cnt") >= k)
+    qhat = x.filter(covers).select(
+        F.col("n_cal").cast("bigint").alias("n_cal"),
+        k.cast("bigint").alias("k"),
+        F.col("r").alias("q"),
+    )
+    tst = (
+        resid.where(~F.col("is_cal"))
+        .join(F.broadcast(qhat))
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(F.col("r") <= F.col("q"), 1).otherwise(0)
+            ).cast("bigint").alias("n_covered"),
+        )
+    )
+    return (
+        qhat.join(F.broadcast(tst))
+        .select(
+            "n_cal", "k", "n_test",
+            F.round("q", 6).alias("qhat"),
+            F.round(
+                F.col("n_covered").cast("double") / F.col("n_test"), 6
+            ).alias("coverage"),
+        )
+    )

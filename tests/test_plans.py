@@ -2921,3 +2921,35 @@ def test_lsh_serve_reads_index_with_partition_pruning(spark):
     for s in doc_scans:
         assert "% 10) = 0" in s, s
     assert "CartesianProduct" not in plan, plan
+
+
+def test_conformal_global_no_single_partition_window(spark):
+    """eval_conformal_global_scale (VERDICT r15 stretch #8): the
+    single-class qhat order statistic must ride the covered-rank device
+    — every Window in the plan partitions by the prefix device's _pid,
+    never a global single-partition rank — with the 1-row model/qhat
+    frames attached as broadcasts."""
+    plan = _plan(spark, "eval_conformal_global_scale")
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "_pid" in line, line
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_theil_sen_global_no_single_partition_window(spark):
+    """stats_theil_sen_global_scale (VERDICT r15 stretch #9): the pooled
+    pair-slope median must ride the covered-rank device — every Window
+    partitions by the prefix device's _pid — with the calendar-grain
+    pair join a broadcast and no cartesian anywhere."""
+    plan = _plan(spark, "stats_theil_sen_global_scale")
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "_pid" in line, line
+    # the hint-broadcast pair join sits above the device's checkpoint cut
+    # (invisible here, like the Spearman spend map); what must hold in the
+    # visible plan: only 1-row-broadcast BNLJs, no cartesian, no SMJ sort
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
