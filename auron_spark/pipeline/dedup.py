@@ -2906,6 +2906,13 @@ def lsh_index_dir(sf_dir: str) -> str:
     return _lsh_artifact_dir("lsh", sf_dir)
 
 
+def _doc_bucket(doc_id: Column) -> Column:
+    """Partition bucket of an indexed doc — murmur3 mod N_LSH_BUCKETS/4.
+    Spark-only (the oracle reads all shingle files; db is a pure function
+    of doc_id, so carrying it as a join key changes nothing)."""
+    return F.pmod(F.hash(doc_id), N_LSH_BUCKETS // 4)
+
+
 def _band_bucket(band: Column) -> Column:
     """Partition bucket of a band key — murmur3 (Spark's hash, fixed seed
     42) mod N_LSH_BUCKETS.  Spark-only: the oracle never needs it (bb is a
@@ -2924,7 +2931,12 @@ def build_lsh_index(
     - ``bands/bb=*/`` (doc_id, band) — partitioned by the band's hash
       bucket, so a probe batch's band keys prune to their buckets via
       dynamic partition pruning (the letter-partitioned-postings layout
-      applied to an LSH band index).
+      applied to an LSH band index);
+    - ``shingles/db=*/`` (doc_id, shingle) — the corpus docs' DISTINCT
+      shingle sets, partitioned by the doc's hash bucket, so exact
+      Jaccard VERIFICATION of a candidate set prunes to the matched
+      docs' buckets (`dedup_lsh_serve_verified`);
+    - ``setsize/`` (doc_id, n_sh) — shingle-set sizes, the |B| term.
 
     Idempotent + concurrency-safe via `artifacts.ensure_artifact`; the
     signature/banding pipeline is the EXACT inline one
@@ -2944,6 +2956,21 @@ def build_lsh_index(
             .write.mode("overwrite")
             .partitionBy("bb")
             .parquet(f"{into}/bands")
+        )
+        sh_set = corpus_sh.dropDuplicates(["doc_id", "shingle"])
+        (
+            sh_set.withColumn("db", _doc_bucket(F.col("doc_id")))
+            .repartition(1)
+            .write.mode("overwrite")
+            .partitionBy("db")
+            .parquet(f"{into}/shingles")
+        )
+        (
+            sh_set.groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_sh"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{into}/setsize")
         )
 
     return _lsh_ensure_artifact(d, "_INDEX_COMPLETE", _build, force=force)
@@ -3014,5 +3041,159 @@ def dedup_lsh_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("i.doc_id").alias("match_id"),
         )
         .agg(F.count("*").cast("bigint").alias("n_shared_bands"))
+        .orderBy("probe_id", "match_id")
+    )
+
+
+@query(
+    "dedup_lsh_serve_verified",
+    oracle=_sql_signature_cte(
+        docs_cte=(
+            "batch AS (SELECT doc_id, text FROM documents "
+            "WHERE doc_id % 10 = 0), "
+        ),
+        docs_from="batch",
+    )
+    + f""",
+    idx AS (
+        SELECT doc_id AS match_id, band
+        FROM read_parquet('{_LSH_ART}/bands/*/*.parquet',
+                          hive_partitioning = true)
+    ),
+    cand AS (
+        SELECT b.doc_id AS probe_id, idx.match_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+        FROM bands b JOIN idx USING (band)
+        GROUP BY b.doc_id, idx.match_id
+    ),
+    ish AS (
+        SELECT doc_id, shingle
+        FROM read_parquet('{_LSH_ART}/shingles/*/*.parquet',
+                          hive_partitioning = true)
+    ),
+    isz AS (
+        SELECT doc_id, n_sh FROM read_parquet('{_LSH_ART}/setsize/*.parquet')
+    ),
+    bsz AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+        FROM sh GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT c.probe_id, c.match_id, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM cand c
+        JOIN sh  p ON p.doc_id = c.probe_id
+        JOIN ish i ON i.doc_id = c.match_id AND i.shingle = p.shingle
+        GROUP BY c.probe_id, c.match_id
+    )
+    SELECT c.probe_id, c.match_id, c.n_shared_bands,
+           COALESCE(n.n_common, 0) AS n_common,
+           ROUND(CAST(COALESCE(n.n_common, 0) AS DOUBLE)
+                 / (b.n_sh + z.n_sh - COALESCE(n.n_common, 0)), 6)
+               AS jaccard,
+           CAST(COALESCE(n.n_common, 0) AS DOUBLE)
+               / (b.n_sh + z.n_sh - COALESCE(n.n_common, 0)) >= 0.5
+               AS admitted_dup
+    FROM cand c
+    JOIN bsz b ON b.doc_id = c.probe_id
+    JOIN isz z ON z.doc_id = c.match_id
+    LEFT JOIN inter n
+           ON n.probe_id = c.probe_id AND n.match_id = c.match_id
+    ORDER BY c.probe_id, c.match_id
+    """,
+    tags=("pipeline", "dedup", "minhash", "lsh", "jaccard", "serving"),
+)
+def dedup_lsh_serve_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERIFIED near-duplicate admission from the persisted index — the
+    full production decision `dedup_lsh_serve` starts: LSH band
+    collisions are only CANDIDATES (minhash collisions can over-report),
+    so each candidate pair is verified with the EXACT Jaccard similarity
+    |A∩B| / (|A|+|B|-|A∩B|) between the batch doc's shingle set
+    (computed inline) and the matched corpus doc's shingle set read from
+    the index's ``shingles/db=*/`` layout — the corpus text is never
+    touched.  Output adds n_common, the exact jaccard, and the
+    admitted_dup decision at the standard 0.5 near-dup threshold.
+
+    Scale shape: verification cost is CANDIDATE-bounded, not
+    corpus-bounded — the matched docs' ids carry their hash bucket `db`
+    (a partition column of the shingle layout) as a leading equi-key,
+    so candidate ids reach the shingle scan as a dynamicpruning
+    PartitionFilter and only the matched buckets are read (plan-gated:
+    `test_lsh_serve_verified_pruned_verification`); set sizes broadcast;
+    every documents scan is the batch side.
+
+    Exactness: shingle sets are exact string sets in both engines
+    (identical lowercase/split text); counts and the 0.5 comparison run
+    on identical integer/IEEE values."""
+    d = build_lsh_index(spark, sf_dir)
+    t = Tables(spark, sf_dir)
+    # NOT checkpointed (unlike the symmetric-edges consumers): DPP on the
+    # band AND shingle index scans needs the batch pipeline's selective
+    # doc_id filter visible through every join's build side — re-deriving
+    # the probe-bounded shingle set per consumer buys corpus-bounded
+    # pruning on both persisted layouts.
+    batch_sh = _doc_shingles(t, dedup=True).where(F.col("doc_id") % 10 == 0)
+    probe = band_assignments(minhash_signature(batch_sh)).withColumn(
+        "bb", _band_bucket(F.col("band"))
+    )
+    idx = spark.read.parquet(f"{d}/bands")
+    cand = (
+        probe.alias("p")
+        .join(idx.alias("i"), ["bb", "band"])
+        .groupBy(
+            F.col("p.doc_id").alias("probe_id"),
+            F.col("i.doc_id").alias("match_id"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared_bands"))
+        # deliberately NOT checkpointed: the shingle-verify join's dynamic
+        # partition pruning needs the candidate subtree's selective
+        # filters visible (a checkpoint scan carries none, and DPP then
+        # declines) — re-deriving the probe-bounded candidate pipeline
+        # per consumer buys corpus-bounded index pruning
+    )
+    ish = spark.read.parquet(f"{d}/shingles")
+    isz = spark.read.parquet(f"{d}/setsize")
+    bsz = batch_sh.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_sh")
+    )
+    inter = (
+        cand.withColumn("m_db", _doc_bucket(F.col("match_id")))
+        .join(
+            batch_sh.select(
+                F.col("doc_id").alias("probe_id"),
+                F.col("shingle").alias("p_shingle"),
+            ),
+            "probe_id",
+        )
+        .join(
+            ish.alias("i"),
+            (F.col("m_db") == F.col("i.db"))
+            & (F.col("match_id") == F.col("i.doc_id"))
+            & (F.col("p_shingle") == F.col("i.shingle")),
+        )
+        .groupBy("probe_id", "match_id")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    jac = F.coalesce(F.col("n_common"), F.lit(0)).cast("double") / (
+        F.col("b_sh") + F.col("z_sh") - F.coalesce(F.col("n_common"), F.lit(0))
+    )
+    return (
+        cand.join(
+            F.broadcast(bsz.select(F.col("doc_id").alias("probe_id"),
+                                   F.col("n_sh").alias("b_sh"))),
+            "probe_id",
+        )
+        .join(
+            F.broadcast(isz.select(F.col("doc_id").alias("match_id"),
+                                   F.col("n_sh").alias("z_sh"))),
+            "match_id",
+        )
+        .join(inter, ["probe_id", "match_id"], "left")
+        .select(
+            "probe_id", "match_id", "n_shared_bands",
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("bigint")
+            .alias("n_common"),
+            F.round(jac, 6).alias("jaccard"),
+            (jac >= 0.5).alias("admitted_dup"),
+        )
         .orderBy("probe_id", "match_id")
     )

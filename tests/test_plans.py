@@ -2953,3 +2953,23 @@ def test_theil_sen_global_no_single_partition_window(spark):
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_lsh_serve_verified_pruned_verification(spark):
+    """dedup_lsh_serve_verified: the exact-Jaccard verification must be
+    CANDIDATE-bounded — the candidate ids reach the doc-bucket-PARTITIONED
+    shingle layout as a dynamicpruning PartitionFilter (and the band
+    probe keeps its bucket pruning) — with every documents scan being the
+    batch side and no cartesian."""
+    plan = _plan(spark, "dedup_lsh_serve_verified")
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    sh_scans = [s for s in scans if "lsh" in s and "shingles" in s]
+    assert sh_scans, plan
+    assert any("dynamicpruningexpression" in s for s in sh_scans), plan
+    band_scans = [s for s in scans if "lsh" in s and "/bands" in s]
+    assert band_scans, plan
+    assert any("dynamicpruningexpression" in s for s in band_scans), plan
+    for s in scans:
+        if "documents.parquet" in s:
+            assert "% 10) = 0" in s, s
+    assert "CartesianProduct" not in plan, plan
