@@ -1253,12 +1253,21 @@ def _lloyd(spark: SparkSession, emb: DataFrame, k: int = KM_K):
     return cent, last_mean
 
 
-def _lloyd_update(cent: DataFrame, assigned: DataFrame):
+def _lloyd_update(cent: DataFrame, assigned: DataFrame, eager: bool = False):
     """One Lloyd centroid update from an assignment frame (cid, e):
     decimal-exact per-(cid, dim) means, empty clusters keep their previous
     centroid.  SHARED by the fold `_lloyd` and the Arrow `_lloyd_arrow`,
     so the two trainers differ ONLY in the assignment kernel — given
-    identical assignments, the centroid arithmetic is the same plan."""
+    identical assignments, the centroid arithmetic is the same plan.
+
+    ``eager`` (r16): the fold trainer checkpoints LAZILY — the corpus
+    aggregation is still computed once per execution and shared across
+    the mean's consumers, but materialization happens inside the first
+    consuming job instead of a dedicated eager job per Lloyd round (one
+    driver round trip fewer per iteration; same plan, same rows).  The
+    Arrow trainer MUST stay eager: it destroys each round's model-state
+    broadcast right after the update (ADVICE r11 #2), which is only safe
+    once the assignment job consuming that broadcast has actually run."""
     mean = (
         assigned.select("cid", F.posexplode("e").alias("dim", "v"))
         .groupBy("cid", "dim")
@@ -1271,7 +1280,7 @@ def _lloyd_update(cent: DataFrame, assigned: DataFrame):
             ).alias("c"),
             F.count("*").alias("n"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=eager)
     )
     new_cv = (
         mean.groupBy("cid")
@@ -1349,7 +1358,7 @@ def _lloyd_arrow(spark: SparkSession, emb: DataFrame, k: int = KM_K):
         assigned = emb.select("e").mapInPandas(
             _assign, "cid int, e array<double>"
         )
-        cent, last_mean = _lloyd_update(cent, assigned)
+        cent, last_mean = _lloyd_update(cent, assigned, eager=True)
         # _lloyd_update eagerly localCheckpoints the mean, so the
         # assignment job has run and nothing pending references this
         # round's model state; without this, one k×64-double broadcast
@@ -1957,7 +1966,12 @@ def _ivfpq_train_frames(
         F.transform(
             F.array_sort(F.collect_list(F.struct("p", "c"))), lambda s: s["c"]
         ).alias("cv")
-    ).localCheckpoint()
+    # Lazy (r16): still computed once per execution and shared by the TWO
+    # broadcast consumers (corpus codebook map + query LUT) — concurrent
+    # broadcast builds dedupe through the block manager's per-partition
+    # locks — but without a dedicated eager job (one driver round trip
+    # fewer; the arrow twin's rcarr.collect() materializes it the same way).
+    ).localCheckpoint(eager=False)
     # codebook folds to ONE broadcast row: sub -> [(label, codeword)]
     cb_row = (
         rcarr.groupBy("sub")

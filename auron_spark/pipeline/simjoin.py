@@ -384,7 +384,10 @@ def _simhash_banded_pairs(docs: DataFrame) -> DataFrame:
     """Banded-blocking hamming-<=3 pair join over any (doc_id, text) frame
     — the shared engine of `dedup_simhash_hamming_pairs` (fixture corpus)
     and `dedup_simhash_pairs_scaled` (10x derived corpus)."""
-    sh = _simhash64(docs).localCheckpoint()
+    # Lazy (r16): the fingerprint relation feeds both pair sides of the band
+    # join; the checkpoint still computes it once per execution, now inside
+    # the final job instead of a dedicated eager job.
+    sh = _simhash64(docs).localCheckpoint(eager=False)
     bands = sh.select(
         "doc_id",
         "hi",

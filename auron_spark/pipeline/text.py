@@ -1638,14 +1638,37 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c2"))
         .localCheckpoint(eager=False)
     )
-    ctx = c2.groupBy("w1").agg(
-        F.sum("c2").alias("c1"), F.count("*").alias("n1_fwd")
+    # r16 limit-below-join rewrite (guide §2.3/§2.4 — shuffle fewer bytes):
+    # the emitted 30 rows are selected by (c2 DESC, w1, w2), a key computed
+    # ENTIRELY by the bigram-type table, and every join downstream is 1:1
+    # (ctx unique per w1, cont per w2, |B| scalar) — so the LIMIT commutes
+    # below the joins.  Take the top-30 first (TakeOrderedAndProject over
+    # the cached c2), then semi-filter the context/continuation aggregates
+    # to the 30 rows' keys BEFORE their exchanges: the old plan shuffled
+    # the full |B|-row type table through two vocabulary-grain joins; the
+    # new plan's joins carry 30 rows, and the ctx/cont aggregations shuffle
+    # only the surviving contexts' partial states.  Rows identical (oracle
+    # unchanged, 1:1 joins preserve the selection); at 100 TB the join
+    # traffic drops from O(|B|) to O(occurrences of 30 contexts).
+    top = (
+        c2.orderBy(F.desc("c2"), "w1", "w2")
+        .limit(30)
+        .localCheckpoint(eager=False)
     )
-    cont = c2.groupBy("w2").agg(F.count("*").alias("n1_bwd"))
+    ctx = (
+        c2.join(F.broadcast(top.select("w1").distinct()), "w1", "semi")
+        .groupBy("w1")
+        .agg(F.sum("c2").alias("c1"), F.count("*").alias("n1_fwd"))
+    )
+    cont = (
+        c2.join(F.broadcast(top.select("w2").distinct()), "w2", "semi")
+        .groupBy("w2")
+        .agg(F.count("*").alias("n1_bwd"))
+    )
     btypes = c2.agg(F.count("*").alias("b"))
     out = (
-        c2.join(ctx, "w1")
-        .join(cont, "w2")
+        top.join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(cont), "w2")
         .crossJoin(F.broadcast(btypes))
         .select(
             "w1",
@@ -1663,7 +1686,7 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_kn"),
         )
     )
-    return out.orderBy(F.desc("c_bigram"), "w1", "w2").limit(30)
+    return out.orderBy(F.desc("c_bigram"), "w1", "w2")
 
 
 @query(
