@@ -365,12 +365,24 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # into a persisted inverted-index artifact (the serve-family pattern)
     # rather than re-exploding per consumer.
     toks = _tokens(t.documents).localCheckpoint(eager=False)
+    # r16: ptf feeds THREE consumers (lexical scoring, document frequency,
+    # query-vector seeds) and dl TWO (scoring, corpus stats); without their
+    # own materialization each consumer re-scans the cached token relation
+    # and re-runs the filter/agg exchange (5 scans of toks in the executed
+    # plan -> 2).  ptf is probe-term-bounded and dl is one row per doc —
+    # both safely cacheable at any corpus size (dl IS the persisted
+    # doclen artifact in the serve-family layout).
     ptf = (
         toks.where(F.col("term").isin(*BM25_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
     )
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    dl = (
+        toks.groupBy("doc_id")
+        .agg(F.count("*").alias("dl"))
+        .localCheckpoint(eager=False)
+    )
     stats = dl.agg(
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
         F.count("*").alias("n_docs"),
