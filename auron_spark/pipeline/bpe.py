@@ -125,11 +125,30 @@ def _top_pair(pairs: DataFrame) -> DataFrame:
 
 def _train(spark: SparkSession, sf_dir: str) -> tuple[list[DataFrame], DataFrame]:
     """Run BPE_MERGES rounds; return ([top1..topN], final word table).
-    Pure plan composition — nothing executes here."""
-    words = _words(spark, sf_dir).withColumn("sym", _char_spaced(F.col("word")))
+    Pure plan composition — nothing executes here (the checkpoints below
+    are LAZY: they materialize inside the first consuming job).
+
+    r16: without materialization the composed lineage COMPOUNDS — round
+    r's word table embeds the previous word table TWICE (once directly,
+    once inside the previous winner's aggregate subtree), so the corpus
+    pass appears 2^r - 1 times in the final plan (7 FileScans of
+    documents for 3 rounds, measured) and the per-round cost the module
+    docstring promises to be constant in the corpus silently is not.
+    Two surgical lazy checkpoints restore the promised shape: the
+    initial word table (the ONE corpus-sized pass — cut once, scanned
+    once per execution) and each 1-row winner (cutting the second copy
+    makes the word-table chain LINEAR in rounds).  The per-round word
+    tables themselves stay unmaterialized — they are vocab-sized and
+    recomputing their folds measured cheaper than materializing them
+    (3.2 vs 2.9 s on the 65k-doc corpus).  Rows identical."""
+    words = (
+        _words(spark, sf_dir)
+        .withColumn("sym", _char_spaced(F.col("word")))
+        .localCheckpoint(eager=False)
+    )
     tops: list[DataFrame] = []
     for _ in range(BPE_MERGES):
-        top = _top_pair(_pair_support(words))
+        top = _top_pair(_pair_support(words)).localCheckpoint(eager=False)
         tops.append(top)
         words = (
             words.crossJoin(F.broadcast(top.select(

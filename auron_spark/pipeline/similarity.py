@@ -1946,6 +1946,15 @@ def _ivfpq_train_frames(
                 "e", F.element_at("cmap", F.col("cid")), lambda x, c: x - c
             ).alias("r"),
         )
+    # r16 note: `res` (coarse assignment + residual) feeds TWO consumers
+    # (the PQ-codebook aggregation and the encode branch) and looks like a
+    # checkpoint candidate — but an isolated A/B at the 32k/k=128
+    # vector-scale leg read the checkpointed version WORSE (warm 29-30 s
+    # stable recomputed vs 33-71 s cached, cold 56 -> 321 s): cutting the
+    # lineage here breaks whole-stage pipelining of the fold into both
+    # consumers' partial aggregates and nests the materialization inside
+    # rcarr's own lazy-checkpoint/broadcast build.  Deliberately left
+    # recomputed.
     # deterministic PQ codebook over residual subvectors
     rcent = (
         res.select("label", F.posexplode("r").alias("pos0", "v"))

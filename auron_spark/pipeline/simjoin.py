@@ -105,32 +105,43 @@ def _set_similarity_pairs(t: Tables, tau: float) -> DataFrame:
     """Parameterized AllPairs/PPJoin core over the fixture documents (see
     `join_set_similarity_prefix` for the algorithm contract); the property
     fuzzer runs it at multiple thresholds against the unpruned quadratic."""
-    return _prefix_pairs_from_shingles(_doc_shingles(t), tau)
+    return _prefix_pairs_from_shingles(_doc_shingles(t, dedup=False), tau)
 
 
 def _prefix_pairs_from_shingles(doc_shingles: DataFrame, tau: float) -> DataFrame:
-    """AllPairs/PPJoin over any deduplicated (doc_id, shingle) relation —
-    the shared engine of the fixture query and the 10x scale proof."""
-    # The shingle relation feeds FOUR branches (sizes, document frequency,
-    # prefix ranking, verify join); without materialization Spark re-runs
-    # the explode+distinct shuffle for each.  A lazy localCheckpoint
-    # computes it once per execution and shares the result across branches
-    # (measured 6.2 -> 4.2 s warm at sf0.1) with NO cross-run cache: every
-    # build() creates a fresh checkpoint, so bench warm numbers stay
-    # honest.  At cluster scale the same statement becomes
-    # persist(MEMORY_AND_DISK) for executor-loss resilience.
-    sh = doc_shingles.localCheckpoint(eager=False)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    """AllPairs/PPJoin over any (doc_id, shingle) relation — duplicates
+    allowed (set semantics are established internally on the shingle-
+    partitioned exchange, so callers should NOT pre-deduplicate: that
+    would pay an extra (doc, shingle)-keyed exchange this engine merges
+    away).  The shared engine of the fixture query and the 10x proof."""
+    # r16 exchange-merge rewrite (guide §2.1/§2.2 — remove shuffles where
+    # the data is already partitioned as needed).  The old shape paid FOUR
+    # corpus-sized exchanges before the window (dedup by (doc, shingle),
+    # df groupBy by shingle, the df-attach join re-shuffling sh by shingle,
+    # and a sizes groupBy + join by doc).  One explicit repartition by
+    # shingle makes the dedup aggregate, the df count AND the df-attach
+    # sort-merge join all exchange-free — HashPartitioning(shingle)
+    # satisfies every one of their clustering requirements, and the two
+    # join children reuse the SAME exchange subtree (ReusedExchange over
+    # the explode) — while |x| comes from an unordered count over the SAME
+    # doc-partitioned window the prefix rank already sorts, replacing the
+    # sizes aggregate + join outright.  sf0.1 plan: 8 Exchange + 7
+    # BroadcastExchange -> 5 + 3; 13 -> 9 jobs, 24 -> 19 stages; measured
+    # 12.2 -> 7.3 s min-warm on the 65k-doc scale corpus (isolated,
+    # same-day).  The checkpoint (df attached, still
+    # shingle-partitioned) feeds the rank/prefix branch and the verify's
+    # doc-grain set collapse — computed once per execution, NO cross-run
+    # cache (every build() creates a fresh checkpoint); at cluster scale
+    # the same statement becomes persist(MEMORY_AND_DISK).
+    sh = doc_shingles.repartition("shingle").dropDuplicates(
+        ["doc_id", "shingle"]
+    )
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    ranked = (
-        sh.join(df_counts, "shingle")
-        .join(sizes, "doc_id")
-        .withColumn(
-            "pos",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("df", "shingle")
-            ),
-        )
+    shdf = sh.join(df_counts, "shingle").localCheckpoint(eager=False)
+    wdoc = Window.partitionBy("doc_id")
+    ranked = shdf.withColumn("n", F.count("*").over(wdoc)).withColumn(
+        "pos",
+        F.row_number().over(wdoc.orderBy("df", "shingle")),
     )
     prefix = ranked.filter(
         F.col("pos") <= F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1
@@ -153,13 +164,32 @@ def _prefix_pairs_from_shingles(doc_shingles: DataFrame, tau: float) -> DataFram
         .select("doc_a", "doc_b", "na", "nb")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # r16 verify rewrite (guide §2.3 — shuffle fewer bytes): the old verify
+    # expanded every candidate pair by doc_a's FULL shingle set and shuffled
+    # that |cand| x |doc| relation by (doc_b, shingle) into a second join +
+    # a pair-grain aggregation — three corpus-proportional exchanges whose
+    # volume grows with candidate count times document size.  Collapsing
+    # each doc's (distinct) shingles to ONE array row first, the verify is
+    # two 1:1 doc-grain joins carrying |cand| + |docs| rows, and the exact
+    # intersection count is a row-local array_intersect — identical `i`
+    # (both sides are sets), no expanded shuffle, no pair-grain aggregate.
+    sets = shdf.groupBy("doc_id").agg(F.collect_list("shingle").alias("shs"))
     inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count("*").alias("i"))
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sha")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "na",
+            "nb",
+            F.size(F.array_intersect("sha", "shb")).cast("long").alias("i"),
+        )
     )
     jac = F.col("i").cast("double") / (
         F.col("na") + F.col("nb") - F.col("i")
@@ -547,13 +577,11 @@ def join_set_similarity_prefix_scaled(
     shuffles remain keyed by shingle or doc_id."""
     t = Tables(spark, sf_dir)
     docs = _scaled_docs_10x(spark, t)
-    sh = (
-        docs.select(
-            "doc_id", F.split(F.lower(F.col("text")), " ").alias("w")
-        )
-        .select("doc_id", F.explode(shingles()).alias("shingle"))
-        .dropDuplicates(["doc_id", "shingle"])
-    )
+    sh = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("w")
+    ).select("doc_id", F.explode(shingles()).alias("shingle"))
+    # No pre-dedup: the engine establishes set semantics on its own
+    # shingle-partitioned exchange (see _prefix_pairs_from_shingles).
     return _prefix_pairs_from_shingles(sh, _TAU)
 
 

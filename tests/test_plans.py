@@ -680,17 +680,34 @@ def test_pit_lookup_is_keyed_equi_join(spark):
 
 
 def test_bpe_train_vocab_sized_rounds(spark):
-    """text_bpe_train's scale claims: the winning pair is selected by
-    TakeOrderedAndProject (never a global sort of the pair table), the
-    merge fold rides a 1-row broadcast (BroadcastNestedLoopJoin, which is
-    O(vocab) for a single-row build side — never a CartesianProduct), and
-    the one corpus-sized shuffle (the word count) is REUSED across rounds
-    instead of re-scanning the corpus per merge."""
+    """text_bpe_train's scale claims (r16 checkpointed shape): the
+    trainer's state is cut at lazy checkpoints — the final plan unions
+    three MATERIALIZED 1-row winners with ZERO FileScans (the corpus is
+    scanned exactly once, inside the word-table checkpoint's lineage,
+    instead of riding ReusedExchange through a 2^r-compounding plan) —
+    and each round's composed plan selects its winner by
+    TakeOrderedAndProject over the vocab-sized pair table (never a
+    global sort), rides the 1-row merge broadcast as a
+    BroadcastNestedLoopJoin (O(vocab) for a single-row build side) and
+    starts from the checkpointed word table, not a corpus re-scan."""
     plan = _plan(spark, "text_bpe_train", final=True)
-    assert plan.count("TakeOrderedAndProject") >= 3, plan
-    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "FileScan" not in plan, plan
     assert "CartesianProduct" not in plan, plan
-    assert "ReusedExchange" in plan, plan
+    from auron_spark.pipeline import bpe
+
+    tops, words = bpe._train(spark, SF_DIR)
+    assert len(tops) == bpe.BPE_MERGES
+    round_plan = (
+        bpe._top_pair(bpe._pair_support(words))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in round_plan, round_plan
+    assert "BroadcastNestedLoopJoin" in round_plan, round_plan
+    assert "CartesianProduct" not in round_plan, round_plan
+    # lineage cut: the round reads materialized state, never the corpus
+    assert "Scan parquet" not in round_plan, round_plan
 
 
 def test_bpe_encode_map_side_corpus_pass(spark):
