@@ -296,10 +296,17 @@ def _simhash64(docs: DataFrame) -> DataFrame:
     sums (the head contributes a constant ±1 per token while the rare
     tail dominates) and 64 bits give bands enough entropy: same corpus,
     max bucket 20, 249k candidates — 415× fewer."""
+    # r16 exchange merge (guide §2.1): one explicit repartition by doc_id
+    # makes BOTH the distinct-token aggregate and the 64-sum fingerprint
+    # aggregate below exchange-free (HashPartitioning(doc_id) satisfies
+    # the (doc_id, tok) clustering and the doc_id clustering) — 2
+    # token-grain exchanges -> 1.  Per-partition volume is bounded by doc
+    # length, same as the fingerprint groupBy always was.
     toks = (
         docs.select(
             "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
         )
+        .repartition("doc_id")
         .distinct()
     )
     hashed = toks.select(
