@@ -2945,7 +2945,9 @@ def dq_sequence_gaps_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.orders.where(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_orderkey").alias("k"))
         .distinct()
-        .localCheckpoint()
+        # Lazy (r16): materializes inside the pair device's first bounds
+        # job — one driver job fewer, same one-scan sharing.
+        .localCheckpoint(eager=False)
     )
     adj = distributed_adjacent_pairs(keys, "k")
     gaps = adj.where(F.col("k") - F.col("k_prev") > 1).select(

@@ -526,7 +526,11 @@ def distributed_ntile(
     parts = (
         df.repartitionByRange(num_parts, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        # Lazy (r16): materializes inside the immediately-following
+        # per-partition aggregate's collect job — one driver job fewer
+        # per device call; the range partitioning is still sampled and
+        # pinned exactly once, at first materialization.
+        .localCheckpoint(eager=False)
     )
     counts = sorted(
         (r["_pid"], r["c"])
@@ -641,7 +645,11 @@ def distributed_running_sums(
     parts = (
         df.repartitionByRange(num_parts, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        # Lazy (r16): materializes inside the immediately-following
+        # per-partition aggregate's collect job — one driver job fewer
+        # per device call; the range partitioning is still sampled and
+        # pinned exactly once, at first materialization.
+        .localCheckpoint(eager=False)
     )
     totals = sorted(
         (r["_pid"], tuple(r[f"t_{c}"] for c in val_cols))
@@ -702,7 +710,11 @@ def distributed_adjacent_pairs(
         df.select(key_col)
         .repartitionByRange(num_parts, F.asc(key_col))
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        # Lazy (r16): materializes inside the immediately-following
+        # per-partition aggregate's collect job — one driver job fewer
+        # per device call; the range partitioning is still sampled and
+        # pinned exactly once, at first materialization.
+        .localCheckpoint(eager=False)
     )
     w = Window.partitionBy("_pid").orderBy(key_col)
     interior = parts.select(

@@ -241,7 +241,11 @@ def _with_running_max_distributed(
     parts = (
         df.repartitionByRange(num_parts, order_col)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        # Lazy (r16): materializes inside the immediately-following
+        # per-partition aggregate's collect job — one driver job fewer
+        # per device call; the range partitioning is still sampled and
+        # pinned exactly once, at first materialization.
+        .localCheckpoint(eager=False)
     )
     maxima = {
         r["_pid"]: r["m"]
