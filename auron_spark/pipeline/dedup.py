@@ -240,6 +240,43 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
+def _pairs_exact_overlap(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """(a, b, n_common, na, nb) for every candidate pair — the exact-verify
+    device shared by the LSH verify family (`dedup_ngram_jaccard`,
+    `dedup_lsh_quality`, `dedup_minhash_bbit`).
+
+    r16 rewrite (guide §2.3 — shuffle fewer bytes; same device as the
+    simjoin verify): the old shape expanded every candidate by doc_a's
+    full shingle set and shuffled the |cand| x doc_size relation through
+    a second join + a pair-grain COUNT, then joined per-doc sizes twice
+    more.  Collapsing each doc's (distinct) shingles to ONE array row,
+    the verify is two 1:1 doc-grain joins and the intersection count AND
+    both set sizes are row-local array ops — no expansion, no pair-grain
+    aggregate, no sizes joins.  Pairs with zero overlap now appear with
+    n_common = 0 (the old INNER-join-grouped shape dropped them; callers
+    that exposed that absence filter n_common > 0 explicitly)."""
+    sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shs"))
+    return (
+        cand.join(
+            sets.select(F.col("doc_id").alias("a"), F.col("shs").alias("sha")),
+            "a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("b"), F.col("shs").alias("shb")),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("sha", "shb"))
+            .cast("long")
+            .alias("n_common"),
+            F.size("sha").cast("long").alias("na"),
+            F.size("shb").cast("long").alias("nb"),
+        )
+    )
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=_sql_signature_cte()
@@ -273,20 +310,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     sh = _doc_shingles(t).cache()
     cand = lsh_candidate_pairs(minhash_signature(sh))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = sh.select(F.col("doc_id").alias("a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("b"), "shingle")
-    inter = (
-        cand.join(sa, "a")
-        .join(sb, ["b", "shingle"])
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    za = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    # n_common > 0 preserves the pre-r16 output contract exactly: the old
+    # inner-join-grouped intersection emitted only overlapping pairs.
     return (
-        inter.join(za, "a")
-        .join(zb, "b")
+        _pairs_exact_overlap(sh, cand)
+        .where(F.col("n_common") > 0)
         .select(
             "a",
             "b",
@@ -816,12 +844,12 @@ def graph_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .union(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    deg = edges.groupBy("u").agg(F.count("*").alias("d")).localCheckpoint()
+    deg = edges.groupBy("u").agg(F.count("*").alias("d")).localCheckpoint(eager=False)
     ranks = t.documents.select(
         "doc_id", F.lit(PR_SCALE).cast("long").alias("r")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(PR_ITERS):
         contrib = (
             ranks.join(edges, ranks.doc_id == edges.u)
@@ -839,7 +867,7 @@ def graph_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.expr(f"850000 * coalesce(s, 0) DIV {PR_SCALE}")
                 ).cast("long").alias("r"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return ranks.select("doc_id", F.col("r").alias("rank")).orderBy("doc_id")
 
@@ -881,7 +909,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     pairs = lsh_candidate_pairs(
         minhash_signature(_doc_shingles(t, dedup=False))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     e1 = pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = pairs.select(F.col("a").alias("y"), F.col("b").alias("z"))
     e3 = pairs.select(F.col("a").alias("x"), F.col("b").alias("z"))
@@ -1193,20 +1221,12 @@ def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     sh = _doc_shingles(t).cache()
     cand = lsh_candidate_pairs(minhash_signature(sh))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = sh.select(F.col("doc_id").alias("a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("b"), "shingle")
-    inter = (
-        cand.join(sa, "a")
-        .join(sb, ["b", "shingle"])
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    za = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    # n_common > 0 mirrors the oracle's INNER-grouped `inter` CTE: only
+    # overlapping pairs reach `j` (zero-overlap pairs would contribute 0
+    # to every threshold anyway, but the empty-j edge case must agree).
     j = (
-        inter.join(za, "a")
-        .join(zb, "b")
+        _pairs_exact_overlap(sh, cand)
+        .where(F.col("n_common") > 0)
         .select(
             (
                 F.col("n_common").cast("double")
@@ -1779,7 +1799,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .union(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = t.documents.select("doc_id", F.col("doc_id").alias("label"))
     w_mode = Window.partitionBy("doc_id").orderBy(
@@ -1800,7 +1820,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id",
                 F.coalesce("new_label", "label").alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     comm = labels.groupBy("label").agg(F.count("*").alias("n_members"))
     return (
@@ -1896,21 +1916,11 @@ def dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches = (
         cand.join(ba, "a").join(bb, "b").select("a", "b", n_match.alias("m"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = sh.select(F.col("doc_id").alias("a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("b"), "shingle")
-    inter = (
-        cand.join(sa, "a")
-        .join(sb, ["b", "shingle"])
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    za = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    # _pairs_exact_overlap emits EVERY candidate pair (n_common = 0 when
+    # disjoint — every cand doc has a shingle-set row by construction), so
+    # the 1:1 inner join reproduces the oracle's LEFT JOIN + COALESCE(.., 0).
     return (
-        matches.join(inter, ["a", "b"], "left")
-        .join(za, "a")
-        .join(zb, "b")
+        matches.join(_pairs_exact_overlap(sh, cand), ["a", "b"])
         .select(
             "a",
             "b",
@@ -1919,12 +1929,8 @@ def dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.greatest(2.0 * F.col("m") / 8 - 1.0, F.lit(0.0)), 6
             ).alias("est_1bit"),
             F.round(
-                F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
-                / (
-                    F.col("na")
-                    + F.col("nb")
-                    - F.coalesce(F.col("n_common"), F.lit(0))
-                ),
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
                 6,
             ).alias("jaccard"),
         )
@@ -1996,7 +2002,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree filter; outputs are exact counts."""
     pairs = lsh_candidate_pairs(
         minhash_signature(_doc_shingles(Tables(spark, sf_dir), dedup=False))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     edges = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
@@ -2081,7 +2087,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     `text_word_entropy` containment device for transcendental sums."""
     pairs = lsh_candidate_pairs(
         minhash_signature(_doc_shingles(Tables(spark, sf_dir), dedup=False))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     e0 = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
@@ -2198,7 +2204,7 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-insensitive."""
     pairs = lsh_candidate_pairs(
         minhash_signature(_doc_shingles(Tables(spark, sf_dir), dedup=False))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     e0 = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
@@ -2434,10 +2440,10 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     pairs = lsh_candidate_pairs(
         minhash_signature(_doc_shingles(t, dedup=False))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     edges = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
         pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     labels = t.documents.select("doc_id", F.col("doc_id").alias("label"))
     w_mode = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("label"))
     for _ in range(2):
@@ -2712,7 +2718,7 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     regular graph (zero degree variance) yields NULL via NULLIF."""
     pairs = lsh_candidate_pairs(
         minhash_signature(_doc_shingles(Tables(spark, sf_dir), dedup=False))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     e0 = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
