@@ -164,16 +164,18 @@ def sim_knn_bruteforce_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the query matrix is QUERY_BUDGET-capped (driver holds at
     most 1000 x 64 doubles — model-state-sized, like the k-means codebook
     collect), the corpus is never materialized, and batch size is Arrow's
-    (spark.sql.execution.arrow.maxRecordsPerBatch).  Exact cosine TIES
-    (bitwise-duplicate vectors) are preserved through batch pruning — a
-    batch keeps every row tied with its k-th best, and the global window
-    applies the fold's (cos desc, neighbor_id asc) rule — and zero-norm
+    (spark.sql.execution.arrow.maxRecordsPerBatch).  Exactness (r16
+    hardening): BLAS only SCREENS candidates — each batch keeps every row
+    within a 1e-9 margin of its k-th best BLAS cosine (BLAS reduction
+    order is shape-dependent, so identical pairs can differ in the last
+    ulp between batches; the margin is ~1e4x that noise) and then
+    recomputes the survivors' cosines in the fold's exact left-to-right
+    order, so every EMITTED value is bit-identical to the fold twin and
+    the global window applies the fold's (cos desc, neighbor_id asc)
+    rule on identical doubles — exact ties (bitwise-duplicate vectors)
+    and near-ties alike resolve exactly as the oracle does.  Zero-norm
     vectors fail loudly, matching the fold's ANSI divide-by-zero (both
-    gated by test_kernel_twins_degenerate_inputs).  What remains
-    empirical is last-ulp cosine DIFFERENCES between BLAS and the
-    sequential fold on near-tied distinct vectors; both paths rank on
-    raw doubles, so the equality tests pin that bit-level agreement on
-    the fixtures and on seeded random corpora."""
+    gated by test_kernel_twins_degenerate_inputs)."""
     import numpy as np
     import pandas as pd
 
@@ -199,10 +201,21 @@ def sim_knn_bruteforce_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise ValueError(
             f"zero-norm query embedding(s): vec_id {qids[qnorm == 0][:5]}"
         )
-    bq = spark.sparkContext.broadcast((qids, qmat, qnorm))
+    def _fold_dot(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
+        # The fold twin's exact arithmetic, vectorized ACROSS rows: per row
+        # the 64 products accumulate strictly left-to-right from 0.0 —
+        # bit-identical to F.aggregate(zip_with(a, b, x*y), 0.0, acc+x).
+        prod = a * b
+        acc = np.zeros(len(prod), dtype=np.float64)
+        for d in range(prod.shape[1]):
+            acc = acc + prod[:, d]
+        return acc
+
+    qn_exact = np.sqrt(_fold_dot(qmat, qmat))
+    bq = spark.sparkContext.broadcast((qids, qmat, qnorm, qn_exact))
 
     def _batches(it):
-        b_qids, b_q, b_qn = bq.value
+        b_qids, b_q, b_qn, b_qn_exact = bq.value
         for pdf in it:
             if len(pdf) == 0:
                 continue
@@ -214,24 +227,35 @@ def sim_knn_bruteforce_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # oracle does too) — fail loudly, never emit silent NaN.
                 bad = pdf["vec_id"].to_numpy()[cnorm == 0]
                 raise ValueError(f"zero-norm embedding(s): vec_id {bad[:5]}")
+            # BLAS cosines are the SCREEN, not the answer: dgemm/dgemv pick
+            # shape-dependent reduction orders, so the same (query, neighbor)
+            # pair can differ in the last ulp between batches of different
+            # row counts — enough to break exact ties (bitwise-duplicate
+            # vectors) nondeterministically.  Screen with a 1e-9 boundary
+            # margin (BLAS-vs-fold error for a 64-term reduction is ~1e-13),
+            # then recompute the survivors' cosines in the fold's exact
+            # left-to-right order, so every emitted value is bit-identical
+            # to the fold twin and the global window's (cos desc, id) rule
+            # resolves ties exactly as the oracle does.  A screened-out row
+            # is > margin below its batch's k-th BLAS value, hence strictly
+            # below k exact values of its own batch — never in the top-k.
             cos = (cmat @ b_q.T) / np.outer(cnorm, b_qn)
             nids = pdf["vec_id"].to_numpy()
             cos[np.equal.outer(nids, b_qids)] = -np.inf
             k = min(TOP_K, cos.shape[0])
             part = np.argpartition(-cos, k - 1, axis=0)[:k]
-            # Keep EVERY row tied with the k-th best (>=, not argpartition's
-            # arbitrary tie pick): the fold twin breaks cosine ties by
-            # neighbor_id in the global window, so a batch must never drop
-            # a boundary-tied candidate — the window applies the exact rule.
             kth = np.take_along_axis(cos, part, axis=0).min(0)
-            rows, cols = np.nonzero(cos >= kth[None, :])
+            rows, cols = np.nonzero(cos >= kth[None, :] - 1e-9)
             keep = ~np.isneginf(cos[rows, cols])  # drop self-match sentinels
             rows, cols = rows[keep], cols[keep]
+            sel_c = cmat[rows]
+            cn_exact = np.sqrt(_fold_dot(sel_c, sel_c))
+            exact = _fold_dot(b_q[cols], sel_c) / (b_qn_exact[cols] * cn_exact)
             yield pd.DataFrame(
                 {
                     "query_id": b_qids[cols],
                     "neighbor_id": nids[rows],
-                    "cos": cos[rows, cols],
+                    "cos": exact,
                 }
             )
 
@@ -2433,7 +2457,7 @@ def sim_pca_top_m(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ).alias("d")
                     )
                 )
-            drow = drow.localCheckpoint()  # one row of model state
+            drow = drow.localCheckpoint(eager=False)  # one row of model state
             nrm = F.sqrt(
                 F.aggregate(
                     F.transform("d", lambda x: x * x),
@@ -2447,7 +2471,7 @@ def sim_pca_top_m(spark: SparkSession, sf_dir: str) -> DataFrame:
         comps.append(
             drow.select(
                 F.transform("d", lambda x: x / nrm).alias(f"vc_{j}")
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
         )
         outs.append(
             drow.withColumn("nrm", nrm)
