@@ -877,8 +877,20 @@ def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: the final counts are plain exact integers; candidates only
     gate WHICH keys are counted, and the MG bound proves no heavy hitter
-    is gated out.  N comes from a map-side token-length sum (no second
-    explode)."""
+    is gated out.  N rides the summary pass as a null-token sentinel row
+    per partition (sum of exact per-partition token counts).
+
+    r16 boundary rewrite (guide §4.1/§4.2 + §1.2): the summary pass now
+    ships each partition's `text` column (one Arrow row per DOCUMENT)
+    instead of the JVM-exploded token stream (one row per TOKEN) — same
+    bytes, ~40x fewer rows across the Python boundary and no Generate
+    stage — and tokenizes with C-speed `str.join/split` + `Counter`
+    (" ".join inserts exactly the delimiter `split` removes, so the
+    concatenated token stream is element-identical to per-doc explode,
+    empty tokens included).  Emitting the partition token total from the
+    same pass cuts the query from THREE corpus passes to the algorithm's
+    floor of two (summaries, exact re-count); the summary frame is
+    lazily checkpointed because both the candidate set and N consume it."""
     import pandas as pd
 
     t = Tables(spark, sf_dir)
@@ -887,19 +899,31 @@ def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def mg_partition(batches):
+        from collections import Counter
+
         acc: dict = {}
+        n_part = 0
         for pdf in batches:
-            vc = pdf["token"].value_counts()
-            acc = _mg_merge(acc, vc.to_dict(), _MG_K)
-        if acc:
+            texts = pdf["text"].dropna().str.lower()
+            if not len(texts):
+                continue
+            toks_b = " ".join(texts.tolist()).split(" ")
+            n_part += len(toks_b)
+            acc = _mg_merge(acc, Counter(toks_b), _MG_K)
+        if n_part:
             yield pd.DataFrame(
-                {"token": list(acc.keys()), "mg_cnt": list(acc.values())}
+                {
+                    "token": list(acc.keys()) + [None],
+                    "mg_cnt": list(acc.values()) + [n_part],
+                }
             )
 
-    summaries = toks.mapInPandas(mg_partition, "token string, mg_cnt long")
-    candidates = summaries.select("token").distinct()
-    n_total = t.documents.agg(
-        F.sum(F.size(F.split(F.lower(F.col("text")), " "))).alias("n")
+    summaries = t.documents.select("text").mapInPandas(
+        mg_partition, "token string, mg_cnt long"
+    ).localCheckpoint(eager=False)
+    candidates = summaries.where(F.col("token").isNotNull()).select("token").distinct()
+    n_total = summaries.where(F.col("token").isNull()).agg(
+        F.sum("mg_cnt").alias("n")
     )
     exact = (
         toks.join(F.broadcast(candidates), "token")

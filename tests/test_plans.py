@@ -1679,10 +1679,15 @@ def test_heavy_hitters_candidates_broadcast_not_shuffled(spark):
     """agg_heavy_hitters_mg: the exact re-count pass must join the token
     stream against the BOUNDED candidate set via broadcast (the whole point
     — the vocabulary-sized shuffle of a plain groupBy is replaced by a
-    |candidates|-key count), and the summaries must come from the
-    Arrow-batched per-partition mapInPandas."""
+    |candidates|-key count).  r16: the mapInPandas summary pass is
+    materialized once (checkpoint) because BOTH the candidate set and the
+    sentinel N row consume it, so the FINAL plan reads the summaries as an
+    ExistingRDD scan and touches parquet exactly ONCE (the exact re-count)
+    — the query's corpus-pass floor of two, down from three."""
     plan = _plan(spark, "agg_heavy_hitters_mg", final=True)
-    assert "MapInPandas" in plan, plan
+    final_section = plan.split("== Initial Plan ==")[0]
+    assert "Scan ExistingRDD" in final_section, plan
+    assert final_section.count("FileScan parquet") == 1, plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
 
