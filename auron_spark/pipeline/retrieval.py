@@ -409,6 +409,11 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", "doc_id", "lrk")
     )
     emb = t.embeddings
+    # r16 (guide §1.2 — don't recompute per pair what varies per row):
+    # hoist norm(qe) into the |queries|-row qvec and norm(e) into the
+    # per-doc projection, so each (doc, term) pair pays ONE 64-element
+    # fold (the dot) instead of three.  `ne * nq` multiplies the same
+    # doubles the inline `norm(e) * norm(qe)` did — bit-identical cos.
     qvec = (
         ptf.groupBy("term")
         .agg(F.min("doc_id").alias("qid"))
@@ -417,21 +422,21 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term",
             F.transform("embedding", lambda v: v.cast("double")).alias("qe"),
         )
+        .withColumn("nq", norm(F.col("qe")))
     )
     e_d = emb.select(
         F.col("vec_id").alias("doc_id"),
         F.transform("embedding", lambda v: v.cast("double")).alias("e"),
-    )
+    ).withColumn("ne", norm(F.col("e")))
     ws = Window.partitionBy("term").orderBy(F.desc("cos"), F.asc("doc_id"))
     sem = (
         e_d.crossJoin(F.broadcast(qvec))
         .select(
             "term",
             "doc_id",
-            (
-                dot(F.col("e"), F.col("qe"))
-                / (norm(F.col("e")) * norm(F.col("qe")))
-            ).alias("cos"),
+            (dot(F.col("e"), F.col("qe")) / (F.col("ne") * F.col("nq"))).alias(
+                "cos"
+            ),
         )
         .withColumn("srk", F.row_number().over(ws))
         .where(F.col("srk") <= RRF_POOL)
