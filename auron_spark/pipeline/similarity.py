@@ -335,15 +335,23 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     t = Tables(spark, sf_dir)
-    emb = t.parallel("embeddings").withColumn("tb", F.explode(lsh_table_buckets(F.col("embedding"))))
+    # r16 (guide §1.2): norms once per VECTOR, hoisted below the bucket
+    # explode and candidate join (see sim_knn_srp_lsh) — bit-identical.
+    emb = (
+        t.parallel("embeddings")
+        .withColumn("nrm", norm(F.col("embedding")))
+        .withColumn("tb", F.explode(lsh_table_buckets(F.col("embedding"))))
+    )
     q = emb.filter(
         (F.col("vec_id") % QUERY_MOD == 0)
         & (F.col("vec_id") < QUERY_MOD * QUERY_BUDGET)  # same cap as brute force
     ).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "tb"
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("nq"), "tb",
     )
     c = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "tb"
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("nc"), "tb",
     )
     cand = (
         c.join(F.broadcast(q), "tb")
@@ -353,10 +361,9 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        (
-            dot(F.col("q_emb"), F.col("c_emb"))
-            / (norm(F.col("q_emb")) * norm(F.col("c_emb")))
-        ).alias("cos"),
+        (dot(F.col("q_emb"), F.col("c_emb")) / (F.col("nq") * F.col("nc"))).alias(
+            "cos"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
@@ -3069,9 +3076,15 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("q_label"),
         F.col("embedding").alias("qe"),
+    ).withColumn("nq", norm(F.col("qe")))
+    # r16 (guide §1.2): norms hoisted below the broadcast join — once per
+    # corpus row / per query instead of per pair; same fold expressions
+    # multiplied in the same order, bit-identical cosines.
+    c = emb.select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("ne")
     )
     scored = (
-        emb.join(F.broadcast(q))
+        c.join(F.broadcast(q))
         .filter(F.col("label") != F.col("q_label"))
         .select(
             "query_id",
@@ -3079,7 +3092,7 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").alias("neg_label"),
             (
                 dot(F.col("embedding"), F.col("qe"))
-                / (norm(F.col("embedding")) * norm(F.col("qe")))
+                / (F.col("ne") * F.col("nq"))
             ).alias("cos"),
         )
     )
@@ -3779,19 +3792,25 @@ def sim_knn_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     t = Tables(spark, sf_dir)
-    emb = t.parallel("embeddings").withColumn(
-        "tb", F.explode(_srp_buckets_spark(F.col("embedding")))
+    # r16 (guide §1.2): norms computed once per VECTOR, before the 4-way
+    # bucket explode and the candidate join — the old shape paid two
+    # 64-element folds per candidate pair; same fold expression, same
+    # multiply order, bit-identical cosines.
+    emb = (
+        t.parallel("embeddings")
+        .withColumn("nrm", norm(F.col("embedding")))
+        .withColumn("tb", F.explode(_srp_buckets_spark(F.col("embedding"))))
     )
     q = emb.filter(
         (F.col("vec_id") % QUERY_MOD == 0)
         & (F.col("vec_id") < QUERY_MOD * QUERY_BUDGET)
     ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
-        "tb",
+        F.col("nrm").alias("nq"), "tb",
     )
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"), "tb",
+        F.col("embedding").alias("c_emb"), F.col("nrm").alias("nc"), "tb",
     )
     cand = (
         c.join(F.broadcast(q), "tb")
@@ -3801,10 +3820,9 @@ def sim_knn_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        (
-            dot(F.col("q_emb"), F.col("c_emb"))
-            / (norm(F.col("q_emb")) * norm(F.col("c_emb")))
-        ).alias("cos"),
+        (dot(F.col("q_emb"), F.col("c_emb")) / (F.col("nq") * F.col("nc"))).alias(
+            "cos"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
@@ -4003,11 +4021,16 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _T(spark, sf_dir)
     emb = t.embeddings
+    # r16 (guide §1.2): the query norm is constant across the corpus scan —
+    # computed once in the 1-row broadcast instead of per corpus row; same
+    # fold, same multiply order, bit-identical rel.
     qv = F.broadcast(
-        emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+        emb.where(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qe"))
+        .withColumn("nq", norm(F.col("qe")))
     )
     rel = dot(F.col("embedding"), F.col("qe")) / (
-        norm(F.col("embedding")) * norm(F.col("qe"))
+        norm(F.col("embedding")) * F.col("nq")
     )
     cand = (
         emb.where(F.col("vec_id") != 0)
@@ -4137,11 +4160,16 @@ def sim_vector_analogy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ec"),
         lambda d, z: d + z.cast("double"),
     )
+    # r16 (guide §1.2): the target norm is constant across the corpus scan
+    # — computed once in the 1-row broadcast; bit-identical cos.
     target = F.broadcast(
-        a_.crossJoin(b_).crossJoin(c_).select(tv.alias("tv"))
+        a_.crossJoin(b_)
+        .crossJoin(c_)
+        .select(tv.alias("tv"))
+        .withColumn("nt", norm(F.col("tv")))
     )
     cos = dot(F.col("tv"), F.col("embedding")) / (
-        norm(F.col("tv")) * norm(F.col("embedding"))
+        F.col("nt") * norm(F.col("embedding"))
     )
     return (
         emb.where(~F.col("vec_id").isin(*_ANALOGY))
