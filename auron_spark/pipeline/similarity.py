@@ -1236,70 +1236,16 @@ def _sqdist(e: Column, cv: Column) -> Column:
     )
 
 
-def _lloyd(spark: SparkSession, emb: DataFrame, k: int = KM_K):
-    """KM_ITERS Lloyd rounds over ``emb`` (vec_id, e: array<double>).
-
-    Returns ``(cent, last_mean)``: the trained codebook (cid, cv) and the
-    final per-(cid, dim) mean/count frame.  See sim_kmeans_lloyd for the
-    scale shape; shared by the trainer query and the trained-IVF server.
-    ``k`` defaults to the registered queries' KM_K; the bench scale leg
-    passes k ∝ corpus size — the SemDeDup/IVF block-size knob — so the
-    broadcast codebook and the k×64 partial-agg exchange are exercised at
-    production list counts, not just the fixture's 8."""
-    # deterministic init: the k lowest vec_ids, cid in vec_id order
-    init_rows = (
-        emb.orderBy("vec_id")
-        .limit(k)
-        .collect()  # k rows of model state — constant size, like MLlib
-    )
-    cent = spark.createDataFrame(
-        [(i, r.e) for i, r in enumerate(init_rows)],
-        "cid int, cv array<double>",
-    )
-
-    sqdist = _sqdist
-    last_mean = None
-    for _ in range(KM_ITERS):
-        # centroids -> one broadcast row holding array<struct<cid,cv>>
-        cents_row = cent.agg(
-            F.collect_list(F.struct("cid", "cv")).alias("cents")
-        )
-        assigned = (
-            emb.join(F.broadcast(cents_row))
-            .select(
-                "vec_id",
-                "e",
-                F.array_min(
-                    F.transform(
-                        "cents",
-                        lambda c: F.struct(
-                            sqdist(F.col("e"), c["cv"]).alias("d"),
-                            c["cid"].alias("cid"),
-                        ),
-                    )
-                )["cid"].alias("cid"),
-            )
-        )
-        cent, last_mean = _lloyd_update(cent, assigned)
-    return cent, last_mean
-
-
-def _lloyd_update(cent: DataFrame, assigned: DataFrame, eager: bool = False):
-    """One Lloyd centroid update from an assignment frame (cid, e):
-    decimal-exact per-(cid, dim) means, empty clusters keep their previous
-    centroid.  SHARED by the fold `_lloyd` and the Arrow `_lloyd_arrow`,
-    so the two trainers differ ONLY in the assignment kernel — given
-    identical assignments, the centroid arithmetic is the same plan.
-
-    ``eager`` (r16): the fold trainer checkpoints LAZILY — the corpus
-    aggregation is still computed once per execution and shared across
-    the mean's consumers, but materialization happens inside the first
-    consuming job instead of a dedicated eager job per Lloyd round (one
-    driver round trip fewer per iteration; same plan, same rows).  The
-    Arrow trainer MUST stay eager: it destroys each round's model-state
-    broadcast right after the update (ADVICE r11 #2), which is only safe
-    once the assignment job consuming that broadcast has actually run."""
-    mean = (
+def _lloyd_mean_rows(assigned: DataFrame) -> list:
+    """One Lloyd centroid-update aggregation, COLLECTED: the decimal-exact
+    per-(cid, dim) means and counts of an assignment frame (cid, e) — the
+    k×dim rows of model state every trainer materializes each round.  The
+    arithmetic is unchanged from every prior round's `_lloyd_update`
+    (6-dp-rounded DECIMAL(18,6) sums divided by counts, cast to double),
+    so the collected values are bit-identical to what the old plan-side
+    join chain carried; only WHERE the k-row state lives moved (executor
+    frames -> driver, MLlib's layout)."""
+    return (
         assigned.select("cid", F.posexplode("e").alias("dim", "v"))
         .groupBy("cid", "dim")
         .agg(
@@ -1311,33 +1257,170 @@ def _lloyd_update(cent: DataFrame, assigned: DataFrame, eager: bool = False):
             ).alias("c"),
             F.count("*").alias("n"),
         )
-        .localCheckpoint(eager=eager)
+        .collect()
     )
-    new_cv = (
-        mean.groupBy("cid")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("sc"))
-        .select("cid", F.transform("sc", lambda s: s["c"]).alias("cv"))
+
+
+def _lloyd_apply_mean(cvs: list[list[float]], mean_rows: list) -> None:
+    """Driver-side centroid update from the collected mean rows: a
+    non-empty cluster (posexplode emits every dim of every member, so it
+    carries ALL dims) replaces its centroid with the per-dim means; an
+    empty cluster keeps its previous centroid — exactly the old plan's
+    COALESCE(new cv, previous cv).  Pure data movement, no arithmetic."""
+    by_cid: dict[int, dict[int, float]] = {}
+    for r in mean_rows:
+        by_cid.setdefault(r.cid, {})[r.dim] = r.c
+    for cid, dims in by_cid.items():
+        cvs[cid] = [dims[j] for j in range(len(cvs[cid]))]
+
+
+def _lloyd_frames(spark: SparkSession, cvs: list, mean_rows: list):
+    """The driver-held model state as the (cent, last_mean) DataFrame pair
+    every `_lloyd` consumer expects — LOCAL relations now (k and k×64
+    rows), so downstream plans embed a LocalTableScan instead of the
+    KM_ITERS-round join/aggregate lineage."""
+    cent = spark.createDataFrame(
+        [(i, cv) for i, cv in enumerate(cvs)], "cid int, cv array<double>"
     )
-    # no checkpoint here: cent is k rows derived from the checkpointed
-    # mean (the corpus-scan lineage is already cut), so an extra eager
-    # job per iteration buys nothing
-    cent = (
-        cent.alias("p")
-        .join(new_cv.alias("m"), "cid", "left")
-        .select("cid", F.coalesce("m.cv", "p.cv").alias("cv"))
+    last_mean = spark.createDataFrame(
+        [(r.cid, r.dim, r.c, r.n) for r in mean_rows],
+        "cid int, dim int, c double, n bigint",
     )
-    return cent, mean
+    return cent, last_mean
+
+
+def _lloyd_rounds(
+    spark: SparkSession, emb: DataFrame, k: int, arrow: bool
+) -> tuple[list, list]:
+    """KM_ITERS Lloyd rounds with the k-row model state held on the DRIVER
+    (r17, VERDICT r16 next #1): per round exactly ONE Spark job runs — the
+    corpus assignment feeding the decimal-exact per-(cid, dim) mean
+    aggregation, collected as k×64 rows — and the centroid update happens
+    driver-side on the collected values (MLlib's layout).  The old shape
+    kept centroids as chained k-row executor frames, which cost per round:
+    a localCheckpoint materialization job, a multi-job AQE collect of the
+    k-row join chain, and — dominating at bench SF — eager Catalyst
+    re-analysis of the ever-growing composed plan on every DataFrame call
+    (profiled at 24 s fold / 50 s arrow of driver time per build at sf0.1,
+    plans/r17/phaseprof.py).  Values are bit-identical: the means are the
+    same Spark aggregation, and doubles round-trip collect/createDataFrame
+    exactly.
+
+    ``arrow`` selects the assignment kernel: the oracle-exact index-ordered
+    fold (argmin over the broadcast codebook row) or the numpy matmul
+    kernel (||e||² − 2eCᵀ + ||C||², cid-sorted rows + first-min argmin =
+    the fold's smallest-cid tie-break).  Kernel distances differ in the
+    last ulp, so twin equality stays pinned by test_lloyd_arrow_matches_fold.
+
+    Returns ``(cvs, mean_rows)``: the final centroid arrays (index = cid)
+    and the final round's collected mean rows."""
+    # deterministic init: the k lowest vec_ids, cid in vec_id order
+    init_rows = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .collect()  # k rows of model state — constant size, like MLlib
+    )
+    cvs = [list(r.e) for r in init_rows]
+    mean_rows: list = []
+    if not init_rows:
+        # Empty corpus: zero centroids train; empty frames downstream
+        # instead of raising on 0-length model arrays (ADVICE r10 pattern).
+        return cvs, mean_rows
+
+    if arrow:
+        import numpy as np
+        import pandas as pd
+
+        for _ in range(KM_ITERS):
+            # rows are cid-ascending by construction (index = cid)
+            cids = np.arange(len(cvs), dtype=np.int32)
+            cmat = np.array(cvs, dtype=np.float64)
+            bstate = spark.sparkContext.broadcast((cids, cmat))
+
+            def _assign(it, _b=bstate):
+                b_cids, b_c = _b.value
+                c_sq = (b_c**2).sum(1)
+                for pdf in it:
+                    if len(pdf) == 0:
+                        continue
+                    mat = np.array(pdf["e"].tolist(), dtype=np.float64)
+                    d = (
+                        (mat**2).sum(1)[:, None]
+                        - 2.0 * (mat @ b_c.T)
+                        + c_sq[None, :]
+                    )
+                    yield pd.DataFrame(
+                        {"cid": b_cids[d.argmin(1)], "e": pdf["e"]}
+                    )
+
+            assigned = emb.select("e").mapInPandas(
+                _assign, "cid int, e array<double>"
+            )
+            mean_rows = _lloyd_mean_rows(assigned)
+            # The collect above IS the assignment job, so nothing pending
+            # references this round's model state (ADVICE r11 #2: without
+            # the destroy, one k×64-double broadcast per iteration
+            # accumulates on executors for the session lifetime).
+            bstate.destroy()
+            _lloyd_apply_mean(cvs, mean_rows)
+        return cvs, mean_rows
+
+    sqdist = _sqdist
+    for _ in range(KM_ITERS):
+        # centroids -> one broadcast row holding array<struct<cid,cv>>,
+        # built from the driver-held state (LocalTableScan: the broadcast
+        # needs no executor job and embeds no prior-round lineage)
+        cent = spark.createDataFrame(
+            [(i, cv) for i, cv in enumerate(cvs)], "cid int, cv array<double>"
+        )
+        cents_row = cent.agg(
+            F.collect_list(F.struct("cid", "cv")).alias("cents")
+        )
+        assigned = (
+            emb.join(F.broadcast(cents_row))
+            .select(
+                F.array_min(
+                    F.transform(
+                        "cents",
+                        lambda c: F.struct(
+                            sqdist(F.col("e"), c["cv"]).alias("d"),
+                            c["cid"].alias("cid"),
+                        ),
+                    )
+                )["cid"].alias("cid"),
+                "e",
+            )
+        )
+        mean_rows = _lloyd_mean_rows(assigned)
+        _lloyd_apply_mean(cvs, mean_rows)
+    return cvs, mean_rows
+
+
+def _lloyd(spark: SparkSession, emb: DataFrame, k: int = KM_K):
+    """KM_ITERS Lloyd rounds over ``emb`` (vec_id, e: array<double>).
+
+    Returns ``(cent, last_mean)``: the trained codebook (cid, cv) and the
+    final per-(cid, dim) mean/count frame — LOCAL relations backed by the
+    driver-held model state (see `_lloyd_rounds` for the r17 layout and
+    the per-round scale shape: one k×dim decimal partial-agg exchange +
+    one k×64-row collect per round, constant in corpus size).  ``k``
+    defaults to the registered queries' KM_K; the bench scale leg passes
+    k ∝ corpus size — the SemDeDup/IVF block-size knob — so the broadcast
+    codebook and the k×64 partial-agg exchange are exercised at
+    production list counts, not just the fixture's 8."""
+    cvs, mean_rows = _lloyd_rounds(spark, emb, k, arrow=False)
+    return _lloyd_frames(spark, cvs, mean_rows)
 
 
 def _lloyd_arrow(spark: SparkSession, emb: DataFrame, k: int = KM_K):
     """`_lloyd` with the ASSIGNMENT hot loop as an Arrow kernel (VERDICT
-    r10 ask #4): per iteration the k×64 codebook is collected (the same
-    constant-size model state the fold broadcasts as one row) and each
-    Arrow batch computes distances to ALL centroids as one numpy matmul
-    (||e||² − 2eCᵀ + ||C||² expansion), emitting (cid, e) straight into
-    the SHARED `_lloyd_update` decimal-exact mean.  Same distributed
-    shape as the fold: map-side assignment over broadcast state, one
-    k×dim partial-agg exchange per round.
+    r10 ask #4): each round's k×64 codebook broadcasts to the Python
+    workers and each Arrow batch computes distances to ALL centroids as
+    one numpy matmul (||e||² − 2eCᵀ + ||C||² expansion), feeding the SAME
+    decimal-exact mean aggregation as the fold (`_lloyd_mean_rows`) — the
+    twins differ ONLY in the assignment kernel.  Same distributed shape:
+    map-side assignment over broadcast state, one k×dim partial-agg
+    exchange + one k×64-row collect per round.
 
     Tie-break parity: the fold's array_min(struct(d, cid)) picks the
     smallest cid on equal distance; the kernel's centroid matrix is
@@ -1346,57 +1429,8 @@ def _lloyd_arrow(spark: SparkSession, emb: DataFrame, k: int = KM_K):
     fold), so twin equality is an empirical bit-level statement pinned by
     test_lloyd_arrow_matches_fold on fixtures, random corpora and
     degenerate inputs."""
-    import numpy as np
-    import pandas as pd
-
-    init_rows = emb.orderBy("vec_id").limit(k).collect()  # k rows of state
-    cent = spark.createDataFrame(
-        [(i, r.e) for i, r in enumerate(init_rows)],
-        "cid int, cv array<double>",
-    )
-    empty_mean = spark.createDataFrame(
-        [], "cid int, dim int, c double, n bigint"
-    )
-    if not init_rows:
-        # Empty corpus: zero centroids train; match the fold's empty frames
-        # instead of raising on 0-length model arrays (ADVICE r10 pattern).
-        return cent, empty_mean
-
-    last_mean = empty_mean
-    for _ in range(KM_ITERS):
-        cent_rows = cent.collect()  # k x 64 doubles of model state / round
-        order = np.argsort([r.cid for r in cent_rows])
-        cids = np.array([cent_rows[i].cid for i in order], dtype=np.int32)
-        cmat = np.array([cent_rows[i].cv for i in order], dtype=np.float64)
-        bstate = spark.sparkContext.broadcast((cids, cmat))
-
-        def _assign(it, _b=bstate):
-            b_cids, b_c = _b.value
-            c_sq = (b_c**2).sum(1)
-            for pdf in it:
-                if len(pdf) == 0:
-                    continue
-                mat = np.array(pdf["e"].tolist(), dtype=np.float64)
-                d = (
-                    (mat**2).sum(1)[:, None]
-                    - 2.0 * (mat @ b_c.T)
-                    + c_sq[None, :]
-                )
-                yield pd.DataFrame(
-                    {"cid": b_cids[d.argmin(1)], "e": pdf["e"]}
-                )
-
-        assigned = emb.select("e").mapInPandas(
-            _assign, "cid int, e array<double>"
-        )
-        cent, last_mean = _lloyd_update(cent, assigned, eager=True)
-        # _lloyd_update eagerly localCheckpoints the mean, so the
-        # assignment job has run and nothing pending references this
-        # round's model state; without this, one k×64-double broadcast
-        # per iteration accumulates on executors for the session lifetime
-        # (ADVICE r11 #2 — visible at the bench scale leg's k∝corpus).
-        bstate.destroy()
-    return cent, last_mean
+    cvs, mean_rows = _lloyd_rounds(spark, emb, k, arrow=True)
+    return _lloyd_frames(spark, cvs, mean_rows)
 
 
 _SQL_KM_ASSIGN_DIST = (

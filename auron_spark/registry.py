@@ -98,47 +98,22 @@ _DRIVER_WINDOW: tuple[str, ...] = ()
 # instead of sorting to the lowest re-prove priority).  Remove a name here
 # once a new artifact round re-proves it.
 _MODIFIED_SINCE_PROOF: frozenset[str] = frozenset({
-    # r16 replaces the JL distortion report's corpus-proportional
-    # `vec_id % 20` sample with a constant-size md5-ordered top-k
-    # (VERDICT r15 wrong #2) — the pair stage is now O(1)-bounded at any
-    # corpus size, after the r15 artifact proved the proportional text.
-    "feature_jl_projection",
-    # ADVICE r15 #1: the conformal order statistic now tie-breaks on
-    # o_orderkey (a genuinely distinguishing column) in both engines.
-    "eval_conformal_coverage",
-    # ADVICE r15 #2: the doubled-rank power-sum products go to DECIMAL
-    # BEFORE multiplying (both engines), closing the int64 wrap at
-    # n > ~1.5e9 rows; same hardening applied to the Gini rank term.
-    "stats_spearman_global_scale",
-    "stats_gini_concentration_scale",
-    # r16 optimization round: builders whose EXECUTED PLAN was materially
-    # rewritten (exchange merges, verify-stage restructuring, boundary/
-    # pass-count changes, expression hoists) re-enter per the r15
-    # feature_pca_power_iteration precedent — the r15 artifact witnessed
-    # the old plan, not this one.  Oracles and outputs are unchanged
-    # (each re-verified exact vs DuckDB at sf0.01 + sf0.001 in-round; see
-    # OPTIMIZATION_r16.md).  Deliberately NOT re-entered: queries whose
-    # only change was an eager->lazy localCheckpoint flip (identical
-    # plan-node DAG and values; only driver-job orchestration moved) —
-    # the graph_* family, the prefix-device consumers, sim_pca_top_m,
-    # dq_sequence_gaps_scale, and the Lloyd/CC consumers.
-    "agg_heavy_hitters_mg",          # 3 corpus passes -> 2, docs-not-tokens boundary
-    "dedup_ngram_jaccard",           # doc-grain array verify
-    "dedup_lsh_quality",             # doc-grain array verify
-    "dedup_minhash_bbit",            # doc-grain array verify
-    "retrieval_rrf_fusion",          # shared token aggregates + norm hoist
-    "sim_semantic_dedup",            # assignment fold computed once
-    "sim_hard_negatives",            # norms hoisted below the broadcast join
-    "sim_knn_srp_lsh",               # norms hoisted before the bucket explode
-    "sim_mmr_diversify",             # query norm hoisted into the 1-row broadcast
-    "sim_vector_analogy",            # target norm hoisted into the 1-row broadcast
-    "text_kneser_ney_bigram",        # top-30 pushed below the joins
-    "join_set_similarity_prefix",    # one shingle partitioning + array verify
-    "join_set_similarity_prefix_scaled",
-    "dedup_simhash_hamming_pairs",   # two token-grain exchanges -> one
-    "dedup_simhash_pairs_scaled",
-    "text_bpe_train",                # compounding lineage cut (7 FileScans -> 0)
-    "text_bpe_encode",               # shares the trainer's linearized rounds
+    # r17 optimization round: builders whose EXECUTED PLAN was materially
+    # rewritten re-enter per the r15 feature_pca_power_iteration precedent
+    # (the r16 artifact witnessed the old plan).  Outputs are unchanged —
+    # each re-verified exact vs DuckDB at sf0.01 + sf0.001 in-round; see
+    # OPTIMIZATION_r17.md.
+    #
+    # Lloyd trainer family: the k-row model state moved from chained
+    # executor frames (per-round localCheckpoint + join chain) to the
+    # driver (`_lloyd_rounds` — one mean-collect job per round, local
+    # relations downstream).  Same Spark-side mean aggregation, same
+    # assignment folds, bit-identical values.
+    "sim_kmeans_lloyd",
+    "sim_knn_ivf_trained",
+    "sim_ivfpq_trained",
+    "sim_semantic_dedup",
+    "sim_silhouette_simplified",
 })
 
 # Green driver rows from CORRECTNESS_r14.json — the whole round-14 window
@@ -467,6 +442,37 @@ _R15_PROVEN: frozenset[str] = frozenset({
 })
 
 
+# Green driver rows from CORRECTNESS_r16.json — the whole round-16 window
+# hash-matched 50/50 (the tenth consecutive perfect driver window; names
+# recorded in PERF_r16.json `queries_newly_passing`, VERDICT r16 gate):
+# the 17 r16 plan-rewrite re-entries (their rewritten plans now
+# artifact-proven), the 4 r15-advice fix re-entries, the interrupted-BUILD
+# additions (`dedup_lsh_serve`, `agg_heavy_hitters_mg` et al.) and
+# oldest-artifact backfills.
+_R16_PROVEN: frozenset[str] = frozenset({
+    "agg_heavy_hitters_mg", "agg_linear_regression",
+    "asof_join_purchase_click", "dedup_fuzzy_name_match",
+    "dedup_incremental_anti_join", "dedup_lsh_quality", "dedup_lsh_serve",
+    "dedup_lsh_serve_verified", "dedup_minhash_bbit", "dedup_ngram_jaccard",
+    "dedup_simhash_hamming_pairs", "dedup_simhash_pairs_scaled",
+    "ds_before_after_event_split", "ds_moving_avg_neighbors",
+    "eval_conformal_coverage", "eval_conformal_global_scale",
+    "feature_jl_projection", "funnel_view_click_purchase", "gen_json_tuple",
+    "graph_pagerank_fixed_point", "graph_triangle_count", "join_range_bands",
+    "join_set_similarity_prefix", "join_set_similarity_prefix_scaled",
+    "mm_video_frame_sample_real", "mm_wav_decode_real", "pivot_event_counts",
+    "retrieval_rrf_fusion", "sample_mixture_weights", "scan_file_provenance",
+    "sim_hard_negatives", "sim_knn_srp_lsh", "sim_mmr_diversify",
+    "sim_normalize_embeddings", "sim_semantic_dedup", "sim_vector_analogy",
+    "stats_gini_concentration_scale", "stats_spearman_global_scale",
+    "stats_theil_sen_global_scale", "streak_daily_activity",
+    "text_bpe_encode", "text_bpe_train", "text_kneser_ney_bigram",
+    "window_ignore_nulls", "window_percentiles", "window_range_frame",
+    "window_ranking", "window_running_agg", "window_sliding_frame",
+    "window_top_k_per_group",
+})
+
+
 # Rounds with an in-tree driver artifact (CORRECTNESS_r0N.json committed).
 # Round 8's artifact never landed; every name from that window re-proved in
 # round 11, so the map now covers all evidence.
@@ -484,6 +490,7 @@ _ARTIFACT_PROVEN: dict[int, frozenset[str]] = {
     13: _R13_PROVEN,
     14: _R14_PROVEN,
     15: _R15_PROVEN,
+    16: _R16_PROVEN,
 }
 
 _PROVEN: frozenset[str] = frozenset().union(*_ARTIFACT_PROVEN.values())
