@@ -193,6 +193,28 @@ def _load_brackets(scale_key: dict) -> dict:
     return rec
 
 
+def _persist_brackets(brackets: dict) -> bool:
+    """Write the min-merged bracket record — UNLESS the file on disk was
+    recorded at a different `_scale` (VERDICT r16 wrong #4: an sf0.01 /
+    reduced-corpus run must never overwrite the committed sf0.1 record;
+    r16 caught that relapse by review, this makes it impossible).  The
+    in-memory record still adjudicated this run; it just doesn't persist.
+    Returns whether the write happened."""
+    try:
+        on_disk = json.loads(Path(_BRACKETS_PATH).read_text())
+    except (OSError, ValueError):
+        on_disk = None
+    if (
+        on_disk is not None
+        and on_disk.get("_scale") != brackets.get("_scale")
+    ):
+        return False
+    Path(_BRACKETS_PATH).write_text(
+        json.dumps(brackets, indent=1, sort_keys=True) + "\n"
+    )
+    return True
+
+
 def _adjudicate(group: str, res: dict, brackets: dict,
                 rerun) -> tuple[dict, dict | None]:
     """If this group's warm subtotal exceeds the committed best-observed
@@ -502,6 +524,18 @@ def _run_group(group: str, sf_dir: str, second: str,
             warm2[name] = run(spec, second)
 
     index_build: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_INDEX_BUILDS", "1") == "0":
+        # Quick mode (low-core scaling leg): skip the train-once index
+        # rebuild timings — they are their own section, never headline rows.
+        spark.stop()
+        return {
+            "warm": {n: min(r) for n, r in warm_runs.items()},
+            "warm_runs": warm_runs,
+            "cold": cold,
+            "sf2": warm2,
+            "index_build": index_build,
+            "k_scaled": k_scaled,
+        }
     if group == "trainers" and not rerun:
         from auron_spark.pipeline.retrieval import build_bm25_index
         from auron_spark.pipeline.similarity import build_ivfpq_index
@@ -546,6 +580,23 @@ def main() -> None:
     second = os.environ.get(
         "SPARK_GRAFT_BENCH_SECOND_SF", "/root/testdata/sf0.01"
     )
+    # Quick mode (VERDICT r16 next #3: the 8-core scaling leg timed out at
+    # rc=124 because the full run — scale corpora + scale legs + sf2 legs +
+    # index rebuilds — is a ~53 min wall at 32 cores, far past the driver
+    # budget at 8).  When the core count is low the run keeps the ENTIRE
+    # headline query set with the identical cold + 2-warm min methodology
+    # (so per-query scaling ratios are apples-to-apples with the 32-core
+    # run) and drops only the extra sections that never feed the headline
+    # line: the second-SF pass, the text/vector scale legs, and the index
+    # rebuild timings.  Explicit override: SPARK_GRAFT_BENCH_QUICK=0/1.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    quick = os.environ.get("SPARK_GRAFT_BENCH_QUICK")
+    quick = (cpus < 16) if quick is None else (quick == "1")
+    if quick:
+        second = ""
+        os.environ.setdefault("SPARK_GRAFT_TEXT_DOCS", "0")
+        os.environ.setdefault("SPARK_GRAFT_VECTOR_VECS", "0")
+        os.environ["SPARK_GRAFT_BENCH_INDEX_BUILDS"] = "0"
 
     if len(sys.argv) > 1 and sys.argv[1] == "--group":
         # Child: print this group's result as the last line and exit.
@@ -694,15 +745,16 @@ def main() -> None:
         print(json.dumps({"section": "vector_scale", **vector_scale}))
     if index_build:
         print(json.dumps({"section": "index_build", **index_build}))
-    # Persist min-merged brackets, then report this run's adjudications —
-    # an empty list is itself the record that no group tripped its bracket.
-    Path(_BRACKETS_PATH).write_text(
-        json.dumps(brackets, indent=1, sort_keys=True) + "\n"
-    )
+    # Persist min-merged brackets (refused on a cross-scale record — see
+    # _persist_brackets), then report this run's adjudications — an empty
+    # list is itself the record that no group tripped its bracket.
+    persisted = _persist_brackets(brackets)
     print(json.dumps({"section": "adjudication", "factor": _ADJUDICATE_FACTOR,
                       "per_query_factor": _PER_QUERY_FACTOR,
+                      "brackets_persisted": persisted,
                       "reruns": adjudications}))
-    print(json.dumps({"section": "groups", "warm_subtotals": subtotals}))
+    print(json.dumps({"section": "groups", "warm_subtotals": subtotals,
+                      "quick_mode": quick, "cpus": cpus}))
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": round(sum(warm.values()), 3),

@@ -92,7 +92,11 @@ def main() -> int:
     t0 = time.perf_counter()
     procs = []
     for label, args, extra in _WORKERS:
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(per_worker), **extra)
+        # FULL suite always (r17): the fast-tier collection filter
+        # (tests/conftest.py) only trims whole-directory driver runs;
+        # partest remains the full-battery runner by contract.
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(per_worker),
+                   SPARK_GRAFT_SUITE="full", **extra)
         log = (logdir / f"{label}.log").open("w")
         procs.append(
             (

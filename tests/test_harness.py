@@ -467,6 +467,44 @@ def test_bench_brackets_record_structure():
             assert all(v > 0 for v in entry["best_queries"].values()), group
 
 
+def test_bench_brackets_cross_scale_write_refused(tmp_path, monkeypatch):
+    """_persist_brackets (VERDICT r16 wrong #4): a bench run at a
+    DIFFERENT `_scale` (sf dir / corpus knobs) must never overwrite the
+    committed bracket record — r16 caught an sf0.01 record committed by
+    review; the writer now refuses structurally.  Same-scale writes and
+    first-ever seeding still land."""
+    import json
+    from pathlib import Path
+
+    import bench
+
+    p = tmp_path / "bench_brackets.json"
+    monkeypatch.setattr(bench, "_BRACKETS_PATH", str(p))
+    sf01 = {"sf_dir": "/root/testdata/sf0.1", "text_docs": 65536,
+            "vector_vecs": 32768}
+    sf001 = {"sf_dir": "/root/testdata/sf0.01", "text_docs": 0,
+             "vector_vecs": 0}
+    seeded = {"_scale": sf01, "relational": {"best_subtotal": 10.0,
+              "queries": ["q1_pricing_summary"],
+              "best_queries": {"q1_pricing_summary": 10.0}}}
+    # first-ever write seeds the file
+    assert bench._persist_brackets(seeded) is True
+    assert json.loads(p.read_text()) == seeded
+    # a cross-scale record is refused and the file is untouched
+    foreign = {"_scale": sf001, "relational": {"best_subtotal": 1.0,
+               "queries": ["q1_pricing_summary"],
+               "best_queries": {"q1_pricing_summary": 1.0}}}
+    assert bench._persist_brackets(foreign) is False
+    assert json.loads(p.read_text()) == seeded
+    # a same-scale min-merge still lands
+    merged = dict(seeded)
+    merged["relational"] = {"best_subtotal": 9.0,
+                            "queries": ["q1_pricing_summary"],
+                            "best_queries": {"q1_pricing_summary": 9.0}}
+    assert bench._persist_brackets(merged) is True
+    assert json.loads(p.read_text()) == merged
+
+
 def test_bench_adjudicate_per_query_trigger():
     """_adjudicate must trip on a SINGLE-query spike even when the group
     subtotal stays under the 1.5x group trigger (VERDICT r14 wrong #4 —
