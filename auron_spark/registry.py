@@ -114,6 +114,15 @@ _MODIFIED_SINCE_PROOF: frozenset[str] = frozenset({
     "sim_ivfpq_trained",
     "sim_semantic_dedup",
     "sim_silhouette_simplified",
+    # Prefix join: the doc-grain window rank replaced by one array_sort
+    # aggregation serving prefix AND verify (same (df, shingle) total
+    # order, same prefix length — identical candidates/output).
+    "join_set_similarity_prefix",
+    "join_set_similarity_prefix_scaled",
+    # Heavy hitters: lowercasing moved to the Spark side of the Arrow
+    # boundary (ADVICE r16 #1 — one lowercasing engine) and the Python
+    # tokenizer now works per document (ADVICE r16 #2); same counts.
+    "agg_heavy_hitters_mg",
 })
 
 # Green driver rows from CORRECTNESS_r14.json — the whole round-14 window
