@@ -904,12 +904,21 @@ def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         acc: dict = {}
         n_part = 0
         for pdf in batches:
-            texts = pdf["text"].dropna().str.lower()
+            texts = pdf["text"].dropna()
             if not len(texts):
                 continue
-            toks_b = " ".join(texts.tolist()).split(" ")
-            n_part += len(toks_b)
-            acc = _mg_merge(acc, Counter(toks_b), _MG_K)
+            # ADVICE r16 #2: tokenize per document instead of one
+            # monolithic " ".join of the whole batch (which transiently
+            # held ~2-3x the batch's text bytes) — " ".join inserts
+            # exactly the delimiter split removes, so the per-doc token
+            # lists concatenate to the identical token stream (empty
+            # tokens included) and the counts are unchanged.
+            cnt: Counter = Counter()
+            for s in texts:
+                toks_d = s.split(" ")
+                n_part += len(toks_d)
+                cnt.update(toks_d)
+            acc = _mg_merge(acc, cnt, _MG_K)
         if n_part:
             yield pd.DataFrame(
                 {
@@ -918,7 +927,15 @@ def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    summaries = t.documents.select("text").mapInPandas(
+    # ADVICE r16 #1: lowercase on the SPARK side (the same F.lower the
+    # exact re-count's token stream uses) so only join/split happens in
+    # Python — one lowercasing engine; pandas str.lower and JVM lower can
+    # disagree on non-ASCII (dotted-I class), which would silently drop a
+    # true heavy hitter from the candidate set and void the MG superset
+    # guarantee.
+    summaries = t.documents.select(
+        F.lower(F.col("text")).alias("text")
+    ).mapInPandas(
         mg_partition, "token string, mg_cnt long"
     ).localCheckpoint(eager=False)
     candidates = summaries.where(F.col("token").isNotNull()).select("token").distinct()

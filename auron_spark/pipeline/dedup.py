@@ -254,7 +254,16 @@ def _pairs_exact_overlap(sh: DataFrame, cand: DataFrame) -> DataFrame:
     both set sizes are row-local array ops — no expansion, no pair-grain
     aggregate, no sizes joins.  Pairs with zero overlap now appear with
     n_common = 0 (the old INNER-join-grouped shape dropped them; callers
-    that exposed that absence filter n_common > 0 explicitly)."""
+    that exposed that absence filter n_common > 0 explicitly).
+
+    Precondition (ADVICE r16 #3): a document's distinct-shingle set must
+    fit in a single row — collect_list concentrates the whole set in one
+    cell, so a pathologically long document becomes a row-size /
+    executor-memory bound where the old pair-grain shuffle degraded
+    gracefully.  The corpus contract upstream (gopher-style length
+    filters precede dedup in the curation pipeline) bounds doc length;
+    the scale legs run 30-120-word docs.  The same precondition applies
+    to simjoin's prefix/verify doc-grain arrays."""
     sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shs"))
     return (
         cand.join(

@@ -1650,10 +1650,18 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only the surviving contexts' partial states.  Rows identical (oracle
     # unchanged, 1:1 joins preserve the selection); at 100 TB the join
     # traffic drops from O(|B|) to O(occurrences of 30 contexts).
+    # EAGER (ADVICE r16 #4): `top` is 30 rows, but materializing it lazily
+    # meant the corpus-sized c2 aggregation behind it ran inside the FIRST
+    # consumer's BroadcastExchange build thread — putting the whole bigram
+    # aggregation under spark.sql.broadcastTimeout (300 s default) at
+    # scale, with three broadcast consumers on that critical path.  The
+    # eager checkpoint runs the same one corpus pass as a normal job (c2's
+    # lazy checkpoint materializes inside it), so the broadcasts build
+    # from cached 30-row/k-row state.
     top = (
         c2.orderBy(F.desc("c2"), "w1", "w2")
         .limit(30)
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     ctx = (
         c2.join(F.broadcast(top.select("w1").distinct()), "w1", "semi")
