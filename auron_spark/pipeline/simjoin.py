@@ -133,62 +133,28 @@ def _prefix_pairs_from_shingles(doc_shingles: DataFrame, tau: float) -> DataFram
     # doc-grain set collapse — computed once per execution, NO cross-run
     # cache (every build() creates a fresh checkpoint); at cluster scale
     # the same statement becomes persist(MEMORY_AND_DISK).
+    # r17 NEGATIVE RESULT (VERDICT r16 next #5, measured and reverted):
+    # replacing this window rank with one doc-grain
+    # array_sort(collect_list(struct(df, shingle))) serving prefix AND
+    # verify looked strictly better on the sf0.1 plan (Exchange 16 -> 10,
+    # Window 8 -> 0, Sort 5 -> 1) but read 16.7 s min-warm with 58-81 s
+    # GC-bound passes on the 65k-doc corpus vs 12.9 s baseline: the
+    # object-hash aggregate buffers every doc's struct array on-heap and
+    # array_sort runs an interpreted comparator per element, where the
+    # window's unsafe-row sort streams off-heap.  The window stays.
     sh = doc_shingles.repartition("shingle").dropDuplicates(
         ["doc_id", "shingle"]
     )
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    shdf = sh.join(df_counts, "shingle")
-    # r17 window removal (guide §2.4; VERDICT r16 next #5 — the r16
-    # profile showed the doc-grain prefix WINDOW, not the joins,
-    # dominating after the exchange merge: +6.3 s of the 12.9 s leg).
-    # The old shape ranked EVERY shingle of every doc through
-    # row_number() over (doc ORDER BY df, shingle) — a full sort of the
-    # corpus shingle relation — and paid a SECOND doc-grain exchange to
-    # collect the verify arrays.  One doc-grain aggregation now serves
-    # both: per doc, array_sort(collect_list(struct(df, shingle))) gives
-    # the (df, shingle)-ordered set — the SAME total order the window
-    # sorted by, over the SAME distinct (doc, shingle) pairs (unique
-    # within a doc, so the orders agree everywhere) — and
-    # slice(.., 1, n - ceil(tau*n) + 1) is exactly the old
-    # pos <= n - ceil(tau*n) + 1 prefix filter, while
-    # transform(.., s -> s.shingle) IS the verify's set array.  The
-    # full-relation sort machinery is gone (per-doc row-local sorts
-    # inside a hash aggregate instead) and the prefix/verify branches
-    # share ONE doc-grain exchange.  Precondition (ADVICE r16 #3, now
-    # load-bearing for the prefix too): a document's distinct-shingle
-    # set must fit one row — the corpus contract every doc-grain array
-    # device here already carries (dedup.py `_pairs_exact_overlap`); a
-    # pathologically long doc concentrates its set in one row where the
-    # old pair-grain shuffle degraded gracefully.
-    docsets = (
-        shdf.groupBy("doc_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("df", "shingle"))
-            ).alias("ss")
-        )
-        .select(
-            "doc_id",
-            F.transform("ss", lambda s: s["shingle"]).alias("shs"),
-            F.size("ss").alias("n"),
-        )
-        # one materialization serves the prefix explode (both join sides)
-        # and the two verify attaches; doc-grain rows, computed once per
-        # execution, NO cross-run cache (fresh checkpoint per build());
-        # persist(MEMORY_AND_DISK) at cluster scale.
-        .localCheckpoint(eager=False)
+    shdf = sh.join(df_counts, "shingle").localCheckpoint(eager=False)
+    wdoc = Window.partitionBy("doc_id")
+    ranked = shdf.withColumn("n", F.count("*").over(wdoc)).withColumn(
+        "pos",
+        F.row_number().over(wdoc.orderBy("df", "shingle")),
     )
-    prefix = docsets.select(
-        "doc_id",
-        "n",
-        F.explode(
-            F.slice(
-                "shs",
-                1,
-                (F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1).cast("int"),
-            )
-        ).alias("shingle"),
-    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1
+    ).select("doc_id", "shingle", "n")
     pa = prefix.select(
         F.col("doc_id").alias("doc_a"), "shingle", F.col("n").alias("na")
     )
@@ -216,9 +182,7 @@ def _prefix_pairs_from_shingles(doc_shingles: DataFrame, tau: float) -> DataFram
     # two 1:1 doc-grain joins carrying |cand| + |docs| rows, and the exact
     # intersection count is a row-local array_intersect — identical `i`
     # (both sides are sets), no expanded shuffle, no pair-grain aggregate.
-    # r17: the set arrays come straight from the checkpointed docsets (the
-    # prefix aggregation above) instead of a second doc-grain groupBy.
-    sets = docsets.select("doc_id", "shs")
+    sets = shdf.groupBy("doc_id").agg(F.collect_list("shingle").alias("shs"))
     inter = (
         cand.join(
             sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sha")),

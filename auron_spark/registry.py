@@ -114,11 +114,6 @@ _MODIFIED_SINCE_PROOF: frozenset[str] = frozenset({
     "sim_ivfpq_trained",
     "sim_semantic_dedup",
     "sim_silhouette_simplified",
-    # Prefix join: the doc-grain window rank replaced by one array_sort
-    # aggregation serving prefix AND verify (same (df, shingle) total
-    # order, same prefix length — identical candidates/output).
-    "join_set_similarity_prefix",
-    "join_set_similarity_prefix_scaled",
     # Heavy hitters: lowercasing moved to the Spark side of the Arrow
     # boundary (ADVICE r16 #1 — one lowercasing engine) and the Python
     # tokenizer now works per document (ADVICE r16 #2); same counts.
