@@ -1209,7 +1209,7 @@ def sim_kmeans_lloyd_arrow(
     Lloyd assignment dominated the remaining trainer wall).  Everything
     else — init, decimal-exact centroid means, empty-cluster carry, final
     per-dim emission — is the SAME shared code as the fold trainer
-    (`_lloyd_update`), so the twins differ only in how argmin-over-k is
+    (`_lloyd_rounds`/`_lloyd_mean_rows`), so the twins differ only in how argmin-over-k is
     evaluated: interpreted fold per (row, centroid) vs one BLAS matmul per
     Arrow batch.
 
